@@ -1,0 +1,111 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** One row of the `etl.etl_job` control table.
+  *
+  * Mirrors the reference's control schema (reference:
+  * `etl_system/etl_job.csv:1`, columns lowercased at load as in
+  * `etl_system/load_metadata.ipynb:75`). Status codes preserved from
+  * `data_integration/pull_raw/utils.py:80-85,120-125`: -1 = running,
+  * 1 = done; this rebuild adds 2 = failed (the reference records
+  * `error_message` but never writes a terminal failed status).
+  */
+case class EtlJob(
+    job_name: String,
+    query_id: Long,
+    target_table: String,
+    p_key: String,
+    status: Option[Int],
+    active: Int,
+    start_ts: Option[Timestamp],
+    end_ts: Option[Timestamp],
+    error_message: Option[String],
+    last_updated_ts: Option[Timestamp])
+
+object EtlJob {
+  val Running = -1
+  val Done = 1
+  val Failed = 2
+}
+
+/** A derived column declared as a Spark SQL expression string —
+  * the rebuild's form of the reference's declarative
+  * `transform: dimension_attribute_name: UPPER([entity])` entries
+  * (reference: `data_integration/pull_raw/column_transform.yaml:8,16,23,33,49-50`).
+  */
+case class DerivedColumn(name: String, sqlExpr: String)
+
+/** Load strategy for a table sync — reference
+  * `data_integration/pull_raw/__main__.py:152-169` dispatches on
+  * `sync_type` in {full_refresh, sync_incremental}.
+  */
+sealed trait LoadStrategy
+case object FullRefresh extends LoadStrategy
+case object Incremental extends LoadStrategy
+
+/** Declarative per-table sync spec: the reference's
+  * `column_transform.yaml` + `etl_job.csv` joined into one config
+  * object (reference: `etl_system/etl_job.csv:2-6`,
+  * `data_integration/pull_raw/column_transform.yaml:2-48`).
+  *
+  * @param renames ordered source→target column map; also the projection
+  *                (columns not listed are dropped — column pruning).
+  * @param watermarkCol target-side column whose MAX drives the
+  *                     incremental fetch parameter (reference
+  *                     `pull_raw/__main__.py:102`).
+  */
+case class TableSpec(
+    jobName: String,
+    queryId: Long,
+    targetTable: String,
+    pKeys: Seq[String],
+    renames: Seq[(String, String)],
+    derived: Seq[DerivedColumn] = Nil,
+    watermarkCol: Option[String] = None,
+    strategy: LoadStrategy = Incremental)
+
+/** The five-table Bitcoin warehouse the reference syncs
+  * (reference: `etl_system/etl_job.csv:2-6` and
+  * `data_integration/pull_raw/column_transform.yaml`).
+  */
+object BitcoinWarehouse {
+  val upperEntity = DerivedColumn("dimension_attribute_name", "upper(address)")
+
+  val inputs = TableSpec(
+    jobName = "bitcoin_inputs", queryId = 2177353L,
+    targetTable = "bitcoin.input", pKeys = Seq("transaction_id"),
+    renames = Seq("address" -> "address", "tx_id" -> "transaction_id",
+      "value" -> "bitcoin_amount"),
+    derived = Seq(upperEntity))
+
+  val outputs = TableSpec(
+    jobName = "bitcoin_output", queryId = 2177447L,
+    targetTable = "bitcoin.output", pKeys = Seq("transaction_id"),
+    renames = Seq("address" -> "address", "tx_id" -> "transaction_id",
+      "value" -> "bitcoin_amount"),
+    derived = Seq(upperEntity))
+
+  val pricesUsd = TableSpec(
+    jobName = "prices_usd", queryId = 5816212L,
+    targetTable = "bitcoin.price_usd", pKeys = Seq("date"),
+    renames = Seq("date" -> "date", "price" -> "price_in_dollar"),
+    watermarkCol = Some("date"))
+
+  val transactions = TableSpec(
+    jobName = "bitcoin_transactions", queryId = 2177280L,
+    targetTable = "bitcoin.transactions", pKeys = Seq("transaction_id"),
+    renames = Seq("block_time" -> "block_time",
+      "fee" -> "dimension_attribute_record_id", "id" -> "transaction_id",
+      "input_value" -> "input_value", "output_value" -> "output_value"),
+    watermarkCol = Some("block_time"))
+
+  val block = TableSpec(
+    jobName = "bitcoin_block", queryId = 2177266L,
+    targetTable = "bitcoin.block", pKeys = Seq("hash"),
+    renames = Seq("coinbase", "difficulty", "hash", "height", "mint_reward",
+      "nonce", "previous_block_hash", "size", "total_fees", "total_reward",
+      "transaction_count", "weight").map(c => c -> c))
+
+  val all: Seq[TableSpec] = Seq(inputs, outputs, pricesUsd, transactions, block)
+}

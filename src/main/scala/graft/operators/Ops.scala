@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.DerivedColumn
+
+/** Parquet write helpers.
+  *
+  * Spark cannot overwrite a path that feeds the plan being written
+  * (self-referencing read→overwrite, as the merge-upsert does), so every
+  * in-place rewrite stages to a sibling temp dir and swaps via a
+  * filesystem rename. Single-runner semantics — matching the reference's
+  * strictly sequential job loop (`pull_raw/__main__.py:142`) — make the
+  * non-transactional swap acceptable; on a real cluster the same code
+  * works on HDFS/S3A (rename is cheap on HDFS, copy on S3 — a lakehouse
+  * table format would replace this seam, not the operators above it).
+  */
+object ParquetIO {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Overwrite `path` with `df`, safe even when `df` reads from `path`. */
+  def overwriteSafe(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(
+      path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+}
+
+/** The reference's data-shaping operators, one Spark-native function each.
+  * References cite file:line in the read-only snapshot at /root/reference.
+  */
+object Ops {
+
+  /** P1+P2 — rename-and-project in one `select`: only listed columns
+    * survive (Catalyst prunes the parquet scan to exactly these).
+    * Reference: `column_transform.yaml:2-48` applied in
+    * `dune_to_pg_worker.py` intent.
+    */
+  def renameProject(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
+    df.select(renames.map { case (s, t) => col(s).as(t) }: _*)
+
+  /** F1 — declared scalar transforms, e.g. `upper(address)`.
+    * Reference: `column_transform.yaml:8,16,23,33,49-50`.
+    */
+  def applyDerived(df: DataFrame, derived: Seq[DerivedColumn]): DataFrame =
+    derived.foldLeft(df)((d, t) => d.withColumn(t.name, expr(t.sqlExpr)))
+
+  /** P3 — audit column. Reference: `data_integration/main.ipynb:153`
+    * (`df["ETL_updated_ts"] = datetime.now()`); UTC here, rendered
+    * tz-at-edge (SURVEY §7 timestamps note).
+    */
+  def auditStamp(df: DataFrame, colName: String = "etl_updated_ts"): DataFrame =
+    df.withColumn(colName, current_timestamp())
+
+  /** P4 — lowercase all column names.
+    * Reference: `etl_system/load_metadata.ipynb:75`.
+    */
+  def normalizeNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** A1 — watermark read: MAX(col) of the target, None when the target
+    * doesn't exist yet (→ caller falls back to full refresh).
+    * Reference: `pg_loader.py:296-318`, fallback `__main__.py:104-112`.
+    */
+  def maxWatermark(spark: SparkSession, targetPath: String,
+      column: String): Option[Any] = {
+    if (!ParquetIO.exists(spark, targetPath)) None
+    else Option(
+      spark.read.parquet(targetPath).agg(max(col(column))).head.get(0))
+  }
+
+  /** A2 — verification row count. Reference: `pg_loader.py:320-339`. */
+  def recordCount(spark: SparkSession, targetPath: String): Long =
+    if (!ParquetIO.exists(spark, targetPath)) 0L
+    else spark.read.parquet(targetPath).count()
+
+  /** S6 — full refresh: truncate+reload collapses into one atomic(ish)
+    * overwrite. Reference: `pg_loader.py:126-163`.
+    */
+  def fullRefresh(df: DataFrame, targetPath: String): Unit =
+    ParquetIO.overwriteSafe(df, targetPath)
+
+  /** Batch dedup for the upsert: keep one row per key, latest
+    * `versionCol` wins — mirrors `ON CONFLICT ... DO UPDATE`'s
+    * last-write-wins within a statement (reference `pg_loader.py:254-261`).
+    * Required before the join-based merge or the union would emit dupes
+    * (SURVEY §7 hard-parts).
+    */
+  def dedupLatest(updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last)
+    updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S7 — keyed merge-upsert, the join-based rewrite of Postgres
+    * `INSERT ... ON CONFLICT (p_key) DO UPDATE` (reference
+    * `pg_loader.py:219-270`): dedup the batch per key (latest wins),
+    * anti-join the target against the batch keys, union, rewrite.
+    *
+    * Scale note: the anti-join shuffles on the p_keys; AQE picks a
+    * broadcast anti-join when the (deduped) batch is small — the common
+    * incremental case. At 100 TB the target side should additionally be
+    * partitioned on the watermark column so only touched partitions are
+    * rewritten; see `partitionedOverwrite` below.
+    */
+  def mergeUpsert(spark: SparkSession, targetPath: String,
+      updates: DataFrame, keys: Seq[String],
+      versionCol: String = "etl_updated_ts"): Unit = {
+    val batch = dedupLatest(updates, keys, versionCol)
+    if (!ParquetIO.exists(spark, targetPath)) {
+      batch.write.mode("overwrite").parquet(targetPath)
+    } else {
+      val target = spark.read.parquet(targetPath)
+      val merged = target
+        .join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch, allowMissingColumns = true)
+      ParquetIO.overwriteSafe(merged, targetPath)
+    }
+  }
+
+  /** S8 — DELETE WHERE rewritten as keep-the-complement + rewrite.
+    * Reference: `pg_loader.py:272-294`. Null-safe: rows where the
+    * predicate is NULL are kept (SQL DELETE only removes WHERE=true).
+    */
+  def deleteWhere(spark: SparkSession, targetPath: String,
+      predicate: Column): Unit = {
+    if (ParquetIO.exists(spark, targetPath)) {
+      val kept = spark.read.parquet(targetPath)
+        .filter(!coalesce(predicate, lit(false)))
+      ParquetIO.overwriteSafe(kept, targetPath)
+    }
+  }
+
+  /** Incremental filter the fixture source applies server-side in the
+    * reference (the Dune `date` query parameter, `dune_extractor.py:57-59`):
+    * here it is an ordinary pushed-down predicate — Catalyst ships it to
+    * the parquet scan (`PushedFilters`), and on a date-partitioned layout
+    * it prunes partitions.
+    */
+  def watermarkFilter(df: DataFrame, column: String,
+      watermark: Option[Any]): DataFrame =
+    watermark match {
+      case Some(w) => df.filter(col(column) > lit(w))
+      case None    => df
+    }
+}

@@ -1,0 +1,69 @@
+package graft.runner
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.meta.JobStateStore
+import graft.model.{FullRefresh, Incremental, TableSpec}
+import graft.operators.Ops
+import graft.sources.Source
+
+/** One job's outcome — per-job error isolation is a semantic requirement
+  * (the reference continues the loop on failure,
+  * `pull_raw/__main__.py:173-177`).
+  */
+case class JobResult(jobName: String, rows: Long, fullRefresh: Boolean,
+    error: Option[String])
+
+/** The E2 pipeline loop (reference `pull_raw/__main__.py:132-184`),
+  * Spark-native:
+  *
+  *  - metadata scan → active specs (S3/P5)
+  *  - per job: start → fetch (watermark pushed to the source, P7) →
+  *    rename/project (P1/P2) → derived transforms (F1) → audit stamp
+  *    (P3) → load (S6 full refresh | S7 merge-upsert) → end
+  *  - incremental decision tree: missing target or no watermark value ⇒
+  *    full refresh (reference `__main__.py:102-115`)
+  *  - any failure: record and continue with the next job.
+  */
+class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
+    warehouseDir: String) {
+
+  def targetPath(spec: TableSpec): String =
+    s"$warehouseDir/${spec.targetTable.replace('.', '/')}"
+
+  def runJob(spec: TableSpec): JobResult = {
+    meta.startJob(spec.jobName)
+    val attempt = Try {
+      val path = targetPath(spec)
+      val watermark = (spec.strategy, spec.watermarkCol) match {
+        case (Incremental, Some(c)) => Ops.maxWatermark(spark, path, c)
+        case _                      => None
+      }
+      val doFull = spec.strategy == FullRefresh || watermark.isEmpty
+      val fetched = source.fetch(spark, spec, watermark)
+      val shaped = Ops.auditStamp(
+        Ops.applyDerived(
+          Ops.renameProject(fetched, spec.renames), spec.derived))
+      if (doFull) Ops.fullRefresh(shaped, path)
+      else Ops.mergeUpsert(spark, path, shaped, spec.pKeys)
+      JobResult(spec.jobName, Ops.recordCount(spark, path), doFull, None)
+    }
+    attempt match {
+      case Success(r) => meta.endJob(spec.jobName); r
+      case Failure(e) =>
+        meta.failJob(spec.jobName, e.toString)
+        JobResult(spec.jobName, 0L, fullRefresh = false,
+          Some(e.toString))
+    }
+  }
+
+  /** Run every spec whose job is active in the control table, in order,
+    * isolating failures per job.
+    */
+  def run(specs: Seq[TableSpec]): Seq[JobResult] = {
+    val active = meta.activeJobs.collect().map(_.job_name).toSet
+    specs.filter(s => active(s.jobName)).map(runJob)
+  }
+}

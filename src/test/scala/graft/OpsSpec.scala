@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.DerivedColumn
+import graft.operators.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("renameProject renames and prunes to the listed columns") {
+    val df = Seq(("a", "t1", 1.5, "junk")).toDF("address", "tx_id", "value", "extra")
+    val out = Ops.renameProject(df,
+      Seq("address" -> "address", "tx_id" -> "transaction_id", "value" -> "bitcoin_amount"))
+    assert(out.columns.toSeq == Seq("address", "transaction_id", "bitcoin_amount"))
+    assert(out.head.getString(1) == "t1")
+  }
+
+  test("applyDerived evaluates SQL-expression transforms (UPPER)") {
+    val df = Seq(Tuple1("abc")).toDF("address")
+    val out = Ops.applyDerived(df, Seq(DerivedColumn("dimension_attribute_name", "upper(address)")))
+    assert(out.head.getString(1) == "ABC")
+  }
+
+  test("auditStamp adds a timestamp column") {
+    val out = Ops.auditStamp(Seq(Tuple1(1)).toDF("x"))
+    assert(out.columns.contains("etl_updated_ts"))
+    assert(out.head.getTimestamp(1) != null)
+  }
+
+  test("normalizeNames lowercases column names") {
+    val out = Ops.normalizeNames(Seq((1, 2)).toDF("JOB_NAME", "Query_Id"))
+    assert(out.columns.toSeq == Seq("job_name", "query_id"))
+  }
+
+  test("maxWatermark: None for missing target, Some(max) otherwise") {
+    val dir = tmpDir("wm") + "/t"
+    assert(Ops.maxWatermark(spark, dir, "v").isEmpty)
+    Seq(1, 5, 3).toDF("v").write.parquet(dir)
+    assert(Ops.maxWatermark(spark, dir, "v").contains(5))
+  }
+
+  test("fullRefresh overwrites (truncate+reload semantics)") {
+    val dir = tmpDir("fr") + "/t"
+    Ops.fullRefresh(Seq(1, 2, 3).toDF("v"), dir)
+    assert(Ops.recordCount(spark, dir) == 3)
+    Ops.fullRefresh(Seq(9).toDF("v"), dir)
+    assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("mergeUpsert: insert-only, update-only, mixed, in-batch dedup") {
+    val dir = tmpDir("mu") + "/t"
+    def rows = spark.read.parquet(dir).as[(String, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+
+    // first load (target missing → plain write)
+    Ops.mergeUpsert(spark, dir,
+      Seq(("k1", 1.0, 10L), ("k2", 2.0, 10L)).toDF("k", "v", "etl_updated_ts"),
+      Seq("k"))
+    assert(rows == Seq(("k1", 1.0, 10L), ("k2", 2.0, 10L)))
+
+    // insert-only batch
+    Ops.mergeUpsert(spark, dir,
+      Seq(("k3", 3.0, 20L)).toDF("k", "v", "etl_updated_ts"), Seq("k"))
+    assert(rows.map(_._1) == Seq("k1", "k2", "k3"))
+
+    // update-only batch (k2 overwritten)
+    Ops.mergeUpsert(spark, dir,
+      Seq(("k2", 22.0, 30L)).toDF("k", "v", "etl_updated_ts"), Seq("k"))
+    assert(rows.find(_._1 == "k2").get._2 == 22.0)
+    assert(rows.size == 3)
+
+    // mixed batch with duplicate keys: latest etl_updated_ts wins
+    Ops.mergeUpsert(spark, dir,
+      Seq(("k1", 100.0, 40L), ("k1", 111.0, 50L), ("k4", 4.0, 40L))
+        .toDF("k", "v", "etl_updated_ts"),
+      Seq("k"))
+    assert(rows.find(_._1 == "k1").get._2 == 111.0)
+    assert(rows.map(_._1) == Seq("k1", "k2", "k3", "k4"))
+  }
+
+  test("mergeUpsert is idempotent") {
+    val dir = tmpDir("mi") + "/t"
+    val batch = Seq(("a", 1.0, 1L), ("b", 2.0, 1L)).toDF("k", "v", "etl_updated_ts")
+    Ops.mergeUpsert(spark, dir, batch, Seq("k"))
+    val once = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    Ops.mergeUpsert(spark, dir, batch, Seq("k"))
+    val twice = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("deleteWhere removes matching rows, keeps NULL-predicate rows") {
+    val dir = tmpDir("dw") + "/t"
+    Seq(("a", Some(1)), ("b", Some(5)), ("c", None))
+      .toDF("k", "v").write.parquet(dir)
+    Ops.deleteWhere(spark, dir, col("v") > 3)
+    val kept = spark.read.parquet(dir).select("k").as[String].collect().sorted
+    assert(kept.toSeq == Seq("a", "c"))
+  }
+
+  test("watermarkFilter keeps only rows past the watermark") {
+    val df = Seq(1, 2, 3, 4).toDF("d")
+    assert(Ops.watermarkFilter(df, "d", Some(2)).count() == 2)
+    assert(Ops.watermarkFilter(df, "d", None).count() == 4)
+  }
+}

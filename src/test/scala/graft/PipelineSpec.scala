@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.meta.JobStateStore
+import graft.model._
+import graft.runner.Pipeline
+import graft.sources.FixtureSource
+
+/** End-to-end pipeline test over synthesized bitcoin-shaped JSON fixtures
+  * (SURVEY §5 test 4): full run, then an incremental run that must apply
+  * only the delta past the watermark.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(dir: String, queryId: Long, lines: Seq[String]): Unit =
+    Files.write(Paths.get(s"$dir/$queryId.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  private def seedJobs(meta: JobStateStore, specs: Seq[TableSpec],
+      activeNames: Set[String]): Unit =
+    meta.seed(specs.map(s => EtlJob(s.jobName, s.queryId, s.targetTable,
+      s.pKeys.mkString(","), None, if (activeNames(s.jobName)) 1 else 0,
+      None, None, None, None)))
+
+  test("full + incremental run over prices_usd fixture") {
+    val base = tmpDir("pipe")
+    val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
+    val spec = BitcoinWarehouse.pricesUsd
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"date": "2025-01-01", "price": 95000.0}""",
+      """{"date": "2025-01-02", "price": 96000.0}"""))
+
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    seedJobs(meta, Seq(spec), Set(spec.jobName))
+    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+      s"$base/warehouse")
+
+    val r1 = pipe.run(Seq(spec))
+    assert(r1.map(r => (r.jobName, r.rows, r.fullRefresh, r.error)) ==
+      Seq((spec.jobName, 2L, true, None)))
+    val t1 = spark.read.parquet(pipe.targetPath(spec))
+    assert(t1.columns.sorted.toSeq ==
+      Seq("date", "etl_updated_ts", "price_in_dollar"))
+
+    // job state: done
+    val job = meta.all.filter($"job_name" === spec.jobName).head
+    assert(job.getAs[Int]("status") == EtlJob.Done)
+    assert(job.getAs[java.sql.Timestamp]("end_ts") != null)
+
+    // incremental: one new date + a stale repeat of an old one; only the
+    // new row (past the watermark) must land
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"date": "2025-01-02", "price": 1.0}""",
+      """{"date": "2025-01-03", "price": 97000.0}"""))
+    val r2 = pipe.run(Seq(spec))
+    assert(r2.head.fullRefresh == false)
+    assert(r2.head.rows == 3)
+    val prices = spark.read.parquet(pipe.targetPath(spec))
+      .select("date", "price_in_dollar").as[(String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(prices == Seq(("2025-01-01", 95000.0), ("2025-01-02", 96000.0),
+      ("2025-01-03", 97000.0)))
+  }
+
+  test("per-job error isolation: a broken job does not stop the loop") {
+    val base = tmpDir("iso")
+    val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
+    val good = BitcoinWarehouse.inputs
+    val bad = BitcoinWarehouse.outputs // no fixture written → fetch fails
+    writeFixture(fixtures, good.queryId, Seq(
+      """{"address": "addr1", "tx_id": "t1", "value": 0.5}"""))
+
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    seedJobs(meta, Seq(bad, good), Set(bad.jobName, good.jobName))
+    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+      s"$base/warehouse")
+
+    val results = pipe.run(Seq(bad, good))
+    assert(results.find(_.jobName == bad.jobName).get.error.isDefined)
+    val goodResult = results.find(_.jobName == good.jobName).get
+    assert(goodResult.error.isEmpty && goodResult.rows == 1)
+
+    val statuses = meta.all.select("job_name", "status")
+      .as[(String, Option[Int])].collect().toMap
+    assert(statuses(bad.jobName).contains(EtlJob.Failed))
+    assert(statuses(good.jobName).contains(EtlJob.Done))
+
+    // derived UPPER transform landed
+    val row = spark.read.parquet(pipe.targetPath(good)).head
+    assert(row.getAs[String]("dimension_attribute_name") == "ADDR1")
+  }
+
+  test("inactive jobs are skipped (metadata scan WHERE active=1)") {
+    val base = tmpDir("inact")
+    val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
+    val spec = BitcoinWarehouse.block
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    seedJobs(meta, Seq(spec), Set.empty)
+    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+      s"$base/warehouse")
+    assert(pipe.run(Seq(spec)).isEmpty)
+  }
+}
