@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a Spark plan builder over a testdata dir and,
+  * when SQL-expressible, the equivalent ANSI SQL for the DuckDB oracle
+  * (driver contract — see SparkEntry). Column names and row order are
+  * part of the contract: both sides alias identically and end with the
+  * same ORDER BY; double aggregates are rounded on both sides so
+  * summation-order ULP noise cannot flip the hash compare.
+  */
+case class NamedQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  /** All testdata tables are single parquet files: `$dir/$name.parquet`. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session config every graft entry point uses. `nanosAsLong` is
+    * required to read the `events` table (parquet TIMESTAMP(NANOS) —
+    * Spark has no nanosecond timestamp type and otherwise refuses the
+    * file); `ts` then arrives as nanos-since-epoch LongType.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query surface over the TPC-H-ish testdata — the
+  * analytical workload the reference's warehouse consumers run (SURVEY
+  * §2.3-§2.8: joins, grouped aggregation, windows, sorts/top-k, set ops,
+  * rollup — all ABSENT in the reference's own code and delegated to
+  * Dune/Trino; here they are first-class Catalyst plans).
+  *
+  * Scale notes, per query, are in each builder's doc: the design target
+  * is a 1000-executor cluster over ~100 TB (SURVEY §7 100 TB rules) —
+  * dimension joins broadcast, aggregations are partial+final map-side
+  * combines, top-k plans as TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy, 6-group hash agg.
+    * At scale: pure map-side partial agg + tiny shuffle (6 groups);
+    * filter + 7-column projection reach the parquet scan.
+    */
+  private def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-shaped selective scan: all three predicates and the
+    * 2-column projection must push to the parquet reader
+    * (`PushedFilters`/`ReadSchema` — checked in PlanSpec).
+    */
+  private def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-shaped star join + top-k. At scale: customer is the small
+    * side (broadcast); orders⋈lineitem shuffles on orderkey; the final
+    * top-10 is TakeOrderedAndProject, never a global sort.
+    */
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey AS orderkey, o_orderdate AS orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin
+
+  /** Top-k customers by lifetime spend: group + TakeOrderedAndProject. */
+  private def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  private val topCustomersSql =
+    """SELECT c_custkey, c_name,
+      |  round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by price.
+    * At scale: single shuffle on custkey, rank computed within
+    * partitions — no driver involvement.
+    */
+  private def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val windowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Frame-spec window: running per-customer spend over order date. */
+  private def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val runningTotalSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Exact distinct count per group (partial-agg friendly). The
+    * approximate (HLL) variant lives in Scale.scala — it has no exact
+    * oracle by construction.
+    */
+  private def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_suppkey")
+
+  private val distinctPartsSql =
+    """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** Set operations: customers with both open and finished orders,
+    * minus any with pending ones (INTERSECT + EXCEPT — SURVEY §2.7).
+    */
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def byStatus(s: String) =
+      o.filter(col("o_orderstatus") === s).select(col("o_custkey"))
+    byStatus("O").intersect(byStatus("F")).except(byStatus("P"))
+      .orderBy("o_custkey")
+  }
+
+  private val setOpsSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** ROLLUP over segment × priority (SURVEY §2.4 grouping sets).
+    * NULLS FIRST on both engines — their default sort-null placement
+    * differs.
+    */
+  private def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    Tables(spark, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("segment").asc_nulls_first,
+        col("priority").asc_nulls_first)
+  }
+
+  private val rollupSalesSql =
+    """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |  round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      |ORDER BY segment ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS — SURVEY §2.3): customers
+    * split by whether they have any urgent order. Anti side = customers
+    * with no orders at all.
+    */
+  private def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val anyOrder = Tables(spark, dir, "orders").select(col("o_custkey"))
+    val hasUrgent = c.join(urgent, col("c_custkey") === col("o_custkey"),
+      "left_semi").withColumn("bucket", lit("has_urgent"))
+    val noOrders = c.join(anyOrder, col("c_custkey") === col("o_custkey"),
+      "left_anti").withColumn("bucket", lit("no_orders"))
+    hasUrgent.unionByName(noOrders).orderBy("bucket", "c_custkey")
+  }
+
+  private val semiAntiSql =
+    """SELECT c_custkey, c_name, 'has_urgent' AS bucket FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_orders' AS bucket FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY bucket, c_custkey""".stripMargin
+
+  /** The S7 merge-upsert expressed as a pure query so the DuckDB oracle
+    * can check the join-rewrite semantics (left-anti + union; reference
+    * `pg_loader.py:219-270`): target = orders not divisible by 3,
+    * updates = doubled prices for even keys.
+    */
+  private def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    target.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeUpsertSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      |updates AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_totalprice FROM target
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |UNION ALL SELECT o_orderkey, o_totalprice FROM updates
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Multi-way star join through the full schema: nation → customer →
+    * orders → lineitem → supplier, revenue where customer and supplier
+    * share a nation (TPC-H Q5-shaped). All dims broadcast; the one big
+    * shuffle is lineitem⋈orders.
+    */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
+    NamedQuery("q6_revenue_filter", q6, Some(q6Sql)),
+    NamedQuery("q3_segment_topk", q3, Some(q3Sql)),
+    NamedQuery("q5_nation_revenue", q5, Some(q5Sql)),
+    NamedQuery("q_top_customers", topCustomers, Some(topCustomersSql)),
+    NamedQuery("q_window_rank", windowRank, Some(windowRankSql)),
+    NamedQuery("q_running_total", runningTotal, Some(runningTotalSql)),
+    NamedQuery("q_distinct_parts", distinctParts, Some(distinctPartsSql)),
+    NamedQuery("q_set_ops", setOps, Some(setOpsSql)),
+    NamedQuery("q_rollup_sales", rollupSales, Some(rollupSalesSql)),
+    NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
+    NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
+}
