@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{NamedQuery, Relational}
+import graft.queries.{NamedQuery, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator surfaces here as a named query; the driver
@@ -11,7 +11,7 @@ import graft.queries.{NamedQuery, Relational}
   */
 object SparkEntry {
   /** The full declared query set, one NamedQuery per operator. */
-  def allQueries: Seq[NamedQuery] = Relational.all
+  def allQueries: Seq[NamedQuery] = Relational.all ++ TrainingData.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -26,4 +26,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Headline bench set: everything except the two exact-similarity
+    * queries that are quadratic *by definition* on this corpus
+    * (`documents` shares a ~30-word vocabulary, so exact word-set
+    * Jaccard / MinHash-at-0.5 emit most of the n² pairs — at sf0.1
+    * that is the answer, not an inefficiency). They stay in the
+    * correctness gate at sf0.01; the frequency-capped variants in
+    * Dedup (maxDf) are the scale path.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs")
 }

@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY §2 extension surface). Preference
+  * order per the build rules: these exist because the hot paths —
+  * per-row 64-bit hashing, simhash, float-vector cosine, LSH bucketing —
+  * would otherwise be Scala UDFs (opaque to codegen, boxing on every
+  * row) or higher-order-function chains (`zip_with`+`aggregate`, which
+  * evaluate interpreted per element). Each expression code-generates a
+  * single static call into [[Kernels]], keeping the enclosing
+  * WholeStageCodegen span intact.
+  */
+private object K { val name: String = Kernels.getClass.getName.stripSuffix("$") }
+
+/** 64-bit FNV-1a of a string — document fingerprinting / exact-dup keys. */
+case class Fnv1a64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "fnv1a64"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.fnv1a64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.fnv1a64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+}
+
+/** 64-bit SimHash of whitespace tokens (spec in Kernels.simhash64). */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** popcount(a XOR b) — bit distance between two 64-bit signatures. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(LongType, LongType)
+  override def prettyName: String = "hamming64"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.name}.hamming64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : HammingDistance = copy(l, r)
+}
+
+/** Cosine similarity over two array<float> embedding columns,
+  * double-accumulated.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.name}.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineSim = copy(l, r)
+}
+
+/** Dot product over two array<float> columns. */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def prettyName: String = "dot_f"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.name}.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotF = copy(l, r)
+}
+
+/** Deterministic signed-random-projection LSH bucket of an embedding. */
+case class SrpBucket(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBits > 0 && numBits < 64, "numBits must be in [1, 63]")
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "srp_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.srpBucket(v.asInstanceOf[ArrayData], numBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.srpBucket($c, $numBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+}

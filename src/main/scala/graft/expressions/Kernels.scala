@@ -1,0 +1,134 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels behind the custom Catalyst expressions. Top-level
+  * objects without companion classes compile with static forwarders, so
+  * generated (janino) code calls these directly — the expressions stay
+  * inside whole-stage codegen instead of falling back to interpreted
+  * eval.
+  *
+  * All hashing is FNV-1a 64-bit (public-domain constants) — chosen over
+  * JVM `hashCode` for a stable cross-platform 64-bit contract.
+  */
+object Kernels {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over the UTF-8 bytes of `s`. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** FNV-1a 64 of an 8-byte little-endian long (used to derive
+    * independent hash families / hyperplanes from a seed).
+    */
+  def fnv1a64Long(v: Long): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < 8) {
+      h ^= ((v >>> (8 * i)) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the lowercased input.
+    * Spec: tokens = `lower(s)` split on runs of whitespace; each token
+    * hashed with fnv1a64; bit b of the result is 1 iff the count of
+    * tokens with bit b set exceeds half the token count (majority vote,
+    * ties → 0). Token multiplicity counts (a repeated token votes
+    * repeatedly). Empty/blank input → 0L.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val text = s.toLowerCase.toString
+    val counts = new Array[Int](64)
+    var nTokens = 0
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          val h = fnv1a64(UTF8String.fromString(text.substring(start, i)))
+          nTokens += 1
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nTokens == 0) return 0L
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > nTokens) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Cosine similarity of two float vectors, accumulated in double,
+    * sequential order (matches a plain loop; 0.0 when either norm is 0).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** Signed-random-projection LSH bucket: bit p of the result is the
+    * sign of `v · h_p`, where hyperplane `h_p(d) ∈ {+1,-1}` is derived
+    * deterministically from (seed, p, d) via fnv1a64Long — no RNG state,
+    * reproducible across executors/runs. numBits ≤ 63.
+    */
+  def srpBucket(v: ArrayData, numBits: Int, seed: Long): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numBits) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val bit = fnv1a64Long(seed * 0x9e3779b97f4a7c15L + p.toLong * 131071L + d) & 1L
+        val w = if (bit == 1L) 1.0 else -1.0
+        proj += v.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (proj >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+import graft.expressions._
+
+/** Column-level facade over the custom Catalyst expressions, plus SQL
+  * registration. The wrappers resolve through the function registry
+  * (`call_function` — the public Column↔Expression bridge), so the
+  * session must carry [[GraftExtensions]] (`Tables.configure` does) or
+  * have had [[GraftFunctions.register]] called.
+  *
+  * {{{
+  * import graft.functions.GraftFunctions._
+  * docs.withColumn("fp", fnv1a64(lower($"text")))
+  * }}}
+  */
+object GraftFunctions {
+  def fnv1a64(col: Column): Column = call_function("fnv1a64", col)
+  def simhash64(col: Column): Column = call_function("simhash64", col)
+  def hamming64(l: Column, r: Column): Column =
+    call_function("hamming64", l, r)
+  def cosine_sim(l: Column, r: Column): Column =
+    call_function("cosine_sim", l, r)
+  def dot_f(l: Column, r: Column): Column = call_function("dot_f", l, r)
+  def srp_bucket(col: Column, numBits: Int, seed: Long): Column =
+    call_function("srp_bucket", col, lit(numBits), lit(seed))
+
+  /** srp_bucket(v, numBits, seed) — numBits/seed must be foldable ints. */
+  private def srpBuilder(es: Seq[Expression]): Expression =
+    SrpBucket(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].longValue())
+
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "fnv1a64" -> (es => Fnv1a64(es.head)),
+      "simhash64" -> (es => SimHash64(es.head)),
+      "hamming64" -> (es => HammingDistance(es.head, es(1))),
+      "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+      "dot_f" -> (es => DotF(es.head, es(1))),
+      "srp_bucket" -> srpBuilder)
+
+  /** Make the functions available to `spark.sql` in an existing session. */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` hook — the public registration path:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Fnv1a64].getName, name), builder))
+    }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{fnv1a64, hamming64, simhash64}
+import graft.functions.TextAnalysis.tokens
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * extension surface). All operate on an (id, text) pair of columns and
+  * return either survivor sets or candidate duplicate pairs
+  * `(id_a < id_b)`.
+  *
+  * Scale design: nothing here ever compares all O(n²) pairs. Exact and
+  * fingerprint dedup are single hash-shuffles on the key; MinHash/LSH
+  * and SimHash generate candidates by bucket join (shuffle on
+  * band/bucket key), so cost tracks the number of *colliding* pairs,
+  * not n². Skewed buckets (a shingle shared by every doc, an all-zeros
+  * band) are the known hazard — AQE skew-join handles moderate cases;
+  * pathological hot shingles should be length-filtered upstream.
+  */
+object Dedup {
+
+  /** Canonical word-set key: distinct sorted tokens re-joined. Detects
+    * reorder/repeat duplicates of the same vocabulary (bag-of-words
+    * identity) — one deterministic string key, one shuffle to dedup.
+    */
+  def wordSetKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(array_sort(array_distinct(tokens(text))), " ")
+
+  /** Exact dedup on an arbitrary key: one group per key, smallest id
+    * survives. `dropDuplicates` would also work but picks an arbitrary
+    * survivor; min(id) is deterministic (required by the oracle gate).
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("dup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** 64-bit fingerprint dedup: same as exact but on fnv1a64(key) —
+    * constant-width keys, cheap shuffles at 100 TB (8-byte vs
+    * arbitrary-length text keys).
+    */
+  def fingerprintDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.withColumn("fp", fnv1a64(col(keyCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash+LSH near-dup candidate pairs via spark.ml (shingle → term
+    * hashing → minhash signatures → banded bucket join inside
+    * `approxSimilarityJoin`). Deterministic for a fixed seed.
+    *
+    * @param threshold minimum estimated Jaccard similarity to keep.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashTables: Int = 8, threshold: Double = 0.5,
+      seed: Long = 42L, maxDf: Double = 1.0): DataFrame = {
+    val rawToks = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val toks =
+      if (maxDf >= 1.0) rawToks
+      else {
+        // stop-shingle cap, as in jaccardPairs: drop ubiquitous tokens
+        // so signatures discriminate on the informative tail
+        val nDocs = rawToks.count()
+        val hot = rawToks.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf * nDocs)
+          .agg(collect_list("t")).head.getSeq[String](0)
+        rawToks.select(col("id"),
+          array_except(col("toks"), lit(hot.toArray)).as("toks"))
+          .filter(size(col("toks")) > 0)
+      }
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val featured = tf.transform(toks)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 1.0 - threshold, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc, banded into
+    * `bands` sub-keys; docs sharing any band become candidates
+    * (bucket join, no n²), then exact Hamming distance filters.
+    * A pair within `maxHamming` of 64-bit distance must agree on at
+    * least one band when `maxHamming < bands` (pigeonhole).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("bk").as("k"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("bk").as("k"))
+    a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity join: explode distinct n-grams,
+    * join on the shingle (candidates = co-occurring pairs only), count
+    * intersections, filter by true Jaccard. n=1 → word-set Jaccard.
+    *
+    * `maxDf` < 1.0 enables the scale path: shingles present in more
+    * than that fraction of documents are dropped before the join
+    * (standard stop-shingle filtering) and Jaccard is computed over the
+    * surviving shingles. A shingle shared by every document would
+    * otherwise make the candidate join quadratic in corpus size — with
+    * the cap, join cost tracks the rare-shingle collision count.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.6,
+      maxDf: Double = 1.0): DataFrame = {
+    val grams =
+      if (n == 1) df.select(col(idCol).as("id"),
+        array_distinct(tokens(col(textCol))).as("grams"))
+      else {
+        val t = tokens(col(textCol))
+        df.select(col(idCol).as("id"), array_distinct(
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + 1, lit(n)), " "))).as("grams"))
+      }
+    val exploded = grams.filter(size(col("grams")) > 0)
+      .select(col("id"), explode(col("grams")).as("g"))
+    val kept =
+      if (maxDf >= 1.0) exploded
+      else {
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val hot = exploded.groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf * nDocs)
+          .select("g")
+        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+      }
+    val sized = kept.withColumn("sz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id")))
+    val a = sized.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = sized.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

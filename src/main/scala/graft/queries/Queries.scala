@@ -25,6 +25,7 @@ object Tables {
     * file); `ts` then arrives as nanos-since-epoch LongType.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

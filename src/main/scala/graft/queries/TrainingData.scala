@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators as declared queries over the
+  * `documents` and `embeddings` tables (builder-prompt extension
+  * surface: dedup family, similarity search, text analysis).
+  *
+  * Oracle notes: embeddings are float32; every oracle casts to
+  * DOUBLE[] so DuckDB accumulates in double exactly like the
+  * [[graft.expressions.Kernels.cosineF]] kernel (verified bit-for-bit).
+  * Hash-based operators (MinHash, SimHash, FNV fingerprints, SRP
+  * buckets) have no SQL-expressible oracle — the driver records
+  * rows-only checks; their exact specs are pinned by ScalaTest instead.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  // ---- dedup ----
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(
+      docs(spark, dir).withColumn("k", Dedup.wordSetKey(col("text"))),
+      "doc_id", "k")
+      .filter(col("dup_count") > 1)
+      .orderBy("dup_key")
+
+  private val dedupExactSql =
+    """SELECT array_to_string(list_sort(list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+'))), ' ') AS dup_key,
+      |  min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY dup_key""".stripMargin
+
+  private def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintDedup(
+      docs(spark, dir).withColumn("k", Dedup.wordSetKey(col("text"))),
+      "doc_id", "k")
+      .filter(col("dup_count") > 1)
+      .select("fp", "keep_id", "dup_count")
+      .orderBy("keep_id")
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
+      n = 1, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  private val jaccardPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+')) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+      |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
+      numHashTables = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  // ---- text analysis ----
+
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.regexTokenCount(t).as("n_regex_tokens"),
+      round(TextAnalysis.punctRatio(t), 4).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val textStatsSql =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+      |        / length(text) END AS praw
+      |  FROM documents),
+      |enriched AS (
+      |  SELECT doc_id, n_tokens, praw, text,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |      ELSE len(list_intersect(toks,
+      |        ['the','a','an','and','or','of','to','in','is','it']))::DOUBLE
+      |        / len(toks) END AS sraw
+      |  FROM base)
+      |SELECT doc_id, n_tokens,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+      |  round(praw, 4) AS punct_ratio,
+      |  round(sraw, 4) AS stopword_ratio,
+      |  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - praw)
+      |    + 0.3 * sraw, 4) AS quality
+      |FROM enriched ORDER BY doc_id""".stripMargin
+
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val langIdSql = {
+    val sets = TextAnalysis.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scores = sets.map { case (l, arr) =>
+      s"len(list_intersect(toks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = sets.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(
+       |    string_split_regex(lower(trim(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM toks),
+       |best AS (SELECT *, $m AS m FROM scored)
+       |SELECT doc_id,
+       |  CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  private def tokenTopK(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  private val tokenTopKSql =
+    """SELECT t.token, count(*) AS freq
+      |FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+      |GROUP BY t.token ORDER BY freq DESC, t.token LIMIT 20""".stripMargin
+
+  // ---- similarity search ----
+
+  private def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.bruteForceTopK(all, all.filter(col("id") < 5), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val annTopKSql =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.qe,
+      |      CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, corpus_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def nearDupEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(
+      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private val nearDupEmbeddingsSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.lshTopK(all, all.filter(col("id") < 5), k = 5,
+      numBits = 8, tables = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private def labelStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot_f
+    embs(spark, dir)
+      .withColumn("norm", sqrt(dot_f(col("embedding"), col("embedding"))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  private val labelStatsSql =
+    """SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_dedup_exact", dedupExact, Some(dedupExactSql)),
+    NamedQuery("d_dedup_fingerprint", dedupFingerprint, None),
+    NamedQuery("d_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    NamedQuery("d_minhash_pairs", minhashPairs, None),
+    NamedQuery("d_simhash_pairs", simhashPairs, None),
+    NamedQuery("d_text_stats", textStats, Some(textStatsSql)),
+    NamedQuery("d_lang_id", langId, Some(langIdSql)),
+    NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
+    NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
+    NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
+    NamedQuery("e_lsh_topk", lshTopK, None),
+    NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "quick the fox brown jumps"),       // same word set as 1
+    (3L, "the quick brown fox jumps high"),  // near-dup of 1
+    (4L, "completely unrelated text body"),
+    (5L, "the quick brown fox jumps")        // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups by word-set key, min id survives") {
+    val out = Dedup.exactDedup(
+      docs.withColumn("k", Dedup.wordSetKey(col("text"))), "doc_id", "k")
+      .filter(col("dup_count") > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("dup_count") == 3L) // docs 1, 2, 5
+  }
+
+  test("fingerprintDedup finds the same groups as exactDedup") {
+    val keyed = docs.withColumn("k", Dedup.wordSetKey(col("text")))
+    val exact = Dedup.exactDedup(keyed, "doc_id", "k")
+      .select("keep_id", "dup_count").orderBy("keep_id").collect().toSeq
+    val fp = Dedup.fingerprintDedup(keyed, "doc_id", "k")
+      .select("keep_id", "dup_count").orderBy("keep_id").collect().toSeq
+    assert(exact == fp)
+  }
+
+  test("jaccardPairs computes exact word-set jaccard") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    // {1,2,5} mutually 1.0; {1,3},{2,3},{5,3} = 5/6 ≈ 0.8333
+    assert(out == Seq((1L, 2L, 1.0), (1L, 3L, 0.8333), (1L, 5L, 1.0),
+      (2L, 3L, 0.8333), (2L, 5L, 1.0), (3L, 5L, 0.8333)))
+  }
+
+  test("jaccardPairs with n=2 uses bigram shingles") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.9).as[(Long, Long, Double)].collect().toSeq
+    // only the exact duplicate pair shares all bigrams
+    assert(out == Seq((1L, 5L, 1.0)))
+  }
+
+  test("minhashPairs recalls the identical word-set clique") {
+    val out = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashTables = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // jaccard-1.0 pairs are always recalled by minhash banding
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(out))
+  }
+
+  test("simhashPairs finds duplicate and near-duplicate texts") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 5L))) // identical text → hamming 0
+    assert(!out.exists { case (a, b) => b == 4L || a == 4L }) // unrelated
+  }
+}

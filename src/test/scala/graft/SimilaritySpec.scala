@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK returns exact neighbours in cosine order") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("id", "embedding")
+    val queries = corpus.filter(col("id") === 1L)
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select("corpus_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("nearDupPairs finds planted high-cosine pairs only") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1.01f, 2.01f, 3.01f, 4.01f)), // ~copy of 1
+      (3L, Array(-4f, 3f, -2f, 1f))).toDF("id", "embedding")
+    val out = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("lshTopK recalls planted near-duplicates (high-sim regime)") {
+    // 40 base vectors (deterministic pseudo-random) + a perturbed copy
+    // of each: the copy must appear among the LSH top-k of its original
+    // for most originals.
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 131071 + d * 8191) % 1997).toFloat / 1997f) - 0.5f
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => pseudo(i, d))))
+    val copies = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, d) =>
+        x + (if (d % 2 == 0) 0.005f else -0.005f) })
+    }
+    val corpus = (base ++ copies).toDF("id", "embedding")
+    val queries = corpus.filter(col("id") < 1000L)
+    val out = Similarity.lshTopK(corpus, queries, k = 3,
+      numBits = 8, tables = 6)
+      .filter(col("corpus_id") === col("query_id") + 1000L)
+      .select("query_id").as[Long].collect().toSet
+    assert(out.size >= 30, s"LSH recalled only ${out.size}/40 planted pairs")
+  }
+
+  test("lshTopK scores agree with brute force on recalled pairs") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0.98f, 0.15f, 0.05f))).toDF("id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, vecs, k = 2)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.lshTopK(vecs, vecs, k = 2, numBits = 4, tables = 4)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    lsh.foreach { case (q, c, cos) =>
+      assert(brute.get((q, c)).contains(cos),
+        s"cosine mismatch for ($q,$c)")
+    }
+  }
+
+  implicit private class MapOps(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+}
