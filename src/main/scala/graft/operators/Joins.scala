@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark has no single built-in operator for, composed from
+  * stock Catalyst primitives so AQE/codegen still apply (SURVEY §2.3 —
+  * the reference delegates all joins to Dune/Trino; these cover the
+  * analytical surface its consumers need, e.g. the transactions ⋈
+  * price_usd as-of-date join).
+  */
+object Joins {
+
+  /** As-of join: for every left row, the latest right row with the same
+    * key and `rightTs` <= `leftTs` (ties: the right row is visible).
+    * Matches Trino/DuckDB `ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts`.
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` window — ONE
+    * shuffle on the key, no join at all. The naive alternative
+    * (theta-join on `l.ts >= r.ts` + max per left row) is a quadratic
+    * range join; at 100 TB the union-window plan shuffles each side once
+    * and streams each key group in ts order — this is the scale path.
+    *
+    * Right value columns surface as `asof_<name>`; left rows with no
+    * prior right row get nulls.
+    */
+  def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val sideCol = "__graft_is_right"
+    val tsCol = "__graft_ts"
+    val l = left
+      .withColumn(sideCol, lit(0))
+      .withColumn(tsCol, col(leftTs))
+    val r = right
+      .select((keys :+ rightTs).map(col) ++ valueCols.map(col): _*)
+      .withColumn(sideCol, lit(1))
+      .withColumn(tsCol, col(rightTs))
+      .withColumnsRenamed(valueCols.map(v => v -> s"__graft_v_$v").toMap)
+      .drop(rightTs)
+    // Right rows sort before left rows at equal ts, so a right row at
+    // exactly leftTs is visible to that left row (ASOF >= semantics).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(sideCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val withAsof = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"asof_$v",
+        last(when(col(sideCol) === 1, col(s"__graft_v_$v")),
+          ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col(sideCol) === 0)
+      .drop(sideCol +: tsCol +: valueCols.map(v => s"__graft_v_$v"): _*)
+  }
+
+  /** Skew-safe equi-join: spread each hot key of `large` over `buckets`
+    * salt values (derived deterministically from `saltFrom`, so re-runs
+    * are stable), replicate `small` once per salt value, join on
+    * (key, salt). Result set is identical to `large.join(small, key)`;
+    * the win is that one hot key's rows land in `buckets` shuffle
+    * partitions instead of one straggler. Complements AQE skew-join
+    * (which only splits at stage boundaries it can observe).
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int, saltFrom: Seq[Column]): DataFrame = {
+    val saltCol = "__graft_salt"
+    val l = large.withColumn(saltCol,
+      pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)).cast("int"))
+    val s = small.withColumn(saltCol,
+      explode(array((0 until buckets).map(lit): _*)))
+    l.join(s, Seq(key, saltCol)).drop(saltCol)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Scale-path variants: operators whose point is behavior at 100 TB,
+  * declared as queries so the driver exercises them. Where the result is
+  * exactly equal to a stock plan (salted join) the oracle checks that
+  * equality; sketches (HLL) have no exact oracle and get rows-only checks.
+  */
+object Scale {
+
+  /** lineitem ⋈ orders with the large side salted over 8 buckets
+    * ([[Joins.saltedEquiJoin]]). Same answer as the plain join — the
+    * oracle asserts that — but a hot orderkey's rows spread over 8
+    * shuffle partitions instead of one straggler. This is the manual
+    * counterpart to AQE skew-join handling for skew AQE can't see
+    * (e.g. skew born inside a stage, not at its input).
+    */
+  private def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber",
+        "l_extendedprice", "l_discount")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    Joins.saltedEquiJoin(l, o, "o_orderkey", buckets = 8,
+        saltFrom = Seq(col("l_partkey"), col("l_linenumber")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val saltedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Distinct-count at scale: HLL++ sketch (`approx_count_distinct`)
+    * beside the exact count. Sketches merge associatively, so the
+    * partial/final split never moves raw values — at 100 TB this is the
+    * only viable distinct-count. No SQL oracle (DuckDB's HLL differs);
+    * the exact twin `q_distinct_parts` is the correctness anchor.
+    */
+  private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_suppkey")
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    NamedQuery("q_approx_distinct", approxDistinct, None))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoinLast picks the latest right row at or before left ts") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 205L), (3L, "u2", 50L), (4L, "u3", 10L))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("u1", 90L, 9.0), ("u1", 100L, 10.0), ("u1", 300L, 30.0),
+      ("u2", 60L, 6.0))
+      .toDF("k", "rts", "v")
+    val out = Joins.asofJoinLast(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "asof_v").collect().map(r =>
+        r.getLong(0) -> Option(r.get(1))).toMap
+    // id=1: right at ts=100 exactly → visible (>= semantics), beats 90
+    assert(out(1L) === Some(10.0))
+    // id=2: latest <= 205 is 100
+    assert(out(2L) === Some(10.0))
+    // id=3: right u2 at 60 > 50 → nothing before
+    assert(out(3L) === None)
+    // id=4: no right rows for u3
+    assert(out(4L) === None)
+  }
+
+  test("asofJoinLast matches a naive theta-join + argmax oracle") {
+    val left = (1 to 200).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 97).toLong))
+      .toDF("id", "k", "ts")
+    val right = (1 to 150).map(i => (s"k${i % 7}", (i * 29 % 97).toLong, i.toDouble))
+      .toDF("k", "rts", "v")
+    // naive: theta join, keep max (rts, v) per left row — ties on rts
+    // broken by max v is NOT what asof does; make rts unique per key first
+    val rightU = right.groupBy("k", "rts").agg(max("v").as("v"))
+    val fast = Joins.asofJoinLast(left, rightU, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "asof_v")
+    val naive = left.join(rightU,
+        left("k") === rightU("k") && col("rts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(left("id")).orderBy(col("rts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(left("id"), col("v").as("asof_v"))
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+
+  test("saltedEquiJoin equals the plain join") {
+    val large = (1 to 500).map(i => (i.toLong % 11, i.toLong, i * 1.5))
+      .toDF("key", "payload", "x")
+    val small = (0L to 10L).map(k => (k, s"dim$k")).toDF("key", "name")
+    val plain = large.join(small, Seq("key")).select("key", "payload", "x", "name")
+    val salted = Joins.saltedEquiJoin(large, small, "key", buckets = 4,
+        saltFrom = Seq(col("payload")))
+      .select("key", "payload", "x", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("saltedEquiJoin keeps rows whose salt source collides") {
+    // all salt-source values identical → one salt bucket gets everything;
+    // still correct, just unspread
+    val large = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("key", "tag")
+      .withColumn("const", lit(42))
+    val small = Seq((1L, "one"), (2L, "two")).toDF("key", "name")
+    val out = Joins.saltedEquiJoin(large, small, "key", 8, Seq(col("const")))
+    assert(out.count() === 3)
+  }
+}
