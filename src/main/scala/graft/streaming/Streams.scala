@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.queries.Tables
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.10:
+  * the reference is poll-based batch with a persisted high-water-mark —
+  * exactly `Trigger.AvailableNow` + checkpointed offsets, so the same
+  * transforms here ARE the incremental path run continuously).
+  *
+  * Every transform takes an unbounded DataFrame and stays source-
+  * agnostic: tests feed `MemoryStream`, the driver-facing queries feed
+  * the parquet file source, production would swap in Kafka — the plan
+  * is identical. State lives in the checkpointed state store, sized by
+  * the watermark: at 100 TB/day the state held is (watermark horizon ×
+  * key cardinality), not history.
+  */
+object Streams {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) read as nanos LongType
+    * (see [[Tables.configure]]); every streaming consumer first converts
+    * to a µs TimestampType so watermarks/windows get real event time.
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** File-source stream over a testdata dir. Schema comes from a batch
+    * probe of the same file (file streams require a declared schema —
+    * at scale this is the contract schema, not an inference pass).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables(spark, dir, "events").schema
+    // The file stream source needs a directory basePath; the testdata
+    // dir holds one parquet file per table, so glob-filter to ours.
+    withEventTime(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
+  /** Tumbling 1-hour counts per event type, 1-hour watermark: the
+    * streaming twin of the batch `ev_tumbling_hourly`. Append mode
+    * emits each window once the watermark passes its end — partial
+    * aggregation still happens map-side before the shuffle, and state
+    * is one row per open (window, type).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+
+  /** Native session windows (30-min gap) per user, for append-mode
+    * emission once the watermark closes a session.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+
+  /** Exactly-once by key: watermarked streaming dedup. State holds one
+    * entry per event_id inside the watermark horizon; older duplicates
+    * are dropped by the watermark itself.
+    */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  // ---- custom state: typed sessionization via flatMapGroupsWithState
+
+  case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  /** [[SessionEvent]] + the watermark column (must stay in the plan
+    * feeding flatMapGroupsWithState for event-time timeout).
+    */
+  private[streaming] case class TimedEvent(user_id: Long, ts_us: Long,
+      value: Double, ts: java.sql.Timestamp)
+  case class SessionState(start_us: Long, end_us: Long, n: Long, value: Double)
+  case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Custom-state sessionization (30-min gap), the
+    * `flatMapGroupsWithState` form: closed sessions are emitted when a
+    * later event proves the gap, or when the event-time timeout fires
+    * (watermark passed last-event + gap). Must agree with the batch
+    * lag/running-sum form in [[graft.queries.Events]] — the spec
+    * asserts that parity.
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TimedEvent],
+            state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start_us, s.end_us, s.n, s.value))
+          } else {
+            // Batch order is arbitrary: sort this batch's events by ts.
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val (ts, v) = (e.ts_us, e.value)
+              cur match {
+                case Some(s) if ts - s.end_us < GapUs =>
+                  cur = Some(SessionState(s.start_us, math.max(s.end_us, ts),
+                    s.n + 1, s.value + v))
+                case Some(s) =>
+                  closed += Session(user, s.start_us, s.end_us, s.n, s.value)
+                  cur = Some(SessionState(ts, ts, 1L, v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Timeout once the watermark proves the gap; must be set
+              // strictly beyond the current watermark or Spark rejects it.
+              state.setTimeoutTimestamp(math.max(
+                s.end_us / 1000 + GapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // ---- end-to-end runners (the production sink shape)
+
+  /** Run an append-mode streaming plan to a parquet sink with
+    * `Trigger.AvailableNow` (= the reference's "fetch everything new,
+    * then stop" batch loop, with checkpointed offsets instead of a
+    * MAX(watermark) probe), blocking until drained.
+    */
+  def runAvailableNow(df: DataFrame, outPath: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---- driver-facing queries (batch results of a real streaming run)
+
+  /** `ev_tumbling_hourly` computed through the streaming engine:
+    * file-source stream → watermarked windowed agg → complete-mode
+    * memory sink (verification harness only — the scale path is
+    * [[runAvailableNow]] with append mode; complete+memory exists to
+    * surface ALL windows for the oracle, since append withholds windows
+    * the final watermark hasn't passed).
+    */
+  def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = hourlyCounts(eventsStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Streaming dedup end-to-end: the events stream unioned with itself
+    * (guaranteed duplicates), watermark-deduped on event_id, appended
+    * to a parquet sink, read back. Must equal the plain events table —
+    * that is the oracle.
+    */
+  def dedupeViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = eventsStream(spark, dir)
+      .unionByName(eventsStream(spark, dir))
+    val out = Files.createTempDirectory("graft_st_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_dedup_ckpt").toString
+    runAvailableNow(
+      dedupe(doubled).select("event_id", "user_id", "event_type", "value"),
+      out, ckpt)
+    spark.read.parquet(out).orderBy("event_id")
+  }
+}

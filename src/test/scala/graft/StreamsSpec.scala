@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Session, SessionEvent}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Minutes → epoch µs, offset a day off epoch 0 (an event at exactly
+    * the initial watermark of 0 would be dropped as late).
+    */
+  private def us(minutes: Double): Long = ((minutes + 1440) * 60 * 1e6).toLong
+
+  test("tumblingViaStream equals the batch tumbling aggregation") {
+    val streamed = Streams.tumblingViaStream(spark, sf).collect()
+    val batch = graft.queries.Events.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
+  test("dedupeViaStream collapses the self-unioned stream to the table") {
+    val got = Streams.dedupeViaStream(spark, sf)
+    val want = graft.queries.Tables(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("sessionize emits on proven gap and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_test"
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // Batch 1: user 1 has two events 10 min apart (one session), then
+      // a third 45 min later (gap ≥ 30 min → closes the first session
+      // within the batch). User 2 has one open session.
+      in.addData(
+        SessionEvent(1L, us(0), 1.0), SessionEvent(1L, us(10), 2.0),
+        SessionEvent(1L, us(55), 4.0), SessionEvent(2L, us(5), 8.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table(name).as[Session].collect().toSet
+      assert(afterB1 == Set(Session(1L, us(0), us(10), 2L, 3.0)))
+
+      // Batch 2: a much later event advances the watermark past every
+      // open session's end + gap → both time out and are emitted.
+      in.addData(SessionEvent(3L, us(600), 16.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(3L, us(601), 32.0))
+      q.processAllAvailable()
+      val all = spark.table(name).as[Session].collect().toSet
+      assert(all.contains(Session(1L, us(55), us(55), 1L, 4.0)))
+      assert(all.contains(Session(2L, us(5), us(5), 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with the batch lag/running-sum form on sf0.001") {
+    val ev = graft.queries.Events.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[SessionEvent]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_parity"
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev.collect().toSeq)
+      q.processAllAvailable()
+      // Flush: one far-future event per *new* user advances the watermark
+      // past every real session.
+      in.addData(SessionEvent(-1L, us(1e9), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-1L, us(1e9 + 1), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table(name).as[Session]
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n_events", round($"total_value", 6).as("total_value"))
+        .orderBy("user_id", "session_start_us").collect()
+      val batch = SparkEntry.queries("ev_sessionize")(spark, sf)
+        .select($"user_id", unix_micros($"session_start"),
+          unix_micros($"session_end"), $"n_events",
+          round($"total_value", 6))
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+}
