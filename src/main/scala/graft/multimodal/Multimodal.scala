@@ -1,0 +1,168 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * beside typed metadata, with the Spark-side plumbing — schema,
+  * partitioning, batched decode seam, frame sampling — real and
+  * tested. The actual codec is a deterministic fake ([[FakeCodec]]):
+  * this container has no image/audio libraries, so the byte-level
+  * decode is stubbed behind the [[Codec]] seam where a JNI/ffmpeg/
+  * javax.imageio implementation would plug in. Everything around the
+  * seam is the production shape.
+  *
+  * Container format (the fake "media file", fully deterministic so
+  * oracles can recompute sizes arithmetically):
+  * {{{
+  *   bytes 0-3   magic "GRMM"
+  *   byte  4     media kind: 0=image 1=audio 2=video
+  *   bytes 5-6   width  (big-endian u16)   — image/video
+  *   bytes 7-8   height (big-endian u16)   — image/video
+  *   bytes 9-12  sample rate (big-endian u32) — audio
+  *   bytes 13-15 reserved
+  *   bytes 16…   body (media bytes; for video, frames of 256 bytes)
+  * }}}
+  *
+  * At 100 TB: payloads live in parquet binary columns (or are pointers
+  * into an object store, same schema); decode/feature-extract run as
+  * `mapPartitions` with bounded in-flight batches so executor memory is
+  * `batchSize × assetSize`, not a partition's worth; the repartition
+  * before decode spreads size skew (one 4 GB video beside 4 KB icons)
+  * by byte-budget, not row count.
+  */
+object Multimodal {
+
+  val HeaderLen = 16
+  val FrameLen = 256
+  val Magic: Array[Byte] = "GRMM".getBytes(StandardCharsets.US_ASCII)
+
+  case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
+  case class AssetMeta(asset_id: Long, media_type: String, width: Int,
+      height: Int, sample_rate: Int, n_bytes: Long, n_frames: Long)
+  case class Frame(asset_id: Long, frame_idx: Long, frame: Array[Byte])
+  case class AssetFeature(asset_id: Long, media_type: String,
+      feature: Array[Float])
+
+  /** The codec seam. `decode` parses container bytes → typed meta;
+    * `extract` turns a payload into a fixed-width feature vector (the
+    * "model inference" stand-in). Implementations must be pure: decode
+    * runs inside executor tasks.
+    */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): AssetMeta
+    def extract(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in codec: parses the GRMM header for real,
+    * "extracts" a 16-bin byte histogram of the body, L1-normalized —
+    * a real embedding model would replace exactly this class.
+    */
+  object FakeCodec extends Codec {
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    def decode(bytes: Array[Byte]): AssetMeta = {
+      require(bytes.length >= HeaderLen &&
+        bytes.startsWith(Magic), "not a GRMM container")
+      val kind = bytes(4) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"
+        case k => sys.error(s"unknown media kind $k")
+      }
+      val body = bytes.length - HeaderLen
+      AssetMeta(-1L, kind, u16(bytes, 5), u16(bytes, 7), u32(bytes, 9),
+        body.toLong,
+        if (kind == "video") (body + FrameLen - 1) / FrameLen else 0L)
+    }
+
+    def extract(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = HeaderLen
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = math.max(1, bytes.length - HeaderLen).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** Synthesize an assets table from `documents` (the testdata has no
+    * binary column): media kind cycles by doc_id; width/height/rate
+    * derive from doc_id; body is the doc text's UTF-8 bytes. Built with
+    * a typed map — in production this is `spark.read.parquet` over a
+    * binary column and this function disappears.
+    */
+  def assetsFromDocuments(documents: DataFrame): Dataset[Asset] = {
+    import documents.sparkSession.implicits._
+    documents.select("doc_id", "text").as[(Long, String)].map {
+      case (id, text) =>
+        val kind = (id % 3).toInt
+        val body = text.getBytes(StandardCharsets.UTF_8)
+        val h = new Array[Byte](HeaderLen)
+        Magic.copyToArray(h)
+        h(4) = kind.toByte
+        val w = (64 + id % 1024).toInt; val ht = (64 + id % 768).toInt
+        val sr = if (kind == 1) 16000 else 0
+        h(5) = (w >> 8).toByte; h(6) = w.toByte
+        h(7) = (ht >> 8).toByte; h(8) = ht.toByte
+        h(9) = (sr >> 24).toByte; h(10) = (sr >> 16).toByte
+        h(11) = (sr >> 8).toByte; h(12) = sr.toByte
+        Asset(id, Seq("image", "audio", "video")(kind), h ++ body)
+    }
+  }
+
+  /** Batched decode: each partition's assets are decoded in groups of
+    * `batchSize` (the shape a batched model server / vectorized codec
+    * wants), never materializing the whole partition. Repartitions by
+    * asset_id hash first so decode work spreads evenly regardless of
+    * how the scan chunked the files.
+    */
+  def decodeAssets(assets: Dataset[Asset], codec: Codec = FakeCodec,
+      batchSize: Int = 64, partitions: Int = 0): Dataset[AssetMeta] = {
+    import assets.sparkSession.implicits._
+    val spread =
+      if (partitions > 0) assets.repartition(partitions, col("asset_id"))
+      else assets.repartition(col("asset_id"))
+    spread.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(a => codec.decode(a.payload)
+          .copy(asset_id = a.asset_id, media_type = a.media_type))
+      }
+    }
+  }
+
+  /** Feature extraction through the same batched seam; output is the
+    * `(id, Array[Float])` shape the similarity operators consume.
+    */
+  def extractFeatures(assets: Dataset[Asset], codec: Codec = FakeCodec,
+      batchSize: Int = 64): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.repartition(col("asset_id")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(a =>
+        AssetFeature(a.asset_id, a.media_type, codec.extract(a.payload))))
+    }
+  }
+
+  /** Sample every `every`-th frame of each video asset (a real pipeline
+    * decodes keyframes; the container's frames are fixed 256-byte
+    * slices, so the slicing arithmetic is oracle-checkable). Emits one
+    * row per sampled frame — flatMap, so no per-asset frame list is
+    * ever held in memory.
+    */
+  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val body = a.payload.length - HeaderLen
+      val n = (body + FrameLen - 1) / FrameLen
+      (0L until n.toLong).iterator.filter(_ % every == 0).map { i =>
+        val from = HeaderLen + (i * FrameLen).toInt
+        Frame(a.asset_id, i,
+          java.util.Arrays.copyOfRange(a.payload, from,
+            math.min(from + FrameLen, a.payload.length)))
+      }
+    }
+  }
+}

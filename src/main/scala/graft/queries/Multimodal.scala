@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Multimodal => MM}
+
+/** Multimodal plumbing as declared queries. The GRMM container format
+  * is deterministic arithmetic over the source text (see
+  * [[graft.multimodal.Multimodal]]), so the decode and frame-sampling
+  * paths get real SQL oracles: DuckDB recomputes sizes/frame counts
+  * from `strlen(text)` while Spark actually builds, decodes, and
+  * slices the binary payloads — the equality proves the byte plumbing.
+  */
+object Multimodal {
+
+  private def assets(spark: SparkSession, dir: String) =
+    MM.assetsFromDocuments(Tables(spark, dir, "documents"))
+
+  /** Decode every asset through the batched codec seam, aggregate the
+    * recovered metadata per media type.
+    */
+  private def decodeStats(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAssets(assets(spark, dir))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("total_bytes"),
+        max("width").as("max_width"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("media_type")
+
+  private val decodeStatsSql =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS media_type,
+      |  count(*) AS n_assets,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      |  max(64 + doc_id % 1024) AS max_width,
+      |  CAST(sum(CASE WHEN doc_id % 3 = 2
+      |    THEN CAST(ceil(strlen(text) / 256.0) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS total_frames
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  /** Sample every 4th frame of each video asset; per-asset counts and
+    * byte totals must equal DuckDB's closed-form arithmetic.
+    */
+  private def frameSample(spark: SparkSession, dir: String): DataFrame =
+    MM.sampleFrames(assets(spark, dir), every = 4)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame"))).as("sampled_bytes"))
+      .orderBy("asset_id")
+
+  private val frameSampleSql =
+    """WITH v AS (
+      |  SELECT doc_id, strlen(text) AS b,
+      |    CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
+      |SELECT doc_id AS asset_id, (nf - 1) // 4 + 1 AS n_sampled,
+      |  ((nf - 1) // 4) * 256 + CASE WHEN (nf - 1) % 4 = 0
+      |    THEN b - (nf - 1) * 256 ELSE 256 END AS sampled_bytes
+      |FROM v ORDER BY asset_id""".stripMargin
+
+  /** Per-media-type centroid of the extracted 16-bin features (the
+    * "model inference" path end-to-end). The fake extractor's output is
+    * not SQL-expressible — rows-only check; the spec pins its values.
+    */
+  private def featureCentroids(spark: SparkSession, dir: String): DataFrame =
+    MM.extractFeatures(assets(spark, dir)).toDF()
+      .select(col("media_type"), posexplode(col("feature")))
+      .groupBy("media_type", "pos")
+      .agg(round(avg("col"), 6).as("avg_weight"))
+      .orderBy("media_type", "pos")
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
+    NamedQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    NamedQuery("mm_feature_centroids", featureCentroids, None))
+}
