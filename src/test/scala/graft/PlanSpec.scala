@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: the 100 TB design rules from SURVEY §7
+  * asserted against the actual Catalyst output, so a regression that
+  * un-pushes a filter, turns a broadcast into a shuffle join, or adds
+  * an extra shuffle fails CI — not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  /** Formatted explain — scan details (PushedFilters/ReadSchema) are
+    * printed in full there, unlike the truncated tree toString.
+    */
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** The plan AQE actually ran (collect first, then read it back). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q6: predicates and projection reach the parquet scan") {
+    val p = formatted(q("q6_revenue_filter"))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity"))
+    // column pruning: the scan must not read unprojected columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("q3: dimension join broadcasts; top-k is TakeOrderedAndProject") {
+    val p = plan(q("q3_segment_topk"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val p = finalPlan(q("q1_pricing_summary"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expected a partial HashAggregate before the shuffle")
+    // "*(n)" marks whole-stage-codegen stages in the executed plan
+    assert(p.contains("*("),
+      s"agg pipeline should be inside whole-stage codegen:\n$p")
+  }
+
+  test("as-of join plans exactly one shuffle and no range join") {
+    val p = plan(q("ev_asof_click"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a quadratic join")
+    // one Exchange for the union+window key partitioning; the final
+    // orderBy adds a range Exchange — nothing else
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan had $exchanges:\n$p")
+  }
+
+  test("tiny range-dimension join is broadcast nested loop, not cartesian") {
+    val p = plan(q("ev_value_bands"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("salted join stays an equi hash/merge join on (key, salt)") {
+    val p = plan(q("q_salted_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sessionize reuses one user_id partitioning for both windows and agg") {
+    val p = plan(q("ev_sessionize"))
+    // lag window, running-sum window, and groupBy(user_id, seq) must all
+    // ride the same hashpartitioning(user_id) exchange; orderBy adds one
+    // range exchange at the end
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("watermark-filtered scan prunes via pushed-down predicate") {
+    val df = graft.queries.Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") > lit("1997-06-01"))
+      .select("o_orderkey", "o_orderdate")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"))
+  }
+}
