@@ -224,6 +224,28 @@ object Relational {
       |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
       |ORDER BY segment ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin
 
+  /** CUBE (all grouping sets of segment × status — SURVEY §2.4):
+    * Catalyst expands to one Expand node feeding a single hash agg, so
+    * the input is scanned once regardless of the number of sets.
+    */
+  private def cubeSales(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    Tables(spark, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment").as("segment"),
+        col("o_orderstatus").as("status"))
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("segment").asc_nulls_first, col("status").asc_nulls_first)
+  }
+
+  private val cubeSalesSql =
+    """SELECT c_mktsegment AS segment, o_orderstatus AS status,
+      |  round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+      |ORDER BY segment ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
+
   /** Semi/anti joins (EXISTS / NOT EXISTS — SURVEY §2.3): customers
     * split by whether they have any urgent order. Anti side = customers
     * with no orders at all.
@@ -321,6 +343,7 @@ object Relational {
     NamedQuery("q_distinct_parts", distinctParts, Some(distinctPartsSql)),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql)),
     NamedQuery("q_rollup_sales", rollupSales, Some(rollupSalesSql)),
+    NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
 }
