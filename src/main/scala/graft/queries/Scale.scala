@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Joins
+import graft.operators.{Joins, Ops}
 
 /** Scale-path variants: operators whose point is behavior at 100 TB,
   * declared as queries so the driver exercises them. Where the result is
@@ -54,7 +54,48 @@ object Scale {
         countDistinct("l_partkey").as("exact_parts"))
       .orderBy("l_suppkey")
 
+  /** Partition-scoped merge-upsert run for real ([[Ops
+    * .mergeUpsertPartitioned]]): seed a month-partitioned copy of
+    * orders, merge a doubled-price delta, read the files back. Only
+    * months present in the delta are rewritten (asserted byte-level in
+    * PartitionedMergeSpec); the oracle recomputes the merge in SQL.
+    */
+  private def mergeUpsertPart(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("om"))
+      .withColumn("etl_updated_ts", lit(1L))
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"), col("om"))
+      .withColumn("etl_updated_ts", lit(2L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pmerge_q").toString + "/orders"
+    Ops.mergeUpsertPartitioned(spark, path, base, Seq("o_orderkey"), "om")
+    Ops.mergeUpsertPartitioned(spark, path, delta, Seq("o_orderkey"), "om")
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+        .as("o_totalprice"), col("om").cast("string").as("om"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeUpsertPartSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS om
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |updates AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+      |    strftime(o_orderdate, '%Y-%m') AS om
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
+      |FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |UNION ALL SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
+      |FROM updates ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
-    NamedQuery("q_approx_distinct", approxDistinct, None))
+    NamedQuery("q_approx_distinct", approxDistinct, None),
+    NamedQuery("q_merge_upsert_part", mergeUpsertPart,
+      Some(mergeUpsertPartSql)))
 }
