@@ -29,14 +29,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
-  /** Headline bench set: everything except the two exact-similarity
-    * queries that are quadratic *by definition* on this corpus
-    * (`documents` shares a ~30-word vocabulary, so exact word-set
-    * Jaccard / MinHash-at-0.5 emit most of the n² pairs — at sf0.1
-    * that is the answer, not an inefficiency). They stay in the
-    * correctness gate at sf0.01; the frequency-capped variants in
-    * Dedup (maxDf) are the scale path.
+  /** Headline bench set: everything except
+    *
+    *  - the two exact-similarity queries that are quadratic *by
+    *    definition* on this corpus (`documents` shares a ~30-word
+    *    vocabulary, so exact word-set Jaccard / MinHash-at-0.5 emit
+    *    most of the n² pairs — at sf0.1 that is the answer, not an
+    *    inefficiency). They stay in the correctness gate at sf0.01;
+    *    the frequency-capped variants in Dedup (maxDf) are the scale
+    *    path.
+    *  - the two streaming-engine queries, whose data computation is
+    *    already benched by their batch twins (`ev_tumbling_hourly`,
+    *    the events scan); what they add is fixed per-query streaming
+    *    startup + checkpoint I/O (~4-8 s regardless of sf), which
+    *    would measure engine spin-up, not data-scale throughput.
+    *    They stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs")
+    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
+      "st_tumbling_hourly", "st_dedup_events")
 }
