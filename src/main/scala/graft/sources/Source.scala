@@ -32,6 +32,34 @@ class FixtureSource(baseDir: String) extends Source {
     val df =
       if (json.exists()) spark.read.json(json.getPath)
       else spark.read.parquet(s"$stem.parquet")
+    Source.applyWatermark(df, spec, watermark)
+  }
+}
+
+/** The same seam through the DataSource V2 connector
+  * ([[DuneDataSource]], `format("dune")`): the watermark lands as an
+  * ordinary Catalyst predicate, and the connector's
+  * `SupportsPushDownFilters` carries it into the scan — the full
+  * rebuild of the reference's server-side `date` parameter
+  * (`dune_extractor.py:57-59`), visible as a pushed filter in explain.
+  */
+class DuneV2Source(baseDir: String) extends Source {
+  override def fetch(spark: SparkSession, spec: TableSpec,
+      watermark: Option[Any]): DataFrame = {
+    val df = spark.read.format("dune")
+      .option("path", baseDir)
+      .option("queryId", spec.queryId.toString)
+      .load()
+    Source.applyWatermark(df, spec, watermark)
+  }
+}
+
+object Source {
+  /** Incremental delta filter on the *source-side* column name (the
+    * rename map targets are applied later in the pipeline).
+    */
+  private[sources] def applyWatermark(df: DataFrame, spec: TableSpec,
+      watermark: Option[Any]): DataFrame = {
     val sourceWatermarkCol = spec.watermarkCol.map { target =>
       spec.renames.collectFirst { case (s, t) if t == target => s }
         .getOrElse(target)

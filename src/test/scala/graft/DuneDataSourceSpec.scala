@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class DuneDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = tmpDir("dune_src")
+    val lines = (1 to 500).map { i =>
+      val date = f"2025-01-${i % 28 + 1}%02d"
+      s"""{"date":"$date", "price":${90000 + i}.5, "n":$i}"""
+    }
+    Files.write(Paths.get(s"$d/5816212.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    d
+  }
+
+  private def dune = spark.read.format("dune")
+    .option("path", dir).option("queryId", "5816212").load()
+
+  test("reads the payload identically to spark.read.json") {
+    val got = dune.orderBy("n").collect()
+    val want = spark.read.json(s"$dir/5816212.json").select("date", "price", "n")
+      .select(dune.columns.map(col).toSeq: _*).orderBy("n").collect()
+    assert(got.length == 500)
+    assert(got.sameElements(want))
+  }
+
+  test("watermark predicate is pushed into the scan and applied there") {
+    val df = dune.filter($"date" > "2025-01-25")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a BatchScanExec leaf")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("GreaterThan(date,2025-01-25)"),
+      s"filter not pushed; scan: $desc")
+    // and the answer is right: days 26,27,28 of each 28-day cycle
+    val want = (1 to 500).count(i => f"2025-01-${i % 28 + 1}%02d" > "2025-01-25")
+    assert(df.count() == want)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = dune.select("price")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    assert(scan.readSchema().fieldNames.toSeq == Seq("price"),
+      s"scan read ${scan.readSchema().simpleString}")
+    assert(df.agg(round(sum("price"), 1)).head.getDouble(0) ==
+      (1 to 500).map(90000.5 + _).sum)
+  }
+
+  test("a payload larger than one split parses across multiple partitions") {
+    // ~12 MiB of lines → ≥2 byte-range partitions at the 4 MiB floor
+    val d = tmpDir("dune_big")
+    val pad = "x" * 120
+    val lines = (1 to 80000).map(i => s"""{"k":$i, "pad":"$pad"}""")
+    Files.write(Paths.get(s"$d/42.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.format("dune")
+      .option("path", d).option("queryId", "42").load()
+    assert(df.rdd.getNumPartitions >= 2,
+      s"expected multiple splits, got ${df.rdd.getNumPartitions}")
+    // no line lost or doubled at split boundaries
+    assert(df.count() == 80000)
+    assert(df.agg(sum("k")).head.getLong(0) == (1 to 80000).map(_.toLong).sum)
+  }
+
+  test("pipeline runs end-to-end on the v2 source, incremental included") {
+    import graft.meta.JobStateStore
+    import graft.model.{BitcoinWarehouse, EtlJob}
+    import graft.runner.Pipeline
+    import graft.sources.DuneV2Source
+    val base = tmpDir("dune_pipe")
+    val spec = BitcoinWarehouse.pricesUsd
+    Files.write(Paths.get(s"$base/${spec.queryId}.json"),
+      Seq("""{"date": "2025-01-01", "price": 95000.0}""",
+        """{"date": "2025-01-02", "price": 96000.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    meta.seed(Seq(EtlJob(spec.jobName, spec.queryId, spec.targetTable,
+      spec.pKeys.mkString(","), None, 1, None, None, None, None)))
+    val pipe = new Pipeline(spark, new DuneV2Source(base), meta,
+      s"$base/warehouse")
+    assert(pipe.run(Seq(spec)).head.rows == 2L)
+    // delta round: stale repeat + one new date; watermark keeps the stale out
+    Files.write(Paths.get(s"$base/${spec.queryId}.json"),
+      Seq("""{"date": "2025-01-02", "price": 1.0}""",
+        """{"date": "2025-01-03", "price": 97000.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val r2 = pipe.run(Seq(spec)).head
+    assert(!r2.fullRefresh && r2.rows == 3L)
+    val prices = spark.read.parquet(pipe.targetPath(spec))
+      .select("date", "price_in_dollar").as[(String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(prices == Seq(("2025-01-01", 95000.0), ("2025-01-02", 96000.0),
+      ("2025-01-03", 97000.0)))
+  }
+
+  test("rejected filter shapes stay above the scan and still apply") {
+    val df = dune.filter($"date".endsWith("5")) // StringEndsWith: not pushed
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    assert(!scan.description().contains("EndsWith"))
+    val want = (1 to 500).count(i => f"2025-01-${i % 28 + 1}%02d".endsWith("5"))
+    assert(df.count() == want)
+  }
+}
