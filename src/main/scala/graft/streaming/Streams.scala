@@ -156,6 +156,32 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming incremental upsert: every micro-batch merges into the
+    * keyed parquet target through [[graft.operators.Ops.mergeUpsert]] —
+    * the reference's watermark-fetch-upsert loop (`__main__.py:80-130`)
+    * run continuously, with checkpointed offsets replacing the
+    * MAX(watermark) probe. Use `Ops.mergeUpsertPartitioned` semantics
+    * by passing `partitionCol` for 100 TB targets.
+    */
+  def upsertSink(df: DataFrame, targetPath: String, keys: Seq[String],
+      checkpoint: String, versionCol: String = "etl_updated_ts",
+      partitionCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        partitionCol match {
+          case Some(pc) => graft.operators.Ops.mergeUpsertPartitioned(
+            batch.sparkSession, targetPath, batch.toDF(), keys, pc, versionCol)
+          case None => graft.operators.Ops.mergeUpsert(
+            batch.sparkSession, targetPath, batch.toDF(), keys, versionCol)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   // ---- driver-facing queries (batch results of a real streaming run)
 
   /** `ev_tumbling_hourly` computed through the streaming engine:

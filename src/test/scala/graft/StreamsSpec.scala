@@ -72,6 +72,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink merges each micro-batch into the keyed target") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, Long)]
+    val base = tmpDir("st_upsert")
+    val target = s"$base/prices"
+    val q = Streams.upsertSink(
+      in.toDF().toDF("date", "price", "etl_updated_ts"),
+      target, Seq("date"), s"$base/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      in.addData(("2025-01-01", 95000.0, 1L), ("2025-01-02", 96000.0, 1L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 2)
+      // batch 2: update one key, insert one
+      in.addData(("2025-01-02", 96500.0, 2L), ("2025-01-03", 97000.0, 2L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .select("date", "price").as[(String, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq(("2025-01-01", 95000.0), ("2025-01-02", 96500.0),
+        ("2025-01-03", 97000.0)))
+    } finally q.stop()
+  }
+
   test("sessionize agrees with the batch lag/running-sum form on sf0.001") {
     val ev = graft.queries.Events.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
