@@ -152,8 +152,14 @@ object Ops {
       updates: DataFrame, keys: Seq[String], partitionCol: String,
       versionCol: String = "etl_updated_ts"): Unit = {
     val batch = dedupLatest(updates, keys, versionCol)
+    // Cluster rows by partition value before a partitionBy write:
+    // files-per-dir drops from (tasks × dirs) to ~1 per dir. Parallelism
+    // = distinct partition values — thousands of dates at warehouse
+    // scale; for a single skewed partition add a salt to the
+    // repartition, at the price of more files.
+    def clustered(df: DataFrame): DataFrame = df.repartition(col(partitionCol))
     if (!ParquetIO.exists(spark, targetPath)) {
-      batch.write.partitionBy(partitionCol).mode("overwrite")
+      clustered(batch).write.partitionBy(partitionCol).mode("overwrite")
         .parquet(targetPath)
     } else {
       // One value per touched partition — bounded and tiny by design
@@ -175,7 +181,7 @@ object Ops {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new Path(targetPath + "__staging_" +
         java.util.UUID.randomUUID().toString.take(8))
-      merged.write.partitionBy(partitionCol).mode("overwrite")
+      clustered(merged).write.partitionBy(partitionCol).mode("overwrite")
         .parquet(tmp.toString)
       try touched.foreach { v =>
         val dir = s"$partitionCol=$v"
