@@ -180,6 +180,27 @@ object TrainingData {
       |SELECT query_id, corpus_id, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Same answer as `e_ann_topk`, computed through the bounded
+    * [[graft.functions.TopKAggregator]] instead of a window sort: the
+    * partial/final agg ships ≤k rows per (query, map task) — the plan
+    * that survives a corpus 1000× larger. Shares `e_ann_topk`'s oracle.
+    */
+  private def annTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = all
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col("q_emb"), col("c_emb")), 4).as("cosine"))
+    graft.functions.TopK.perKey(scored, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def nearDupEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(
       embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -228,6 +249,7 @@ object TrainingData {
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
+    NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))
