@@ -246,6 +246,49 @@ object Relational {
       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
       |ORDER BY segment ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
 
+  /** Pivot (wide aggregation): revenue by priority × order status.
+    * Catalyst compiles `pivot` to one hash agg with a conditional sum
+    * per pivot value — a single scan, no self-joins. Values are
+    * declared, so the plan is static (no pre-pass to discover columns).
+    */
+  private def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .toDF("priority", "f_total", "o_total", "p_total")
+      .orderBy("priority")
+
+  private val pivotStatusSql =
+    """SELECT o_orderpriority AS priority,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+      |    AS f_total,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+      |    AS o_total,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+      |    AS p_total
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** Exact percentiles (continuous interpolation — matches DuckDB's
+    * `quantile_cont`). `percentile` is exact and distributed; at true
+    * 100 TB scale the sketch twin is `percentile_approx`, the same
+    * trade as `q_approx_distinct` vs `q_distinct_parts`.
+    */
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        round(avg("o_totalprice"), 2).as("mean"))
+      .orderBy("priority")
+
+  private val percentilesSql =
+    """SELECT o_orderpriority AS priority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+      |  round(avg(o_totalprice), 2) AS mean
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** Semi/anti joins (EXISTS / NOT EXISTS — SURVEY §2.3): customers
     * split by whether they have any urgent order. Anti side = customers
     * with no orders at all.
@@ -344,6 +387,8 @@ object Relational {
     NamedQuery("q_set_ops", setOps, Some(setOpsSql)),
     NamedQuery("q_rollup_sales", rollupSales, Some(rollupSalesSql)),
     NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
+    NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
+    NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
 }
