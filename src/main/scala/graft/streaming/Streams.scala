@@ -156,6 +156,31 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: each purchase matches the same user's
+    * clicks from the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, so the state store holds only rows inside the interval
+    * horizon — the constraint that makes a stream-stream join viable at
+    * all (unbounded state otherwise). Inner join ⇒ results emit as soon
+    * as both sides arrive; no watermark wait.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, expr(
+      s"""user_id = c_user AND
+         |c_ts <= p_ts AND
+         |c_ts >= p_ts - interval $windowMinutes minutes""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("value"))
+  }
+
   /** Streaming incremental upsert: every micro-batch merges into the
     * keyed parquet target through [[graft.operators.Ops.mergeUpsert]] —
     * the reference's watermark-fetch-upsert loop (`__main__.py:80-130`)

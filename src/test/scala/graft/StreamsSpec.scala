@@ -72,6 +72,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Long, Double)] // event_id,user,ts_us,value
+    val cIn = MemoryStream[(Long, Long)]               // user, ts_us
+    def withTs(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      df.withColumn(tsCol, timestamp_micros(col(tsCol)))
+    val purchases = withTs(pIn.toDF()
+      .toDF("event_id", "user_id", "ts", "value"), "ts")
+    val clicks = withTs(cIn.toDF().toDF("user_id", "ts"), "ts")
+    val name = "st_attrib_test"
+    val q = Streams.clickAttribution(purchases, clicks)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: clicks 5 and 15 min before a purchase at t=20m (both
+      // attribute); a click 100 min earlier must not. user 2: click
+      // only, no purchase → nothing.
+      cIn.addData((1L, us(5)), (1L, us(15)), (1L, us(-80)), (2L, us(3)))
+      pIn.addData((100L, 1L, us(20), 9.99))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select($"event_id", unix_micros($"c_ts"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((100L, us(5)), (100L, us(15))))
+    } finally q.stop()
+  }
+
   test("upsertSink merges each micro-batch into the keyed target") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double, Long)]
