@@ -44,13 +44,20 @@ object Joins {
       .orderBy(col(tsCol).asc, col(sideCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val withAsof = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"asof_$v",
-        last(when(col(sideCol) === 1, col(s"__graft_v_$v")),
-          ignoreNulls = true).over(w))
+    // The running last() must skip LEFT rows yet keep a right row whose
+    // value is genuinely NULL (ASOF matches the row, not the value), and
+    // with several valueCols every asof_* must come from the SAME right
+    // row. Wrap the right row's values in a struct: non-null for every
+    // right row, so ignoreNulls only skips left rows.
+    val packed = struct(valueCols.map(v => col(s"__graft_v_$v").as(v)): _*)
+    val withRow = unioned.withColumn("__graft_asof_row",
+      last(when(col(sideCol) === 1, packed), ignoreNulls = true).over(w))
+    val withAsof = valueCols.foldLeft(withRow) { (df, v) =>
+      df.withColumn(s"asof_$v", col("__graft_asof_row").getField(v))
     }
     withAsof.filter(col(sideCol) === 0)
-      .drop(sideCol +: tsCol +: valueCols.map(v => s"__graft_v_$v"): _*)
+      .drop("__graft_asof_row" +: sideCol +: tsCol +:
+        valueCols.map(v => s"__graft_v_$v"): _*)
   }
 
   /** Skew-safe equi-join: spread each hot key of `large` over `buckets`

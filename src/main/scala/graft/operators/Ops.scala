@@ -147,6 +147,15 @@ object Ops {
     * filesystem-safe (dates, numeric buckets — true for every
     * watermark column here); hive-escaping of arbitrary strings is out
     * of scope.
+    *
+    * CONTRACT — partition stability: only touched partitions are read,
+    * so a batch that gives an existing key a NEW partition value must
+    * also contain a row for (or otherwise touch) the key's OLD
+    * partition, else the stale copy survives there. Use a partition
+    * column that is functionally dependent on the key (the watermark
+    * date of the event itself, a hash bucket of the key) and this
+    * cannot arise; for key-moving corrections use [[mergeUpsert]] or
+    * touch both partitions.
     */
   def mergeUpsertPartitioned(spark: SparkSession, targetPath: String,
       updates: DataFrame, keys: Seq[String], partitionCol: String,

@@ -38,7 +38,10 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy("ws", "event_type")
 
-  private val tumblingSql =
+  /** Shared with the streaming twin `st_tumbling_hourly` ([[Streaming]])
+    * — one oracle text, so the two queries cannot drift apart.
+    */
+  private[queries] val tumblingSql =
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
       |  count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin

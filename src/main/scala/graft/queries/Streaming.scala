@@ -10,17 +10,12 @@ import graft.streaming.Streams
   */
 object Streaming {
 
-  private val tumblingSql =
-    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
-      |  count(*) AS n_events, round(sum(value), 2) AS total_value
-      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
-
   private val dedupSql =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("st_tumbling_hourly", Streams.tumblingViaStream,
-      Some(tumblingSql)),
+      Some(Events.tumblingSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)))
 }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.{Map => JMap}
 
@@ -165,30 +164,47 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
   // A partition owns every line that STARTS in [start, end). Standard
   // split protocol: seek to start-1 and peek one byte — if it isn't a
   // newline, the line containing byte start belongs to the previous
-  // partition, so discard through its newline.
+  // partition, so discard through its newline. Position accounting is
+  // done on RAW BYTES (never on re-encoded decoded text): '\n' (0x0A)
+  // cannot occur inside a multi-byte UTF-8 sequence, so byte-scanning
+  // is split-safe, and CRLF terminators count their true two bytes.
   private var pos = part.start
-  private val reader = {
+  private val in: java.io.BufferedInputStream = {
     var skipPartial = false
     if (part.start > 0) {
       stream.seek(part.start - 1)
-      skipPartial = stream.read() != '\n' // peek before any buffering
+      skipPartial = stream.read() != '\n' // raw peek before buffering
     }
-    val r = new BufferedReader(
-      new InputStreamReader(stream, StandardCharsets.UTF_8))
+    val b = new java.io.BufferedInputStream(stream, 64 << 10)
     if (skipPartial) {
-      val partial = r.readLine()
-      if (partial != null)
-        pos += partial.getBytes(StandardCharsets.UTF_8).length + 1
+      var c = b.read()
+      while (c != -1 && c != '\n') { pos += 1; c = b.read() }
+      if (c == '\n') pos += 1
     }
-    r
+    b
   }
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
   private var current: InternalRow = _
+
+  /** Next line as UTF-8 text (CR stripped), advancing `pos` by the
+    * exact on-disk byte count; null at EOF.
+    */
+  private def readLine(): String = {
+    lineBuf.reset()
+    var c = in.read()
+    if (c == -1) return null
+    while (c != -1 && c != '\n') { lineBuf.write(c); c = in.read() }
+    pos += lineBuf.size() + (if (c == '\n') 1 else 0)
+    val bytes = lineBuf.toByteArray
+    val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, len, StandardCharsets.UTF_8)
+  }
 
   override def next(): Boolean = {
     while (pos < part.end) {
-      val line = reader.readLine()
+      val line = readLine()
       if (line == null) return false
-      pos += line.getBytes(StandardCharsets.UTF_8).length + 1
       if (line.trim.nonEmpty) {
         val node = mapper.readTree(line)
         if (accept(node)) {
@@ -200,7 +216,7 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 
   // ---- pushed-filter evaluation over the raw JSON node ----
 
@@ -209,6 +225,13 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
     if (n == null || n.isNull) None
     else value match {
       case s: String => Some(n.asText.compareTo(s))
+      // integral vs integral must compare as longs: doubles silently
+      // collapse neighbours above 2^53, and an accepted filter is NOT
+      // re-checked by Catalyst — precision loss here is wrong rows out
+      case v: java.lang.Long if n.isIntegralNumber =>
+        Some(java.lang.Long.compare(n.asLong, v.longValue()))
+      case v: java.lang.Integer if n.isIntegralNumber =>
+        Some(java.lang.Long.compare(n.asLong, v.longValue()))
       case v: Number if n.isNumber =>
         Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
       case b: Boolean => Some(n.asBoolean.compareTo(b))

@@ -63,12 +63,17 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("total_value"))
 
-  /** Exactly-once by key: watermarked streaming dedup. State holds one
-    * entry per event_id inside the watermark horizon; older duplicates
-    * are dropped by the watermark itself.
+  /** Exactly-once by key: watermarked streaming dedup.
+    * `dropDuplicatesWithinWatermark` is the form whose state actually
+    * evicts: entries expire once the watermark passes their event time
+    * plus the delay, so state is (watermark horizon × key arrival
+    * rate). Plain `dropDuplicates("event_id")` would keep every id
+    * forever — the watermark only bounds state when the event-time
+    * column is part of the dedup key, which an id-only dedup can't do.
     */
   def dedupe(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 
   // ---- custom state: typed sessionization via flatMapGroupsWithState
 
@@ -108,18 +113,28 @@ object Streams {
             Iterator(Session(user, s.start_us, s.end_us, s.n, s.value))
           } else {
             // Batch order is arbitrary: sort this batch's events by ts.
+            // Across batches an event may still arrive out of order
+            // (older than the open session) as long as it beats the
+            // watermark: if it is within a gap of the open session it
+            // merges (extending start downward); if it is more than a
+            // gap EARLIER it cannot belong to any open or future
+            // session, so it is emitted as its own late session — the
+            // bounded policy; sessions already emitted are never
+            // revised (same as Spark's native session_window).
             val sorted = rows.toSeq.sortBy(_.ts_us)
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val (ts, v) = (e.ts_us, e.value)
               cur match {
-                case Some(s) if ts - s.end_us < GapUs =>
-                  cur = Some(SessionState(s.start_us, math.max(s.end_us, ts),
-                    s.n + 1, s.value + v))
-                case Some(s) =>
+                case Some(s) if ts - s.end_us >= GapUs =>
                   closed += Session(user, s.start_us, s.end_us, s.n, s.value)
                   cur = Some(SessionState(ts, ts, 1L, v))
+                case Some(s) if s.start_us - ts >= GapUs =>
+                  closed += Session(user, ts, ts, 1L, v)
+                case Some(s) =>
+                  cur = Some(SessionState(math.min(s.start_us, ts),
+                    math.max(s.end_us, ts), s.n + 1, s.value + v))
                 case None =>
                   cur = Some(SessionState(ts, ts, 1L, v))
               }

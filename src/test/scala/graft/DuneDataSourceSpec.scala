@@ -69,6 +69,34 @@ class DuneDataSourceSpec extends SparkSpec {
     assert(df.agg(sum("k")).head.getLong(0) == (1 to 80000).map(_.toLong).sum)
   }
 
+  test("CRLF terminators and multi-byte text survive split boundaries") {
+    val d = tmpDir("dune_crlf")
+    // é = 2 bytes in UTF-8, so byte boundaries regularly land mid-char;
+    // \r\n terminators exercise the 2-byte-EOL accounting
+    val pad = "é" * 60
+    val lines = (1 to 80000).map(i => s"""{"k":$i, "pad":"$pad"}""")
+    Files.write(Paths.get(s"$d/7.json"),
+      lines.mkString("\r\n").getBytes("UTF-8"))
+    val df = spark.read.format("dune")
+      .option("path", d).option("queryId", "7").load()
+    assert(df.rdd.getNumPartitions >= 2)
+    assert(df.count() == 80000)
+    assert(df.agg(sum("k")).head.getLong(0) == (1 to 80000).map(_.toLong).sum)
+    assert(df.filter(length(col("pad")) === 60).count() == 80000)
+  }
+
+  test("pushed equality on longs above 2^53 compares exactly") {
+    val d = tmpDir("dune_bigint")
+    val a = 9007199254740993L // 2^53 + 1: collapses onto 2^53 as double
+    val b = 9007199254740992L
+    Files.write(Paths.get(s"$d/8.json"),
+      s"""{"id":$a}\n{"id":$b}""".getBytes("UTF-8"))
+    val df = spark.read.format("dune")
+      .option("path", d).option("queryId", "8").load()
+    assert(df.filter($"id" === b).collect().map(_.getLong(0)).toSeq == Seq(b))
+    assert(df.filter($"id" > b).collect().map(_.getLong(0)).toSeq == Seq(a))
+  }
+
   test("pipeline runs end-to-end on the v2 source, incremental included") {
     import graft.meta.JobStateStore
     import graft.model.{BitcoinWarehouse, EtlJob}

@@ -29,6 +29,21 @@ class JoinsSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("asofJoinLast preserves NULLs in the matched right row and never " +
+      "mixes columns across right rows") {
+    val left = Seq((1L, "k", 20L)).toDF("id", "k", "ts")
+    // latest right row at ts=10 has a=NULL, b=7; older row has a=3, b=5.
+    // ASOF must return (NULL, 7) — not fall back to a=3, and not mix.
+    val right = Seq(
+      ("k", 5L, Some(3.0), Some(5.0)),
+      ("k", 10L, Option.empty[Double], Some(7.0)))
+      .toDF("k", "rts", "a", "b")
+    val out = Joins.asofJoinLast(left, right, Seq("k"), "ts", "rts",
+      Seq("a", "b")).select("asof_a", "asof_b").head
+    assert(out.isNullAt(0), s"expected NULL asof_a, got ${out.get(0)}")
+    assert(out.getDouble(1) == 7.0)
+  }
+
   test("asofJoinLast matches a naive theta-join + argmax oracle") {
     val left = (1 to 200).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 97).toLong))
       .toDF("id", "k", "ts")

@@ -72,6 +72,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges an out-of-order cross-batch event, extending start") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_ooo"
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(SessionEvent(1L, us(60), 1.0))
+      q.processAllAvailable() // watermark → 30min
+      // arrives late but above watermark, 25min before the open session:
+      // must merge and pull session_start back to 35min
+      in.addData(SessionEvent(1L, us(35), 2.0))
+      q.processAllAvailable()
+      // flush via a far-future user
+      in.addData(SessionEvent(9L, us(5000), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(9L, us(5001), 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Session]
+        .filter($"user_id" === 1L).collect().toSeq
+      assert(got == Seq(Session(1L, us(35), us(60), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Long, Long, Double)] // event_id,user,ts_us,value
