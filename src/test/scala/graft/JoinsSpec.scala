@@ -76,6 +76,22 @@ class JoinsSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("salting spreads a hot key across shuffle partitions") {
+    // one key carries 90% of rows: unsalted, all its rows hash to ONE
+    // shuffle partition; salted over 8 buckets they must land in >1
+    val large = ((1 to 900).map(_ => (7L, "hot")) ++
+      (1 to 100).map(i => (i.toLong % 5, "cold"))).toDF("key", "tag")
+      .withColumn("rid", monotonically_increasing_id())
+    val small = (0L to 10L).map(k => (k, s"d$k")).toDF("key", "name")
+    val salted = Joins.saltedEquiJoin(large, small, "key", buckets = 8,
+      saltFrom = Seq(col("rid")))
+    val spread = large
+      .withColumn("salt", pmod(xxhash64(col("rid")), lit(8L)).cast("int"))
+      .filter(col("key") === 7L).select("salt").distinct().count()
+    assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
+    assert(salted.count() === 1000)
+  }
+
   test("saltedEquiJoin keeps rows whose salt source collides") {
     // all salt-source values identical → one salt bucket gets everything;
     // still correct, just unspread

@@ -72,6 +72,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window emits closed sessions in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // user, ts_us, value
+    val events = in.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("event_type", lit("click"))
+    val name = "st_swin_test"
+    val q = graft.streaming.Streams.sessionWindows(events)
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData((1L, us(0), 1.0), (1L, us(10), 2.0), (2L, us(5), 4.0))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is only at -20min
+      assert(spark.table(name).isEmpty)
+      // advance watermark far past every session's end + gap
+      in.addData((9L, us(600), 0.0))
+      q.processAllAvailable()
+      in.addData((9L, us(601), 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select($"user_id", unix_micros($"s"), $"n_events", $"total_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got.contains((1L, us(0), 2L, 3.0)), s"got $got")
+      assert(got.contains((2L, us(5), 1L, 4.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize merges an out-of-order cross-batch event, extending start") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
