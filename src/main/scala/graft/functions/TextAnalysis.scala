@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** `split` on blank input yields `[""]`, not `[]` — strip the empty
+    * string so the documented blank → 0 tokens contract actually holds
+    * (otherwise every blank doc shares the `""` token and
+    * `size(toks) > 0` guards never fire).
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

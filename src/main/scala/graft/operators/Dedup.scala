@@ -61,16 +61,11 @@ object Dedup {
     val toks =
       if (maxDf >= 1.0) rawToks
       else {
-        // stop-shingle cap, as in jaccardPairs: drop ubiquitous tokens
-        // so signatures discriminate on the informative tail
-        val nDocs = rawToks.count()
-        val hot = rawToks.select(explode(col("toks")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf * nDocs)
-          .agg(collect_list("t")).head.getSeq[String](0)
-        rawToks.select(col("id"),
-          array_except(col("toks"), lit(hot.toArray)).as("toks"))
-          .filter(size(col("toks")) > 0)
+        // stop-shingle cap via the shared anti-join filter (never a
+        // driver-side collect of the hot list)
+        val exploded = rawToks.select(col("id"), explode(col("toks")).as("t"))
+        dropHotTerms(exploded, "t", maxDf)
+          .groupBy("id").agg(collect_list("t").as("toks"))
       }
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18)
@@ -78,10 +73,30 @@ object Dedup {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 1.0 - threshold, "dist")
+    // approxSimilarityJoin keeps dist STRICTLY below the cutoff; widen
+    // by an epsilon so pairs at exactly `threshold` survive, then apply
+    // the documented est_jaccard >= threshold contract precisely.
+    model.approxSimilarityJoin(featured, featured,
+        1.0 - threshold + 1e-9, "dist")
       .filter(col("datasetA.id") < col("datasetB.id"))
+      .filter(lit(1.0) - col("dist") >= threshold - 1e-9)
       .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
         round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
+  }
+
+  /** Stop-term cap shared by the similarity operators: drop terms whose
+    * document frequency exceeds `maxDf` × (docs that have ≥1 term).
+    * Anti-join against the (small) hot-term set — never a driver-side
+    * collect, never an in-plan literal array.
+    */
+  private def dropHotTerms(exploded: DataFrame, termCol: String,
+      maxDf: Double): DataFrame = {
+    val nDocs = exploded.select("id").distinct().count()
+    val hot = exploded.groupBy(termCol)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf * nDocs)
+      .select(termCol)
+    exploded.join(broadcast(hot), Seq(termCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc, banded into
@@ -93,14 +108,21 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands): a pair $maxHamming " +
+        "bits apart could differ in every band and never become a candidate")
     val width = 64 / bands
+    // 1L << 64 wraps to 1 on the JVM — width 64 (bands=1, unreachable
+    // with the require above but kept correct) needs the -1L mask
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+            .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("bk").as("k"))
@@ -132,25 +154,28 @@ object Dedup {
         array_distinct(tokens(col(textCol))).as("grams"))
       else {
         val t = tokens(col(textCol))
-        df.select(col(idCol).as("id"), array_distinct(
-          transform(sequence(lit(0), size(t) - n),
-            i => array_join(slice(t, i + 1, lit(n)), " "))).as("grams"))
+        // a doc with fewer than n tokens has no n-grams; guard before
+        // sequence() — a negative upper bound there throws at runtime
+        df.select(col(idCol).as("id"),
+          when(size(t) >= n, array_distinct(
+            transform(sequence(lit(0), size(t) - n),
+              i => array_join(slice(t, i + 1, lit(n)), " "))))
+            .otherwise(array().cast("array<string>")).as("grams"))
       }
+    // per-doc gram count travels WITH the rows from before the explode —
+    // a plain projection, where a window count after the explode would
+    // re-shuffle the entire exploded relation
     val exploded = grams.filter(size(col("grams")) > 0)
-      .select(col("id"), explode(col("grams")).as("g"))
-    val kept =
+      .select(col("id"), size(col("grams")).cast("bigint").as("sz"),
+        explode(col("grams")).as("g"))
+    val sized =
       if (maxDf >= 1.0) exploded
       else {
-        val nDocs = df.select(col(idCol)).distinct().count()
-        val hot = exploded.groupBy("g")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf * nDocs)
-          .select("g")
-        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+        // the cap changes each doc's surviving-gram count: recompute by
+        // a grouped count (one small agg + join), still no window
+        val kept = dropHotTerms(exploded.drop("sz"), "g", maxDf)
+        kept.join(kept.groupBy("id").agg(count(lit(1)).as("sz")), "id")
       }
-    val sized = kept.withColumn("sz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("id")))
     val a = sized.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
     val b = sized.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
     a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))

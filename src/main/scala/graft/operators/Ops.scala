@@ -100,8 +100,15 @@ object Ops {
     */
   def dedupLatest(updates: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame = {
+    // Tie-break on a content hash: the reference resolves equal-version
+    // duplicates by statement order (`ON CONFLICT` applies rows in
+    // sequence), but a shuffled distributed batch has no row order — an
+    // audit-stamped batch gives EVERY row the same version, so without
+    // a tiebreak the survivor would be partition-order nondeterministic
+    // across reruns. Content hash is stable for identical input.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc_nulls_last)
+      .orderBy(col(versionCol).desc_nulls_last,
+        xxhash64(updates.columns.sorted.map(col): _*).desc)
     updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -73,7 +73,10 @@ object TrainingData {
       .orderBy("id_a", "id_b")
 
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+    // bands must exceed maxHamming (pigeonhole) or near-dups at the
+    // cutoff are silently missed: 16 bands of 4 bits covers hamming<=8
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
+      maxHamming = 8, bands = 16)
       .orderBy("id_a", "id_b")
 
   // ---- text analysis ----

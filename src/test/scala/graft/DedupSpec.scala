@@ -59,9 +59,34 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs finds duplicate and near-duplicate texts") {
-    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+        bands = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 5L))) // identical text → hamming 0
     assert(!out.exists { case (a, b) => b == 4L || a == 4L }) // unrelated
+  }
+
+  test("jaccardPairs n=2 tolerates docs shorter than n") {
+    val short = Seq((1L, "hello"), (2L, "a b c d"), (3L, "a b c d"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(short, "doc_id", "text", n = 2,
+      threshold = 0.5).collect()
+    // the one-token and blank docs are simply absent; 2~3 still pair
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("simhashPairs rejects band configs that break the pigeonhole bound") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("minhashPairs keeps a pair at exactly the threshold") {
+    // token sets {a,b,c} vs {a,b,d}: exact Jaccard 2/4 = 0.5
+    val pair = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = Dedup.minhashPairs(pair, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
   }
 }

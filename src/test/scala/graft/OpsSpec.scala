@@ -16,6 +16,16 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getString(1) == "t1")
   }
 
+  test("dedupLatest picks a deterministic survivor among equal versions") {
+    // audit-stamped batches give every row the SAME version; survivor
+    // must not depend on partitioning/arrival order
+    val rows = Seq((1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L))
+    def survivor(parts: Int): String =
+      Ops.dedupLatest(rows.toDF("k", "v", "ts").repartition(parts),
+        Seq("k"), "ts").head.getString(1)
+    assert(Seq(1, 3, 7).map(survivor).distinct.size == 1)
+  }
+
   test("applyDerived evaluates SQL-expression transforms (UPPER)") {
     val df = Seq(Tuple1("abc")).toDF("address")
     val out = Ops.applyDerived(df, Seq(DerivedColumn("dimension_attribute_name", "upper(address)")))

@@ -13,6 +13,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(3L, 1L, 0L, 0L))
   }
 
+  test("tokens yields an empty array for blank text, not [\"\"]") {
+    val out = Seq("", "   ", "a b").toDF("t")
+      .select(size(TextAnalysis.tokens(col("t")))).as[Int].collect().toSeq
+    assert(out == Seq(0, 0, 2))
+  }
+
   test("regexTokenCount counts word pieces and punctuation") {
     val out = Seq("ab, cd!", "hello", "").toDF("t")
       .select(TextAnalysis.regexTokenCount(col("t"))).as[Long].collect().toSeq
