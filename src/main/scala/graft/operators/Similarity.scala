@@ -67,6 +67,54 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only
+    * its `nProbe` nearest cells and scores that fraction of the corpus.
+    * Cost ≈ |corpus| × nProbe / nCells per query versus brute force's
+    * |corpus| — the classic ANN trade; `nProbe == nCells` degenerates
+    * to exact brute force (the spec asserts that equality).
+    *
+    * Composition: `ml.clustering.KMeans` for the quantizer,
+    * `zip_with`+`aggregate` for the squared-distance cell ranking (pure
+    * codegen'd builtins), [[graft.functions.TopK]]'s bounded aggregator
+    * for the final per-query k — no window sort anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.select(col("id"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
+        col("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    // rank cells per query by squared euclidean distance to centroid —
+    // zip_with + aggregate keeps this inside whole-stage codegen
+    val dist2 = aggregate(
+      zip_with(col("q_emb").cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = queries
+      .select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"), dist2.as("d2"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    graft.functions.TopK.perKey(scored, k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute-force pair generation — the exact-answer baseline; LSH
     * bucketing (as in [[lshTopK]]) is the approximate scale path.

@@ -204,6 +204,18 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-quantized ANN (k-means cells, nProbe-of-nCells search) — the
+    * third similarity path beside brute force and SRP-LSH. No SQL
+    * oracle (k-means isn't SQL-expressible); SimilaritySpec pins
+    * recall and the nProbe=nCells ≡ brute-force equality.
+    */
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.ivfTopK(all, all.filter(col("id") < 5), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def nearDupEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(
       embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -255,5 +267,6 @@ object TrainingData {
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
+    NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))
 }

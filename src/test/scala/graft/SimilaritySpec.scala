@@ -64,6 +64,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK with nProbe == nCells equals brute force exactly") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(all, q, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val ivfAll = Similarity.ivfTopK(all, q, k = 5, nCells = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect()
+    assert(ivfAll.length == exact.length && ivfAll.nonEmpty)
+    assert(ivfAll.sameElements(exact))
+  }
+
+  test("ivfTopK partial probing keeps usable recall at a fraction of cost") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(all, q, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(all, q, k = 5,
+      nCells = 8, nProbe = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
+  }
+
   implicit private class MapOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
