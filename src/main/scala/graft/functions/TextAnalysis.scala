@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * WholeStageCodegen and each has an exact SQL oracle.
   *
   * Tokenization contract (shared with every oracle): tokens are maximal
-  * runs of non-whitespace in `lower(trim(text))`, i.e.
-  * `split(lower(trim(text)), '\\s+')`; blank input → 0 tokens.
+  * NON-EMPTY runs of non-whitespace in `lower(trim(text))`, i.e.
+  * `split(lower(trim(text)), '\\s+')` with empty strings removed (split
+  * yields `[""]` on blank input); blank input → 0 tokens. Oracle SQLs
+  * filter `token <> ''` to match.
   */
 object TextAnalysis {
 

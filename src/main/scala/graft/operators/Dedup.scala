@@ -64,7 +64,7 @@ object Dedup {
         // stop-shingle cap via the shared anti-join filter (never a
         // driver-side collect of the hot list)
         val exploded = rawToks.select(col("id"), explode(col("toks")).as("t"))
-        dropHotTerms(exploded, "t", maxDf)
+        dropHotTerms(exploded, "t", maxDf, rawToks.count())
           .groupBy("id").agg(collect_list("t").as("toks"))
       }
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
@@ -85,13 +85,13 @@ object Dedup {
   }
 
   /** Stop-term cap shared by the similarity operators: drop terms whose
-    * document frequency exceeds `maxDf` × (docs that have ≥1 term).
-    * Anti-join against the (small) hot-term set — never a driver-side
-    * collect, never an in-plan literal array.
+    * document frequency exceeds `maxDf` × `nDocs`. The caller supplies
+    * the denominator (its corpus size, already known there — no extra
+    * distinct-count pass). Anti-join against the (small) hot-term set —
+    * never a driver-side collect, never an in-plan literal array.
     */
   private def dropHotTerms(exploded: DataFrame, termCol: String,
-      maxDf: Double): DataFrame = {
-    val nDocs = exploded.select("id").distinct().count()
+      maxDf: Double, nDocs: Long): DataFrame = {
     val hot = exploded.groupBy(termCol)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf * nDocs)
@@ -171,9 +171,15 @@ object Dedup {
     val sized =
       if (maxDf >= 1.0) exploded
       else {
+        // denominator = ALL input docs (the documented maxDf meaning),
+        // not just docs that produced grams
+        val nDocs = df.select(col(idCol)).distinct().count()
         // the cap changes each doc's surviving-gram count: recompute by
-        // a grouped count (one small agg + join), still no window
-        val kept = dropHotTerms(exploded.drop("sz"), "g", maxDf)
+        // a grouped count. Cache the anti-joined relation — it feeds
+        // both sides of the count join and would otherwise re-run the
+        // whole tokenize/explode/anti-join pipeline per side.
+        val kept = dropHotTerms(exploded.drop("sz"), "g", maxDf, nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         kept.join(kept.groupBy("id").agg(count(lit(1)).as("sz")), "id")
       }
     val a = sized.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))

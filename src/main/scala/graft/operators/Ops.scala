@@ -105,10 +105,12 @@ object Ops {
     // sequence), but a shuffled distributed batch has no row order — an
     // audit-stamped batch gives EVERY row the same version, so without
     // a tiebreak the survivor would be partition-order nondeterministic
-    // across reruns. Content hash is stable for identical input.
+    // across reruns. Hash the JSON rendering of the full row, not the
+    // columns directly: xxhash64 rejects MapType columns, to_json
+    // serializes any row shape deterministically.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc_nulls_last,
-        xxhash64(updates.columns.sorted.map(col): _*).desc)
+        xxhash64(to_json(struct(updates.columns.sorted.map(col): _*))).desc)
     updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

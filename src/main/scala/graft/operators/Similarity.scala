@@ -83,8 +83,20 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // The quantizer metric must match the scoring metric: final scores
+    // are cosine, so cluster and probe on L2-NORMALIZED vectors
+    // (spherical k-means) — on raw vectors a same-direction neighbour
+    // with a large norm lands in a Euclidean-far cell and is never
+    // probed. Cosine itself is scale-invariant, so scoring still uses
+    // the raw embeddings.
+    def l2normed(e: org.apache.spark.sql.Column) = {
+      val d = e.cast("array<double>")
+      val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+      // zero vectors stay zero rather than NaN/null
+      transform(d, x => coalesce(x / nullif(n, lit(0.0)), lit(0.0)))
+    }
     val featured = corpus.select(col("id"), col("embedding"),
-      array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+      array_to_vector(l2normed(col("embedding"))).as("fv"))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
     val assigned = model.transform(featured)
@@ -94,14 +106,16 @@ object Similarity {
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
-    // rank cells per query by squared euclidean distance to centroid —
-    // zip_with + aggregate keeps this inside whole-stage codegen
+    // rank cells per query by squared euclidean distance of the
+    // NORMALIZED query to the (normalized-space) centroid — zip_with +
+    // aggregate keeps this inside whole-stage codegen
     val dist2 = aggregate(
-      zip_with(col("q_emb").cast("array<double>"), col("centroid"),
+      zip_with(col("q_normed"), col("centroid"),
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val probes = queries
-      .select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("id").as("query_id"), col("embedding").as("q_emb"),
+        l2normed(col("embedding")).as("q_normed"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cell"), dist2.as("d2"))
       .withColumn("cell_rank", row_number().over(

@@ -56,9 +56,9 @@ object TrainingData {
 
   private val jaccardPairsSql =
     """WITH toks AS (
-      |  SELECT doc_id, list_distinct(
-      |    string_split_regex(lower(trim(text)), '\s+')) AS s
-      |  FROM documents)
+      |  SELECT doc_id, list_filter(list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+')), x -> x <> '') AS s
+      |  FROM documents WHERE trim(text) <> '')
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.s, b.s))::DOUBLE
       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
@@ -157,6 +157,7 @@ object TrainingData {
   private val tokenTopKSql =
     """SELECT t.token, count(*) AS freq
       |FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+      |WHERE t.token <> ''
       |GROUP BY t.token ORDER BY freq DESC, t.token LIMIT 20""".stripMargin
 
   // ---- similarity search ----
