@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing = the pre-shuffle: both join sides persisted bucketed on
+  * the join key means the sort-merge join reads co-located buckets and
+  * plans NO Exchange — the SURVEY §7 "co-locate joins via bucketing"
+  * rule, demonstrated against the actual plan. At 100 TB this converts
+  * every recurring fact⋈fact join on the bucket key from a full
+  * shuffle of both tables into a local merge per bucket.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join of two tables bucketed on the key plans no Exchange") {
+    // tables land in the default warehouse dir (./spark-warehouse,
+    // gitignored) — warehouse.dir is a static conf on the shared session
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+      (1 to 10000).map(i => (i.toLong % 500, i.toLong, i * 1.5))
+        .toDF("k", "payload", "x")
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("graft_bucket_l")
+      (1 to 2000).map(i => (i.toLong % 500, s"dim$i"))
+        .toDF("k", "name")
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("graft_bucket_r")
+
+      val joined = spark.table("graft_bucket_l")
+        .join(spark.table("graft_bucket_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+
+      // and the answer matches the unbucketed join
+      val flat = joined.agg(count(lit(1)), round(sum("x"), 2)).head
+      val want = (1 to 10000).map(i => (i.toLong % 500, i * 1.5))
+        .flatMap { case (k, x) =>
+          (1 to 2000).filter(_.toLong % 500 == k).map(_ => x) }
+      assert(flat.getLong(0) == want.size)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    }
+  }
+}
