@@ -97,7 +97,9 @@ object Similarity {
     }
     val featured = corpus.select(col("id"), col("embedding"),
       array_to_vector(l2normed(col("embedding"))).as("fv"))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // a coarse quantizer needs rough cells, not convergence — cap the
+    // iterations (default 20 triples the fit cost for no recall gain)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
     val assigned = model.transform(featured)
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),

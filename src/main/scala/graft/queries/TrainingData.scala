@@ -73,10 +73,14 @@ object TrainingData {
       .orderBy("id_a", "id_b")
 
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    // bands must exceed maxHamming (pigeonhole) or near-dups at the
-    // cutoff are silently missed: 16 bands of 4 bits covers hamming<=8
+    // maxHamming must stay below bands (pigeonhole) AND bands must stay
+    // wide enough to discriminate: 16 bands of 4 bits would be
+    // recall-complete for hamming<=8 but a 4-bit key has 16 values →
+    // ~n²/16 collisions per band (measured 10× slower at sf0.1). The
+    // selective regime for 64-bit simhash is hamming<=3 over 4×16-bit
+    // bands — near-identical texts sit well inside it.
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
-      maxHamming = 8, bands = 16)
+      maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
 
   // ---- text analysis ----
