@@ -56,9 +56,11 @@ object Scale {
 
   /** Partition-scoped merge-upsert run for real ([[Ops
     * .mergeUpsertPartitioned]]): seed a month-partitioned copy of
-    * orders, merge a doubled-price delta, read the files back. Only
-    * months present in the delta are rewritten (asserted byte-level in
-    * PartitionedMergeSpec); the oracle recomputes the merge in SQL.
+    * orders, then merge an incremental delta that — like a real
+    * watermark fetch — touches only the NEWEST months ('1997-09' on).
+    * The merge reads and rewrites just those partition directories
+    * (asserted byte-level in PartitionedMergeSpec); every earlier month
+    * is untouched files. The oracle recomputes the merge in SQL.
     */
   private def mergeUpsertPart(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
@@ -66,7 +68,8 @@ object Scale {
     val base = o.filter(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice"), col("om"))
       .withColumn("etl_updated_ts", lit(1L))
-    val delta = o.filter(col("o_orderkey") % 2 === 0)
+    val delta = o.filter(col("o_orderkey") % 2 === 0 &&
+        col("om") >= "1997-09")
       .select(col("o_orderkey"),
         (col("o_totalprice") * 2).as("o_totalprice"), col("om"))
       .withColumn("etl_updated_ts", lit(2L))
@@ -87,7 +90,8 @@ object Scale {
       |updates AS (
       |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
       |    strftime(o_orderdate, '%Y-%m') AS om
-      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |    AND strftime(o_orderdate, '%Y-%m') >= '1997-09')
       |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
       |FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
       |UNION ALL SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
