@@ -98,8 +98,10 @@ object Similarity {
     val featured = corpus.select(col("id"), col("embedding"),
       array_to_vector(l2normed(col("embedding"))).as("fv"))
     // a coarse quantizer needs rough cells, not convergence — cap the
-    // iterations (default 20 triples the fit cost for no recall gain)
+    // iterations and use random init (k-means|| costs extra full passes
+    // to place starting centroids a quantizer doesn't need)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
     val assigned = model.transform(featured)
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
