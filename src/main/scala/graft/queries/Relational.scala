@@ -246,6 +246,36 @@ object Relational {
       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
       |ORDER BY segment ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
 
+  /** Full outer join: per-customer order rollup keeping BOTH sides'
+    * unmatched rows (customers with no orders, and — by restricting the
+    * customer side — orders whose customer is outside the slice).
+    */
+  private def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select("c_custkey", "c_name")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 7 === 0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+        col("n_orders"), col("total"))
+      .orderBy(col("c_custkey").asc_nulls_last,
+        col("o_custkey").asc_nulls_last)
+  }
+
+  private val fullOuterSql =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer
+      |  WHERE c_custkey % 10 = 0),
+      |o AS (SELECT o_custkey, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_custkey % 7 = 0 GROUP BY 1)
+      |SELECT c_custkey, c_name, o_custkey, n_orders, total
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS LAST, o_custkey ASC NULLS LAST""".stripMargin
+
   /** Pivot (wide aggregation): revenue by priority × order status.
     * Catalyst compiles `pivot` to one hash agg with a conditional sum
     * per pivot value — a single scan, no self-joins. Values are
@@ -388,6 +418,7 @@ object Relational {
     NamedQuery("q_rollup_sales", rollupSales, Some(rollupSalesSql)),
     NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
+    NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
