@@ -30,7 +30,7 @@ class JobStateStore(spark: SparkSession, path: String) {
   def seedFromCsv(csvPath: String): Unit = {
     val raw = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(csvPath)
-    val lowered = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    val lowered = graft.operators.Ops.normalizeNames(raw)
     val stamped = lowered
       .withColumn("last_updated_ts", current_timestamp())
       .select(

@@ -62,9 +62,11 @@ object Dedup {
       if (maxDf >= 1.0) rawToks
       else {
         // stop-shingle cap via the shared anti-join filter (never a
-        // driver-side collect of the hot list)
+        // driver-side collect of the hot list); denominator = ALL input
+        // docs, same as jaccardPairs — one maxDf meaning everywhere
         val exploded = rawToks.select(col("id"), explode(col("toks")).as("t"))
-        dropHotTerms(exploded, "t", maxDf, rawToks.count())
+        dropHotTerms(exploded, "t", maxDf,
+          df.select(col(idCol)).distinct().count())
           .groupBy("id").agg(collect_list("t").as("toks"))
       }
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
@@ -174,13 +176,14 @@ object Dedup {
         // denominator = ALL input docs (the documented maxDf meaning),
         // not just docs that produced grams
         val nDocs = df.select(col(idCol)).distinct().count()
-        // the cap changes each doc's surviving-gram count: recompute by
-        // a grouped count. Cache the anti-joined relation — it feeds
-        // both sides of the count join and would otherwise re-run the
-        // whole tokenize/explode/anti-join pipeline per side.
-        val kept = dropHotTerms(exploded.drop("sz"), "g", maxDf, nDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        kept.join(kept.groupBy("id").agg(count(lit(1)).as("sz")), "id")
+        // the cap changes each doc's surviving-gram count: regroup the
+        // anti-joined relation once and re-explode with its new size —
+        // a single evaluation of the tokenize/anti-join subtree, no
+        // self-join and no persist to leak
+        dropHotTerms(exploded.drop("sz"), "g", maxDf, nDocs)
+          .groupBy("id").agg(collect_list("g").as("gs"))
+          .select(col("id"), size(col("gs")).cast("bigint").as("sz"),
+            explode(col("gs")).as("g"))
       }
     val a = sized.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
     val b = sized.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))

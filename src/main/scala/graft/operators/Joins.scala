@@ -52,8 +52,12 @@ object Joins {
     val packed = struct(valueCols.map(v => col(s"__graft_v_$v").as(v)): _*)
     val withRow = unioned.withColumn("__graft_asof_row",
       last(when(col(sideCol) === 1, packed), ignoreNulls = true).over(w))
+    // Equi-join semantics: NULL keys never match (the window would
+    // otherwise group all-null keys into one partition and match them)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val withAsof = valueCols.foldLeft(withRow) { (df, v) =>
-      df.withColumn(s"asof_$v", col("__graft_asof_row").getField(v))
+      df.withColumn(s"asof_$v",
+        when(keysNotNull, col("__graft_asof_row").getField(v)))
     }
     withAsof.filter(col(sideCol) === 0)
       .drop("__graft_asof_row" +: sideCol +: tsCol +:

@@ -185,6 +185,13 @@ object Ops {
       val touched = batch
         .select(col(partitionCol).cast("string")).distinct()
         .collect().map(_.getString(0))
+      // A NULL partition value would write to __HIVE_DEFAULT_PARTITION__
+      // in staging while the swap loop looked for "<col>=null" — the row
+      // would vanish silently. Fail loudly instead.
+      require(!touched.contains(null),
+        s"mergeUpsertPartitioned: batch contains NULL $partitionCol " +
+          "values; the partition column must be non-null (derive it " +
+          "with a coalesce/default upstream)")
       val target = spark.read.parquet(targetPath)
         .filter(col(partitionCol).cast("string").isin(touched.toSeq: _*))
         // partition-type inference may have widened the hive dir value

@@ -224,7 +224,12 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
     val n = node.get(field)
     if (n == null || n.isNull) None
     else value match {
-      case s: String => Some(n.asText.compareTo(s))
+      // UTF8String comparison, not Java compareTo: Catalyst orders
+      // strings by UTF-8 bytes (code points); UTF-16 code-unit order
+      // differs for supplementary characters, and an accepted filter
+      // is never re-checked above the scan
+      case s: String => Some(UTF8String.fromString(n.asText)
+        .compareTo(UTF8String.fromString(s)))
       // integral vs integral must compare as longs: doubles silently
       // collapse neighbours above 2^53, and an accepted filter is NOT
       // re-checked by Catalyst — precision loss here is wrong rows out

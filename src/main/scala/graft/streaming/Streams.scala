@@ -239,10 +239,15 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // localCheckpoint pins the (small) result, so the per-run memory
+    // sink table can be dropped instead of leaking per invocation
+    val out = spark.table(name)
       .select(col("window.start").as("ws"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("ws", "event_type")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming dedup end-to-end: the events stream unioned with itself

@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
 object SchemaProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    // Tables.configure carries nanosAsLong, without which the events
+    // table (TIMESTAMP(NANOS)) refuses to load at all
+    val spark = graft.queries.Tables.configure(
+      SparkSession.builder().master("local[4]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")) {

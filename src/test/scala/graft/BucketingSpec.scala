@@ -37,12 +37,15 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join must not shuffle either side:\n$plan")
       assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
 
-      // and the answer matches the unbucketed join
+      // and the answer matches the unbucketed join, values included
       val flat = joined.agg(count(lit(1)), round(sum("x"), 2)).head
       val want = (1 to 10000).map(i => (i.toLong % 500, i * 1.5))
         .flatMap { case (k, x) =>
           (1 to 2000).filter(_.toLong % 500 == k).map(_ => x) }
       assert(flat.getLong(0) == want.size)
+      assert(flat.getDouble(1) ==
+        BigDecimal(want.sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bucket_l")

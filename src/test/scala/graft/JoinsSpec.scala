@@ -44,6 +44,18 @@ class JoinsSpec extends SparkSpec {
     assert(out.getDouble(1) == 7.0)
   }
 
+  test("asofJoinLast never matches NULL keys (equi-join semantics)") {
+    val left = Seq((1L, Option.empty[String], 20L), (2L, Some("k"), 20L))
+      .toDF("id", "k", "ts")
+    val right = Seq((Option.empty[String], 10L, 7.0), (Some("k"), 10L, 9.0))
+      .toDF("k", "rts", "v")
+    val out = Joins.asofJoinLast(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isEmpty, "NULL = NULL must not match in an ASOF join")
+    assert(out(2L).contains(9.0))
+  }
+
   test("asofJoinLast matches a naive theta-join + argmax oracle") {
     val left = (1 to 200).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 97).toLong))
       .toDF("id", "k", "ts")

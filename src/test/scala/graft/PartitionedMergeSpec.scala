@@ -82,6 +82,19 @@ class PartitionedMergeSpec extends SparkSpec {
       (9L, "x", "2024-01-01")))
   }
 
+  test("a NULL partition value is rejected loudly, not silently dropped") {
+    val path = tmpDir("pmerge_null") + "/t"
+    val init = Seq((1L, "a", "2024-01-01"))
+      .toDF("id", "v", "dt").withColumn("etl_updated_ts", lit(1L))
+    Ops.mergeUpsertPartitioned(spark, path, init, Seq("id"), "dt")
+    val bad = Seq((2L, "b", null: String))
+      .toDF("id", "v", "dt").withColumn("etl_updated_ts", lit(2L))
+    val e = intercept[IllegalArgumentException] {
+      Ops.mergeUpsertPartitioned(spark, path, bad, Seq("id"), "dt")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("target read prunes to touched partitions (PartitionFilters)") {
     val path = tmpDir("pmerge_prune") + "/t"
     val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
