@@ -246,6 +246,35 @@ object Relational {
       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
       |ORDER BY segment ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
 
+  /** Analytic lead/lag + ntile over one window partitioning: per
+    * customer, each order beside its previous/next order dates and the
+    * customer-local spend quartile. All four functions ride the same
+    * hashpartitioning(o_custkey) exchange — one shuffle total.
+    */
+  private def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val bySpend = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag("o_orderdate", 1).over(byDate).as("prev_date"),
+        lead("o_orderdate", 1).over(byDate).as("next_date"),
+        ntile(4).over(bySpend).cast("bigint").as("spend_quartile"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val lagLeadSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  lag(o_orderdate, 1) OVER w AS prev_date,
+      |  lead(o_orderdate, 1) OVER w AS next_date,
+      |  ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS spend_quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** Full outer join: per-customer order rollup keeping BOTH sides'
     * unmatched rows (customers with no orders, and — by restricting the
     * customer side — orders whose customer is outside the slice).
@@ -419,6 +448,7 @@ object Relational {
     NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
     NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
+    NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
