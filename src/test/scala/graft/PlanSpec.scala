@@ -90,6 +90,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("lag/lead/ntile windows share one customer partitioning") {
+    val p = plan(q("q_lag_lead"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"both window orderings must ride one exchange, got $hashEx:\n$p")
+  }
+
   test("watermark-filtered scan prunes via pushed-down predicate") {
     val df = graft.queries.Tables(spark, sf, "orders")
       .filter(col("o_orderdate") > lit("1997-06-01"))
