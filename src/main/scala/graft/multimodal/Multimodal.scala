@@ -146,6 +146,39 @@ object Multimodal {
     }
   }
 
+  /** "Resize" an image asset by an integer factor: keep every
+    * `factor`-th body byte and divide the header dims (the real
+    * bilinear/ffmpeg scaler plugs into [[Codec]]; the container
+    * arithmetic — header rewrite, body length = ceil(n/factor) — is
+    * the tested plumbing). Runs through the same batched
+    * mapPartitions seam as decode; non-image assets pass through
+    * untouched.
+    */
+  def resizeImages(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
+    require(factor >= 1, "factor must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.media_type != "image" || factor == 1) a
+      else {
+        val out = new Array[Byte](
+          HeaderLen + (a.payload.length - HeaderLen + factor - 1) / factor)
+        System.arraycopy(a.payload, 0, out, 0, HeaderLen)
+        val w = (((a.payload(5) & 0xff) << 8 | (a.payload(6) & 0xff))
+          / factor).max(1)
+        val h = (((a.payload(7) & 0xff) << 8 | (a.payload(8) & 0xff))
+          / factor).max(1)
+        out(5) = (w >> 8).toByte; out(6) = w.toByte
+        out(7) = (h >> 8).toByte; out(8) = h.toByte
+        var i = HeaderLen
+        var j = HeaderLen
+        while (i < a.payload.length) {
+          out(j) = a.payload(i); i += factor; j += 1
+        }
+        a.copy(payload = out)
+      }
+    })
+  }
+
   /** Sample every `every`-th frame of each video asset (a real pipeline
     * decodes keyframes; the container's frames are fixed 256-byte
     * slices, so the slicing arithmetic is oracle-checkable). Emits one

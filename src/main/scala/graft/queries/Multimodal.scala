@@ -60,6 +60,31 @@ object Multimodal {
       |    THEN b - (nf - 1) * 256 ELSE 256 END AS sampled_bytes
       |FROM v ORDER BY asset_id""".stripMargin
 
+  /** Resize images by 4× through the codec seam, then decode the
+    * resized containers: recovered byte counts must equal the
+    * closed-form ceil(n/4) arithmetic (images) / untouched sizes
+    * (audio/video).
+    */
+  private def resizeStats(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAssets(MM.resizeImages(assets(spark, dir), factor = 4))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("total_bytes"),
+        max("width").as("max_width"))
+      .orderBy("media_type")
+
+  private val resizeStatsSql =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS media_type,
+      |  count(*) AS n_assets,
+      |  CAST(sum(CASE WHEN doc_id % 3 = 0
+      |    THEN CAST(ceil(strlen(text) / 4.0) AS BIGINT)
+      |    ELSE strlen(text) END) AS BIGINT) AS total_bytes,
+      |  max(CASE WHEN doc_id % 3 = 0
+      |    THEN greatest((64 + doc_id % 1024) // 4, 1)
+      |    ELSE 64 + doc_id % 1024 END) AS max_width
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
   /** Per-media-type centroid of the extracted 16-bin features (the
     * "model inference" path end-to-end). The fake extractor's output is
     * not SQL-expressible — rows-only check; the spec pins its values.
@@ -74,5 +99,6 @@ object Multimodal {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     NamedQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    NamedQuery("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
     NamedQuery("mm_feature_centroids", featureCentroids, None))
 }

@@ -67,6 +67,23 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(FakeCodec.extract(a.payload)))
   }
 
+  test("resizeImages shrinks body and dims by the factor; non-images untouched") {
+    val resized = Multimodal.resizeImages(assets, factor = 4)
+    val before = Multimodal.decodeAssets(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    val after = Multimodal.decodeAssets(resized).collect()
+    after.foreach { m =>
+      val b = before(m.asset_id)
+      if (b.media_type == "image") {
+        assert(m.n_bytes == (b.n_bytes + 3) / 4,
+          s"asset ${m.asset_id}: ${b.n_bytes} -> ${m.n_bytes}")
+        assert(m.width == (b.width / 4).max(1) && m.height == (b.height / 4).max(1))
+      } else {
+        assert(m == b, s"non-image asset ${m.asset_id} was modified")
+      }
+    }
+  }
+
   test("decode repartitions by asset_id (decode work spreads evenly)") {
     val decoded = Multimodal.decodeAssets(assets, partitions = 8)
     assert(decoded.rdd.getNumPartitions == 8)
