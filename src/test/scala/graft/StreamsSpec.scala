@@ -72,6 +72,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update mode re-emits only the windows each batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // event_id-ish, ts_us, value
+    val events = in.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("event_type", lit("click"))
+    val name = "st_update_test"
+    val q = Streams.hourlyCounts(events)
+      .select(col("window.start").as("ws"), col("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData((1L, us(10), 1.0), (1L, us(20), 1.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table(name).as[(java.sql.Timestamp, Long)]
+        .collect().toSeq
+      assert(afterB1.map(_._2) == Seq(2L))
+      // second batch touches the same window → an updated row for it is
+      // appended to the update-mode sink (count now 3)
+      in.addData((1L, us(30), 1.0))
+      q.processAllAvailable()
+      val all = spark.table(name).as[(java.sql.Timestamp, Long)]
+        .collect().toSeq
+      assert(all.map(_._2).sorted == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("native session_window emits closed sessions in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)] // user, ts_us, value
