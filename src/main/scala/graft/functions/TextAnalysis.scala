@@ -58,11 +58,18 @@ object TextAnalysis {
 
   /** Deterministic quality score in [0,1]: length saturation (40%),
     * low punctuation (30%), stopword presence (30%).
+    *
+    * Truncated (floor-scaled) to 4 digits rather than round(): floor of
+    * a double is a pure IEEE operation, bit-identical in every engine,
+    * while round-to-decimal differs between engines exactly on half
+    * boundaries (DuckDB rounded a true 0.43475 up where JVM BigDecimal
+    * of the nearest double 0.43474999... rounds down — a real sf0.001
+    * oracle mismatch).
     */
   def qualityScore(text: Column): Column =
-    round(least(tokenCount(text).cast("double") / 100, lit(1.0)) * 0.4
+    floor((least(tokenCount(text).cast("double") / 100, lit(1.0)) * 0.4
       + (lit(1.0) - punctRatio(text)) * 0.3
-      + stopwordRatio(text) * 0.3, 4)
+      + stopwordRatio(text) * 0.3) * 10000) / 10000
 
   /** Stopword sets per language for the n-gram/stopword lang-ID
     * heuristic. Score(lang) = |distinct tokens ∩ set(lang)|; prediction

@@ -39,6 +39,19 @@ object Multimodal {
   val FrameLen = 256
   val Magic: Array[Byte] = "GRMM".getBytes(StandardCharsets.US_ASCII)
 
+  /** Big-endian u16 header field access — single definition for the
+    * codec, the synthesizer, and resize (one place to change if the
+    * header layout ever widens).
+    */
+  private[multimodal] def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private[multimodal] def putU16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >> 8).toByte; b(i + 1) = v.toByte
+  }
+  private[multimodal] def requireGrmm(bytes: Array[Byte]): Unit =
+    require(bytes.length >= HeaderLen && bytes.startsWith(Magic),
+      "not a GRMM container")
+
   case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
   case class AssetMeta(asset_id: Long, media_type: String, width: Int,
       height: Int, sample_rate: Int, n_bytes: Long, n_frames: Long)
@@ -61,15 +74,12 @@ object Multimodal {
     * a real embedding model would replace exactly this class.
     */
   object FakeCodec extends Codec {
-    private def u16(b: Array[Byte], i: Int): Int =
-      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     private def u32(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
         ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
     def decode(bytes: Array[Byte]): AssetMeta = {
-      require(bytes.length >= HeaderLen &&
-        bytes.startsWith(Magic), "not a GRMM container")
+      requireGrmm(bytes)
       val kind = bytes(4) match {
         case 0 => "image"; case 1 => "audio"; case 2 => "video"
         case k => sys.error(s"unknown media kind $k")
@@ -104,10 +114,9 @@ object Multimodal {
         val h = new Array[Byte](HeaderLen)
         Magic.copyToArray(h)
         h(4) = kind.toByte
-        val w = (64 + id % 1024).toInt; val ht = (64 + id % 768).toInt
         val sr = if (kind == 1) 16000 else 0
-        h(5) = (w >> 8).toByte; h(6) = w.toByte
-        h(7) = (ht >> 8).toByte; h(8) = ht.toByte
+        putU16(h, 5, (64 + id % 1024).toInt)
+        putU16(h, 7, (64 + id % 768).toInt)
         h(9) = (sr >> 24).toByte; h(10) = (sr >> 16).toByte
         h(11) = (sr >> 8).toByte; h(12) = sr.toByte
         Asset(id, Seq("image", "audio", "video")(kind), h ++ body)
@@ -150,25 +159,24 @@ object Multimodal {
     * `factor`-th body byte and divide the header dims (the real
     * bilinear/ffmpeg scaler plugs into [[Codec]]; the container
     * arithmetic — header rewrite, body length = ceil(n/factor) — is
-    * the tested plumbing). Runs through the same batched
-    * mapPartitions seam as decode; non-image assets pass through
-    * untouched.
+    * the tested plumbing). A plain per-row map — resize is pure
+    * per-asset CPU with no batch-inference seam to feed, unlike
+    * [[decodeAssets]]/[[extractFeatures]]. Non-image assets pass
+    * through untouched; malformed containers fail the same loud GRMM
+    * check as decode.
     */
   def resizeImages(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
     require(factor >= 1, "factor must be >= 1")
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map { a =>
+    assets.map { a =>
       if (a.media_type != "image" || factor == 1) a
       else {
+        requireGrmm(a.payload)
         val out = new Array[Byte](
           HeaderLen + (a.payload.length - HeaderLen + factor - 1) / factor)
         System.arraycopy(a.payload, 0, out, 0, HeaderLen)
-        val w = (((a.payload(5) & 0xff) << 8 | (a.payload(6) & 0xff))
-          / factor).max(1)
-        val h = (((a.payload(7) & 0xff) << 8 | (a.payload(8) & 0xff))
-          / factor).max(1)
-        out(5) = (w >> 8).toByte; out(6) = w.toByte
-        out(7) = (h >> 8).toByte; out(8) = h.toByte
+        putU16(out, 5, (u16(a.payload, 5) / factor).max(1))
+        putU16(out, 7, (u16(a.payload, 7) / factor).max(1))
         var i = HeaderLen
         var j = HeaderLen
         while (i < a.payload.length) {
@@ -176,7 +184,7 @@ object Multimodal {
         }
         a.copy(payload = out)
       }
-    })
+    }
   }
 
   /** Sample every `every`-th frame of each video asset (a real pipeline

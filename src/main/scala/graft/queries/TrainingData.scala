@@ -118,8 +118,9 @@ object TrainingData {
       |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
       |  round(praw, 4) AS punct_ratio,
       |  round(sraw, 4) AS stopword_ratio,
-      |  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - praw)
-      |    + 0.3 * sraw, 4) AS quality
+      |  floor((least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.4::DOUBLE
+      |    + (1.0::DOUBLE - praw) * 0.3::DOUBLE
+      |    + sraw * 0.3::DOUBLE) * 10000) / 10000 AS quality
       |FROM enriched ORDER BY doc_id""".stripMargin
 
   private def langId(spark: SparkSession, dir: String): DataFrame =
