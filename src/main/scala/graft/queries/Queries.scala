@@ -8,6 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * part of the contract: both sides alias identically and end with the
   * same ORDER BY; double aggregates are rounded on both sides so
   * summation-order ULP noise cannot flip the hash compare.
+  *
+  * Rounding caveat: engines disagree on round-to-decimal exactly at
+  * half boundaries (observed: DuckDB 0.43475 → 0.4348 vs JVM
+  * BigDecimal-of-nearest-double → 0.4347). When a derived ratio can
+  * land on a boundary, truncate instead — `floor(x * 1e4) / 1e4` is
+  * pure IEEE and bit-identical everywhere (see
+  * `TextAnalysis.qualityScore`). Sums of input data rarely hit
+  * boundaries, but any new FAIL that differs in the last rounded digit
+  * should reach for the floor-scaled form on both sides.
   */
 case class NamedQuery(
     name: String,
