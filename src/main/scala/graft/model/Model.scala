@@ -54,6 +54,13 @@ case object Incremental extends LoadStrategy
   * @param watermarkCol target-side column whose MAX drives the
   *                     incremental fetch parameter (reference
   *                     `pull_raw/__main__.py:102`).
+  * @param partitionCol target layout column (hive-style dirs): loads
+  *                     route through the partition-scoped write paths —
+  *                     full refresh writes `partitionBy`, incremental
+  *                     merges only the partitions the batch touches
+  *                     (SURVEY §4 layout rules: transactions by
+  *                     date(block_time), block by height bucket). Must
+  *                     be present post-rename/derive and non-null.
   */
 case class TableSpec(
     jobName: String,
@@ -63,7 +70,8 @@ case class TableSpec(
     renames: Seq[(String, String)],
     derived: Seq[DerivedColumn] = Nil,
     watermarkCol: Option[String] = None,
-    strategy: LoadStrategy = Incremental)
+    strategy: LoadStrategy = Incremental,
+    partitionCol: Option[String] = None)
 
 /** The five-table Bitcoin warehouse the reference syncs
   * (reference: `etl_system/etl_job.csv:2-6` and
@@ -98,14 +106,18 @@ object BitcoinWarehouse {
     renames = Seq("block_time" -> "block_time",
       "fee" -> "dimension_attribute_record_id", "id" -> "transaction_id",
       "input_value" -> "input_value", "output_value" -> "output_value"),
-    watermarkCol = Some("block_time"))
+    derived = Seq(DerivedColumn("block_date", "date(block_time)")),
+    watermarkCol = Some("block_time"),
+    partitionCol = Some("block_date"))
 
   val block = TableSpec(
     jobName = "bitcoin_block", queryId = 2177266L,
     targetTable = "bitcoin.block", pKeys = Seq("hash"),
     renames = Seq("coinbase", "difficulty", "hash", "height", "mint_reward",
       "nonce", "previous_block_hash", "size", "total_fees", "total_reward",
-      "transaction_count", "weight").map(c => c -> c))
+      "transaction_count", "weight").map(c => c -> c),
+    derived = Seq(DerivedColumn("height_bucket", "floor(height / 1000)")),
+    partitionCol = Some("height_bucket"))
 
   val all: Seq[TableSpec] = Seq(inputs, outputs, pricesUsd, transactions, block)
 }

@@ -24,14 +24,22 @@ object ParquetIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Overwrite `path` with `df`, safe even when `df` reads from `path`. */
-  def overwriteSafe(df: DataFrame, path: String): Unit = {
+  /** Overwrite `path` with `df`, safe even when `df` reads from `path`.
+    * With `partitionCols` the layout is hive-style, clustered so each
+    * partition directory gets ~1 file (see mergeUpsertPartitioned).
+    */
+  def overwriteSafe(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(
       path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val clustered =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    clustered.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
@@ -89,8 +97,9 @@ object Ops {
   /** S6 — full refresh: truncate+reload collapses into one atomic(ish)
     * overwrite. Reference: `pg_loader.py:126-163`.
     */
-  def fullRefresh(df: DataFrame, targetPath: String): Unit =
-    ParquetIO.overwriteSafe(df, targetPath)
+  def fullRefresh(df: DataFrame, targetPath: String,
+      partitionCols: Seq[String] = Nil): Unit =
+    ParquetIO.overwriteSafe(df, targetPath, partitionCols)
 
   /** Batch dedup for the upsert: keep one row per key, latest
     * `versionCol` wins — mirrors `ON CONFLICT ... DO UPDATE`'s

@@ -46,8 +46,13 @@ class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
       val shaped = Ops.auditStamp(
         Ops.applyDerived(
           Ops.renameProject(fetched, spec.renames), spec.derived))
-      if (doFull) Ops.fullRefresh(shaped, path)
-      else Ops.mergeUpsert(spark, path, shaped, spec.pKeys)
+      (doFull, spec.partitionCol) match {
+        case (true, pc) => Ops.fullRefresh(shaped, path, pc.toSeq)
+        case (false, Some(pc)) =>
+          Ops.mergeUpsertPartitioned(spark, path, shaped, spec.pKeys, pc)
+        case (false, None) =>
+          Ops.mergeUpsert(spark, path, shaped, spec.pKeys)
+      }
       JobResult(spec.jobName, Ops.recordCount(spark, path), doFull, None)
     }
     attempt match {

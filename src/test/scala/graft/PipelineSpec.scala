@@ -92,6 +92,41 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[String]("dimension_attribute_name") == "ADDR1")
   }
 
+  test("partitioned table: full sync lays out hive dirs; delta touches " +
+      "only its partition") {
+    val base = tmpDir("pipe_part")
+    val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
+    val spec = BitcoinWarehouse.transactions
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"block_time":"2025-01-01T00:01:00","fee":0.01,"id":"t1","input_value":0.5,"output_value":0.49}""",
+      """{"block_time":"2025-01-02T00:01:00","fee":0.02,"id":"t2","input_value":1.0,"output_value":0.98}"""))
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    seedJobs(meta, Seq(spec), Set(spec.jobName))
+    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+      s"$base/warehouse")
+    assert(pipe.run(Seq(spec)).head.rows == 2L)
+    val root = new java.io.File(pipe.targetPath(spec))
+    assert(root.listFiles().map(_.getName).toSet
+      .contains("block_date=2025-01-01"))
+    def day1Files = new java.io.File(root, "block_date=2025-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = day1Files
+    Thread.sleep(1100)
+    // delta: one new tx on a NEW day; watermark keeps t1/t2 out
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"block_time":"2025-01-01T00:01:00","fee":9.9,"id":"t1","input_value":9.9,"output_value":9.9}""",
+      """{"block_time":"2025-01-03T00:01:00","fee":0.03,"id":"t3","input_value":2.0,"output_value":1.96}"""))
+    val r2 = pipe.run(Seq(spec)).head
+    assert(!r2.fullRefresh && r2.rows == 3L)
+    assert(day1Files == before,
+      "untouched day-1 partition was rewritten by the delta merge")
+    val t1fee = spark.read.parquet(pipe.targetPath(spec))
+      .filter($"transaction_id" === "t1")
+      .select("dimension_attribute_record_id").as[Double].head()
+    assert(t1fee == 0.01, "stale pre-watermark repeat must not apply")
+  }
+
   test("inactive jobs are skipped (metadata scan WHERE active=1)") {
     val base = tmpDir("inact")
     val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
