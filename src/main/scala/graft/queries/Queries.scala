@@ -24,9 +24,20 @@ case class NamedQuery(
     oracle: Option[String])
 
 object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   /** All testdata tables are single parquet files: `$dir/$name.parquet`. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view so the full surface
+    * is reachable from `spark.sql(...)` — with [[configure]]'s
+    * extensions the custom functions (fnv1a64, cosine_sim, …) are
+    * callable there too.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(t => apply(spark, dir, t).createOrReplaceTempView(t))
 
   /** Session config every graft entry point uses. `nanosAsLong` is
     * required to read the `events` table (parquet TIMESTAMP(NANOS) —

@@ -20,6 +20,18 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerAll exposes the tables and custom functions to spark.sql") {
+    graft.queries.Tables.registerAll(spark, sf)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head.getLong(0) > 0)
+    val fp = spark.sql(
+      "SELECT fnv1a64(text) AS fp FROM documents LIMIT 1").head.getLong(0)
+    assert(fp != 0L)
+    val sim = spark.sql("""SELECT cosine_sim(CAST(embedding AS array<float>),
+        CAST(embedding AS array<float>)) AS s
+      FROM embeddings LIMIT 1""").head.getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-6)
+  }
+
   for (q <- SparkEntry.allQueries) {
     test(s"${q.name} runs on sf0.001 and returns rows") {
       val df = q.run(spark, sf)
