@@ -100,6 +100,13 @@ object BitcoinWarehouse {
     renames = Seq("date" -> "date", "price" -> "price_in_dollar"),
     watermarkCol = Some("date"))
 
+  /** Partitioning by date(block_time) relies on the domain invariant
+    * that a confirmed transaction's block_time is immutable (the
+    * partition-scoped merge contract: partition value functionally
+    * dependent on the key). A chain reorg that moves transactions
+    * between blocks is a correction event outside incremental
+    * semantics — reload the affected range with a full refresh.
+    */
   val transactions = TableSpec(
     jobName = "bitcoin_transactions", queryId = 2177280L,
     targetTable = "bitcoin.transactions", pKeys = Seq("transaction_id"),

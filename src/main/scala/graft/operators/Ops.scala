@@ -24,9 +24,25 @@ object ParquetIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when `path` exists and is laid out hive-style on `column`
+    * (contains at least one `column=value` child directory).
+    */
+  def isPartitionedOn(spark: SparkSession, path: String,
+      column: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(column + "="))
+  }
+
   /** Overwrite `path` with `df`, safe even when `df` reads from `path`.
     * With `partitionCols` the layout is hive-style, clustered so each
     * partition directory gets ~1 file (see mergeUpsertPartitioned).
+    * An EMPTY frame is written flat regardless — a partitioned write of
+    * zero rows emits no schema-bearing file at all and the target
+    * becomes unreadable (UNABLE_TO_INFER_SCHEMA); the flat empty file
+    * keeps the schema, and the partitioned merge treats an empty flat
+    * target as fresh.
     */
   def overwriteSafe(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
@@ -35,11 +51,12 @@ object ParquetIO {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(
       path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val parts = if (df.isEmpty) Nil else partitionCols
     val clustered =
-      if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      if (parts.isEmpty) df
+      else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
     clustered.write.mode("overwrite")
-      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+      .partitionBy(parts: _*).parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $target failed")
@@ -83,10 +100,25 @@ object Ops {
     * Reference: `pg_loader.py:296-318`, fallback `__main__.py:104-112`.
     */
   def maxWatermark(spark: SparkSession, targetPath: String,
-      column: String): Option[Any] = {
+      column: String, partitionCol: Option[String] = None): Option[Any] = {
     if (!ParquetIO.exists(spark, targetPath)) None
-    else Option(
-      spark.read.parquet(targetPath).agg(max(col(column))).head.get(0))
+    else {
+      val table = spark.read.parquet(targetPath)
+      if (table.isEmpty) None
+      else partitionCol match {
+        // On a hive layout whose partition value is derived from (and
+        // monotone with) the watermark column, the max watermark lives
+        // in the max partition: filter to it so partition pruning reads
+        // ONE directory instead of scanning the column table-wide.
+        case Some(pc)
+            if ParquetIO.isPartitionedOn(spark, targetPath, pc) =>
+          val maxPart = table.agg(max(col(pc))).head.get(0)
+          Option(table.filter(col(pc) === lit(maxPart))
+            .agg(max(col(column))).head.get(0))
+        case _ =>
+          Option(table.agg(max(col(column))).head.get(0))
+      }
+    }
   }
 
   /** A2 — verification row count. Reference: `pg_loader.py:320-339`. */
@@ -139,6 +171,7 @@ object Ops {
       updates: DataFrame, keys: Seq[String],
       versionCol: String = "etl_updated_ts"): Unit = {
     val batch = dedupLatest(updates, keys, versionCol)
+    requireFlatLayout(spark, targetPath, "mergeUpsert")
     if (!ParquetIO.exists(spark, targetPath)) {
       batch.write.mode("overwrite").parquet(targetPath)
     } else {
@@ -147,6 +180,23 @@ object Ops {
         .join(batch.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(batch, allowMissingColumns = true)
       ParquetIO.overwriteSafe(merged, targetPath)
+    }
+  }
+
+  /** The flat-rewrite operators would silently destroy a hive layout
+    * (their overwrite drops the partition directories); refuse instead.
+    */
+  private def requireFlatLayout(spark: SparkSession, targetPath: String,
+      op: String): Unit = {
+    if (ParquetIO.exists(spark, targetPath)) {
+      val p = new Path(targetPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hiveDir = fs.listStatus(p).find(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      require(hiveDir.isEmpty,
+        s"$op: $targetPath is hive-partitioned (${hiveDir.get.getPath
+          .getName}); use the partition-aware variant or fullRefresh " +
+          "with partitionCols to keep the layout")
     }
   }
 
@@ -185,9 +235,23 @@ object Ops {
     // scale; for a single skewed partition add a salt to the
     // repartition, at the price of more files.
     def clustered(df: DataFrame): DataFrame = df.repartition(col(partitionCol))
-    if (!ParquetIO.exists(spark, targetPath)) {
-      clustered(batch).write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(targetPath)
+    // Bootstrap: no target, or an EMPTY flat target (the shape an empty
+    // partitioned full-refresh leaves — see overwriteSafe). A NON-empty
+    // flat target is a layout mismatch: merging partition dirs beside
+    // flat part-files corrupts the table, so fail with the migration.
+    val freshTarget = !ParquetIO.exists(spark, targetPath) || {
+      val partitioned =
+        ParquetIO.isPartitionedOn(spark, targetPath, partitionCol)
+      if (!partitioned) {
+        require(spark.read.parquet(targetPath).isEmpty,
+          s"mergeUpsertPartitioned: $targetPath exists but is not " +
+            s"hive-partitioned on $partitionCol; migrate it first with " +
+            "fullRefresh(df, path, Seq(partitionCol))")
+        true
+      } else false
+    }
+    if (freshTarget) {
+      ParquetIO.overwriteSafe(batch, targetPath, Seq(partitionCol))
     } else {
       // One value per touched partition — bounded and tiny by design
       // (a delta batch touches recent dates), so collect is safe.
@@ -233,11 +297,13 @@ object Ops {
     * predicate is NULL are kept (SQL DELETE only removes WHERE=true).
     */
   def deleteWhere(spark: SparkSession, targetPath: String,
-      predicate: Column): Unit = {
+      predicate: Column, partitionCols: Seq[String] = Nil): Unit = {
     if (ParquetIO.exists(spark, targetPath)) {
+      if (partitionCols.isEmpty)
+        requireFlatLayout(spark, targetPath, "deleteWhere")
       val kept = spark.read.parquet(targetPath)
         .filter(!coalesce(predicate, lit(false)))
-      ParquetIO.overwriteSafe(kept, targetPath)
+      ParquetIO.overwriteSafe(kept, targetPath, partitionCols)
     }
   }
 

@@ -38,8 +38,11 @@ class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
     val attempt = Try {
       val path = targetPath(spec)
       val watermark = (spec.strategy, spec.watermarkCol) match {
-        case (Incremental, Some(c)) => Ops.maxWatermark(spark, path, c)
-        case _                      => None
+        case (Incremental, Some(c)) =>
+          // partitionCol (derived from the watermark, hence monotone
+          // with it) prunes the MAX probe to one partition directory
+          Ops.maxWatermark(spark, path, c, spec.partitionCol)
+        case _ => None
       }
       val doFull = spec.strategy == FullRefresh || watermark.isEmpty
       val fetched = source.fetch(spark, spec, watermark)

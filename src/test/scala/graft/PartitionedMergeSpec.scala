@@ -95,6 +95,58 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("a non-empty flat target is refused, not silently corrupted") {
+    val path = tmpDir("pmerge_flat") + "/t"
+    Seq((1L, "a", "2024-01-01")).toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(1L))
+      .write.parquet(path) // FLAT layout
+    val batch = Seq((2L, "b", "2024-01-02")).toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(2L))
+    val e = intercept[IllegalArgumentException] {
+      Ops.mergeUpsertPartitioned(spark, path, batch, Seq("id"), "dt")
+    }
+    assert(e.getMessage.contains("migrate"))
+  }
+
+  test("an empty partitioned full refresh stays readable and mergeable") {
+    val path = tmpDir("pmerge_empty") + "/t"
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(1L))
+    Ops.fullRefresh(empty, path, Seq("dt"))
+    assert(spark.read.parquet(path).count() == 0) // schema survives
+    val batch = Seq((1L, "a", "2024-01-01")).toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(2L))
+    Ops.mergeUpsertPartitioned(spark, path, batch, Seq("id"), "dt")
+    assert(readBack(path).toSeq == Seq((1L, "a", "2024-01-01")))
+  }
+
+  test("flat-rewrite operators refuse a hive-partitioned target") {
+    val path = tmpDir("pmerge_guard") + "/t"
+    val init = Seq((1L, "a", "2024-01-01")).toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(1L))
+    Ops.mergeUpsertPartitioned(spark, path, init, Seq("id"), "dt")
+    val batch = Seq((2L, "b", "2024-01-02")).toDF("id", "v", "dt")
+      .withColumn("etl_updated_ts", lit(2L))
+    intercept[IllegalArgumentException] {
+      Ops.mergeUpsert(spark, path, batch, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.deleteWhere(spark, path, col("id") === 1L)
+    }
+    // the partition-aware delete keeps the layout
+    Ops.deleteWhere(spark, path, col("id") === 1L, Seq("dt"))
+    assert(readBack(path).isEmpty)
+  }
+
+  test("maxWatermark prunes to the max partition when told the layout") {
+    val path = tmpDir("pmerge_wm") + "/t"
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "dt").withColumn("etl_updated_ts", lit(5L))
+    Ops.mergeUpsertPartitioned(spark, path, init, Seq("id"), "dt")
+    assert(Ops.maxWatermark(spark, path, "dt", Some("dt"))
+      .map(_.toString).contains("2024-01-02"))
+  }
+
   test("target read prunes to touched partitions (PartitionFilters)") {
     val path = tmpDir("pmerge_prune") + "/t"
     val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
