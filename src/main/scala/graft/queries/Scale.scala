@@ -113,9 +113,26 @@ object Scale {
       |UNION ALL SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
       |FROM updates ORDER BY o_orderkey""".stripMargin
 
+  /** Quantile sketch beside the exact percentiles (`q_percentiles`):
+    * `percentile_approx` is a mergeable KLL-style sketch — the
+    * distinct-count trade (`q_approx_distinct`) applied to quantiles.
+    * No SQL oracle (DuckDB's approx_quantile is a different sketch);
+    * ScaleSpec pins it within tolerance of the exact values.
+    */
+  private def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2)
+          .as("p50_approx"),
+        round(expr("percentile_approx(o_totalprice, 0.95, 10000)"), 2)
+          .as("p95_approx"))
+      .orderBy("priority")
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_approx_distinct", approxDistinct, None),
+    NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
       Some(mergeUpsertPartSql)))
 }
