@@ -108,22 +108,59 @@ object Kernels {
     dot
   }
 
+  /** Hyperplane sign matrices for [[srpBucket]], memoized per
+    * (seed, numBits, dim). The signs depend only on those three values,
+    * so deriving them per row would cost numBits × dim fnv1a64Long
+    * evaluations per row; here each JVM derives them once and the per-row
+    * work is a pure multiply-add sweep. Flattened layout: entry
+    * (p, d) at index p*dim + d, value +1.0 / -1.0. The map is tiny in
+    * practice (one entry per distinct LSH configuration per executor);
+    * bounded defensively so a pathological caller can't leak memory.
+    */
+  private val srpSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+  private final val SrpCacheMax = 64
+
+  private def srpSigns(seed: Long, numBits: Int, dim: Int): Array[Double] = {
+    val key = (seed, numBits, dim)
+    val cached = srpSignCache.get(key)
+    if (cached != null) return cached
+    val signs = new Array[Double](numBits * dim)
+    var p = 0
+    while (p < numBits) {
+      var d = 0
+      while (d < dim) {
+        // Bit-identical to the original per-row derivation: the sign of
+        // hyperplane p in dimension d is the low bit of
+        // fnv1a64Long(seed * phi + p*131071 + d).
+        val bit = fnv1a64Long(seed * 0x9e3779b97f4a7c15L + p.toLong * 131071L + d) & 1L
+        signs(p * dim + d) = if (bit == 1L) 1.0 else -1.0
+        d += 1
+      }
+      p += 1
+    }
+    if (srpSignCache.size < SrpCacheMax) srpSignCache.putIfAbsent(key, signs)
+    signs
+  }
+
   /** Signed-random-projection LSH bucket: bit p of the result is the
     * sign of `v · h_p`, where hyperplane `h_p(d) ∈ {+1,-1}` is derived
     * deterministically from (seed, p, d) via fnv1a64Long — no RNG state,
-    * reproducible across executors/runs. numBits ≤ 63.
+    * reproducible across executors/runs. numBits ≤ 63. The hyperplane
+    * sign matrix is precomputed once per (seed, numBits, dim) (see
+    * [[srpSigns]]); the per-row cost is numBits × dim multiply-adds.
     */
   def srpBucket(v: ArrayData, numBits: Int, seed: Long): Long = {
     val dim = v.numElements()
+    val signs = srpSigns(seed, numBits, dim)
     var bucket = 0L
     var p = 0
     while (p < numBits) {
       var proj = 0.0
+      val base = p * dim
       var d = 0
       while (d < dim) {
-        val bit = fnv1a64Long(seed * 0x9e3779b97f4a7c15L + p.toLong * 131071L + d) & 1L
-        val w = if (bit == 1L) 1.0 else -1.0
-        proj += v.getFloat(d).toDouble * w
+        proj += v.getFloat(d).toDouble * signs(base + d)
         d += 1
       }
       if (proj >= 0.0) bucket |= (1L << p)

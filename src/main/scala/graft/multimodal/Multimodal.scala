@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * At 100 TB: payloads live in parquet binary columns (or are pointers
   * into an object store, same schema); decode/feature-extract run as
   * `mapPartitions` with bounded in-flight batches so executor memory is
-  * `batchSize × assetSize`, not a partition's worth; the repartition
-  * before decode spreads size skew (one 4 GB video beside 4 KB icons)
-  * by byte-budget, not row count.
+  * `batchSize × assetSize`, not a partition's worth; [[spreadByBytes]]
+  * repacks assets into ~equal-byte tasks before decode, so size skew
+  * (one 4 GB video beside 4 KB icons) is spread by byte-budget, not row
+  * count — a task's input bytes are bounded by
+  * `targetBytesPerTask + largest single asset`.
   */
 object Multimodal {
 
@@ -123,18 +125,76 @@ object Multimodal {
     }
   }
 
+  /** Default byte budget per decode task (64 MiB — half the stock
+    * `spark.sql.files.maxPartitionBytes`, leaving headroom for the
+    * decoded form beside the raw payload).
+    */
+  val DefaultBytesPerTask: Long = 64L << 20
+
+  /** Repack assets into ~equal-BYTE tasks (decode cost tracks payload
+    * bytes, not row count — one 4 GB video beside 4 KB icons must not
+    * land a 4 GB task next to kilobyte tasks). Two passes:
+    *
+    *  1. per-input-partition byte sums — the driver holds ONE long per
+    *     input partition (not per asset, so this scales to billions of
+    *     assets);
+    *  2. each asset's global cumulative byte offset (partition-prefix
+    *     offset + running total within the partition) picks its bucket
+    *     `offset / targetBytesPerTask`; an exact bucket-id partitioner
+    *     then makes each bucket one task — no hash collisions stacking
+    *     two heavy buckets on one core, no range-sampling job.
+    *
+    * An asset is indivisible, so the hard bound is
+    * `task bytes ≤ targetBytesPerTask + largest single asset` (an asset
+    * straddling a bucket boundary stays in the bucket where it starts).
+    * Both passes evaluate the same deterministic lineage, so the
+    * partition sums and offsets line up.
+    */
+  def spreadByBytes(assets: Dataset[Asset],
+      targetBytesPerTask: Long = DefaultBytesPerTask): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    val target = math.max(1L, targetBytesPerTask)
+    val perPart = assets.toDF()
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(length(col("payload"))).as("bytes"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val total = perPart.map(_._2).sum
+    if (total == 0L) return assets.coalesce(1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      perPart.map { case (pid, b) => val o = pid -> acc; acc += b; o }.toMap
+    }
+    val numBuckets = ((total + target - 1) / target).toInt.max(1)
+    val bucketed = assets.mapPartitions { it =>
+      var cum = offsets.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
+      it.map { a =>
+        val b = math.min(cum / target, numBuckets - 1L)
+        cum += a.payload.length
+        (b, a)
+      }
+    }
+    val packed = bucketed.rdd.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numBuckets
+      override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+    }).values
+    assets.sparkSession.createDataset(packed)
+  }
+
   /** Batched decode: each partition's assets are decoded in groups of
     * `batchSize` (the shape a batched model server / vectorized codec
-    * wants), never materializing the whole partition. Repartitions by
-    * asset_id hash first so decode work spreads evenly regardless of
-    * how the scan chunked the files.
+    * wants), never materializing the whole partition. Spreads assets
+    * into ~equal-byte tasks first ([[spreadByBytes]]) so decode cost —
+    * which tracks payload bytes — balances even under heavy size skew;
+    * pass `partitions > 0` to force a plain row-hash layout instead
+    * (e.g. when upstream already byte-balanced).
     */
   def decodeAssets(assets: Dataset[Asset], codec: Codec = FakeCodec,
-      batchSize: Int = 64, partitions: Int = 0): Dataset[AssetMeta] = {
+      batchSize: Int = 64, partitions: Int = 0,
+      targetBytesPerTask: Long = DefaultBytesPerTask): Dataset[AssetMeta] = {
     import assets.sparkSession.implicits._
     val spread =
       if (partitions > 0) assets.repartition(partitions, col("asset_id"))
-      else assets.repartition(col("asset_id"))
+      else spreadByBytes(assets, targetBytesPerTask)
     spread.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map(a => codec.decode(a.payload)
@@ -145,11 +205,13 @@ object Multimodal {
 
   /** Feature extraction through the same batched seam; output is the
     * `(id, Array[Float])` shape the similarity operators consume.
+    * Byte-weighted spread, same reasoning as [[decodeAssets]].
     */
   def extractFeatures(assets: Dataset[Asset], codec: Codec = FakeCodec,
-      batchSize: Int = 64): Dataset[AssetFeature] = {
+      batchSize: Int = 64,
+      targetBytesPerTask: Long = DefaultBytesPerTask): Dataset[AssetFeature] = {
     import assets.sparkSession.implicits._
-    assets.repartition(col("asset_id")).mapPartitions { it =>
+    spreadByBytes(assets, targetBytesPerTask).mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(a =>
         AssetFeature(a.asset_id, a.media_type, codec.extract(a.payload))))
     }

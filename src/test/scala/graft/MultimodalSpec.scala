@@ -88,4 +88,38 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decodeAssets(assets, partitions = 8)
     assert(decoded.rdd.getNumPartitions == 8)
   }
+
+  test("spreadByBytes: one asset 1000x larger doesn't skew task input bytes") {
+    def mk(id: Long, bodyLen: Int): Asset = {
+      val h = new Array[Byte](Multimodal.HeaderLen)
+      Multimodal.Magic.copyToArray(h)
+      Asset(id, "image", h ++ Array.fill[Byte](bodyLen)((id % 251).toByte))
+    }
+    val small = (1L to 6000L).map(mk(_, 512))
+    val big = mk(0L, 512 * 1000) // 1000x the small body size
+    val assets = spark.createDataset(big +: small).repartition(8)
+
+    val target = 1L << 20
+    val spread = Multimodal.spreadByBytes(assets, target)
+    val bytesPerTask = spread.mapPartitions(it =>
+      Iterator.single(it.map(_.payload.length.toLong).sum)).collect()
+    val mean = bytesPerTask.sum.toDouble / bytesPerTask.length
+    assert(bytesPerTask.max <= 2.0 * mean,
+      s"max task ${bytesPerTask.max} bytes vs mean $mean " +
+        s"(layout: ${bytesPerTask.mkString(",")})")
+    // hard bound regardless of where the big asset lands
+    assert(bytesPerTask.max <= target + big.payload.length)
+    // nothing lost or duplicated by the repack
+    assert(spread.count() == 6001)
+    assert(spread.select("asset_id").as[Long].collect().sorted.toSeq ==
+      (0L to 6000L).toSeq)
+    // the row-count spread this replaces would put the big asset's task
+    // far above the byte mean — the property the fix exists for
+    val rowSpread = assets.repartition(4, col("asset_id"))
+    val rowBytes = rowSpread.mapPartitions(it =>
+      Iterator.single(it.map(_.payload.length.toLong).sum)).collect()
+    val rowMean = rowBytes.sum.toDouble / rowBytes.length
+    assert(rowBytes.max > 1.3 * rowMean,
+      "row-hash layout unexpectedly byte-balanced; skew fixture too weak")
+  }
 }
