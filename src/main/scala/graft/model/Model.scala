@@ -2,6 +2,8 @@ package graft.model
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+
 /** One row of the `etl.etl_job` control table.
   *
   * Mirrors the reference's control schema (reference:
@@ -61,6 +63,13 @@ case object Incremental extends LoadStrategy
   *                     (SURVEY §4 layout rules: transactions by
   *                     date(block_time), block by height bucket). Must
   *                     be present post-rename/derive and non-null.
+  * @param sourceSchema declared SOURCE-side schema (pre-rename column
+  *                     names). When set, schema-aware sources skip
+  *                     their O(payload) inference pre-pass — the
+  *                     rebuild's declared-StructType policy (SURVEY §7
+  *                     schema-drift note) over the reference's pandas
+  *                     dtype inference (`pg_loader.py:49-68`). None
+  *                     falls back to inference.
   */
 case class TableSpec(
     jobName: String,
@@ -71,7 +80,8 @@ case class TableSpec(
     derived: Seq[DerivedColumn] = Nil,
     watermarkCol: Option[String] = None,
     strategy: LoadStrategy = Incremental,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    sourceSchema: Option[StructType] = None)
 
 /** The five-table Bitcoin warehouse the reference syncs
   * (reference: `etl_system/etl_job.csv:2-6` and
@@ -80,25 +90,39 @@ case class TableSpec(
 object BitcoinWarehouse {
   val upperEntity = DerivedColumn("dimension_attribute_name", "upper(address)")
 
+  private def declared(fields: (String, DataType)*): Option[StructType] =
+    Some(StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  /** Source schemas follow the reference's observed payload shapes and
+    * its five-type system (`pg_loader.py:49-68`): JSON numbers that can
+    * be fractional → double, counters → long, the rest → string
+    * (timestamps arrive as ISO strings and are typed downstream).
+    */
+  private val inOutSchema = declared(
+    "address" -> StringType, "tx_id" -> StringType, "value" -> DoubleType)
+
   val inputs = TableSpec(
     jobName = "bitcoin_inputs", queryId = 2177353L,
     targetTable = "bitcoin.input", pKeys = Seq("transaction_id"),
     renames = Seq("address" -> "address", "tx_id" -> "transaction_id",
       "value" -> "bitcoin_amount"),
-    derived = Seq(upperEntity))
+    derived = Seq(upperEntity),
+    sourceSchema = inOutSchema)
 
   val outputs = TableSpec(
     jobName = "bitcoin_output", queryId = 2177447L,
     targetTable = "bitcoin.output", pKeys = Seq("transaction_id"),
     renames = Seq("address" -> "address", "tx_id" -> "transaction_id",
       "value" -> "bitcoin_amount"),
-    derived = Seq(upperEntity))
+    derived = Seq(upperEntity),
+    sourceSchema = inOutSchema)
 
   val pricesUsd = TableSpec(
     jobName = "prices_usd", queryId = 5816212L,
     targetTable = "bitcoin.price_usd", pKeys = Seq("date"),
     renames = Seq("date" -> "date", "price" -> "price_in_dollar"),
-    watermarkCol = Some("date"))
+    watermarkCol = Some("date"),
+    sourceSchema = declared("date" -> StringType, "price" -> DoubleType))
 
   /** Partitioning by date(block_time) relies on the domain invariant
     * that a confirmed transaction's block_time is immutable (the
@@ -115,7 +139,10 @@ object BitcoinWarehouse {
       "input_value" -> "input_value", "output_value" -> "output_value"),
     derived = Seq(DerivedColumn("block_date", "date(block_time)")),
     watermarkCol = Some("block_time"),
-    partitionCol = Some("block_date"))
+    partitionCol = Some("block_date"),
+    sourceSchema = declared("block_time" -> StringType, "fee" -> DoubleType,
+      "id" -> StringType, "input_value" -> DoubleType,
+      "output_value" -> DoubleType))
 
   val block = TableSpec(
     jobName = "bitcoin_block", queryId = 2177266L,
@@ -124,7 +151,14 @@ object BitcoinWarehouse {
       "nonce", "previous_block_hash", "size", "total_fees", "total_reward",
       "transaction_count", "weight").map(c => c -> c),
     derived = Seq(DerivedColumn("height_bucket", "floor(height / 1000)")),
-    partitionCol = Some("height_bucket"))
+    partitionCol = Some("height_bucket"),
+    sourceSchema = declared("coinbase" -> StringType,
+      "difficulty" -> DoubleType, "hash" -> StringType,
+      "height" -> LongType, "mint_reward" -> DoubleType,
+      "nonce" -> LongType, "previous_block_hash" -> StringType,
+      "size" -> LongType, "total_fees" -> DoubleType,
+      "total_reward" -> DoubleType, "transaction_count" -> LongType,
+      "weight" -> LongType))
 
   val all: Seq[TableSpec] = Seq(inputs, outputs, pricesUsd, transactions, block)
 }

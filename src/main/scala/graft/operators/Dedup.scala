@@ -77,11 +77,13 @@ object Dedup {
     val model = lsh.fit(featured)
     // approxSimilarityJoin keeps dist STRICTLY below the cutoff; widen
     // by an epsilon so pairs at exactly `threshold` survive, then apply
-    // the documented est_jaccard >= threshold contract precisely.
+    // the documented est_jaccard >= threshold contract precisely (the
+    // widened radius is join-internal only — no epsilon in the final
+    // predicate, so nothing below the threshold leaks through).
     model.approxSimilarityJoin(featured, featured,
         1.0 - threshold + 1e-9, "dist")
       .filter(col("datasetA.id") < col("datasetB.id"))
-      .filter(lit(1.0) - col("dist") >= threshold - 1e-9)
+      .filter(lit(1.0) - col("dist") >= threshold)
       .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
         round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
   }

@@ -55,11 +55,19 @@ object ParquetIO {
     val clustered =
       if (parts.isEmpty) df
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-    clustered.write.mode("overwrite")
-      .partitionBy(parts: _*).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    // On any failure (write or post-delete rename) drop the staging dir:
+    // repeated failed runs must not accumulate orphan __staging_* dirs
+    // beside the target. After a successful rename tmp no longer exists
+    // and the delete is a no-op.
+    try {
+      clustered.write.mode("overwrite")
+        .partitionBy(parts: _*).parquet(tmp.toString)
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 }
 

@@ -6,7 +6,6 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -66,10 +65,14 @@ class DuneDataSource extends TableProvider with DataSourceRegister {
 
   /** Schema comes from a driver-side inference pass over the payload
     * (pandas-equivalent of the reference's dtype inference,
-    * `pg_loader.py:49-68`); declare via `.schema(...)` to skip it.
+    * `pg_loader.py:49-68`); declare via `.schema(...)` to skip it —
+    * Spark then never calls this (supportsExternalMetadata). The
+    * counter makes "no inference pass happened" spec-observable.
     */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    DuneDataSource.inferenceRuns.incrementAndGet()
     SparkSession.active.read.json(fixturePath(options)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -77,6 +80,14 @@ class DuneDataSource extends TableProvider with DataSourceRegister {
       fixturePath(new CaseInsensitiveStringMap(properties)))
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object DuneDataSource {
+  /** Count of driver-side schema-inference passes (each one is an
+    * O(payload) read). Incremental pipeline runs that declare their
+    * schema must not add to this — asserted in DuneDataSourceSpec.
+    */
+  val inferenceRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 private class DuneTable(tableSchema: StructType, path: String) extends Table
@@ -99,11 +110,29 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
   /** Accept the comparison shapes the Dune parameter protocol can
     * express (the watermark is `col > value` — `__main__.py:114-123`);
     * everything else stays in the plan above the scan.
+    *
+    * Value types are restricted to the ones the reader's `cmp` compares
+    * EXACTLY (String/Long/Integer/Double/Boolean). Catalyst never
+    * re-checks an accepted filter, and the declared-schema path
+    * (supportsExternalMetadata) can legally produce Timestamp/Date/
+    * Decimal filter values — comparing those as strings against raw
+    * JSON text (e.g. `2025-01-01 00:00:00.0` vs `2025-01-01T00:00:00`)
+    * would silently return wrong rows, so such filters are rejected and
+    * evaluated by Catalyst above the scan instead.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def exactlyComparable(v: Any): Boolean = v match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Double | _: java.lang.Boolean => true
+      case _ => false
+    }
     val (accepted, rejected) = filters.partition {
-      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-           _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+      case _: IsNotNull => true
+      case EqualTo(_, v) => exactlyComparable(v)
+      case GreaterThan(_, v) => exactlyComparable(v)
+      case GreaterThanOrEqual(_, v) => exactlyComparable(v)
+      case LessThan(_, v) => exactlyComparable(v)
+      case LessThanOrEqual(_, v) => exactlyComparable(v)
       case _ => false
     }
     pushed = accepted
@@ -119,6 +148,12 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
 
 private class DuneScan(schema: StructType, filters: Array[Filter],
     path: String) extends Scan with Batch {
+  // Captured on the driver so executors open the file through the
+  // SESSION's Hadoop configuration (S3A credentials, nameservices…) —
+  // a bare `new Configuration()` on the executor would drop all of it.
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def readSchema(): StructType = schema
   override def description(): String =
     s"DuneScan path=$path, PushedFilters=[${filters.mkString(", ")}], " +
@@ -129,7 +164,7 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
     * past its offset, so no line is read twice or skipped.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val conf = hadoopConf.value
     val p = new Path(path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
     val targetSplits = math.max(1,
@@ -142,24 +177,27 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DuneReaderFactory(schema, filters)
+    new DuneReaderFactory(schema, filters, hadoopConf)
 }
 
 private case class DunePartition(path: String, start: Long, end: Long)
     extends InputPartition
 
-private class DuneReaderFactory(schema: StructType, filters: Array[Filter])
+private class DuneReaderFactory(schema: StructType, filters: Array[Filter],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DuneReader(schema, filters, p.asInstanceOf[DunePartition])
+    new DuneReader(schema, filters, p.asInstanceOf[DunePartition], hadoopConf)
 }
 
 private class DuneReader(schema: StructType, filters: Array[Filter],
-    part: DunePartition) extends PartitionReader[InternalRow] {
+    part: DunePartition,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val fs = new Path(part.path)
-    .getFileSystem(new Configuration())
+    .getFileSystem(hadoopConf.value)
   private val stream = fs.open(new Path(part.path))
   // A partition owns every line that STARTS in [start, end). Standard
   // split protocol: seek to start-1 and peek one byte — if it isn't a
@@ -240,7 +278,12 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
       case v: Number if n.isNumber =>
         Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
       case b: Boolean => Some(n.asBoolean.compareTo(b))
-      case other => Some(n.asText.compareTo(other.toString))
+      // pushFilters only accepts the value types handled above; anything
+      // else reaching here is a pushdown-contract bug — fail loudly
+      // rather than silently string-compare against raw JSON text
+      case other => sys.error(
+        s"dune scan: unpushable filter value ${other.getClass.getName} " +
+          "reached the reader (pushFilters must reject it)")
     }
   }
 

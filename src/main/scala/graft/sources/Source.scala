@@ -46,10 +46,13 @@ class FixtureSource(baseDir: String) extends Source {
 class DuneV2Source(baseDir: String) extends Source {
   override def fetch(spark: SparkSession, spec: TableSpec,
       watermark: Option[Any]): DataFrame = {
-    val df = spark.read.format("dune")
+    val reader = spark.read.format("dune")
       .option("path", baseDir)
       .option("queryId", spec.queryId.toString)
-      .load()
+    // Declared schema ⇒ Spark never calls the provider's inferSchema,
+    // so incremental runs skip the O(payload) driver-side JSON pre-pass
+    // (DuneDataSourceSpec pins this via DuneDataSource.inferenceRuns).
+    val df = spec.sourceSchema.fold(reader)(reader.schema).load()
     Source.applyWatermark(df, spec, watermark)
   }
 }

@@ -117,12 +117,18 @@ object Streams {
             // (older than the open session) as long as it beats the
             // watermark: if it is within a gap of the open session it
             // merges (extending start downward); if it is more than a
-            // gap EARLIER it cannot belong to any open or future
-            // session, so it is emitted as its own late session — the
-            // bounded policy; sessions already emitted are never
-            // revised (same as Spark's native session_window).
+            // gap EARLIER it cannot belong to the open or any future
+            // session, so it goes to a per-batch LATE accumulator where
+            // such events merge among themselves under the same gap
+            // rule (two late events within a gap of each other form ONE
+            // late session, matching the batch twin), closed at end of
+            // batch. Sessions already emitted are never revised (same
+            // as Spark's native session_window); late events arriving
+            // in DIFFERENT batches still close separately — the
+            // documented bound of the no-revision policy.
             val sorted = rows.toSeq.sortBy(_.ts_us)
             var cur = state.getOption
+            var late: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val (ts, v) = (e.ts_us, e.value)
@@ -131,7 +137,19 @@ object Streams {
                   closed += Session(user, s.start_us, s.end_us, s.n, s.value)
                   cur = Some(SessionState(ts, ts, 1L, v))
                 case Some(s) if s.start_us - ts >= GapUs =>
-                  closed += Session(user, ts, ts, 1L, v)
+                  // ascending sort ⇒ ts >= late.end_us, so only the
+                  // forward gap needs checking
+                  late match {
+                    case Some(l) if ts - l.end_us < GapUs =>
+                      late = Some(SessionState(l.start_us, ts, l.n + 1,
+                        l.value + v))
+                    case Some(l) =>
+                      closed += Session(user, l.start_us, l.end_us, l.n,
+                        l.value)
+                      late = Some(SessionState(ts, ts, 1L, v))
+                    case None =>
+                      late = Some(SessionState(ts, ts, 1L, v))
+                  }
                 case Some(s) =>
                   cur = Some(SessionState(math.min(s.start_us, ts),
                     math.max(s.end_us, ts), s.n + 1, s.value + v))
@@ -139,6 +157,8 @@ object Streams {
                   cur = Some(SessionState(ts, ts, 1L, v))
               }
             }
+            late.foreach(l =>
+              closed += Session(user, l.start_us, l.end_us, l.n, l.value))
             cur.foreach { s =>
               state.update(s)
               // Timeout once the watermark proves the gap; must be set

@@ -128,6 +128,62 @@ class DuneDataSourceSpec extends SparkSpec {
       ("2025-01-03", 97000.0)))
   }
 
+  test("timestamp-valued filters are rejected at pushdown, never string-compared") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val d = tmpDir("dune_ts")
+    Files.write(Paths.get(s"$d/9.json"),
+      Seq("""{"k":1, "ts":"2025-01-01T00:00:00"}""",
+        """{"k":2, "ts":"2025-06-01T00:00:00"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    // declared-schema path (supportsExternalMetadata) can legally hand
+    // the scan a TimestampType column; comparing its filter value as a
+    // string against raw JSON text would silently return wrong rows
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType)))
+    val df = spark.read.format("dune").schema(schema)
+      .option("path", d).option("queryId", "9").load()
+      .filter($"ts" > java.sql.Timestamp.valueOf("2025-03-01 00:00:00"))
+      .select("k")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    assert(!scan.description().contains("GreaterThan(ts"),
+      s"timestamp filter was pushed: ${scan.description()}")
+    // Catalyst keeps the filter, which forces ts into the read schema —
+    // and materializing a non-primitive column fails LOUDLY (the
+    // reader's declared type surface) instead of dropping rows silently
+    val e = intercept[Exception](df.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("primitive types")),
+      s"unexpected failure: ${chain(e).mkString(" | ")}")
+  }
+
+  test("declared schema skips the O(payload) inference pre-pass") {
+    import graft.model.BitcoinWarehouse
+    import graft.sources.{DuneDataSource, DuneV2Source}
+    val base = tmpDir("dune_schema")
+    Files.write(Paths.get(s"$base/5816212.json"),
+      Seq("""{"date":"2025-01-01", "price":95000.0}""",
+        """{"date":"2025-01-02", "price":96000.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val src = new DuneV2Source(base)
+    val spec = BitcoinWarehouse.pricesUsd
+    assert(spec.sourceSchema.isDefined, "warehouse specs declare schemas")
+
+    val before = DuneDataSource.inferenceRuns.get()
+    val df = src.fetch(spark, spec, None)
+    assert(df.schema == spec.sourceSchema.get)
+    assert(df.count() == 2)
+    assert(DuneDataSource.inferenceRuns.get() == before,
+      "declared-schema fetch still ran the driver-side inference pass")
+
+    // without a declared schema the provider's inference pass DOES run —
+    // the counter is live, not vacuously zero
+    assert(src.fetch(spark, spec.copy(sourceSchema = None), None).count() == 2)
+    assert(DuneDataSource.inferenceRuns.get() > before)
+  }
+
   test("rejected filter shapes stay above the scan and still apply") {
     val df = dune.filter($"date".endsWith("5")) // StringEndsWith: not pushed
     val scan = df.queryExecution.executedPlan.collect {
