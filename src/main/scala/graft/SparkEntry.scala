@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, Multimodal, NamedQuery, Relational, Scale, Streaming, TrainingData}
+import graft.queries.{Events, Ingest, Multimodal, NamedQuery, Relational, Scale, Streaming, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator surfaces here as a named query; the driver
@@ -13,7 +13,7 @@ object SparkEntry {
   /** The full declared query set, one NamedQuery per operator. */
   def allQueries: Seq[NamedQuery] =
     Relational.all ++ TrainingData.all ++ Events.all ++ Scale.all ++
-      Streaming.all ++ Multimodal.all
+      Streaming.all ++ Multimodal.all ++ Ingest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -36,16 +36,17 @@ object SparkEntry {
     *    vocabulary, so exact word-set Jaccard / MinHash-at-0.5 emit
     *    most of the n² pairs — at sf0.1 that is the answer, not an
     *    inefficiency). They stay in the correctness gate at sf0.01;
-    *    the frequency-capped variants in Dedup (maxDf) are the scale
-    *    path.
-    *  - the two streaming-engine queries, whose data computation is
+    *    their frequency-capped twins `d_jaccard_capped` /
+    *    `d_minhash_capped` (maxDf = 0.8 — the scale path) ARE in the
+    *    bench set.
+    *  - the three streaming-engine queries, whose data computation is
     *    already benched by their batch twins (`ev_tumbling_hourly`,
-    *    the events scan); what they add is fixed per-query streaming
-    *    startup + checkpoint I/O (~4-8 s regardless of sf), which
-    *    would measure engine spin-up, not data-scale throughput.
-    *    They stay in the correctness gate.
+    *    `ev_asof_click`, the events scan); what they add is fixed
+    *    per-query streaming startup + checkpoint I/O (~4-8 s
+    *    regardless of sf), which would measure engine spin-up, not
+    *    data-scale throughput. They stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
-      "st_tumbling_hourly", "st_dedup_events")
+      "st_tumbling_hourly", "st_dedup_events", "st_click_attribution")
 }

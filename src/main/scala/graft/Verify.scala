@@ -35,6 +35,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Quantified health for the no-oracle queries: sketch error vs the
+    // exact twin, LSH/IVF recall vs brute force — numbers instead of
+    // `no_oracle` in the round's artifacts.
+    try {
+      val checks = ToleranceCheck.run(spark, sfDir).map { case (name, c) =>
+        s"${q(name)}: {${q("metric")}: ${q(c.metric)}, " +
+          s"${q("value")}: ${c.value}, ${q("bound")}: ${c.bound}, " +
+          s"${q("pass")}: ${c.pass}, ${q("note")}: ${q(c.note)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/tolerance_check.json"), checks)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] tolerance_check failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

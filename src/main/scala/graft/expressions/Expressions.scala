@@ -89,6 +89,25 @@ case class DotF(left: Expression, right: Expression)
       : DotF = copy(l, r)
 }
 
+/** Distinct word n-grams of a string (spec in Kernels.wordNGrams) —
+  * the shingle builder for the similarity joins, single-pass and
+  * codegen'd where the built-in `transform`/`slice`/`array_join`
+  * composition is interpreted and O(len²) per row.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.wordNGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.wordNGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNGrams =
+    copy(child = c)
+}
+
 /** Deterministic signed-random-projection LSH bucket of an embedding. */
 case class SrpBucket(child: Expression, numBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {

@@ -84,6 +84,61 @@ object Kernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Distinct word n-grams of the lowercased input, one pass, no nested
+    * higher-order functions: tokens = runs of non-whitespace (Java
+    * regex `\s` set, matching `split(lower(trim(s)), "\\s+")` with
+    * empties removed); result = first-occurrence-distinct n-grams
+    * joined by a single space. Fewer than n tokens → empty array.
+    * n = 1 degenerates to the distinct token set.
+    *
+    * Exists because the `transform(sequence, slice, array_join)`
+    * composition evaluates interpreted per element and re-tokenizes
+    * per slice — O(len²) per row vs this kernel's O(len), and this one
+    * stays inside whole-stage codegen.
+    */
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = -1
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      val ws = i == len || (text.charAt(i) match {
+        case ' ' | '\t' | '\n' | '\u000B' | '\f' | '\r' => true
+        case _ => false
+      })
+      if (ws) {
+        if (start >= 0) { toks.add(text.substring(start, i)); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < m) {
+      if (n == 1) seen.add(toks.get(j))
+      else {
+        val sb = new java.lang.StringBuilder()
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        seen.add(sb.toString)
+      }
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double,
     * sequential order (matches a plain loop; 0.0 when either norm is 0).
     */

@@ -28,12 +28,18 @@ object GraftFunctions {
   def dot_f(l: Column, r: Column): Column = call_function("dot_f", l, r)
   def srp_bucket(col: Column, numBits: Int, seed: Long): Column =
     call_function("srp_bucket", col, lit(numBits), lit(seed))
+  def word_ngrams(col: Column, n: Int): Column =
+    call_function("word_ngrams", col, lit(n))
 
   /** srp_bucket(v, numBits, seed) — numBits/seed must be foldable ints. */
   private def srpBuilder(es: Seq[Expression]): Expression =
     SrpBucket(es.head,
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].longValue())
+
+  /** word_ngrams(text, n) — n must be a foldable int. */
+  private def ngramsBuilder(es: Seq[Expression]): Expression =
+    WordNGrams(es.head, es(1).eval(null).asInstanceOf[Number].intValue())
 
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] =
     Seq(
@@ -42,7 +48,8 @@ object GraftFunctions {
       "hamming64" -> (es => HammingDistance(es.head, es(1))),
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),
       "dot_f" -> (es => DotF(es.head, es(1))),
-      "srp_bucket" -> srpBuilder)
+      "srp_bucket" -> srpBuilder,
+      "word_ngrams" -> ngramsBuilder)
 
   /** Make the functions available to `spark.sql` in an existing session. */
   def register(spark: SparkSession): Unit =

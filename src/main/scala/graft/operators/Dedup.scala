@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{fnv1a64, hamming64, simhash64}
+import graft.functions.GraftFunctions.{fnv1a64, hamming64, simhash64, word_ngrams}
 import graft.functions.TextAnalysis.tokens
 
 /** Deduplication operators for training-data pipelines (builder-prompt
@@ -46,17 +46,36 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Distinct word n-grams per document, the shared shingle builder for
+    * the similarity joins: `(id, grams array<string>)`. n=1 → the plain
+    * distinct token set; n>1 → space-joined n-gram shingles; fewer than
+    * n tokens → empty array. One codegen'd pass per row
+    * ([[graft.expressions.WordNGrams]]) — the equivalent
+    * `transform(sequence, slice, array_join)` composition evaluates
+    * interpreted per element and re-tokenizes per slice (O(len²) per
+    * row), which dominated the whole family's runtime before this
+    * expression existed.
+    */
+  private def distinctGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      word_ngrams(col(textCol), n).as("grams"))
+
   /** MinHash+LSH near-dup candidate pairs via spark.ml (shingle → term
     * hashing → minhash signatures → banded bucket join inside
     * `approxSimilarityJoin`). Deterministic for a fixed seed.
     *
     * @param threshold minimum estimated Jaccard similarity to keep.
+    * @param n shingle width: 1 = word sets; ≥2 = word n-grams — the
+    *          scale setting, since n-gram document frequencies are far
+    *          more selective than single-word ones (candidates track
+    *          genuine near-dups, not shared vocabulary).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashTables: Int = 8, threshold: Double = 0.5,
-      seed: Long = 42L, maxDf: Double = 1.0): DataFrame = {
-    val rawToks = df.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
+      seed: Long = 42L, maxDf: Double = 1.0, n: Int = 1): DataFrame = {
+    val rawToks = distinctGrams(df, idCol, textCol, n)
+      .withColumnRenamed("grams", "toks")
       .filter(size(col("toks")) > 0)
     val toks =
       if (maxDf >= 1.0) rawToks
@@ -153,19 +172,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.6,
       maxDf: Double = 1.0): DataFrame = {
-    val grams =
-      if (n == 1) df.select(col(idCol).as("id"),
-        array_distinct(tokens(col(textCol))).as("grams"))
-      else {
-        val t = tokens(col(textCol))
-        // a doc with fewer than n tokens has no n-grams; guard before
-        // sequence() — a negative upper bound there throws at runtime
-        df.select(col(idCol).as("id"),
-          when(size(t) >= n, array_distinct(
-            transform(sequence(lit(0), size(t) - n),
-              i => array_join(slice(t, i + 1, lit(n)), " "))))
-            .otherwise(array().cast("array<string>")).as("grams"))
-      }
+    val grams = distinctGrams(df, idCol, textCol, n)
     // per-doc gram count travels WITH the rows from before the explode —
     // a plain projection, where a window count after the explode would
     // re-shuffle the entire exploded relation

@@ -300,6 +300,64 @@ object Ops {
     }
   }
 
+  /** Small-file compaction for a hive-partitioned target — the
+    * operations counterpart to [[mergeUpsertPartitioned]]: repeated
+    * daily merges leave ~1 file per touched directory, but the long
+    * tail of rarely-touched partitions accumulates small files. Every
+    * partition directory whose TOTAL bytes fit within `targetFileBytes`
+    * but which holds more than one data file is rewritten to a single
+    * file through the same staged-swap machinery; directories already
+    * compact (one file) or larger than the target are left untouched —
+    * their bytes are never read. Cost is O(small-file partitions), not
+    * O(table).
+    *
+    * Partition-value type inference is disabled for the rewrite so
+    * directory names round-trip byte-identically (values stay strings;
+    * partition columns live in directory names, not data files, so
+    * subsequent reads re-infer types exactly as before).
+    *
+    * @return number of directories compacted.
+    */
+  def compactPartitions(spark: SparkSession, targetPath: String,
+      partitionCol: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(ParquetIO.isPartitionedOn(spark, targetPath, partitionCol),
+      s"compactPartitions: $targetPath is not hive-partitioned on $partitionCol")
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(partitionCol + "=")).filter { d =>
+      val files = fs.listStatus(d.getPath).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      files.length > 1 && files.map(_.getLen).sum <= targetFileBytes
+    }
+    if (small.isEmpty) return 0
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    val tmp = new Path(targetPath + "__staging_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      spark.conf.set(inferKey, "false")
+      val df = spark.read.option("basePath", targetPath)
+        .parquet(small.map(_.getPath.toString).toSeq: _*)
+      // one task per directory ⇒ one file per directory
+      df.repartition(col(partitionCol)).write.partitionBy(partitionCol)
+        .mode("overwrite").parquet(tmp.toString)
+      small.foreach { d =>
+        val name = d.getPath.getName
+        val src = new Path(tmp, name)
+        if (fs.exists(src)) {
+          fs.delete(d.getPath, true)
+          if (!fs.rename(src, d.getPath))
+            throw new java.io.IOException(s"rename $src -> ${d.getPath} failed")
+        }
+      }
+    } finally {
+      spark.conf.set(inferKey, inferWas)
+      fs.delete(tmp, true)
+    }
+    small.length
+  }
+
   /** S8 — DELETE WHERE rewritten as keep-the-complement + rewrite.
     * Reference: `pg_loader.py:272-294`. Null-safe: rows where the
     * predicate is NULL are kept (SQL DELETE only removes WHERE=true).

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** The ingestion seam under the oracle gate: a declared query that reads
+  * its input THROUGH the DataSource V2 `format("dune")` connector
+  * ([[graft.sources.DuneDataSource]]) with a pushed watermark predicate —
+  * the rebuild of the reference's server-side `date` parameter
+  * (`dune_extractor.py:57-59`) exercised end-to-end by the driver's
+  * correctness gate, not only by unit specs.
+  */
+object Ingest {
+
+  val DuneQueryId = 900001L
+
+  /** Materialize the orders table as the JSON-lines payload the dune
+    * connector replays (the shape of Dune's `result.rows`,
+    * `dune_extractor.py:96-98`), once per sf dir, cached in tmp.
+    * Distributed write + staged rename — no driver-side collect.
+    */
+  private[queries] def ordersFixture(spark: SparkSession, dir: String): String = {
+    val key = Integer.toHexString(dir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dune_fixture_$key"
+    val dest = new Path(s"$base/$DuneQueryId.json")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) {
+      val staging = new Path(s"$base/__staging")
+      fs.delete(staging, true)
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").json(staging.toString)
+      val part = fs.listStatus(staging).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $staging"))
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(part, dest))
+        sys.error(s"rename $part -> $dest failed")
+      fs.delete(staging, true)
+    }
+    base
+  }
+
+  /** Declared source schema — skips the connector's O(payload)
+    * inference pre-pass (the declared-StructType policy, SURVEY §7).
+    */
+  private val duneSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderdate", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** Monthly order revenue past a watermark, read through the dune
+    * connector: the `o_orderdate > watermark` predicate is ACCEPTED by
+    * the scan (`PushedFilters` in the scan description — PlanSpec
+    * asserts it lands there, not in the plan above), so only the delta
+    * is parsed out of the payload, exactly where the reference's REST
+    * parameter cut it.
+    */
+  private def duneSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("dune").schema(duneSchema)
+      .option("path", ordersFixture(spark, dir))
+      .option("queryId", DuneQueryId.toString)
+      .load()
+      .filter(col("o_orderdate") > "1996-12-31")
+      .groupBy(substring(col("o_orderdate"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
+  private val duneSourceSql =
+    """SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') > '1996-12-31'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)))
+}

@@ -434,8 +434,32 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Exact money math (SURVEY §7 type-fidelity thread): the pipeline's
+    * monetary doubles are faithful to the reference's pandas float64
+    * inference (`pg_loader.py:61-62`), but a warehouse consumer summing
+    * money wants DECIMAL — associative, no ULP drift, no
+    * summation-order noise. `bitcoin_amount`-shaped sums as
+    * DECIMAL(38,8): Spark keeps sum(DECIMAL(38,8)) at DECIMAL(38,8)
+    * exactly like DuckDB, so the oracle compares exact decimal values —
+    * no rounding policy needed, which is the point.
+    */
+  private def decimalAmount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(38,8)").as("amount"))
+      .groupBy("l_returnflag")
+      .agg(sum("amount").as("sum_amount"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val decimalAmountSql =
+    """SELECT l_returnflag,
+      |  sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS sum_amount,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
+    NamedQuery("q_decimal_amount", decimalAmount, Some(decimalAmountSql)),
     NamedQuery("q6_revenue_filter", q6, Some(q6Sql)),
     NamedQuery("q3_segment_topk", q3, Some(q3Sql)),
     NamedQuery("q5_nation_revenue", q5, Some(q5Sql)),

@@ -270,6 +270,23 @@ object Streams {
     out
   }
 
+  /** Stream-stream interval join end-to-end: purchases and clicks split
+    * from the events stream, attributed within a 30-minute look-back
+    * ([[clickAttribution]]), appended to a parquet sink, read back.
+    * Oracle = the batch interval-join SQL twin — the stream must emit
+    * exactly the pairs the batch join finds.
+    */
+  def attributionViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+    val out = Files.createTempDirectory("graft_st_attr_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_attr_ckpt").toString
+    runAvailableNow(clickAttribution(purchases, clicks), out, ckpt)
+    spark.read.parquet(out).orderBy("event_id", "c_ts")
+  }
+
   /** Streaming dedup end-to-end: the events stream unioned with itself
     * (guaranteed duplicates), watermark-deduped on event_id, appended
     * to a parquet sink, read back. Must equal the plain events table —

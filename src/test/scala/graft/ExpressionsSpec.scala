@@ -77,6 +77,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(other != b1 || true) // seed variation exercised; no hard claim
   }
 
+  test("word_ngrams builds distinct shingles, equal to the HOF composition") {
+    val texts = Seq(
+      "the quick brown fox the quick brown",
+      "  Mixed   CASE\ttabs\nand newlines  ",
+      "one two", "single", "", "a b c d")
+    val df = texts.toDF("s")
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.select(word_ngrams(col("s"), n)).as[Seq[String]].collect()
+      // the built-in composition it replaces (and the DuckDB oracle shape)
+      val t = array_remove(split(lower(trim(col("s"))), "\\s+"), "")
+      val want = df.select(
+        when(size(t) >= n, array_distinct(
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")))
+        .as[Seq[String]].collect()
+      got.zip(want).zip(texts).foreach { case ((g, w), s) =>
+        assert(g.sorted == w.sorted, s"n=$n text='$s': $g vs $w")
+      }
+    }
+    // pinned examples: distinct + order of first occurrence
+    val bi = df.limit(1).select(word_ngrams(col("s"), 2))
+      .as[Seq[String]].head()
+    assert(bi == Seq("the quick", "quick brown", "brown fox", "fox the"))
+  }
+
   test("custom expressions work through SQL (extension registration)") {
     val out = spark.sql(
       "SELECT fnv1a64('a'), hamming64(5L, 4L), cosine_sim(array(1.0F), array(1.0F))")

@@ -147,6 +147,49 @@ class PartitionedMergeSpec extends SparkSpec {
       .map(_.toString).contains("2024-01-02"))
   }
 
+  test("compactPartitions collapses small-file dirs, contents identical") {
+    val path = tmpDir("pmerge_compact") + "/t"
+    // 8-way repartition before a partitionBy write → multiple part
+    // files per partition directory (the small-file long tail)
+    val rows = (1L to 400L).map(i => (i, s"v$i", f"2024-01-0${i % 4 + 1}"))
+    rows.toDF("id", "v", "dt").repartition(8)
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    def dataFiles(dt: String): Array[File] = {
+      val d = new File(path, s"dt=$dt")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val dts = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    assert(dts.forall(dataFiles(_).length > 1),
+      "fixture should start with multiple files per dir")
+    val before = readBack(path).toSeq
+
+    val compacted = Ops.compactPartitions(spark, path, "dt",
+      targetFileBytes = 64L << 20)
+    assert(compacted == 4, s"expected 4 dirs compacted, got $compacted")
+    dts.foreach(dt => assert(dataFiles(dt).length == 1,
+      s"dir dt=$dt still has ${dataFiles(dt).length} files"))
+    assert(readBack(path).toSeq == before, "compaction changed contents")
+    // already-compact target: nothing to do, nothing rewritten
+    assert(Ops.compactPartitions(spark, path, "dt") == 0)
+    // dirs above the byte budget are not touched (their bytes are big
+    // enough that rewriting them is not a small-files problem)
+    rows.toDF("id", "v", "dt").repartition(8)
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+    assert(Ops.compactPartitions(spark, path, "dt", targetFileBytes = 1L) == 0)
+    assert(dts.forall(dataFiles(_).length > 1))
+  }
+
+  test("compactPartitions refuses a non-partitioned target") {
+    val path = tmpDir("pmerge_compact_flat") + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Ops.compactPartitions(spark, path, "dt")
+    }
+    assert(e.getMessage.contains("not hive-partitioned"))
+  }
+
   test("target read prunes to touched partitions (PartitionFilters)") {
     val path = tmpDir("pmerge_prune") + "/t"
     val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))

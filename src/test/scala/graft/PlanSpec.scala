@@ -104,4 +104,29 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"))
   }
+
+  test("q_dune_source: watermark lands IN the dune scan, not above it") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = q("q_dune_source")
+    // AQE wraps the physical plan; collect inside the adaptive plan
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a BatchScanExec leaf (dune connector)")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("GreaterThan(o_orderdate,1996-12-31)"),
+      s"watermark not pushed into the scan: $desc")
+    // accepted filters are DROPPED from the plan above the scan — no
+    // residual re-evaluation of the watermark
+    val residual = phys.collect {
+      case f: FilterExec if f.condition.toString.contains("1996-12-31") => f }
+    assert(residual.isEmpty, "watermark re-evaluated above the scan")
+    // declared schema ⇒ the scan reads only the projected fields
+    assert(scans.head.scan.readSchema().fieldNames.toSet ==
+      Set("o_orderdate", "o_totalprice"))
+  }
 }
