@@ -38,6 +38,36 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy("ws", "event_type")
 
+  /** Sliding 1-hour windows every 15 minutes (SURVEY §2.10 window
+    * surface beyond tumbling): each event lands in exactly 4
+    * overlapping windows. Catalyst plans `window()` with a slide as one
+    * Expand (4 rows per event) into a single hash agg — partial
+    * aggregation still happens map-side, so the shuffle carries
+    * (window, type) groups, not events ×4.
+    */
+  private def sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("ws", "event_type")
+
+  /** DuckDB twin: materialize the 4 window starts per event via
+    * time_bucket minus k×15min (both engines align buckets to the
+    * epoch, so starts agree exactly).
+    */
+  private val slidingSql =
+    """SELECT ws, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |      - t.k * INTERVAL 15 MINUTE AS ws,
+      |    event_type, value
+      |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
   /** Shared with the streaming twin `st_tumbling_hourly` ([[Streaming]])
     * — one oracle text, so the two queries cannot drift apart.
     */
@@ -189,6 +219,7 @@ object Events {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ev_tumbling_hourly", tumbling, Some(tumblingSql)),
+    NamedQuery("ev_sliding_windows", sliding, Some(slidingSql)),
     NamedQuery("ev_sessionize", sessionize, Some(sessionizeSql)),
     NamedQuery("ev_session_window", sessionWindow, Some(sessionWindowSql)),
     NamedQuery("ev_asof_click", asofClick, Some(asofClickSql)),

@@ -224,6 +224,37 @@ object Relational {
       |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
       |ORDER BY segment ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (SURVEY §2.4 — the general form ROLLUP/CUBE
+    * specialize): a hand-picked set list with `grouping()` markers to
+    * disambiguate aggregate NULLs from data NULLs. Catalyst plans the
+    * same single Expand → one hash agg as rollup/cube — one input scan
+    * regardless of the number of sets.
+    */
+  private def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_st
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, priority ASC NULLS FIRST,
+        |  status ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_pri, g_st, priority ASC NULLS FIRST,
+      |  status ASC NULLS FIRST""".stripMargin
+
   /** CUBE (all grouping sets of segment × status — SURVEY §2.4):
     * Catalyst expands to one Expand node feeding a single hash agg, so
     * the input is scanned once regardless of the number of sets.
@@ -469,6 +500,7 @@ object Relational {
     NamedQuery("q_distinct_parts", distinctParts, Some(distinctPartsSql)),
     NamedQuery("q_set_ops", setOps, Some(setOpsSql)),
     NamedQuery("q_rollup_sales", rollupSales, Some(rollupSalesSql)),
+    NamedQuery("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
     NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
