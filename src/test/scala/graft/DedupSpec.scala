@@ -89,4 +89,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  // ---- the capped trigram scale path (d_jaccard_capped / d_minhash_capped
+  // shape): boilerplate shared by EVERY document must be dropped by the
+  // df cap, leaving only genuine near-duplicates as candidates.
+
+  private lazy val boilerDocs = {
+    val boiler = "subscribe to our newsletter for updates"
+    val filler = (1 to 40).map(i =>
+      (i.toLong, s"unique piece $i with words alpha$i beta$i gamma$i $boiler"))
+    val mirrors = Seq(
+      (100L, s"copied article text shared verbatim across mirrors one $boiler"),
+      (101L, s"copied article text shared verbatim across mirrors two $boiler"))
+    (filler ++ mirrors).toDF("doc_id", "text")
+  }
+
+  test("capped trigram jaccard: boilerplate dropped, only true near-dups pair") {
+    val out = Dedup.jaccardPairs(boilerDocs, "doc_id", "text",
+      n = 3, threshold = 0.4, maxDf = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Only the mirrored pair survives: its non-boilerplate trigrams are
+    // 5 shared + 3 unique each → jaccard 5/11. The boilerplate-internal
+    // trigrams (df = 42/42 > 0.9) are dropped, so the 40 filler docs
+    // never become candidates despite all sharing the boiler phrase.
+    assert(out.toSeq == Seq((100L, 101L, math.floor(5.0 / 11 * 1e4 + 0.5) / 1e4)))
+  }
+
+  test("capped trigram minhash recalls the same near-dup pair") {
+    val out = Dedup.minhashPairs(boilerDocs, "doc_id", "text",
+      numHashTables = 8, threshold = 0.4, maxDf = 0.9, n = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((100L, 101L)))
+  }
 }
