@@ -108,6 +108,36 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
     copy(child = c)
 }
 
+/** Int8 scalar quantization of an embedding — array<float> → binary
+  * codes, 4× smaller (spec in Kernels.sq8Quantize).
+  */
+case class Sq8Quantize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = BinaryType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "sq8_quantize"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.sq8Quantize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.sq8Quantize($c)")
+  override protected def withNewChildInternal(c: Expression): Sq8Quantize =
+    copy(c)
+}
+
+/** Cosine over two int8 code vectors — integer dot/norms, scales cancel. */
+case class Sq8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "sq8_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sq8Cosine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.name}.sq8Cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Sq8Cosine = copy(l, r)
+}
+
 /** Deterministic signed-random-projection LSH bucket of an embedding. */
 case class SrpBucket(child: Expression, numBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {

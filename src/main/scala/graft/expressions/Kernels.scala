@@ -223,4 +223,48 @@ object Kernels {
     }
     bucket
   }
+
+  /** Symmetric int8 scalar quantization of a float vector: code(i) =
+    * round(x_i * 127 / maxAbs(x)), so codes span [-127, 127] and the
+    * all-zero vector stays all-zero. Returns the dim-byte code array —
+    * 4× smaller than float32, the memory/IO trade that lets a 100 TB
+    * embedding corpus fit a quarter of the executors (the scale story
+    * of every SQ8 ANN index).
+    */
+  def sq8Quantize(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0f) return out
+    val s = 127f / maxAbs
+    i = 0
+    while (i < n) {
+      out(i) = math.round(v.getFloat(i) * s).max(-127).min(127).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine over two int8 code vectors: pure integer dot and norms
+    * (the per-vector quantization scales cancel in the ratio). 0.0 when
+    * either vector is all-zero; mismatched lengths use the shorter.
+    */
+  def sq8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
 }

@@ -30,6 +30,9 @@ object GraftFunctions {
     call_function("srp_bucket", col, lit(numBits), lit(seed))
   def word_ngrams(col: Column, n: Int): Column =
     call_function("word_ngrams", col, lit(n))
+  def sq8_quantize(col: Column): Column = call_function("sq8_quantize", col)
+  def sq8_cosine(l: Column, r: Column): Column =
+    call_function("sq8_cosine", l, r)
 
   /** srp_bucket(v, numBits, seed) — numBits/seed must be foldable ints. */
   private def srpBuilder(es: Seq[Expression]): Expression =
@@ -49,7 +52,9 @@ object GraftFunctions {
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),
       "dot_f" -> (es => DotF(es.head, es(1))),
       "srp_bucket" -> srpBuilder,
-      "word_ngrams" -> ngramsBuilder)
+      "word_ngrams" -> ngramsBuilder,
+      "sq8_quantize" -> (es => Sq8Quantize(es.head)),
+      "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))))
 
   /** Make the functions available to `spark.sql` in an existing session. */
   def register(spark: SparkSession): Unit =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{cosine_sim, srp_bucket}
+import graft.functions.GraftFunctions.{cosine_sim, sq8_cosine, sq8_quantize, srp_bucket}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -131,6 +131,46 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
     graft.functions.TopK.perKey(scored, k)
+  }
+
+  /** Int8 scalar-quantized (SQ8) top-k: score the corpus with integer
+    * cosine over 4×-smaller int8 codes ([[graft.expressions.Kernels
+    * .sq8Quantize]]), keep the best `rerank` candidates per query via
+    * the bounded [[graft.functions.TopK]] aggregator, then re-score
+    * ONLY that shortlist with exact float cosine and take the final k.
+    *
+    * The 100 TB story: the coarse pass streams codes (a quarter of the
+    * raw bytes — the scan, shuffle, and cache all shrink 4×) and ships
+    * ≤rerank rows per query per map task; the exact pass touches
+    * |queries| × rerank rows, a broadcast-joined shortlist, not the
+    * corpus. With `rerank ≥ |corpus|` the path degenerates to exact
+    * brute force (spec-asserted); at practical rerank (4-8×k) the
+    * true top-k survive the int8 coarse ranking whenever quantization
+    * error is below the neighbour gap — recall is pinned in
+    * SimilaritySpec and quantified per-run in the tolerance artifact.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      rerank: Int = 25): DataFrame = {
+    val c = corpus.select(col("id").as("corpus_id"),
+      sq8_quantize(col("embedding")).as("c_code"))
+    val q = queries.select(col("id").as("query_id"),
+      sq8_quantize(col("embedding")).as("q_code"))
+    val coarse = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        sq8_cosine(col("q_code"), col("c_code")).as("sq8_cos"))
+    val shortlist = graft.functions.TopK.perKey(coarse, rerank)
+      .select("query_id", "corpus_id")
+    // exact rerank: corpus rows stream once against the broadcast
+    // shortlist; raw embeddings are only materialized for survivors
+    val exact = corpus
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "corpus_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    graft.functions.TopK.perKey(exact, k)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).

@@ -41,6 +41,63 @@ object Scale {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Co-located join via bucketing: both sides persisted `bucketBy` on
+    * the join key, so the sort-merge join reads matching buckets
+    * side-by-side and plans NO join-side Exchange (BucketingSpec gates
+    * the plan). At 100 TB this is the difference between shuffling two
+    * fact tables on every recurring join and a local merge per bucket —
+    * the SURVEY §7 "co-locate joins via bucketing" rule as a declared,
+    * oracle-checked query. Seeding the bucketed tables is one-time
+    * setup (computeIfAbsent, like the merge seed above); the measured
+    * operation is the join itself.
+    */
+  private val bucketSeeded = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketSeeded.computeIfAbsent(dir, { d =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"graft_bkt_lineitem$tag"
+      val ot = s"graft_bkt_orders$tag"
+      // external tables in a per-JVM temp dir: the in-memory catalog
+      // dies with the JVM, so a managed-table location under the
+      // default warehouse would survive as an orphan and collide with
+      // the next JVM's CTAS (LOCATION_ALREADY_EXISTS)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bucket_seed").toString
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      Tables(spark, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/$lt").saveAsTable(lt)
+      Tables(spark, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/$ot").saveAsTable(ot)
+      (lt, ot)
+    })
+
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedTables(spark, dir)
+    // hint("merge") pins the SMJ so the co-located plan is what runs
+    // regardless of the session's broadcast threshold
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 1).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_quantity), 1) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Distinct-count at scale: HLL++ sketch (`approx_count_distinct`)
     * beside the exact count. Sketches merge associatively, so the
     * partial/final split never moves raw values — at 100 TB this is the
@@ -131,6 +188,7 @@ object Scale {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     NamedQuery("q_approx_distinct", approxDistinct, None),
     NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,

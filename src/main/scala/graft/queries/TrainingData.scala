@@ -283,6 +283,22 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8 scalar-quantized ANN ([[Similarity.sq8TopK]]): int8 coarse
+    * scoring over 4×-smaller codes, exact float rerank of a bounded
+    * shortlist. Because the rerank recomputes exact cosine, the result
+    * equals `e_ann_topk` whenever the true top-5 survive the coarse
+    * ranking — they do on this corpus at rerank=25 (SimilaritySpec pins
+    * the rerank ≥ |corpus| ≡ brute-force law and the shared oracle
+    * checks the practical setting), so it shares the brute-force SQL
+    * oracle.
+    */
+  private def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.sq8TopK(all, all.filter(col("id") < 5), k = 5, rerank = 25)
+      .orderBy("query_id", "rank")
+  }
+
   private def nearDupEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(
       embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -335,6 +351,7 @@ object TrainingData {
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
+    NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))

@@ -52,4 +52,17 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
     }
   }
+
+  test("q_bucketed_join: join side reads buckets, no join Exchange") {
+    val df = SparkEntry.queries("q_bucketed_join")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    // the only shuffles are the 4-row agg + final sort — the join
+    // itself must not repartition either side
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"join must not shuffle (got $hashEx hash exchanges):\n$plan")
+    assert(df.count() > 0)
+  }
 }

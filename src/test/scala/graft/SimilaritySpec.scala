@@ -91,6 +91,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
   }
 
+  test("sq8TopK with rerank >= |corpus| equals brute force exactly") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(all, q, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val sq8 = Similarity.sq8TopK(all, q, k = 5, rerank = all.count().toInt)
+      .orderBy("query_id", "rank").collect()
+    assert(sq8.length == exact.length && sq8.nonEmpty)
+    assert(sq8.sameElements(exact))
+  }
+
+  test("sq8TopK at practical rerank keeps high recall vs brute force") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(all, q, k = 5))
+    val sq8 = pairs(Similarity.sq8TopK(all, q, k = 5, rerank = 25))
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, f"recall@5 $recall%.2f below floor")
+  }
+
+  test("sq8 quantization: codes span int8, cosine error is small") {
+    import graft.expressions.Kernels
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 524287 + d * 2039) % 4001).toFloat / 4001f) - 0.5f
+    val vecs = (0 until 50).map(i => Array.tabulate(32)(d => pseudo(i, d)))
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    // all-zero stays all-zero, not NaN
+    assert(Kernels.sq8Cosine(Kernels.sq8Quantize(ad(Array.fill(8)(0f))),
+      Kernels.sq8Quantize(ad(vecs.head))) == 0.0)
+    for (a <- vecs.take(10); b <- vecs.take(10)) {
+      val qa = Kernels.sq8Quantize(ad(a))
+      val qb = Kernels.sq8Quantize(ad(b))
+      assert(qa.forall(c => c >= -127 && c <= 127))
+      val approx = Kernels.sq8Cosine(qa, qb)
+      val exact = Kernels.cosineF(ad(a), ad(b))
+      assert(math.abs(approx - exact) < 0.02,
+        f"|sq8 - exact| = ${math.abs(approx - exact)}%.4f")
+    }
+  }
+
   implicit private class MapOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
