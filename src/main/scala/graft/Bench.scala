@@ -15,7 +15,7 @@ object Bench {
     // its timed run measures the incremental merge, not table creation
     // (the oracle's SQL twin performs no file I/O at all)
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
-        "q_bucketed_join"))
+        "q_bucketed_join", "q_scd2_merge", "q_partition_prune"))
       try SparkEntry.queries(warm)(spark, sfDir).count()
       catch { case _: Throwable => () }
     // A failed query must be visible as a failure, not a fast timing:

@@ -87,6 +87,22 @@ object ToleranceCheck {
       shMax <= 3.0, "banded candidates filtered to hamming<=3; exact " +
         "signature values pinned in DedupSpec")
 
+    // CMS heavy hitters vs the exact token top-20
+    val exactTok = res("d_token_topk")
+      .select(col("token"), col("freq").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxTok = res("d_token_topk_approx")
+      .select(col("token"), col("freq_est").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tokOverlap =
+      if (exactTok.isEmpty) 1.0
+      else approxTok.keySet.intersect(exactTok.keySet).size.toDouble /
+        exactTok.size
+    checks += "d_token_topk_approx" -> Check("topk_overlap_vs_exact",
+      tokOverlap, 0.9, tokOverlap >= 0.9,
+      "count-min + per-partition candidates top-20 token overlap with " +
+        "the exact groupBy twin; count error law pinned in HeavyHittersSpec")
+
     // LSH / IVF top-k recall vs the brute-force exact twin
     val exactTopk = topkSet(res("e_ann_topk"))
     val lshRecall = recall(topkSet(res("e_lsh_topk")), exactTopk)

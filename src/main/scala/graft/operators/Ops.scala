@@ -373,6 +373,79 @@ object Ops {
     }
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) merge: where
+    * [[mergeUpsert]] overwrites a key's row, this keeps the full change
+    * history — the warehouse pattern for dimension tables whose past
+    * values must stay queryable (as-of reporting over customer tiers,
+    * price books, …).
+    *
+    * Target schema = update schema + `valid_from` / `valid_to` (the
+    * version column's type; `valid_to` null = open) + `is_current`.
+    * For each (deduped, latest-wins) update row:
+    *  - new key → insert an open row (`valid_from` = its version);
+    *  - existing key, any non-key attribute differs (null-safe
+    *    compare) → close the current row (`valid_to` = new version)
+    *    and insert the new open row;
+    *  - attributes identical → no-op, so re-merging the same batch is
+    *    idempotent (spec law).
+    *
+    * Scale: two key-partitioned joins (current-vs-batch each way —
+    * AQE broadcasts the batch side in the common incremental case) and
+    * a rewrite; history rows pass through untouched. At 100 TB route
+    * the same logic through a partitioned layout (the
+    * [[mergeUpsertPartitioned]] trick) so the rewrite touches only
+    * current+affected partitions.
+    */
+  def scd2Merge(spark: SparkSession, targetPath: String,
+      updates: DataFrame, keys: Seq[String],
+      versionCol: String = "etl_updated_ts"): Unit = {
+    val attrCols = updates.columns
+      .filterNot(c => keys.contains(c) || c == versionCol).toSeq
+    val batch = dedupLatest(updates, keys, versionCol)
+    val asOpen = batch
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lit(null).cast(batch.schema(versionCol).dataType))
+      .withColumn("is_current", lit(true))
+      .drop(versionCol)
+    requireFlatLayout(spark, targetPath, "scd2Merge")
+    if (!ParquetIO.exists(spark, targetPath)) {
+      asOpen.write.mode("overwrite").parquet(targetPath)
+      return
+    }
+    val target = spark.read.parquet(targetPath)
+    val cur = target.filter(col("is_current"))
+    val hist = target.filter(!col("is_current"))
+    val b = batch.select(
+      keys.map(col) ++
+        attrCols.map(c => col(c).as(s"__new_$c")) :+
+        col(versionCol).as("__new_v"): _*)
+    val changed = attrCols.map(c => !(col(c) <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val curJoined = cur.join(b, keys, "left")
+    // close current rows the batch changes; keep the rest open
+    val closedOrKept = curJoined.select(
+      target.columns.filterNot(Set("valid_to", "is_current")).map(col) ++ Seq(
+        when(col("__new_v").isNotNull && changed, col("__new_v"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        (col("__new_v").isNull || !changed).as("is_current")): _*)
+    // batch rows that are new keys or real changes become open rows
+    val curKeyed = cur.select(
+      keys.map(col) ++ attrCols.map(c => col(c).as(s"__old_$c")) :+
+        lit(true).as("__in_cur"): _*)
+    val changedOld = attrCols.map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val inserts = batch.join(curKeyed, keys, "left")
+      .filter(col("__in_cur").isNull || changedOld)
+      .select(batch.columns.map(col): _*)
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lit(null).cast(batch.schema(versionCol).dataType))
+      .withColumn("is_current", lit(true))
+      .drop(versionCol)
+    val merged = hist.unionByName(closedOrKept).unionByName(
+      inserts.select(closedOrKept.columns.map(col): _*))
+    ParquetIO.overwriteSafe(merged, targetPath)
+  }
+
   /** Incremental filter the fixture source applies server-side in the
     * reference (the Dune `date` query parameter, `dune_extractor.py:57-59`):
     * here it is an ordinary pushed-down predicate — Catalyst ships it to

@@ -405,6 +405,49 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY bucket, c_custkey""".stripMargin
 
+  /** TPC-H Q4 shape: correlated EXISTS over the fact table, run through
+    * `spark.sql` so Catalyst's subquery decorrelation is what executes —
+    * the EXISTS rewrites to a left-semi join (PlanSpec asserts LeftSemi,
+    * no per-row subquery). The identical SQL text is the DuckDB oracle.
+    * At 100 TB: one semi-join shuffle on the order key; the subquery is
+    * never evaluated per outer row.
+    */
+  private def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(existsSubquerySql)
+  }
+
+  private val existsSubquerySql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    * quantity) gating the outer scan. Catalyst decorrelates it into an
+    * aggregate-then-join — the subquery's per-part averages are computed
+    * once in a partial+final agg and joined back, not re-run per row
+    * (PlanSpec asserts no per-row subquery survives). Same SQL text is
+    * the oracle.
+    */
+  private def correlatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(correlatedAvgSql)
+  }
+
+  private val correlatedAvgSql =
+    """SELECT p_brand, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS below_avg_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = part.p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** The S7 merge-upsert expressed as a pure query so the DuckDB oracle
     * can check the join-rewrite semantics (left-anti + union; reference
     * `pg_loader.py:219-270`): target = orders not divisible by 3,
@@ -507,5 +550,7 @@ object Relational {
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
+    NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),
+    NamedQuery("q_correlated_avg", correlatedAvg, Some(correlatedAvgSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
 }

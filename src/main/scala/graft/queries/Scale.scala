@@ -170,6 +170,103 @@ object Scale {
       |UNION ALL SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
       |FROM updates ORDER BY o_orderkey""".stripMargin
 
+  /** Partition pruning as a declared query: orders persisted
+    * hive-partitioned on order month, filtered on the partition column —
+    * the directories outside the predicate are never opened (PlanSpec
+    * asserts the predicate lands in `PartitionFilters`, not a post-scan
+    * filter). At 100 TB this is THE first-order cost lever: a
+    * three-month watermark query reads three directories, not the
+    * table. Seeding the partitioned copy is one-time setup per JVM.
+    */
+  private val pruneSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = pruneSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_prune_seed").toString + "/orders_part"
+      Tables(spark, d, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("om").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+      .filter(col("om") >= "1997-09")
+      .groupBy("om")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("om")
+      .select(col("om").cast("string").as("om"), col("n_orders"),
+        col("revenue"))
+  }
+
+  private val partitionPruneSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS om, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1997-09'
+      |GROUP BY 1 ORDER BY om""".stripMargin
+
+  /** SCD2 dimension-history merge run for real ([[Ops.scd2Merge]]):
+    * seed a dimension snapshot at version 1, then merge a version-2
+    * delta that doubles even keys' prices. Changed keys get their
+    * v1 row closed (valid_to=2) plus an open v2 row; unmatched keys
+    * stay open at v1; delta-only keys insert open at v2. Re-running
+    * the same merge is a no-op (attributes equal ⇒ idempotent —
+    * Scd2Spec law), so repeat calls in one JVM converge. The oracle
+    * recomputes the closed/kept/inserted partition in SQL.
+    */
+  private val scd2Seeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val path = scd2Seeded.computeIfAbsent(dir, { d =>
+      val seed = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("etl_updated_ts", lit(1L))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_scd2_seed").toString + "/dim_orders"
+      Ops.scd2Merge(spark, p, seed, Seq("o_orderkey"))
+      p
+    })
+    val delta = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .withColumn("etl_updated_ts", lit(2L))
+    Ops.scd2Merge(spark, path, delta, Seq("o_orderkey"))
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  private val scd2MergeSql =
+    """WITH seed AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      |delta AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |closed AS (
+      |  SELECT s.o_orderkey, round(s.o_totalprice, 2) AS price,
+      |    CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to,
+      |    false AS is_current
+      |  FROM seed s JOIN delta d ON s.o_orderkey = d.o_orderkey
+      |  WHERE s.o_totalprice <> d.o_totalprice),
+      |kept AS (
+      |  SELECT s.o_orderkey, round(s.o_totalprice, 2) AS price,
+      |    CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+      |    true AS is_current
+      |  FROM seed s LEFT JOIN delta d ON s.o_orderkey = d.o_orderkey
+      |  WHERE d.o_orderkey IS NULL OR s.o_totalprice = d.o_totalprice),
+      |ins AS (
+      |  SELECT d.o_orderkey, round(d.o_totalprice, 2) AS price,
+      |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+      |    true AS is_current
+      |  FROM delta d LEFT JOIN seed s ON s.o_orderkey = d.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR s.o_totalprice <> d.o_totalprice)
+      |SELECT * FROM closed UNION ALL SELECT * FROM kept
+      |UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey, valid_from""".stripMargin
+
   /** Quantile sketch beside the exact percentiles (`q_percentiles`):
     * `percentile_approx` is a mergeable KLL-style sketch — the
     * distinct-count trade (`q_approx_distinct`) applied to quantiles.
@@ -189,8 +286,10 @@ object Scale {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     NamedQuery("q_approx_distinct", approxDistinct, None),
     NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
-      Some(mergeUpsertPartSql)))
+      Some(mergeUpsertPartSql)),
+    NamedQuery("q_scd2_merge", scd2Merge, Some(scd2MergeSql)))
 }

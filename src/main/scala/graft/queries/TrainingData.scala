@@ -226,6 +226,18 @@ object TrainingData {
       |WHERE t.token <> ''
       |GROUP BY t.token ORDER BY freq DESC, t.token LIMIT 20""".stripMargin
 
+  /** Sketch twin of `d_token_topk` ([[graft.functions.HeavyHitters]]):
+    * Count-Min estimates + per-partition candidates instead of a full
+    * token shuffle. No SQL oracle (CMS isn't DuckDB-expressible);
+    * HeavyHittersSpec pins exactness on a planted skewed fixture and
+    * the tolerance artifact quantifies overlap with the exact twin.
+    */
+  private def tokenTopKApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.HeavyHitters.approxTopK(
+      docs(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token", k = 20)
+
   // ---- similarity search ----
 
   private def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -348,6 +360,7 @@ object TrainingData {
     NamedQuery("d_text_stats", textStats, Some(textStatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
+    NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HeavyHitters
+
+/** Laws of the Count-Min + per-partition-candidates heavy hitter
+  * sketch: on a planted Zipf-ish fixture the top-k SET is exact and
+  * every estimate is >= the true count (CMS never underestimates) and
+  * within the eps*N upper bound.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted skew: exact top-k set, upper-biased bounded counts") {
+    // key i appears 1000/(i+1) times — unambiguous ranking
+    val truth = (0 until 50).map(i => s"key$i" -> (1000L / (i + 1)))
+    val rows = truth.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    // deterministic spread across partitions
+    val df = rows.zipWithIndex
+      .map { case (k, i) => (i % 16, k) }.toDF("p", "token")
+      .repartition(16, col("p")).select("token")
+    val n = rows.size
+    val got = HeavyHitters.approxTopK(df, "token", k = 10)
+      .as[(String, Long)].collect()
+    assert(got.map(_._1).toSeq == truth.take(10).map(_._1),
+      s"top-10 set/order mismatch: ${got.toSeq}")
+    val trueCounts = truth.toMap
+    got.foreach { case (k, est) =>
+      val exact = trueCounts(k)
+      assert(est >= exact, s"CMS must never underestimate ($k: $est < $exact)")
+      assert(est <= exact + math.ceil(1e-4 * n).toLong + 1,
+        s"estimate outside eps*N bound ($k: $est vs $exact, n=$n)")
+    }
+  }
+
+  test("ties order deterministically by key") {
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("z"))
+      .toDF("token")
+    val got = HeavyHitters.approxTopK(df, "token", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L), ("b", 5L)))
+  }
+}

@@ -129,4 +129,66 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.scan.readSchema().fieldNames.toSet ==
       Set("o_orderdate", "o_totalprice"))
   }
+
+  test("q_partition_prune: the month predicate prunes directories") {
+    val p = formatted(q("q_partition_prune"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no PartitionFilters line in:\n$p"))
+    assert(pf.contains("om") && pf.contains("1997-09"),
+      s"month predicate must be a partition filter: $pf")
+    // and it must NOT appear as a data filter (the scan may have no
+    // PushedFilters line at all once every predicate is partition-level)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.forall(!_.contains("om")),
+      s"om is a partition column, not a data filter: $pushed")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB lever for selective dim⋈fact SHUFFLE joins (too big to
+    // broadcast): a bloom filter built on the filtered side is applied
+    // at the fact scan, dropping non-matching rows before the shuffle.
+    // Thresholds are tuned for testdata scale; at real scale defaults
+    // (10 MB creation side / 10 GB application side) gate the same plan.
+    val resets = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      .map { case (k, v) =>
+        val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev }
+    try {
+      val o = graft.queries.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val l = graft.queries.Tables(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact scan:\n$p")
+      // the filter must sit on the FACT (lineitem) side, under its
+      // shuffle — pre-shuffle row pruning, not a post-join afterthought
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom filter must guard the lineitem scan:\n$p")
+    } finally resets.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("EXISTS subquery decorrelates to a semi join, not per-row eval") {
+    val p = plan(q("q_exists_subquery"))
+    assert(p.contains("LeftSemi"), s"expected a decorrelated semi join:\n$p")
+    assert(!p.contains("InSubqueryExec") && !p.contains("ScalarSubquery"),
+      s"subquery must not survive decorrelation:\n$p")
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate-then-join") {
+    val p = plan(q("q_correlated_avg"))
+    // the per-part average is computed ONCE as a partial+final agg and
+    // joined back — a surviving scalar subquery would re-run per row
+    assert(!p.contains("ScalarSubquery"),
+      s"scalar subquery must not survive decorrelation:\n$p")
+    assert(p.contains("partial_avg"),
+      s"expected the decorrelated aggregate:\n$p")
+  }
 }

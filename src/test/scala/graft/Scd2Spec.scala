@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+
+/** Laws of the SCD2 dimension-history merge ([[Ops.scd2Merge]]):
+  * exactly one open row per key, closed rows chain valid_from→valid_to
+  * without overlap, unchanged attributes are a no-op (idempotence), and
+  * history is append-only across merges.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim(rows: (Long, String, Double, Long)*) =
+    rows.toDF("id", "tier", "score", "etl_updated_ts")
+
+  private def snapshot(path: String) =
+    spark.read.parquet(path)
+      .select("id", "tier", "score", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Double, Long, Option[Long], Boolean)]
+      .collect().toSet
+
+  test("new key, changed key, unchanged key, late history") {
+    val path = java.nio.file.Files
+      .createTempDirectory("scd2spec").toString + "/dim"
+    // v1: two keys
+    Ops.scd2Merge(spark, path, dim((1L, "gold", 1.0, 1L),
+      (2L, "silver", 2.0, 1L)), Seq("id"))
+    assert(snapshot(path) == Set(
+      (1L, "gold", 1.0, 1L, None, true),
+      (2L, "silver", 2.0, 1L, None, true)))
+    // v2: key 1 changes tier, key 2 unchanged, key 3 new
+    Ops.scd2Merge(spark, path, dim((1L, "platinum", 1.0, 2L),
+      (2L, "silver", 2.0, 2L), (3L, "bronze", 3.0, 2L)), Seq("id"))
+    val afterV2 = Set(
+      (1L, "gold", 1.0, 1L, Some(2L), false),
+      (1L, "platinum", 1.0, 2L, None, true),
+      (2L, "silver", 2.0, 1L, None, true), // unchanged: still v1-open
+      (3L, "bronze", 3.0, 2L, None, true))
+    assert(snapshot(path) == afterV2)
+    // re-merging the identical batch is a no-op (idempotence law)
+    Ops.scd2Merge(spark, path, dim((1L, "platinum", 1.0, 2L),
+      (2L, "silver", 2.0, 2L), (3L, "bronze", 3.0, 2L)), Seq("id"))
+    assert(snapshot(path) == afterV2)
+    // v3: key 1 changes again — history now chains 1→2→open
+    Ops.scd2Merge(spark, path, dim((1L, "diamond", 9.0, 3L)), Seq("id"))
+    assert(snapshot(path) == afterV2 - ((1L, "platinum", 1.0, 2L, None, true)) +
+      ((1L, "platinum", 1.0, 2L, Some(3L), false)) +
+      ((1L, "diamond", 9.0, 3L, None, true)))
+  }
+
+  test("invariants: one open row per key, no overlapping ranges") {
+    val path = java.nio.file.Files
+      .createTempDirectory("scd2spec_inv").toString + "/dim"
+    Ops.scd2Merge(spark, path,
+      dim((1L, "a", 1.0, 1L), (2L, "a", 1.0, 1L)), Seq("id"))
+    Ops.scd2Merge(spark, path,
+      dim((1L, "b", 1.0, 2L), (2L, "a", 9.0, 2L)), Seq("id"))
+    Ops.scd2Merge(spark, path, dim((1L, "c", 1.0, 3L)), Seq("id"))
+    val t = spark.read.parquet(path)
+    val perKeyOpen = t.filter(col("is_current"))
+      .groupBy("id").count().select("count").as[Long].collect()
+    assert(perKeyOpen.forall(_ == 1L))
+    // closed rows end exactly where the successor begins
+    val rows = t.select("id", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    rows.foreach { versions =>
+      val sorted = versions.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => ()
+      }
+      assert(sorted.init.forall(_._3.isDefined) && sorted.last._3.isEmpty)
+    }
+  }
+
+  test("latest-wins dedup inside one batch") {
+    val path = java.nio.file.Files
+      .createTempDirectory("scd2spec_dd").toString + "/dim"
+    Ops.scd2Merge(spark, path, dim((1L, "a", 1.0, 1L)), Seq("id"))
+    // one batch carries two versions of key 1: only ts=3 survives
+    Ops.scd2Merge(spark, path,
+      dim((1L, "mid", 5.0, 2L), (1L, "late", 7.0, 3L)), Seq("id"))
+    assert(snapshot(path) == Set(
+      (1L, "a", 1.0, 1L, Some(3L), false),
+      (1L, "late", 7.0, 3L, None, true)))
+  }
+}
