@@ -306,6 +306,45 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Distribution-rank analytics (§2.5 breadth): percent_rank /
+    * cume_dist ride the ordered running window; first_value / nth_value
+    * need the explicit full-partition frame (BOTH engines default
+    * nth_value to the running frame — the classic silent-wrong-answer
+    * window bug, pinned here by the oracle). All four share ONE
+    * priority partitioning: a single hash exchange (PlanSpec-style
+    * single-exchange rule, same as `q_lag_lead`).
+    */
+  private def windowStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(first_value(col("o_totalprice")).over(wf), 2).as("top_price"),
+        round(nth_value(col("o_totalprice"), 2).over(wf), 2)
+          .as("second_price"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
+  private val windowStatsSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  round(first_value(o_totalprice) OVER wf, 2) AS top_price,
+      |  round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_price
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_orderpriority
+      |        ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority
+      |         ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** Full outer join: per-customer order rollup keeping BOTH sides'
     * unmatched rows (customers with no orders, and — by restricting the
     * customer side — orders whose customer is outside the slice).
@@ -548,6 +587,7 @@ object Relational {
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
     NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
+    NamedQuery("q_window_stats", windowStats, Some(windowStatsSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),

@@ -226,6 +226,84 @@ object TrainingData {
       |WHERE t.token <> ''
       |GROUP BY t.token ORDER BY freq DESC, t.token LIMIT 20""".stripMargin
 
+  /** The capstone composition — the actual cleaning pass a 100 TB
+    * training-data pipeline runs, as ONE declared query under the
+    * exact-SQL gate: quality-score every document, language-ID it,
+    * drop low-quality/unidentified docs, exact-dedup the survivors
+    * (min doc_id per word-set key), then report corpus stats per
+    * language. Every stage is a stock codegen'd projection or a single
+    * keyed shuffle — the whole pipeline is two exchanges (dedup key +
+    * final lang agg): filters fuse into the scan, the expensive
+    * similarity/multimodal stages bolt on after the cheap gates have
+    * shrunk the corpus (the order that matters at scale).
+    */
+  private def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = docs(spark, dir).select(col("doc_id"), t,
+      TextAnalysis.qualityScore(t).as("quality"),
+      TextAnalysis.langId(t).as("lang"),
+      TextAnalysis.tokenCount(t).cast("bigint").as("n_tokens"))
+    val kept = base.filter(col("quality") >= 0.5 && col("lang") =!= "und")
+      .withColumn("k", Dedup.wordSetKey(col("text")))
+    val surv = kept
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .filter(col("doc_id") === col("keep_id"))
+    surv.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality"), 3).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  private val cleanPipelineSql = {
+    val sets = TextAnalysis.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scores = sets.map { case (l, arr) =>
+      s"len(list_intersect(toks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = sets.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+       |        / length(text) END AS praw
+       |  FROM documents),
+       |enriched AS (
+       |  SELECT doc_id, toks, n_tokens, praw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_intersect(toks,
+       |        ['the','a','an','and','or','of','to','in','is','it']))::DOUBLE
+       |        / len(toks) END AS sraw,
+       |    $scores
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    floor((least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.4::DOUBLE
+       |      + (1.0::DOUBLE - praw) * 0.3::DOUBLE
+       |      + sraw * 0.3::DOUBLE) * 10000) / 10000 AS quality,
+       |    $m AS m,
+       |    CASE WHEN $m = 0 THEN 'und' $cases ELSE 'und' END AS lang
+       |  FROM enriched),
+       |kept AS (
+       |  SELECT doc_id, n_tokens, quality, lang,
+       |    array_to_string(list_sort(toks), ' ') AS k
+       |  FROM scored WHERE quality >= 0.5 AND lang <> 'und'),
+       |surv AS (
+       |  SELECT * FROM kept
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY k))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(avg(quality), 3) AS avg_quality
+       |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Sketch twin of `d_token_topk` ([[graft.functions.HeavyHitters]]):
     * Count-Min estimates + per-partition candidates instead of a full
     * token shuffle. No SQL oracle (CMS isn't DuckDB-expressible);
@@ -361,6 +439,7 @@ object TrainingData {
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
     NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
+    NamedQuery("d_clean_pipeline", cleanPipeline, Some(cleanPipelineSql)),
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),

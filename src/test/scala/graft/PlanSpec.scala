@@ -97,6 +97,13 @@ class PlanSpec extends SparkSpec {
       s"both window orderings must ride one exchange, got $hashEx:\n$p")
   }
 
+  test("percent_rank/cume_dist/nth_value share one priority partitioning") {
+    val p = plan(q("q_window_stats"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"all four analytics must ride one exchange, got $hashEx:\n$p")
+  }
+
   test("watermark-filtered scan prunes via pushed-down predicate") {
     val df = graft.queries.Tables(spark, sf, "orders")
       .filter(col("o_orderdate") > lit("1997-06-01"))
