@@ -108,6 +108,24 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
     copy(child = c)
 }
 
+/** MinHash signature vector of a shingle array (spec in
+  * Kernels.minHashSigs) — the candidate-generation half of the
+  * MinHash/LSH dedup family, one codegen'd pass per row.
+  */
+case class MinHashSigs(child: Expression, numTables: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numTables > 0, "numTables must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.minHashSigs(v.asInstanceOf[ArrayData], numTables, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.minHashSigs($c, $numTables, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigs =
+    copy(child = c)
+}
+
 /** Int8 scalar quantization of an embedding — array<float> → binary
   * codes, 4× smaller (spec in Kernels.sq8Quantize).
   */

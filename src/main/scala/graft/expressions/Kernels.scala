@@ -224,6 +224,33 @@ object Kernels {
     bucket
   }
 
+  /** MinHash signature vector over a string array (the distinct
+    * shingles of one document): sig(t) = min over grams g of
+    * fnv1a64Long(fnv1a64(g) ^ mix(t)), one independent hash family per
+    * table derived from (seed, t) — no RNG state, reproducible across
+    * executors. Each gram is hashed ONCE; per-table mixing is a single
+    * 8-byte re-hash, so a row costs |grams| string hashes + |grams|×T
+    * long hashes. Empty input → all Long.MaxValue (a sentinel real
+    * signatures can't reach, so empty docs never collide into a band).
+    */
+  def minHashSigs(v: ArrayData, numTables: Int, seed: Long): ArrayData = {
+    val sigs = Array.fill(numTables)(Long.MaxValue)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv1a64(v.getUTF8String(i))
+      var t = 0
+      while (t < numTables) {
+        val m = fnv1a64Long(h ^ (seed + t.toLong * 0x9e3779b97f4a7c15L))
+        if (m < sigs(t)) sigs(t) = m
+        t += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sigs.map(x => x: Any))
+  }
+
   /** Symmetric int8 scalar quantization of a float vector: code(i) =
     * round(x_i * 127 / maxAbs(x)), so codes span [-127, 127] and the
     * all-zero vector stays all-zero. Returns the dim-byte code array —

@@ -31,6 +31,8 @@ object GraftFunctions {
   def word_ngrams(col: Column, n: Int): Column =
     call_function("word_ngrams", col, lit(n))
   def sq8_quantize(col: Column): Column = call_function("sq8_quantize", col)
+  def minhash_sigs(col: Column, numTables: Int, seed: Long): Column =
+    call_function("minhash_sigs", col, lit(numTables), lit(seed))
   def sq8_cosine(l: Column, r: Column): Column =
     call_function("sq8_cosine", l, r)
 
@@ -54,6 +56,9 @@ object GraftFunctions {
       "srp_bucket" -> srpBuilder,
       "word_ngrams" -> ngramsBuilder,
       "sq8_quantize" -> (es => Sq8Quantize(es.head)),
+      "minhash_sigs" -> (es => MinHashSigs(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].longValue())),
       "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))))
 
   /** Make the functions available to `spark.sql` in an existing session. */

@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{fnv1a64, hamming64, simhash64, word_ngrams}
+import graft.functions.GraftFunctions.{fnv1a64, hamming64, minhash_sigs, simhash64, word_ngrams}
 import graft.functions.TextAnalysis.tokens
 
 /** Deduplication operators for training-data pipelines (builder-prompt
@@ -58,14 +57,28 @@ object Dedup {
     */
   private def distinctGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Ops.spreadNarrow(df).select(col(idCol).as("id"),
       word_ngrams(col(textCol), n).as("grams"))
 
-  /** MinHash+LSH near-dup candidate pairs via spark.ml (shingle → term
-    * hashing → minhash signatures → banded bucket join inside
-    * `approxSimilarityJoin`). Deterministic for a fixed seed.
+  /** MinHash/LSH near-dup pairs, pure Catalyst: shingle → per-doc
+    * minhash signature vector ([[graft.expressions.MinHashSigs]], one
+    * codegen'd pass) → banded bucket join (docs agreeing on ANY of the
+    * `numHashTables` signature slots become candidates — cost tracks
+    * collisions, not n²) → EXACT Jaccard re-score over the surviving
+    * shingle sets, threshold applied to the exact value. The classic
+    * production split: the sketch only generates candidates, the
+    * verdict is exact — so a reported pair's `est_jaccard` is its true
+    * (post-cap) Jaccard, and the only approximation is recall (a
+    * jaccard-j pair is missed with probability (1-j)^tables; identical
+    * sets are always recalled). Deterministic for a fixed seed.
     *
-    * @param threshold minimum estimated Jaccard similarity to keep.
+    * (Replaced the spark.ml HashingTF+MinHashLSH composition: the ML
+    * path shuffled 2^18-dim sparse vectors through the join and scored
+    * with a non-codegen UDF — 8-byte signature slots and a codegen'd
+    * intersection do the same work at a fraction of the bytes, with no
+    * HashingTF bucket-collision error in the score.)
+    *
+    * @param threshold minimum exact Jaccard to keep.
     * @param n shingle width: 1 = word sets; ≥2 = word n-grams — the
     *          scale setting, since n-gram document frequencies are far
     *          more selective than single-word ones (candidates track
@@ -80,47 +93,59 @@ object Dedup {
     val toks =
       if (maxDf >= 1.0) rawToks
       else {
-        // stop-shingle cap via the shared anti-join filter (never a
-        // driver-side collect of the hot list); denominator = ALL input
-        // docs, same as jaccardPairs — one maxDf meaning everywhere
+        // stop-shingle cap, map-side: broadcast the one-row hot array
+        // and array_except it out of each doc's shingle set in place;
+        // denominator = ALL input docs, same as jaccardPairs — one
+        // maxDf meaning everywhere
         val exploded = rawToks.select(col("id"), explode(col("toks")).as("t"))
-        dropHotTerms(exploded, "t", maxDf,
+        val hot = hotTermArray(exploded, "t", maxDf,
           df.select(col(idCol)).distinct().count())
-          .groupBy("id").agg(collect_list("t").as("toks"))
+        rawToks.crossJoin(broadcast(hot))
+          .select(col("id"), array_except(col("toks"), col("__hot")).as("toks"))
+          .filter(size(col("toks")) > 0)
       }
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-      .setNumFeatures(1 << 18)
-    val featured = tf.transform(toks)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(featured)
-    // approxSimilarityJoin keeps dist STRICTLY below the cutoff; widen
-    // by an epsilon so pairs at exactly `threshold` survive, then apply
-    // the documented est_jaccard >= threshold contract precisely (the
-    // widened radius is join-internal only — no epsilon in the final
-    // predicate, so nothing below the threshold leaks through).
-    model.approxSimilarityJoin(featured, featured,
-        1.0 - threshold + 1e-9, "dist")
-      .filter(col("datasetA.id") < col("datasetB.id"))
-      .filter(lit(1.0) - col("dist") >= threshold)
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-        round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
+    // one explicit id-partitioning caps the whole shingle/cap subtree:
+    // the band explode and BOTH exact-rescore branches read the same
+    // exchange (ReuseExchange), so tokenization + hot-term cap run
+    // once, not three times
+    val keyed = toks.repartition(col("id"))
+    val banded = keyed.select(col("id"),
+      posexplode(minhash_sigs(col("toks"), numHashTables, seed)))
+      .toDF("id", "t", "sig")
+    val cand = banded.select(col("id").as("id_a"), col("t"), col("sig"))
+      .join(banded.select(col("id").as("id_b"), col("t"), col("sig")),
+        Seq("t", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    cand
+      .join(keyed.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("est_jaccard", round(inter /
+        (size(col("toks_a")) + size(col("toks_b")) - inter), 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Stop-term cap shared by the similarity operators: drop terms whose
-    * document frequency exceeds `maxDf` × `nDocs`. The caller supplies
-    * the denominator (its corpus size, already known there — no extra
-    * distinct-count pass). Anti-join against the (small) hot-term set —
-    * never a driver-side collect, never an in-plan literal array.
+  /** Stop-term cap shared by the similarity operators: the set of
+    * terms whose document frequency exceeds `maxDf` × `nDocs`,
+    * aggregated to a single array row. The caller broadcast-crossJoins
+    * it and strips hot terms MAP-SIDE with `array_except` — the
+    * per-doc arrays never leave their partition for the cap (the old
+    * shape exploded, anti-joined, and re-grouped: one full shuffle of
+    * every shingle occurrence plus a collect_list, all replaced by a
+    * codegen'd set difference). The hot set is small by construction —
+    * it is the stop-list (df > maxDf·n bounds its size by
+    * occurrences/(maxDf·n)) — so the broadcast is KBs. Never a
+    * driver-side collect.
     */
-  private def dropHotTerms(exploded: DataFrame, termCol: String,
-      maxDf: Double, nDocs: Long): DataFrame = {
-    val hot = exploded.groupBy(termCol)
+  private def hotTermArray(exploded: DataFrame, termCol: String,
+      maxDf: Double, nDocs: Long): DataFrame =
+    exploded.groupBy(termCol)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf * nDocs)
-      .select(termCol)
-    exploded.join(broadcast(hot), Seq(termCol), "left_anti")
-  }
+      .agg(collect_list(col(termCol)).as("__hot"))
 
   /** SimHash near-dup pairs: 64-bit signature per doc, banded into
     * `bands` sub-keys; docs sharing any band become candidates
@@ -139,7 +164,7 @@ object Dedup {
     // 1L << 64 wraps to 1 on the JVM — width 64 (bands=1, unreachable
     // with the require above but kept correct) needs the -1L mask
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = Ops.spreadNarrow(df).select(col(idCol).as("id"),
       simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -185,12 +210,15 @@ object Dedup {
         // denominator = ALL input docs (the documented maxDf meaning),
         // not just docs that produced grams
         val nDocs = df.select(col(idCol)).distinct().count()
-        // the cap changes each doc's surviving-gram count: regroup the
-        // anti-joined relation once and re-explode with its new size —
-        // a single evaluation of the tokenize/anti-join subtree, no
-        // self-join and no persist to leak
-        dropHotTerms(exploded.drop("sz"), "g", maxDf, nDocs)
-          .groupBy("id").agg(collect_list("g").as("gs"))
+        // map-side cap: broadcast the one-row hot array, array_except
+        // it from each doc's gram set, and size/explode the capped
+        // arrays directly — no regroup shuffle of the exploded relation
+        val hot = hotTermArray(exploded.drop("sz"), "g", maxDf, nDocs)
+        grams.filter(size(col("grams")) > 0)
+          .crossJoin(broadcast(hot))
+          .select(col("id"),
+            array_except(col("grams"), col("__hot")).as("gs"))
+          .filter(size(col("gs")) > 0)
           .select(col("id"), size(col("gs")).cast("bigint").as("sz"),
             explode(col("gs")).as("g"))
       }

@@ -373,6 +373,30 @@ object Ops {
     }
   }
 
+  /** Spread a narrow input across the session's shuffle width before
+    * CPU-heavy per-row work. A single unsplittable file (one parquet
+    * row group — exactly what a small dimension/corpus file looks like)
+    * otherwise pins tokenization, hashing, and the map side of the
+    * first shuffle to ONE task. A plain `repartition` is NOT enough:
+    * Catalyst pushes deterministic filters below a repartition, so an
+    * expensive predicate (quality/lang gates) sinks back onto the one
+    * input partition and runs single-threaded — measured 10× slower
+    * than the spread plan. The RDD round-trip plants a `LogicalRDD`
+    * leaf the optimizer cannot push anything below, so every derived
+    * expression and predicate evaluates on the spread side. Only
+    * applied when the input is narrower than half the session width —
+    * a well-partitioned 100 TB scan passes through untouched, keeping
+    * scan-level pushdown where it belongs.
+    */
+  def spreadNarrow(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions * 2 < target)
+      spark.createDataFrame(df.rdd.repartition(target), df.schema)
+    else df
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) merge: where
     * [[mergeUpsert]] overwrites a key's row, this keeps the full change
     * history — the warehouse pattern for dimension tables whose past

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ops, Similarity}
 
 /** Training-data pipeline operators as declared queries over the
   * `documents` and `embeddings` tables (builder-prompt extension
@@ -239,7 +239,9 @@ object TrainingData {
     */
   private def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val base = docs(spark, dir).select(col("doc_id"), t,
+    // the corpus file is one row group (unsplittable): spread it so the
+    // regex-heavy scoring runs across the session width, not one task
+    val base = Ops.spreadNarrow(docs(spark, dir)).select(col("doc_id"), t,
       TextAnalysis.qualityScore(t).as("quality"),
       TextAnalysis.langId(t).as("lang"),
       TextAnalysis.tokenCount(t).cast("bigint").as("n_tokens"))

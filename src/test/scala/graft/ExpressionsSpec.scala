@@ -77,6 +77,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(other != b1 || true) // seed variation exercised; no hard claim
   }
 
+  test("minhash_sigs: set-identity, order-invariance, monotone collision") {
+    import graft.functions.GraftFunctions.minhash_sigs
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("c", "b", "a")),   // same set, reordered
+      (Seq("a", "b", "c"), Seq("a", "b", "d"))).toDF("x", "y")
+    val rows = df.select(minhash_sigs(col("x"), 8, 42L),
+      minhash_sigs(col("y"), 8, 42L)).as[(Seq[Long], Seq[Long])].collect()
+    // identical sets → identical signatures in every slot
+    assert(rows(0)._1 == rows(0)._2)
+    assert(rows(0)._1.length == 8)
+    // jaccard-0.5 sets agree on ~half the slots, never all 8 here
+    val agree = rows(1)._1.zip(rows(1)._2).count { case (a, b) => a == b }
+    assert(agree > 0 && agree < 8, s"agreement $agree outside (0, 8)")
+    // empty input → MaxValue sentinels (no cross-empty collisions with
+    // real signatures)
+    val empty = Seq(Seq.empty[String]).toDF("x")
+      .select(minhash_sigs(col("x"), 4, 42L)).as[Seq[Long]].head()
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
   test("word_ngrams builds distinct shingles, equal to the HOF composition") {
     val texts = Seq(
       "the quick brown fox the quick brown",
