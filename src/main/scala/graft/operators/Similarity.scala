@@ -79,22 +79,32 @@ object Similarity {
     * codegen'd builtins), [[graft.functions.TopK]]'s bounded aggregator
     * for the final per-query k — no window sort anywhere.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** A fitted IVF index: the coarse quantizer's cell assignment of the
+    * corpus plus its centroid table. Building it is the one-time batch
+    * cost of the ANN family (like building any index); [[ivfProbe]]
+    * queries amortize it. Hold it per corpus and re-probe — refitting
+    * per query would re-run k-means on every call.
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+      nCells: Int)
+
+  /** The quantizer metric must match the scoring metric: final scores
+    * are cosine, so cluster and probe on L2-NORMALIZED vectors
+    * (spherical k-means) — on raw vectors a same-direction neighbour
+    * with a large norm lands in a Euclidean-far cell and is never
+    * probed. Cosine itself is scale-invariant, so scoring still uses
+    * the raw embeddings. Zero vectors stay zero rather than NaN/null.
+    */
+  private def l2normed(e: org.apache.spark.sql.Column) = {
+    val d = e.cast("array<double>")
+    val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => coalesce(x / nullif(n, lit(0.0)), lit(0.0)))
+  }
+
+  def ivfFit(corpus: DataFrame, nCells: Int = 16,
+      seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // The quantizer metric must match the scoring metric: final scores
-    // are cosine, so cluster and probe on L2-NORMALIZED vectors
-    // (spherical k-means) — on raw vectors a same-direction neighbour
-    // with a large norm lands in a Euclidean-far cell and is never
-    // probed. Cosine itself is scale-invariant, so scoring still uses
-    // the raw embeddings.
-    def l2normed(e: org.apache.spark.sql.Column) = {
-      val d = e.cast("array<double>")
-      val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-      // zero vectors stay zero rather than NaN/null
-      transform(d, x => coalesce(x / nullif(n, lit(0.0)), lit(0.0)))
-    }
     val featured = corpus.select(col("id"), col("embedding"),
       array_to_vector(l2normed(col("embedding"))).as("fv"))
     // a coarse quantizer needs rough cells, not convergence — cap the
@@ -110,6 +120,11 @@ object Similarity {
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    IvfIndex(assigned, centroids, nCells)
+  }
+
+  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
     // rank cells per query by squared euclidean distance of the
     // NORMALIZED query to the (normalized-space) centroid — zip_with +
     // aggregate keeps this inside whole-stage codegen
@@ -120,18 +135,22 @@ object Similarity {
     val probes = queries
       .select(col("id").as("query_id"), col("embedding").as("q_emb"),
         l2normed(col("embedding")).as("q_normed"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("q_emb"), col("cell"), dist2.as("d2"))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "q_emb", "cell")
-    val scored = probes.join(assigned, Seq("cell"))
+    val scored = probes.join(index.assigned, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
     graft.functions.TopK.perKey(scored, k)
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfFit(corpus, nCells, seed), queries, k, nProbe)
 
   /** Int8 scalar-quantized (SQ8) top-k: score the corpus with integer
     * cosine over 4×-smaller int8 codes ([[graft.expressions.Kernels

@@ -239,7 +239,7 @@ object Scale {
       .orderBy("o_orderkey", "valid_from")
   }
 
-  private val scd2MergeSql =
+  private[queries] val scd2MergeSql =
     """WITH seed AS (
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
       |delta AS (

@@ -36,5 +36,7 @@ object Streaming {
       Some(Events.tumblingSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
-      Some(attributionSql)))
+      Some(attributionSql)),
+    NamedQuery("st_scd2_merge", Streams.scd2ViaStream,
+      Some(Scale.scd2MergeSql)))
 }

@@ -242,6 +242,27 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming SCD2 sink: every micro-batch merges into the dimension
+    * HISTORY via [[graft.operators.Ops.scd2Merge]] — CDC-style type-2
+    * dimension maintenance run continuously. Changed keys close their
+    * open row and insert a fresh one per batch; unchanged rows are a
+    * no-op, so replaying a batch (restart after checkpoint loss)
+    * converges instead of duplicating history.
+    */
+  def scd2Sink(df: DataFrame, targetPath: String, keys: Seq[String],
+      checkpoint: String, versionCol: String = "etl_updated_ts",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ops.scd2Merge(batch.sparkSession, targetPath,
+          batch.toDF(), keys, versionCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   // ---- driver-facing queries (batch results of a real streaming run)
 
   /** `ev_tumbling_hourly` computed through the streaming engine:
@@ -285,6 +306,42 @@ object Streams {
     val ckpt = Files.createTempDirectory("graft_st_attr_ckpt").toString
     runAvailableNow(clickAttribution(purchases, clicks), out, ckpt)
     spark.read.parquet(out).orderBy("event_id", "c_ts")
+  }
+
+  /** SCD2 merge driven through the streaming engine: the v1 snapshot
+    * is seeded batch-side (one-time per corpus), then the v2 delta
+    * STREAMS into the dimension history via [[scd2Sink]] and the full
+    * history is read back. Oracle = the batch `q_scd2_merge` SQL — the
+    * streamed merge must build exactly the history the batch merge
+    * builds (and re-running converges, because the merge is
+    * idempotent).
+    */
+  private val scd2Seeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def scd2ViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = scd2Seeds.computeIfAbsent(dir, { d =>
+      val seed = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("etl_updated_ts", lit(1L))
+      val p = Files.createTempDirectory("graft_st_scd2").toString + "/dim"
+      graft.operators.Ops.scd2Merge(spark, p, seed, Seq("o_orderkey"))
+      p
+    })
+    val schema = Tables(spark, dir, "orders").schema
+    val delta = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .withColumn("etl_updated_ts", lit(2L))
+    val ckpt = Files.createTempDirectory("graft_st_scd2_ckpt").toString
+    scd2Sink(delta, path, Seq("o_orderkey"), ckpt).awaitTermination()
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
   }
 
   /** Streaming dedup end-to-end: the events stream unioned with itself
