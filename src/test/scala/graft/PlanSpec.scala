@@ -182,6 +182,37 @@ class PlanSpec extends SparkSpec {
       prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the automatic counterpart to Joins.saltedEquiJoin: one key
+    // carrying most of the rows becomes one straggler partition unless
+    // AQE's skew-join rule splits it. Thresholds tuned to testdata
+    // scale; at real scale the defaults (256 MB / 5x median) gate the
+    // same re-plan.
+    import spark.implicits._
+    val resets = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+      .map { case (k, v) =>
+        val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev }
+    try {
+      // 50k rows on ONE key + 1k spread keys vs a 1k-key dim
+      val fact = ((1 to 50000).map(_ => 7L) ++ (1 to 1000).map(_.toLong))
+        .toDF("k").withColumn("payload", lit("x" * 64))
+      val dim = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      // aggregate over the payload so column pruning cannot shrink the
+      // skewed partition below the detection threshold
+      val joined = fact.join(dim, "k")
+        .agg(sum(length(col("payload"))).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ (skew=true):\n$p")
+    } finally resets.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("EXISTS subquery decorrelates to a semi join, not per-row eval") {
     val p = plan(q("q_exists_subquery"))
     assert(p.contains("LeftSemi"), s"expected a decorrelated semi join:\n$p")

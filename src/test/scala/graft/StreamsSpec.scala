@@ -211,6 +211,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Sink builds type-2 history across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, Long)]
+    val base = tmpDir("st_scd2")
+    val target = s"$base/dim"
+    val q = Streams.scd2Sink(
+      in.toDF().toDF("date", "price", "etl_updated_ts"),
+      target, Seq("date"), s"$base/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      in.addData(("2025-01-01", 95000.0, 1L), ("2025-01-02", 96000.0, 1L))
+      q.processAllAvailable()
+      // batch 2: change one key, repeat one unchanged, add one
+      in.addData(("2025-01-02", 96500.0, 2L), ("2025-01-01", 95000.0, 2L),
+        ("2025-01-03", 97000.0, 2L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .select("date", "price", "valid_from", "valid_to", "is_current")
+        .as[(String, Double, Long, Option[Long], Boolean)]
+        .collect().toSet
+      assert(got == Set(
+        ("2025-01-01", 95000.0, 1L, None, true),     // unchanged: stays open
+        ("2025-01-02", 96000.0, 1L, Some(2L), false), // closed at v2
+        ("2025-01-02", 96500.0, 2L, None, true),
+        ("2025-01-03", 97000.0, 2L, None, true)))
+    } finally q.stop()
+  }
+
   test("sessionize agrees with the batch lag/running-sum form on sf0.001") {
     val ev = graft.queries.Events.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
