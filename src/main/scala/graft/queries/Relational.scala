@@ -306,6 +306,68 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Temporal scalar functions (§2.8 breadth): truncation, field
+    * extraction, calendar arithmetic — all codegen'd built-ins, fused
+    * into the scan projection. Cross-engine traps pinned by the
+    * oracle: Spark `weekday` (Mon=0) = DuckDB `isodow - 1`;
+    * `datediff(end, start)` = `date_diff('day', start, end)`.
+    */
+  private def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("oy"),
+        quarter(col("o_orderdate")).cast("bigint").as("oq"),
+        month(col("o_orderdate")).cast("bigint").as("omn"),
+        weekday(col("o_orderdate")).cast("bigint").as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1998-08-02"), col("o_orderdate")).cast("bigint")
+          .as("days_to_ref"))
+      .orderBy("o_orderkey")
+
+  private val dateFunctionsSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS oy,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS oq,
+      |  CAST(month(o_orderdate) AS BIGINT) AS omn,
+      |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |    DATE '1998-08-02') AS BIGINT) AS days_to_ref
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** String scalar functions (§2.8 breadth): case, slicing, regex
+    * capture, padding — identical names and semantics on both engines,
+    * one codegen'd projection.
+    */
+  private def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 25 === 0)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_extract(col("c_name"), "#(\\d+)", 1).as("cust_num"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        concat_ws("|", substring(col("c_name"), 10, 9),
+          col("c_custkey").cast("string")).as("joined"))
+      .orderBy("c_custkey")
+
+  private val stringFunctionsSql =
+    """SELECT c_custkey,
+      |  upper(c_name) AS uname,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  concat_ws('|', substring(c_name, 10, 9),
+      |    CAST(c_custkey AS VARCHAR)) AS joined
+      |FROM customer WHERE c_custkey % 25 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   /** Distribution-rank analytics (§2.5 breadth): percent_rank /
     * cume_dist ride the ordered running window; first_value / nth_value
     * need the explicit full-partition frame (BOTH engines default
@@ -588,6 +650,9 @@ object Relational {
     NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_window_stats", windowStats, Some(windowStatsSql)),
+    NamedQuery("q_date_functions", dateFunctions, Some(dateFunctionsSql)),
+    NamedQuery("q_string_functions", stringFunctions,
+      Some(stringFunctionsSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),

@@ -170,6 +170,39 @@ object Scale {
       |UNION ALL SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, om
       |FROM updates ORDER BY o_orderkey""".stripMargin
 
+  /** The CSV source path (reference S4 — the metadata seed's format)
+    * under the oracle gate: a CSV copy of part is written once per JVM
+    * (header + explicit quoting), read back with a DECLARED schema (no
+    * inference pass — the 100 TB contract: schema is metadata, not a
+    * data scan), and aggregated. The oracle recomputes from the
+    * original parquet, so the CSV round-trip must be lossless for
+    * every type it carries (ints, doubles, quoted strings).
+    */
+  private val csvSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def csvSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = csvSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_csv_seed").toString + "/part"
+      Tables(spark, d, "part")
+        .write.option("header", "true").option("quoteAll", "true").csv(p)
+      p
+    })
+    val schema = Tables(spark, dir, "part").schema
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 2).as("avg_price"),
+        max("p_size").cast("bigint").as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  private val csvSourceSql =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  round(avg(p_retailprice), 2) AS avg_price,
+      |  CAST(max(p_size) AS BIGINT) AS max_size
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Partition pruning as a declared query: orders persisted
     * hive-partitioned on order month, filtered on the partition column —
     * the directories outside the predicate are never opened (PlanSpec
@@ -287,6 +320,7 @@ object Scale {
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
+    NamedQuery("q_csv_source", csvSource, Some(csvSourceSql)),
     NamedQuery("q_approx_distinct", approxDistinct, None),
     NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
