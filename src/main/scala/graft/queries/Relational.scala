@@ -306,6 +306,70 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Null semantics under the gate: a synthesized nullable group key
+    * (nullif) exercises the null group in GROUP BY, the count(*) vs
+    * count(col) distinction, null-tolerant aggregation, and NULLS
+    * FIRST ordering — the three-valued-logic corners every engine
+    * must agree on.
+    */
+  private def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"),
+        col("o_totalprice"),
+        nullif(col("o_orderstatus"), lit("O")).as("s"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p")).as("n_nonnull_p"),
+        count(col("s")).as("n_nonnull_s"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("p").asc_nulls_first)
+
+  private val nullSemanticsSql =
+    """SELECT nullif(o_orderpriority, '3-MEDIUM') AS p,
+      |  count(*) AS n_rows,
+      |  count(nullif(o_orderpriority, '3-MEDIUM')) AS n_nonnull_p,
+      |  count(nullif(o_orderstatus, 'O')) AS n_nonnull_s,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY p NULLS FIRST""".stripMargin
+
+  /** Calendar-spine join (the warehouse zero-fill pattern): generate
+    * the full month series spanning the data (`sequence` — a lateral
+    * generator, no table needed), left-join per-month revenue, and
+    * zero-fill the gaps. At 100 TB the spine is a few hundred rows —
+    * broadcast — while the revenue side is one partial+final agg of
+    * the fact table.
+    */
+  private def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val bounds = o.agg(
+      min(date_trunc("month", col("o_orderdate"))).as("lo"),
+      max(date_trunc("month", col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 month"))).as("m"))
+    val rev = o.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+    spine.join(rev, Seq("m"), "left")
+      .select(col("m"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("m")
+  }
+
+  private val dateSpineSql =
+    """WITH b AS (
+      |  SELECT min(date_trunc('month', o_orderdate)) AS lo,
+      |    max(date_trunc('month', o_orderdate)) AS hi FROM orders),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+      |  FROM b),
+      |rev AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT s.m, coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(revenue, 0.0) AS revenue
+      |FROM spine s LEFT JOIN rev USING (m) ORDER BY m""".stripMargin
+
   /** Temporal scalar functions (§2.8 breadth): truncation, field
     * extraction, calendar arithmetic — all codegen'd built-ins, fused
     * into the scan projection. Cross-engine traps pinned by the
@@ -651,6 +715,8 @@ object Relational {
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_window_stats", windowStats, Some(windowStatsSql)),
     NamedQuery("q_date_functions", dateFunctions, Some(dateFunctionsSql)),
+    NamedQuery("q_null_semantics", nullSemantics, Some(nullSemanticsSql)),
+    NamedQuery("q_date_spine", dateSpine, Some(dateSpineSql)),
     NamedQuery("q_string_functions", stringFunctions,
       Some(stringFunctionsSql)),
     NamedQuery("q_percentiles", percentiles, Some(percentilesSql)),
