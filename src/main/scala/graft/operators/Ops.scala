@@ -470,6 +470,40 @@ object Ops {
     ParquetIO.overwriteSafe(merged, targetPath)
   }
 
+  /** Incremental aggregate maintenance (materialized-view style): fold
+    * a delta's PARTIAL aggregates into a persisted aggregate table
+    * without touching the fact history. The target holds one row per
+    * key with additively-mergeable state — counts and sums (avg is
+    * derived sum/count at read time; true algebraic state covers
+    * min/max too, and sketches like HLL merge the same way). Cost per
+    * refresh is O(delta + |aggregate table|), never O(fact table) —
+    * at 100 TB the difference between a minutes-long incremental
+    * refresh and a full recompute.
+    *
+    * Correctness contract (oracle-checked in `q_incr_agg`): after any
+    * sequence of disjoint deltas, the table equals the full recompute
+    * over their union. The caller guarantees each fact row arrives in
+    * exactly one delta (the watermark pipeline's append semantics).
+    */
+  def mergeAggregate(spark: SparkSession, targetPath: String,
+      delta: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      countCol: String = "n_rows"): Unit = {
+    val partial = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+    requireFlatLayout(spark, targetPath, "mergeAggregate")
+    if (!ParquetIO.exists(spark, targetPath)) {
+      partial.write.mode("overwrite").parquet(targetPath)
+    } else {
+      val merged = spark.read.parquet(targetPath)
+        .unionByName(partial)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(countCol)).as(countCol),
+          sumCols.map(c => sum(col(c)).as(c)): _*)
+      ParquetIO.overwriteSafe(merged, targetPath)
+    }
+  }
+
   /** Incremental filter the fixture source applies server-side in the
     * reference (the Dune `date` query parameter, `dune_extractor.py:57-59`):
     * here it is an ordinary pushed-down predicate — Catalyst ships it to

@@ -300,6 +300,90 @@ object Scale {
       |UNION ALL SELECT * FROM ins
       |ORDER BY o_orderkey, valid_from""".stripMargin
 
+  /** Schema evolution under the gate: two snapshot generations of the
+    * same table — the older written BEFORE a column existed — read as
+    * one dataset via `mergeSchema` + partition discovery; rows from
+    * the old generation surface the new column as null, handled with
+    * an explicit default. The real-warehouse case: a 100 TB table
+    * accretes columns over years and old files are never rewritten.
+    */
+  private val evoSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = evoSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_evo_seed").toString + "/orders_evo"
+      val o = Tables(spark, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$p/gen=1")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"$p/gen=2")
+      p
+    })
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("priority")
+  }
+
+  private val schemaEvolutionSql =
+    """WITH u AS (
+      |  SELECT o_totalprice, NULL AS pr FROM orders WHERE o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_totalprice, o_orderpriority AS pr
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(pr, 'UNKNOWN') AS priority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM u GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** Incremental aggregate maintenance run for real
+    * ([[Ops.mergeAggregate]]): seed the per-priority aggregate from
+    * two-thirds of orders, fold in the remaining third as a delta, and
+    * read the maintained table back. The oracle is the FULL recompute
+    * over all orders — the defining property of incremental view
+    * maintenance. Derived avg comes from maintained sum/count state.
+    * Seed-once + deterministic deltas make repeat calls converge
+    * (re-merging the same delta would double-count, so the query
+    * tracks merged state per JVM — matching the watermark pipeline's
+    * exactly-once append contract).
+    */
+  private val aggSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val path = aggSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_incragg_seed").toString + "/agg"
+      val base = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      Ops.mergeAggregate(spark, p, base, Seq("o_orderpriority"),
+        Seq("o_totalprice"))
+      val delta = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      Ops.mergeAggregate(spark, p, delta, Seq("o_orderpriority"),
+        Seq("o_totalprice"))
+      p
+    })
+    spark.read.parquet(path)
+      .select(col("o_orderpriority"), col("n_rows"),
+        round(col("o_totalprice"), 2).as("revenue"),
+        round(col("o_totalprice") / col("n_rows"), 2).as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrAggSql =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  round(sum(o_totalprice) / count(*), 2) AS avg_price
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Quantile sketch beside the exact percentiles (`q_percentiles`):
     * `percentile_approx` is a mergeable KLL-style sketch — the
     * distinct-count trade (`q_approx_distinct`) applied to quantiles.
@@ -325,5 +409,8 @@ object Scale {
     NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
       Some(mergeUpsertPartSql)),
-    NamedQuery("q_scd2_merge", scd2Merge, Some(scd2MergeSql)))
+    NamedQuery("q_scd2_merge", scd2Merge, Some(scd2MergeSql)),
+    NamedQuery("q_incr_agg", incrAgg, Some(incrAggSql)),
+    NamedQuery("q_schema_evolution", schemaEvolution,
+      Some(schemaEvolutionSql)))
 }

@@ -113,4 +113,24 @@ class OpsSpec extends SparkSpec {
     assert(Ops.watermarkFilter(df, "d", Some(2)).count() == 2)
     assert(Ops.watermarkFilter(df, "d", None).count() == 4)
   }
+
+  test("mergeAggregate: folded deltas equal the full recompute") {
+    val dir = tmpDir("magg") + "/agg"
+    val all = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0),
+      ("c", 5.0)).toDF("k", "v")
+    // three disjoint deltas in arbitrary order
+    Ops.mergeAggregate(spark, dir, all.filter(col("v") >= 10), Seq("k"), Seq("v"))
+    Ops.mergeAggregate(spark, dir, all.filter(col("v") < 2), Seq("k"), Seq("v"))
+    Ops.mergeAggregate(spark, dir,
+      all.filter(col("v") >= 2 && col("v") < 10), Seq("k"), Seq("v"))
+    val got = spark.read.parquet(dir)
+      .select("k", "n_rows", "v").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 3.0), ("b", 2L, 30.0), ("c", 1L, 5.0)))
+    // a delta containing a brand-new key inserts it
+    Ops.mergeAggregate(spark, dir, Seq(("d", 7.0)).toDF("k", "v"),
+      Seq("k"), Seq("v"))
+    assert(spark.read.parquet(dir).filter(col("k") === "d")
+      .select("n_rows", "v").as[(Long, Double)].head() == ((1L, 7.0)))
+  }
 }
