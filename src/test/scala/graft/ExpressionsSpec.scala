@@ -77,6 +77,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(other != b1 || true) // seed variation exercised; no hard claim
   }
 
+  test("sq8 expressions agree with the kernels through the DataFrame path") {
+    import graft.functions.GraftFunctions.{sq8_cosine, sq8_quantize}
+    val vecs = Seq(
+      (Array(1f, -2f, 3f, 0.5f), Array(1.1f, -1.9f, 2.9f, 0.4f)),
+      (Array(0f, 0f, 0f, 0f), Array(1f, 1f, 1f, 1f)))
+    val viaDf = vecs.toDF("a", "b")
+      .select(sq8_quantize(col("a")), sq8_quantize(col("b")),
+        sq8_cosine(sq8_quantize(col("a")), sq8_quantize(col("b"))))
+      .as[(Array[Byte], Array[Byte], Double)].collect()
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    vecs.zip(viaDf).foreach { case ((a, b), (qa, qb, cos)) =>
+      assert(qa.sameElements(Kernels.sq8Quantize(ad(a))))
+      assert(qb.sameElements(Kernels.sq8Quantize(ad(b))))
+      assert(cos == Kernels.sq8Cosine(qa, qb))
+    }
+    assert(viaDf(1)._3 == 0.0) // zero vector → 0, not NaN
+  }
+
   test("minhash_sigs: set-identity, order-invariance, monotone collision") {
     import graft.functions.GraftFunctions.minhash_sigs
     val df = Seq(
