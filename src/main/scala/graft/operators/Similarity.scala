@@ -27,7 +27,9 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int = 5): DataFrame = {
-    val c = corpus.select(col("id").as("corpus_id"),
+    // the corpus is the streamed side of every scoring pass: spread a
+    // narrow (single-row-group) input so the cosine sweep parallelizes
+    val c = Ops.spreadNarrow(corpus).select(col("id").as("corpus_id"),
       col("embedding").as("c_emb"))
     val q = queries.select(col("id").as("query_id"),
       col("embedding").as("q_emb"))
@@ -48,7 +50,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       numBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
     def bucketed(df: DataFrame, idName: String, embName: String) =
-      df.select(col("id").as(idName), col("embedding").as(embName),
+      Ops.spreadNarrow(df)
+        .select(col("id").as(idName), col("embedding").as(embName),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("table"),
             srp_bucket(col("embedding"), numBits, seed + t).as("bucket"))
@@ -105,8 +108,9 @@ object Similarity {
       seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.select(col("id"), col("embedding"),
-      array_to_vector(l2normed(col("embedding"))).as("fv"))
+    val featured = Ops.spreadNarrow(corpus)
+      .select(col("id"), col("embedding"),
+        array_to_vector(l2normed(col("embedding"))).as("fv"))
     // a coarse quantizer needs rough cells, not convergence — cap the
     // iterations and use random init (k-means|| costs extra full passes
     // to place starting centroids a quantizer doesn't need)
@@ -170,7 +174,8 @@ object Similarity {
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       rerank: Int = 25): DataFrame = {
-    val c = corpus.select(col("id").as("corpus_id"),
+    val wideCorpus = Ops.spreadNarrow(corpus)
+    val c = wideCorpus.select(col("id").as("corpus_id"),
       sq8_quantize(col("embedding")).as("c_code"))
     val q = queries.select(col("id").as("query_id"),
       sq8_quantize(col("embedding")).as("q_code"))
@@ -182,7 +187,7 @@ object Similarity {
       .select("query_id", "corpus_id")
     // exact rerank: corpus rows stream once against the broadcast
     // shortlist; raw embeddings are only materialized for survivors
-    val exact = corpus
+    val exact = wideCorpus
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
       .join(broadcast(shortlist), "corpus_id")
       .join(broadcast(queries.select(col("id").as("query_id"),
@@ -197,7 +202,9 @@ object Similarity {
     * bucketing (as in [[lshTopK]]) is the approximate scale path.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("id").as("id_a"),
+    // spread side a: CartesianExec pairs partitions, so a 1x1-partition
+    // cross join is ONE task scoring all n^2 pairs
+    val a = Ops.spreadNarrow(embeddings).select(col("id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = embeddings.select(col("id").as("id_b"),
       col("embedding").as("emb_b"))
