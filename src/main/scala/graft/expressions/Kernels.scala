@@ -147,8 +147,8 @@ object Kernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -159,7 +159,11 @@ object Kernels {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      dot += x * y; i += 1
+    }
     dot
   }
 
@@ -215,7 +219,7 @@ object Kernels {
       val base = p * dim
       var d = 0
       while (d < dim) {
-        proj += v.getFloat(d).toDouble * signs(base + d)
+        if (!v.isNullAt(d)) proj += v.getFloat(d).toDouble * signs(base + d)
         d += 1
       }
       if (proj >= 0.0) bucket |= (1L << p)
@@ -238,12 +242,16 @@ object Kernels {
     val n = v.numElements()
     var i = 0
     while (i < n) {
-      val h = fnv1a64(v.getUTF8String(i))
-      var t = 0
-      while (t < numTables) {
-        val m = fnv1a64Long(h ^ (seed + t.toLong * 0x9e3779b97f4a7c15L))
-        if (m < sigs(t)) sigs(t) = m
-        t += 1
+      // null elements (possible via the SQL surface) are skipped, as
+      // if absent from the set
+      if (!v.isNullAt(i)) {
+        val h = fnv1a64(v.getUTF8String(i))
+        var t = 0
+        while (t < numTables) {
+          val m = fnv1a64Long(h ^ (seed + t.toLong * 0x9e3779b97f4a7c15L))
+          if (m < sigs(t)) sigs(t) = m
+          t += 1
+        }
       }
       i += 1
     }
@@ -261,10 +269,12 @@ object Kernels {
   def sq8Quantize(v: ArrayData): Array[Byte] = {
     val n = v.numElements()
     val out = new Array[Byte](n)
+    // null elements (possible via the SQL surface) read as 0f
+    def at(i: Int): Float = if (v.isNullAt(i)) 0f else v.getFloat(i)
     var maxAbs = 0f
     var i = 0
     while (i < n) {
-      val a = math.abs(v.getFloat(i))
+      val a = math.abs(at(i))
       if (a > maxAbs) maxAbs = a
       i += 1
     }
@@ -272,7 +282,7 @@ object Kernels {
     val s = 127f / maxAbs
     i = 0
     while (i < n) {
-      out(i) = math.round(v.getFloat(i) * s).max(-127).min(127).toByte
+      out(i) = math.round(at(i) * s).max(-127).min(127).toByte
       i += 1
     }
     out

@@ -411,7 +411,12 @@ object Ops {
     *    compare) → close the current row (`valid_to` = new version)
     *    and insert the new open row;
     *  - attributes identical → no-op, so re-merging the same batch is
-    *    idempotent (spec law).
+    *    idempotent (spec law);
+    *  - version at or BEFORE the open row's valid_from → no-op (late
+    *    arrival already superseded by the open row — closing with it
+    *    would invert the validity interval). Out-of-order history
+    *    REPLAY is not supported: feed versions through in order, as
+    *    the watermark pipeline does.
     *
     * Scale: two key-partitioned joins (current-vs-batch each way —
     * AQE broadcasts the batch side in the common incremental case) and
@@ -446,20 +451,27 @@ object Ops {
     val changed = attrCols.map(c => !(col(c) <=> col(s"__new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val curJoined = cur.join(b, keys, "left")
-    // close current rows the batch changes; keep the rest open
+    // close current rows the batch changes — but only for versions
+    // NEWER than the open row's valid_from: a late batch (version at or
+    // before it) is already superseded and must be a no-op, never an
+    // inverted valid_from > valid_to interval
+    val supersedes = col("__new_v").isNotNull && changed &&
+      col("__new_v") > col("valid_from")
     val closedOrKept = curJoined.select(
       target.columns.filterNot(Set("valid_to", "is_current")).map(col) ++ Seq(
-        when(col("__new_v").isNotNull && changed, col("__new_v"))
+        when(supersedes, col("__new_v"))
           .otherwise(col("valid_to")).as("valid_to"),
-        (col("__new_v").isNull || !changed).as("is_current")): _*)
-    // batch rows that are new keys or real changes become open rows
+        (!supersedes).as("is_current")): _*)
+    // batch rows that are new keys or genuinely newer changes become
+    // open rows (same late-arrival guard on the insert side)
     val curKeyed = cur.select(
       keys.map(col) ++ attrCols.map(c => col(c).as(s"__old_$c")) :+
-        lit(true).as("__in_cur"): _*)
+        col("valid_from").as("__old_vf"): _*)
     val changedOld = attrCols.map(c => !(col(c) <=> col(s"__old_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val inserts = batch.join(curKeyed, keys, "left")
-      .filter(col("__in_cur").isNull || changedOld)
+      .filter(col("__old_vf").isNull ||
+        (changedOld && col(versionCol) > col("__old_vf")))
       .select(batch.columns.map(col): _*)
       .withColumn("valid_from", col(versionCol))
       .withColumn("valid_to", lit(null).cast(batch.schema(versionCol).dataType))

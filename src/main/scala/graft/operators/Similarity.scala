@@ -85,11 +85,17 @@ object Similarity {
   /** A fitted IVF index: the coarse quantizer's cell assignment of the
     * corpus plus its centroid table. Building it is the one-time batch
     * cost of the ANN family (like building any index); [[ivfProbe]]
-    * queries amortize it. Hold it per corpus and re-probe — refitting
-    * per query would re-run k-means on every call.
+    * queries amortize it. The assignment is PERSISTED at fit time —
+    * without that, every probe would re-scan and re-assign the whole
+    * corpus, amortizing only the k-means fit. The index owns that
+    * cached state: call [[IvfIndex.release]] when done with it (at
+    * real scale the equivalent is writing `assigned` as a
+    * cell-partitioned table).
     */
   case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
-      nCells: Int)
+      nCells: Int) {
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
   /** The quantizer metric must match the scoring metric: final scores
     * are cosine, so cluster and probe on L2-NORMALIZED vectors
@@ -104,8 +110,13 @@ object Similarity {
     transform(d, x => coalesce(x / nullif(n, lit(0.0)), lit(0.0)))
   }
 
+  /** @param cache persist the cell assignment (the long-lived-index
+    *               contract; callers own [[IvfIndex.release]]). Pass
+    *               false for one-shot fit+probe compositions, which
+    *               would otherwise leak the cached RDD.
+    */
   def ivfFit(corpus: DataFrame, nCells: Int = 16,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L, cache: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = Ops.spreadNarrow(corpus)
@@ -117,9 +128,12 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
-    val assigned = model.transform(featured)
+    val raw = model.transform(featured)
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
         col("cell"))
+    val assigned = if (cache)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -154,7 +168,7 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
-    ivfProbe(ivfFit(corpus, nCells, seed), queries, k, nProbe)
+    ivfProbe(ivfFit(corpus, nCells, seed, cache = false), queries, k, nProbe)
 
   /** Int8 scalar-quantized (SQ8) top-k: score the corpus with integer
     * cosine over 4×-smaller int8 codes ([[graft.expressions.Kernels
@@ -185,9 +199,12 @@ object Similarity {
         sq8_cosine(col("q_code"), col("c_code")).as("sq8_cos"))
     val shortlist = graft.functions.TopK.perKey(coarse, rerank)
       .select("query_id", "corpus_id")
-    // exact rerank: corpus rows stream once against the broadcast
-    // shortlist; raw embeddings are only materialized for survivors
-    val exact = wideCorpus
+    // exact rerank: the ORIGINAL corpus streams once against the
+    // broadcast shortlist (no second spread — the broadcast-filtered
+    // scan does almost no per-row work, so the coarse pass's widened
+    // copy is not re-materialized); raw embeddings only surface for
+    // survivors
+    val exact = corpus
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
       .join(broadcast(shortlist), "corpus_id")
       .join(broadcast(queries.select(col("id").as("query_id"),

@@ -354,7 +354,6 @@ object Scale {
   private val aggSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def incrAgg(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
     val path = aggSeeded.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_incragg_seed").toString + "/agg"

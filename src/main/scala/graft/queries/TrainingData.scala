@@ -391,15 +391,16 @@ object TrainingData {
     * scoring over 4×-smaller codes, exact float rerank of a bounded
     * shortlist. Because the rerank recomputes exact cosine, the result
     * equals `e_ann_topk` whenever the true top-5 survive the coarse
-    * ranking — they do on this corpus at rerank=25 (SimilaritySpec pins
-    * the rerank ≥ |corpus| ≡ brute-force law and the shared oracle
-    * checks the practical setting), so it shares the brute-force SQL
-    * oracle.
+    * ranking — a 10×k shortlist (rerank=50) leaves a wide margin over
+    * the observed int8 ranking error on this corpus (SimilaritySpec
+    * pins the rerank ≥ |corpus| ≡ brute-force law and recall at the
+    * tighter rerank=25; the shared oracle checks this setting), so it
+    * shares the brute-force SQL oracle.
     */
   private def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val all = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
-    Similarity.sq8TopK(all, all.filter(col("id") < 5), k = 5, rerank = 25)
+    Similarity.sq8TopK(all, all.filter(col("id") < 5), k = 5, rerank = 50)
       .orderBy("query_id", "rank")
   }
 

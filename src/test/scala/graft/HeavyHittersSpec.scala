@@ -34,6 +34,22 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("high-cardinality tail: summary stays bounded, heavies survive") {
+    // 200k distinct singleton keys (>> the localM*8 counter budget)
+    // drowning 5 heavy keys: Misra-Gries must keep the summary at the
+    // cap and still surface every heavy key
+    val heavies = (0 until 5).flatMap(i => Seq.fill(5000)(s"hot$i"))
+    val tail = (0 until 200000).map(i => s"tail$i")
+    val df = (heavies ++ tail).zipWithIndex
+      .map { case (k, i) => (i % 8, k) }.toDF("p", "token")
+      .repartition(8, col("p")).select("token")
+    val got = HeavyHitters.approxTopK(df, "token", k = 5, localM = 64)
+      .as[(String, Long)].collect()
+    assert(got.map(_._1).toSet == (0 until 5).map(i => s"hot$i").toSet,
+      s"heavy keys lost: ${got.toSeq}")
+    got.foreach { case (_, est) => assert(est >= 5000L) }
+  }
+
   test("ties order deterministically by key") {
     val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("z"))
       .toDF("token")

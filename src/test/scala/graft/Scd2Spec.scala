@@ -76,6 +76,22 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("late batch (version <= open row's valid_from) is a no-op") {
+    val path = java.nio.file.Files
+      .createTempDirectory("scd2spec_late").toString + "/dim"
+    Ops.scd2Merge(spark, path, dim((1L, "v1", 1.0, 1L)), Seq("id"))
+    Ops.scd2Merge(spark, path, dim((1L, "v3", 3.0, 3L)), Seq("id"))
+    val after = snapshot(path)
+    // a straggler carrying the OLD attrs at an old version must not
+    // close the newer open row or resurrect stale data as current
+    Ops.scd2Merge(spark, path, dim((1L, "v2-late", 2.0, 2L)), Seq("id"))
+    assert(snapshot(path) == after)
+    // equal-version different-attrs is also late (closing would make a
+    // zero-length interval)
+    Ops.scd2Merge(spark, path, dim((1L, "v3-conflict", 9.0, 3L)), Seq("id"))
+    assert(snapshot(path) == after)
+  }
+
   test("latest-wins dedup inside one batch") {
     val path = java.nio.file.Files
       .createTempDirectory("scd2spec_dd").toString + "/dim"
