@@ -78,6 +78,33 @@ object Ingest {
       |WHERE strftime(o_orderdate, '%Y-%m-%d') > '1996-12-31'
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** The reference's A1 (MAX watermark) + A2 (COUNT verification)
+    * probes computed AT the source: an ungrouped max/count over the
+    * connector is completely pushed
+    * ([[graft.sources.DuneDataSource]]'s SupportsPushDownAggregates) —
+    * the scan emits ONE aggregate row and no rows ever materialize
+    * into Spark, mirroring the server-side probe the real Dune seam
+    * would run. PlanSpec asserts the plan carries the pushed
+    * aggregates and no aggregate exec above the scan.
+    */
+  private def duneWatermark(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("dune").schema(duneSchema)
+      .option("path", ordersFixture(spark, dir))
+      .option("queryId", DuneQueryId.toString)
+      .load()
+      .filter(col("o_orderdate") > "1996-12-31")
+      .agg(max(col("o_orderdate")).as("max_watermark"),
+        count(lit(1)).as("n_rows"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+
+  private val duneWatermarkSql =
+    """SELECT max(strftime(o_orderdate, '%Y-%m-%d')) AS max_watermark,
+      |  count(*) AS n_rows,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') > '1996-12-31'""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)))
+    NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
+    NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)))
 }

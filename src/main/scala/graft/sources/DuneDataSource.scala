@@ -10,7 +10,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -102,10 +103,12 @@ private class DuneTable(tableSchema: StructType, path: String) extends Table
 
 private class DuneScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Array[AggregateFunc], StructType)] = None
 
   /** Accept the comparison shapes the Dune parameter protocol can
     * express (the watermark is `col > value` — `__main__.py:114-123`);
@@ -141,9 +144,199 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // once an aggregation is pushed the scan's output IS the aggregate
+    // schema; the pruning call that follows refers to that same shape
+    if (pushedAgg.isEmpty) required = requiredSchema
 
-  override def build(): Scan = new DuneScan(required, pushed, path)
+  // ---- aggregate pushdown (the reference's A1 MAX-watermark and A2
+  // COUNT probes computed AT the source — server-side in the real Dune
+  // protocol, one in-scan pass over the payload here) ----
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      fullSchema.fields.find(_.name == nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def minMaxable(f: StructField): Boolean = f.dataType match {
+    case LongType | IntegerType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** Ungrouped COUNT(*) / COUNT(col) / MIN / MAX over the primitive
+    * columns the JSON parser handles exactly; anything else (group-bys,
+    * distinct counts, sums — double summation order would differ from
+    * Catalyst's) is left to Spark above the scan.
+    */
+  private def planAgg(agg: Aggregation)
+      : Option[(Array[AggregateFunc], StructType)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val fields = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Some(StructField("count(*)", LongType, nullable = false))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f =>
+          StructField(s"count(${f.name})", LongType, nullable = false))
+      case m: Max => fieldOf(m.column).filter(minMaxable)
+        .map(f => StructField(s"max(${f.name})", f.dataType))
+      case m: Min => fieldOf(m.column).filter(minMaxable)
+        .map(f => StructField(s"min(${f.name})", f.dataType))
+      case _ => None
+    }
+    if (fields.exists(_.isEmpty)) None
+    else Some((agg.aggregateExpressions, StructType(fields.map(_.get).toSeq)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planAgg(agg) match {
+      case Some(p) => pushedAgg = Some(p); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((funcs, aggSchema)) =>
+      new DuneAggScan(fullSchema, aggSchema, funcs, pushed, path)
+    case None => new DuneScan(required, pushed, path)
+  }
+}
+
+/** Completely-pushed ungrouped aggregation: ONE partition spanning the
+  * payload (a complete result must be a single row, and the real seam
+  * would compute it server-side anyway), filters applied first, one
+  * typed fold over the referenced columns.
+  */
+private class DuneAggScan(fullSchema: StructType, aggSchema: StructType,
+    funcs: Array[AggregateFunc], filters: Array[Filter], path: String)
+    extends Scan with Batch {
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"DuneAggScan path=$path, PushedAggregates=[${funcs.mkString(", ")}], " +
+      s"PushedFilters=[${filters.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = hadoopConf.value
+    val p = new Path(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    Array(DunePartition(path, 0L, len))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DuneAggReaderFactory(fullSchema, aggSchema, funcs, filters, hadoopConf)
+}
+
+private class DuneAggReaderFactory(fullSchema: StructType,
+    aggSchema: StructType, funcs: Array[AggregateFunc],
+    filters: Array[Filter],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DuneAggReader(fullSchema, aggSchema, funcs, filters,
+      p.asInstanceOf[DunePartition], hadoopConf)
+}
+
+/** Folds the filtered rows of its split into one aggregate row. Reuses
+  * [[DuneReader]] for line framing, filter evaluation, and typed
+  * projection: the input schema is the distinct set of referenced
+  * columns, each aggregate folds over its column's slot.
+  */
+private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
+    funcs: Array[AggregateFunc], filters: Array[Filter],
+    part: DunePartition,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private val inputCols: Seq[String] = funcs.toSeq.flatMap {
+    case c: Count => refName(c.column)
+    case m: Max => refName(m.column)
+    case m: Min => refName(m.column)
+    case _ => None
+  }.distinct
+  private val inputSchema = StructType(
+    inputCols.map(n => fullSchema.fields.find(_.name == n).get))
+  private def slot(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Int = inputCols.indexOf(refName(e).get)
+
+  private var done = false
+  private var result: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val rows = new DuneReader(inputSchema, filters, part, hadoopConf)
+    val counts = new Array[Long](funcs.length)
+    val extremes = new Array[Any](funcs.length)
+    try {
+      while (rows.next()) {
+        val row = rows.get()
+        var i = 0
+        while (i < funcs.length) {
+          funcs(i) match {
+            case _: CountStar => counts(i) += 1
+            case c: Count =>
+              if (!row.isNullAt(slot(c.column))) counts(i) += 1
+            case m: Max =>
+              fold(row, slot(m.column), i, extremes, keepGreater = true)
+            case m: Min =>
+              fold(row, slot(m.column), i, extremes, keepGreater = false)
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+    } finally rows.close()
+    result = InternalRow.fromSeq(funcs.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => counts(i)
+      case (_: Count, i) => counts(i)
+      case (_, i) => extremes(i)
+    })
+    done = true
+    true
+  }
+
+  /** Null-skipping typed min/max fold; `extremes(i)` holds the running
+    * value in the column's Catalyst representation.
+    */
+  private def fold(row: InternalRow, col: Int, i: Int,
+      extremes: Array[Any], keepGreater: Boolean): Unit = {
+    if (row.isNullAt(col)) return
+    val dt = inputSchema.fields(col).dataType
+    val v: Any = dt match {
+      case LongType => row.getLong(col)
+      case IntegerType => row.getInt(col)
+      case DoubleType => row.getDouble(col)
+      case StringType => row.getUTF8String(col).copy()
+      case other => sys.error(s"unsupported min/max type $other")
+    }
+    val cur = extremes(i)
+    if (cur == null) { extremes(i) = v; return }
+    val c = dt match {
+      case LongType => java.lang.Long.compare(
+        v.asInstanceOf[Long], cur.asInstanceOf[Long])
+      case IntegerType => java.lang.Integer.compare(
+        v.asInstanceOf[Int], cur.asInstanceOf[Int])
+      case DoubleType => java.lang.Double.compare(
+        v.asInstanceOf[Double], cur.asInstanceOf[Double])
+      case StringType => v.asInstanceOf[UTF8String]
+        .compareTo(cur.asInstanceOf[UTF8String])
+      case other => sys.error(s"unsupported min/max type $other")
+    }
+    if ((keepGreater && c > 0) || (!keepGreater && c < 0)) extremes(i) = v
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = ()
 }
 
 private class DuneScan(schema: StructType, filters: Array[Filter],

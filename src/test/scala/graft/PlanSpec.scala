@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
       prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q_dune_watermark: the MAX/COUNT probe is pushed INTO the scan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = q("q_dune_watermark")
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a BatchScanExec leaf")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedAggregates=[MAX(o_orderdate), COUNT(*), " +
+      "MAX(o_totalprice)]"), s"aggregates not pushed: $desc")
+    assert(desc.contains("GreaterThan(o_orderdate,1996-12-31)"),
+      s"watermark filter must still reach the scan: $desc")
+    // complete pushdown: no aggregate exec runs above the scan
+    assert(!phys.toString.contains("HashAggregate"),
+      s"aggregation must not re-run above the scan:\n$phys")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the automatic counterpart to Joins.saltedEquiJoin: one key
     // carrying most of the rows becomes one straggler partition unless
