@@ -192,4 +192,40 @@ class DuneDataSourceSpec extends SparkSpec {
     val want = (1 to 500).count(i => f"2025-01-${i % 28 + 1}%02d".endsWith("5"))
     assert(df.count() == want)
   }
+
+  test("aggregate pushdown: max/count computed in the scan, edges included") {
+    // happy path: plan shows a pushed aggregate, values match plain json
+    val agg = dune.filter(col("n") > 100)
+      .agg(max("price").as("mx"), count(lit(1)).as("n_rows"))
+    val scan = agg.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description() }
+    assert(scan.exists(_.contains("PushedAggregates=[MAX(price), COUNT(*)]")),
+      s"expected pushed aggregates: $scan")
+    val want = spark.read.json(s"$dir/5816212.json").filter(col("n") > 100)
+      .agg(max("price"), count(lit(1))).head
+    assert(agg.head == want)
+
+    // empty-after-filter: ONE row, null max, zero count (global-agg law)
+    val empty = dune.filter(col("n") > 100000)
+      .agg(max("price").as("mx"), count(lit(1)).as("n_rows")).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0) &&
+      empty.head.getLong(1) == 0L)
+
+    // count(col) skips nulls where count(*) does not
+    val d2 = tmpDir("dune_agg_nulls")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d2/7.json"),
+      Seq("""{"a":1, "b":"x"}""", """{"a":2}""", """{"a":3, "b":null}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val withNulls = spark.read.format("dune")
+      .option("path", d2).option("queryId", "7").load()
+      .agg(count(col("b")).as("nb"), count(lit(1)).as("all")).head
+    assert(withNulls.getLong(0) == 1L && withNulls.getLong(1) == 3L)
+
+    // grouped aggregation is NOT pushed (stays above the scan)
+    val grouped = dune.groupBy("date").agg(count(lit(1)))
+    val gplan = grouped.queryExecution.executedPlan.toString()
+    assert(gplan.contains("HashAggregate"),
+      s"grouped agg must stay above the scan:\n$gplan")
+  }
 }
