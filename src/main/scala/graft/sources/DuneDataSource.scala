@@ -104,11 +104,19 @@ private class DuneTable(tableSchema: StructType, path: String) extends Table
 private class DuneScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Array[AggregateFunc], StructType)] = None
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown: each split stops parsing after `n`
+    * accepted rows (Spark re-applies the global limit above), so a
+    * preview query over a huge payload reads a prefix, not the file.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   /** Accept the comparison shapes the Dune parameter protocol can
     * express (the watermark is `col > value` — `__main__.py:114-123`);
@@ -200,7 +208,7 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
   override def build(): Scan = pushedAgg match {
     case Some((funcs, aggSchema)) =>
       new DuneAggScan(fullSchema, aggSchema, funcs, pushed, path)
-    case None => new DuneScan(required, pushed, path)
+    case None => new DuneScan(required, pushed, path, limit)
   }
 }
 
@@ -340,7 +348,24 @@ private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
 }
 
 private class DuneScan(schema: StructType, filters: Array[Filter],
-    path: String) extends Scan with Batch {
+    path: String, limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Payload byte size as the size estimate (row count unknown without
+    * a scan) — enough for the planner's broadcast/shuffle decisions
+    * over the connector.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val p = new Path(path)
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   // Captured on the driver so executors open the file through the
   // SESSION's Hadoop configuration (S3A credentials, nameservices…) —
   // a bare `new Configuration()` on the executor would drop all of it.
@@ -350,6 +375,7 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
   override def readSchema(): StructType = schema
   override def description(): String =
     s"DuneScan path=$path, PushedFilters=[${filters.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit=$limit, " else "") +
       s"ReadSchema=${schema.simpleString}"
   override def toBatch: Batch = this
 
@@ -370,23 +396,28 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DuneReaderFactory(schema, filters, hadoopConf)
+    new DuneReaderFactory(schema, filters, hadoopConf, limit)
 }
 
 private case class DunePartition(path: String, start: Long, end: Long)
     extends InputPartition
 
 private class DuneReaderFactory(schema: StructType, filters: Array[Filter],
-    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration,
+    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DuneReader(schema, filters, p.asInstanceOf[DunePartition], hadoopConf)
+    new DuneReader(schema, filters, p.asInstanceOf[DunePartition],
+      hadoopConf, limit)
 }
 
 private class DuneReader(schema: StructType, filters: Array[Filter],
     part: DunePartition,
-    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration,
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val mapper = new ObjectMapper()
   private val fs = new Path(part.path)
@@ -433,6 +464,7 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (pos < part.end) {
       val line = readLine()
       if (line == null) return false
@@ -440,6 +472,7 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
         val node = mapper.readTree(line)
         if (accept(node)) {
           current = project(node)
+          emitted += 1
           return true
         }
       }

@@ -228,4 +228,23 @@ class DuneDataSourceSpec extends SparkSpec {
     assert(gplan.contains("HashAggregate"),
       s"grouped agg must stay above the scan:\n$gplan")
   }
+
+  test("limit pushdown stops the reader; statistics report payload bytes") {
+    val limited = dune.limit(3)
+    val desc = limited.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description() }
+    assert(desc.exists(_.contains("PushedLimit=3")),
+      s"expected a pushed limit: $desc")
+    assert(limited.count() == 3)
+    // limit composes with a pushed filter: 3 rows SATISFYING it
+    val both = dune.filter(col("n") > 400).limit(3)
+      .select("n").as[Long].collect()
+    assert(both.length == 3 && both.forall(_ > 400))
+    // the scan reports payload bytes so the planner can size the source
+    val stats = limited.queryExecution.optimizedPlan.stats
+    val fileLen = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/5816212.json"))
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes <= fileLen * 2,
+      s"stats ${stats.sizeInBytes} should track the $fileLen-byte payload")
+  }
 }
