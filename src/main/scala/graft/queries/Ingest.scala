@@ -80,12 +80,13 @@ object Ingest {
 
   /** The reference's A1 (MAX watermark) + A2 (COUNT verification)
     * probes computed AT the source: an ungrouped max/count over the
-    * connector is completely pushed
+    * connector is pushed PARTIALLY
     * ([[graft.sources.DuneDataSource]]'s SupportsPushDownAggregates) —
-    * the scan emits ONE aggregate row and no rows ever materialize
-    * into Spark, mirroring the server-side probe the real Dune seam
-    * would run. PlanSpec asserts the plan carries the pushed
-    * aggregates and no aggregate exec above the scan.
+    * every byte-range split folds its rows to one partial row and the
+    * final aggregate merges #splits rows, so no fact rows ever
+    * materialize into Spark AND the probe keeps the scan's
+    * parallelism. PlanSpec asserts the scan itself emits the partial
+    * aggregate schema.
     */
   private def duneWatermark(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("dune").schema(duneSchema)

@@ -196,9 +196,11 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
     else Some((agg.aggregateExpressions, StructType(fields.map(_.get).toSeq)))
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).isDefined
-
+  // PARTIAL pushdown only (supportCompletePushDown stays false): each
+  // byte-range split folds its rows to one partial row and Spark's
+  // final aggregate merges them — the probe keeps the connector's
+  // split parallelism instead of serializing a multi-GB payload onto
+  // one task, and the final agg touches #splits rows, not the payload.
   override def pushAggregation(agg: Aggregation): Boolean =
     planAgg(agg) match {
       case Some(p) => pushedAgg = Some(p); true
@@ -212,39 +214,45 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
   }
 }
 
-/** Completely-pushed ungrouped aggregation: ONE partition spanning the
-  * payload (a complete result must be a single row, and the real seam
-  * would compute it server-side anyway), filters applied first, one
-  * typed fold over the referenced columns.
+/** Partially-pushed ungrouped aggregation: the SAME byte-range splits
+  * as the row scan, each folding its filtered rows to ONE partial row
+  * (null-skipping min/max, per-split counts); Spark's final aggregate
+  * merges #splits rows. Parallelism is preserved and no fact rows
+  * materialize into Spark.
   */
 private class DuneAggScan(fullSchema: StructType, aggSchema: StructType,
     funcs: Array[AggregateFunc], filters: Array[Filter], path: String)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
+  private lazy val splits = DuneSplits.byteRanges(path, hadoopConf.value)
 
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"DuneAggScan path=$path, PushedAggregates=[${funcs.mkString(", ")}], " +
       s"PushedFilters=[${filters.mkString(", ")}]"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = hadoopConf.value
-    val p = new Path(path)
-    val len = p.getFileSystem(conf).getFileStatus(p).getLen
-    Array(DunePartition(path, 0L, len))
+  override def planInputPartitions(): Array[InputPartition] =
+    splits.map(_.asInstanceOf[InputPartition])
+
+  /** Exactly known: one partial row per split. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(splits.length.toLong * 128L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(splits.length.toLong)
   }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new DuneAggReaderFactory(fullSchema, aggSchema, funcs, filters, hadoopConf)
+    new DuneAggReaderFactory(fullSchema, funcs, filters, hadoopConf)
 }
 
 private class DuneAggReaderFactory(fullSchema: StructType,
-    aggSchema: StructType, funcs: Array[AggregateFunc],
-    filters: Array[Filter],
+    funcs: Array[AggregateFunc], filters: Array[Filter],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DuneAggReader(fullSchema, aggSchema, funcs, filters,
+    new DuneAggReader(fullSchema, funcs, filters,
       p.asInstanceOf[DunePartition], hadoopConf)
 }
 
@@ -253,7 +261,7 @@ private class DuneAggReaderFactory(fullSchema: StructType,
   * projection: the input schema is the distinct set of referenced
   * columns, each aggregate folds over its column's slot.
   */
-private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
+private class DuneAggReader(fullSchema: StructType,
     funcs: Array[AggregateFunc], filters: Array[Filter],
     part: DunePartition,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
@@ -274,8 +282,16 @@ private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
   }.distinct
   private val inputSchema = StructType(
     inputCols.map(n => fullSchema.fields.find(_.name == n).get))
-  private def slot(e: org.apache.spark.sql.connector.expressions.Expression)
-      : Int = inputCols.indexOf(refName(e).get)
+  // hot-loop state, resolved ONCE: slot index and column type per func
+  // (-1 = CountStar, no column)
+  private val slots: Array[Int] = funcs.map {
+    case c: Count => inputCols.indexOf(refName(c.column).get)
+    case m: Max => inputCols.indexOf(refName(m.column).get)
+    case m: Min => inputCols.indexOf(refName(m.column).get)
+    case _ => -1
+  }
+  private val slotTypes: Array[DataType] =
+    slots.map(i => if (i < 0) NullType else inputSchema.fields(i).dataType)
 
   private var done = false
   private var result: InternalRow = _
@@ -292,12 +308,9 @@ private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
         while (i < funcs.length) {
           funcs(i) match {
             case _: CountStar => counts(i) += 1
-            case c: Count =>
-              if (!row.isNullAt(slot(c.column))) counts(i) += 1
-            case m: Max =>
-              fold(row, slot(m.column), i, extremes, keepGreater = true)
-            case m: Min =>
-              fold(row, slot(m.column), i, extremes, keepGreater = false)
+            case _: Count => if (!row.isNullAt(slots(i))) counts(i) += 1
+            case _: Max => fold(row, i, extremes, keepGreater = true)
+            case _: Min => fold(row, i, extremes, keepGreater = false)
             case _ => ()
           }
           i += 1
@@ -316,11 +329,11 @@ private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
   /** Null-skipping typed min/max fold; `extremes(i)` holds the running
     * value in the column's Catalyst representation.
     */
-  private def fold(row: InternalRow, col: Int, i: Int,
+  private def fold(row: InternalRow, i: Int,
       extremes: Array[Any], keepGreater: Boolean): Unit = {
+    val col = slots(i)
     if (row.isNullAt(col)) return
-    val dt = inputSchema.fields(col).dataType
-    val v: Any = dt match {
+    val v: Any = slotTypes(i) match {
       case LongType => row.getLong(col)
       case IntegerType => row.getInt(col)
       case DoubleType => row.getDouble(col)
@@ -329,7 +342,7 @@ private class DuneAggReader(fullSchema: StructType, aggSchema: StructType,
     }
     val cur = extremes(i)
     if (cur == null) { extremes(i) = v; return }
-    val c = dt match {
+    val c = slotTypes(i) match {
       case LongType => java.lang.Long.compare(
         v.asInstanceOf[Long], cur.asInstanceOf[Long])
       case IntegerType => java.lang.Integer.compare(
@@ -355,14 +368,13 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
     * a scan) — enough for the planner's broadcast/shuffle decisions
     * over the connector.
     */
+  private lazy val payloadBytes: Long = {
+    val p = new Path(path)
+    p.getFileSystem(hadoopConf.value).getFileStatus(p).getLen
+  }
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      val p = new Path(path)
-      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).getLen
-    }
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(payloadBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -382,21 +394,29 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
   /** Byte-range splits; each reader starts at the first line boundary
     * past its offset, so no line is read twice or skipped.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = hadoopConf.value
+  override def planInputPartitions(): Array[InputPartition] =
+    DuneSplits.byteRanges(path, hadoopConf.value)
+      .map(_.asInstanceOf[InputPartition])
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DuneReaderFactory(schema, filters, hadoopConf, limit)
+}
+
+private object DuneSplits {
+  /** ≥4 MiB byte-range splits capped at the session's parallelism —
+    * the one split planner both scan shapes share.
+    */
+  def byteRanges(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[DunePartition] = {
     val p = new Path(path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
     val targetSplits = math.max(1,
       math.min(SparkSession.active.sparkContext.defaultParallelism,
-        (len / (4L << 20)).toInt + 1)) // ≥4 MiB per split
+        (len / (4L << 20)).toInt + 1))
     val step = math.max(1L, len / targetSplits)
     (0L until len by step).map(start =>
-      DunePartition(path, start, math.min(start + step, len))
-        .asInstanceOf[InputPartition]).toArray
+      DunePartition(path, start, math.min(start + step, len))).toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DuneReaderFactory(schema, filters, hadoopConf, limit)
 }
 
 private case class DunePartition(path: String, start: Long, end: Long)

@@ -197,7 +197,12 @@ class DuneDataSourceSpec extends SparkSpec {
     // happy path: plan shows a pushed aggregate, values match plain json
     val agg = dune.filter(col("n") > 100)
       .agg(max("price").as("mx"), count(lit(1)).as("n_rows"))
-    val scan = agg.queryExecution.executedPlan.collectFirst {
+    val phys = agg.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
       case b: BatchScanExec => b.scan.description() }
     assert(scan.exists(_.contains("PushedAggregates=[MAX(price), COUNT(*)]")),
       s"expected pushed aggregates: $scan")

@@ -197,9 +197,13 @@ class PlanSpec extends SparkSpec {
       "MAX(o_totalprice)]"), s"aggregates not pushed: $desc")
     assert(desc.contains("GreaterThan(o_orderdate,1996-12-31)"),
       s"watermark filter must still reach the scan: $desc")
-    // complete pushdown: no aggregate exec runs above the scan
-    assert(!phys.toString.contains("HashAggregate"),
-      s"aggregation must not re-run above the scan:\n$phys")
+    // partial pushdown: the scan's output IS the partial aggregate
+    // schema (one row per split) — Spark's final agg merges #splits
+    // rows, never the payload's
+    assert(scans.head.scan.readSchema().fieldNames.toSet ==
+      Set("max(o_orderdate)", "count(*)", "max(o_totalprice)"),
+      s"scan must emit partial aggregate rows: " +
+        scans.head.scan.readSchema().simpleString)
   }
 
   test("AQE splits a skewed join partition at runtime") {
