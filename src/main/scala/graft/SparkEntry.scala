@@ -37,8 +37,8 @@ object SparkEntry {
     *    most of the n² pairs — at sf0.1 that is the answer, not an
     *    inefficiency). They stay in the correctness gate at sf0.01;
     *    their frequency-capped twins `d_jaccard_capped` /
-    *    `d_minhash_capped` (maxDf = 0.8 — the scale path) ARE in the
-    *    bench set.
+    *    `d_minhash_capped` (trigram shingles, maxDf = 0.004 — the
+    *    scale path) ARE in the bench set.
     *  - the three streaming-engine queries, whose data computation is
     *    already benched by their batch twins (`ev_tumbling_hourly`,
     *    `ev_asof_click`, the events scan); what they add is fixed

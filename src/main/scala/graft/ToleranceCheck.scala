@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   * `no_oracle`. The same properties are enforced as hard assertions in
   * ScaleSpec / SimilaritySpec / DedupSpec; this is their driver-visible
   * form, computed on the Verify scale factor.
+  *
+  * Inputs are the parquet results Verify just wrote under `outDir` —
+  * never recomputed (the exact similarity twins are deliberately
+  * quadratic; running them twice would double Verify's wall-clock).
+  * Each check is isolated: one failing or missing input yields one
+  * failed Check row, never an empty artifact.
   */
 object ToleranceCheck {
 
   case class Check(metric: String, value: Double, bound: Double,
       pass: Boolean, note: String)
 
-  def run(spark: SparkSession, dir: String): Seq[(String, Check)] = {
-    val q = SparkEntry.queries
-    def res(name: String): DataFrame = q(name)(spark, dir)
+  def run(spark: SparkSession, outDir: String): Seq[(String, Check)] = {
+    def res(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
 
     def pairSet(df: DataFrame): Set[(Long, Long)] =
       df.select(col("id_a").cast("long"), col("id_b").cast("long"))
@@ -32,27 +37,35 @@ object ToleranceCheck {
       if (want.isEmpty) 1.0 else got.intersect(want).size.toDouble / want.size
 
     val checks = Seq.newBuilder[(String, Check)]
+    def check(name: String)(body: => Check): Unit =
+      try checks += name -> body
+      catch { case e: Throwable =>
+        checks += name -> Check("check_error", -1.0, 0.0, pass = false,
+          s"tolerance check failed to run: ${e.getMessage}")
+      }
 
     // HLL++ sketch vs exact distinct (both columns live in the query)
-    val adErr = res("q_approx_distinct")
-      .select((abs(col("approx_parts") - col("exact_parts")) /
-        col("exact_parts")).as("rel_err"))
-      .agg(max("rel_err")).head.getDouble(0)
-    checks += "q_approx_distinct" -> Check("max_rel_err_vs_exact", adErr,
-      0.15, adErr <= 0.15,
-      "approx_count_distinct vs countDistinct(l_partkey) per l_suppkey; " +
-        "HLL++ default rsd=0.05, bound = 3 sigma for the max over groups")
+    check("q_approx_distinct") {
+      val adErr = res("q_approx_distinct")
+        .select((abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts")).as("rel_err"))
+        .agg(coalesce(max("rel_err"), lit(0.0))).head.getDouble(0)
+      Check("max_rel_err_vs_exact", adErr, 0.15, adErr <= 0.15,
+        "approx_count_distinct vs countDistinct(l_partkey) per l_suppkey; " +
+          "HLL++ default rsd=0.05, bound = 3 sigma for the max over groups")
+    }
 
     // percentile sketch vs exact interpolated percentiles
-    val apErr = res("q_approx_percentiles").alias("a")
-      .join(res("q_percentiles").alias("e"), Seq("priority"))
-      .select(greatest(
-        abs(col("p50_approx") - col("p50")) / col("p50"),
-        abs(col("p95_approx") - col("p95")) / col("p95")).as("rel_err"))
-      .agg(max("rel_err")).head.getDouble(0)
-    checks += "q_approx_percentiles" -> Check("max_rel_err_vs_exact", apErr,
-      0.02, apErr <= 0.02,
-      "percentile_approx(10k sketch) vs exact percentile, p50+p95")
+    check("q_approx_percentiles") {
+      val apErr = res("q_approx_percentiles").alias("a")
+        .join(res("q_percentiles").alias("e"), Seq("priority"))
+        .select(greatest(
+          abs(col("p50_approx") - col("p50")) / col("p50"),
+          abs(col("p95_approx") - col("p95")) / col("p95")).as("rel_err"))
+        .agg(coalesce(max("rel_err"), lit(0.0))).head.getDouble(0)
+      Check("max_rel_err_vs_exact", apErr, 0.02, apErr <= 0.02,
+        "percentile_approx(10k sketch) vs exact percentile, p50+p95")
+    }
 
     // FNV fingerprint dedup must reproduce the exact word-set groups
     // (collision-free on this corpus): same (keep_id, dup_count) set
@@ -60,68 +73,80 @@ object ToleranceCheck {
       res(name).select(col("keep_id").cast("long"),
         col("dup_count").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fpMatch = groups("d_dedup_fingerprint") == groups("d_dedup_exact")
-    checks += "d_dedup_fingerprint" -> Check("groups_equal_exact_twin",
-      if (fpMatch) 1.0 else 0.0, 1.0, fpMatch,
-      "fnv1a64 fingerprint groups == exact word-set groups (no collisions)")
+    check("d_dedup_fingerprint") {
+      val fpMatch = groups("d_dedup_fingerprint") == groups("d_dedup_exact")
+      Check("groups_equal_exact_twin",
+        if (fpMatch) 1.0 else 0.0, 1.0, fpMatch,
+        "fnv1a64 fingerprint groups == exact word-set groups (no collisions)")
+    }
 
     // MinHash candidates must recall the exact high-jaccard pairs
-    val exactPairs = pairSet(res("d_jaccard_pairs"))
-    val mhRecall = recall(pairSet(res("d_minhash_pairs")), exactPairs)
-    checks += "d_minhash_pairs" -> Check("recall_vs_exact_jaccard", mhRecall,
-      0.95, mhRecall >= 0.95,
-      "fraction of exact jaccard>=0.6 pairs present at est_jaccard>=0.5")
+    check("d_minhash_pairs") {
+      val mhRecall = recall(pairSet(res("d_minhash_pairs")),
+        pairSet(res("d_jaccard_pairs")))
+      Check("recall_vs_exact_jaccard", mhRecall, 0.95, mhRecall >= 0.95,
+        "fraction of exact jaccard>=0.6 pairs present at est_jaccard>=0.5")
+    }
 
-    val cappedRecall = recall(pairSet(res("d_minhash_capped")),
-      pairSet(res("d_jaccard_capped")))
-    checks += "d_minhash_capped" -> Check("recall_vs_exact_jaccard", cappedRecall,
-      0.95, cappedRecall >= 0.95,
-      "trigram-shingled capped (maxDf=0.004) minhash vs capped exact " +
-        "jaccard, threshold 0.6")
+    check("d_minhash_capped") {
+      val cappedRecall = recall(pairSet(res("d_minhash_capped")),
+        pairSet(res("d_jaccard_capped")))
+      Check("recall_vs_exact_jaccard", cappedRecall, 0.95,
+        cappedRecall >= 0.95,
+        "trigram-shingled capped (maxDf=0.004) minhash vs capped exact " +
+          "jaccard, threshold 0.6")
+    }
 
     // SimHash: every emitted pair within the declared hamming budget
     // (exact signature values are pinned bit-for-bit in DedupSpec)
-    val shMax = res("d_simhash_pairs")
-      .agg(coalesce(max("hamming"), lit(0)).cast("double")).head.getDouble(0)
-    checks += "d_simhash_pairs" -> Check("max_hamming", shMax, 3.0,
-      shMax <= 3.0, "banded candidates filtered to hamming<=3; exact " +
-        "signature values pinned in DedupSpec")
+    check("d_simhash_pairs") {
+      val shMax = res("d_simhash_pairs")
+        .agg(coalesce(max("hamming"), lit(0)).cast("double")).head.getDouble(0)
+      Check("max_hamming", shMax, 3.0, shMax <= 3.0,
+        "banded candidates filtered to hamming<=3; exact signature values " +
+          "pinned in DedupSpec")
+    }
 
     // CMS heavy hitters vs the exact token top-20
-    val exactTok = res("d_token_topk")
-      .select(col("token"), col("freq").cast("long"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approxTok = res("d_token_topk_approx")
-      .select(col("token"), col("freq_est").cast("long"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tokOverlap =
-      if (exactTok.isEmpty) 1.0
-      else approxTok.keySet.intersect(exactTok.keySet).size.toDouble /
-        exactTok.size
-    checks += "d_token_topk_approx" -> Check("topk_overlap_vs_exact",
-      tokOverlap, 0.9, tokOverlap >= 0.9,
-      "count-min + per-partition candidates top-20 token overlap with " +
-        "the exact groupBy twin; count error law pinned in HeavyHittersSpec")
+    check("d_token_topk_approx") {
+      val exactTok = res("d_token_topk")
+        .select(col("token"), col("freq").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val approxTok = res("d_token_topk_approx")
+        .select(col("token"), col("freq_est").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tokOverlap =
+        if (exactTok.isEmpty) 1.0
+        else approxTok.keySet.intersect(exactTok.keySet).size.toDouble /
+          exactTok.size
+      Check("topk_overlap_vs_exact", tokOverlap, 0.9, tokOverlap >= 0.9,
+        "count-min + per-partition candidates top-20 token overlap with " +
+          "the exact groupBy twin; count error law pinned in HeavyHittersSpec")
+    }
 
     // LSH / IVF top-k recall vs the brute-force exact twin
-    val exactTopk = topkSet(res("e_ann_topk"))
-    val lshRecall = recall(topkSet(res("e_lsh_topk")), exactTopk)
-    checks += "e_lsh_topk" -> Check("recall_vs_brute_force", lshRecall,
-      0.2, lshRecall >= 0.2,
-      "SRP-LSH (8 bits x 4 tables) top-5 overlap with exact cosine top-5")
-    val ivfRecall = recall(topkSet(res("e_ivf_topk")), exactTopk)
-    checks += "e_ivf_topk" -> Check("recall_vs_brute_force", ivfRecall,
-      0.3, ivfRecall >= 0.3,
-      "IVF partial probing top-5 overlap with exact cosine top-5")
+    check("e_lsh_topk") {
+      val lshRecall = recall(topkSet(res("e_lsh_topk")),
+        topkSet(res("e_ann_topk")))
+      Check("recall_vs_brute_force", lshRecall, 0.2, lshRecall >= 0.2,
+        "SRP-LSH (8 bits x 4 tables) top-5 overlap with exact cosine top-5")
+    }
+    check("e_ivf_topk") {
+      val ivfRecall = recall(topkSet(res("e_ivf_topk")),
+        topkSet(res("e_ann_topk")))
+      Check("recall_vs_brute_force", ivfRecall, 0.3, ivfRecall >= 0.3,
+        "IVF partial probing top-5 overlap with exact cosine top-5")
+    }
 
     // centroid features are means of L1-normalized histograms: each
     // media type's 16 weights must sum to 1 (up to 6-dp rounding)
-    val fcErr = res("mm_feature_centroids")
-      .groupBy("media_type").agg(abs(sum("avg_weight") - 1.0).as("err"))
-      .agg(max("err")).head.getDouble(0)
-    checks += "mm_feature_centroids" -> Check("max_l1_mass_error", fcErr,
-      1e-4, fcErr <= 1e-4,
-      "per-media-type mean histogram retains unit L1 mass")
+    check("mm_feature_centroids") {
+      val fcErr = res("mm_feature_centroids")
+        .groupBy("media_type").agg(abs(sum("avg_weight") - 1.0).as("err"))
+        .agg(coalesce(max("err"), lit(0.0))).head.getDouble(0)
+      Check("max_l1_mass_error", fcErr, 1e-4, fcErr <= 1e-4,
+        "per-media-type mean histogram retains unit L1 mass")
+    }
 
     checks.result()
   }

@@ -37,9 +37,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Quantified health for the no-oracle queries: sketch error vs the
     // exact twin, LSH/IVF recall vs brute force — numbers instead of
-    // `no_oracle` in the round's artifacts.
+    // `no_oracle` in the round's artifacts. Reads the parquet dumped
+    // above, never recomputing the (quadratic) exact twins.
     try {
-      val checks = ToleranceCheck.run(spark, sfDir).map { case (name, c) =>
+      val checks = ToleranceCheck.run(spark, outDir).map { case (name, c) =>
         s"${q(name)}: {${q("metric")}: ${q(c.metric)}, " +
           s"${q("value")}: ${c.value}, ${q("bound")}: ${c.bound}, " +
           s"${q("pass")}: ${c.pass}, ${q("note")}: ${q(c.note)}}"

@@ -147,36 +147,50 @@ object Multimodal {
     * An asset is indivisible, so the hard bound is
     * `task bytes ≤ targetBytesPerTask + largest single asset` (an asset
     * straddling a bucket boundary stays in the bucket where it starts).
-    * Both passes evaluate the same deterministic lineage, so the
-    * partition sums and offsets line up.
+    *
+    * Both passes run over the SAME materialized RDD object — not the
+    * Dataset twice — so they see one fixed partition array: re-planning
+    * the Dataset per action (AQE coalescing the final exchange, a
+    * different partition count between the two queries) would hand
+    * pass 2 partition ids that pass 1 never summed, silently collapsing
+    * the spread. Partition MEMBERSHIP is deterministic for a given RDD;
+    * intra-partition ORDER need not be — per-partition byte sums are
+    * order-independent, and a reordered prefix walk still packs that
+    * partition's assets into the same cumulative byte span, so the
+    * task-size bound holds regardless.
     */
   def spreadByBytes(assets: Dataset[Asset],
       targetBytesPerTask: Long = DefaultBytesPerTask): Dataset[Asset] = {
-    import assets.sparkSession.implicits._
     val target = math.max(1L, targetBytesPerTask)
-    val perPart = assets.toDF()
-      .groupBy(spark_partition_id().as("pid"))
-      .agg(sum(length(col("payload"))).as("bytes"))
-      .as[(Int, Long)].collect().sortBy(_._1)
+    val rdd = assets.rdd
+    val perPart: Array[(Int, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator(pid -> it.map(_.payload.length.toLong).sum)
+      }.collect().sortBy(_._1)
     val total = perPart.map(_._2).sum
     if (total == 0L) return assets.coalesce(1)
     val offsets: Map[Int, Long] = {
       var acc = 0L
       perPart.map { case (pid, b) => val o = pid -> acc; acc += b; o }.toMap
     }
-    val numBuckets = ((total + target - 1) / target).toInt.max(1)
-    val bucketed = assets.mapPartitions { it =>
-      var cum = offsets.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
+    val nb = (total + target - 1) / target
+    require(nb <= Int.MaxValue, s"spreadByBytes: $nb buckets " +
+      s"($total bytes / $target per task) exceeds Int range; raise " +
+      "targetBytesPerTask")
+    val numBuckets = nb.toInt.max(1)
+    val bucketed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets.getOrElse(pid, 0L)
       it.map { a =>
         val b = math.min(cum / target, numBuckets - 1L)
         cum += a.payload.length
         (b, a)
       }
     }
-    val packed = bucketed.rdd.partitionBy(new org.apache.spark.Partitioner {
+    val packed = bucketed.partitionBy(new org.apache.spark.Partitioner {
       override def numPartitions: Int = numBuckets
       override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
     }).values
+    import assets.sparkSession.implicits._
     assets.sparkSession.createDataset(packed)
   }
 

@@ -49,25 +49,40 @@ object ParquetIO {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(
-      path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(path + "__staging_" + suffix)
     val parts = if (df.isEmpty) Nil else partitionCols
     val clustered =
       if (parts.isEmpty) df
       else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-    // On any failure (write or post-delete rename) drop the staging dir:
-    // repeated failed runs must not accumulate orphan __staging_* dirs
-    // beside the target. After a successful rename tmp no longer exists
-    // and the delete is a no-op.
-    try {
-      clustered.write.mode("overwrite")
-        .partitionBy(parts: _*).parquet(tmp.toString)
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"rename $tmp -> $target failed")
-    } finally {
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+    // Write phase: a failure here leaves the target untouched, so the
+    // staging dir is redundant — drop it (repeated failed runs must not
+    // accumulate orphan __staging_* dirs beside the target).
+    try clustered.write.mode("overwrite")
+      .partitionBy(parts: _*).parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // Swap phase: the original is renamed ASIDE — never deleted — before
+    // the staged copy moves in, so no single failure leaves zero copies.
+    // The aside dir is dropped only once the new copy is in place; if
+    // the swap-in fails the original is renamed back and staging is
+    // cleaned (the rewrite is re-runnable). Only the double failure
+    // (swap-in AND restore) leaves artifacts, and then BOTH full copies
+    // survive at the paths named in the exception.
+    val aside = new Path(path + "__replaced_" + suffix)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, aside)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"rename $target -> $aside failed")
     }
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget && !fs.rename(aside, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed AND " +
+          s"restore failed: original preserved at $aside, new data at $tmp")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"rename $tmp -> $target failed " +
+        "(original restored)")
+    }
+    if (hadTarget) fs.delete(aside, true)
   }
 }
 
@@ -285,18 +300,48 @@ object Ops {
         .unionByName(batch, allowMissingColumns = true)
       val root = new Path(targetPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new Path(targetPath + "__staging_" +
-        java.util.UUID.randomUUID().toString.take(8))
+      val suffix = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(targetPath + "__staging_" + suffix)
       clustered(merged).write.partitionBy(partitionCol).mode("overwrite")
         .parquet(tmp.toString)
+      // Per-directory aside-swap (same no-zero-copies policy as
+      // overwriteSafe): the original partition dir is renamed aside,
+      // never deleted, until its replacement is in place. A failed
+      // partial swap leaves every original intact (in place or
+      // restored) and the merge is idempotent to re-run; only the
+      // swap-in+restore double failure preserves the staging dir, with
+      // both copies' paths in the exception.
+      val asideRoot = new Path(targetPath + "__replaced_" + suffix)
+      var preserveStaging = false
       try touched.foreach { v =>
         val dir = s"$partitionCol=$v"
         val src = new Path(tmp, dir)
         val dst = new Path(root, dir)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src) && !fs.rename(src, dst))
-          throw new java.io.IOException(s"rename $src -> $dst failed")
-      } finally fs.delete(tmp, true)
+        if (fs.exists(src)) {
+          val aside = new Path(asideRoot, dir)
+          val had = fs.exists(dst)
+          if (had) {
+            fs.mkdirs(asideRoot)
+            if (!fs.rename(dst, aside))
+              throw new java.io.IOException(s"rename $dst -> $aside failed")
+          }
+          if (!fs.rename(src, dst)) {
+            if (had && !fs.rename(aside, dst)) {
+              preserveStaging = true
+              throw new java.io.IOException(s"rename $src -> $dst failed " +
+                s"AND restore failed: original preserved at $aside, " +
+                s"merged data at $src")
+            }
+            throw new java.io.IOException(s"rename $src -> $dst failed " +
+              "(original restored)")
+          }
+          if (had) fs.delete(aside, true)
+        }
+      } finally {
+        if (!preserveStaging) fs.delete(tmp, true)
+        if (fs.exists(asideRoot) && fs.listStatus(asideRoot).isEmpty)
+          fs.delete(asideRoot, true)
+      }
     }
   }
 
@@ -333,8 +378,15 @@ object Ops {
     if (small.isEmpty) return 0
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val inferWas = spark.conf.get(inferKey)
-    val tmp = new Path(targetPath + "__staging_" +
-      java.util.UUID.randomUUID().toString.take(8))
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(targetPath + "__staging_" + suffix)
+    // Aside-swap per directory (the overwriteSafe policy): originals are
+    // renamed aside — never deleted — until the compacted copy is in
+    // place, so no failure leaves a partition with zero copies. The
+    // aside root sits OUTSIDE the table root: a dir named
+    // "<col>=v__old" under the root would parse as a phantom partition.
+    val asideRoot = new Path(targetPath + "__replaced_" + suffix)
+    var preserveStaging = false
     try {
       spark.conf.set(inferKey, "false")
       val df = spark.read.option("basePath", targetPath)
@@ -346,14 +398,31 @@ object Ops {
         val name = d.getPath.getName
         val src = new Path(tmp, name)
         if (fs.exists(src)) {
-          fs.delete(d.getPath, true)
-          if (!fs.rename(src, d.getPath))
-            throw new java.io.IOException(s"rename $src -> ${d.getPath} failed")
+          val aside = new Path(asideRoot, name)
+          fs.mkdirs(asideRoot)
+          if (!fs.rename(d.getPath, aside))
+            throw new java.io.IOException(
+              s"rename ${d.getPath} -> $aside failed")
+          if (!fs.rename(src, d.getPath)) {
+            if (!fs.rename(aside, d.getPath)) {
+              preserveStaging = true
+              throw new java.io.IOException(s"rename $src -> ${d.getPath} " +
+                s"failed AND restore failed: original preserved at $aside, " +
+                s"compacted data at $src")
+            }
+            throw new java.io.IOException(
+              s"rename $src -> ${d.getPath} failed (original restored)")
+          }
+          fs.delete(aside, true)
         }
       }
     } finally {
       spark.conf.set(inferKey, inferWas)
-      fs.delete(tmp, true)
+      // staged copies are recomputable whenever every original is in
+      // place or restored; only the double-failure path keeps them
+      if (!preserveStaging) fs.delete(tmp, true)
+      if (fs.exists(asideRoot) && fs.listStatus(asideRoot).isEmpty)
+        fs.delete(asideRoot, true)
     }
     small.length
   }

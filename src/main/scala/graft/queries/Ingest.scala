@@ -20,9 +20,19 @@ object Ingest {
     * connector replays (the shape of Dune's `result.rows`,
     * `dune_extractor.py:96-98`), once per sf dir, cached in tmp.
     * Distributed write + staged rename — no driver-side collect.
+    *
+    * The cache key is a 64-bit hash of the source parquet's full path
+    * PLUS its length and mtime: regenerated testdata invalidates the
+    * fixture automatically, and two sf dirs can't collide the way a
+    * 32-bit `String.hashCode` of the path alone could.
     */
   private[queries] def ordersFixture(spark: SparkSession, dir: String): String = {
-    val key = Integer.toHexString(dir.hashCode)
+    val srcPath = new Path(s"$dir/orders.parquet")
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = srcFs.getFileStatus(srcPath)
+    val key = java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$dir|${st.getLen}|${st.getModificationTime}")))
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_dune_fixture_$key"
     val dest = new Path(s"$base/$DuneQueryId.json")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -504,29 +504,40 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
 
   // ---- pushed-filter evaluation over the raw JSON node ----
 
+  /** The contract is EQUIVALENCE WITH THE UNPUSHED PLAN: an accepted
+    * filter is never re-checked above the scan, so evaluating it here
+    * must give exactly what Catalyst would compute over the projected
+    * row. Dispatch is on the FILTER VALUE's type (which mirrors the
+    * declared column type that produced it) and the node is coerced
+    * with the same Jackson accessor [[project]] uses for that type —
+    * so a payload that carries a numeric as a quoted string compares
+    * as the number project() would emit, never crashes the scan, and
+    * never silently string-compares against raw JSON text.
+    */
   private def cmp(node: JsonNode, field: String, value: Any): Option[Int] = {
     val n = node.get(field)
     if (n == null || n.isNull) None
     else value match {
       // UTF8String comparison, not Java compareTo: Catalyst orders
       // strings by UTF-8 bytes (code points); UTF-16 code-unit order
-      // differs for supplementary characters, and an accepted filter
-      // is never re-checked above the scan
+      // differs for supplementary characters
       case s: String => Some(UTF8String.fromString(n.asText)
         .compareTo(UTF8String.fromString(s)))
       // integral vs integral must compare as longs: doubles silently
-      // collapse neighbours above 2^53, and an accepted filter is NOT
-      // re-checked by Catalyst — precision loss here is wrong rows out
-      case v: java.lang.Long if n.isIntegralNumber =>
+      // collapse neighbours above 2^53 — precision loss here is wrong
+      // rows out
+      case v: java.lang.Long =>
         Some(java.lang.Long.compare(n.asLong, v.longValue()))
-      case v: java.lang.Integer if n.isIntegralNumber =>
+      case v: java.lang.Integer =>
         Some(java.lang.Long.compare(n.asLong, v.longValue()))
-      case v: Number if n.isNumber =>
+      case v: java.lang.Double =>
         Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
-      case b: Boolean => Some(n.asBoolean.compareTo(b))
+      case v: java.lang.Float =>
+        Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
+      case b: java.lang.Boolean =>
+        Some(java.lang.Boolean.compare(n.asBoolean, b.booleanValue()))
       // pushFilters only accepts the value types handled above; anything
       // else reaching here is a pushdown-contract bug — fail loudly
-      // rather than silently string-compare against raw JSON text
       case other => sys.error(
         s"dune scan: unpushable filter value ${other.getClass.getName} " +
           "reached the reader (pushFilters must reject it)")

@@ -95,12 +95,20 @@ object Streams {
     * (watermark passed last-event + gap). Must agree with the batch
     * lag/running-sum form in [[graft.queries.Events]] — the spec
     * asserts that parity.
+    *
+    * `watermarkDelay` is the late-arrival tolerance. At the default
+    * (= the gap) an event late enough to precede the open session by a
+    * full gap is already behind the watermark, so the in-batch LATE
+    * path below is boundary-only; a tolerance beyond the gap (e.g.
+    * "90 minutes") admits genuinely late events, which that path then
+    * sessionizes to match the batch twin within each micro-batch.
     */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[Session] = {
+  def sessionize(events: Dataset[SessionEvent],
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermarkDelay)
       .as[TimedEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -121,8 +129,10 @@ object Streams {
             // session, so it goes to a per-batch LATE accumulator where
             // such events merge among themselves under the same gap
             // rule (two late events within a gap of each other form ONE
-            // late session, matching the batch twin), closed at end of
-            // batch. Sessions already emitted are never revised (same
+            // late session, matching the batch twin), and at end of
+            // batch either merges into the open session (if later
+            // events extended its start down within a gap) or closes.
+            // Sessions already emitted are never revised (same
             // as Spark's native session_window); late events arriving
             // in DIFFERENT batches still close separately — the
             // documented bound of the no-revision policy.
@@ -156,6 +166,20 @@ object Streams {
                 case None =>
                   cur = Some(SessionState(ts, ts, 1L, v))
               }
+            }
+            // Re-check the late accumulator against the open session
+            // before flushing: an intermediate event can extend
+            // cur.start DOWNWARD (the merge case below it), pulling it
+            // within a gap of late.end after the late event was
+            // classified — the batch twin would merge those into ONE
+            // session, so merge here too instead of closing late
+            // separately.
+            (late, cur) match {
+              case (Some(l), Some(s)) if s.start_us - l.end_us < GapUs =>
+                cur = Some(SessionState(math.min(l.start_us, s.start_us),
+                  math.max(l.end_us, s.end_us), s.n + l.n, s.value + l.value))
+                late = None
+              case _ => ()
             }
             late.foreach(l =>
               closed += Session(user, l.start_us, l.end_us, l.n, l.value))

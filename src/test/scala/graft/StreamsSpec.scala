@@ -160,6 +160,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize late path: chained late events merge with the open " +
+      "session when an intermediate event bridges the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_late_chain"
+    // 90-min late tolerance > 30-min gap: events a full gap before the
+    // open session survive the watermark and take the LATE path
+    val q = Streams.sessionize(in.toDS(), watermarkDelay = "90 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(SessionEvent(1L, us(100), 1.0))
+      q.processAllAvailable() // open {100,100}, watermark → 10min
+      // 65 is ≥ a gap before start=100 → late accumulator; 85 then
+      // merges into the open session extending start to 85, which pulls
+      // it within a gap of 65 — the batch twin yields ONE session, so
+      // the end-of-batch re-check must merge, not close 65 separately
+      in.addData(SessionEvent(1L, us(65), 2.0), SessionEvent(1L, us(85), 4.0))
+      q.processAllAvailable()
+      // flush via a far-future user (timeout fires on the NEXT batch)
+      in.addData(SessionEvent(9L, us(5000), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(9L, us(5001), 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Session]
+        .filter($"user_id" === 1L).collect().toSeq
+      assert(got == Seq(Session(1L, us(65), us(100), 3L, 7.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("sessionize late path: gap-separated late events close as their " +
+      "own merged session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_late_own"
+    val q = Streams.sessionize(in.toDS(), watermarkDelay = "120 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(SessionEvent(1L, us(100), 1.0))
+      q.processAllAvailable()
+      // two late events within a gap of EACH OTHER (30,40) merge into
+      // one late session; it stays ≥ a gap from the open session even
+      // after 85 extends it down, so it closes on its own — exactly the
+      // batch twin's answer for {30,40,85,100}
+      in.addData(SessionEvent(1L, us(30), 2.0), SessionEvent(1L, us(40), 3.0),
+        SessionEvent(1L, us(85), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table(name).as[Session]
+        .filter($"user_id" === 1L).collect().toSeq
+      assert(closed == Seq(Session(1L, us(30), us(40), 2L, 5.0)),
+        s"got $closed")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Long, Long, Double)] // event_id,user,ts_us,value
