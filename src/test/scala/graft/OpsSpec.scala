@@ -99,6 +99,27 @@ class OpsSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("overwriteSafe: a failed write leaves the target intact and no " +
+      "orphan staging/aside dirs") {
+    val base = tmpDir("osf")
+    val dir = base + "/t"
+    Seq(1, 2, 3).toDF("v").write.parquet(dir)
+    // evaluation of this frame throws mid-write (after the staging dir
+    // is created), exercising the write-phase cleanup path
+    val poisoned = Seq(1).toDF("v")
+      .select(when(col("v") > 0, raise_error(lit("boom")))
+        .otherwise(col("v").cast("string")).as("v"))
+    intercept[Exception] {
+      graft.operators.ParquetIO.overwriteSafe(poisoned, dir)
+    }
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3), "target must be untouched after a failed write")
+    val leftovers = new java.io.File(base).listFiles()
+      .map(_.getName).filterNot(_ == "t")
+    assert(leftovers.isEmpty,
+      s"no staging/aside dirs may remain, got ${leftovers.toSeq}")
+  }
+
   test("deleteWhere removes matching rows, keeps NULL-predicate rows") {
     val dir = tmpDir("dw") + "/t"
     Seq(("a", Some(1)), ("b", Some(5)), ("c", None))

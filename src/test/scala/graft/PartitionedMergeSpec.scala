@@ -171,6 +171,11 @@ class PartitionedMergeSpec extends SparkSpec {
     dts.foreach(dt => assert(dataFiles(dt).length == 1,
       s"dir dt=$dt still has ${dataFiles(dt).length} files"))
     assert(readBack(path).toSeq == before, "compaction changed contents")
+    // the staged-swap machinery must clean up after itself: no
+    // __staging_* / __replaced_* siblings survive a successful run
+    val siblings = new File(path).getParentFile.listFiles()
+      .map(_.getName).filterNot(_ == "t")
+    assert(siblings.isEmpty, s"swap leftovers: ${siblings.toSeq}")
     // already-compact target: nothing to do, nothing rewritten
     assert(Ops.compactPartitions(spark, path, "dt") == 0)
     // dirs above the byte budget are not touched (their bytes are big
