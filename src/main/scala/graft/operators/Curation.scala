@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * split assignment, per-group contribution caps, and mixture
+  * rebalancing. All three are assignment-by-arithmetic — no sampling
+  * RNG, no driver state — so results are reproducible row-for-row
+  * across runs, cluster sizes, AND engines (the bucket hash is md5,
+  * which DuckDB/Trino compute identically, so the declared queries sit
+  * under the exact-SQL oracle gate rather than a statistical check).
+  */
+object Curation {
+
+  /** Deterministic bucket in `[0, buckets)` from a salted md5 of the
+    * key. The salt separates independent decisions (split vs sampling
+    * vs A/B) so they don't correlate; the first 8 hex chars give 32
+    * uniform bits, and the mod bias is < buckets/2^32 — negligible for
+    * the ≤10^4 buckets used here. Stable under repartitioning and
+    * scale-out: the bucket is a pure function of (salt, key), nothing
+    * positional.
+    */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column = {
+    require(buckets > 0, s"hashBucket: buckets must be positive, got $buckets")
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % buckets
+  }
+
+  /** Train/val/test (or any weighted) split assignment: each key lands
+    * in exactly one named split, with expected proportions
+    * `weightPct/100`, decided by [[hashBucket]] — the split a document
+    * gets is a property of the document, not of the run. Weights must
+    * sum to 100.
+    */
+  def splitAssign(key: Column, salt: String,
+      weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"splitAssign: weights must sum to 100, got $weights")
+    val b = hashBucket(key, salt, 100)
+    // when-chain over cumulative bounds; the last split is the
+    // otherwise-branch so the bounds always cover [0, 100)
+    val bounds = weights.init.scanLeft(0)(_ + _._2).tail.zip(weights.init)
+    bounds.foldRight(lit(weights.last._1): Column) {
+      case ((upper, (name, _)), otherwise) =>
+        when(b < upper, name).otherwise(otherwise)
+    }
+  }
+
+  /** Cap each group's contribution to the corpus: keep at most `n` rows
+    * per `group`, best-first by `order`. One keyed shuffle (the window);
+    * at extreme group cardinality skew route through
+    * [[graft.functions.TopK]]'s bounded aggregator instead — the
+    * semantics are identical, this form keeps every surviving column
+    * without restructuring.
+    */
+  def capPerGroup(df: DataFrame, group: Column, order: Seq[Column],
+      n: Int): DataFrame = {
+    require(n > 0, s"capPerGroup: n must be positive, got $n")
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(group).orderBy(order: _*)))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Rebalance a skewed corpus to a UNIFORM group mixture: every group
+    * is deterministically downsampled to (in expectation) the smallest
+    * group's size. A row survives iff
+    * `bucket(key) * n_group < n_min * resolution` — pure integer
+    * arithmetic, so the kept set is exactly reproducible. Group counts
+    * are one tiny aggregate (a row per group) broadcast back onto the
+    * fact side: cost at 100 TB is one scan + one broadcast join, no
+    * fact-side shuffle.
+    */
+  def uniformMixture(df: DataFrame, group: Column, key: Column,
+      salt: String, resolution: Int = 10000): DataFrame = {
+    val counts = df.groupBy(group.as("__grp"))
+      .agg(count(lit(1)).as("__n_grp"))
+    val floor = broadcast(counts.agg(min("__n_grp").as("__n_min")))
+    df.join(broadcast(counts), group === col("__grp"))
+      .crossJoin(floor)
+      .filter(hashBucket(key, salt, resolution) * col("__n_grp") <
+        col("__n_min") * lit(resolution.toLong))
+      .drop("__grp", "__n_grp", "__n_min")
+  }
+}

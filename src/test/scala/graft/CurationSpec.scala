@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("hashBucket is positional-independent and in range") {
+    def buckets(parts: Int): Seq[(Long, Long)] =
+      docs.repartition(parts)
+        .select(col("doc_id"),
+          Curation.hashBucket(col("doc_id"), "s", 100).as("b"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a = buckets(1)
+    assert(a == buckets(7), "bucket must not depend on partitioning")
+    assert(a.forall { case (_, b) => b >= 0 && b < 100 })
+    // different salts decorrelate: assignments must not be identical
+    val other = docs.select(col("doc_id"),
+      Curation.hashBucket(col("doc_id"), "t", 100).as("b"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a != other, "independent salts must give independent buckets")
+  }
+
+  test("splitAssign covers every row, roughly at the declared weights") {
+    val split = docs.withColumn("s", Curation.splitAssign(col("doc_id"),
+      "split-v1", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val byS = split.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    val n = byS.values.sum
+    assert(n == docs.count())
+    // 500 docs: binomial(500, .8) is within ±6 sigma of these bounds
+    assert(byS("train") > n * 0.65 && byS("train") < n * 0.92,
+      s"train fraction off: $byS")
+  }
+
+  test("splitAssign rejects weights that don't sum to 100") {
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(col("doc_id"), "s", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("capPerGroup keeps at most n best-first rows per group") {
+    val capped = Curation.capPerGroup(docs, col("source"),
+      Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
+    val sizes = capped.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes.values.forall(_ <= 10))
+    // best-first: the minimum kept n_chars per source must be >= the
+    // 10th-largest n_chars of that source in the full corpus
+    val kept = capped.groupBy("source").agg(min("n_chars").as("kmin"))
+    val tenth = docs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 10).select(col("source"), col("n_chars").as("t"))
+    val bad = kept.join(tenth, "source").filter(col("kmin") < col("t"))
+    assert(bad.isEmpty, "capPerGroup dropped a better row than it kept")
+  }
+
+  test("uniformMixture: deterministic subset, groups near the floor size") {
+    val mixed = Curation.uniformMixture(docs, col("source"), col("doc_id"),
+      salt = "mix-v1")
+    val again = Curation.uniformMixture(docs, col("source"), col("doc_id"),
+      salt = "mix-v1")
+    assert(mixed.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq,
+      "sampling must be reproducible")
+    assert(mixed.columns.toSeq == docs.columns.toSeq,
+      "helper columns must not leak")
+    val before = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val after = mixed.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val floor = before.values.min
+    // expectation per group is exactly `floor`; allow binomial spread
+    assert(after.values.forall(c => c <= floor + 8 && c >= floor - 12),
+      s"rebalanced sizes too far from floor=$floor: $after")
+    // the smallest group must survive (its rate is ~1)
+    val minSrc = before.minBy(_._2)._1
+    assert(after(minSrc) >= floor - 4)
+  }
+}
