@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation => Cur}
+import graft.functions.GraftFunctions.word_ngrams
+import graft.functions.TextAnalysis
+import graft.operators.{Curation => Cur, Ops}
 
 /** Corpus-curation declared queries ([[graft.operators.Curation]]):
   * deterministic split assignment, per-domain caps, and mixture
@@ -100,8 +103,103 @@ object Curation {
        |FROM b WHERE bucket * n_src < n_min * 10000
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Decontamination — the eval-leakage check every training pipeline
+    * runs before shipping a split: an eval (val/test) document is
+    * contaminated if it shares any exact word 5-gram with any TRAIN
+    * document. Reuses the same deterministic split as `d_split_assign`
+    * (same salt ⇒ same assignment) and the codegen'd
+    * [[graft.expressions.WordNGrams]] shingles. Shape at scale: ONE
+    * corpus pass, one gram-keyed shuffle (train presence is a partial
+    * count, eval docs a per-gram list — strictly cheaper than the
+    * train⋈eval gram self-join, which re-scans the corpus and goes
+    * quadratic on hot grams), one final doc-keyed count. (At 100 TB a
+    * boilerplate-gram cap / bloom prefilter wraps this exact core.)
+    */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Ops.spreadNarrow(docs(spark, dir))
+      .withColumn("split", Cur.splitAssign(col("doc_id"), "split-v1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .select(col("doc_id"), col("split"),
+        explode(word_ngrams(col("text"), 5)).as("g"))
+    grams.groupBy("g")
+      .agg(count(when(col("split") === "train", 1)).as("n_train"),
+        collect_list(when(col("split") =!= "train",
+          struct(col("doc_id"), col("split")))).as("evals"))
+      .filter(col("n_train") > 0 && size(col("evals")) > 0)
+      .select(explode(col("evals")).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.split").as("split"))
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+       |    '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+       |    i -> array_to_string(t[i:i+4], ' '))) AS gs
+       |  FROM toks WHERE len(t) >= 5),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${bucketSql("split-v1", 100)} < 80 THEN 'train'
+       |         WHEN ${bucketSql("split-v1", 100)} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |exploded AS (
+       |  SELECT g.doc_id, s.split, u.g
+       |  FROM grams g JOIN sp s USING (doc_id), unnest(g.gs) AS u(g)),
+       |train_g AS (SELECT DISTINCT g FROM exploded WHERE split = 'train')
+       |SELECT e.doc_id, e.split, count(*) AS n_shared_grams
+       |FROM exploded e JOIN train_g t ON e.g = t.g
+       |WHERE e.split <> 'train'
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing — group documents into fixed-budget (512-token)
+    * training sequences, the step between curation and the tokenizer.
+    * Greedy streaming packing WITHIN deterministic hash shards: a
+    * document joins the sequence its cumulative token offset starts
+    * in. Per-shard windows keep the packing embarrassingly parallel
+    * (shards = tasks; no global sort, no single-partition window), and
+    * the shard is [[Cur.hashBucket]]-assigned so the layout is
+    * reproducible. Reported per sequence: docs packed and token fill.
+    */
+  private def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      Cur.hashBucket(col("doc_id"), "pack-v1", 8).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    t.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_tok div 512"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("shard", "seq_id")
+  }
+
+  private val seqPackSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+       |      AS n_tokens,
+       |    ${bucketSql("pack-v1", 8)} AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - n_tokens AS start_tok
+       |  FROM t)
+       |SELECT shard, CAST(start_tok // 512 AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("d_split_assign", splitAssign, Some(splitAssignSql)),
     NamedQuery("d_domain_cap", domainCap, Some(domainCapSql)),
-    NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)))
+    NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)),
+    NamedQuery("d_decontaminate", decontaminate, Some(decontaminateSql)),
+    NamedQuery("d_seq_pack", seqPack, Some(seqPackSql)))
 }
