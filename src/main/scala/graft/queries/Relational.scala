@@ -696,8 +696,48 @@ object Relational {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Data-quality gate ([[graft.operators.Validate]]): four declarative
+    * row rules audited in ONE scan + ONE single-row aggregate
+    * (conditional sums — never a job per rule), exploded to the k-row
+    * report a load gates on. NULL predicates count as failures and are
+    * also reported separately.
+    */
+  private def qualityAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.audit(Tables(spark, dir, "lineitem"), Seq(
+      graft.operators.Validate.Rule("positive_qty", col("l_quantity") > 0),
+      graft.operators.Validate.Rule("discount_cap", col("l_discount") <= 0.05),
+      graft.operators.Validate.Rule("tax_cap", col("l_tax") <= 0.06),
+      graft.operators.Validate.Rule("qty_bound", col("l_quantity") <= 25)))
+      .orderBy("rule")
+
+  private val qualityAuditSql =
+    """WITH t AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS p1,
+      |    sum(CASE WHEN l_quantity > 0 IS NULL THEN 1 ELSE 0 END) AS z1,
+      |    sum(CASE WHEN coalesce(l_discount <= 0.05, false) THEN 1 ELSE 0 END) AS p2,
+      |    sum(CASE WHEN l_discount <= 0.05 IS NULL THEN 1 ELSE 0 END) AS z2,
+      |    sum(CASE WHEN coalesce(l_tax <= 0.06, false) THEN 1 ELSE 0 END) AS p3,
+      |    sum(CASE WHEN l_tax <= 0.06 IS NULL THEN 1 ELSE 0 END) AS z3,
+      |    sum(CASE WHEN coalesce(l_quantity <= 25, false) THEN 1 ELSE 0 END) AS p4,
+      |    sum(CASE WHEN l_quantity <= 25 IS NULL THEN 1 ELSE 0 END) AS z4
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT 'positive_qty' AS rule, n, p1 AS n_pass, z1 AS n_null FROM t
+      |  UNION ALL
+      |  SELECT 'discount_cap', n, p2, z2 FROM t
+      |  UNION ALL
+      |  SELECT 'tax_cap', n, p3, z3 FROM t
+      |  UNION ALL
+      |  SELECT 'qty_bound', n, p4, z4 FROM t)
+      |SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+      |  CAST(n - n_pass AS BIGINT) AS n_fail, CAST(n_null AS BIGINT) AS n_null,
+      |  round((n - n_pass)::DOUBLE / greatest(n, 1), 4) AS fail_rate
+      |FROM r ORDER BY rule""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
+    NamedQuery("q_quality_audit", qualityAudit, Some(qualityAuditSql)),
     NamedQuery("q_decimal_amount", decimalAmount, Some(decimalAmountSql)),
     NamedQuery("q6_revenue_filter", q6, Some(q6Sql)),
     NamedQuery("q3_segment_topk", q3, Some(q3Sql)),
