@@ -183,6 +183,64 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a duplicate-pair relation — the step
+    * that turns pairwise similarity hits into dedup decisions: pairs
+    * (a~b, b~c) chain into one cluster {a,b,c} with a single survivor
+    * (the minimum id), which no per-pair rule can decide. Min-label
+    * propagation with pointer jumping: every vertex starts as its own
+    * label; each round a vertex takes the minimum label in its
+    * neighborhood (one join + one groupBy, both keyed shuffles — no
+    * adjacency matrices, no driver-side graph) and then follows its
+    * label's label (one more self-join) — the shortcutting that turns
+    * O(diameter) rounds into O(log diameter), the practical difference
+    * between 6 rounds and 60 on chain-shaped duplicate data. `maxIter`
+    * bounds a non-converging pathology loudly rather than looping
+    * forever. Each round `localCheckpoint`s the (small) label relation
+    * so the iteration's lineage doesn't stack into an ever-deeper plan.
+    *
+    * Returns `(id, cluster)` — cluster = min id reachable, one row per
+    * vertex that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // checkpoint the edge list ONCE: `pairs` is typically the output of
+    // an expensive similarity join, and every propagation round reads
+    // edges — without the cut, each round would re-run that join
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighborhood minimum: my own label ∪ my neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      val folded = labels.select("id", "cluster").union(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      // pointer jump: every label IS some vertex's id with its own
+      // row, so label(v) := label(label(v)) is one self-join
+      val next = folded
+        .join(folded.select(col("id").as("cluster"),
+          col("cluster").as("jumped")), "cluster")
+        .select(col("id"), col("jumped").as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it for chain-shaped data")
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity join: explode distinct n-grams,
     * join on the shingle (candidates = co-occurring pairs only), count
     * intersections, filter by true Jaccard. n=1 → word-set Jaccard.

@@ -419,6 +419,40 @@ object TrainingData {
       |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Pairs → clusters: connected components over the exact near-dup
+    * pair relation ([[Dedup.connectedComponents]], min-label
+    * propagation), reported per duplicate cluster. This is the step
+    * that makes pairwise dedup actionable — chains (a~b, b~c) collapse
+    * to ONE survivor even when a and c never matched directly. Oracle:
+    * DuckDB's recursive CTE computes the same transitive closure.
+    */
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.nearDupPairs(
+      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("size"), max("id").as("max_id"))
+      .orderBy("cluster")
+  }
+
+  private val dupClustersSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |labeled AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT cluster, count(*) AS size, max(id) AS max_id
+      |FROM labeled GROUP BY cluster ORDER BY cluster""".stripMargin
+
   private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
@@ -458,6 +492,7 @@ object TrainingData {
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
+    NamedQuery("e_dup_clusters", dupClusters, Some(dupClustersSql)),
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
