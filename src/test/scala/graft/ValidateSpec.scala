@@ -45,6 +45,14 @@ class ValidateSpec extends SparkSpec {
     assert(good.count() + bad.count() == fixture.count())
   }
 
+  test("audit of k rules plans exactly one scan") {
+    val df = SparkEntry.queries("q_quality_audit")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"audit must fold all rules into one scan:\n$plan")
+  }
+
   test("audit over a clean table reports zero failures") {
     val got = Validate.audit(fixture.filter(col("id") === 1),
       rules).select("n_fail").as[Long].collect().toSeq
