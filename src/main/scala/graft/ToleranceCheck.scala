@@ -124,6 +124,24 @@ object ToleranceCheck {
           "the exact groupBy twin; count error law pinned in HeavyHittersSpec")
     }
 
+    // bloom decontamination vs the exact twin: the sketch may only ADD
+    // flagged docs (no false negatives — a lost contamination would be
+    // an eval-leak), and at ~1e-6 fpp it should add essentially none
+    check("d_decontaminate_bloom") {
+      def flagged(name: String): Set[(Long, String)] =
+        res(name).select(col("doc_id").cast("long"), col("split"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val exact = flagged("d_decontaminate")
+      val bloom = flagged("d_decontaminate_bloom")
+      val missed = exact.diff(bloom).size
+      val extra = bloom.diff(exact).size
+      Check("missed_plus_extra_docs", (missed * 1000 + extra).toDouble, 2.0,
+        missed == 0 && extra <= 2,
+        "bloom prefilter must flag every exactly-contaminated doc " +
+          "(missed scaled x1000 so any loss fails) and add <=2 false " +
+          "positives at 30 bits/gram")
+    }
+
     // LSH / IVF top-k recall vs the brute-force exact twin
     check("e_lsh_topk") {
       val lshRecall = recall(topkSet(res("e_lsh_topk")),

@@ -35,6 +35,21 @@ object GraftFunctions {
     call_function("minhash_sigs", col, lit(numTables), lit(seed))
   def sq8_cosine(l: Column, r: Column): Column =
     call_function("sq8_cosine", l, r)
+  /** Bloom sketch over xxhash64 of a column — Spark's own
+    * `BloomFilterAggregate` (the runtime-filter machinery), surfaced
+    * as a registered function so data-level membership prefilters can
+    * build the same sketch the optimizer uses. `numBits` sets the
+    * false-positive rate (bits ≈ 30× items → fpp ≈ 1e-6).
+    */
+  def bloom_agg(c: Column, items: Long, numBits: Long): Column =
+    call_function("bloom_agg", c, lit(items), lit(numBits))
+  /** Membership probe against a collected sketch (binary literal —
+    * `BloomFilterMightContain` requires a constant/scalar-subquery
+    * bloom side). No false negatives; false positives at the sketch's
+    * fpp.
+    */
+  def bloom_might_contain(bloom: Array[Byte], c: Column): Column =
+    call_function("bloom_might_contain", lit(bloom), c)
 
   /** srp_bucket(v, numBits, seed) — numBits/seed must be foldable ints. */
   private def srpBuilder(es: Seq[Expression]): Expression =
@@ -59,7 +74,18 @@ object GraftFunctions {
       "minhash_sigs" -> (es => MinHashSigs(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].longValue())),
-      "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))))
+      "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))),
+      // Spark's own runtime-filter expressions, reused at the data
+      // level; values hash through XxHash64 on both sides
+      "bloom_agg" -> (es =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es.head), 42L),
+            es(1), es(2))),
+      "bloom_might_contain" -> (es =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          es.head,
+          org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1)), 42L))))
 
   /** Make the functions available to `spark.sql` in an existing session. */
   def register(spark: SparkSession): Unit =

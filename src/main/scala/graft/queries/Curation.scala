@@ -157,6 +157,42 @@ object Curation {
        |WHERE e.split <> 'train'
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** The promised SCALE PATH of [[decontaminate]]: the train-gram set
+    * folds into ONE bloom sketch (Spark's own `BloomFilterAggregate`,
+    * ~30 bits/gram → fpp ≈ 1e-6) collected to the driver (KBs–MBs,
+    * bounded by construction like the LSH/IVF centroid sets) and the
+    * eval side probes it as a broadcast literal — membership testing
+    * with NO gram-keyed shuffle at all. Bloom guarantees: no false
+    * negatives (every truly contaminated doc is flagged — the property
+    * decontamination must not lose), false positives at the sketch's
+    * fpp. No SQL oracle (the sketch isn't DuckDB-expressible);
+    * tolerance_check quantifies it against the exact twin: superset
+    * always, near-equality at this fpp.
+    */
+  private def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val grams = Ops.spreadNarrow(docs(spark, dir))
+      .withColumn("split", Cur.splitAssign(col("doc_id"), "split-v1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .select(col("doc_id"), col("split"),
+        explode(word_ngrams(col("text"), 5)).as("g"))
+    val train = grams.filter(col("split") === "train")
+    // occurrence count over-estimates distinct grams — only makes the
+    // sketch larger/sharper; capped at Spark's default runtime-filter
+    // limits (4M items / 64Mbits — at a larger corpus raise
+    // spark.sql.optimizer.runtime.bloomFilter.max* and these with it)
+    val items = math.min(math.max(1L, train.count()), 4000000L)
+    val sketch = train
+      .agg(bloom_agg(col("g"), items,
+        math.min(items * 30, 67108864L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    grams.filter(col("split") =!= "train")
+      .filter(bloom_might_contain(sketch, col("g")))
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing — group documents into fixed-budget (512-token)
     * training sequences, the step between curation and the tokenizer.
     * Greedy streaming packing WITHIN deterministic hash shards: a
@@ -201,5 +237,6 @@ object Curation {
     NamedQuery("d_domain_cap", domainCap, Some(domainCapSql)),
     NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)),
     NamedQuery("d_decontaminate", decontaminate, Some(decontaminateSql)),
+    NamedQuery("d_decontaminate_bloom", decontaminateBloom, None),
     NamedQuery("d_seq_pack", seqPack, Some(seqPackSql)))
 }

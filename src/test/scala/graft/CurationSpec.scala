@@ -62,6 +62,33 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, "capPerGroup dropped a better row than it kept")
   }
 
+  test("bloom membership: no false negatives, fpp-bounded positives") {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val vals = (1L to 5000L).map(i => s"term-$i").toDF("t")
+    val sketch = vals.agg(bloom_agg(col("t"), 5000L, 150000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // every inserted value must probe true
+    assert(vals.filter(!bloom_might_contain(sketch, col("t"))).isEmpty)
+    // disjoint values: false-positive count far under 1% of 5000 at
+    // 30 bits/item (expected ~0; allow a loose 10)
+    val fp = (1L to 5000L).map(i => s"other-$i").toDF("t")
+      .filter(bloom_might_contain(sketch, col("t"))).count()
+    assert(fp <= 10, s"implausible bloom false-positive count $fp")
+  }
+
+  test("bloom decontamination is a superset of the exact twin") {
+    def flagged(name: String) =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id").cast("long"), col("split"))
+        .as[(Long, String)].collect().toSet
+    val exact = flagged("d_decontaminate")
+    val bloom = flagged("d_decontaminate_bloom")
+    assert(exact.subsetOf(bloom),
+      s"bloom lost contaminated docs: ${exact.diff(bloom)}")
+    assert(bloom.diff(exact).size <= 2,
+      s"too many bloom false-positive docs: ${bloom.diff(exact)}")
+  }
+
   test("uniformMixture: deterministic subset, groups near the floor size") {
     val mixed = Curation.uniformMixture(docs, col("source"), col("doc_id"),
       salt = "mix-v1")
