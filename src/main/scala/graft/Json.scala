@@ -1,0 +1,19 @@
+package graft
+
+/** The one JSON string escaper for driver-artifact writers (Verify,
+  * QueryDump). Escapes backslash, quote, and ALL control chars
+  * (< 0x20) — a tab or CR in builder-authored SQL would otherwise make
+  * the driver's `json.load` fail and silently zero the round's
+  * correctness.
+  */
+private[graft] object Json {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -43,13 +43,25 @@ object ToleranceCheck {
         checks += name -> Check("check_error", -1.0, 0.0, pass = false,
           s"tolerance check failed to run: ${e.getMessage}")
       }
+    // An empty comparison input means a broken upstream dump, not
+    // health: fail THIS check loudly (the per-check isolation above
+    // turns it into one failed row) instead of letting a null max
+    // coalesce into a vacuous pass.
+    def maxOrFail(df: DataFrame, c: String): Double = {
+      val row = df.agg(max(col(c))).head
+      require(!row.isNullAt(0),
+        s"no rows to compare for $c — upstream dump empty?")
+      row.get(0) match {
+        case d: java.lang.Double => d.doubleValue()
+        case n: Number => n.doubleValue()
+      }
+    }
 
     // HLL++ sketch vs exact distinct (both columns live in the query)
     check("q_approx_distinct") {
-      val adErr = res("q_approx_distinct")
+      val adErr = maxOrFail(res("q_approx_distinct")
         .select((abs(col("approx_parts") - col("exact_parts")) /
-          col("exact_parts")).as("rel_err"))
-        .agg(coalesce(max("rel_err"), lit(0.0))).head.getDouble(0)
+          col("exact_parts")).as("rel_err")), "rel_err")
       Check("max_rel_err_vs_exact", adErr, 0.15, adErr <= 0.15,
         "approx_count_distinct vs countDistinct(l_partkey) per l_suppkey; " +
           "HLL++ default rsd=0.05, bound = 3 sigma for the max over groups")
@@ -57,12 +69,12 @@ object ToleranceCheck {
 
     // percentile sketch vs exact interpolated percentiles
     check("q_approx_percentiles") {
-      val apErr = res("q_approx_percentiles").alias("a")
+      val apErr = maxOrFail(res("q_approx_percentiles").alias("a")
         .join(res("q_percentiles").alias("e"), Seq("priority"))
         .select(greatest(
           abs(col("p50_approx") - col("p50")) / col("p50"),
-          abs(col("p95_approx") - col("p95")) / col("p95")).as("rel_err"))
-        .agg(coalesce(max("rel_err"), lit(0.0))).head.getDouble(0)
+          abs(col("p95_approx") - col("p95")) / col("p95")).as("rel_err")),
+        "rel_err")
       Check("max_rel_err_vs_exact", apErr, 0.02, apErr <= 0.02,
         "percentile_approx(10k sketch) vs exact percentile, p50+p95")
     }
@@ -98,7 +110,9 @@ object ToleranceCheck {
     }
 
     // SimHash: every emitted pair within the declared hamming budget
-    // (exact signature values are pinned bit-for-bit in DedupSpec)
+    // (exact signature values are pinned bit-for-bit in DedupSpec).
+    // Unlike the twin comparisons above, an EMPTY pair set is a legal
+    // outcome for a pair query, so the null max coalesces to 0 here.
     check("d_simhash_pairs") {
       val shMax = res("d_simhash_pairs")
         .agg(coalesce(max("hamming"), lit(0)).cast("double")).head.getDouble(0)
@@ -159,9 +173,9 @@ object ToleranceCheck {
     // centroid features are means of L1-normalized histograms: each
     // media type's 16 weights must sum to 1 (up to 6-dp rounding)
     check("mm_feature_centroids") {
-      val fcErr = res("mm_feature_centroids")
-        .groupBy("media_type").agg(abs(sum("avg_weight") - 1.0).as("err"))
-        .agg(coalesce(max("err"), lit(0.0))).head.getDouble(0)
+      val fcErr = maxOrFail(res("mm_feature_centroids")
+        .groupBy("media_type").agg(abs(sum("avg_weight") - 1.0).as("err")),
+        "err")
       Check("max_l1_mass_error", fcErr, 1e-4, fcErr <= 1e-4,
         "per-media-type mean histogram retains unit L1 mass")
     }

@@ -78,7 +78,10 @@ object Curation {
     val counts = df.groupBy(group.as("__grp"))
       .agg(count(lit(1)).as("__n_grp"))
     val floor = broadcast(counts.agg(min("__n_grp").as("__n_min")))
-    df.join(broadcast(counts), group === col("__grp"))
+    // null-safe join: a NULL group is a group like any other — a plain
+    // === would silently drop its rows while still letting its count
+    // set the floor, over-downsampling every real group
+    df.join(broadcast(counts), group <=> col("__grp"))
       .crossJoin(floor)
       .filter(hashBucket(key, salt, resolution) * col("__n_grp") <
         col("__n_min") * lit(resolution.toLong))

@@ -30,19 +30,25 @@ object Validate {
     */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "audit: at least one rule")
-    val aggs = rules.flatMap { r =>
-      Seq(sum(when(passes(r), 1L).otherwise(0L)).as(s"__pass_${r.name}"),
-        sum(when(r.predicate.isNull, 1L).otherwise(0L)).as(s"__null_${r.name}"))
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"audit: duplicate rule names in ${rules.map(_.name)}")
+    // positional aliases, referenced back with backticks: a rule name
+    // is data (it lands in the `rule` column), so a dot or space in it
+    // must not be parsed as column navigation
+    def q(s: String): Column = col(s"`$s`")
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(sum(when(passes(r), 1L).otherwise(0L)).as(s"__pass_$i"),
+        sum(when(r.predicate.isNull, 1L).otherwise(0L)).as(s"__null_$i"))
     }
     val totals = df.agg(count(lit(1)).as("__n"), aggs: _*)
     // pivot the single wide row into (rule, counts) rows with a stack —
     // k is tiny, the exploded shape is what reports/gates consume
-    val stacked = rules.map { r =>
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"),
         col("__n").as("n_rows"),
-        col(s"__pass_${r.name}").as("n_pass"),
-        (col("__n") - col(s"__pass_${r.name}")).as("n_fail"),
-        col(s"__null_${r.name}").as("n_null"))
+        q(s"__pass_$i").as("n_pass"),
+        (col("__n") - q(s"__pass_$i")).as("n_fail"),
+        q(s"__null_$i").as("n_null"))
     }
     totals.select(explode(array(stacked: _*)).as("a")).select("a.*")
       .withColumn("fail_rate",

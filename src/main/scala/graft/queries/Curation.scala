@@ -177,11 +177,19 @@ object Curation {
       .select(col("doc_id"), col("split"),
         explode(word_ngrams(col("text"), 5)).as("g"))
     val train = grams.filter(col("split") === "train")
-    // occurrence count over-estimates distinct grams — only makes the
-    // sketch larger/sharper; capped at Spark's default runtime-filter
-    // limits (4M items / 64Mbits — at a larger corpus raise
-    // spark.sql.optimizer.runtime.bloomFilter.max* and these with it)
-    val items = math.min(math.max(1L, train.count()), 4000000L)
+    // Sketch sizing WITHOUT shingling the corpus an extra time: grams
+    // per doc < words ≤ n_chars/2, so sum(n_chars)/2 over the train
+    // split upper-bounds the gram count from the pruned one-column
+    // n_chars scan (over-estimating only sharpens the sketch). Capped
+    // at Spark's default runtime-filter limits (4M items / 64M bits —
+    // at a larger corpus raise
+    // spark.sql.optimizer.runtime.bloomFilter.max* and these with it).
+    val trainChars = docs(spark, dir)
+      .withColumn("split", Cur.splitAssign(col("doc_id"), "split-v1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .filter(col("split") === "train")
+      .agg(coalesce(sum("n_chars"), lit(0L))).head.getLong(0)
+    val items = math.min(math.max(1L, trainChars / 2), 4000000L)
     val sketch = train
       .agg(bloom_agg(col("g"), items,
         math.min(items * 30, 67108864L)).as("bf"))

@@ -528,11 +528,13 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
       // rows out
       case v: java.lang.Long =>
         Some(java.lang.Long.compare(n.asLong, v.longValue()))
+      // an Integer filter value ⇒ the declared column is IntegerType ⇒
+      // project() emits n.asInt (truncating) — coerce the SAME way or
+      // an out-of-int-range payload value filters differently than the
+      // unpushed plan would
       case v: java.lang.Integer =>
-        Some(java.lang.Long.compare(n.asLong, v.longValue()))
+        Some(java.lang.Long.compare(n.asInt.toLong, v.longValue()))
       case v: java.lang.Double =>
-        Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
-      case v: java.lang.Float =>
         Some(java.lang.Double.compare(n.asDouble, v.doubleValue()))
       case b: java.lang.Boolean =>
         Some(java.lang.Boolean.compare(n.asBoolean, b.booleanValue()))

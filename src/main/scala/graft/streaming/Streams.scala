@@ -140,10 +140,23 @@ object Streams {
             var cur = state.getOption
             var late: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
+            // Merge the late accumulator into a session whose start has
+            // been pulled (by intermediate events) to within a gap of
+            // late.end — the batch twin yields ONE session there. Runs
+            // wherever the open session leaves play: both when a later
+            // event closes it mid-batch and at end-of-batch flush.
+            def absorbLate(s: SessionState): SessionState = late match {
+              case Some(l) if s.start_us - l.end_us < GapUs =>
+                late = None
+                SessionState(math.min(l.start_us, s.start_us),
+                  math.max(l.end_us, s.end_us), s.n + l.n, s.value + l.value)
+              case _ => s
+            }
             sorted.foreach { e =>
               val (ts, v) = (e.ts_us, e.value)
               cur match {
-                case Some(s) if ts - s.end_us >= GapUs =>
+                case Some(s0) if ts - s0.end_us >= GapUs =>
+                  val s = absorbLate(s0)
                   closed += Session(user, s.start_us, s.end_us, s.n, s.value)
                   cur = Some(SessionState(ts, ts, 1L, v))
                 case Some(s) if s.start_us - ts >= GapUs =>
@@ -167,20 +180,7 @@ object Streams {
                   cur = Some(SessionState(ts, ts, 1L, v))
               }
             }
-            // Re-check the late accumulator against the open session
-            // before flushing: an intermediate event can extend
-            // cur.start DOWNWARD (the merge case below it), pulling it
-            // within a gap of late.end after the late event was
-            // classified — the batch twin would merge those into ONE
-            // session, so merge here too instead of closing late
-            // separately.
-            (late, cur) match {
-              case (Some(l), Some(s)) if s.start_us - l.end_us < GapUs =>
-                cur = Some(SessionState(math.min(l.start_us, s.start_us),
-                  math.max(l.end_us, s.end_us), s.n + l.n, s.value + l.value))
-                late = None
-              case _ => ()
-            }
+            cur = cur.map(absorbLate)
             late.foreach(l =>
               closed += Session(user, l.start_us, l.end_us, l.n, l.value))
             cur.foreach { s =>

@@ -27,13 +27,7 @@ object QueryDump {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
       println(s"[dump] $n written")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import graft.Json.{quote => q}
     val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$out/oracle_sql.json"), json)

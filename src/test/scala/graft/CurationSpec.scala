@@ -62,6 +62,19 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, "capPerGroup dropped a better row than it kept")
   }
 
+  test("uniformMixture keeps NULL-group rows and samples them like any group") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "a" else null))
+      .toDF("id", "src")
+    val mixed = Curation.uniformMixture(df, col("src"), col("id"), "m")
+    val bySrc = mixed.groupBy("src").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // floor = 10 (the null group); null rows must survive (rate ~1)
+    assert(bySrc.getOrElse(None, 0L) >= 7,
+      s"null group must not be dropped: $bySrc")
+    assert(bySrc.getOrElse(Some("a"), 0L) <= 20,
+      s"'a' must downsample toward the floor: $bySrc")
+  }
+
   test("bloom membership: no false negatives, fpp-bounded positives") {
     import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
     val vals = (1L to 5000L).map(i => s"term-$i").toDF("t")

@@ -192,6 +192,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize late path: a bridged session closed MID-BATCH still " +
+      "absorbs the late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val name = "st_sessions_late_midclose"
+    val q = Streams.sessionize(in.toDS(), watermarkDelay = "90 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(SessionEvent(1L, us(100), 1.0))
+      q.processAllAvailable() // open {100,100}
+      // 65 → late; 85 bridges (cur start pulls to 85, within a gap of
+      // 65); 200 closes the open session MID-BATCH — the close must
+      // absorb the late pair first: batch twin over {65,85,100,200} is
+      // sessions {65..100} and {200}
+      in.addData(SessionEvent(1L, us(65), 2.0), SessionEvent(1L, us(85), 4.0),
+        SessionEvent(1L, us(200), 8.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Session]
+        .filter($"user_id" === 1L).collect().toSeq
+      assert(got == Seq(Session(1L, us(65), us(100), 3L, 7.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize late path: gap-separated late events close as their " +
       "own merged session") {
     implicit val sqlCtx = spark.sqlContext

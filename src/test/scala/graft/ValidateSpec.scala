@@ -45,6 +45,17 @@ class ValidateSpec extends SparkSpec {
     assert(good.count() + bad.count() == fixture.count())
   }
 
+  test("audit handles rule names with dots; rejects duplicates") {
+    val dotted = Validate.audit(fixture,
+      Seq(Rule("v.is.positive", col("v") > 0)))
+      .select("rule", "n_fail").as[(String, Long)].collect().toSeq
+    assert(dotted == Seq(("v.is.positive", 3L)))
+    intercept[IllegalArgumentException] {
+      Validate.audit(fixture,
+        Seq(Rule("dup", col("v") > 0), Rule("dup", col("v") < 0)))
+    }
+  }
+
   test("audit of k rules plans exactly one scan") {
     val df = SparkEntry.queries("q_quality_audit")(
       spark, "/root/testdata/sf0.001")
