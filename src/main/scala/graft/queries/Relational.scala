@@ -640,6 +640,41 @@ object Relational {
       |UNION ALL SELECT o_orderkey, o_totalprice FROM updates
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S8 DELETE sink under the gate with the REAL file round-trip
+    * (reference `pg_loader.py:272-294`): seed a parquet copy, run
+    * [[graft.operators.Ops.deleteWhere]] (keep-the-complement staged
+    * overwrite), read back. The predicate routes through a NULL branch
+    * (`nullif` on the urgent priority) so the documented null-keeps
+    * semantics — SQL DELETE only removes WHERE=true — sit under the
+    * oracle, which keeps `NOT coalesce(pred, false)`. Re-seeded every
+    * run, so the query is idempotent by construction.
+    */
+  private def deleteWhereQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_delete_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    graft.operators.Ops.fullRefresh(
+      Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"), path)
+    graft.operators.Ops.deleteWhere(spark, path,
+      length(expr("nullif(o_orderpriority, '1-URGENT')")) > 3 &&
+        col("o_totalprice") > 150000)
+    spark.read.parquet(path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum("o_totalprice"), 2).as("kept_value"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val deleteWhereSql =
+    """SELECT o_orderpriority, count(*) AS n_kept,
+      |  round(sum(o_totalprice), 2) AS kept_value
+      |FROM orders
+      |WHERE NOT coalesce(
+      |  length(nullif(o_orderpriority, '1-URGENT')) > 3
+      |    AND o_totalprice > 150000, false)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Multi-way star join through the full schema: nation → customer →
     * orders → lineitem → supplier, revenue where customer and supplier
     * share a nation (TPC-H Q5-shaped). All dims broadcast; the one big
@@ -763,5 +798,6 @@ object Relational {
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),
     NamedQuery("q_correlated_avg", correlatedAvg, Some(correlatedAvgSql)),
-    NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
+    NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)))
 }
