@@ -39,15 +39,16 @@ object SparkEntry {
     *    their frequency-capped twins `d_jaccard_capped` /
     *    `d_minhash_capped` (trigram shingles, maxDf = 0.004 — the
     *    scale path) ARE in the bench set.
-    *  - the three streaming-engine queries, whose data computation is
+    *  - the streaming-engine queries, whose data computation is
     *    already benched by their batch twins (`ev_tumbling_hourly`,
-    *    `ev_asof_click`, the events scan); what they add is fixed
-    *    per-query streaming startup + checkpoint I/O (~4-8 s
-    *    regardless of sf), which would measure engine spin-up, not
-    *    data-scale throughput. They stay in the correctness gate.
+    *    `ev_asof_click`, `d_clean_pipeline`/`d_split_assign`, the
+    *    events scan); what they add is fixed per-query streaming
+    *    startup + checkpoint I/O (~4-8 s regardless of sf), which
+    *    would measure engine spin-up, not data-scale throughput. They
+    *    stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
       "st_tumbling_hourly", "st_dedup_events", "st_click_attribution",
-      "st_scd2_merge")
+      "st_scd2_merge", "st_curation")
 }

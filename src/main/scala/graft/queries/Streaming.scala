@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextAnalysis
 import graft.streaming.Streams
 
 /** Driver-facing queries that execute through the Structured Streaming
@@ -31,7 +32,62 @@ object Streaming {
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
       |ORDER BY p.event_id, c.ts""".stripMargin
 
+  /** Batch twin of the streamed curation gates: every gate is a pure
+    * function of the document, so the stream over the same corpus must
+    * agree row-for-row — the oracle recomputes quality, lang-id, and
+    * the deterministic split in plain SQL and aggregates identically.
+    */
+  private val curationSql = {
+    val sets = TextAnalysis.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scores = sets.map { case (l, arr) =>
+      s"len(list_intersect(toks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = sets.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val bucket = "CAST(('0x' || substr(md5('split-v1:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+       |        / length(text) END AS praw,
+       |    $bucket AS bucket
+       |  FROM documents),
+       |enriched AS (
+       |  SELECT doc_id, n_chars, bucket, n_tokens, praw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_intersect(toks,
+       |        ['the','a','an','and','or','of','to','in','is','it']))::DOUBLE
+       |        / len(toks) END AS sraw,
+       |    $scores
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, n_chars, bucket,
+       |    floor((least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.4::DOUBLE
+       |      + (1.0::DOUBLE - praw) * 0.3::DOUBLE
+       |      + sraw * 0.3::DOUBLE) * 10000) / 10000 AS quality,
+       |    $m AS m,
+       |    CASE WHEN $m = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+       |  FROM enriched)
+       |SELECT
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang_pred, count(*) AS n_docs,
+       |  round(avg(quality), 3) AS avg_quality,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM scored
+       |WHERE quality >= 0.5 AND lang_pred <> 'und'
+       |GROUP BY 1, 2 ORDER BY split, lang_pred""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_curation", Streams.curationViaStream, Some(curationSql)),
     NamedQuery("st_tumbling_hourly", Streams.tumblingViaStream,
       Some(Events.tumblingSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),

@@ -383,4 +383,38 @@ object Streams {
       out, ckpt)
     spark.read.parquet(out).orderBy("event_id")
   }
+
+  /** Continuous curation: the cleaning gates (quality score, lang-id,
+    * deterministic split assignment — all stateless codegen'd
+    * projections) applied ON THE STREAM as documents arrive, appended
+    * to a parquet sink; the per-(split, lang) report is a batch
+    * aggregate over the sink. This is how a 100 TB ingest keeps its
+    * corpus clean WITHOUT recurring full-corpus batch passes: the
+    * gates run once per document at arrival, and the checkpointed
+    * file-source stream is exactly the reference's "fetch everything
+    * new" poll loop. Oracle = the same gates as plain SQL over the
+    * whole table — stream and batch must agree row-for-row because
+    * every gate is a pure function of the document.
+    */
+  def curationViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val docs = spark.readStream
+      .schema(Tables(spark, dir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val gated = docs.select(col("doc_id"), col("n_chars"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      graft.operators.Curation.splitAssign(col("doc_id"), "split-v1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+    val out = Files.createTempDirectory("graft_st_cur_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_cur_ckpt").toString
+    runAvailableNow(gated, out, ckpt)
+    spark.read.parquet(out)
+      .groupBy("split", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 3).as("avg_quality"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang_pred")
+  }
 }
