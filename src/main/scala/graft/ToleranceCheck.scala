@@ -109,6 +109,20 @@ object ToleranceCheck {
           "jaccard, threshold 0.6")
     }
 
+    // Winnowing fingerprints: a pair with capped trigram-jaccard >= 0.6
+    // shares most 3-word sequences, hence long normalized substrings,
+    // hence (by the w+k-1 guarantee) winnow fingerprints — so the
+    // char-level operator must recall the word-level exact pairs. The
+    // kernel itself (rolling hash ≡ direct hash, window-min law, pinned
+    // values) is pinned in DedupSpec.
+    check("d_winnow_pairs") {
+      val wRecall = recall(pairSet(res("d_winnow_pairs")),
+        pairSet(res("d_jaccard_capped")))
+      Check("recall_vs_exact_jaccard", wRecall, 0.95, wRecall >= 0.95,
+        "winnow (k=16, w=4, containment>=0.5) pairs cover the exact " +
+          "capped trigram-jaccard>=0.6 pairs")
+    }
+
     // SimHash: every emitted pair within the declared hamming budget
     // (exact signature values are pinned bit-for-bit in DedupSpec).
     // Unlike the twin comparisons above, an EMPTY pair set is a legal

@@ -108,6 +108,44 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
     copy(child = c)
 }
 
+/** Winnowing fingerprints of a document (spec in
+  * Kernels.winnowFingerprints): rolling-hash char k-grams, window-min
+  * selection — the MOSS document-fingerprinting scheme as one codegen'd
+  * pass per row.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "k must be >= 1")
+  require(w >= 1, "w must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.winnowFingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** Distinct char k-gram hashes of a document (spec in
+  * Kernels.charGramHashes) — the exact set the winnowed selection
+  * samples from, for exact-containment rescoring.
+  */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "char_gram_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.charGramHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.charGramHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
 /** MinHash signature vector of a shingle array (spec in
   * Kernels.minHashSigs) — the candidate-generation half of the
   * MinHash/LSH dedup family, one codegen'd pass per row.
@@ -154,6 +192,36 @@ case class Sq8Cosine(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"${K.name}.sq8Cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Sq8Cosine = copy(l, r)
+}
+
+/** Rank bucket against driver-computed quantile cut points (spec in
+  * Kernels.rangeBucket) — codegen'd binary search, the per-row half of
+  * Z-order clustering. The bounds array rides along as a referenced
+  * object in generated code, so the expression stays inside
+  * WholeStageCodegen with zero per-row allocation.
+  */
+case class RangeBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bounds.nonEmpty, "bounds must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(DoubleType)
+  override def prettyName: String = "range_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.rangeBucket(v.asInstanceOf[Double], bounds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, c => s"${K.name}.rangeBucket($c, $ref)")
+  }
+  // Array fields compare by identity; compare cut points by value so
+  // equal bucketings canonicalize together (subexpression elimination)
+  override def equals(o: Any): Boolean = o match {
+    case RangeBucket(c, b) => c == child && java.util.Arrays.equals(b, bounds)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bounds)
+  override protected def withNewChildInternal(c: Expression): RangeBucket =
+    copy(child = c)
 }
 
 /** Deterministic signed-random-projection LSH bucket of an embedding. */

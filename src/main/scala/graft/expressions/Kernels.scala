@@ -228,6 +228,118 @@ object Kernels {
     bucket
   }
 
+  /** Rabin-Karp base for the rolling char-gram hashes behind
+    * [[winnowFingerprints]] / [[charGramHashes]] (prime, public-domain
+    * constant; 64-bit wrapping arithmetic IS the modulus).
+    */
+  final val RkBase = 1000003L
+
+  /** Winnowing normalization (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS scheme): lowercase, keep only letter/digit chars, drop
+    * everything else — so whitespace/punctuation edits never move a
+    * fingerprint. Char-level (UTF-16 units): surrogate halves pass
+    * through individually, which is deterministic and
+    * self-consistent — both sides of a match normalize identically.
+    */
+  private def normalizeChars(s: UTF8String): Array[Char] = {
+    val text = s.toLowerCase.toString
+    val out = new Array[Char](text.length)
+    var n = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) { out(n) = c; n += 1 }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** All k-gram polynomial hashes of `cs` in positional order:
+    * h(i) = sum_{j<k} cs(i+j) · RkBase^(k-1-j) (wrapping). Computed by
+    * the O(len) rolling recurrence
+    * h(i+1) = (h(i) − cs(i)·RkBase^(k-1))·RkBase + cs(i+k) — the whole
+    * point of the scheme: one multiply-add per position, not one per
+    * (position, offset) pair.
+    */
+  private def gramHashes(cs: Array[Char], k: Int): Array[Long] = {
+    val m = cs.length - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](m)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= RkBase; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * RkBase + cs(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - cs(i - 1) * pow) * RkBase + cs(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
+  private def distinctSorted(hs: java.util.TreeSet[java.lang.Long]): ArrayData = {
+    val out = new Array[Any](hs.size)
+    val it = hs.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct k-gram hashes of the normalized text, ascending (signed
+    * order) — the exact char-gram set for containment rescoring beside
+    * the winnowed selection. Fewer than k normalized chars → empty.
+    */
+  def charGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val hs = gramHashes(normalizeChars(s), k)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < hs.length) { set.add(hs(i)); i += 1 }
+    distinctSorted(set)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003): from each window
+    * of `w` consecutive k-gram hashes select the minimum — signed
+    * 64-bit order, ties broken by the RIGHTMOST position (the `<=`
+    * takeover below makes every window's selection exactly its
+    * rightmost minimal hash; DedupSpec pins this against a direct
+    * per-window reference). Guarantee: any shared normalized substring of
+    * length ≥ w + k − 1 between two documents yields at least one
+    * shared fingerprint. Result: distinct selected hashes, ascending.
+    * Fewer grams than one window → the global minimum alone (short
+    * docs still fingerprint). Fewer than k normalized chars → empty.
+    */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = gramHashes(normalizeChars(s), k)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (hs.length > 0 && hs.length <= w) {
+      var minIdx = 0
+      var j = 1
+      while (j < hs.length) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      sel.add(hs(minIdx))
+    } else if (hs.length > w) {
+      var minIdx = -1
+      var end = w - 1
+      while (end < hs.length) {
+        val from = end - w + 1
+        if (minIdx < from) {
+          minIdx = from
+          var j = from + 1
+          while (j <= end) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+          sel.add(hs(minIdx))
+        } else if (hs(end) <= hs(minIdx)) {
+          minIdx = end
+          sel.add(hs(end))
+        }
+        end += 1
+      }
+    }
+    distinctSorted(sel)
+  }
+
   /** MinHash signature vector over a string array (the distinct
     * shingles of one document): sig(t) = min over grams g of
     * fnv1a64Long(fnv1a64(g) ^ mix(t)), one independent hash family per
@@ -257,6 +369,22 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       sigs.map(x => x: Any))
+  }
+
+  /** Rank bucket of `v` against ascending cut points: the count of
+    * bounds ≤ v (binary search), so the result spans [0, bounds.length]
+    * and quantile cut points yield ~equal-count buckets regardless of
+    * value skew. The Z-order clustering primitive
+    * ([[graft.operators.ZOrder]]).
+    */
+  def rangeBucket(v: Double, bounds: Array[Double]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Symmetric int8 scalar quantization of a float vector: code(i) =

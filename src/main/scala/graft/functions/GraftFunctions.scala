@@ -33,6 +33,12 @@ object GraftFunctions {
   def sq8_quantize(col: Column): Column = call_function("sq8_quantize", col)
   def minhash_sigs(col: Column, numTables: Int, seed: Long): Column =
     call_function("minhash_sigs", col, lit(numTables), lit(seed))
+  def winnow_fingerprints(col: Column, k: Int, w: Int): Column =
+    call_function("winnow_fingerprints", col, lit(k), lit(w))
+  def char_gram_hashes(col: Column, k: Int): Column =
+    call_function("char_gram_hashes", col, lit(k))
+  def range_bucket(col: Column, bounds: Array[Double]): Column =
+    call_function("range_bucket", col, lit(bounds))
   def sq8_cosine(l: Column, r: Column): Column =
     call_function("sq8_cosine", l, r)
   /** Bloom sketch over xxhash64 of a column — Spark's own
@@ -75,6 +81,15 @@ object GraftFunctions {
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].longValue())),
       "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))),
+      "winnow_fingerprints" -> (es => WinnowFingerprints(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].intValue())),
+      "char_gram_hashes" -> (es => CharGramHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())),
+      "range_bucket" -> (es => RangeBucket(es.head,
+        es(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray())),
       // Spark's own runtime-filter expressions, reused at the data
       // level; values hash through XxHash64 on both sides
       "bloom_agg" -> (es =>

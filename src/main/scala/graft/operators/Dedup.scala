@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{fnv1a64, hamming64, minhash_sigs, simhash64, word_ngrams}
+import graft.functions.GraftFunctions.{fnv1a64, hamming64, minhash_sigs, simhash64, winnow_fingerprints, word_ngrams}
 import graft.functions.TextAnalysis.tokens
 
 /** Deduplication operators for training-data pipelines (builder-prompt
@@ -239,6 +239,54 @@ object Dedup {
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it for chain-shaped data")
     labels
+  }
+
+  /** Winnowing-fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS scheme): each document is reduced to the
+    * window-minimum subset of its rolling-hash char k-grams
+    * ([[graft.expressions.WinnowFingerprints]], one codegen'd pass),
+    * pairs are generated by joining on shared fingerprints (bucket
+    * join — cost tracks collisions, not n²), and the score is the
+    * overlap coefficient |F_a ∩ F_b| / min(|F_a|, |F_b|) over the
+    * fingerprint sets. Char-level where MinHash/Jaccard here are
+    * word-level: reordered words, inserted whitespace, or punctuation
+    * edits don't move fingerprints, and any shared normalized substring
+    * of length ≥ w + k − 1 is guaranteed to share a fingerprint — the
+    * copy-detection contract the word-set operators can't give.
+    *
+    * Scale shape is the [[jaccardPairs]] one: a document contributes
+    * ~2/(w+1) of its grams (the winnowing density bound), so the
+    * exploded relation is w/2× smaller than the full gram relation
+    * before the join ever runs; `maxDf` strips boilerplate fingerprints
+    * (shared headers/footers) map-side via the broadcast hot array.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 4, threshold: Double = 0.5,
+      maxDf: Double = 1.0): DataFrame = {
+    val raw = Ops.spreadNarrow(df).select(col(idCol).as("id"),
+      winnow_fingerprints(col(textCol), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val capped =
+      if (maxDf >= 1.0) raw
+      else {
+        val exploded = raw.select(col("id"), explode(col("fps")).as("fp"))
+        val hot = hotTermArray(exploded, "fp", maxDf,
+          df.select(col(idCol)).distinct().count())
+        raw.crossJoin(broadcast(hot))
+          .select(col("id"), array_except(col("fps"), col("__hot")).as("fps"))
+          .filter(size(col("fps")) > 0)
+      }
+    val sized = capped.select(col("id"),
+      size(col("fps")).cast("bigint").as("sz"), explode(col("fps")).as("fp"))
+    val a = sized.select(col("id").as("id_a"), col("sz").as("sz_a"), col("fp"))
+    val b = sized.select(col("id").as("id_b"), col("sz").as("sz_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
   }
 
   /** Exact n-gram Jaccard similarity join: explode distinct n-grams,

@@ -133,6 +133,24 @@ object TrainingData {
       numHashTables = 8, threshold = 0.6, maxDf = 0.004, n = 3)
       .orderBy("id_a", "id_b")
 
+  /** Winnowing document fingerprints ([[Dedup.winnowPairs]], the MOSS
+    * scheme): char-level near-dup detection — rolling-hash 16-grams of
+    * the normalized text, window-4 minimum selection, overlap
+    * coefficient over the fingerprint sets, boilerplate fingerprints
+    * (df > 2%) capped map-side. The char-level complement to the
+    * word-level jaccard/minhash family: shared substrings ≥ 19
+    * normalized chars are guaranteed detected regardless of word
+    * re-ordering elsewhere in the document. No SQL oracle (the rolling
+    * hash and window-min selection aren't DuckDB-expressible); DedupSpec
+    * pins the kernel against an independent direct-hash reimplementation
+    * and the guarantee law, and tolerance_check.json records recall vs
+    * the exact capped-jaccard twin.
+    */
+  private def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(spark, dir), "doc_id", "text",
+      k = 16, w = 4, threshold = 0.5, maxDf = 0.02)
+      .orderBy("id_a", "id_b")
+
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     // maxHamming must stay below bands (pigeonhole) AND bands must stay
     // wide enough to discriminate: 16 bands of 4 bits would be
@@ -484,6 +502,7 @@ object TrainingData {
     NamedQuery("d_minhash_pairs", minhashPairs, None),
     NamedQuery("d_minhash_capped", minhashCapped, None),
     NamedQuery("d_simhash_pairs", simhashPairs, None),
+    NamedQuery("d_winnow_pairs", winnowPairs, None),
     NamedQuery("d_text_stats", textStats, Some(textStatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),

@@ -121,4 +121,106 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((100L, 101L)))
   }
+
+  // ---- winnowing fingerprints (Kernels.winnowFingerprints /
+  // Dedup.winnowPairs): the kernel is pinned against an INDEPENDENT
+  // reference — direct (non-rolling) polynomial hashing and a plain
+  // per-window rightmost-min scan — so the rolling recurrence and the
+  // single-pass window tracker are both checked, then the selection
+  // guarantee and the operator's end-to-end behavior.
+
+  /** Direct re-implementation of the winnowing spec: no rolling
+    * recurrence (each gram hashed by its own k-step loop), no
+    * incremental window minimum (each window scanned in full).
+    */
+  private def refWinnow(s: String, k: Int, w: Int): Set[Long] = {
+    val cs = s.toLowerCase.filter(Character.isLetterOrDigit)
+    val m = cs.length - k + 1
+    if (m <= 0) return Set.empty
+    val hs = Array.tabulate(m) { i =>
+      var h = 0L
+      (0 until k).foreach(j => h = h * 1000003L + cs.charAt(i + j))
+      h
+    }
+    def rightmostMin(from: Int, until: Int): Long = {
+      var best = from
+      ((from + 1) until until).foreach(j => if (hs(j) <= hs(best)) best = j)
+      hs(best)
+    }
+    if (m <= w) Set(rightmostMin(0, m))
+    else (0 to m - w).map(from => rightmostMin(from, from + w)).toSet
+  }
+
+  private def kernelWinnow(s: String, k: Int, w: Int): Set[Long] = {
+    val arr = graft.expressions.Kernels.winnowFingerprints(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+    arr.toLongArray().toSet
+  }
+
+  test("winnow kernel equals the direct-hash reference on random strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg 0123,.!?é中  XYZ"
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(80))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      for (k <- Seq(3, 8, 16); w <- Seq(1, 4, 8))
+        assert(kernelWinnow(s, k, w) == refWinnow(s, k, w),
+          s"mismatch for k=$k w=$w input '$s'")
+    }
+  }
+
+  test("winnow fingerprints are pinned (hash derivation stability)") {
+    assert(kernelWinnow("The quick brown fox jumps over the lazy dog", 8, 4)
+      == Set(-9148359948334691133L, -8375827361468489596L,
+        -7488512253319978533L, -7459112692732145813L, -7300971018476229631L,
+        -7142481838308805865L, -5884600588240189370L, -2289695433554132876L,
+        -2262027067515106565L))
+    assert(kernelWinnow("hello, World! 123", 4, 3)
+      == Set(-6679427438735305547L, -2679392438692305683L,
+        -2679384438582305356L, -2679381438556305313L, 320648561531694751L))
+    // normalization: case, whitespace, and punctuation never move a
+    // fingerprint
+    assert(kernelWinnow("HELLO world123", 4, 3)
+      == kernelWinnow("  hello, WORLD !! 1-2-3 ", 4, 3))
+    // fewer than k normalized chars → no fingerprints
+    assert(kernelWinnow("ab, c!", 4, 2) == Set.empty)
+    // fewer grams than one window → the global minimum alone
+    assert(kernelWinnow("abcde", 4, 8).size == 1)
+  }
+
+  test("winnow guarantee: shared substring of length k+w-1 always matches") {
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 4
+    for (_ <- 1 to 50) {
+      val shared = randStr(k + w - 1)
+      val a = randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40))
+      val b = randStr(rnd.nextInt(40)) + shared + randStr(rnd.nextInt(40))
+      assert(kernelWinnow(a, k, w).intersect(kernelWinnow(b, k, w)).nonEmpty,
+        s"no shared fingerprint for planted match '$shared'")
+    }
+  }
+
+  test("winnowPairs: char-level identity and extension pair; reorder does not") {
+    val out = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 16, w = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1 and 5 are byte-identical → containment 1.0; 3 extends 1 by a
+    // suffix, so every fingerprint of 1 appears in 3 → containment 1.0.
+    assert(out.contains((1L, 5L, 1.0)))
+    assert(out.contains((1L, 3L, 1.0)))
+    // 2 is a word-level permutation of 1 — same word set (jaccard 1.0)
+    // but no shared 16-char substring: char-level correctly silent.
+    assert(!out.exists { case (a, b, _) => (a, b) == ((1L, 2L)) })
+  }
+
+  test("winnowPairs maxDf cap drops boilerplate fingerprints") {
+    val out = Dedup.winnowPairs(boilerDocs, "doc_id", "text",
+      k = 16, w = 4, threshold = 0.5, maxDf = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the shared boiler phrase's fingerprints have df = 42/42 > 0.9 and
+    // are capped out; only the mirrored article pair survives
+    assert(out.toSeq == Seq((100L, 101L)))
+  }
 }

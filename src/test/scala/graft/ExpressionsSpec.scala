@@ -151,4 +151,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.getInt(1) == 1)
     assert(out.getDouble(2) == 1.0)
   }
+
+  test("winnow_fingerprints / char_gram_hashes: DataFrame path agrees " +
+      "with the kernels, selection ⊆ gram set") {
+    val texts = Seq("The quick brown fox jumps over the lazy dog",
+      "hello, World! 123", "", "ab", "héllo ✓ wörld")
+    val rows = texts.toDF("s")
+      .select(winnow_fingerprints(col("s"), 8, 4).as("fps"),
+        char_gram_hashes(col("s"), 8).as("grams"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    texts.zip(rows).foreach { case (t, (fps, grams)) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      assert(fps == Kernels.winnowFingerprints(u, 8, 4).toLongArray().toSeq)
+      assert(grams == Kernels.charGramHashes(u, 8).toLongArray().toSeq)
+      // the winnowed selection samples the gram set and both are
+      // ascending-distinct
+      assert(fps.toSet.subsetOf(grams.toSet))
+      assert(fps == fps.distinct.sorted && grams == grams.distinct.sorted)
+    }
+    // SQL surface carries both registrations
+    val viaSql = spark.sql(
+      "SELECT size(winnow_fingerprints('hello, World! 123', 4, 3)), " +
+        "size(char_gram_hashes('hello, World! 123', 4))").head
+    assert(viaSql.getInt(0) == 5 && viaSql.getInt(1) == 10)
+  }
 }
