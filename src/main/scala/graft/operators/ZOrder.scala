@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.range_bucket
+
+/** Multi-dimensional Z-order (Morton-curve) clustering for data
+  * skipping — the lakehouse `OPTIMIZE ZORDER BY` capability: rewrite a
+  * table so that rows close in SEVERAL columns land in the same files,
+  * making parquet row-group min/max stats tight in every clustered
+  * dimension at once. A layout sorted by one column skips scans only on
+  * that column; a Z-ordered layout skips on any clustered dimension —
+  * at 100 TB this is the difference between reading ~box-fraction of
+  * the table and reading all of it for every predicate that isn't on
+  * the sort key.
+  *
+  * Mechanics (the standard range-id scheme):
+  *
+  *  1. one driver-side stats pass computes approximate quantile cut
+  *     points per clustering column (`approxQuantile` — a single
+  *     aggregation job, never a sort), so bucket ids are RANK-based and
+  *     skew-proof: each of the 2^bits buckets holds ~equal row counts
+  *     even when values cluster;
+  *  2. each row's per-column bucket ids (codegen'd binary search,
+  *     [[graft.expressions.RangeBucket]]) are bit-interleaved into one
+  *     z-key — composed entirely from built-in shift/and/or column ops,
+  *     so the whole key stays inside WholeStageCodegen;
+  *  3. `repartitionByRange` on the z-key packs contiguous curve
+  *     segments into files and `sortWithinPartitions` orders rows
+  *     inside each file, so row-group boundaries cut the curve into
+  *     tight multi-dimensional boxes.
+  *
+  * Everything distributed is one range shuffle — cost identical to the
+  * single-column sort rewrite the naive layout needs anyway.
+  */
+object ZOrder {
+
+  /** Bit-interleave per-column bucket ids into the Morton key:
+    * bit `b` of bucket `i` lands at position `b * n + i`. Pure built-in
+    * bit ops (shiftright/bitwiseAND/shiftleft/bitwiseOR) — `bits × n`
+    * codegen'd terms, no UDF, no custom expression.
+    */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 1, "at least one bucket column")
+    require(n * bits <= 63, s"n*bits must fit a signed long, got ${n * bits}")
+    val terms = for { b <- 0 until bits; i <- 0 until n } yield
+      shiftleft(shiftright(buckets(i).cast("long"), b).bitwiseAND(lit(1L)),
+        b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-key column for `cols` of `df`: quantile cut points from one
+    * driver stats pass, rank-buckets via codegen'd binary search,
+    * interleaved. Columns must be numeric (cast dates/timestamps to
+    * epoch first — the caller owns representation). Nulls bucket to 0
+    * (lowest curve corner) so they cluster together rather than
+    * scattering.
+    */
+  def zkey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "at least one clustering column")
+    val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // one pass over all columns; error a quarter of the bucket width —
+    // a misplace of a few rows per boundary shifts curve tiles, never
+    // correctness (the stats sketch cost scales with 1/eps, so tying
+    // eps to the bucket width keeps the pass cheap at low `bits`)
+    val eps = 0.25 / (1 << bits)
+    val bounds = df.stat.approxQuantile(cols.toArray, probes, eps)
+    val buckets = cols.zip(bounds).map { case (c, bs) =>
+      val ds = bs.distinct.sorted
+      val raw = range_bucket(
+        coalesce(col(c).cast("double"), lit(Double.MinValue)), ds)
+      // spread each dimension's rank into the FULL bit-space: a column
+      // with few distinct values (so few distinct cut points) would
+      // otherwise leave its top bits always zero and the other
+      // dimensions' top bits would dominate the curve — degrading the
+      // layout to a plain sort on the wide column
+      (raw.cast("long") * (1L << bits) / (ds.length + 1)).cast("int")
+    }
+    interleave(buckets, bits)
+  }
+
+  /** Rewrite `df` into `numFiles` z-ordered files at `path`: range
+    * partition on the z-key (contiguous curve segments per file), sort
+    * within each file (tight row-group boxes), staged-atomic overwrite
+    * via the same machinery as every other sink here.
+    */
+  def cluster(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 8): Unit = {
+    val keyed = df.withColumn("__z", zkey(df, cols, bits))
+    val laid = keyed
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    ParquetIO.overwriteSafe(laid, path)
+  }
+}

@@ -675,6 +675,49 @@ object Relational {
       |    AND o_totalprice > 150000, false)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order clustering under the oracle gate ([[graft.operators.ZOrder]]):
+    * rewrite lineitem clustered on (ship day, quantity) — quantile
+    * rank-buckets bit-interleaved into a Morton key, one range shuffle —
+    * then answer a 2-D box predicate from the clustered copy. The
+    * oracle reads the RAW table: clustering must be invisible to
+    * results (the correctness contract of a layout rewrite), while
+    * ZOrderSpec proves the layout's point — the box intersects ~half
+    * or fewer of the files a single-column sort layout would touch, the
+    * row-group min/max skipping that keeps a 100 TB scan proportional
+    * to box area instead of date span.
+    */
+  private def zorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .withColumn("ship_day",
+        datediff(col("l_shipdate"), lit("1990-01-01")).cast("double"))
+    // 64 buckets/dim: tile resolution at 16 files needs far fewer than
+    // the bucket count, and the quantile pass cost scales with 2^bits
+    graft.operators.ZOrder.cluster(li, Seq("ship_day", "l_quantity"), path,
+      numFiles = 16, bits = 6)
+    spark.read.parquet(path)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-07-01" &&
+        col("l_quantity").between(10, 20))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val zorderSkipSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_quantity BETWEEN 10 AND 20
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Multi-way star join through the full schema: nation → customer →
     * orders → lineitem → supplier, revenue where customer and supplier
     * share a nation (TPC-H Q5-shaped). All dims broadcast; the one big
@@ -799,5 +842,6 @@ object Relational {
     NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),
     NamedQuery("q_correlated_avg", correlatedAvg, Some(correlatedAvgSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
-    NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)))
+    NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
+    NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }
