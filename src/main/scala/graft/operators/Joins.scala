@@ -64,6 +64,44 @@ object Joins {
         valueCols.map(v => s"__graft_v_$v"): _*)
   }
 
+  /** Point-in-interval join where BOTH sides are large: every point row
+    * pairs with every interval row sharing its `keys` whose
+    * `[startCol, endCol]` (inclusive) contains `pointCol`. All three
+    * position columns are numeric (e.g. epoch micros).
+    *
+    * The broadcast-nested-loop form (`ev_value_bands`) needs one side
+    * tiny; a raw theta-join on two large sides is quadratic per key. The
+    * scale path is binning: positions bucket by `bucketWidth`, intervals
+    * replicate to each bucket they overlap (`sequence` + `explode`), and
+    * the join becomes an EQUI join on (keys, bucket) — one hash shuffle,
+    * AQE/skew-handling apply, cost ∝ matches + interval spans/width. A
+    * point lives in exactly one bucket, so each qualifying pair joins
+    * exactly once — no dedup pass. Pick `bucketWidth` near the typical
+    * interval length: replication stays O(1) per interval while buckets
+    * stay selective.
+    *
+    * NULL in any position column or key drops the row (SQL range-join
+    * semantics: NULL compares unknown).
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val b = "__graft_bucket"
+    val p = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn(b, floor(col(pointCol) / bucketWidth).cast("long"))
+    val i = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn(b, explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor(col(endCol) / bucketWidth).cast("long"))))
+    p.join(i, (keys :+ b).toSeq)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(b)
+  }
+
   /** Skew-safe equi-join: spread each hot key of `large` over `buckets`
     * salt values (derived deterministically from `saltFrom`, so re-runs
     * are stable), replicate `small` once per salt value, join on

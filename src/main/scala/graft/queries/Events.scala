@@ -217,7 +217,165 @@ object Events {
       |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Conversion funnel signup → click → purchase with strict temporal
+    * order per user: a click counts only at-or-after the user's first
+    * signup, a purchase only at-or-after the first qualifying click.
+    *
+    * Three stacked running-`min` windows over ONE partitioning
+    * (user_id, ordered by ts): each stage's "first qualifying ts" is a
+    * running min conditioned on the previous stage's column, so the
+    * whole funnel is a single shuffle — no per-stage self-joins (the
+    * naive form is k joins of the event table against itself). The
+    * per-user flags then collapse in an ordinary two-level agg.
+    */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c1", min(when(
+        col("event_type") === "click" && col("s1").isNotNull,
+        col("ts"))).over(w))
+      .withColumn("p1", min(when(
+        col("event_type") === "purchase" && col("c1").isNotNull,
+        col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("s1").isNotNull).as("r1"),
+        max(col("c1").isNotNull).as("r2"),
+        max(col("p1").isNotNull).as("r3"))
+      .agg(sum(when(col("r1"), 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("n_signup_click"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("n_funnel_complete"))
+  }
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER win AS s1
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type
+      |    ROWS UNBOUNDED PRECEDING)),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+      |      AND s1 IS NOT NULL THEN ts END) OVER win AS c1
+      |  FROM w1 WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type
+      |    ROWS UNBOUNDED PRECEDING)),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+      |      AND c1 IS NOT NULL THEN ts END) OVER win AS p1
+      |  FROM w2 WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type
+      |    ROWS UNBOUNDED PRECEDING)),
+      |u AS (SELECT user_id, max(s1 IS NOT NULL) AS r1,
+      |    max(c1 IS NOT NULL) AS r2, max(p1 IS NOT NULL) AS r3
+      |  FROM w3 GROUP BY user_id)
+      |SELECT count(*) FILTER (WHERE r1) AS n_signup,
+      |  count(*) FILTER (WHERE r2) AS n_signup_click,
+      |  count(*) FILTER (WHERE r3) AS n_funnel_complete
+      |FROM u""".stripMargin
+
+  /** Daily cohort retention: cohort = a user's first active day; one
+    * cell per (cohort, day-offset) counting distinct returning users.
+    * The cohort day is a running window min (shuffle on user_id), the
+    * distinct collapses (user, cohort, offset) before the final small
+    * agg — at scale the wide shuffle carries one row per user-day, not
+    * per event.
+    */
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort", min("d").over(byUser))
+      .select(col("user_id"), col("cohort"),
+        datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"))
+      .distinct()
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  private val retentionSql =
+    """WITH f AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |c AS (SELECT user_id, d,
+      |    min(d) OVER (PARTITION BY user_id) AS cohort FROM f)
+      |SELECT cohort, datediff('day', cohort, d) AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY cohort, day_offset
+      |ORDER BY cohort, day_offset""".stripMargin
+
+  /** Click-within-view attribution: every click inside the 1-hour
+    * window opened by the same user's view events — a point-in-interval
+    * join where BOTH sides grow with the data (contrast
+    * `ev_value_bands`, whose interval side is a 4-row broadcast dim).
+    * Uses [[Joins.pointInIntervalJoin]]: intervals replicate per
+    * covered time bucket, the join is EQUI on (user, bucket) — one hash
+    * shuffle instead of a quadratic theta-join, the 100 TB path.
+    */
+  private def clickInView(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 60L * 60 * 1000 * 1000
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("v_end", col("v_us") + hourUs)
+    Joins.pointInIntervalJoin(clicks, views, Seq("user_id"),
+        pointCol = "c_us", startCol = "v_us", endCol = "v_end",
+        bucketWidth = hourUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"))
+      .orderBy("user_id")
+  }
+
+  private val clickInViewSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      |SELECT c.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT c.event_id) AS n_clicks
+      |FROM (SELECT * FROM e WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM e WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND c.us >= v.us AND c.us <= v.us + 3600000000
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  /** Path analysis: the 10 most common consecutive 3-event sequences.
+    * One window shuffle on user_id (two `lead`s share the exchange),
+    * then a partial+final count and a TakeOrderedAndProject top-k — the
+    * grouped row count is |event_type|³ max, never corpus-sized.
+    */
+  private def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  private val topPathsSql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |seq AS (SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER win AS e2,
+      |    lead(event_type, 2) OVER win AS e3
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_funnel", funnel, Some(funnelSql)),
+    NamedQuery("ev_retention", retention, Some(retentionSql)),
+    NamedQuery("ev_click_in_view", clickInView, Some(clickInViewSql)),
+    NamedQuery("ev_top_paths", topPaths, Some(topPathsSql)),
     NamedQuery("ev_tumbling_hourly", tumbling, Some(tumblingSql)),
     NamedQuery("ev_sliding_windows", sliding, Some(slidingSql)),
     NamedQuery("ev_sessionize", sessionize, Some(sessionizeSql)),

@@ -613,6 +613,75 @@ object Relational {
       |                    WHERE l2.l_partkey = part.p_partkey)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): a 6-relation join — lineitem ⋈
+    * orders ⋈ supplier ⋈ customer ⋈ nation ×2 (the same dimension
+    * joined twice under different predicates) — with a disjunctive
+    * cross-nation filter and a date band. The join-order stress test:
+    * Catalyst must broadcast the four dim sides and keep the one
+    * genuinely large pair (lineitem⋈orders) as the only shuffle; the
+    * selective nation filters cut each branch before the fact join.
+    * Identical SQL text is the DuckDB oracle.
+    */
+  private def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(volumeShippingSql)
+  }
+
+  private val volumeShippingSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (market share): an 8-relation join through two
+    * snowflake arms (customer→nation→region gating the orders side,
+    * supplier→nation labeling the volume) plus a conditional-sum ratio
+    * per year. Every dimension chain folds to a broadcast; lineitem ⋈
+    * orders stays the single shuffle. Same text on both engines.
+    */
+  private def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(marketShareSql)
+  }
+
+  private val marketShareSql =
+    """SELECT o_year,
+      |  round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+      |    / sum(volume), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   /** The S7 merge-upsert expressed as a pure query so the DuckDB oracle
     * can check the join-rewrite semantics (left-anti + union; reference
     * `pg_loader.py:219-270`): target = orders not divisible by 3,
@@ -841,6 +910,9 @@ object Relational {
     NamedQuery("q_semi_anti", semiAnti, Some(semiAntiSql)),
     NamedQuery("q_exists_subquery", existsSubquery, Some(existsSubquerySql)),
     NamedQuery("q_correlated_avg", correlatedAvg, Some(correlatedAvgSql)),
+    NamedQuery("q7_volume_shipping", volumeShipping,
+      Some(volumeShippingSql)),
+    NamedQuery("q8_market_share", marketShare, Some(marketShareSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))

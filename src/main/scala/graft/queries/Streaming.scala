@@ -86,7 +86,18 @@ object Streaming {
        |GROUP BY 1, 2 ORDER BY split, lang_pred""".stripMargin
   }
 
+  /** Batch twin of the stream-static enrichment join. */
+  private val enrichSql =
+    """SELECT b.category, count(*) AS n_events,
+      |  round(sum(e.value), 2) AS total_value
+      |FROM events e JOIN (VALUES ('click', 'engagement'),
+      |  ('view', 'engagement'), ('signup', 'acquisition'),
+      |  ('purchase', 'revenue'), ('error', 'ops')) b(event_type, category)
+      |  ON e.event_type = b.event_type
+      |GROUP BY b.category ORDER BY b.category""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_enrich", Streams.enrichViaStream, Some(enrichSql)),
     NamedQuery("st_curation", Streams.curationViaStream, Some(curationSql)),
     NamedQuery("st_tumbling_hourly", Streams.tumblingViaStream,
       Some(Events.tumblingSql)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -201,6 +202,75 @@ object TrainingData {
       |    + (1.0::DOUBLE - praw) * 0.3::DOUBLE
       |    + sraw * 0.3::DOUBLE) * 10000) / 10000 AS quality
       |FROM enriched ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition signals per document: duplicate-word
+    * fraction and the most-frequent word bigram's share of all bigrams
+    * — the standard "low-quality by repetition" quality gates for LLM
+    * corpora (high top-bigram share = boilerplate/keyword-stuffed
+    * text). Tokens follow the [[TextAnalysis.tokens]] contract; bigram
+    * lists keep duplicates (`slice` + `zip_with`), unlike the
+    * de-duplicating `WordNGrams` shingle expression the dedup family
+    * uses — frequency is the whole point here.
+    *
+    * Ratios are floor-scaled to 4 digits, not rounded (see
+    * [[NamedQuery]] — round-to-decimal differs between engines exactly
+    * on half boundaries, and these ARE small-integer ratios that can
+    * land there, e.g. 13/32). At scale: the (doc, bigram) count keys
+    * the shuffle by doc_id+bigram so one hot document cannot skew a
+    * partition, and the per-doc argmax is a keyed window, not a global
+    * sort. Docs with <2 tokens have no bigrams and are excluded by
+    * contract.
+    */
+  private def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .filter(col("n_words") >= 2)
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("bigint"))
+      .withColumn("bigram", explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b))))
+      .drop("w")
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("bigram").asc)
+    base
+      .groupBy("doc_id", "n_words", "n_distinct", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_words"),
+        (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+          * 10000) / 10000).as("dup_word_frac"),
+        col("bigram").as("top_bigram"), col("c").as("top_bigram_n"),
+        (floor(col("c").cast("double") / (col("n_words") - 1) * 10000)
+          / 10000).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionStatsSql =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS w
+      |  FROM documents),
+      |base AS (SELECT doc_id, len(w) AS n_words,
+      |    len(list_distinct(w)) AS n_distinct, w
+      |  FROM d WHERE len(w) >= 2),
+      |bg AS (SELECT doc_id, n_words, n_distinct,
+      |    w[i] || ' ' || w[i + 1] AS bigram
+      |  FROM base, unnest(range(1, len(w))) AS t(i)),
+      |counts AS (SELECT doc_id, n_words, n_distinct, bigram,
+      |    count(*) AS c
+      |  FROM bg GROUP BY 1, 2, 3, 4),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, bigram) AS rn FROM counts)
+      |SELECT doc_id, n_words,
+      |  floor((1 - n_distinct::DOUBLE / n_words) * 10000) / 10000
+      |    AS dup_word_frac,
+      |  bigram AS top_bigram, c AS top_bigram_n,
+      |  floor(c::DOUBLE / (n_words - 1) * 10000) / 10000
+      |    AS top_bigram_frac
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
@@ -503,6 +573,8 @@ object TrainingData {
     NamedQuery("d_minhash_capped", minhashCapped, None),
     NamedQuery("d_simhash_pairs", simhashPairs, None),
     NamedQuery("d_winnow_pairs", winnowPairs, None),
+    NamedQuery("d_repetition_stats", repetitionStats,
+      Some(repetitionStatsSql)),
     NamedQuery("d_text_stats", textStats, Some(textStatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),

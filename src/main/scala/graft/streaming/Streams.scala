@@ -396,6 +396,39 @@ object Streams {
     * whole table — stream and batch must agree row-for-row because
     * every gate is a pure function of the document.
     */
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension (event_type → reporting category) and aggregates per
+    * category. The static side is re-evaluated per micro-batch — the
+    * standard continuously-running lookup-enrich shape; Spark plans the
+    * tiny dim as a broadcast hash join UNDER the streaming agg, so the
+    * stream side never shuffles for the join, only for the (5-group)
+    * aggregation. Oracle = the identical batch join/agg in SQL.
+    */
+  def enrichViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("signup", "acquisition"), ("purchase", "revenue"),
+      ("error", "ops")).toDF("event_type", "category")
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = eventsStream(spark, dir)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .select("category", "n_events", "total_value")
+      .orderBy("category")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def curationViaStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextAnalysis
     val docs = spark.readStream

@@ -104,6 +104,63 @@ class JoinsSpec extends SparkSpec {
     assert(salted.count() === 1000)
   }
 
+  test("pointInIntervalJoin matches a naive theta-join oracle") {
+    // deterministic pseudo-random points/intervals across 5 keys;
+    // interval lengths straddle the bucket width (some span 0 buckets'
+    // worth, some several), so the explode path and the single-bucket
+    // path are both exercised
+    val points = (1 to 300).map { i =>
+      (s"k${i % 5}", i.toLong, (i * 37 % 1000).toLong)
+    }.toDF("k", "pid", "p")
+    val intervals = (1 to 80).map { i =>
+      val s = (i * 83 % 950).toLong
+      (s"k${i % 5}", i.toLong, s, s + (i * 17 % 130).toLong)
+    }.toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("k", "pid", "iid")
+    val binned = Joins.pointInIntervalJoin(points, intervals, Seq("k"),
+        "p", "s", "e", bucketWidth = 64)
+      .select("k", "pid", "iid")
+    assert(binned.count() === naive.count())
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
+  }
+
+  test("pointInIntervalJoin is exact on bucket boundaries and inclusive " +
+      "bounds, and drops NULL/degenerate rows") {
+    val points = Seq(
+      ("k", 1L, Some(64L)),  // exactly on a bucket boundary
+      ("k", 2L, Some(63L)),  // last position of bucket 0
+      ("k", 3L, Some(10L)),
+      ("k", 4L, Option.empty[Long])  // NULL position → dropped
+    ).toDF("k", "pid", "p")
+    val intervals = Seq(
+      ("k", 10L, Some(64L), Some(64L)),  // single-point interval ON boundary
+      ("k", 11L, Some(0L), Some(63L)),   // exactly bucket 0
+      ("k", 12L, Some(63L), Some(65L)),  // straddles the boundary
+      ("k", 13L, Some(50L), Some(40L)),  // degenerate: start > end → dropped
+      ("k", 14L, Option.empty[Long], Some(9L)) // NULL start → dropped
+    ).toDF("k", "iid", "s", "e")
+    val out = Joins.pointInIntervalJoin(points, intervals, Seq("k"),
+        "p", "s", "e", bucketWidth = 64)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(out === Set((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L),
+      (3L, 11L)))
+  }
+
+  test("pointInIntervalJoin plans as an equi join, not a nested loop") {
+    val points = (1 to 50).map(i => (s"k${i % 3}", (i * 7 % 100).toLong))
+      .toDF("k", "p")
+    val intervals = (1 to 20).map(i =>
+      (s"k${i % 3}", (i * 11 % 90).toLong, (i * 11 % 90 + 15).toLong))
+      .toDF("k", "s", "e")
+    val plan = Joins.pointInIntervalJoin(points, intervals, Seq("k"),
+      "p", "s", "e", bucketWidth = 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"binned interval join must be an equi join:\n$plan")
+  }
+
   test("saltedEquiJoin keeps rows whose salt source collides") {
     // all salt-source values identical → one salt bucket gets everything;
     // still correct, just unspread

@@ -48,6 +48,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q7: every dimension side broadcasts; lineitem⋈orders is the " +
+      "only shuffled join") {
+    // 6-relation join: supplier, customer, nation×2 (and on q8 also
+    // part/region) must all fold to BroadcastHashJoins after their
+    // selective filters; only the fact⋈fact pair may shuffle. AQE's
+    // final plan is the one that counts.
+    val p = finalPlan(q("q7_volume_shipping"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, got " +
+      s"$broadcasts:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
+    val shuffledJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffledJoins <= 1,
+      s"only lineitem⋈orders may shuffle, got $shuffledJoins:\n$p")
+  }
+
+  test("ev_click_in_view: the large-large interval join is equi, " +
+      "never a nested loop") {
+    val p = plan(q("ev_click_in_view"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"binned point-in-interval join must stay an equi join:\n$p")
+  }
+
   test("q1: aggregation is partial+final (map-side combine)") {
     val p = finalPlan(q("q1_pricing_summary"))
     assert(p.contains("partial_sum") || p.contains("partial_count"),
