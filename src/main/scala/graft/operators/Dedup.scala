@@ -198,6 +198,18 @@ object Dedup {
     * forever. Each round `localCheckpoint`s the (small) label relation
     * so the iteration's lineage doesn't stack into an ever-deeper plan.
     *
+    * Round structure is tuned for iteration cost, not just round count:
+    * round 0 (take the neighborhood min of the identity labeling) is
+    * folded into initialization as a plain `groupBy` over the edge
+    * list, and each round's convergence test rides the propagation
+    * aggregate — the previous label travels through the fold as a
+    * tagged union branch, so "did anything change" is a filter on the
+    * checkpointed result instead of a third join. Every plan a round
+    * generates is codegen-compiled fresh (the checkpoint cuts lineage),
+    * so one less join per round is also one less compile per round —
+    * on an iterative operator that fixed cost dominates small inputs
+    * and is pure overhead at any size.
+    *
     * Returns `(id, cluster)` — cluster = min id reachable, one row per
     * vertex that appears in `pairs`.
     */
@@ -210,29 +222,38 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    val idType = edges.schema("src").dataType
+    // round 0 pre-folded: label(v) = min(v, min neighbor) — the edge
+    // list is symmetrized, so every vertex appears as src
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("m")).as("cluster"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighborhood minimum: my own label ∪ my neighbors' labels
+      // neighborhood minimum: my own label ∪ my neighbors' labels; the
+      // own-label branch carries its value again as `own`, so the fold
+      // also yields the pre-round label (`max(own)` — exactly one
+      // non-null per id) and convergence needs no join against labels
+      val ownRows = labels.select(col("id"), col("cluster"),
+        col("cluster").as("own"))
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster"))
-      val folded = labels.select("id", "cluster").union(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .select(col("src").as("id"), col("cluster"),
+          lit(null).cast(idType).as("own"))
+      val folded = ownRows.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"),
+          max("own").as("prev"))
       // pointer jump: every label IS some vertex's id with its own
       // row, so label(v) := label(label(v)) is one self-join
       val next = folded
         .join(folded.select(col("id").as("cluster"),
           col("cluster").as("jumped")), "cluster")
-        .select(col("id"), col("jumped").as("cluster"))
+        .select(col("id"), col("jumped").as("cluster"), col("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       iter += 1
     }
     require(converged,
