@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, Events, Ingest, Multimodal, NamedQuery, Relational, Scale, Streaming, TrainingData}
+import graft.queries.{Analytics, Curation, Events, Ingest, Multimodal, NamedQuery, Relational, Scale, Streaming, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator surfaces here as a named query; the driver
@@ -13,7 +13,8 @@ object SparkEntry {
   /** The full declared query set, one NamedQuery per operator. */
   def allQueries: Seq[NamedQuery] =
     Relational.all ++ TrainingData.all ++ Curation.all ++ Events.all ++
-      Scale.all ++ Streaming.all ++ Multimodal.all ++ Ingest.all
+      Scale.all ++ Streaming.all ++ Multimodal.all ++ Ingest.all ++
+      Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Data-ops / analytics extensions beyond the round-1 surface: the
+  * operational queries a warehouse team runs *about* its tables
+  * (profiling, reconciliation, binning, outlier scans) plus two
+  * training-data text ops (TF-IDF term weighting, overlapping chunking).
+  * All seven are SQL-expressible, so each sits under the exact DuckDB
+  * oracle gate. (Reference context: the reference's only data-quality
+  * surface is a post-run COUNT(*) per table — `pg_loader.py:320-339` —
+  * these queries are that idea grown into a real toolkit.)
+  *
+  * Scale stance, per query, in each builder's doc. The shared rule:
+  * every global/unpartitioned window here runs over a PRE-AGGREGATED
+  * relation whose size is bounded by the value domain (days, buckets,
+  * columns), never over the fact table itself.
+  */
+object Analytics {
+
+  /** 7-day trailing moving average of daily order revenue: a
+    * time-RANGE window frame (interval semantics — gaps in the date
+    * spine widen the frame's row count, unlike rowsBetween). The
+    * window input is the daily pre-aggregate (one row per distinct
+    * day — ~2.4k rows for this spine, bounded by the calendar, not by
+    * order count), so the single-partition global window is safe at
+    * any fact scale: the fact table is reduced by a partial+final hash
+    * agg first, and only day rows cross the last exchange.
+    */
+  private def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+    daily
+      .withColumn("avg7", avg("rev").over(w))
+      .select(col("day"), round(col("rev"), 2).as("revenue"),
+        round(col("avg7"), 2).as("avg7"))
+      .orderBy("day")
+  }
+
+  private val movingAvgSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, round(rev, 2) AS revenue,
+      |  round(avg(rev) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+      |    AS avg7
+      |FROM daily ORDER BY day""".stripMargin
+
+  /** Snapshot reconciliation (table diff): classify every key of two
+    * snapshot generations as added / removed / changed / unchanged and
+    * report counts + the value drift. The two generations here are
+    * date-sliced views of `orders` with a deterministic perturbation
+    * (keys ≡ 0 mod 7 get +10 price) so all four classes are populated.
+    * At scale: one full-outer hash join on the key — both sides shuffle
+    * once on o_orderkey, the classifier and the aggregate fold map-side
+    * to 4 groups. This is the verification pass a migration or a
+    * backfill runs before swapping a 100 TB table.
+    */
+  private def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val current = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("2000-01-01"))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("c_price"),
+        col("o_orderstatus").as("c_status"))
+    val previous = orders
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey").as("p_key"),
+        col("o_totalprice").as("p_price"),
+        col("o_orderstatus").as("p_status"))
+    current.join(previous, col("o_orderkey") === col("p_key"), "full_outer")
+      .withColumn("status",
+        when(col("p_key").isNull, lit("added"))
+          .when(col("o_orderkey").isNull, lit("removed"))
+          .when(col("c_price") =!= col("p_price")
+            || col("c_status") =!= col("p_status"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("c_price"), lit(0.0))
+          - coalesce(col("p_price"), lit(0.0))), 2).as("price_delta"))
+      .orderBy("status")
+  }
+
+  private val tableDiffSql =
+    """WITH cur AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS c_price,
+      |    o_orderstatus AS c_status
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '2000-01-01'),
+      |prev AS (
+      |  SELECT o_orderkey AS p_key, o_totalprice AS p_price,
+      |    o_orderstatus AS p_status
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT CASE WHEN p_key IS NULL THEN 'added'
+      |            WHEN o_orderkey IS NULL THEN 'removed'
+      |            WHEN c_price <> p_price OR c_status <> p_status
+      |              THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  count(*) AS n,
+      |  round(sum(coalesce(c_price, 0) - coalesce(p_price, 0)), 2)
+      |    AS price_delta
+      |FROM cur FULL OUTER JOIN prev ON o_orderkey = p_key
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** Equi-width histogram of order totals: 20 fixed buckets of 25k over
+    * [0, 500k], clamped at the edges. Pure arithmetic binning
+    * (floor-divide — bit-identical in every engine, unlike
+    * width_bucket's edge conventions) followed by one partial+final
+    * hash agg: the shuffle carries ≤20 groups no matter how many
+    * orders. The profiling primitive behind any "distribution drifted"
+    * alert at 100 TB.
+    */
+  private def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("bucket",
+        least(greatest(floor(col("o_totalprice") / 25000.0), lit(0.0)),
+          lit(19.0)).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo_price"),
+        round(max("o_totalprice"), 2).as("hi_price"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("bucket")
+
+  private val histogramSql =
+    """SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19)
+      |    AS BIGINT) AS bucket,
+      |  count(*) AS n, round(min(o_totalprice), 2) AS lo_price,
+      |  round(max(o_totalprice), 2) AS hi_price,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  private val profileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One-pass column profiling of the fact table: per numeric column,
+    * non-null count, exact distinct, min/max/mean/stddev — the
+    * schema-health report a pipeline emits after every load. ONE scan
+    * computes every metric (all aggregates in a single agg node; the
+    * four exact DISTINCTs plan as one Expand — documented cost, with
+    * approx_count_distinct as the drop-in at 100 TB), then a `stack`
+    * unpivots the 1×24 row to 4 metric rows. Nothing but 24 numbers
+    * crosses the final exchange.
+    */
+  private def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        round(min(col(c)), 4).as(s"${c}_min"),
+        round(max(col(c)), 4).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_avg"),
+        round(stddev_samp(col(c)), 4).as(s"${c}_std"))
+    }
+    Tables(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${profileCols.length}, " + profileCols.map(c =>
+        s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max, ${c}_avg, ${c}_std")
+        .mkString(", ")
+        + ") AS (column_name, n_non_null, n_distinct, min_v, max_v,"
+        + " avg_v, std_v)"))
+      .orderBy("column_name")
+  }
+
+  private val profileStatsSql = profileCols.map { c =>
+    s"""SELECT '$c' AS column_name, count($c) AS n_non_null,
+       |  count(DISTINCT $c) AS n_distinct, round(min($c), 4) AS min_v,
+       |  round(max($c), 4) AS max_v, round(avg($c), 4) AS avg_v,
+       |  round(stddev_samp($c), 4) AS std_v FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+
+  /** Per-user z-score outlier scan over the event stream: events whose
+    * value sits ≥ 2.5 sample standard deviations from that user's mean.
+    * Per-key mean/stddev via ONE window shuffle on user_id (no
+    * second-pass join); z is floor-truncated to 4 digits on both
+    * engines so accumulation-order ULP noise cannot flip the threshold
+    * compare. At scale: per-user partitions are bounded by per-user
+    * event counts — the natural key for this scan — and the two
+    * moments could fold into a single partial+final agg + broadcast
+    * join if one giant key ever dominated.
+    */
+  private def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Events.events(spark, dir)
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sigma", stddev_samp("value").over(w))
+      .filter(col("sigma") > 0)
+      .withColumn("z",
+        floor(abs((col("value") - col("mu")) / col("sigma")) * 1e4) / 1e4)
+      .filter(col("z") >= 2.5)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  private val anomalySql =
+    """WITH s AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    avg(value) OVER (PARTITION BY user_id) AS mu,
+      |    stddev_samp(value) OVER (PARTITION BY user_id) AS sigma
+      |  FROM events),
+      |z AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    floor(abs((value - mu) / sigma) * 1e4) / 1e4 AS z
+      |  FROM s WHERE sigma > 0)
+      |SELECT event_id, user_id, event_type, value, z
+      |FROM z WHERE z >= 2.5 ORDER BY event_id""".stripMargin
+
+  /** TF-IDF top-3 terms per document: tf = in-doc term count, df via a
+    * term-partitioned window over the (doc, term) relation (already
+    * |vocab|-bounded — no join back to the corpus), idf =
+    * ln((N+1)/(df+1)) + 1 (the classic smoothed form; always > 0 since
+    * df ≤ N), score floor-truncated to 4 digits BEFORE ranking so tie
+    * order is engine-independent (ties break by term). N arrives as a
+    * broadcast 1-row aggregate — no driver action. Output restricted
+    * to doc_id < 100 AFTER df is computed corpus-wide. At scale the
+    * shuffles are (doc,term), term, doc — each over the shrunken tf
+    * relation, never the token stream.
+    */
+  private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docsDf = Tables(spark, dir, "documents")
+    val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
+    val tf = docsDf
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", floor(col("tf")
+        * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+        * 1e4) / 1e4)
+      .filter(col("doc_id") < 100)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("bigint").as("rk"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfTopKSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.token AS term
+      |  FROM documents,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+      |  WHERE t.token <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    floor(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1)
+      |      * 1e4) / 1e4 AS score
+      |  FROM wdf, n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS rk
+      |  FROM scored WHERE doc_id < 100)
+      |SELECT doc_id, rk, term, tf, df, score
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Overlapping sliding-window chunking: each doc becomes fixed
+    * 64-token chunks starting every 48 tokens (16-token overlap — the
+    * context-continuity shape RAG indexing and long-doc pretraining
+    * use; complement of `d_seq_pack`'s gap-free packing). Contract:
+    * chunk starts are 0, 48, 96, … while start < n_tokens; the last
+    * chunk truncates to the remaining tokens. Pure per-row
+    * `sequence`+`posexplode` — embarrassingly parallel, no shuffle at
+    * all until the output sort; fan-out is n_tokens/stride rows per
+    * doc.
+    */
+  private def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0L), col("n_tokens") - 1, lit(48L))))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_idx"),
+        col("col").as("tok_start"),
+        least(lit(64L), col("n_tokens") - col("col")).as("len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val chunkOverlapSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, u.tok_start AS tok_start, n_tokens
+      |  FROM t, unnest(range(0, n_tokens, 48)) AS u(tok_start)
+      |  WHERE n_tokens > 0)
+      |SELECT doc_id, tok_start // 48 AS chunk_idx, tok_start,
+      |  least(64, n_tokens - tok_start) AS len
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
+    NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
+    NamedQuery("q_histogram", histogram, Some(histogramSql)),
+    NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
+    NamedQuery("ev_anomaly", anomaly, Some(anomalySql)),
+    NamedQuery("d_tfidf_topk", tfidfTopK, Some(tfidfTopKSql)),
+    NamedQuery("d_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)))
+}

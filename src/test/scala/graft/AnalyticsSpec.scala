@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for the data-ops/analytics queries ([[graft.queries.Analytics]])
+  * that the oracle gate's hash compare can't state directly — coverage
+  * and frame semantics. Runs on sf0.001 (the smoke fixture).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("chunk overlap covers every token exactly once per stride window") {
+    val chunks = run("d_chunk_overlap")
+      .select("doc_id", "chunk_idx", "tok_start", "len")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly 0, 48, 96, … while start < n
+      assert(sorted.map(_._3).toSeq ==
+        (0L until n by 48L).toSeq, s"doc $doc starts")
+      // every chunk is non-empty, ends within the doc, and all chunks
+      // together cover [0, n): chunk i ends at start+len, the last one
+      // exactly at n or at start+64
+      sorted.foreach { case (_, _, s, l) =>
+        assert(l > 0 && s + l <= n && l <= 64, s"doc $doc chunk ($s,$l)")
+      }
+      val lastCovered = sorted.map(c => c._3 + c._4).max
+      assert(lastCovered == n, s"doc $doc tail uncovered")
+    }
+  }
+
+  test("tfidf ranks ≤3 terms per doc, df consistent corpus-wide") {
+    val out = run("d_tfidf_topk")
+      .select("doc_id", "rk", "term", "df")
+      .as[(Long, Long, String, Long)].collect()
+    val perDoc = out.groupBy(_._1)
+    perDoc.foreach { case (doc, rows) =>
+      val rks = rows.map(_._2).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq && rks.length <= 3,
+        s"doc $doc ranks $rks")
+    }
+    // one df per term, everywhere it appears
+    out.groupBy(_._3).foreach { case (term, rows) =>
+      assert(rows.map(_._4).distinct.length == 1, s"term $term df drift")
+    }
+  }
+
+  test("table diff statuses partition the union of keys; delta is 10×|changed mod-7 keys|") {
+    val out = run("q_table_diff")
+      .select("status", "n", "price_delta")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet.subsetOf(Set("added", "removed", "changed", "unchanged")))
+    assert(out.contains("changed") && out.contains("unchanged"))
+    // changed rows are exactly the mod-7 keys in the overlap window,
+    // and each contributes exactly +10 price drift
+    val changed = out("changed")
+    assert(math.abs(changed._3 - 10.0 * changed._2) < 1e-6,
+      s"changed delta ${changed._3} != 10 × ${changed._2}")
+  }
+
+  test("moving average equals revenue on the first day and trails afterwards") {
+    val rows = run("q_moving_avg")
+      .select("day", "revenue", "avg7")
+      .as[(java.sql.Date, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.head._2 - rows.head._3) < 1e-9,
+      "first day's trailing avg must be its own revenue")
+    // avg7 stays within the min..max envelope of any 7-value window
+    val all = rows.map(_._2)
+    assert(rows.forall { case (_, _, a) => a >= all.min - 1e-9 && a <= all.max + 1e-9 })
+  }
+
+  test("histogram buckets partition all orders and respect bucket bounds") {
+    val out = run("q_histogram")
+      .select("bucket", "n", "lo_price", "hi_price")
+      .as[(Long, Long, Double, Double)].collect()
+    val total = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(out.map(_._2).sum == total, "every order lands in one bucket")
+    out.filter(b => b._1 > 0 && b._1 < 19).foreach {
+      case (b, _, lo, hi) =>
+        assert(lo >= b * 25000.0 - 0.01 && hi < (b + 1) * 25000.0 + 0.01,
+          s"bucket $b range [$lo,$hi]")
+    }
+  }
+
+  test("anomaly: flagged events really sit ≥2.5σ from their user's mean") {
+    val flagged = run("ev_anomaly")
+      .select("event_id", "z").as[(Long, Double)].collect()
+    assert(flagged.forall(_._2 >= 2.5))
+    // spot-verify one event against recomputed per-user moments
+    if (flagged.nonEmpty) {
+      val ev = graft.queries.Events.events(spark, dir)
+      val byUser = ev.groupBy("user_id")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      val joined = ev.join(byUser, "user_id")
+        .filter(col("event_id") === flagged.head._1)
+        .select((abs(col("value") - col("mu")) / col("sigma")).as("z"))
+        .as[Double].head()
+      assert(math.abs(joined - flagged.head._2) < 1e-3)
+    }
+  }
+
+  test("profile stats: one row per profiled column, counts match the table") {
+    val out = run("q_profile_stats")
+      .select("column_name", "n_non_null", "n_distinct")
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.forall(r => r._2 == n), "no nulls in the fixture")
+    assert(out.forall(r => r._3 > 0 && r._3 <= n))
+  }
+}
