@@ -67,6 +67,17 @@ object ToleranceCheck {
           "HLL++ default rsd=0.05, bound = 3 sigma for the max over groups")
     }
 
+    // merged daily HLL sketches vs exact distinct users (both columns
+    // live in the query; the sketch side never rescans events)
+    check("q_hll_merge") {
+      val hllErr = maxOrFail(res("q_hll_merge")
+        .select((abs(col("approx_users") - col("exact_users")) /
+          col("exact_users")).as("rel_err")), "rel_err")
+      Check("max_rel_err_vs_exact", hllErr, 0.05, hllErr <= 0.05,
+        "estimate(union of per-day hll_sketch_agg(user_id)) vs " +
+          "countDistinct per event_type; lgK=12 RSE ~1.6%")
+    }
+
     // percentile sketch vs exact interpolated percentiles
     check("q_approx_percentiles") {
       val apErr = maxOrFail(res("q_approx_percentiles").alias("a")

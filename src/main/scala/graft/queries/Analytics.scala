@@ -218,25 +218,30 @@ object Analytics {
       |SELECT event_id, user_id, event_type, value, z
       |FROM z WHERE z >= 2.5 ORDER BY event_id""".stripMargin
 
-  /** TF-IDF top-3 terms per document: tf = in-doc term count, df via a
-    * term-partitioned window over the (doc, term) relation (already
-    * |vocab|-bounded — no join back to the corpus), idf =
+  /** TF-IDF top-3 terms per document: tf = in-doc term count, df as a
+    * |vocab|-sized aggregate of the tf relation broadcast back onto it
+    * (a term-window would sort the whole tf relation into |vocab|
+    * skewed partitions; the broadcast join touches nothing), idf =
     * ln((N+1)/(df+1)) + 1 (the classic smoothed form; always > 0 since
     * df ≤ N), score floor-truncated to 4 digits BEFORE ranking so tie
     * order is engine-independent (ties break by term). N arrives as a
     * broadcast 1-row aggregate — no driver action. Output restricted
     * to doc_id < 100 AFTER df is computed corpus-wide. At scale the
-    * shuffles are (doc,term), term, doc — each over the shrunken tf
-    * relation, never the token stream.
+    * only fact-sized shuffle is (doc,term); df/N are summary-sized
+    * (broadcast while the vocabulary fits, shuffle join beyond that) —
+    * the token stream itself is never re-shuffled.
     */
   private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docsDf = Tables(spark, dir, "documents")
     val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
-    val tf = docsDf
+    // the corpus file is one row group (unsplittable): spread it so the
+    // regex tokenization runs across the session width, not one task
+    val tf = graft.operators.Ops.spreadNarrow(docsDf)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfRel), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", floor(col("tf")
         * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)

@@ -882,8 +882,86 @@ object Relational {
       |  round((n - n_pass)::DOUBLE / greatest(n, 1), 4) AS fail_rate
       |FROM r ORDER BY rule""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume orders): HAVING on an aggregate
+    * feeding a join. The lineitem agg reduces 4 lines/order to one row
+    * BEFORE any join — the post-agg relation is |orders|-sized and the
+    * HAVING cuts it ~13× further, so the join input is small no matter
+    * how wide lineitem gets. Customer joins unhinted: AQE broadcasts it
+    * while it fits and degrades to shuffle when it doesn't (customer
+    * scales with SF — a hardcoded broadcast would be wrong at 100 TB).
+    */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 190)
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("qty"), 1).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, round(qty, 1) AS sum_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+      |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 190) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item revenue): who returned the most in
+    * a quarter. Fact-side filters (returnflag, date window) reach both
+    * parquet scans before the orderkey join; customer joins unhinted
+    * (AQE-sized, see q18), the 25-row nation broadcasts. Group keys
+    * include the functionally-dependent customer attributes so no
+    * second join is needed after the agg.
+    */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1997-07-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        round(max("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(max(c_acctbal), 2) AS c_acctbal
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
+    NamedQuery("q10_returned_revenue", q10, Some(q10Sql)),
+    NamedQuery("q18_large_orders", q18, Some(q18Sql)),
     NamedQuery("q_quality_audit", qualityAudit, Some(qualityAuditSql)),
     NamedQuery("q_decimal_amount", decimalAmount, Some(decimalAmountSql)),
     NamedQuery("q6_revenue_filter", q6, Some(q6Sql)),

@@ -213,8 +213,8 @@ object Scale {
     */
   private val pruneSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    val path = pruneSeeded.computeIfAbsent(dir, { d =>
+  private def seedPrunePath(spark: SparkSession, dir: String): String =
+    pruneSeeded.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_prune_seed").toString + "/orders_part"
       Tables(spark, d, "orders")
@@ -222,6 +222,9 @@ object Scale {
         .write.partitionBy("om").parquet(p)
       p
     })
+
+  private def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = seedPrunePath(spark, dir)
     spark.read.parquet(path)
       .filter(col("om") >= "1997-09")
       .groupBy("om")
@@ -399,8 +402,94 @@ object Scale {
           .as("p95_approx"))
       .orderBy("priority")
 
+  /** Incremental distinct-count maintenance via MERGEABLE sketches —
+    * the pattern that makes "distinct users over any time range" an
+    * O(sketch-table) query at 100 TB instead of a full history rescan.
+    * Seed (the recurring ingest's job): one Datasketches HLL sketch of
+    * user_id per (day, event_type), PERSISTED as a binary parquet
+    * column. Query: union the stored sketches per event_type and
+    * estimate — only the tiny sketch table is read. The exact twin
+    * column is verification-only (it rescans events; the scale path is
+    * the sketch side). Rows-only (sketch estimates aren't
+    * SQL-expressible in DuckDB); ToleranceCheck bounds the relative
+    * error and ScaleSpec pins the merge law (union of daily sketches
+    * ≡ one global sketch).
+    */
+  private val hllSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = hllSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_hll_seed").toString + "/sketches"
+      Events.events(spark, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.parquet(p)
+      p
+    })
+    val merged = spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sketches"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = Events.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_sketches"), col("approx_users"),
+        col("exact_users"))
+      .orderBy("event_type")
+  }
+
+  /** Dynamic partition pruning: the fact side is the month-partitioned
+    * orders copy (same seed as `q_partition_prune`), the dimension is
+    * RUNTIME-derived — the top-3 shipping-revenue months of 1997
+    * computed from lineitem — so no static rule can prune the fact
+    * scan. Catalyst inserts a DPP filter (the broadcast dim's month
+    * set) into the scan's PartitionFilters at runtime: the fact read
+    * touches 3 directories, not 80 (PlanSpec gates the
+    * `dynamicpruningexpression`). At 100 TB this is the difference
+    * between scanning 3 months and scanning a decade because the month
+    * list came from a subquery.
+    */
+  private def dpp(spark: SparkSession, dir: String): DataFrame = {
+    // same seeded partitioned copy as q_partition_prune
+    val fact = spark.read.parquet(seedPrunePath(spark, dir))
+    val dim = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("om"))
+      .agg(round(sum("l_extendedprice"), 2).as("ship_rev"))
+      .orderBy(col("ship_rev").desc, col("om"))
+      .limit(3)
+    fact.join(broadcast(dim), "om")
+      .groupBy("om")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("om")
+      .select(col("om").cast("string").as("om"), col("n_orders"),
+        col("revenue"))
+  }
+
+  private val dppSql =
+    """WITH dim AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS om,
+      |    round(sum(l_extendedprice), 2) AS ship_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1 ORDER BY ship_rev DESC, om LIMIT 3)
+      |SELECT om, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
+      |      FROM orders) o
+      |JOIN dim USING (om)
+      |GROUP BY om ORDER BY om""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    NamedQuery("q_hll_merge", hllMerge, None),
+    NamedQuery("q_dpp", dpp, Some(dppSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     NamedQuery("q_csv_source", csvSource, Some(csvSourceSql)),

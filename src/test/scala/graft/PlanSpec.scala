@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
       s"om is a partition column, not a data filter: $pushed")
   }
 
+  test("q_dpp: the runtime-derived month dim prunes fact partitions " +
+      "dynamically") {
+    val p = formatted(q("q_dpp"))
+    val pf = p.linesIterator.find(l => l.contains("PartitionFilters")
+        && l.contains("om")).getOrElse(
+      fail(s"no PartitionFilters on om in:\n$p"))
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"month set is runtime data — pruning must be dynamic: $pf")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // the 100 TB lever for selective dim⋈fact SHUFFLE joins (too big to
     // broadcast): a bloom filter built on the filtered side is applied

@@ -33,4 +33,34 @@ class ScaleSpec extends SparkSpec {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("hll merge law: union of daily sketches ≡ one global sketch, " +
+      "and the estimate tracks the exact count") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Events.events(spark, sf)
+    // the q_hll_merge shape: per-day sketches unioned per event_type
+    val merged = ev
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    // the single-pass twin: one sketch over all days
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = merged.as[(String, Long)].collect().toMap
+    val d = direct.as[(String, Long)].collect().toMap
+    assert(m.nonEmpty && m.keySet == d.keySet)
+    // Datasketches HLL union with identical lgK is lossless: merging
+    // the daily sketches must estimate exactly what one sketch of the
+    // union estimates — the property that makes incremental
+    // maintenance sound (no drift as more days fold in)
+    m.foreach { case (t, est) => assert(est == d(t), s"$t: $est vs ${d(t)}") }
+    // and the declared query's estimate is within HLL tolerance of exact
+    val q = SparkEntry.queries("q_hll_merge")(spark, sf)
+      .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (a, e) =>
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"hll $a vs exact $e") }
+  }
 }
