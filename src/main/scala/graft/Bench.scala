@@ -23,7 +23,8 @@ object Bench {
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "q_incr_agg", "q_schema_evolution", "q_csv_source",
-        "q_dune_source", "q_delete_where", "q_hll_merge", "q_dpp"))
+        "q_dune_source", "q_delete_where", "q_hll_merge", "q_dpp",
+        "q_zorder_skip"))
       try SparkEntry.queries(warm)(spark, sfDir).count()
       catch { case _: Throwable => () }
     // A failed query must be visible as a failure, not a fast timing:

@@ -148,31 +148,28 @@ object Analytics {
 
   /** One-pass column profiling of the fact table: per numeric column,
     * non-null count, exact distinct, min/max/mean/stddev — the
-    * schema-health report a pipeline emits after every load. ONE scan
-    * computes every metric (all aggregates in a single agg node; the
-    * four exact DISTINCTs plan as one Expand — documented cost, with
-    * approx_count_distinct as the drop-in at 100 TB), then a `stack`
-    * unpivots the 1×24 row to 4 metric rows. Nothing but 24 numbers
-    * crosses the final exchange.
+    * schema-health report a pipeline emits after every load. The scan
+    * is unpivoted FIRST (`stack` → (column_name, value), map-side, in
+    * codegen) so the single groupBy computes every metric with ONE
+    * distinct aggregate — Catalyst's one-distinct rewrite plans it as
+    * partial-on-(name,value) → final, no per-distinct Expand
+    * multiplication, and the shuffle carries the distinct-value
+    * summaries, not rows. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` and even that shuffle collapses to
+    * sketches.
     */
-  private def profileStats(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = profileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}_n"),
-        countDistinct(col(c)).as(s"${c}_d"),
-        round(min(col(c)), 4).as(s"${c}_min"),
-        round(max(col(c)), 4).as(s"${c}_max"),
-        round(avg(col(c)), 4).as(s"${c}_avg"),
-        round(stddev_samp(col(c)), 4).as(s"${c}_std"))
-    }
+  private def profileStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${profileCols.length}, " + profileCols.map(c =>
-        s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max, ${c}_avg, ${c}_std")
-        .mkString(", ")
-        + ") AS (column_name, n_non_null, n_distinct, min_v, max_v,"
-        + " avg_v, std_v)"))
+        s"'$c', $c").mkString(", ") + ") AS (column_name, v)"))
+      .groupBy("column_name")
+      .agg(count(col("v")).as("n_non_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        round(min("v"), 4).as("min_v"),
+        round(max("v"), 4).as("max_v"),
+        round(avg("v"), 4).as("avg_v"),
+        round(stddev_samp("v"), 4).as("std_v"))
       .orderBy("column_name")
-  }
 
   private val profileStatsSql = profileCols.map { c =>
     s"""SELECT '$c' AS column_name, count($c) AS n_non_null,
