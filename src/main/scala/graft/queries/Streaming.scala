@@ -96,7 +96,30 @@ object Streaming {
       |  ON e.event_type = b.event_type
       |GROUP BY b.category ORDER BY b.category""".stripMargin
 
+  /** Batch twin of the streamed prefix anomaly scorer: per-user
+    * exclusive-prefix moments in (ts, event_id) order. The stream's
+    * Welford fold and the window aggregate see the same value sequence
+    * in the same order; z is floor-truncated identically on both
+    * sides.
+    */
+  private val anomalySql =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    count(value) OVER pre AS n_prev,
+      |    avg(value) OVER pre AS mu,
+      |    stddev_samp(value) OVER pre AS sigma
+      |  FROM events
+      |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, event_type, value, n_prev,
+      |  floor(abs((value - mu) / sigma) * 1e4) / 1e4 AS z
+      |FROM w
+      |WHERE n_prev >= 10 AND sigma > 0
+      |  AND floor(abs((value - mu) / sigma) * 1e4) / 1e4 >= 3.0
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_anomaly", Streams.anomalyViaStream, Some(anomalySql)),
     NamedQuery("st_enrich", Streams.enrichViaStream, Some(enrichSql)),
     NamedQuery("st_curation", Streams.curationViaStream, Some(curationSql)),
     NamedQuery("st_tumbling_hourly", Streams.tumblingViaStream,

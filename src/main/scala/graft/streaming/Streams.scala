@@ -198,6 +198,78 @@ object Streams {
 
   // ---- end-to-end runners (the production sink shape)
 
+  case class ScoredEvent(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts_us: Long)
+  case class MomentState(n: Long, mean: Double, m2: Double)
+  case class Alert(event_id: Long, user_id: Long, event_type: String,
+      value: Double, n_prev: Long, z: Double)
+
+  /** Per-user PREFIX z-score anomaly stream: each event is scored
+    * against the running moments of that user's PRIOR events (Welford
+    * n/mean/M2 in the state store — O(1) state per key, never the
+    * history), and emitted when it sits ≥ `zThresh` sample standard
+    * deviations out with at least `minPrev` priors. This is the online
+    * twin of the batch global-moments scan `ev_anomaly`: the stream
+    * can't see the future, so its baseline is the exclusive prefix —
+    * exactly the `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING` window of
+    * the SQL oracle. z is floor-truncated to 4 digits on both sides so
+    * accumulation-order ULP noise can't flip the threshold compare.
+    *
+    * Events are folded in (event-time, event_id) order within each
+    * micro-batch; across batches the state carries forward, so
+    * correctness at scale needs time-ordered file arrival — the same
+    * contract every watermark-incremental ingest in this repo already
+    * relies on (SURVEY §2.10).
+    */
+  def anomalyAlerts(events: Dataset[ScoredEvent], minPrev: Int = 10,
+      zThresh: Double = 3.0): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, Alert](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+        val out = Seq.newBuilder[Alert]
+        // batch arrival order is not event order: sort the group's
+        // slice so the prefix fold is deterministic
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (st.n >= minPrev) {
+            val sigma = math.sqrt(st.m2 / (st.n - 1))
+            if (sigma > 0) {
+              val z = math.floor(
+                math.abs((e.value - st.mean) / sigma) * 1e4) / 1e4
+              if (z >= zThresh)
+                out += Alert(e.event_id, uid, e.event_type, e.value, st.n, z)
+            }
+          }
+          val n1 = st.n + 1
+          val d = e.value - st.mean
+          val mean1 = st.mean + d / n1
+          st = MomentState(n1, mean1, st.m2 + d * (e.value - mean1))
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** [[anomalyAlerts]] end-to-end: events stream → stateful prefix
+    * scoring → parquet sink → batch read-back. Oracle = the exclusive-
+    * prefix window SQL twin.
+    */
+  def anomalyViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts)").as("ts_us"))
+      .as[ScoredEvent]
+    val out = Files.createTempDirectory("graft_st_anom_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_anom_ckpt").toString
+    runAvailableNow(anomalyAlerts(ev).toDF(), out, ckpt)
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("n_prev"), col("z"))
+      .orderBy("event_id")
+  }
+
   /** Run an append-mode streaming plan to a parquet sink with
     * `Trigger.AvailableNow` (= the reference's "fetch everything new,
     * then stop" batch loop, with checkpointed offsets instead of a

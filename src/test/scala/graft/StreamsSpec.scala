@@ -101,6 +101,64 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyAlerts carries Welford state across batches: prefix " +
+      "scores equal the single-batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(batches: Seq[Seq[Streams.ScoredEvent]]): Seq[(Long, Double)] = {
+      val in = MemoryStream[Streams.ScoredEvent]
+      val name = "st_anom_" + java.util.UUID.randomUUID.toString.take(8)
+      val q = Streams.anomalyAlerts(in.toDS(), minPrev = 3, zThresh = 2.0)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).select($"event_id", $"z")
+          .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    // user 1: nine 10.0s establishing a tight baseline with one wild
+    // value injected late; user 2: too few priors to ever alert
+    val base = (1 to 9).map(i =>
+      Streams.ScoredEvent(i, 1L, "click", 10.0 + 0.1 * (i % 3), us(i)))
+    val spike = Streams.ScoredEvent(100, 1L, "click", 50.0, us(100))
+    val few = (1 to 2).map(i =>
+      Streams.ScoredEvent(200 + i, 2L, "click", 99.0, us(i)))
+    val oneShot = run(Seq(base ++ Seq(spike) ++ few))
+    val split = run(Seq(base.take(4), base.drop(4), Seq(spike) ++ few))
+    assert(oneShot.nonEmpty, "the spike must alert")
+    assert(oneShot.map(_._1).contains(100L))
+    assert(oneShot == split,
+      s"state must carry across batches: $oneShot vs $split")
+    assert(!oneShot.map(_._1).exists(_ > 200), "user 2 lacks priors")
+  }
+
+  test("anomalyViaStream equals the Spark batch prefix-window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.anomalyViaStream(spark, sf)
+      .select($"event_id", $"n_prev", $"z")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pre = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = graft.queries.Events.events(spark, sf)
+      .withColumn("n_prev", count("value").over(pre))
+      .withColumn("mu", avg("value").over(pre))
+      .withColumn("sigma", stddev_samp("value").over(pre))
+      .filter(col("n_prev") >= 10 && col("sigma") > 0)
+      .withColumn("z",
+        floor(abs((col("value") - col("mu")) / col("sigma")) * 1e4) / 1e4)
+      .filter(col("z") >= 3.0)
+      .select($"event_id", $"n_prev", $"z")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed.map(_._1) == batch.map(_._1),
+      s"flag sets differ: ${streamed.length} vs ${batch.length}")
+    streamed.zip(batch).foreach { case ((id, np, z1), (_, np2, z2)) =>
+      assert(np == np2 && math.abs(z1 - z2) <= 1e-3, s"event $id: $z1 vs $z2")
+    }
+  }
+
   test("native session_window emits closed sessions in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)] // user, ts_us, value
