@@ -371,7 +371,60 @@ object Events {
       |FROM seq WHERE e3 IS NOT NULL
       |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** Gap-filled hourly series with last-observation-carried-forward:
+    * the time-series completion step every downstream model/report
+    * needs (the zero-fill twin is `q_date_spine`; LOCF carries the
+    * last KNOWN value instead). The fact table first shrinks to the
+    * (hour, type) aggregate — calendar-bounded — so the spine
+    * cross-join, the left join, and the per-type ordered fill all run
+    * on relations sized by the calendar, never by event count; hours
+    * with no observation emit n_events=0, is_gap=true, and the carried
+    * value (NULL before a type's first observation, identically in
+    * both engines).
+    */
+  private def locf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("hour_value"))
+    val spine = hourly.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("h", "event_type"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("filled_value",
+        last(col("hour_value"), ignoreNulls = true).over(w))
+      .select(col("h"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_value"), col("is_gap"))
+      .orderBy("h", "event_type")
+  }
+
+  private val locfSql =
+    """WITH agg AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+      |    count(*) AS n_events, round(sum(value), 2) AS hour_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT unnest(generate_series(min(h), max(h),
+      |    INTERVAL 1 HOUR)) AS h FROM agg),
+      |spine AS (SELECT b.h, t.event_type FROM b,
+      |  (SELECT DISTINCT event_type FROM events) t),
+      |j AS (SELECT spine.h, spine.event_type, agg.n_events, agg.hour_value
+      |      FROM spine LEFT JOIN agg
+      |        ON spine.h = agg.h AND spine.event_type = agg.event_type)
+      |SELECT h, event_type, coalesce(n_events, 0) AS n_events,
+      |  last_value(hour_value IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  n_events IS NULL AS is_gap
+      |FROM j ORDER BY h, event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_locf", locf, Some(locfSql)),
     NamedQuery("ev_funnel", funnel, Some(funnelSql)),
     NamedQuery("ev_retention", retention, Some(retentionSql)),
     NamedQuery("ev_click_in_view", clickInView, Some(clickInViewSql)),
