@@ -28,6 +28,25 @@ object Curation {
       16, 10).cast("long") % buckets
   }
 
+  /** Deterministic weighted-sampling key (the A-ES / exponential-clocks
+    * scheme): draw u ~ Uniform(0,1) from a salted md5 of the key, then
+    * `-ln(u) / weight` is an Exponential(weight) arrival time — taking
+    * the smallest k keys per stratum is a weighted sample without
+    * replacement, P(selected) ∝ weight. Everything is a pure function
+    * of (salt, key, weight): reruns, repartitioning, and cluster
+    * scale-out pick the SAME sample, and min-k selection distributes as
+    * a bounded top-k (no global sort). The key is floor-truncated to a
+    * 1e-12 grid so the ln ULP across engines can't reorder ranks
+    * (ties on the grid break by the caller's tiebreak column).
+    */
+  def weightedSampleKey(key: Column, weight: Column, salt: String): Column = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("double")
+    // h ∈ [0, 2^32): map to u ∈ (0, 1) exactly (h integral in double)
+    val u = (h + lit(1.0)) / lit(4294967297.0)
+    floor(-log(u) / weight * 1e12) / 1e12
+  }
+
   /** Train/val/test (or any weighted) split assignment: each key lands
     * in exactly one named split, with expected proportions
     * `weightPct/100`, decided by [[hashBucket]] — the split a document

@@ -319,7 +319,45 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Weighted sampling: 20 docs per language drawn with probability
+    * proportional to length ([[Cur.weightedSampleKey]], A-ES
+    * exponential keys). The rank runs per stratum over the floored
+    * key — a bounded top-k per group, distributable without a global
+    * sort — and the whole decision is a pure function of
+    * (salt, doc_id, n_chars), so the oracle recomputes the SAME sample
+    * in SQL: the sampling decisions hash-compare, like every other
+    * curation gate here.
+    */
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).filter(col("n_chars") > 0)
+      .withColumn("skey", Cur.weightedSampleKey(col("doc_id"),
+        col("n_chars").cast("double"), "wsample-v1"))
+    base.withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk").cast("bigint").as("rk"),
+        col("doc_id"), col("n_chars"), col("skey"))
+      .orderBy("lang", "rk")
+  }
+
+  private val weightedSampleSql =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    floor(-ln((CAST(('0x' || substr(md5('wsample-v1:' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+      |      / 4294967297.0) / CAST(n_chars AS DOUBLE) * 1e12) / 1e12
+      |      AS skey
+      |  FROM documents WHERE n_chars > 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY skey, doc_id) AS rk
+      |  FROM keyed)
+      |SELECT lang, rk, doc_id, n_chars, skey
+      |FROM ranked WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_weighted_sample", weightedSample,
+      Some(weightedSampleSql)),
     NamedQuery("d_split_assign", splitAssign, Some(splitAssignSql)),
     NamedQuery("d_domain_cap", domainCap, Some(domainCapSql)),
     NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)),

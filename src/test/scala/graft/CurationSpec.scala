@@ -39,6 +39,34 @@ class CurationSpec extends SparkSpec {
       s"train fraction off: $byS")
   }
 
+  test("weightedSampleKey: positional-independent, and min-k selection " +
+      "biases toward heavy weights") {
+    val keyed = docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        Curation.weightedSampleKey(col("doc_id"),
+          col("n_chars").cast("double"), "s").as("k"))
+    def sample(parts: Int): Seq[Long] =
+      keyed.repartition(parts)
+        .orderBy(col("k"), col("doc_id")).limit(100)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = sample(1)
+    assert(a == sample(7), "sample must not depend on partitioning")
+    // P(selected) ∝ n_chars: the length-weighted sample must be longer
+    // on average than the corpus
+    val corpusMean = docs.agg(avg("n_chars")).as[Double].head()
+    val sampleMean = keyed.orderBy(col("k"), col("doc_id")).limit(100)
+      .agg(avg("n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean vs corpus $corpusMean")
+    // independent salts give different samples
+    val b = docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), Curation.weightedSampleKey(col("doc_id"),
+        col("n_chars").cast("double"), "t").as("k"))
+      .orderBy(col("k"), col("doc_id")).limit(100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a != b, "independent salts must draw independent samples")
+  }
+
   test("splitAssign rejects weights that don't sum to 100") {
     intercept[IllegalArgumentException] {
       Curation.splitAssign(col("doc_id"), "s", Seq("a" -> 50, "b" -> 40))
