@@ -967,10 +967,74 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q14 shape (promo revenue share): conditional aggregation
+    * over a fact⋈part join — the month filter reaches the lineitem
+    * scan, part joins unhinted (scales with SF, AQE sizes it), and the
+    * two sums fold in one partial+final agg; a single row crosses the
+    * final exchange.
+    */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01")
+        && col("l_shipdate") < lit("1997-10-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").startsWith("PROMO"), disc)
+          .otherwise(lit(0.0))) * 100.0 / sum(disc), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  private val q14Sql =
+    """SELECT round(
+      |    sum(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive multi-attribute predicate): three
+    * OR'd (brand, size, quantity) branches across the join. Catalyst
+    * extracts the common conjuncts each branch implies (quantity ≤ the
+    * max bound, size ≥ 1) to the scans and evaluates the disjunction
+    * post-join — the OR-heavy promotion-pricing shape that defeats
+    * naive pushdown.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#13", 5, 1, 11) || branch("Brand#23", 10, 10, 20)
+        || branch("Brand#19", 15, 20, 30))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  private val q19Sql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
     NamedQuery("q10_returned_revenue", q10, Some(q10Sql)),
+    NamedQuery("q14_promo_share", q14, Some(q14Sql)),
     NamedQuery("q18_large_orders", q18, Some(q18Sql)),
+    NamedQuery("q19_disjunctive", q19, Some(q19Sql)),
     NamedQuery("q_quality_audit", qualityAudit, Some(qualityAuditSql)),
     NamedQuery("q_decimal_amount", decimalAmount, Some(decimalAmountSql)),
     NamedQuery("q6_revenue_filter", q6, Some(q6Sql)),
