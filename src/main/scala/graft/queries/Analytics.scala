@@ -308,7 +308,89 @@ object Analytics {
       |  least(64, n_tokens - tok_start) AS len
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Percent-of-total (ratio_to_report): each nation's share of its
+    * region's revenue. The fact table reduces to a 25-row nation
+    * aggregate before the region window runs — the share computation
+    * touches dimension-sized data only; share floor-truncated to 6
+    * digits so engine summation order can't flip the last digit.
+    */
+  private def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    rev.withColumn("region_total",
+        sum("rev").over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"),
+        round(col("rev"), 2).as("revenue"),
+        (floor(col("rev") / col("region_total") * 1e6) / 1e6).as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val ratioToReportSql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    sum(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, round(rev, 2) AS revenue,
+      |  floor(rev / sum(rev) OVER (PARTITION BY r_name) * 1e6) / 1e6
+      |    AS share
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
+
+  /** Corpus-unigram log-probability scoring (the CCNet/Gopher-style LM
+    * quality signal, with the corpus itself as the language model):
+    * score(doc) = mean over token occurrences of ln P(token), P = corpus
+    * unigram frequency. The token stream shuffles once into counts;
+    * the vocab relation and the total-token scalar come back as
+    * broadcasts, and the per-doc mean is one more keyed agg — at scale:
+    * fact-sized work is two shuffles on (doc,term)-grain relations,
+    * never a self-join. Scores floor-truncated to 4 digits.
+    */
+  private def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Ops.spreadNarrow(
+      Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    toks.join(broadcast(vocab), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(log(col("c").cast("double") / col("t"))) * 1e4) / 1e4)
+          .as("logprob"))
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id")
+  }
+
+  private val unigramLogprobSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.token AS term
+      |  FROM documents,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+      |  WHERE t.token <> ''),
+      |vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+      |total AS (SELECT sum(c) AS t FROM vocab)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  floor(avg(ln(CAST(c AS DOUBLE) / t)) * 1e4) / 1e4 AS logprob
+      |FROM toks JOIN vocab USING (term), total
+      |WHERE doc_id < 100
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
+    NamedQuery("d_unigram_logprob", unigramLogprob,
+      Some(unigramLogprobSql)),
     NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
