@@ -387,7 +387,54 @@ object Analytics {
       |WHERE doc_id < 100
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Referential-integrity audit for incremental loads: count fact rows
+    * referencing parent keys that are not (yet) loaded — here lineitems
+    * whose order lies beyond the parent snapshot's watermark
+    * (orders loaded through 1997), beside the healthy orders→customer
+    * edge reporting zero. Each edge is one left-anti join folding to a
+    * single count row (the anti side is keys-only and
+    * dimension-pruned), so auditing a 100 TB fact costs one keyed
+    * shuffle per edge — the companion to `q_quality_audit`'s row rules
+    * and `q_table_diff`'s snapshot drift.
+    */
+  private def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      fact.join(parent, col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(key)).as("n_missing_keys"))
+        .select(lit(name).as("edge"), col("n_orphans"),
+          col("n_missing_keys"))
+    val loaded = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01")).select("o_orderkey")
+    val e1 = edge("lineitem->orders_loaded",
+      Tables(spark, dir, "lineitem").select("l_orderkey"), "l_orderkey",
+      loaded, "o_orderkey")
+    val e2 = edge("orders->customer",
+      Tables(spark, dir, "orders").select("o_custkey"), "o_custkey",
+      Tables(spark, dir, "customer").select("c_custkey"), "c_custkey")
+    e1.unionByName(e2).orderBy("edge")
+  }
+
+  private val riAuditSql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem->orders_loaded' AS edge,
+      |    count(*) AS n_orphans,
+      |    count(DISTINCT l_orderkey) AS n_missing_keys
+      |  FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_orderkey = l.l_orderkey
+      |      AND o.o_orderdate < TIMESTAMP '1998-01-01')
+      |  UNION ALL
+      |  SELECT 'orders->customer' AS edge, count(*) AS n_orphans,
+      |    count(DISTINCT o_custkey) AS n_missing_keys
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |    WHERE c.c_custkey = o.o_custkey)
+      |) ORDER BY edge""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ri_audit", riAudit, Some(riAuditSql)),
     NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
     NamedQuery("d_unigram_logprob", unigramLogprob,
       Some(unigramLogprobSql)),
