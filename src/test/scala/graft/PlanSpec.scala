@@ -174,6 +174,24 @@ class PlanSpec extends SparkSpec {
       s"om is a partition column, not a data filter: $pushed")
   }
 
+  test("q_ri_audit: orphan checks are hash anti joins, never nested loops") {
+    val p = plan(q("q_ri_audit"))
+    assert(p.contains("LeftAnti"), s"expected anti joins in:\n$p")
+    assert(!p.toLowerCase.contains("cartesian")
+      && !p.contains("BroadcastNestedLoop"),
+      s"anti join must stay a hash join:\n$p")
+  }
+
+  test("q19: the OR branches stay above an equi hash join (no nested " +
+      "loop), and the join keys' null filters reach the scans") {
+    val p = formatted(q("q19_disjunctive"))
+    assert(!p.toLowerCase.contains("cartesian")
+      && !p.contains("BroadcastNestedLoop"),
+      s"disjunctive predicate must not degrade the join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"join-key IsNotNull should reach the scans:\n$p")
+  }
+
   test("q_dpp: the runtime-derived month dim prunes fact partitions " +
       "dynamically") {
     val p = formatted(q("q_dpp"))
