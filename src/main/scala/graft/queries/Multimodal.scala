@@ -96,7 +96,36 @@ object Multimodal {
       .agg(round(avg("col"), 6).as("avg_weight"))
       .orderBy("media_type", "pos")
 
+  /** ViT-style patch-grid planning: each decoded image yields its
+    * 16×16 patch grid (nx, ny, n_patches) — the pre-tokenization a
+    * vision-transformer pipeline runs before pixel work. The dims come
+    * from Spark actually PARSING the binary header through the codec
+    * seam; DuckDB recomputes the grid closed-form from the synthesis
+    * arithmetic. Pure per-row projection after decode — no shuffle
+    * before the output sort; at scale the patch fan-out (explode to
+    * nx×ny rows) happens inside the same map stage as the decode.
+    */
+  private def patchGrid(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAssets(assets(spark, dir))
+      .filter(col("media_type") === "image")
+      .select(col("asset_id"),
+        floor(col("width") / 16).cast("bigint").as("nx"),
+        floor(col("height") / 16).cast("bigint").as("ny"),
+        (floor(col("width") / 16) * floor(col("height") / 16))
+          .cast("bigint").as("n_patches"))
+      .orderBy("asset_id")
+
+  private val patchGridSql =
+    """SELECT doc_id AS asset_id,
+      |  (64 + doc_id % 1024) // 16 AS nx,
+      |  (64 + doc_id % 768) // 16 AS ny,
+      |  ((64 + doc_id % 1024) // 16) * ((64 + doc_id % 768) // 16)
+      |    AS n_patches
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY asset_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("mm_patch_grid", patchGrid, Some(patchGridSql)),
     NamedQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     NamedQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
     NamedQuery("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
