@@ -433,7 +433,71 @@ object Analytics {
       |    WHERE c.c_custkey = o.o_custkey)
       |) ORDER BY edge""".stripMargin
 
+  /** Fixed-iteration PageRank (damping 0.85, 10 rounds) over the
+    * supplier–part co-occurrence graph (symmetrized, so no dangling
+    * mass; part ids offset out of the supplier id space). The contract
+    * rounds each iteration's rank to 9 digits ON BOTH ENGINES, so the
+    * DuckDB oracle — the same 10 rounds unrolled as chained CTEs —
+    * reproduces the doubles exactly and the top-25 hash-compares. Each
+    * Spark round is one edge⋈rank join + one dst-grouped partial+final
+    * agg, checkpointed to cut lineage (same discipline as
+    * connectedComponents); rank/degree relations are node-sized, edges
+    * shuffle once per round on src — the Pregel-shaped plan that holds
+    * at graph scale.
+    */
+  private def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("a"),
+        (col("l_partkey") + 1000000L).as("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
+    var pr = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 10) {
+      pr = sym.join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(sum(col("r") / col("d")).as("contrib"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("node"),
+          round(lit(0.15) / col("n") + lit(0.85) * col("contrib"), 9)
+            .as("r"))
+        .localCheckpoint()
+    }
+    pr.orderBy(col("r").desc, col("node")).limit(25)
+      .select(col("node"), col("r").as("pagerank"))
+  }
+
+  private val pagerankSql = {
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (
+         |  SELECT s.dst AS node,
+         |    round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / dg.d), 9)
+         |      AS r
+         |  FROM sym s
+         |  JOIN pr${k - 1} p ON s.src = p.node
+         |  JOIN deg dg ON dg.src = s.src
+         |  GROUP BY s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b
+       |  FROM lineitem),
+       |sym AS (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+       |$iters
+       |SELECT node, r AS pagerank FROM pr10
+       |ORDER BY pagerank DESC, node LIMIT 25""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("g_pagerank", pagerank, Some(pagerankSql)),
     NamedQuery("q_ri_audit", riAudit, Some(riAuditSql)),
     NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
     NamedQuery("d_unigram_logprob", unigramLogprob,

@@ -111,6 +111,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: ranks positive, hubs outrank leaves, mass conserved") {
+    import org.apache.spark.sql.functions._
+    // recompute the full rank vector (the declared query keeps top-25)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val e = li.select(col("l_suppkey").as("a"),
+      (col("l_partkey") + 1000000L).as("b")).distinct()
+    val top = run("g_pagerank").select("node", "pagerank")
+      .as[(Long, Double)].collect()
+    assert(top.length == 25 && top.forall(_._2 > 0))
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    // suppliers (degree ~ parts supplied) are the hubs of this
+    // bipartite graph: the top of the ranking must be supplier nodes
+    assert(top.take(5).forall(_._1 < 1000000L),
+      s"top ranks should be supplier hubs: ${top.take(5).toSeq}")
+    // total mass ≈ 1: symmetric graph has no dangling nodes, each
+    // round redistributes all mass (± the 1e-9/node/round rounding)
+    val nNodes = e.select("a").union(e.select("b")).distinct().count()
+    assert(top.map(_._2).sum <= 1.0 && top.map(_._2).sum > 25.0 / nNodes,
+      "top-25 mass must be a plausible fraction of 1")
+  }
+
   test("profile stats: one row per profiled column, counts match the table") {
     val out = run("q_profile_stats")
       .select("column_name", "n_non_null", "n_distinct")
