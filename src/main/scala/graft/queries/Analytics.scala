@@ -451,21 +451,26 @@ object Analytics {
         (col("l_partkey") + 1000000L).as("b")).distinct()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-    val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
-    var pr = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    // degree is static: attach it to the edge list ONCE, so each round
+    // is a single edge⋈rank join (not edge⋈rank⋈degree)
+    val symD = sym.join(deg, "src").localCheckpoint()
+    // one scalar action up front (the maxWatermark discipline) instead
+    // of re-broadcasting a 1-row aggregate every round
+    val n = deg.count().toDouble
+    var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
       .localCheckpoint()
     for (_ <- 1 to 10) {
-      pr = sym.join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+      // rank is node-sized (entity count, not fact rows): broadcast it
+      // so the edge list never shuffles — per round the only exchange
+      // is the dst-grouped agg, shrunk node-sized by partial
+      // aggregation. At billion-node scale drop the hint and AQE falls
+      // back to a shuffle join with edges pre-partitioned on src.
+      pr = symD.join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .groupBy("dst")
         .agg(sum(col("r") / col("d")).as("contrib"))
-        .crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
-          round(lit(0.15) / col("n") + lit(0.85) * col("contrib"), 9)
-            .as("r"))
+          round(lit(0.15 / n) + lit(0.85) * col("contrib"), 9).as("r"))
         .localCheckpoint()
     }
     pr.orderBy(col("r").desc, col("node")).limit(25)
