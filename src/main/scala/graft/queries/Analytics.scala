@@ -501,7 +501,42 @@ object Analytics {
        |ORDER BY pagerank DESC, node LIMIT 25""".stripMargin
   }
 
+  /** Deterministic pseudonymization: identities replaced by salted
+    * sha256 tokens BEFORE data leaves the warehouse for
+    * training/analytics. Same (salt, name) → same token everywhere —
+    * joins still line up after masking, proven by carrying each
+    * customer's order count through the mask — and the token is
+    * one-way (recovering the name needs the salt plus a dictionary
+    * attack). Pure projection + one keyed agg join; the oracle
+    * recomputes the identical tokens, so the masking DECISIONS
+    * hash-compare. The salt would come from config/secret storage in
+    * production (never hardcoded next to data — SURVEY §0's credential
+    * lesson); a fixed literal here keeps the oracle deterministic.
+    */
+  private def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val token = substring(sha2(concat(lit("pseudo-v1:"),
+      col("c_name")), 256), 1, 16)
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), token.as("token"), col("c_mktsegment"))
+    val ord = Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("token"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  private val pseudonymizeSql =
+    """SELECT c_custkey,
+      |  substr(sha256('pseudo-v1:' || c_name), 1, 16) AS token,
+      |  c_mktsegment, coalesce(n, 0) AS n_orders
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+      |           GROUP BY o_custkey) o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     NamedQuery("g_pagerank", pagerank, Some(pagerankSql)),
     NamedQuery("q_ri_audit", riAudit, Some(riAuditSql)),
     NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
