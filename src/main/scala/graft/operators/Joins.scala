@@ -119,4 +119,24 @@ object Joins {
       explode(array((0 until buckets).map(lit): _*)))
     l.join(s, Seq(key, saltCol)).drop(saltCol)
   }
+
+  /** Null-skew-safe LEFT join: rows whose join key is NULL can never
+    * match under SQL equality, yet a plain shuffle join still hashes
+    * them ALL to one partition — with dirty data (unparsed ids, legacy
+    * rows) that one task carries every null row in the table. Here the
+    * null-key rows bypass the join entirely (null-extended directly,
+    * exactly what the left join would emit for them) and only the
+    * matchable rows enter the exchange. Result ≡ `left.join(right,
+    * leftKey === rightKey, "left")` row-for-row (JoinsSpec law).
+    */
+  def nullSafeLeftJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val matched = left.filter(col(leftKey).isNotNull)
+      .join(right, col(leftKey) === col(rightKey), "left")
+    val nullExtended = right.schema.fields.foldLeft(
+      left.filter(col(leftKey).isNull)) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    matched.unionByName(nullExtended)
+  }
 }

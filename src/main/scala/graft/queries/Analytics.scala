@@ -535,7 +535,40 @@ object Analytics {
       |           GROUP BY o_custkey) o ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** Null-skew-safe left join run as a declared query: every 10th
+    * order's customer key is nullified (the dirty-data shape — unparsed
+    * ids, legacy rows), then orders left-join customer through
+    * [[graft.operators.Joins.nullSafeLeftJoin]] — null keys bypass the
+    * exchange instead of all hashing to one partition. The aggregate
+    * keeps the unmatched group visible (segment NULL). Oracle = the
+    * plain LEFT JOIN, which is exactly what the rewrite must equal.
+    */
+  private def nullSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("cust", when(col("o_orderkey") % 10 === 0, lit(null))
+        .otherwise(col("o_custkey")))
+      .select("o_orderkey", "cust", "o_totalprice")
+    val c = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    graft.operators.Joins.nullSafeLeftJoin(o, c, "cust", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
+  private val nullSkewJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 10 = 0 THEN NULL
+      |             ELSE o_custkey END AS cust, o_totalprice
+      |      FROM orders) o
+      |LEFT JOIN customer ON cust = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     NamedQuery("d_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     NamedQuery("g_pagerank", pagerank, Some(pagerankSql)),
     NamedQuery("q_ri_audit", riAudit, Some(riAuditSql)),

@@ -104,6 +104,26 @@ class JoinsSpec extends SparkSpec {
     assert(salted.count() === 1000)
   }
 
+  test("nullSafeLeftJoin equals the plain left join, nulls unmatched") {
+    val left = Seq[(Long, java.lang.Long, Double)](
+      (1L, 10L, 1.0), (2L, null, 2.0), (3L, 20L, 3.0), (4L, null, 4.0),
+      (5L, 99L, 5.0)).toDF("id", "k", "v")
+    val right = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("rk", "name")
+    val got = Joins.nullSafeLeftJoin(left, right, "k", "rk")
+      .select("id", "k", "v", "rk", "name")
+      .collect().map(_.toSeq).toSet
+    val want = left.join(right, col("k") === col("rk"), "left")
+      .select("id", "k", "v", "rk", "name")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // every null-key row survives exactly once, right side null-extended
+    assert(got.count(r => r(1) == null) == 2)
+    assert(got.filter(r => r(1) == null).forall(r =>
+      r(3) == null && r(4) == null))
+    // unmatched non-null key (99) also null-extends, as in a left join
+    assert(got.exists(r => r(0) == 5L && r(4) == null))
+  }
+
   test("pointInIntervalJoin matches a naive theta-join oracle") {
     // deterministic pseudo-random points/intervals across 5 keys;
     // interval lengths straddle the bucket width (some span 0 buckets'
