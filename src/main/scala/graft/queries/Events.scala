@@ -423,7 +423,47 @@ object Events {
       |  n_events IS NULL AS is_gap
       |FROM j ORDER BY h, event_type""".stripMargin
 
+  /** Time-weighted average value (TWAP — the quote-series aggregate a
+    * price warehouse actually wants: a value that held for an hour
+    * counts 3600× one that held a second): each observation is
+    * weighted by its holding duration (until the next observation of
+    * the same type; the last one has no duration and drops out, the
+    * standard TWAP convention). One window shuffle on event_type for
+    * the lead, folding straight into the grouped sum — the same
+    * exchange serves both.
+    */
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("dur",
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .cast("double"))
+      .filter(col("dur").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("value") * col("dur")) / sum(col("dur")), 4)
+          .as("twap"),
+        round(avg("value"), 4).as("plain_avg"))
+      .orderBy("event_type")
+  }
+
+  private val twapSql =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |    CAST(epoch_us(lead(CAST(ts AS TIMESTAMP), 1) OVER (
+      |        PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP),
+      |        event_id)
+      |      - CAST(ts AS TIMESTAMP)) AS DOUBLE) AS dur
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_obs,
+      |  round(sum(value * dur) / sum(dur), 4) AS twap,
+      |  round(avg(value), 4) AS plain_avg
+      |FROM d WHERE dur IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_twap", twap, Some(twapSql)),
     NamedQuery("ev_locf", locf, Some(locfSql)),
     NamedQuery("ev_funnel", funnel, Some(funnelSql)),
     NamedQuery("ev_retention", retention, Some(retentionSql)),
