@@ -175,6 +175,45 @@ object Events {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=…)`
+    * parity): the latest click counts only if it happened within 10
+    * minutes of the purchase — older matches null out, exactly like a
+    * quote gone stale. Pure composition: the same single-shuffle
+    * [[Joins.asofJoinLast]], with the matched timestamp surfaced as a
+    * value column and the tolerance applied as a post-projection — no
+    * new operator, no extra exchange.
+    */
+  private def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 10L * 60 * 1000000
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+    val stale = unix_micros(col("ts")) -
+      unix_micros(col("asof_click_ts")) > tolUs
+    Joins.asofJoinLast(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(stale, lit(null)).otherwise(col("asof_click_ts"))
+          .as("click_in_tol"),
+        (col("asof_click_ts").isNotNull && !stale).as("attributed"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceSql =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP))
+      |      - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 600000000
+      |    THEN CAST(c.ts AS TIMESTAMP) END AS click_in_tol,
+      |  coalesce(epoch_us(CAST(p.ts AS TIMESTAMP))
+      |      - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 600000000, FALSE)
+      |    AS attributed
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Range join against a tiny in-memory band dimension — broadcast
     * nested-loop by construction (4 rows), never a shuffle.
     */
@@ -474,6 +513,7 @@ object Events {
     NamedQuery("ev_sessionize", sessionize, Some(sessionizeSql)),
     NamedQuery("ev_session_window", sessionWindow, Some(sessionWindowSql)),
     NamedQuery("ev_asof_click", asofClick, Some(asofClickSql)),
+    NamedQuery("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     NamedQuery("ev_value_bands", valueBands, Some(valueBandsSql)),
     NamedQuery("ev_json_props", jsonProps, Some(jsonPropsSql)))
 }
