@@ -567,7 +567,40 @@ object Analytics {
       |LEFT JOIN customer ON cust = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
 
+  /** Nested-type toolkit under the gate: per-customer order history
+    * collected to an array of structs, sorted descending, sliced to the
+    * top 3, exploded back with positions — collect_list / sort_array /
+    * slice / posexplode in one oracle-checked pass. One shuffle; the
+    * array buffers are bounded by orders-per-customer (for unbounded
+    * groups the bounded `TopKAggregator` is the drop-in — same result,
+    * ≤k-element buffers). The oracle reaches the same rows through a
+    * ranked window, proving the nested and relational formulations
+    * agree.
+    */
+  private def nestedTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .groupBy("o_custkey")
+      .agg(slice(sort_array(collect_list(
+        struct(col("o_totalprice"), col("o_orderkey"))), asc = false),
+        1, 3).as("top3"))
+      .select(col("o_custkey"), posexplode(col("top3")))
+      .select(col("o_custkey"), col("pos").cast("bigint").as("pos"),
+        col("col.o_totalprice").as("o_totalprice"),
+        col("col.o_orderkey").as("o_orderkey"))
+      .orderBy("o_custkey", "pos")
+
+  private val nestedTopNSql =
+    """SELECT o_custkey, rk - 1 AS pos, o_totalprice, o_orderkey
+      |FROM (
+      |  SELECT o_custkey, o_totalprice, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+      |  FROM orders WHERE o_custkey < 100)
+      |WHERE rk <= 3 ORDER BY o_custkey, pos""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_nested_topn", nestedTopN, Some(nestedTopNSql)),
     NamedQuery("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     NamedQuery("d_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     NamedQuery("g_pagerank", pagerank, Some(pagerankSql)),
