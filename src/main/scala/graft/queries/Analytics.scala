@@ -599,7 +599,36 @@ object Analytics {
       |  FROM orders WHERE o_custkey < 100)
       |WHERE rk <= 3 ORDER BY o_custkey, pos""".stripMargin
 
+  /** Higher-order array functions under the gate: per-vector L2 norm
+    * and mean via `aggregate` lambdas directly over the embedding
+    * array — no explode, no shuffle, the whole computation stays one
+    * codegen'd projection per row (the fold the ANN kernels use,
+    * expressed through the public lambda API). Both engines fold
+    * left-to-right over the same list, so the doubles agree.
+    */
+  private def vectorNorms(spark: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val s = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double"))
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), size(col("embedding")).cast("bigint").as("dim"),
+        round(sqrt(sq), 4).as("l2_norm"),
+        round(s / size(col("embedding")), 6).as("mean_val"))
+      .orderBy("vec_id")
+  }
+
+  private val vectorNormsSql =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    / len(embedding), 6) AS mean_val
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("e_vector_norms", vectorNorms, Some(vectorNormsSql)),
     NamedQuery("q_nested_topn", nestedTopN, Some(nestedTopNSql)),
     NamedQuery("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     NamedQuery("d_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
