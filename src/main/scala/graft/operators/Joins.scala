@@ -131,6 +131,10 @@ object Joins {
     */
   def nullSafeLeftJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"nullSafeLeftJoin: column names must be disjoint (the null branch " +
+        s"null-extends right columns by NAME); shared: $shared")
     val matched = left.filter(col(leftKey).isNotNull)
       .join(right, col(leftKey) === col(rightKey), "left")
     val nullExtended = right.schema.fields.foldLeft(
