@@ -51,5 +51,6 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
       "st_tumbling_hourly", "st_dedup_events", "st_click_attribution",
-      "st_scd2_merge", "st_curation", "st_enrich", "st_anomaly")
+      "st_scd2_merge", "st_curation", "st_enrich", "st_anomaly",
+      "st_rate_limit")
 }

@@ -118,7 +118,22 @@ object Streaming {
       |  AND floor(abs((value - mu) / sigma) * 1e4) / 1e4 >= 3.0
       |ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the streamed rate limiter: the first 3 events per
+    * (user, day) in (ts, event_id) order.
+    */
+  private val rateLimitSql =
+    """SELECT event_id, user_id, day, event_type FROM (
+      |  SELECT event_id, user_id,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 3 ORDER BY event_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_rate_limit", Streams.rateLimitViaStream,
+      Some(rateLimitSql)),
     NamedQuery("st_anomaly", Streams.anomalyViaStream, Some(anomalySql)),
     NamedQuery("st_enrich", Streams.enrichViaStream, Some(enrichSql)),
     NamedQuery("st_curation", Streams.curationViaStream, Some(curationSql)),

@@ -251,6 +251,54 @@ object Streams {
       }
   }
 
+  case class KeyedEvent(event_id: Long, user_id: Long, day: String,
+      event_type: String, ts_us: Long)
+
+  /** Rate limiting at the stream: pass at most `maxPerKey` events per
+    * (user, day), dropping the rest AT INGEST — the guardrail that
+    * keeps one runaway client from flooding a 100 TB pipeline, applied
+    * where it's cheapest (state = ONE counter per active key; a batch
+    * job would buffer the flood first and filter after). Events fold
+    * in (event-time, event_id) order within each batch; the counter
+    * carries across batches so replays/late batches can't exceed the
+    * cap.
+    */
+  def rateLimit(events: Dataset[KeyedEvent],
+      maxPerKey: Int = 3): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[Long, KeyedEvent](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        var n = state.getOption.getOrElse(0L)
+        val out = Seq.newBuilder[KeyedEvent]
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (n < maxPerKey) { out += e; n += 1 }
+        }
+        state.update(n)
+        out.result().iterator
+      }
+  }
+
+  /** [[rateLimit]] end-to-end: stream → keyed counter → parquet sink →
+    * read-back. Oracle = the ranked-window SQL twin (first `maxPerKey`
+    * per (user, day) by event time).
+    */
+  def rateLimitViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+      .as[KeyedEvent]
+    val out = Files.createTempDirectory("graft_st_rl_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_rl_ckpt").toString
+    runAvailableNow(rateLimit(ev).toDF(), out, ckpt)
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("day"),
+        col("event_type"))
+      .orderBy("event_id")
+  }
+
   /** [[anomalyAlerts]] end-to-end: events stream → stateful prefix
     * scoring → parquet sink → batch read-back. Oracle = the exclusive-
     * prefix window SQL twin.

@@ -134,6 +134,29 @@ class StreamsSpec extends SparkSpec {
     assert(!oneShot.map(_._1).exists(_ > 200), "user 2 lacks priors")
   }
 
+  test("rateLimit enforces the cap across batches (replays can't exceed it)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.KeyedEvent]
+    val name = "st_rl_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = Streams.rateLimit(in.toDS(), maxPerKey = 2)
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def ev(id: Long, d: String) =
+        Streams.KeyedEvent(id, 1L, d, "click", us(id))
+      in.addData(ev(1, "d1"), ev(2, "d1"))
+      q.processAllAvailable()
+      // cap already reached for (1, d1): a later batch adds nothing
+      in.addData(ev(3, "d1"), ev(4, "d2"))
+      q.processAllAvailable()
+      val got = spark.table(name).select($"event_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), s"got $got")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("anomalyViaStream equals the Spark batch prefix-window twin") {
     import org.apache.spark.sql.expressions.Window
     val streamed = Streams.anomalyViaStream(spark, sf)
