@@ -24,11 +24,12 @@ object Bench {
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "q_incr_agg", "q_schema_evolution", "q_csv_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_dpp",
-        "q_zorder_skip",
-        // 10 checkpointed rounds = 10 fresh plans; the warm run fills
-        // the codegen cache so the timed run measures the rounds'
-        // data work (5.5 s steady-state), not 10 Janino compiles
-        "g_pagerank"))
+        "q_zorder_skip"))
+    // (g_pagerank is deliberately NOT warmed: with 100+ other queries
+    // between warm-up and its timed run, the codegen cache evicts its
+    // 10 round plans anyway — measured identical either way — so the
+    // timed number honestly includes the per-round compile cost that
+    // amortizes only at real per-round data volumes.)
       try SparkEntry.queries(warm)(spark, sfDir).count()
       catch { case _: Throwable => () }
     // A failed query must be visible as a failure, not a fast timing:
