@@ -178,6 +178,35 @@ object Analytics {
        |  round(stddev_samp($c), 4) AS std_v FROM lineitem""".stripMargin
   }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
+  /** Pairwise Pearson correlations of the fact table's numeric columns
+    * in ONE scan — the companion to `q_profile_stats` for detecting
+    * redundant/derived columns before they ship to training. All 6
+    * pairs are `corr` aggregates in a single agg node (partial+final:
+    * each partial carries the co-moment sums), stack-unpivoted to pair
+    * rows. Rounded to 4 on both engines.
+    */
+  private def correlation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = profileCols.combinations(2).toSeq.map {
+      case Seq(a, b) => (a, b)
+    }
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    Tables(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.length}, " + pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}__$b"
+      }.mkString(", ") + ") AS (col_a, col_b, pearson_r)"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val correlationSql = profileCols.combinations(2).toSeq.map {
+    case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(corr($a, $b), 4) AS pearson_r FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+    "\n) ORDER BY col_a, col_b")
+
   /** Per-user z-score outlier scan over the event stream: events whose
     * value sits ≥ 2.5 sample standard deviations from that user's mean.
     * Per-key mean/stddev via ONE window shuffle on user_id (no
@@ -677,6 +706,7 @@ object Analytics {
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
+    NamedQuery("q_correlation", correlation, Some(correlationSql)),
     NamedQuery("ev_anomaly", anomaly, Some(anomalySql)),
     NamedQuery("d_tfidf_topk", tfidfTopK, Some(tfidfTopKSql)),
     NamedQuery("d_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)))
