@@ -10,10 +10,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,6 +89,15 @@ object DuneDataSource {
     * schema must not add to this — asserted in DuneDataSourceSpec.
     */
   val inferenceRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The value types the reader's `cmp` compares EXACTLY — the shared
+    * acceptance contract for pushed AND runtime filters.
+    */
+  private[sources] def exactlyComparable(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Double | _: java.lang.Boolean => true
+    case _ => false
+  }
 }
 
 private class DuneTable(tableSchema: StructType, path: String) extends Table
@@ -132,11 +141,7 @@ private class DuneScanBuilder(fullSchema: StructType, path: String)
     * evaluated by Catalyst above the scan instead.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def exactlyComparable(v: Any): Boolean = v match {
-      case _: String | _: java.lang.Long | _: java.lang.Integer |
-           _: java.lang.Double | _: java.lang.Boolean => true
-      case _ => false
-    }
+    import DuneDataSource.exactlyComparable
     val (accepted, rejected) = filters.partition {
       case _: IsNotNull => true
       case EqualTo(_, v) => exactlyComparable(v)
@@ -362,7 +367,26 @@ private class DuneAggReader(fullSchema: StructType,
 
 private class DuneScan(schema: StructType, filters: Array[Filter],
     path: String, limit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters: Spark collects the build side of a
+    * join at execution time and hands the key set down as `In` filters
+    * — the v2 twin of `q_dpp`'s PartitionFilters subquery. The reader
+    * applies them while PARSING, so non-matching payload rows are
+    * dropped before a Spark row is ever built. Dropping a runtime
+    * filter is always safe (the join above re-checks); accepting one
+    * means exact evaluation, so only `cmp`-exact value types pass —
+    * the same contract as pushFilters.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fieldNames.map(f => Expressions.column(f))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case In(_, vs) => vs.forall(DuneDataSource.exactlyComparable)
+      case _ => false
+    }
 
   /** Payload byte size as the size estimate (row count unknown without
     * a scan) — enough for the planner's broadcast/shuffle decisions
@@ -399,7 +423,7 @@ private class DuneScan(schema: StructType, filters: Array[Filter],
       .map(_.asInstanceOf[InputPartition])
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DuneReaderFactory(schema, filters, hadoopConf, limit)
+    new DuneReaderFactory(schema, filters ++ runtime, hadoopConf, limit)
 }
 
 private object DuneSplits {
@@ -549,6 +573,7 @@ private class DuneReader(schema: StructType, filters: Array[Filter],
   private def accept(node: JsonNode): Boolean = filters.forall {
     case IsNotNull(f) =>
       val n = node.get(f); n != null && !n.isNull
+    case In(f, vs) => vs.exists(v => cmp(node, f, v).contains(0))
     case EqualTo(f, v) => cmp(node, f, v).contains(0)
     case GreaterThan(f, v) => cmp(node, f, v).exists(_ > 0)
     case GreaterThanOrEqual(f, v) => cmp(node, f, v).exists(_ >= 0)

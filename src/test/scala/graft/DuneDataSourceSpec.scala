@@ -234,6 +234,65 @@ class DuneDataSourceSpec extends SparkSpec {
       s"grouped agg must stay above the scan:\n$gplan")
   }
 
+  test("runtime (DPP-style) In filter lands in the scan and drops rows " +
+      "at parse time") {
+    // a selective dim whose key set is only known at execution: Spark's
+    // PartitionPruning targets v2 scans implementing
+    // SupportsRuntimeFiltering when the build side broadcasts
+    val dim = spark.range(1, 1000).select($"id".as("n"),
+      lit("keep").as("tag")).filter($"n" < 6) // selective build-side
+    val joined = dune.join(broadcast(dim), "n")
+    val rows = joined.collect()
+    assert(rows.length == 5, s"join result wrong: ${rows.length}")
+    // the scan node must carry the runtime filter group (visible as
+    // dynamicpruning in its string form) when the rule fires; at
+    // minimum the result must be correct with the filter applied, and
+    // driving the scan API directly must prove exact In evaluation
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val finalPlan = unwrap(joined.queryExecution.executedPlan)
+    val planStr = finalPlan.toString()
+    assert(planStr.toLowerCase.contains("runtimefilters: [dynamic"),
+      s"expected a dynamicpruning runtime filter in the dune scan:\n" +
+        planStr.linesIterator.take(12).mkString("\n"))
+    // direct API check: the scan advertises its filterable columns
+    // (from a bare scan plan — the joined one hides inside AQE stages)
+    val sc = dune.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    sc match {
+      case rf: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering =>
+        assert(rf.filterAttributes().map(_.describe()).contains("n"))
+      case other => fail(s"scan must support runtime filtering: $other")
+    }
+  }
+
+  test("scan.filter(In) drives row drops through the reader exactly") {
+    import org.apache.spark.sql.sources.{Filter, In}
+    val df = dune.filter($"n" <= 100) // pushed filter stays too
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    val rf = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    rf.filter(Array[Filter](In("n", Array[Any](3L, 7L, 999L))))
+    // re-execute through a fresh reader factory: only n ∈ {3,7} survive
+    // (999 is beyond the pushed n <= 100)
+    val factory = scan.toBatch.createReaderFactory()
+    val parts = scan.toBatch.planInputPartitions()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (r.next()) buf += r.get().getLong(
+        scan.readSchema().fieldIndex("n"))
+      r.close()
+      buf
+    }.sorted.toSeq
+    assert(got == Seq(3L, 7L), s"runtime In must drop rows exactly: $got")
+  }
+
   test("limit pushdown stops the reader; statistics report payload bytes") {
     val limited = dune.limit(3)
     val desc = limited.queryExecution.executedPlan.collectFirst {
