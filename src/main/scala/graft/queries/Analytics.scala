@@ -178,6 +178,47 @@ object Analytics {
        |  round(stddev_samp($c), 4) AS std_v FROM lineitem""".stripMargin
   }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
+  /** Winsorization: clip each event's value to its type's [p05, p95]
+    * band — the outlier-capping pass run before a metric or a training
+    * feature ships (clipping beats dropping: row count is preserved).
+    * The per-type bounds are a 5-row aggregate broadcast back onto the
+    * fact scan, so the clip is one pass + a summary-sized join; exact
+    * interpolated percentiles here (the engine-matching pair
+    * `percentile` ≡ `quantile_cont`), with `percentile_approx` as the
+    * 100 TB drop-in for the bounds pass.
+    */
+  private def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Events.events(spark, dir)
+    val bounds = ev.groupBy(col("event_type").as("bt"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") =!= col("w"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        round(avg("value"), 4).as("raw_mean"),
+        round(avg("w"), 4).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql =
+    """WITH b AS (
+      |  SELECT event_type AS bt, quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT event_type, value,
+      |    least(greatest(value, lo), hi) AS w
+      |  FROM events JOIN b ON event_type = bt)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value <> w THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  round(avg(value), 4) AS raw_mean,
+      |  round(avg(w), 4) AS winsorized_mean
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Pairwise Pearson correlations of the fact table's numeric columns
     * in ONE scan — the companion to `q_profile_stats` for detecting
     * redundant/derived columns before they ship to training. All 6
@@ -707,6 +748,7 @@ object Analytics {
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
+    NamedQuery("ev_winsorize", winsorize, Some(winsorizeSql)),
     NamedQuery("ev_anomaly", anomaly, Some(anomalySql)),
     NamedQuery("d_tfidf_topk", tfidfTopK, Some(tfidfTopKSql)),
     NamedQuery("d_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)))
