@@ -698,36 +698,37 @@ object Analytics {
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
   /** Record linkage by blocking + edit distance: near-identical part
-    * names (levenshtein ≤ 2 — typo range) compared only WITHIN
-    * (brand, size) blocks. The blocking key turns an O(n²) all-pairs
-    * scan into a per-block quadratic over ~dozens of rows — the
-    * standard entity-resolution shape (same discipline as the LSH
-    * bucket joins: candidates come from a key join, never a cross
-    * join); `a < b` keeps each pair once. The equi-join on the
-    * blocking key is a plain hash join, so AQE/skew handling apply.
+    * names (levenshtein ≤ 2 — typo range) compared only WITHIN brand
+    * blocks. The blocking key turns an O(n²) all-pairs scan into a
+    * per-block quadratic — the standard entity-resolution shape (same
+    * discipline as the LSH bucket joins: candidates come from a key
+    * join, never a cross join); `a < b` keeps each pair once. The
+    * equi-join on the blocking key is a plain hash join, so AQE/skew
+    * handling apply; tighter blocks (brand+size, a name n-gram key)
+    * are the dial when per-block quadratics grow.
     */
   private def fuzzyBlocked(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part")
-      .select("p_partkey", "p_brand", "p_size", "p_name")
-    val a = p.select(col("p_brand"), col("p_size"),
+      .select("p_partkey", "p_brand", "p_name")
+    val a = p.select(col("p_brand"),
       col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-    val b = p.select(col("p_brand"), col("p_size"),
+    val b = p.select(col("p_brand"),
       col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-    a.join(b, Seq("p_brand", "p_size"))
+    a.join(b, Seq("p_brand"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("lv", levenshtein(col("a_name"), col("b_name")))
       .filter(col("lv") <= 2)
-      .select(col("a_key"), col("b_key"), col("p_brand"), col("p_size"),
+      .select(col("a_key"), col("b_key"), col("p_brand"),
         col("lv").cast("bigint").as("lv"))
       .orderBy("a_key", "b_key")
   }
 
   private val fuzzyBlockedSql =
     """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-      |  a.p_brand, a.p_size,
+      |  a.p_brand,
       |  levenshtein(a.p_name, b.p_name) AS lv
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |  ON a.p_brand = b.p_brand
       | AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY a_key, b_key""".stripMargin
