@@ -697,41 +697,50 @@ object Analytics {
       |    / len(embedding), 6) AS mean_val
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
-  /** Record linkage by blocking + edit distance: near-identical part
-    * names (levenshtein ≤ 2 — typo range) compared only WITHIN brand
-    * blocks. The blocking key turns an O(n²) all-pairs scan into a
-    * per-block quadratic — the standard entity-resolution shape (same
-    * discipline as the LSH bucket joins: candidates come from a key
-    * join, never a cross join); `a < b` keeps each pair once. The
-    * equi-join on the blocking key is a plain hash join, so AQE/skew
-    * handling apply; tighter blocks (brand+size, a name n-gram key)
-    * are the dial when per-block quadratics grow.
+  /** Record linkage by blocking + sorted neighborhood: candidates are
+    * each name's `w` SUCCESSORS in (name, key) sort order within its
+    * brand block — the classic SNM shape that keeps entity resolution
+    * LINEAR (n×w edit distances) where all-pairs-within-block goes
+    * quadratic the moment a vocabulary saturates (this corpus at
+    * sf0.1: ~3k possible names over 20k parts — all-pairs emits 220k
+    * matches; the window emits n×w candidates regardless). One
+    * shuffle+sort on the block key; matches are candidates within
+    * levenshtein ≤ 2, reported per brand. Recall tradeoff (a first-
+    * character typo sorts far away) is the documented SNM contract —
+    * multi-pass with a second sort key (reversed name) is the standard
+    * dial, and the oracle computes the identical window so the
+    * DECISIONS hash-compare.
     */
   private def fuzzyBlocked(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables(spark, dir, "part")
+    val w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+    val neighbors = (1 to 10).map(k =>
+      struct(lead(col("p_name"), k).over(w).as("n_name"),
+        lead(col("p_partkey"), k).over(w).as("n_key")))
+    Tables(spark, dir, "part")
       .select("p_partkey", "p_brand", "p_name")
-    val a = p.select(col("p_brand"),
-      col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-    val b = p.select(col("p_brand"),
-      col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("a_key") < col("b_key"))
-      .withColumn("lv", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("lv") <= 2)
-      .select(col("a_key"), col("b_key"), col("p_brand"),
-        col("lv").cast("bigint").as("lv"))
-      .orderBy("a_key", "b_key")
+      .withColumn("nbs", array(neighbors: _*))
+      .select(col("p_brand"), col("p_name"), explode(col("nbs")).as("nb"))
+      .filter(col("nb.n_key").isNotNull)
+      .withColumn("lv", levenshtein(col("p_name"), col("nb.n_name")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("lv") <= 2, 1L).otherwise(0L)).as("n_matches"))
+      .orderBy("p_brand")
   }
 
   private val fuzzyBlockedSql =
-    """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-      |  a.p_brand,
-      |  levenshtein(a.p_name, b.p_name) AS lv
-      |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand
-      | AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 2
-      |ORDER BY a_key, b_key""".stripMargin
+    """WITH nb AS (
+      |  SELECT p_brand, p_name, p_partkey, k,
+      |    lead(p_name, k) OVER (PARTITION BY p_brand, k
+      |      ORDER BY p_name, p_partkey) AS n_name,
+      |    lead(p_partkey, k) OVER (PARTITION BY p_brand, k
+      |      ORDER BY p_name, p_partkey) AS n_key
+      |  FROM part, unnest([1,2,3,4,5,6,7,8,9,10]) AS t(k))
+      |SELECT p_brand, count(*) AS n_candidates,
+      |  CAST(sum(CASE WHEN levenshtein(p_name, n_name) <= 2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+      |FROM nb WHERE n_key IS NOT NULL
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("d_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
