@@ -178,6 +178,34 @@ object Analytics {
        |  round(stddev_samp($c), 4) AS std_v FROM lineitem""".stripMargin
   }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
+  /** Latest row per key — the single most common warehouse query (the
+    * current snapshot of a CDC/event log) — in its SCALE-correct form:
+    * `max_by` over a (ts, event_id) ordering struct, a plain aggregate
+    * with map-side partial combine, so at most one row per key per
+    * partition crosses the shuffle. The ranked-window formulation the
+    * oracle uses (row_number = 1) sorts every row of every key — same
+    * answer, strictly worse plan; the equality IS the point.
+    */
+  private def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Events.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"),
+        max("ts").as("last_ts"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"),
+        col("last_ts"))
+      .orderBy("user_id", "event_type")
+
+  private val latestPerKeySql =
+    """SELECT user_id, event_type, event_id, value,
+      |  CAST(ts AS TIMESTAMP) AS last_ts
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Winsorization: clip each event's value to its type's [p05, p95]
     * band — the outlier-capping pass run before a metric or a training
     * feature ships (clipping beats dropping: row count is preserved).
@@ -759,6 +787,7 @@ object Analytics {
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
     NamedQuery("ev_winsorize", winsorize, Some(winsorizeSql)),
+    NamedQuery("ev_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     NamedQuery("ev_anomaly", anomaly, Some(anomalySql)),
     NamedQuery("d_tfidf_topk", tfidfTopK, Some(tfidfTopKSql)),
     NamedQuery("d_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)))
