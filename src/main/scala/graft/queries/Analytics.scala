@@ -8,9 +8,12 @@ import graft.functions.TextAnalysis
 
 /** Data-ops / analytics extensions beyond the round-1 surface: the
   * operational queries a warehouse team runs *about* its tables
-  * (profiling, reconciliation, binning, outlier scans) plus two
-  * training-data text ops (TF-IDF term weighting, overlapping chunking).
-  * All seven are SQL-expressible, so each sits under the exact DuckDB
+  * (profiling, correlation, reconciliation, referential-integrity and
+  * null-skew audits, binning, outlier scans, winsorization, CDC
+  * snapshots, record linkage), the text/training-data ops (TF-IDF,
+  * unigram-LM scoring, overlapping chunking, pseudonymization), graph
+  * iteration (PageRank), and nested/higher-order type coverage. Every
+  * query here is SQL-expressible, so each sits under the exact DuckDB
   * oracle gate. (Reference context: the reference's only data-quality
   * surface is a post-run COUNT(*) per table — `pg_loader.py:320-339` —
   * these queries are that idea grown into a real toolkit.)
