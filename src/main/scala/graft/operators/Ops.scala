@@ -298,50 +298,65 @@ object Ops {
       val merged = target
         .join(batch.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(batch, allowMissingColumns = true)
-      val root = new Path(targetPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val suffix = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new Path(targetPath + "__staging_" + suffix)
-      clustered(merged).write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(tmp.toString)
-      // Per-directory aside-swap (same no-zero-copies policy as
-      // overwriteSafe): the original partition dir is renamed aside,
-      // never deleted, until its replacement is in place. A failed
-      // partial swap leaves every original intact (in place or
-      // restored) and the merge is idempotent to re-run; only the
-      // swap-in+restore double failure preserves the staging dir, with
-      // both copies' paths in the exception.
-      val asideRoot = new Path(targetPath + "__replaced_" + suffix)
-      var preserveStaging = false
-      try touched.foreach { v =>
-        val dir = s"$partitionCol=$v"
-        val src = new Path(tmp, dir)
-        val dst = new Path(root, dir)
-        if (fs.exists(src)) {
-          val aside = new Path(asideRoot, dir)
-          val had = fs.exists(dst)
-          if (had) {
-            fs.mkdirs(asideRoot)
-            if (!fs.rename(dst, aside))
-              throw new java.io.IOException(s"rename $dst -> $aside failed")
-          }
-          if (!fs.rename(src, dst)) {
-            if (had && !fs.rename(aside, dst)) {
-              preserveStaging = true
-              throw new java.io.IOException(s"rename $src -> $dst failed " +
-                s"AND restore failed: original preserved at $aside, " +
-                s"merged data at $src")
-            }
-            throw new java.io.IOException(s"rename $src -> $dst failed " +
-              "(original restored)")
-          }
-          if (had) fs.delete(aside, true)
+      stagePartitionSwap(spark, targetPath, clustered(merged), partitionCol,
+        touched.map(v => s"$partitionCol=$v").toSeq)
+    }
+  }
+
+  /** Shared swap engine for the partition-scoped writers
+    * ([[mergeUpsertPartitioned]], [[scd2Merge]]): stage `df`
+    * hive-partitioned on `partitionCol` beside the target, then swap
+    * exactly `dirNames` (e.g. `date=2024-01-01`) into place via
+    * per-directory aside-rename, IN THE GIVEN ORDER — callers sequence
+    * the swaps so that a partial failure always leaves a state from
+    * which re-running the same merge converges.
+    *
+    * Same no-zero-copies policy as [[ParquetIO.overwriteSafe]]: the
+    * original partition dir is renamed aside, never deleted, until its
+    * replacement is in place. A failed partial swap leaves every
+    * original intact (in place or restored); only the swap-in+restore
+    * double failure preserves the staging dir, with both copies' paths
+    * in the exception.
+    */
+  private def stagePartitionSwap(spark: SparkSession, targetPath: String,
+      df: DataFrame, partitionCol: String, dirNames: Seq[String]): Unit = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(targetPath + "__staging_" + suffix)
+    // a failed write leaves the target untouched; drop the orphan staging
+    try df.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    val asideRoot = new Path(targetPath + "__replaced_" + suffix)
+    var preserveStaging = false
+    try dirNames.foreach { dir =>
+      val src = new Path(tmp, dir)
+      val dst = new Path(root, dir)
+      if (fs.exists(src)) {
+        val aside = new Path(asideRoot, dir)
+        val had = fs.exists(dst)
+        if (had) {
+          fs.mkdirs(asideRoot)
+          if (!fs.rename(dst, aside))
+            throw new java.io.IOException(s"rename $dst -> $aside failed")
         }
-      } finally {
-        if (!preserveStaging) fs.delete(tmp, true)
-        if (fs.exists(asideRoot) && fs.listStatus(asideRoot).isEmpty)
-          fs.delete(asideRoot, true)
+        if (!fs.rename(src, dst)) {
+          if (had && !fs.rename(aside, dst)) {
+            preserveStaging = true
+            throw new java.io.IOException(s"rename $src -> $dst failed " +
+              s"AND restore failed: original preserved at $aside, " +
+              s"merged data at $src")
+          }
+          throw new java.io.IOException(s"rename $src -> $dst failed " +
+            "(original restored)")
+        }
+        if (had) fs.delete(aside, true)
       }
+    } finally {
+      if (!preserveStaging) fs.delete(tmp, true)
+      if (fs.exists(asideRoot) && fs.listStatus(asideRoot).isEmpty)
+        fs.delete(asideRoot, true)
     }
   }
 
@@ -447,22 +462,28 @@ object Ops {
     * row group — exactly what a small dimension/corpus file looks like)
     * otherwise pins tokenization, hashing, and the map side of the
     * first shuffle to ONE task. A plain `repartition` is NOT enough:
-    * Catalyst pushes deterministic filters below a repartition, so an
-    * expensive predicate (quality/lang gates) sinks back onto the one
-    * input partition and runs single-threaded — measured 10× slower
-    * than the spread plan. The RDD round-trip plants a `LogicalRDD`
-    * leaf the optimizer cannot push anything below, so every derived
-    * expression and predicate evaluates on the spread side. Only
-    * applied when the input is narrower than half the session width —
-    * a well-partitioned 100 TB scan passes through untouched, keeping
-    * scan-level pushdown where it belongs.
+    * Catalyst pushes deterministic filters below a repartition —
+    * substituting project aliases on the way down — so an expensive
+    * predicate (quality/lang gates, `size(fingerprints) > 0`) sinks
+    * back onto the one input partition and runs single-threaded,
+    * measured 10× slower than the spread plan. The barrier here is a
+    * non-deterministic always-true guard (`rand >= -1`): Catalyst only
+    * reorders/pushes deterministic predicates, so nothing crosses it,
+    * while the repartition stays a first-class plan node — downstream
+    * expressions keep whole-stage codegen and AQE can still plan the
+    * stages after the exchange (both of which the previous
+    * `LogicalRDD` round-trip severed, plus its InternalRow→Row→
+    * InternalRow conversion tax). Only applied when the input is
+    * narrower than half the session width — a well-partitioned 100 TB
+    * scan passes through untouched, keeping scan-level pushdown where
+    * it belongs.
     */
   def spreadNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions * 2 < target)
-      spark.createDataFrame(df.rdd.repartition(target), df.schema)
+      df.repartition(target).where(rand(0x5bead) >= -1d)
     else df
   }
 
@@ -487,12 +508,29 @@ object Ops {
     *    REPLAY is not supported: feed versions through in order, as
     *    the watermark pipeline does.
     *
-    * Scale: two key-partitioned joins (current-vs-batch each way —
-    * AQE broadcasts the batch side in the common incremental case) and
-    * a rewrite; history rows pass through untouched. At 100 TB route
-    * the same logic through a partitioned layout (the
-    * [[mergeUpsertPartitioned]] trick) so the rewrite touches only
-    * current+affected partitions.
+    * Scale — partition-scoped layout: the target is laid out hive-style
+    * on a derived `__scd_part` column — `open` for the current rows,
+    * `c<version>` for rows closed at that version. Closed rows are
+    * immutable (their `valid_to` never changes again), so each merge
+    * touches exactly the `open` directory plus the `c<v>` directories
+    * of the versions appearing in THIS batch; every previously-closed
+    * directory is never opened, listed past pruning, or rewritten —
+    * byte-identical across merges (Scd2Spec gate). Cost is
+    * O(current + this batch), never O(history): the difference between
+    * a minutes-long dimension load and rewriting years of closed rows
+    * at 100 TB. The merge itself is two key-partitioned joins
+    * (current-vs-batch each way — AQE broadcasts the batch side in the
+    * common incremental case).
+    *
+    * Failure/idempotency: closed directories swap BEFORE the open
+    * directory, and the closed-dir rebuild dedups on (keys,
+    * valid_from), so a rerun after any partial failure recomputes the
+    * same rows and converges — a replayed closed row dedups away, and
+    * the open swap is last so the merge's inputs are intact until the
+    * batch is fully applied. Version values must render filesystem-safe
+    * (timestamps/dates/numbers do; the rendering sanitizes separators).
+    * A pre-existing FLAT scd2 target is migrated into the partitioned
+    * layout once (one full rewrite), then never again.
     */
   def scd2Merge(spark: SparkSession, targetPath: String,
       updates: DataFrame, keys: Seq[String],
@@ -500,19 +538,38 @@ object Ops {
     val attrCols = updates.columns
       .filterNot(c => keys.contains(c) || c == versionCol).toSeq
     val batch = dedupLatest(updates, keys, versionCol)
+    val vType = batch.schema(versionCol).dataType
+    def closedPartVal(c: Column): Column =
+      concat(lit("c"), regexp_replace(c.cast("string"), "[^0-9A-Za-z._-]", "_"))
     val asOpen = batch
       .withColumn("valid_from", col(versionCol))
-      .withColumn("valid_to", lit(null).cast(batch.schema(versionCol).dataType))
+      .withColumn("valid_to", lit(null).cast(vType))
       .withColumn("is_current", lit(true))
       .drop(versionCol)
-    requireFlatLayout(spark, targetPath, "scd2Merge")
-    if (!ParquetIO.exists(spark, targetPath)) {
-      asOpen.write.mode("overwrite").parquet(targetPath)
+    // Bootstrap: no target, or an empty flat target (the shape an empty
+    // write leaves — see overwriteSafe). Legacy flat non-empty targets
+    // are migrated into the partitioned layout once.
+    val fresh = !ParquetIO.exists(spark, targetPath) || {
+      if (!ParquetIO.isPartitionedOn(spark, targetPath, ScdPartCol)) {
+        val flat = spark.read.parquet(targetPath)
+        if (flat.isEmpty) true
+        else {
+          ParquetIO.overwriteSafe(flat.withColumn(ScdPartCol,
+            when(col("is_current"), lit("open"))
+              .otherwise(closedPartVal(col("valid_to")))),
+            targetPath, Seq(ScdPartCol))
+          false
+        }
+      } else false
+    }
+    if (fresh) {
+      ParquetIO.overwriteSafe(asOpen.withColumn(ScdPartCol, lit("open")),
+        targetPath, Seq(ScdPartCol))
       return
     }
-    val target = spark.read.parquet(targetPath)
-    val cur = target.filter(col("is_current"))
-    val hist = target.filter(!col("is_current"))
+    val table = spark.read.parquet(targetPath)
+    // partition pruning: only the `open` directory is read here
+    val cur = table.filter(col(ScdPartCol) === "open").drop(ScdPartCol)
     val b = batch.select(
       keys.map(col) ++
         attrCols.map(c => col(c).as(s"__new_$c")) :+
@@ -527,10 +584,12 @@ object Ops {
     val supersedes = col("__new_v").isNotNull && changed &&
       col("__new_v") > col("valid_from")
     val closedOrKept = curJoined.select(
-      target.columns.filterNot(Set("valid_to", "is_current")).map(col) ++ Seq(
+      cur.columns.filterNot(Set("valid_to", "is_current")).map(col) ++ Seq(
         when(supersedes, col("__new_v"))
           .otherwise(col("valid_to")).as("valid_to"),
         (!supersedes).as("is_current")): _*)
+    val kept = closedOrKept.filter(col("is_current"))
+    val closedNew = closedOrKept.filter(!col("is_current"))
     // batch rows that are new keys or genuinely newer changes become
     // open rows (same late-arrival guard on the insert side)
     val curKeyed = cur.select(
@@ -543,13 +602,44 @@ object Ops {
         (changedOld && col(versionCol) > col("__old_vf")))
       .select(batch.columns.map(col): _*)
       .withColumn("valid_from", col(versionCol))
-      .withColumn("valid_to", lit(null).cast(batch.schema(versionCol).dataType))
+      .withColumn("valid_to", lit(null).cast(vType))
       .withColumn("is_current", lit(true))
       .drop(versionCol)
-    val merged = hist.unionByName(closedOrKept).unionByName(
-      inserts.select(closedOrKept.columns.map(col): _*))
-    ParquetIO.overwriteSafe(merged, targetPath)
+    val newOpen = kept.unionByName(
+      inserts.select(kept.columns.map(col): _*))
+    // Touched closed directories: one per distinct version value in the
+    // batch — bounded and tiny (a load carries one stamp, rarely a few).
+    val touchedClosed = closedNew
+      .select(closedPartVal(col("valid_to")).as("p")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // Rebuild = existing rows at those versions ∪ newly closed, deduped
+    // on the closed row's identity (keys, valid_from): a replay after a
+    // partial failure, or a second batch closing other keys at the same
+    // version value, merges instead of duplicating or dropping rows.
+    val closedRebuilt =
+      if (touchedClosed.isEmpty) None
+      else Some(table
+        .filter(col(ScdPartCol).isin(touchedClosed.toSeq: _*))
+        .drop(ScdPartCol)
+        .unionByName(closedNew.select(kept.columns.map(col): _*))
+        .dropDuplicates(keys :+ "valid_from"))
+    val staged = newOpen.withColumn(ScdPartCol, lit("open"))
+    val all = closedRebuilt match {
+      case Some(c) => staged.unionByName(
+        c.withColumn(ScdPartCol, closedPartVal(col("valid_to"))))
+      case None => staged
+    }
+    // closed dirs swap first, open last (see failure note above)
+    stagePartitionSwap(spark, targetPath,
+      all.repartition(col(ScdPartCol)), ScdPartCol,
+      (touchedClosed :+ "open").map(v => s"$ScdPartCol=$v").toSeq)
   }
+
+  /** Derived partition column of the [[scd2Merge]] hive layout; data
+    * columns are unaffected (readers selecting named columns see the
+    * same schema as before).
+    */
+  val ScdPartCol = "scd_part"
 
   /** Incremental aggregate maintenance (materialized-view style): fold
     * a delta's PARTIAL aggregates into a persisted aggregate table

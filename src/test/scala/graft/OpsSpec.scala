@@ -154,4 +154,37 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("k") === "d")
       .select("n_rows", "v").as[(Long, Double)].head() == ((1L, 7.0)))
   }
+
+  test("spreadNarrow widens a narrow input to the session shuffle width") {
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc$i"))
+      .toDF("id", "text").coalesce(1)
+    val spread = Ops.spreadNarrow(narrow)
+    assert(spread.rdd.getNumPartitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    assert(spread.count() == 100)
+    // a wide input passes through untouched (no gratuitous shuffle)
+    val wide = narrow.repartition(8)
+    assert(Ops.spreadNarrow(wide).queryExecution.optimizedPlan ==
+      wide.queryExecution.optimizedPlan)
+  }
+
+  test("spreadNarrow blocks filter pushdown below the repartition") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, RepartitionOperation}
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc$i"))
+      .toDF("id", "text").coalesce(1)
+    // an expensive deterministic gate after the spread — with a plain
+    // repartition, Catalyst substitutes the alias and sinks this onto
+    // the single input partition
+    val gated = Ops.spreadNarrow(narrow)
+      .select(col("id"), length(col("text")).as("n"))
+      .filter(col("n") > 3)
+    val plan = gated.queryExecution.optimizedPlan
+    // every Filter must sit ABOVE the repartition: no Filter anywhere
+    // in a RepartitionOperation's subtree
+    val below = plan.collect { case r: RepartitionOperation =>
+      r.child.collect { case f: Filter => f }.size
+    }.sum
+    assert(below == 0, s"filter pushed below the spread:\n$plan")
+    assert(gated.count() == 100)
+  }
 }

@@ -92,6 +92,60 @@ class Scd2Spec extends SparkSpec {
     assert(snapshot(path) == after)
   }
 
+  test("closed-history directories are byte-identical across merges") {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("scd2spec_part").toString
+    val path = root + "/dim"
+    Ops.scd2Merge(spark, path, dim((1L, "a", 1.0, 1L),
+      (2L, "a", 1.0, 1L), (3L, "a", 1.0, 1L)), Seq("id"))
+    // v2 closes keys 1 and 2 into the c2 directory
+    Ops.scd2Merge(spark, path,
+      dim((1L, "b", 1.0, 2L), (2L, "b", 1.0, 2L)), Seq("id"))
+    def dirBytes(dir: String): Map[String, Seq[Byte]] = {
+      val d = Paths.get(path, dir)
+      Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => d.relativize(p).toString ->
+          Files.readAllBytes(p).toSeq).toMap
+    }
+    val c2Before = dirBytes(s"${Ops.ScdPartCol}=c2")
+    assert(c2Before.nonEmpty)
+    // v3 touches only key 3: its open row closes into c3; the c2
+    // directory (keys 1 and 2's closed rows) must not be rewritten
+    Ops.scd2Merge(spark, path, dim((3L, "c", 9.0, 3L)), Seq("id"))
+    assert(dirBytes(s"${Ops.ScdPartCol}=c2") == c2Before,
+      "previously-closed history directory was rewritten")
+    assert(dirBytes(s"${Ops.ScdPartCol}=c3").nonEmpty)
+    // full-table read still correct after both merges
+    assert(snapshot(path) == Set(
+      (1L, "a", 1.0, 1L, Some(2L), false),
+      (1L, "b", 1.0, 2L, None, true),
+      (2L, "a", 1.0, 1L, Some(2L), false),
+      (2L, "b", 1.0, 2L, None, true),
+      (3L, "a", 1.0, 1L, Some(3L), false),
+      (3L, "c", 9.0, 3L, None, true)))
+  }
+
+  test("legacy flat SCD2 target is migrated into the partitioned layout") {
+    val path = java.nio.file.Files
+      .createTempDirectory("scd2spec_mig").toString + "/dim"
+    // hand-write a FLAT (unpartitioned) target in the pre-round-3 shape
+    Seq((1L, "a", 1.0, 1L, Some(2L), false),
+      (1L, "b", 1.0, 2L, None: Option[Long], true),
+      (2L, "a", 4.0, 1L, None: Option[Long], true))
+      .toDF("id", "tier", "score", "valid_from", "valid_to", "is_current")
+      .write.parquet(path)
+    Ops.scd2Merge(spark, path, dim((2L, "z", 5.0, 3L)), Seq("id"))
+    assert(graft.operators.ParquetIO
+      .isPartitionedOn(spark, path, Ops.ScdPartCol))
+    assert(snapshot(path) == Set(
+      (1L, "a", 1.0, 1L, Some(2L), false),
+      (1L, "b", 1.0, 2L, None, true),
+      (2L, "a", 4.0, 1L, Some(3L), false),
+      (2L, "z", 5.0, 3L, None, true)))
+  }
+
   test("latest-wins dedup inside one batch") {
     val path = java.nio.file.Files
       .createTempDirectory("scd2spec_dd").toString + "/dim"
