@@ -238,3 +238,25 @@ case class SrpBucket(child: Expression, numBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)
 }
+
+/** Multi-probe SRP bucket list (query-side of [[SrpBucket]]'s LSH):
+  * the base bucket plus the nProbes-1 most-likely neighbouring buckets
+  * by flipping low-|margin| bits (Kernels.srpProbes). Element 0 is
+  * always the base bucket, so `explode(srp_probes(v, b, s, 1))` ≡
+  * `srp_bucket(v, b, s)`.
+  */
+case class SrpProbes(child: Expression, numBits: Int, seed: Long,
+    nProbes: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(numBits > 0 && numBits < 64, "numBits must be in [1, 63]")
+  require(nProbes > 0, "nProbes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "srp_probes"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.srpProbes(v.asInstanceOf[ArrayData], numBits, seed, nProbes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${K.name}.srpProbes($c, $numBits, ${seed}L, $nProbes)")
+  override protected def withNewChildInternal(c: Expression): SrpProbes =
+    copy(child = c)
+}

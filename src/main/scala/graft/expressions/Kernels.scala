@@ -228,6 +228,67 @@ object Kernels {
     bucket
   }
 
+  /** Multi-probe SRP (Lv et al., VLDB 2007, applied to sign-random
+    * projections): the base bucket of [[srpBucket]] plus the
+    * `nProbes - 1` neighbouring buckets most likely to hold a true
+    * neighbour — the ones reached by flipping the bits whose projection
+    * sits closest to the hyperplane. Perturbation sets (single bits and
+    * bit pairs) are ranked by total |margin|; a vector a hair's width
+    * from hyperplanes p and q probes p-flipped, q-flipped, then
+    * pq-flipped before any confidently-signed bit moves. QUERY-side
+    * only: the corpus keeps one bucket per table, so index size and the
+    * shuffle are unchanged — recall is bought with nProbes× more
+    * (tiny) query-side rows instead of tables× more corpus copies.
+    * Element 0 is always the base bucket (probes(v, b, s, 1) ≡
+    * [srpBucket(v, b, s)]); elements are distinct.
+    */
+  def srpProbes(v: ArrayData, numBits: Int, seed: Long,
+      nProbes: Int): ArrayData = {
+    val dim = v.numElements()
+    val signs = srpSigns(seed, numBits, dim)
+    val proj = new Array[Double](numBits)
+    var base = 0L
+    var p = 0
+    while (p < numBits) {
+      var s = 0.0
+      val off = p * dim
+      var d = 0
+      while (d < dim) {
+        if (!v.isNullAt(d)) s += v.getFloat(d).toDouble * signs(off + d)
+        d += 1
+      }
+      proj(p) = math.abs(s)
+      if (s >= 0.0) base |= (1L << p)
+      p += 1
+    }
+    val want = math.min(nProbes, 1 + numBits + numBits * (numBits - 1) / 2)
+    val out = new Array[Long](want)
+    out(0) = base
+    if (want > 1) {
+      // candidate flips: all single bits, all bit pairs — numBits ≤ 63
+      // keeps this a few thousand entries at most, built per row only
+      // on the (small) query side
+      val cand = Array.newBuilder[(Double, Long)]
+      var i = 0
+      while (i < numBits) {
+        cand += ((proj(i), 1L << i))
+        var j = i + 1
+        while (j < numBits) {
+          cand += ((proj(i) + proj(j), (1L << i) | (1L << j)))
+          j += 1
+        }
+        i += 1
+      }
+      val ranked = cand.result().sortBy(_._1)
+      var o = 1
+      while (o < want) {
+        out(o) = base ^ ranked(o - 1)._2
+        o += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Rabin-Karp base for the rolling char-gram hashes behind
     * [[winnowFingerprints]] / [[charGramHashes]] (prime, public-domain
     * constant; 64-bit wrapping arithmetic IS the modulus).

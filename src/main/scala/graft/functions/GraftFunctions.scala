@@ -28,6 +28,8 @@ object GraftFunctions {
   def dot_f(l: Column, r: Column): Column = call_function("dot_f", l, r)
   def srp_bucket(col: Column, numBits: Int, seed: Long): Column =
     call_function("srp_bucket", col, lit(numBits), lit(seed))
+  def srp_probes(col: Column, numBits: Int, seed: Long, nProbes: Int): Column =
+    call_function("srp_probes", col, lit(numBits), lit(seed), lit(nProbes))
   def word_ngrams(col: Column, n: Int): Column =
     call_function("word_ngrams", col, lit(n))
   def sq8_quantize(col: Column): Column = call_function("sq8_quantize", col)
@@ -63,6 +65,13 @@ object GraftFunctions {
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].longValue())
 
+  /** srp_probes(v, numBits, seed, nProbes) — scalars must be foldable. */
+  private def srpProbesBuilder(es: Seq[Expression]): Expression =
+    SrpProbes(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].longValue(),
+      es(3).eval(null).asInstanceOf[Number].intValue())
+
   /** word_ngrams(text, n) — n must be a foldable int. */
   private def ngramsBuilder(es: Seq[Expression]): Expression =
     WordNGrams(es.head, es(1).eval(null).asInstanceOf[Number].intValue())
@@ -75,6 +84,7 @@ object GraftFunctions {
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),
       "dot_f" -> (es => DotF(es.head, es(1))),
       "srp_bucket" -> srpBuilder,
+      "srp_probes" -> srpProbesBuilder,
       "word_ngrams" -> ngramsBuilder,
       "sq8_quantize" -> (es => Sq8Quantize(es.head)),
       "minhash_sigs" -> (es => MinHashSigs(es.head,

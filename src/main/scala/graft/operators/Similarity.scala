@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{cosine_sim, sq8_cosine, sq8_quantize, srp_bucket}
+import graft.functions.GraftFunctions.{cosine_sim, sq8_cosine, sq8_quantize, srp_bucket, srp_probes}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -46,18 +46,40 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates = pairs sharing a
     * bucket in ANY of `tables` independent SRP hash tables; exact
     * cosine re-rank on candidates only.
+    *
+    * `nProbes > 1` turns on QUERY-SIDE multiprobe (Lv et al., VLDB
+    * 2007): each query additionally visits the `nProbes - 1`
+    * neighbouring buckets reached by flipping its lowest-|margin|
+    * projection bits ([[graft.expressions.Kernels.srpProbes]]). The
+    * corpus keeps exactly one bucket per table — index size, the
+    * corpus-side shuffle, and the big-side scan are all unchanged;
+    * recall is bought with nProbes× more rows on the (tiny) query
+    * side. That's the right trade at 100 TB: corpus rows are billions,
+    * query rows are thousands.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      numBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    def bucketed(df: DataFrame, idName: String, embName: String) =
-      Ops.spreadNarrow(df)
-        .select(col("id").as(idName), col("embedding").as(embName),
-        explode(array((0 until tables).map { t =>
+      numBits: Int = 8, tables: Int = 4, seed: Long = 42L,
+      nProbes: Int = 1): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, embName: String,
+        probes: Int) = {
+      // corpus side stays on the scalar bucket (no per-row array of
+      // probe arrays on the billion-row side)
+      val tb =
+        if (probes == 1) array((0 until tables).map { t =>
           struct(lit(t).as("table"),
             srp_bucket(col("embedding"), numBits, seed + t).as("bucket"))
-        }: _*)).as("tb"))
-    val c = bucketed(corpus, "corpus_id", "c_emb")
-    val q = bucketed(queries, "query_id", "q_emb")
+        }: _*)
+        else flatten(array((0 until tables).map { t =>
+          transform(
+            srp_probes(col("embedding"), numBits, seed + t, probes),
+            b => struct(lit(t).as("table"), b.as("bucket")))
+        }: _*))
+      Ops.spreadNarrow(df)
+        .select(col("id").as(idName), col("embedding").as(embName),
+          explode(tb).as("tb"))
+    }
+    val c = bucketed(corpus, "corpus_id", "c_emb", 1)
+    val q = bucketed(queries, "query_id", "q_emb", nProbes)
     val candidates = c.join(q, Seq("tb"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select("query_id", "q_emb", "corpus_id", "c_emb").distinct()
@@ -169,6 +191,33 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
     ivfProbe(ivfFit(corpus, nCells, seed, cache = false), queries, k, nProbe)
+
+  /** Persist a fitted index as Parquet: the cell assignment
+    * hive-partitioned on `cell` (each IVF cell is its own directory, so
+    * a probe of nProbe cells lists and reads exactly nProbe/nCells of
+    * the index — partition pruning does the inverted-file part of IVF
+    * at the storage layer) plus the tiny centroid table. This is the
+    * real ANN contract at 100 TB: the k-means fit and corpus assignment
+    * run ONCE as a batch job; every query workload after that is
+    * [[ivfLoad]] + [[ivfProbe]] and never re-reads, re-normalizes, or
+    * re-assigns the corpus.
+    */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/assigned")
+    index.centroids.write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  /** Reopen a persisted index. The assignment stays on disk (partition-
+    * pruned per probe) rather than cached — a 100 TB index does not fit
+    * in memory, and the probed fraction streams fine.
+    */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val centroids = spark.read.parquet(path + "/centroids")
+    IvfIndex(spark.read.parquet(path + "/assigned"), centroids,
+      nCells = centroids.count().toInt)
+  }
 
   /** Int8 scalar-quantized (SQ8) top-k: score the corpus with integer
     * cosine over 4×-smaller int8 codes ([[graft.expressions.Kernels

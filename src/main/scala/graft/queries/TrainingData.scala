@@ -541,11 +541,49 @@ object TrainingData {
       |SELECT cluster, count(*) AS size, max(id) AS max_id
       |FROM labeled GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Multiprobe SRP-LSH (6 tables × 8 query-side probes): each query
+    * visits its base bucket plus its 7 lowest-margin neighbouring
+    * buckets per table, ~8×ing the candidate pool for the SAME
+    * corpus-side index (one bucket per table per corpus row — index
+    * size and the big-side shuffle are unchanged). Tuned on this
+    * corpus via a (bits, tables, probes) sweep: 4 tables plateau at
+    * recall 0.4 no matter how many probes (the missed neighbours land
+    * in far buckets of all four tables); 6 tables alone reach 0.64;
+    * 6 tables + 8 probes reach 0.84. Recall vs brute force is pinned
+    * in the tolerance artifact (bound ≥ 0.6).
+    */
   private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
     Similarity.lshTopK(all, all.filter(col("id") < 5), k = 5,
-      numBits = 8, tables = 4)
+      numBits = 8, tables = 6, nProbes = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Probe-only ANN against a PERSISTED IVF index
+    * ([[Similarity.ivfSave]]/[[Similarity.ivfLoad]]): the fit+assign
+    * batch job runs once per corpus and lands as cell-partitioned
+    * Parquet; this query measures what a steady-state ANN service
+    * pays — open the index, prune to nProbe cell directories, score.
+    * Same recall contract as `e_ivf_topk` (tolerance artifact).
+    */
+  private val ivfSavedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = ivfSavedPaths.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString + "/ivf"
+      val idx = Similarity.ivfFit(
+        embs(spark, d).select(col("vec_id").as("id"), col("embedding")),
+        cache = false)
+      Similarity.ivfSave(idx, p)
+      p
+    })
+    val q = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 5)
+    Similarity.ivfProbe(Similarity.ivfLoad(spark, idxPath), q, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -587,5 +625,6 @@ object TrainingData {
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
+    NamedQuery("e_ivf_persisted", ivfPersisted, None),
     NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))
 }

@@ -77,6 +77,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(other != b1 || true) // seed variation exercised; no hard claim
   }
 
+  test("srp_probes: element 0 is the base bucket, probes are distinct, " +
+      "nProbes=1 degenerates to srp_bucket") {
+    import graft.functions.GraftFunctions.srp_probes
+    val vs = Seq(
+      Array(0.5f, -1f, 2f, 0.25f), Array(-3f, 0.1f, 0.1f, 4f),
+      Array(1f, 1f, 1f, 1f))
+    val rows = vs.map(Tuple1(_)).toDF("v").select(
+      srp_bucket(col("v"), 8, 42L),
+      srp_probes(col("v"), 8, 42L, 1),
+      srp_probes(col("v"), 8, 42L, 8))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (base, one, eight) =>
+      assert(one == Seq(base))              // degenerate law
+      assert(eight.head == base)            // base probed first
+      assert(eight.distinct.size == 8)      // no duplicate probes
+      assert(eight.forall(b => b >= 0 && b < 256))
+      // every probe is the base with 1 or 2 bits flipped (the ranked
+      // single/pair perturbation sets)
+      eight.tail.foreach { b =>
+        val flipped = java.lang.Long.bitCount(b ^ base)
+        assert(flipped == 1 || flipped == 2, s"probe $b flips $flipped bits")
+      }
+    }
+  }
+
   test("sq8 expressions agree with the kernels through the DataFrame path") {
     import graft.functions.GraftFunctions.{sq8_cosine, sq8_quantize}
     val vecs = Seq(

@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size >= 30, s"LSH recalled only ${out.size}/40 planted pairs")
   }
 
+  test("multiprobe lshTopK never loses recall vs single-probe (candidate " +
+      "superset + exact rerank)") {
+    // multiprobe only ADDS query-side buckets, and the final ranking is
+    // exact cosine over candidates — so recall vs brute force is
+    // monotone in nProbes. Measured on the sf0.001 embeddings fixture.
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("corpus_id"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(all, q, k = 5))
+    def recallAt(p: Int): Double =
+      pairs(Similarity.lshTopK(all, q, k = 5, numBits = 8, tables = 6,
+        nProbes = p)).intersect(exact).size.toDouble / exact.size
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    assert(r8 >= r1, s"multiprobe lost recall: $r8 < $r1")
+    assert(r8 >= 0.6, s"declared tolerance floor violated at sf0.001: $r8")
+  }
+
   test("lshTopK scores agree with brute force on recalled pairs") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
@@ -89,6 +111,29 @@ class SimilaritySpec extends SparkSpec {
       nCells = 8, nProbe = 4))
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
+  }
+
+  test("persisted IVF index: save/load probe equals the in-memory probe, " +
+      "layout is cell-partitioned") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val fitted = Similarity.ivfFit(all, nCells = 8, cache = false)
+    val inMem = Similarity.ivfProbe(fitted, q, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    val path = java.nio.file.Files
+      .createTempDirectory("simspec_ivf").toString + "/ivf"
+    Similarity.ivfSave(fitted, path)
+    val loaded = Similarity.ivfLoad(spark, path)
+    assert(loaded.nCells == 8)
+    // hive layout: one cell=N directory per populated cell
+    val dirs = new java.io.File(path + "/assigned")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.toSeq)
+    val fromDisk = Similarity.ivfProbe(loaded, q, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(fromDisk.sameElements(inMem))
   }
 
   test("sq8TopK with rerank >= |corpus| equals brute force exactly") {
