@@ -252,30 +252,59 @@ object Streams {
   }
 
   case class KeyedEvent(event_id: Long, user_id: Long, day: String,
-      event_type: String, ts_us: Long)
+      event_type: String, ts_us: Long, ts: java.sql.Timestamp)
 
   /** Rate limiting at the stream: pass at most `maxPerKey` events per
     * (user, day), dropping the rest AT INGEST — the guardrail that
     * keeps one runaway client from flooding a 100 TB pipeline, applied
-    * where it's cheapest (state = ONE counter per active key; a batch
+    * where it's cheapest (state = ONE counter per ACTIVE key; a batch
     * job would buffer the flood first and filter after). Events fold
     * in (event-time, event_id) order within each batch; the counter
     * carries across batches so replays/late batches can't exceed the
     * cap.
+    *
+    * State eviction (watermark-based): a (user, day) counter is
+    * dropped once the stream's EVENT time has moved `stateTtl` past
+    * that key's last event — without a timeout the store would retain
+    * one counter for every day ever seen and grow without bound. Event
+    * time (not processing time) is the right clock here: it advances
+    * only with data (no wall-clock no-data batches spinning just to
+    * expire state), survives backfills running days of data in
+    * minutes, and bounds the replay guarantee in the stream's own
+    * units — a batch replayed while event time is within the TTL is
+    * capped exactly; a replay arriving after eviction re-admits at
+    * most `maxPerKey` rows for that stale day (bounded, and far older
+    * than any at-least-once redelivery window). The watermark is
+    * declared here (`wmDelay` of allowed disorder) so callers can't
+    * forget it — EventTimeTimeout requires one.
     */
-  def rateLimit(events: Dataset[KeyedEvent],
-      maxPerKey: Int = 3): Dataset[KeyedEvent] = {
+  def rateLimit(events: Dataset[KeyedEvent], maxPerKey: Int = 3,
+      stateTtl: String = "7 days", wmDelay: String = "1 hour")
+      : Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(e => (e.user_id, e.day))
+    events.withWatermark("ts", wmDelay)
+      .groupByKey(e => (e.user_id, e.day))
       .flatMapGroupsWithState[Long, KeyedEvent](OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        var n = state.getOption.getOrElse(0L)
-        val out = Seq.newBuilder[KeyedEvent]
-        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-          if (n < maxPerKey) { out += e; n += 1 }
+        GroupStateTimeout.EventTimeTimeout) { (_, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[KeyedEvent]
+          var lastMs = Long.MinValue
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            lastMs = math.max(lastMs, e.ts.getTime)
+            if (n < maxPerKey) { out += e; n += 1 }
+          }
+          state.update(n)
+          // evict stateTtl past this key's last event; the max() guard
+          // keeps the target legal (strictly past the watermark) when
+          // a very late replay arrives after event time moved on
+          state.setTimeoutTimestamp(
+            math.max(lastMs, state.getCurrentWatermarkMs() + 1), stateTtl)
+          out.result().iterator
         }
-        state.update(n)
-        out.result().iterator
       }
   }
 
@@ -288,7 +317,7 @@ object Streams {
     val ev = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+        col("event_type"), expr("unix_micros(ts)").as("ts_us"), col("ts"))
       .as[KeyedEvent]
     val out = Files.createTempDirectory("graft_st_rl_out").toString
     val ckpt = Files.createTempDirectory("graft_st_rl_ckpt").toString

@@ -145,7 +145,8 @@ class StreamsSpec extends SparkSpec {
       .start()
     try {
       def ev(id: Long, d: String) =
-        Streams.KeyedEvent(id, 1L, d, "click", us(id))
+        Streams.KeyedEvent(id, 1L, d, "click", us(id),
+          new java.sql.Timestamp(us(id) / 1000))
       in.addData(ev(1, "d1"), ev(2, "d1"))
       q.processAllAvailable()
       // cap already reached for (1, d1): a later batch adds nothing
