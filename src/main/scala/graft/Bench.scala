@@ -18,8 +18,12 @@ object Bench {
     // timed run measures the probe path (the per-query cost at scale),
     // not the batch index build
     // q_hll_merge's warm run persists the daily sketch table, so the
-    // timed run measures the sketch-merge read path — the recurring
-    // query at scale — not the one-time ingest-side sketch build
+    // timed run skips the one-time ingest-side sketch build. NOTE the
+    // timed number is still dominated by the exact countDistinct twin
+    // (a verification column ToleranceCheck requires in the dumped
+    // result, which rescans events every run) — it is NOT a clean
+    // sketch-merge read-path time; the sketch side alone is the tiny
+    // fraction that reads only the sketch table.
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "q_incr_agg", "q_schema_evolution", "q_csv_source",
@@ -47,8 +51,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // The streaming family is timed once in its own section, excluded
+    // from the scale total: each number is dominated by fixed per-query
+    // engine startup + checkpoint I/O (~4-8 s regardless of sf — the
+    // data computation is already benched by the batch twins, see
+    // SparkEntry.benchQueries). Recorded so the fixed cost is visible,
+    // not mixed into the throughput metric.
+    val streaming = SparkEntry.queries.keys.filter(_.startsWith("st_"))
+      .toSeq.sorted.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name; false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val stJson = streaming.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$stJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

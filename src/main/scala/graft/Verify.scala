@@ -29,12 +29,24 @@ object Verify {
     // `no_oracle` in the round's artifacts. Reads the parquet dumped
     // above, never recomputing the (quadratic) exact twins.
     try {
-      val checks = ToleranceCheck.run(spark, outDir).map { case (name, c) =>
+      val all = ToleranceCheck.run(spark, outDir)
+      val checks = all.map { case (name, c) =>
         s"${q(name)}: {${q("metric")}: ${q(c.metric)}, " +
           s"${q("value")}: ${c.value}, ${q("bound")}: ${c.bound}, " +
           s"${q("pass")}: ${c.pass}, ${q("note")}: ${q(c.note)}}"
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/tolerance_check.json"), checks)
+      // One sidecar per no-oracle query, beside its result dir: a
+      // `no_oracle` row in the driver's correctness table is never
+      // opaque — the quantified bound sits right next to the parquet
+      // it describes.
+      all.foreach { case (name, c) =>
+        val side = s"{${q("query")}: ${q(name)}, " +
+          s"${q("metric")}: ${q(c.metric)}, ${q("value")}: ${c.value}, " +
+          s"${q("bound")}: ${c.bound}, ${q("pass")}: ${c.pass}, " +
+          s"${q("note")}: ${q(c.note)}}"
+        Files.writeString(Paths.get(s"$outDir/$name.tolerance.json"), side)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] tolerance_check failed: ${e.getMessage}")
     }
