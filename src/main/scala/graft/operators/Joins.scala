@@ -131,7 +131,11 @@ object Joins {
     */
   def nullSafeLeftJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String): DataFrame = {
-    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    // lower-cased comparison: Spark resolves case-insensitively by
+    // default (spark.sql.caseSensitive=false), so "Id" vs "id" would
+    // pass a case-sensitive guard and then collide at resolution time
+    val shared = left.columns.map(_.toLowerCase).toSet
+      .intersect(right.columns.map(_.toLowerCase).toSet)
     require(shared.isEmpty,
       s"nullSafeLeftJoin: column names must be disjoint (the null branch " +
         s"null-extends right columns by NAME); shared: $shared")
