@@ -104,6 +104,52 @@ class JoinsSpec extends SparkSpec {
     assert(salted.count() === 1000)
   }
 
+  test("AQE skew split declines when the join feeds a same-key aggregate; " +
+      "salting still spreads") {
+    // The operator-choice boundary for 100 TB skew (SCALE.md): AQE's
+    // OptimizeSkewedJoin splits a skewed SMJ partition only when no
+    // parent requires the join's hash partitioning — splitting
+    // replicates the partition across tasks, which would corrupt a
+    // downstream same-key aggregate that reuses the exchange, so by
+    // default (forceOptimizeSkewedJoin=false) AQE declines and the hot
+    // key stays one straggler task. PlanSpec's twin test shows the
+    // shape AQE DOES fix (join → shuffle boundary); this one plants the
+    // join → groupBy(joinKey) shape and asserts AQE leaves it skewed,
+    // while saltedEquiJoin — joining on (key, salt) — spreads the hot
+    // key regardless, because the aggregate's own shuffle restores
+    // key partitioning afterwards.
+    val resets = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+      .map { case (k, v) =>
+        val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev }
+    try {
+      val fact = ((1 to 50000).map(_ => 7L) ++ (1 to 1000).map(_.toLong))
+        .toDF("k").withColumn("payload", lit("x" * 64))
+        .withColumn("rid", monotonically_increasing_id())
+      val dim = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val plain = fact.join(dim, "k")
+        .groupBy("k").agg(sum(length(col("payload"))).as("n"))
+      plain.collect()
+      val p = plain.queryExecution.executedPlan.toString()
+      assert(!p.contains("skew=true"),
+        s"expected AQE to DECLINE the skew split under a same-key agg:\n$p")
+      // salted twin: identical answer, hot key crosses the join shuffle
+      // in >1 bucket
+      val salted = Joins.saltedEquiJoin(fact, dim, "k", buckets = 8,
+          saltFrom = Seq(col("rid")))
+        .groupBy("k").agg(sum(length(col("payload"))).as("n"))
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+      val spread = fact
+        .withColumn("salt", pmod(xxhash64(col("rid")), lit(8L)).cast("int"))
+        .filter(col("k") === 7L).select("salt").distinct().count()
+      assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
+    } finally resets.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("nullSafeLeftJoin equals the plain left join, nulls unmatched") {
     val left = Seq[(Long, java.lang.Long, Double)](
       (1L, 10L, 1.0), (2L, null, 2.0), (3L, 20L, 3.0), (4L, null, 4.0),
