@@ -24,9 +24,14 @@ object Bench {
     // result, which rescans events every run) — it is NOT a clean
     // sketch-merge read-path time; the sketch side alone is the tiny
     // fraction that reads only the sketch table.
+    // e_ivf_persisted's warm run fits and SAVES the index to Parquet,
+    // so its timed run measures the steady-state load+probe path — the
+    // point of a persisted index (compare against e_ivf_topk's timed
+    // probe of the in-memory assignment)
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
-        "e_ivf_topk", "q_incr_agg", "q_schema_evolution", "q_csv_source",
+        "e_ivf_topk", "e_ivf_persisted", "q_incr_agg",
+        "q_schema_evolution", "q_csv_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_dpp",
         "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries

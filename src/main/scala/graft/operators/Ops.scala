@@ -467,23 +467,29 @@ object Ops {
     * predicate (quality/lang gates, `size(fingerprints) > 0`) sinks
     * back onto the one input partition and runs single-threaded,
     * measured 10× slower than the spread plan. The barrier here is a
-    * non-deterministic always-true guard (`rand >= -1`): Catalyst only
+    * non-deterministic always-true guard: Catalyst only
     * reorders/pushes deterministic predicates, so nothing crosses it,
     * while the repartition stays a first-class plan node — downstream
     * expressions keep whole-stage codegen and AQE can still plan the
     * stages after the exchange (both of which the previous
     * `LogicalRDD` round-trip severed, plus its InternalRow→Row→
-    * InternalRow conversion tax). Only applied when the input is
-    * narrower than half the session width — a well-partitioned 100 TB
-    * scan passes through untouched, keeping scan-level pushdown where
-    * it belongs.
+    * InternalRow conversion tax). The guard must hide its tautology
+    * behind arithmetic: Spark 4.1 range-folds DIRECT comparisons of
+    * `rand()` with literals (`rand >= -1` optimizes to nothing and the
+    * whole barrier collapses — caught by a 2.4× bench regression on
+    * d_clean_pipeline), but does not propagate ranges through `+`, so
+    * `rand + 1 > 0` survives as a real (vacuously true, per-row-cheap)
+    * Filter. OpsSpec gates the property against a parquet scan.
+    * Only applied when the input is narrower than half the session
+    * width — a well-partitioned 100 TB scan passes through untouched,
+    * keeping scan-level pushdown where it belongs.
     */
   def spreadNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions * 2 < target)
-      df.repartition(target).where(rand(0x5bead) >= -1d)
+      df.repartition(target).where(rand(0x5bead) + lit(1d) > 0d)
     else df
   }
 

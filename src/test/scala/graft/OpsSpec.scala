@@ -170,8 +170,15 @@ class OpsSpec extends SparkSpec {
 
   test("spreadNarrow blocks filter pushdown below the repartition") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, RepartitionOperation}
-    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc$i"))
-      .toDF("id", "text").coalesce(1)
+    // MUST be a file scan: a LocalRelation input lets
+    // ConvertToLocalRelation fold projects/filters into the relation
+    // and the assertion passes vacuously (which is exactly how the
+    // range-folded `rand >= -1` guard slipped through in round 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("opsspec_spread").toString + "/docs"
+    Seq.tabulate(100)(i => (i.toLong, s"doc$i")).toDF("id", "text")
+      .coalesce(1).write.parquet(dir)
+    val narrow = spark.read.parquet(dir)
     // an expensive deterministic gate after the spread — with a plain
     // repartition, Catalyst substitutes the alias and sinks this onto
     // the single input partition
@@ -180,11 +187,16 @@ class OpsSpec extends SparkSpec {
       .filter(col("n") > 3)
     val plan = gated.queryExecution.optimizedPlan
     // every Filter must sit ABOVE the repartition: no Filter anywhere
-    // in a RepartitionOperation's subtree
+    // in a RepartitionOperation's subtree...
     val below = plan.collect { case r: RepartitionOperation =>
       r.child.collect { case f: Filter => f }.size
     }.sum
     assert(below == 0, s"filter pushed below the spread:\n$plan")
+    // ...and the guard itself must SURVIVE optimization (two filters
+    // above: the user gate and the non-deterministic barrier) — if the
+    // optimizer folds the guard away, pushdown resumes silently
+    val above = plan.collect { case f: Filter => f }.size
+    assert(above == 2, s"barrier folded away (filters=$above):\n$plan")
     assert(gated.count() == 100)
   }
 }
