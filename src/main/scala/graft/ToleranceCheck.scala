@@ -181,6 +181,20 @@ object ToleranceCheck {
           "positives at 30 bits/gram")
     }
 
+    // SemDeDup cell-blocked pairs vs the exact near-dup pair set:
+    // precision is 1.0 by construction (every emitted pair carries its
+    // exact cosine, re-thresholded), so the one quantity that can
+    // degrade is boundary recall — near-dups split across two k-means
+    // cells are never scored
+    check("e_semdedup_pairs") {
+      val semRecall = recall(pairSet(res("e_semdedup_pairs")),
+        pairSet(res("e_neardup_pairs")))
+      Check("recall_vs_exact_neardup", semRecall, 0.6, semRecall >= 0.6,
+        "fraction of exact cosine>=0.4 pairs recovered by IVF-cell " +
+          "blocking (8 spherical k-means cells, soft-assigned to the " +
+          "2 nearest; hard assignment measured 0.42, soft 0.92)")
+    }
+
     // LSH / IVF top-k recall vs the brute-force exact twin
     check("e_lsh_topk") {
       val lshRecall = recall(topkSet(res("e_lsh_topk")),

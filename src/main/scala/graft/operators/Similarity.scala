@@ -263,6 +263,64 @@ object Similarity {
     graft.functions.TopK.perKey(exact, k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): block the corpus by the IVF coarse quantizer's
+    * cells (spherical k-means — the same geometry the cosine scores
+    * live in), then score pairs ONLY within a cell. Emits
+    * (id_a, id_b, cosine) for same-cell pairs with cosine ≥ threshold;
+    * downstream keeps one representative per group exactly as with the
+    * exact pair relation.
+    *
+    * The 100 TB contract: pairwise work is Σ|cell|² instead of n² —
+    * with balanced cells ≈ assignTo²·n²/nCells — and the cell join is
+    * a co-partitioned self-join on a small int key, no broadcast of
+    * the corpus anywhere. The known weakness of hard cell blocking is
+    * boundary recall (a near-dup pair split across two cells is never
+    * scored); `assignTo` applies the standard IVF soft-assignment fix:
+    * every vector indexes under its `assignTo` nearest cells, so a
+    * boundary pair only escapes when NONE of the two vectors'
+    * cell sets intersect. ToleranceCheck quantifies exactly that —
+    * the fraction of the exact brute-force pair set recovered — and
+    * the fixture's bound is pinned there. Precision is 1.0 by
+    * construction: every emitted pair carries its EXACT cosine,
+    * re-verified against the threshold.
+    */
+  def semDedupPairs(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 8, assignTo: Int = 2, seed: Long = 42L): DataFrame = {
+    // one cell = no blocking: the method degenerates to the exact
+    // relation (spec law), skipping the quantizer k-means can't fit
+    if (nCells <= 1) return nearDupPairs(embeddings, threshold)
+    // only the centroids are used (soft assignment below replaces the
+    // fit's hard single-cell assignment, which stays unexecuted)
+    val idx = ivfFit(embeddings, nCells, seed, cache = false)
+    // soft assignment: rank cells per vector in the quantizer's
+    // (normalized) space, keep the assignTo nearest — same codegen'd
+    // zip_with distance as ivfProbe's query-side ranking
+    val dist2 = aggregate(
+      zip_with(col("v_normed"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val soft = Ops.spreadNarrow(embeddings)
+      .select(col("id"), col("embedding"),
+        l2normed(col("embedding")).as("v_normed"))
+      .crossJoin(broadcast(idx.centroids))
+      .select(col("id"), col("embedding"), col("cell"), dist2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("d2").asc, col("cell"))))
+      .filter(col("rk") <= assignTo)
+    val a = soft.select(col("cell"), col("id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = soft.select(col("cell"), col("id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair sharing several cells must be scored (and emitted) once
+      .select("id_a", "id_b", "emb_a", "emb_b").dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine_sim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute-force pair generation — the exact-answer baseline; LSH
     * bucketing (as in [[lshTopK]]) is the approximate scale path.

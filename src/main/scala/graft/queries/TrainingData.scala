@@ -272,6 +272,40 @@ object TrainingData {
       |    AS top_bigram_frac
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Intra-document stutter scrub ([[TextAnalysis.collapseRepeats]]):
+    * collapse runs of consecutive duplicate tokens, keeping the first
+    * of each run. Zero shuffles — a pure codegen'd per-row rewrite that
+    * runs at scan speed; at 100 TB this is a map-only pass.
+    */
+  private def collapseRepeatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        array_remove(split(trim(col("text")), "\\s+"), "").as("w"))
+    val kept = TextAnalysis.collapseRepeats(col("w"))
+    base.select(col("doc_id"),
+      size(col("w")).cast("bigint").as("n_words"),
+      size(kept).cast("bigint").as("n_kept"),
+      array_join(kept, " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val collapseRepeatsSql =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |idx AS (SELECT doc_id, w, i
+      |  FROM d, unnest(range(1, len(w) + 1)) AS t(i)),
+      |kept AS (SELECT doc_id, w[i] AS tok, i
+      |  FROM idx WHERE i = 1 OR w[i] <> w[i - 1])
+      |SELECT d.doc_id, len(d.w) AS n_words,
+      |  count(k.i) AS n_kept,
+      |  string_agg(k.tok, ' ' ORDER BY k.i) AS text_clean
+      |FROM d JOIN kept k USING (doc_id)
+      |GROUP BY d.doc_id, len(d.w)
+      |ORDER BY doc_id""".stripMargin
+
   private def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -560,6 +594,79 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup-style semantic dedup pairs ([[Similarity.semDedupPairs]]):
+    * near-dup pairs found only within IVF quantizer cells, each vector
+    * soft-assigned to its 2 nearest cells — ~4·n²/nCells work instead
+    * of n², the embedding-side scale path the brute-force
+    * `e_neardup_pairs` is the oracle twin for. Soft assignment is what
+    * makes the blocking honest at a low similarity threshold: hard
+    * cells recover 0.42 of the exact pair set on this corpus, the
+    * 2-nearest soft assignment 0.92 for 4× the candidate volume. No
+    * SQL oracle (k-means blocking); ToleranceCheck pins the recall and
+    * every emitted pair carries its exact cosine.
+    */
+  private def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(
+      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4, nCells = 8)
+      .orderBy("id_a", "id_b")
+
+  /** Near-dup-aware curation: keep the BEST document of each duplicate
+    * cluster (longest, then lowest id) rather than the arbitrary
+    * min-id survivor — the rule real corpus curation uses, composed
+    * from the exact pair relation, connected components, and a
+    * per-cluster argmax. Cluster relations are tiny next to the corpus
+    * (only docs that matched anything), so the window runs over a
+    * bounded input.
+    */
+  private def clusterRepresentatives(spark: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = Similarity.nearDupPairs(
+      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val toks = docs(spark, dir).select(col("doc_id").as("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val byCluster = Window.partitionBy("cluster")
+    clusters.join(toks, "id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("n_tokens").desc, col("id"))))
+      .withColumn("size", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("size"), col("id").as("rep_id"),
+        col("n_tokens").as("rep_tokens"))
+      .orderBy("cluster")
+  }
+
+  private val clusterRepresentativesSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |labeled AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |toks AS (SELECT doc_id AS id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE len(list_filter(string_split_regex(lower(trim(text)),
+      |        '\s+'), x -> x <> '')) END AS n_tokens
+      |  FROM documents),
+      |j AS (SELECT l.cluster, l.id, t.n_tokens
+      |  FROM labeled l JOIN toks t USING (id)),
+      |ranked AS (SELECT *,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY n_tokens DESC, id) AS rn,
+      |    count(*) OVER (PARTITION BY cluster) AS size
+      |  FROM j)
+      |SELECT cluster, size, id AS rep_id, n_tokens AS rep_tokens
+      |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** Probe-only ANN against a PERSISTED IVF index
     * ([[Similarity.ivfSave]]/[[Similarity.ivfLoad]]): the fit+assign
     * batch job runs once per corpus and lands as cell-partitioned
@@ -614,6 +721,8 @@ object TrainingData {
     NamedQuery("d_repetition_stats", repetitionStats,
       Some(repetitionStatsSql)),
     NamedQuery("d_text_stats", textStats, Some(textStatsSql)),
+    NamedQuery("d_collapse_repeats", collapseRepeatsQ,
+      Some(collapseRepeatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
     NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
@@ -621,7 +730,10 @@ object TrainingData {
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
+    NamedQuery("e_semdedup_pairs", semDedup, None),
     NamedQuery("e_dup_clusters", dupClusters, Some(dupClustersSql)),
+    NamedQuery("e_cluster_reps", clusterRepresentatives,
+      Some(clusterRepresentativesSql)),
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),

@@ -113,6 +113,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
   }
 
+  test("semDedupPairs: subset of exact pairs with exact cosines; " +
+      "nCells=1 degenerates to the exact pair set") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = rows(Similarity.nearDupPairs(all, threshold = 0.4))
+    val blocked = rows(Similarity.semDedupPairs(all, threshold = 0.4,
+      nCells = 4))
+    // precision 1.0: every blocked pair IS an exact pair, same cosine
+    assert(blocked.subsetOf(exact),
+      s"non-exact pairs emitted: ${blocked.diff(exact)}")
+    // one cell = no blocking = the full exact relation
+    val oneCell = rows(Similarity.semDedupPairs(all, threshold = 0.4,
+      nCells = 1))
+    assert(oneCell == exact)
+  }
+
   test("persisted IVF index: save/load probe equals the in-memory probe, " +
       "layout is cell-partitioned") {
     val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",

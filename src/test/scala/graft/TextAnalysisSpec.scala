@@ -58,6 +58,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == "es")
   }
 
+  test("collapseRepeats keeps the first token of each run, is " +
+      "idempotent, and preserves non-adjacent repeats") {
+    def collapse(s: String): String = Seq(s).toDF("t")
+      .select(concat_ws(" ", TextAnalysis.collapseRepeats(
+        array_remove(split(col("t"), "\\s+"), ""))))
+      .as[String].collect()(0)
+    assert(collapse("a a the the the b") == "a the b")
+    assert(collapse("a b a b") == "a b a b")       // long-range untouched
+    assert(collapse("x") == "x")
+    assert(collapse("x x x x x x") == "x")
+    assert(collapse(collapse("go go stop stop go")) ==
+      collapse("go go stop stop go"))              // idempotent
+  }
+
   test("qualityScore is in [0,1] and rewards clean prose") {
     val clean = "the quick brown fox jumps over a lazy dog and it is fine " * 3
     val junk = "$$$ ### !!! ??? %%% ^^^ &&& *** ((( )))"
