@@ -36,6 +36,33 @@ object Dedup {
     df.groupBy(col(keyCol).as("dup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental dedup: classify a NEW batch against a persisted key
+    * index without touching the corpus — the nightly-ingest shape at
+    * 100 TB, where "dedup the new day" must cost O(batch + index
+    * lookup), never O(corpus rescan). `keyIndex` is the (distinct) key
+    * table maintained alongside the corpus (at scale: 8-byte
+    * fingerprints, see [[fingerprintDedup]]); each batch row comes
+    * back labeled `dup_corpus` (key already ingested), `dup_batch`
+    * (an earlier row IN this batch has the key — min-id survivor
+    * rule), or `new`. Appending the `new`+first-`dup_batch` keys to
+    * the index is the caller's follow-up write. Two key-partitioned
+    * hash joins (AQE broadcasts the batch side when small); the
+    * within-batch first is a bounded window over batch keys only.
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, keyCol: String,
+      keyIndex: DataFrame): DataFrame = {
+    val idx = keyIndex.select(col(keyCol)).distinct()
+      .withColumn("__in_corpus", lit(true))
+    batch.join(idx, Seq(keyCol), "left")
+      .withColumn("__first", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+      .withColumn("status",
+        when(col("__in_corpus"), "dup_corpus")
+          .when(col(idCol) =!= col("__first"), "dup_batch")
+          .otherwise("new"))
+      .drop("__in_corpus", "__first")
+  }
+
   /** 64-bit fingerprint dedup: same as exact but on fnv1a64(key) —
     * constant-width keys, cheap shuffles at 100 TB (8-byte vs
     * arbitrary-length text keys).

