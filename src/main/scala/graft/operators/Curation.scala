@@ -106,4 +106,42 @@ object Curation {
         col("__n_min") * lit(resolution.toLong))
       .drop("__grp", "__n_grp", "__n_min")
   }
+
+  /** Byte-budget shard assignment: every row gets the shard its global
+    * byte offset (exclusive prefix sum of `bytesCol` in `orderCol`
+    * order) falls in — the deterministic "write the corpus as ~equal
+    * shards" step of a training-data export, with a manifest one
+    * groupBy away.
+    *
+    * A global ordered cumulative sum is the textbook scale trap: the
+    * naive `Window.orderBy(orderCol)` funnels 100 TB through ONE
+    * partition. This is the two-phase form that doesn't: rows bucket
+    * coarsely by `orderCol div bucketSize`; per-bucket byte sums (one
+    * ordinary aggregate) feed a window over the BUCKET relation —
+    * n/bucketSize rows, the pre-aggregate-only global window this
+    * repo's Analytics rule allows — whose exclusive prefix is each
+    * bucket's starting offset; offsets broadcast back and each row
+    * adds its intra-bucket exclusive prefix, a window PARTITIONED by
+    * bucket (≤ bucketSize rows per partition). Integral `div`
+    * end-to-end — no double rounding at 100 TB offsets. Shards can
+    * exceed `budget` by at most one row's bytes (a row is never
+    * split); every shard start is exact.
+    */
+  def shardByBytes(df: DataFrame, orderCol: String, bytesCol: Column,
+      budget: Long, bucketSize: Long = 4096L): DataFrame = {
+    require(budget > 0, s"shardByBytes: budget must be positive, got $budget")
+    val sized = df.withColumn("__bytes", bytesCol.cast("bigint"))
+      .withColumn("__b", expr(s"$orderCol div $bucketSize"))
+    val offsets = sized.groupBy("__b").agg(sum("__bytes").as("__bsum"))
+      .withColumn("__offset", coalesce(
+        sum("__bsum").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__offset")
+    sized.join(broadcast(offsets), "__b")
+      .withColumn("__local", coalesce(
+        sum("__bytes").over(Window.partitionBy("__b").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", expr(s"(__offset + __local) div $budget"))
+      .drop("__b", "__offset", "__local", "__bytes")
+  }
 }

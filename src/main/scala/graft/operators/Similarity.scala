@@ -292,7 +292,16 @@ object Similarity {
     if (nCells <= 1) return nearDupPairs(embeddings, threshold)
     // only the centroids are used (soft assignment below replaces the
     // fit's hard single-cell assignment, which stays unexecuted)
-    val idx = ivfFit(embeddings, nCells, seed, cache = false)
+    semDedupPairsWith(embeddings, threshold,
+      ivfFit(embeddings, nCells, seed, cache = false).centroids, assignTo)
+  }
+
+  /** [[semDedupPairs]] against an EXISTING quantizer's centroid table
+    * (e.g. the corpus's persisted IVF index) — at scale the clustering
+    * is built once and dedup reuses it rather than re-fitting.
+    */
+  def semDedupPairsWith(embeddings: DataFrame, threshold: Double,
+      centroids: DataFrame, assignTo: Int): DataFrame = {
     // soft assignment: rank cells per vector in the quantizer's
     // (normalized) space, keep the assignTo nearest — same codegen'd
     // zip_with distance as ivfProbe's query-side ranking
@@ -303,7 +312,7 @@ object Similarity {
     val soft = Ops.spreadNarrow(embeddings)
       .select(col("id"), col("embedding"),
         l2normed(col("embedding")).as("v_normed"))
-      .crossJoin(broadcast(idx.centroids))
+      .crossJoin(broadcast(centroids))
       .select(col("id"), col("embedding"), col("cell"), dist2.as("d2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("d2").asc, col("cell"))))

@@ -240,6 +240,37 @@ object Curation {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
 
+  /** Byte-budget shard manifest ([[Cur.shardByBytes]]): the corpus in
+    * doc_id order cut into ~16 KiB shards by exact global byte offset
+    * — the export step that writes training data as bounded files with
+    * a manifest. The interesting part is HOW the offset is computed:
+    * the naive global-ordered window is a one-partition funnel at
+    * 100 TB; the operator uses the two-phase form (per-bucket sums →
+    * tiny bucket-level prefix window → broadcast offsets + per-bucket
+    * local windows) and the oracle checks it equals the naive global
+    * cumsum exactly.
+    */
+  private def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val sized = docs(spark, dir).select(col("doc_id"),
+      length(col("text")).cast("bigint").as("bytes"))
+    Cur.shardByBytes(sized, "doc_id", col("bytes"),
+      budget = 16384L, bucketSize = 64L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("total_bytes"))
+      .orderBy("shard_id")
+  }
+
+  private val shardManifestSql =
+    """WITH sized AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes
+      |  FROM documents),
+      |c AS (SELECT doc_id, bytes,
+      |    coalesce(sum(bytes) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM sized)
+      |SELECT CAST(start // 16384 AS BIGINT) AS shard_id,
+      |  count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS total_bytes
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   /** Stratified sampling: exactly `min(n, |stratum|)` documents per
     * language, chosen by hash order — [[Cur.capPerGroup]] ordered on
     * the salted bucket, so the sample is uniform WITHIN each stratum
@@ -364,6 +395,7 @@ object Curation {
     NamedQuery("d_decontaminate", decontaminate, Some(decontaminateSql)),
     NamedQuery("d_decontaminate_bloom", decontaminateBloom, None),
     NamedQuery("d_seq_pack", seqPack, Some(seqPackSql)),
+    NamedQuery("d_shard_manifest", shardManifest, Some(shardManifestSql)),
     NamedQuery("d_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     NamedQuery("d_quality_gate", qualityGate, Some(qualityGateSql)))

@@ -646,11 +646,23 @@ object TrainingData {
     * SQL oracle (k-means blocking); ToleranceCheck pins the recall and
     * every emitted pair carries its exact cosine.
     */
-  private def semDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupPairs(
+  private val semDedupCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the quantizer is the corpus's once-built clustering (same
+    // contract as the IVF index queries): fit on first touch per dir,
+    // reuse after — dedup never re-fits k-means per run
+    val centroids = semDedupCentroids.computeIfAbsent(dir, { d =>
+      Similarity.ivfFit(
+        embs(spark, d).select(col("vec_id").as("id"), col("embedding")),
+        nCells = 8, cache = false).centroids
+    })
+    Similarity.semDedupPairsWith(
       embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-      threshold = 0.4, nCells = 8)
+      threshold = 0.4, centroids, assignTo = 2)
       .orderBy("id_a", "id_b")
+  }
 
   /** Near-dup-aware curation: keep the BEST document of each duplicate
     * cluster (longest, then lowest id) rather than the arbitrary

@@ -152,4 +152,36 @@ class CurationSpec extends SparkSpec {
     val minSrc = before.minBy(_._2)._1
     assert(after(minSrc) >= floor - 4)
   }
+
+  test("shardByBytes two-phase offsets equal the naive global cumsum; " +
+      "shard overshoot is bounded by one row") {
+    import org.apache.spark.sql.expressions.Window
+    // sparse, unordered ids and wildly uneven sizes — the shapes that
+    // break per-bucket bookkeeping if offsets are off by one row
+    val rows = Seq(3L -> 10L, 7L -> 500L, 64L -> 1L, 65L -> 9999L,
+      130L -> 300L, 131L -> 1L, 132L -> 1L, 999L -> 2048L, 1000L -> 7L)
+    val df = rows.toDF("doc_id", "bytes")
+    val budget = 1024L
+    val got = Curation.shardByBytes(df, "doc_id", col("bytes"),
+      budget, bucketSize = 64L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // naive oracle: single global window (fine at 9 rows)
+    val naive = df.withColumn("start",
+        coalesce(sum("bytes").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr(s"start div $budget").as("shard_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive, s"two-phase $got != naive $naive")
+    // no helper-column leakage
+    assert(Curation.shardByBytes(df, "doc_id", col("bytes"), budget)
+      .columns.toSeq == Seq("doc_id", "bytes", "shard_id"))
+    // each shard's bytes ≤ budget + its largest row (rows never split)
+    val stats = Curation.shardByBytes(df, "doc_id", col("bytes"),
+        budget, bucketSize = 64L)
+      .groupBy("shard_id")
+      .agg(sum("bytes").as("b"), max("bytes").as("m"))
+      .as[(Long, Long, Long)].collect()
+    stats.foreach { case (sid, b, m) =>
+      assert(b <= budget + m, s"shard $sid overshoots: $b > $budget + $m") }
+  }
 }
