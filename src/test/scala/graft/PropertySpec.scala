@@ -98,6 +98,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shardByBytes equals the naive global cumsum over generated " +
+      "sparse ids and sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 5000L)
+      bytes <- Gen.choose(1L, 4000L)
+    } yield (id, bytes)).map(_.distinctBy(_._1))
+    for (i <- 1 to Trials) {
+      val rows = gen.pureApply(Gen.Parameters.default.withSize(60),
+        Seed(i + 7000))
+      val d = rows.toDF("doc_id", "bytes")
+      val got = graft.operators.Curation
+        .shardByBytes(d, "doc_id", col("bytes"), budget = 2048L,
+          bucketSize = 128L)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      val naive = d.withColumn("start",
+          coalesce(sum("bytes").over(Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), expr("start div 2048").as("shard_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive, s"trial $i: $got != $naive")
+    }
+  }
+
+  test("collapseRepeats: idempotent and never leaves adjacent " +
+      "duplicates, over generated token runs") {
+    import org.apache.spark.sql.functions._
+    val tokGen: Gen[List[String]] = Gen.listOf(for {
+      w <- Gen.oneOf("a", "b", "c", "dd")
+      rep <- Gen.choose(1, 4)
+    } yield List.fill(rep)(w)).map(_.flatten)
+    for (i <- 1 to Trials) {
+      val toks = tokGen.pureApply(Gen.Parameters.default.withSize(20),
+        Seed(i + 8000))
+      val out = Seq(toks).toDF("w")
+        .select(graft.functions.TextAnalysis.collapseRepeats(col("w")))
+        .as[Seq[String]].collect()(0)
+      assert(out.zip(out.drop(1)).forall { case (a, b) => a != b },
+        s"trial $i left adjacent dups: $out")
+      // idempotence + order/content preservation of run heads
+      val expected = toks.foldLeft(List.empty[String]) {
+        case (acc, w) if acc.headOption.contains(w) => acc
+        case (acc, w) => w :: acc
+      }.reverse
+      assert(out == expected, s"trial $i: $out != $expected")
+    }
+  }
+
+  test("incrementalDedup partitions the batch: statuses consistent " +
+      "with index membership and min-id rule") {
+    import org.apache.spark.sql.functions.col
+    val gen: Gen[(List[String], List[(Long, String)])] = for {
+      idx <- Gen.listOf(Gen.oneOf("k1", "k2", "k3", "k4"))
+      batch <- Gen.listOf(for {
+        id <- Gen.choose(0L, 50L)
+        k <- Gen.oneOf("k1", "k2", "k5", "k6", "k7")
+      } yield (id, k)).map(_.distinctBy(_._1))
+    } yield (idx, batch)
+    for (i <- 1 to Trials) {
+      val (idx, batch) = gen.pureApply(
+        Gen.Parameters.default.withSize(25), Seed(i + 9000))
+      if (batch.nonEmpty) {
+        val got = graft.operators.Dedup.incrementalDedup(
+          batch.toDF("doc_id", "k"), "doc_id", "k",
+          idx.map(Tuple1(_)).toDF("k"))
+          .select("doc_id", "status").as[(Long, String)].collect().toMap
+        val inIdx = idx.toSet
+        val firstPer = batch.groupBy(_._2).map { case (k, rs) =>
+          k -> rs.map(_._1).min }
+        batch.foreach { case (id, k) =>
+          val want =
+            if (inIdx(k)) "dup_corpus"
+            else if (firstPer(k) != id) "dup_batch"
+            else "new"
+          assert(got(id) == want, s"trial $i doc $id key $k: " +
+            s"${got(id)} != $want")
+        }
+      }
+    }
+  }
+
   test("renameProject round-trips when the mapping is inverted") {
     val renames = Seq("k" -> "key", "v" -> "val", "etl_updated_ts" -> "ts")
     for (i <- 1 to Trials) {
