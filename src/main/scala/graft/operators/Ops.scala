@@ -84,6 +84,36 @@ object ParquetIO {
     }
     if (hadTarget) fs.delete(aside, true)
   }
+
+  /** Garbage-collect orphaned swap artifacts beside `path`. The staged
+    * writers clean up after every failure they can CATCH; what they
+    * cannot clean is the process dying mid-swap (kill -9, OOM, node
+    * loss), which strands `<target>__staging_<uuid>` /
+    * `<target>__replaced_<uuid>` siblings. This is the maintenance
+    * sweep a recurring pipeline schedules: delete swap artifacts whose
+    * last modification is older than `olderThanMs` — the age guard
+    * keeps it safe to run WHILE a concurrent merge is mid-swap, since
+    * a live swap's artifacts are seconds old. Returns the deleted
+    * paths. Artifacts from a swap-in+restore DOUBLE failure may hold
+    * the only copy of merged data — they are exactly why nothing is
+    * deleted eagerly — so the exception those throw names the paths,
+    * and this sweep must only run once such incidents are resolved;
+    * the age threshold is the operator's attestation of that.
+    */
+  def gcStaged(spark: SparkSession, path: String,
+      olderThanMs: Long): Seq[String] = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val prefixes =
+      Seq(target.getName + "__staging_", target.getName + "__replaced_")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(parent).toSeq
+      .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+      .filter(_.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
 }
 
 /** The reference's data-shaping operators, one Spark-native function each.

@@ -155,6 +155,37 @@ class OpsSpec extends SparkSpec {
       .select("n_rows", "v").as[(Long, Double)].head() == ((1L, 7.0)))
   }
 
+  test("gcStaged removes only AGED swap artifacts of the named target") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("opsspec_gc").toString
+    val target = root + "/table"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(target)
+    // orphans of THIS target, an orphan of a sibling table, and a live
+    // (recent) staging dir
+    val oldStaging = root + "/table__staging_deadbeef"
+    val oldAside = root + "/table__replaced_deadbeef"
+    val otherTable = root + "/other__staging_deadbeef"
+    Seq(oldStaging, oldAside, otherTable)
+      .foreach(p => Files.createDirectory(Paths.get(p)))
+    val liveStaging = root + "/table__staging_00000000"
+    Files.createDirectory(Paths.get(liveStaging))
+    // age the orphans; leave liveStaging at now
+    Seq(oldStaging, oldAside, otherTable).foreach { p =>
+      Paths.get(p).toFile.setLastModified(
+        System.currentTimeMillis() - 3600_000L)
+    }
+    val deleted = graft.operators.ParquetIO
+      .gcStaged(spark, target, olderThanMs = 60_000L)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("table__staging_deadbeef", "table__replaced_deadbeef"))
+    assert(Files.exists(Paths.get(liveStaging)), "live swap dir deleted")
+    assert(Files.exists(Paths.get(otherTable)),
+      "sibling table's artifact deleted")
+    assert(Files.exists(Paths.get(target)))
+    // the target itself still reads
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
   test("spreadNarrow widens a narrow input to the session shuffle width") {
     val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc$i"))
       .toDF("id", "text").coalesce(1)
