@@ -974,6 +974,110 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers keep their row, count the non-null side, then
+    * aggregate the aggregate — the two-level groupBy whose first level
+    * shuffles on c_custkey and whose second is a tiny distribution
+    * relation. At 100 TB the left join is the whole cost; the
+    * distribution rollup is a few hundred rows.
+    */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey")
+    val o = Tables(spark, dir, "orders").select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier by quarterly revenue): the revenue
+    * view aggregates once per supplier, its max comes back as a
+    * broadcast single row, and equality selects the winner(s) — never
+    * a global sort, never a second lineitem pass. Revenues are
+    * compared at the rounded precision the answer is reported at, so
+    * the winner is stable across engines' float summation orders.
+    */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("total_revenue"))
+    val top = revenue.agg(max("total_revenue").as("__max"))
+    Tables(spark, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("__max"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape (lapsed rich customers), adapted to this schema's
+    * columns (nation instead of phone prefix, and "no RECENT orders"
+    * instead of "no orders ever" — this fixture gives every customer
+    * history): customers above the positive-balance average with no
+    * orders since 2000, reported per nation. The average is one
+    * broadcast scalar; the lapse test is a hash anti join against the
+    * date-filtered orders — the decorrelated plan Q22's NOT EXISTS
+    * demands, with the date predicate pushed into the orders scan. The
+    * threshold is rounded to the reported precision so the boundary
+    * set is identical across engines.
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(round(avg("c_acctbal"), 2).as("__avg"))
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  private val q22Sql =
+    """SELECT n_name, count(*) AS numcust,
+      |  round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** TPC-H Q14 shape (promo revenue share): conditional aggregation
     * over a fact⋈part join — the month filter reaches the lineitem
     * scan, part joins unhinted (scales with SF, AQE sizes it), and the
@@ -1039,6 +1143,9 @@ object Relational {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
     NamedQuery("q10_returned_revenue", q10, Some(q10Sql)),
+    NamedQuery("q13_cust_distribution", q13, Some(q13Sql)),
+    NamedQuery("q15_top_supplier", q15, Some(q15Sql)),
+    NamedQuery("q22_idle_customers", q22, Some(q22Sql)),
     NamedQuery("q14_promo_share", q14, Some(q14Sql)),
     NamedQuery("q18_large_orders", q18, Some(q18Sql)),
     NamedQuery("q19_disjunctive", q19, Some(q19Sql)),
