@@ -35,8 +35,8 @@ object Bench {
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs",
         "d_incr_dedup", "q_incr_agg",
         "q_schema_evolution", "q_csv_source",
-        "q_dune_source", "q_delete_where", "q_hll_merge", "q_dpp",
-        "q_zorder_skip"))
+        "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
+        "q_dpp", "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its
     // 10 round plans anyway — measured identical either way — so the

@@ -78,6 +78,16 @@ object ToleranceCheck {
           "countDistinct per event_type; lgK=12 RSE ~1.6%")
     }
 
+    // sliding-window union of daily sketches vs exact windowed distinct
+    check("q_hll_sliding") {
+      val slErr = maxOrFail(res("q_hll_sliding")
+        .select((abs(col("approx_users") - col("exact_users")) /
+          col("exact_users")).as("rel_err")), "rel_err")
+      Check("max_rel_err_vs_exact", slErr, 0.05, slErr <= 0.05,
+        "estimate(union of <=7 daily hll sketches per RANGE window) vs " +
+          "exact 7-day-window countDistinct per (event_type, day)")
+    }
+
     // percentile sketch vs exact interpolated percentiles
     check("q_approx_percentiles") {
       val apErr = maxOrFail(res("q_approx_percentiles").alias("a")

@@ -417,8 +417,12 @@ object Scale {
     */
   private val hllSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
-    val path = hllSeeded.computeIfAbsent(dir, { d =>
+  /** The persisted daily-sketch table both HLL queries read: one
+    * Datasketches HLL of user_id per (day, event_type), built once per
+    * corpus dir (the recurring ingest's job at scale).
+    */
+  private def seededSketches(spark: SparkSession, dir: String): String =
+    hllSeeded.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_hll_seed").toString + "/sketches"
       Events.events(spark, d)
@@ -428,6 +432,9 @@ object Scale {
         .write.parquet(p)
       p
     })
+
+  private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = seededSketches(spark, dir)
     val merged = spark.read.parquet(path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sketches"),
@@ -439,6 +446,42 @@ object Scale {
       .select(col("event_type"), col("n_sketches"), col("approx_users"),
         col("exact_users"))
       .orderBy("event_type")
+  }
+
+  /** Sliding-window distinct users from the SAME persisted daily
+    * sketch table [[hllMerge]] seeds — the range-query payoff of
+    * mergeable sketches: "distinct users over ANY trailing 7-day
+    * window" is a window-frame union over ≤7 tiny sketch rows per
+    * anchor, never an events rescan. The window frame is a true date
+    * RANGE (day index, −6..0), so sparse days union exactly the days
+    * in range, not the last 7 rows. The exact twin (verification-only,
+    * it rescans events: each event contributes to the ≤7 anchors its
+    * day falls in via one explode) rides along for ToleranceCheck's
+    * relative-error bound; rows-only at the driver (sketch estimates
+    * aren't SQL-expressible).
+    */
+  private def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val path = seededSketches(spark, dir)
+    val dayIdx = datediff(to_date(col("day")), to_date(lit("1995-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d").rangeBetween(-6, 0)
+    val approx = spark.read.parquet(path)
+      .withColumn("d", dayIdx)
+      .select(col("event_type"), col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+          .as("approx_users"))
+    val exact = Events.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("eday"),
+        col("user_id"), col("event_type"))
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .withColumn("day", date_format(
+        date_add(to_date(col("eday")), col("off")), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("exact_users"))
+    approx.join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("approx_users"),
+        col("exact_users"))
+      .orderBy("event_type", "day")
   }
 
   /** Dynamic partition pruning: the fact side is the month-partitioned
@@ -489,6 +532,7 @@ object Scale {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
+    NamedQuery("q_hll_sliding", hllSliding, None),
     NamedQuery("q_dpp", dpp, Some(dppSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
