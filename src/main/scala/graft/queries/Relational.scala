@@ -1078,6 +1078,172 @@ object Relational {
       |      AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    * this schema's columns ("late" = shipped more than 60 days after
+    * the order date; no receipt/commit dates in the fixture): on
+    * multi-supplier orders, find the lone supplier whose lines were
+    * late while every other supplier's were not, and count such
+    * orders per supplier. The classic EXISTS + NOT EXISTS
+    * double-correlation over lineitem self-joins decorrelates into ONE
+    * per-(order, supplier) aggregate, and the per-order "how many
+    * suppliers / how many late" counts come from windows OVER that
+    * aggregate — a single subtree, so the fact is scanned once and
+    * shuffled once on the pair key (PlanSpec gates one lineitem scan;
+    * the join-back alternative scans it twice because the two
+    * branches' pushed filters defeat exchange reuse). At 100 TB:
+    * one fact scan, then everything is pair/order-sized; the supplier
+    * dim broadcasts.
+    */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("l_orderkey")
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("slate"))
+      .withColumn("ns", count(lit(1)).over(wOrd))
+      .withColumn("nlate", sum("slate").over(wOrd))
+      .filter(col("slate") === 1 && col("ns") > 1 && col("nlate") === 1)
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH os AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS slate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, l_suppkey),
+      |counted AS (
+      |  SELECT l_orderkey, l_suppkey, slate,
+      |    count(*) OVER (PARTITION BY l_orderkey) AS ns,
+      |    sum(slate) OVER (PARTITION BY l_orderkey) AS nlate
+      |  FROM os)
+      |SELECT s_name, count(*) AS numwait
+      |FROM counted JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE slate = 1 AND ns > 1 AND nlate = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** TPC-H Q11 shape (value concentration): part revenues whose share
+    * exceeds a fixed fraction of the global total. The HAVING-vs-
+    * global-scalar form: one grouped aggregate builds the per-part
+    * relation, its grand total re-aggregates FROM that relation (never
+    * a second fact pass) and returns as a broadcast single row; the
+    * threshold compare is a map-side filter. Both sides round to cents
+    * before comparing so the boundary set is stable across engines'
+    * float summation orders.
+    */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Tables(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("value"))
+    val total = pr.agg(round(sum("value") * 0.0006, 2).as("__thr"))
+    pr.crossJoin(broadcast(total))
+      .filter(col("value") > col("__thr"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  private val q11Sql =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, value FROM pr
+      |WHERE value > (SELECT round(sum(value) * 0.0006, 2) FROM pr)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q2 shape (cheapest supplier per part), adapted to this
+    * schema (no partsupp: per-(part,supplier) minimum unit price comes
+    * from lineitem). Per-group argmin as a min-join — the per-part
+    * minimum joins back on equality, so no row-number window over the
+    * full relation and ties surface as extra winners instead of a
+    * nondeterministic pick. The unit price is the RAW IEEE quotient —
+    * deliberately unrounded: division and min over identical doubles
+    * are bit-identical across engines, while round-to-cents is not
+    * (Spark rounds the shortest decimal representation, DuckDB the
+    * binary value — they split on half-cent quotients). At 100 TB both
+    * sides of
+    * the argmin join come from the same shuffled aggregate (one fact
+    * shuffle on (part, supplier)); supplier and nation broadcast.
+    */
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    val up = Tables(spark, dir, "lineitem")
+      .withColumn("unit", col("l_extendedprice") / col("l_quantity"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit").as("min_unit"))
+    val best = up.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min("min_unit").as("best_unit"))
+    up.join(best, col("l_partkey") === col("b_partkey")
+        && col("min_unit") === col("best_unit"))
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey"), col("min_unit").as("best_unit"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("l_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH up AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS min_unit
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |best AS (
+      |  SELECT l_partkey, min(min_unit) AS best_unit
+      |  FROM up GROUP BY l_partkey)
+      |SELECT s_acctbal, s_name, n_name, l_partkey, best_unit
+      |FROM up
+      |JOIN best USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE min_unit = best_unit
+      |ORDER BY s_acctbal DESC, n_name, s_name, l_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q16 shape (supplier variety per part group): distinct
+    * suppliers serving each (brand, size), excluding a denylist of
+    * suppliers (negative balance — the fixture's stand-in for Q16's
+    * complaint filter). The NOT IN decorrelates to a broadcast anti
+    * join BEFORE the distinct aggregate, so excluded suppliers never
+    * enter the shuffle; the distinct-count shuffles once on the
+    * (brand, size, suppkey) triple.
+    */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   /** TPC-H Q14 shape (promo revenue share): conditional aggregation
     * over a fact⋈part join — the month filter reaches the lineitem
     * scan, part joins unhinted (scales with SF, AQE sizes it), and the
@@ -1146,6 +1312,10 @@ object Relational {
     NamedQuery("q13_cust_distribution", q13, Some(q13Sql)),
     NamedQuery("q15_top_supplier", q15, Some(q15Sql)),
     NamedQuery("q22_idle_customers", q22, Some(q22Sql)),
+    NamedQuery("q21_waiting_supplier", q21, Some(q21Sql)),
+    NamedQuery("q11_value_concentration", q11, Some(q11Sql)),
+    NamedQuery("q2_min_cost_supplier", q2, Some(q2Sql)),
+    NamedQuery("q16_supplier_variety", q16, Some(q16Sql)),
     NamedQuery("q14_promo_share", q14, Some(q14Sql)),
     NamedQuery("q18_large_orders", q18, Some(q18Sql)),
     NamedQuery("q19_disjunctive", q19, Some(q19Sql)),

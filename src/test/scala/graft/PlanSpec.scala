@@ -305,4 +305,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_avg"),
       s"expected the decorrelated aggregate:\n$p")
   }
+
+  test("q21: the double-correlated EXISTS shape scans lineitem ONCE") {
+    // per-order counts come from windows over the per-(order, supplier)
+    // aggregate, not a join-back — a second fact scan here means the
+    // decorrelation regressed to the self-join form
+    // AdaptiveSparkPlanExec.toString appends the pre-AQE "Initial
+    // Plan" section — count scans only in the plan that actually ran
+    val p = finalPlan(q("q21_waiting_supplier"))
+      .split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"))
+  }
+
+  test("q15: argmax selects by broadcast max equality, never a global " +
+      "sort of the revenue view") {
+    val p = plan(q("q15_top_supplier"))
+    // the only Sort allowed is the final s_suppkey presentation sort
+    // AFTER the winner filter; a Sort on total_revenue would mean the
+    // argmax degenerated to order-by-limit over the full view
+    assert(!p.contains("Window"), s"no window rank expected:\n$p")
+    assert(!"Sort \\[total_revenue".r.findFirstIn(p).isDefined,
+      s"the revenue view must not be globally sorted:\n$p")
+  }
+
+  test("q2: per-group argmin is a min-join, not a row-number window") {
+    val p = plan(q("q2_min_cost_supplier"))
+    assert(!p.contains("Window"),
+      s"argmin must join on the per-part min, not rank a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 must not globally sort:\n$p")
+  }
+
+  test("q16: the supplier denylist anti-joins BEFORE the distinct agg") {
+    val p = plan(q("q16_supplier_variety"))
+    assert(p.contains("LeftAnti"), s"expected a decorrelated NOT IN:\n$p")
+    // the anti join must appear deeper than (after in plan text = below)
+    // the distinct aggregate so excluded rows never enter the shuffle
+    val anti = p.indexOf("LeftAnti")
+    val agg = p.indexOf("HashAggregate")
+    assert(anti > agg, s"anti join must sit under the aggregate:\n$p")
+  }
+
+  test("q11: the global threshold is a broadcast single row over the " +
+      "SAME aggregated view, not a second fact pass") {
+    val p = finalPlan(q("q11_value_concentration"))
+      .split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"the per-part aggregate must be reused for the total, got " +
+        s"$scans lineitem scans:\n$p")
+  }
 }
