@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -386,9 +386,94 @@ object Curation {
       |SELECT lang, rk, doc_id, n_chars, skey
       |FROM ranked WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  /** Length-bucketed batching: assign each document to the smallest
+    * power-of-two token-capacity bucket that fits it, and report per
+    * bucket how much padding a fixed-shape batch of that capacity
+    * wastes — the step that decides batch shapes before tokenization
+    * (padding cost is the difference between ragged docs and
+    * rectangular tensors). The bucket boundary is a CASE ladder, NOT
+    * `2^ceil(log2 n)`: float log at exact powers of two is
+    * engine-dependent, the ladder is bit-identical everywhere. All
+    * outputs are integers (no rounded ratios — see SCALE.md's
+    * cross-engine determinism rule). One scan, one ≤9-group agg.
+    */
+  private def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+    val n = TextAnalysis.tokenCount(col("text"))
+    val cap = caps.reverse.foldLeft(lit(4096): Column) { (acc, c) =>
+      when(n <= c, c).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(n.as("n_tokens"), cap.as("bucket_cap"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_tokens",
+        col("n_docs") * col("bucket_cap") - col("sum_tokens"))
+      .orderBy("bucket_cap")
+  }
+
+  private val lengthBucketsSql =
+    """WITH t AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+      |      AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |      WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |      WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+      |      WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+      |      ELSE 4096 END AS bucket_cap
+      |  FROM t)
+      |SELECT bucket_cap, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  count(*) * bucket_cap - CAST(sum(n_tokens) AS BIGINT)
+      |    AS padding_tokens
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
+  /** Deterministic seeded global shuffle — the per-epoch document
+    * permutation a training pipeline needs, as a pure function of
+    * (salt, doc_id): order by the salted md5, shard by its first 32
+    * bits. Positions come from per-shard row_number windows, so the
+    * permutation materializes with one hash shuffle into 32 uniform
+    * shards and NO global sort; changing the salt reshuffles every
+    * epoch reproducibly. The oracle replays the identical hash text,
+    * so shard AND position must match exactly.
+    */
+  private def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shuf-v1:"), col("doc_id").cast("string")))
+    val sharded = docs(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 32)
+    sharded
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id")))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  private val globalShuffleSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    md5('shuf-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 32 AS shard
+      |  FROM t)
+      |SELECT shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+      |  doc_id
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("d_weighted_sample", weightedSample,
       Some(weightedSampleSql)),
+    NamedQuery("d_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
+    NamedQuery("d_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     NamedQuery("d_split_assign", splitAssign, Some(splitAssignSql)),
     NamedQuery("d_domain_cap", domainCap, Some(domainCapSql)),
     NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)),

@@ -153,6 +153,51 @@ class CurationSpec extends SparkSpec {
     assert(after(minSrc) >= floor - 4)
   }
 
+  test("d_global_shuffle is a true permutation: every doc exactly " +
+      "once, contiguous positions per shard, repartition-stable") {
+    val q = SparkEntry.queries("d_global_shuffle")
+    val out = q(spark, "/root/testdata/sf0.01")
+      .select("shard", "pos", "doc_id").as[(Long, Int, Long)].collect()
+    val n = docs.count()
+    assert(out.length == n, "every document appears exactly once")
+    assert(out.map(_._3).distinct.length == n, "no doc_id repeats")
+    // positions within each shard are exactly 1..size (no gaps/dupes)
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"shard $s positions must be contiguous from 1") }
+    // the permutation is a pure function of (salt, doc_id): running it
+    // again (fresh plan, different partitioning upstream) is identical
+    val again = q(spark, "/root/testdata/sf0.01")
+      .repartition(7).orderBy("shard", "pos")
+      .select("shard", "pos", "doc_id").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("length buckets: every doc fits its cap, caps are minimal " +
+      "powers of two, padding arithmetic is consistent") {
+    val rows = SparkEntry.queries("d_length_buckets")(
+      spark, "/root/testdata/sf0.01")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cap, nDocs, sumTok, pad) =>
+      assert((cap & (cap - 1)) == 0, s"cap $cap must be a power of two")
+      assert(pad == nDocs * cap - sumTok, "padding identity")
+      assert(pad >= 0, "no doc may exceed its bucket cap")
+    }
+    // minimality of assignment: recompute the smallest fitting cap per
+    // doc independently and compare the whole distribution
+    val expected = docs
+      .select(graft.functions.TextAnalysis.tokenCount(col("text"))
+        .as("n")).as[Long].collect()
+      .groupBy(n => Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+        4096L).find(_ >= n).getOrElse(4096L))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1.toLong -> r._2).toMap == expected,
+      "bucket sizes must match an independent per-doc recomputation")
+    assert(rows.map(_._2).sum == docs.count(), "every doc is bucketed")
+  }
+
   test("shardByBytes two-phase offsets equal the naive global cumsum; " +
       "shard overshoot is bounded by one row") {
     import org.apache.spark.sql.expressions.Window
