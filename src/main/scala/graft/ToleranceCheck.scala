@@ -216,13 +216,16 @@ object ToleranceCheck {
     check("e_ivf_topk") {
       val ivfRecall = recall(topkSet(res("e_ivf_topk")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", ivfRecall, 0.3, ivfRecall >= 0.3,
-        "IVF partial probing top-5 overlap with exact cosine top-5")
+      Check("recall_vs_brute_force", ivfRecall, 0.45, ivfRecall >= 0.45,
+        "IVF 6-of-16-cell probing, top-5 overlap with exact cosine " +
+          "top-5 (this synthetic corpus has weak cluster structure — " +
+          "random embeddings — so recall tracks the probed fraction; " +
+          "nProbe is the recall/cost dial, 8 cells measured 0.88)")
     }
     check("e_ivf_persisted") {
       val pRecall = recall(topkSet(res("e_ivf_persisted")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", pRecall, 0.3, pRecall >= 0.3,
+      Check("recall_vs_brute_force", pRecall, 0.45, pRecall >= 0.45,
         "probe of the PERSISTED cell-partitioned IVF index, top-5 " +
           "overlap with exact cosine top-5 (same contract as e_ivf_topk)")
     }

@@ -1166,33 +1166,34 @@ object Relational {
 
   /** TPC-H Q2 shape (cheapest supplier per part), adapted to this
     * schema (no partsupp: per-(part,supplier) minimum unit price comes
-    * from lineitem). Per-group argmin as a min-join — the per-part
-    * minimum joins back on equality, so no row-number window over the
-    * full relation and ties surface as extra winners instead of a
-    * nondeterministic pick. The unit price is the RAW IEEE quotient —
-    * deliberately unrounded: division and min over identical doubles
-    * are bit-identical across engines, while round-to-cents is not
-    * (Spark rounds the shortest decimal representation, DuckDB the
-    * binary value — they split on half-cent quotients). At 100 TB both
-    * sides of
-    * the argmin join come from the same shuffled aggregate (one fact
-    * shuffle on (part, supplier)); supplier and nation broadcast.
+    * from lineitem). Per-group argmin as a frame-aggregate window (a
+    * per-part `min` with no ORDER BY — not a row-number rank) directly
+    * over the pair aggregate: ONE subtree, so the fact is scanned once
+    * (the join-back form scans it twice — the equality join's inferred
+    * null filters defeat exchange reuse; PlanSpec gates scan count),
+    * and ties surface as extra winners instead of a nondeterministic
+    * pick. The unit price is the RAW IEEE quotient — deliberately
+    * unrounded: division and min over identical doubles are
+    * bit-identical across engines, while round-to-cents is not (Spark
+    * rounds the shortest decimal representation, DuckDB the binary
+    * value — they split on half-cent quotients). At 100 TB: one fact
+    * shuffle on (part, supplier), a part-keyed window over the
+    * pair-sized aggregate; supplier and nation broadcast.
     */
   private def q2(spark: SparkSession, dir: String): DataFrame = {
-    val up = Tables(spark, dir, "lineitem")
+    Tables(spark, dir, "lineitem")
       .withColumn("unit", col("l_extendedprice") / col("l_quantity"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min("unit").as("min_unit"))
-    val best = up.groupBy(col("l_partkey").as("b_partkey"))
-      .agg(min("min_unit").as("best_unit"))
-    up.join(best, col("l_partkey") === col("b_partkey")
-        && col("min_unit") === col("best_unit"))
+      .withColumn("best_unit",
+        min("min_unit").over(Window.partitionBy("l_partkey")))
+      .filter(col("min_unit") === col("best_unit"))
       .join(broadcast(Tables(spark, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
-        col("l_partkey"), col("min_unit").as("best_unit"))
+        col("l_partkey"), col("best_unit"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
         col("l_partkey"))
       .limit(100)
@@ -1203,12 +1204,12 @@ object Relational {
       |  SELECT l_partkey, l_suppkey,
       |    min(l_extendedprice / l_quantity) AS min_unit
       |  FROM lineitem GROUP BY l_partkey, l_suppkey),
-      |best AS (
-      |  SELECT l_partkey, min(min_unit) AS best_unit
-      |  FROM up GROUP BY l_partkey)
+      |w AS (
+      |  SELECT l_partkey, l_suppkey, min_unit,
+      |    min(min_unit) OVER (PARTITION BY l_partkey) AS best_unit
+      |  FROM up)
       |SELECT s_acctbal, s_name, n_name, l_partkey, best_unit
-      |FROM up
-      |JOIN best USING (l_partkey)
+      |FROM w
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE min_unit = best_unit

@@ -546,7 +546,7 @@ object TrainingData {
     val q = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
       .filter(col("id") < 5)
-    Similarity.ivfProbe(index, q, k = 5)
+    Similarity.ivfProbe(index, q, k = 5, nProbe = 6)
       .orderBy("query_id", "rank")
   }
 
@@ -743,7 +743,8 @@ object TrainingData {
     val q = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
       .filter(col("id") < 5)
-    Similarity.ivfProbe(Similarity.ivfLoad(spark, idxPath), q, k = 5)
+    Similarity.ivfProbe(Similarity.ivfLoad(spark, idxPath), q, k = 5,
+        nProbe = 6)
       .orderBy("query_id", "rank")
   }
 

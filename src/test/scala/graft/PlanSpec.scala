@@ -330,10 +330,14 @@ class PlanSpec extends SparkSpec {
       s"the revenue view must not be globally sorted:\n$p")
   }
 
-  test("q2: per-group argmin is a min-join, not a row-number window") {
-    val p = plan(q("q2_min_cost_supplier"))
-    assert(!p.contains("Window"),
-      s"argmin must join on the per-part min, not rank a window:\n$p")
+  test("q2: per-group argmin scans the fact once — a frame-aggregate " +
+      "window over the pair aggregate, not a join-back or a rank") {
+    val p = finalPlan(q("q2_min_cost_supplier"))
+      .split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(!p.contains("row_number"),
+      s"argmin must keep ties, not rank them away:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-100 must not globally sort:\n$p")
   }
