@@ -88,6 +88,23 @@ object ToleranceCheck {
           "exact 7-day-window countDistinct per (event_type, day)")
     }
 
+    // sketches built THROUGH the streaming engine must estimate
+    // exactly like the batch-built table: HLL union is a per-register
+    // max, insensitive to arrival order, so any drift means the
+    // streamed aggregation lost or duplicated rows
+    check("st_sliding_distinct") {
+      val j = res("st_sliding_distinct").alias("s")
+        .join(res("q_hll_sliding").alias("b"),
+          Seq("event_type", "day"))
+        .select((abs(col("s.approx_users") - col("b.approx_users")) /
+          greatest(col("b.approx_users"), lit(1.0))).as("rel_diff"))
+      val d = maxOrFail(j, "rel_diff")
+      Check("max_rel_diff_vs_batch_sketches", d, 0.0, d <= 0.0,
+        "streamed daily HLL sketches, trailing-7-day RANGE union: " +
+          "estimates must EQUAL the batch q_hll_sliding (order-" +
+          "insensitive register maxima)")
+    }
+
     // percentile sketch vs exact interpolated percentiles
     check("q_approx_percentiles") {
       val apErr = maxOrFail(res("q_approx_percentiles").alias("a")

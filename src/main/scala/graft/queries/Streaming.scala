@@ -143,5 +143,9 @@ object Streaming {
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),
     NamedQuery("st_scd2_merge", Streams.scd2ViaStream,
-      Some(Scale.scd2MergeSql)))
+      Some(Scale.scd2MergeSql)),
+    // no SQL oracle (sketch estimates aren't SQL-expressible);
+    // ToleranceCheck pins the streamed estimates ≡ q_hll_sliding's
+    NamedQuery("st_sliding_distinct", Streams.slidingDistinctViaStream,
+      None))
 }

@@ -445,6 +445,45 @@ object Streams {
     * surface ALL windows for the oracle, since append withholds windows
     * the final watermark hasn't passed).
     */
+  /** The sketch-ingest job run THROUGH the streaming engine: daily
+    * Datasketches HLL sketches of user_id per (day, event_type)
+    * aggregate in the streaming state store (sketch state merges
+    * per-batch — the same mergeability that makes the batch table
+    * incremental makes the streaming agg cheap), then the SAME
+    * trailing-7-day RANGE-window union as the batch `q_hll_sliding`
+    * runs over the streamed sketch rows. HLL union is a per-register
+    * max, so estimates are insensitive to arrival order: the streamed
+    * result must EQUAL the batch query's estimates, which is the
+    * tolerance contract (rel diff 0 vs `q_hll_sliding`). At ingest
+    * scale this replaces the daily batch seed job: state is
+    * (days-in-watermark × types) sketch rows, never user history.
+    */
+  def slidingDistinctViaStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = eventsStream(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(datediff(to_date(col("day")), to_date(lit("1995-01-01"))))
+      .rangeBetween(-6, 0)
+    val out = spark.table(name)
+      .select(col("event_type"), col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+          .as("approx_users"))
+      .orderBy("event_type", "day")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = hourlyCounts(eventsStream(spark, dir))

@@ -468,4 +468,17 @@ class StreamsSpec extends SparkSpec {
       assert(streamed.sameElements(batch))
     } finally q.stop()
   }
+
+  test("streamed daily HLL sketches estimate exactly like the batch " +
+      "table (union is order-insensitive register maxima)") {
+    val streamed = SparkEntry.queries("st_sliding_distinct")(spark, sf)
+      .select($"event_type", $"day", $"approx_users")
+      .orderBy("event_type", "day").collect()
+    val batch = SparkEntry.queries("q_hll_sliding")(spark, sf)
+      .select($"event_type", $"day", $"approx_users")
+      .orderBy("event_type", "day").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      "streamed sketch estimates drifted from the batch-built table")
+  }
 }
