@@ -1245,6 +1245,116 @@ object Relational {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): orders in a quarter
+    * with at least one late-shipped line, counted per priority. The
+    * EXISTS is a left-semi hash join with the correlated inequality
+    * (ship > order date + 30 days) as a join-side condition — semi
+    * semantics count each order once with NO distinct, and the date
+    * window pushes into the orders scan. At 100 TB the semi join's
+    * build side is the date-filtered order slice, and only orderkeys
+    * cross the shuffle.
+    */
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1997-07-01"))
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q9 shape (product-line profit by nation and year), adapted
+    * to this schema (no partsupp: unit cost proxies as 60% of the
+    * part's retail price). The 5-relation star: fact joins orders for
+    * the year, supplier→nation for the geography, part for the filter
+    * and cost — part/supplier/nation broadcast, lineitem⋈orders is the
+    * one shuffled pair, and the name LIKE prunes part BEFORE its
+    * broadcast so the fact join is selective early. Profit sums are
+    * rounded to cents only at the final per-group emit.
+    */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 2).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    """SELECT n_name, year(o_orderdate) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)
+      |    - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** TPC-H Q12 shape (late lines vs order priority), adapted to this
+    * schema (return flag stands in for ship mode; "late" = shipped
+    * more than 60 days after the order date): per flag, how many late
+    * lines belong to urgent/high-priority orders vs the rest — the
+    * two conditional sums fold into ONE partial+final aggregate over
+    * the join, no second pass, and the late predicate (which needs
+    * both sides) filters between join and aggregate.
+    */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(highPrio, 1).otherwise(0)).as("high_line_count"),
+        sum(when(highPrio, 0).otherwise(1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q14 shape (promo revenue share): conditional aggregation
     * over a fact⋈part join — the month filter reaches the lineitem
     * scan, part joins unhinted (scales with SF, AQE sizes it), and the
@@ -1317,6 +1427,9 @@ object Relational {
     NamedQuery("q11_value_concentration", q11, Some(q11Sql)),
     NamedQuery("q2_min_cost_supplier", q2, Some(q2Sql)),
     NamedQuery("q16_supplier_variety", q16, Some(q16Sql)),
+    NamedQuery("q4_order_priority", q4, Some(q4Sql)),
+    NamedQuery("q9_product_profit", q9, Some(q9Sql)),
+    NamedQuery("q12_late_lines", q12, Some(q12Sql)),
     NamedQuery("q14_promo_share", q14, Some(q14Sql)),
     NamedQuery("q18_large_orders", q18, Some(q18Sql)),
     NamedQuery("q19_disjunctive", q19, Some(q19Sql)),
