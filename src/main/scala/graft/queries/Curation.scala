@@ -103,6 +103,48 @@ object Curation {
        |FROM b WHERE bucket * n_src < n_min * 10000
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Temperature-flattened mixture (α = 0.5, "square-root sampling"):
+    * big domains downsample toward √-proportional shares — the
+    * multilingual/multidomain rebalance between uniform (α = 0) and
+    * natural (α = 1). Keep rule: `bucket < floor((10000·√n_min)/√n_d)`
+    * — the smallest domain keeps everything, a domain 100× larger
+    * keeps 10%. α is FIXED at 0.5 deliberately: √, ×, ÷ are IEEE
+    * correctly-rounded in both engines so the decision is
+    * bit-identical, while a general pow(n, α) is libm-dependent and
+    * would flip boundary docs across engines. Same broadcast shape as
+    * [[mixUniform]]: tiny per-domain counts come back as a broadcast,
+    * the fact side filters without shuffling.
+    */
+  private def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+    val m = c.agg(min("n_src").as("n_min"))
+    docs(spark, dir)
+      .join(broadcast(c), "source")
+      .crossJoin(broadcast(m))
+      .withColumn("thr", floor((lit(10000.0) * sqrt(col("n_min"))) /
+        sqrt(col("n_src"))))
+      .filter(Cur.hashBucket(col("doc_id"), "mixt-v1", 10000) < col("thr"))
+      .groupBy("source")
+      .agg(max("n_src").as("n_src"), count(lit(1)).as("n_sampled"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val mixTemperatureSql =
+    s"""WITH c AS (SELECT source, count(*) AS n_src
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_src) AS n_min FROM c),
+       |b AS (
+       |  SELECT d.source, d.n_chars, c.n_src,
+       |    floor((10000.0 * sqrt(m.n_min)) / sqrt(c.n_src)) AS thr,
+       |    ${bucketSql("mixt-v1", 10000)} AS bucket
+       |  FROM documents d JOIN c USING (source) CROSS JOIN m)
+       |SELECT source, max(n_src) AS n_src, count(*) AS n_sampled,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM b WHERE bucket < thr
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Decontamination — the eval-leakage check every training pipeline
     * runs before shipping a split: an eval (val/test) document is
     * contaminated if it shares any exact word 5-gram with any TRAIN
@@ -477,6 +519,7 @@ object Curation {
     NamedQuery("d_split_assign", splitAssign, Some(splitAssignSql)),
     NamedQuery("d_domain_cap", domainCap, Some(domainCapSql)),
     NamedQuery("d_mix_uniform", mixUniform, Some(mixUniformSql)),
+    NamedQuery("d_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     NamedQuery("d_decontaminate", decontaminate, Some(decontaminateSql)),
     NamedQuery("d_decontaminate_bloom", decontaminateBloom, None),
     NamedQuery("d_seq_pack", seqPack, Some(seqPackSql)),

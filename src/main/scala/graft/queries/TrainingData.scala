@@ -389,6 +389,59 @@ object TrainingData {
       |WHERE t.token <> ''
       |GROUP BY t.token ORDER BY freq DESC, t.token LIMIT 20""".stripMargin
 
+  /** Vocabulary coverage curve — the tokenizer-design question "how
+    * much of the token mass do the top-V types cover?", answered as
+    * the full cumulative curve over the top-1000 types (this corpus's
+    * vocabulary is smaller, so the whole curve emits). The token-count
+    * relation aggregates once
+    * (vocab-sized, one shuffle); the top-1000 slice is a BOUNDED
+    * TakeOrdered (≤1000 rows per map task cross the wire, never the
+    * vocabulary), so the single-partition cumulative window that
+    * follows runs over ≤1000 rows by construction — the funnel a
+    * global vocab window would be at 100 TB never forms. Coverage is
+    * exact-integer division (bit-identical across engines).
+    */
+  private def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").as("total_tokens"))
+    val ord = Seq(col("freq").desc, col("token"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(ord: _*).limit(1000)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("cum_freq", sum("freq").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"), col("cum_freq"),
+        col("total_tokens"),
+        (col("cum_freq").cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
+      .orderBy("rank")
+  }
+
+  private val vocabCoverageSql =
+    """WITH counts AS (
+      |  SELECT t.token, count(*) AS freq
+      |  FROM documents,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+      |  WHERE t.token <> ''
+      |  GROUP BY t.token),
+      |total AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens
+      |  FROM counts),
+      |top AS (
+      |  SELECT token, freq,
+      |    row_number() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM counts ORDER BY freq DESC, token LIMIT 1000),
+      |c AS (
+      |  SELECT rank, token, freq,
+      |    CAST(sum(freq) OVER (ORDER BY rank) AS BIGINT) AS cum_freq
+      |  FROM top)
+      |SELECT rank, token, freq, cum_freq, total_tokens,
+      |  CAST(cum_freq AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |    AS coverage
+      |FROM c CROSS JOIN total ORDER BY rank""".stripMargin
+
   /** The capstone composition — the actual cleaning pass a 100 TB
     * training-data pipeline runs, as ONE declared query under the
     * exact-SQL gate: quality-score every document, language-ID it,
@@ -780,6 +833,7 @@ object TrainingData {
       Some(collapseRepeatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
+    NamedQuery("d_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
     NamedQuery("d_clean_pipeline", cleanPipeline, Some(cleanPipelineSql)),
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
