@@ -146,6 +146,65 @@ object Analytics {
       |  round(sum(o_totalprice), 2) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Distribution drift between two periods as per-bucket PSI
+    * (population stability index) contributions — the alert behind
+    * "did this feed's shape change since last month": 1997-vs-1998
+    * order totals over the same fixed 10-bucket grid as
+    * [[histogram]], Laplace-smoothed so empty buckets contribute
+    * finitely. One fact scan (both periods' counts are conditional
+    * sums in one aggregate), totals broadcast back as a single row.
+    * Shares are exact-integer division; the ln-bearing contribution is
+    * floor-truncated to a 1e-4 grid (the same cross-engine ulp
+    * discipline as the TF-IDF/log-prob queries — ln is not
+    * correctly-rounded libm, so never hash raw ln output).
+    */
+  private def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate"))
+    val counts = Tables(spark, dir, "orders")
+      .filter(yr.isin(1997, 1998))
+      .withColumn("bucket",
+        least(greatest(floor(col("o_totalprice") / 50000.0), lit(0.0)),
+          lit(9.0)).cast("bigint"))
+      .withColumn("y", yr)
+      .groupBy("bucket")
+      .agg(sum(when(col("y") === 1997, 1).otherwise(0)).as("n_base"),
+        sum(when(col("y") === 1998, 1).otherwise(0)).as("n_curr"))
+    val totals = counts.agg(sum("n_base").as("tot_base"),
+      sum("n_curr").as("tot_curr"))
+    val p = (col("n_base") + 1).cast("double") /
+      (col("tot_base") + 10).cast("double")
+    val q = (col("n_curr") + 1).cast("double") /
+      (col("tot_curr") + 10).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_curr"),
+        (floor((p - q) * log(p / q) * 1e4) / 1e4).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
+  private val driftPsiSql =
+    """WITH counts AS (
+      |  SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9)
+      |      AS BIGINT) AS bucket,
+      |    CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_base,
+      |    CAST(sum(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_curr
+      |  FROM orders
+      |  WHERE year(o_orderdate) IN (1997, 1998)
+      |  GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(n_base) AS BIGINT) AS tot_base,
+      |    CAST(sum(n_curr) AS BIGINT) AS tot_curr
+      |  FROM counts)
+      |SELECT bucket, n_base, n_curr,
+      |  floor((CAST(n_base + 1 AS DOUBLE) / (tot_base + 10)
+      |      - CAST(n_curr + 1 AS DOUBLE) / (tot_curr + 10))
+      |    * ln((CAST(n_base + 1 AS DOUBLE) / (tot_base + 10))
+      |      / (CAST(n_curr + 1 AS DOUBLE) / (tot_curr + 10)))
+      |    * 1e4) / 1e4 AS psi_contrib
+      |FROM counts CROSS JOIN totals
+      |ORDER BY bucket""".stripMargin
+
   private val profileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -787,6 +846,7 @@ object Analytics {
     NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
+    NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
     NamedQuery("ev_winsorize", winsorize, Some(winsorizeSql)),
