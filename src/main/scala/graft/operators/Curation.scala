@@ -107,6 +107,31 @@ object Curation {
       .drop("__grp", "__n_grp", "__n_min")
   }
 
+  /** Temperature-flattened mixture at α = 0.5 (square-root sampling):
+    * every group is deterministically downsampled toward a share
+    * ∝ √(its natural size) — between [[uniformMixture]] (α = 0) and
+    * keeping the natural mix (α = 1). A row survives iff
+    * `bucket(key) < floor((resolution · √n_min) / √n_group)`: the
+    * smallest group keeps everything, a group 100× larger keeps 10%.
+    * α is FIXED at 0.5 on purpose — √, ×, ÷ are IEEE correctly-rounded
+    * everywhere so the decision is bit-identical across engines and
+    * reruns, while a general pow(n, α) is libm-dependent and flips
+    * boundary rows. Same cost shape as [[uniformMixture]]: one tiny
+    * per-group aggregate broadcast back, no fact-side shuffle.
+    */
+  def temperatureMixture(df: DataFrame, group: Column, key: Column,
+      salt: String, resolution: Int = 10000): DataFrame = {
+    val counts = df.groupBy(group.as("__grp"))
+      .agg(count(lit(1)).as("__n_grp"))
+    val floorRow = broadcast(counts.agg(min("__n_grp").as("__n_min")))
+    df.join(broadcast(counts), group <=> col("__grp"))
+      .crossJoin(floorRow)
+      .filter(hashBucket(key, salt, resolution) <
+        floor((lit(resolution.toDouble) * sqrt(col("__n_min"))) /
+          sqrt(col("__n_grp"))))
+      .drop("__grp", "__n_grp", "__n_min")
+  }
+
   /** Byte-budget shard assignment: every row gets the shard its global
     * byte offset (exclusive prefix sum of `bytesCol` in `orderCol`
     * order) falls in — the deterministic "write the corpus as ~equal

@@ -118,13 +118,9 @@ object Curation {
   private def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
     val c = docs(spark, dir).groupBy("source")
       .agg(count(lit(1)).as("n_src"))
-    val m = c.agg(min("n_src").as("n_min"))
-    docs(spark, dir)
+    Cur.temperatureMixture(docs(spark, dir), col("source"), col("doc_id"),
+      salt = "mixt-v1")
       .join(broadcast(c), "source")
-      .crossJoin(broadcast(m))
-      .withColumn("thr", floor((lit(10000.0) * sqrt(col("n_min"))) /
-        sqrt(col("n_src"))))
-      .filter(Cur.hashBucket(col("doc_id"), "mixt-v1", 10000) < col("thr"))
       .groupBy("source")
       .agg(max("n_src").as("n_src"), count(lit(1)).as("n_sampled"),
         sum("n_chars").as("total_chars"))

@@ -198,6 +198,31 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._2).sum == docs.count(), "every doc is bucketed")
   }
 
+  test("temperatureMixture keeps ~sqrt-proportional shares on planted " +
+      "skew and is deterministic") {
+    // 100 / 400 / 900 rows → sqrt ratios 1 : 2 : 3 → expected keeps
+    // ~100 : 200 : 300 (smallest group keeps all)
+    val rows = (1 to 100).map(i => (s"a$i", "small")) ++
+      (1 to 400).map(i => (s"b$i", "mid")) ++
+      (1 to 900).map(i => (s"c$i", "big"))
+    val df = rows.toDF("id", "grp")
+    val kept = Curation.temperatureMixture(df, col("grp"), col("id"), "t1")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100, "smallest group must keep everything")
+    // binomial spread around 200 and 300 (sd ≈ 13 and 14): allow 4σ
+    assert(math.abs(kept("mid") - 200L) <= 55, s"mid kept ${kept("mid")}")
+    assert(math.abs(kept("big") - 300L) <= 60, s"big kept ${kept("big")}")
+    // pure function of (salt, key): rerun identical, new salt differs
+    val again = Curation.temperatureMixture(df, col("grp"), col("id"), "t1")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+    val other = Curation.temperatureMixture(df, col("grp"), col("id"), "t2")
+      .select("id").as[String].collect().toSet
+    val first = Curation.temperatureMixture(df, col("grp"), col("id"), "t1")
+      .select("id").as[String].collect().toSet
+    assert(other != first, "a different salt must pick a different set")
+  }
+
   test("shardByBytes two-phase offsets equal the naive global cumsum; " +
       "shard overshoot is bounded by one row") {
     import org.apache.spark.sql.expressions.Window
