@@ -203,6 +203,67 @@ object Scale {
       |  CAST(max(p_size) AS BIGINT) AS max_size
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** ORC source under the same contract as [[csvSource]]: a columnar
+    * format round-trip (supplier written as ORC once per JVM, read
+    * back with its declared schema, aggregated) proving the engine is
+    * not parquet-bound — ORC carries the same predicate-pushdown and
+    * column-pruning machinery through the DSv2 file source, so the
+    * 100 TB design notes transfer unchanged. The oracle recomputes
+    * from the original parquet: the round-trip must be lossless.
+    */
+  private val orcSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = orcSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_orc_seed").toString + "/supplier"
+      Tables(spark, d, "supplier").write.orc(p)
+      p
+    })
+    val schema = Tables(spark, dir, "supplier").schema
+    spark.read.schema(schema).orc(path)
+      .filter(col("s_acctbal") > 0)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  private val orcSourceSql =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier WHERE s_acctbal > 0
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** JSON-lines source (reference P8 — the API payload's row shape)
+    * under the oracle gate: nation exported as JSONL once per JVM,
+    * read back with a DECLARED schema (no inference scan), joined and
+    * counted. Declared-schema JSONL is the ingest contract for the
+    * reference's API-shaped payloads: malformed rows would surface as
+    * nulls, and the oracle equality proves none did.
+    */
+  private val jsonSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_json_seed").toString + "/customer"
+      Tables(spark, d, "customer").write.json(p)
+      p
+    })
+    val schema = Tables(spark, dir, "customer").schema
+    spark.read.schema(schema).json(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("c_acctbal"), 2).as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val jsonSourceSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(avg(c_acctbal), 2) AS avg_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Partition pruning as a declared query: orders persisted
     * hive-partitioned on order month, filtered on the partition column —
     * the directories outside the predicate are never opened (PlanSpec
@@ -537,6 +598,8 @@ object Scale {
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     NamedQuery("q_csv_source", csvSource, Some(csvSourceSql)),
+    NamedQuery("q_orc_source", orcSource, Some(orcSourceSql)),
+    NamedQuery("q_json_source", jsonSource, Some(jsonSourceSql)),
     NamedQuery("q_approx_distinct", approxDistinct, None),
     NamedQuery("q_approx_percentiles", approxPercentiles, None),
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
