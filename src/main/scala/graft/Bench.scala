@@ -34,7 +34,8 @@ object Bench {
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs",
         "d_incr_dedup", "q_incr_agg",
-        "q_schema_evolution", "q_csv_source",
+        "q_schema_evolution", "q_csv_source", "q_orc_source",
+        "q_json_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
         "q_dpp", "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
