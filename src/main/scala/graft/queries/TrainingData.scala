@@ -558,6 +558,54 @@ object TrainingData {
       |SELECT query_id, corpus_id, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Filtered ANN — top-k among corpus vectors satisfying a metadata
+    * predicate (here: sharing the query's label), the "nearest docs in
+    * language X" shape every retrieval service needs. The filter is
+    * applied as a PRE-filter: the label becomes an equi-join key, so
+    * candidates shrink by the label's selectivity BEFORE any cosine is
+    * computed — post-filtering a label-blind top-k would under-fill k
+    * whenever fewer than k of the global neighbours share the label.
+    * At 100 TB with a partitioned/bucketed label column this is a
+    * pruned scan, not even a full pass.
+    */
+  private def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = Ops.spreadNarrow(all)
+      .join(broadcast(q), col("label") === col("q_label")
+        && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col("q_emb"), col("embedding")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        col("label"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val annFilteredSql =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+      |    label AS q_label
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS corpus_id, e.label,
+      |    round(list_cosine_similarity(q.qe,
+      |      CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+      |  FROM embeddings e JOIN q
+      |    ON e.label = q.q_label AND e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, corpus_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, label, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Same answer as `e_ann_topk`, computed through the bounded
     * [[graft.functions.TopKAggregator]] instead of a window sort: the
     * partial/final agg ships ≤k rows per (query, map task) — the plan
@@ -837,6 +885,7 @@ object TrainingData {
     NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
     NamedQuery("d_clean_pipeline", cleanPipeline, Some(cleanPipelineSql)),
     NamedQuery("e_ann_topk", annTopK, Some(annTopKSql)),
+    NamedQuery("e_ann_filtered", annFiltered, Some(annFilteredSql)),
     NamedQuery("e_ann_topk_agg", annTopKAgg, Some(annTopKSql)),
     NamedQuery("e_neardup_pairs", nearDupEmbeddings, Some(nearDupEmbeddingsSql)),
     NamedQuery("e_semdedup_pairs", semDedup, None),
