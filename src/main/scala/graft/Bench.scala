@@ -28,11 +28,12 @@ object Bench {
     // so its timed run measures the steady-state load+probe path — the
     // point of a persisted index (compare against e_ivf_topk's timed
     // probe of the in-memory assignment)
-    // e_semdedup_pairs / d_incr_dedup warm runs build their
-    // once-per-corpus structures (quantizer centroids / key index)
+    // e_semdedup_pairs / d_incr_dedup / e_pq_topk warm runs build their
+    // once-per-corpus structures (quantizer centroids / key index /
+    // PQ codebooks)
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
-        "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs",
+        "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
         "d_incr_dedup", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",

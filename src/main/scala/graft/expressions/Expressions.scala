@@ -194,6 +194,90 @@ case class Sq8Cosine(left: Expression, right: Expression)
       : Sq8Cosine = copy(l, r)
 }
 
+/** PQ-encode an embedding against driver-trained codebooks (spec in
+  * Kernels.pqEncode): array<float> → m-byte code. The codebook array
+  * rides as a codegen reference object (same pattern as
+  * [[RangeBucket]]'s cut points) — kilobytes shipped once per task,
+  * zero per-row allocation beyond the code bytes.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Float], m: Int,
+    k: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(m > 0 && k > 0 && k <= 256, "need m > 0 and 0 < k <= 256")
+  require(codebooks.length % (m * k) == 0,
+    "codebook length must be m*k*subDim")
+  override def dataType: DataType = BinaryType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], codebooks, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c => s"${K.name}.pqEncode($c, $ref, $m, $k)")
+  }
+  // value equality over the codebook array (see RangeBucket)
+  override def equals(o: Any): Boolean = o match {
+    case PqEncode(c, b, om, ok) => c == child && om == m && ok == k &&
+      java.util.Arrays.equals(b, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + java.util.Arrays.hashCode(codebooks)) * 31
+      + m) * 31 + k
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** Query-side ADC distance table (spec in Kernels.pqAdcTable):
+  * array<float> → m·k squared-subdistance floats, computed once per
+  * query row; [[PqAdc]] then scores any corpus code in m lookups.
+  */
+case class PqAdcTable(child: Expression, codebooks: Array[Float], m: Int,
+    k: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(m > 0 && k > 0 && k <= 256, "need m > 0 and 0 < k <= 256")
+  require(codebooks.length % (m * k) == 0,
+    "codebook length must be m*k*subDim")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "pq_adc_table"
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Kernels.pqAdcTable(v.asInstanceOf[ArrayData], codebooks, m, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .getName
+    defineCodeGen(ctx, ev,
+      c => s"new $gad(${K.name}.pqAdcTable($c, $ref, $m, $k))")
+  }
+  override def equals(o: Any): Boolean = o match {
+    case PqAdcTable(c, b, om, ok) => c == child && om == m && ok == k &&
+      java.util.Arrays.equals(b, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + java.util.Arrays.hashCode(codebooks)) * 31
+      + m) * 31 + k
+  override protected def withNewChildInternal(c: Expression): PqAdcTable =
+    copy(child = c)
+}
+
+/** ADC score of one corpus code against one query table (spec in
+  * Kernels.pqAdc): approximate squared L2 in normalized space, m table
+  * lookups per pair — the inner loop of the PQ coarse scan.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(FloatType), BinaryType)
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    Kernels.pqAdc(t.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c) => s"${K.name}.pqAdc($t, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : PqAdc = copy(l, r)
+}
+
 /** Rank bucket against driver-computed quantile cut points (spec in
   * Kernels.rangeBucket) — codegen'd binary search, the per-row half of
   * Z-order clustering. The bounds array rides along as a referenced

@@ -477,6 +477,244 @@ object Kernels {
     out
   }
 
+  // ----- Product quantization (PQ / ADC; Jégou et al., TPAMI 2011) -----
+
+  /** L2-normalized copy of a float array column value (nulls read as
+    * 0f; the all-zero vector stays all-zero). PQ here scores COSINE
+    * neighbours, so both training and encoding live on the unit
+    * sphere, where squared euclidean distance is monotone with cosine
+    * (‖a−b‖² = 2 − 2·cos) — the same normalize-then-L2 contract the
+    * IVF quantizer uses.
+    */
+  private def l2NormedFloats(v: ArrayData): Array[Float] = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0f else v.getFloat(i)
+      out(i) = x
+      ss += x.toDouble * x.toDouble
+      i += 1
+    }
+    if (ss == 0.0) return out
+    val inv = (1.0 / math.sqrt(ss)).toFloat
+    i = 0
+    while (i < n) { out(i) *= inv; i += 1 }
+    out
+  }
+
+  /** Train PQ codebooks: split each (normalized) `dim`-float vector
+    * into `m` contiguous subvectors of `dim/m` floats and run plain
+    * Lloyd k-means with `k` centroids independently per subspace.
+    * Returns the flat codebook array laid out
+    * `((sub*k + centroid)*subDim + d)` — `m*k*(dim/m)` floats total,
+    * kilobytes at any practical (m, k), so it broadcasts as a codegen
+    * reference object exactly like [[rangeBucket]]'s cut points.
+    *
+    * Training is SAMPLE-based by construction (the standard PQ
+    * contract: codebooks converge on 10⁴-10⁵ vectors no matter how
+    * large the corpus), so callers hand this a bounded in-memory
+    * sample, never the corpus. Deterministic under `seed`: centroid
+    * init picks distinct sample rows; an emptied cluster reseeds to
+    * the point farthest from its assigned centroid.
+    */
+  def pqTrain(samples: Array[Array[Float]], m: Int, k: Int,
+      iters: Int, seed: Long): Array[Float] = {
+    val n = samples.length
+    require(n >= k, s"need at least k=$k sample vectors, got $n")
+    val dim = samples(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cb = new Array[Float](m * k * subDim)
+    val rnd = new java.util.Random(seed)
+    // normalize once
+    val normed = samples.map { s =>
+      var ss = 0.0
+      var i = 0
+      while (i < s.length) { ss += s(i).toDouble * s(i).toDouble; i += 1 }
+      if (ss == 0.0) s
+      else { val inv = (1.0 / math.sqrt(ss)).toFloat; s.map(_ * inv) }
+    }
+    var sub = 0
+    while (sub < m) {
+      val base = sub * k * subDim
+      val off = sub * subDim
+      // init: k distinct sample rows (Fisher-Yates prefix)
+      val idx = Array.tabulate(n)(identity)
+      var i = 0
+      while (i < k) {
+        val j = i + rnd.nextInt(n - i)
+        val t = idx(i); idx(i) = idx(j); idx(j) = t
+        System.arraycopy(normed(idx(i)), off, cb, base + i * subDim, subDim)
+        i += 1
+      }
+      val assign = new Array[Int](n)
+      var it = 0
+      while (it < iters) {
+        // assignment
+        var r = 0
+        while (r < n) {
+          val v = normed(r)
+          var bestC = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0
+            var j = 0
+            while (j < subDim) {
+              val diff = v(off + j) - cb(base + c * subDim + j)
+              d += diff * diff
+              j += 1
+            }
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          assign(r) = bestC
+          r += 1
+        }
+        // update
+        val sums = new Array[Double](k * subDim)
+        val counts = new Array[Int](k)
+        r = 0
+        while (r < n) {
+          val c = assign(r)
+          counts(c) += 1
+          var j = 0
+          while (j < subDim) {
+            sums(c * subDim + j) += normed(r)(off + j)
+            j += 1
+          }
+          r += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) == 0) {
+            // reseed the empty cluster to the sample point farthest
+            // from its current centroid (deterministic split of the
+            // widest cluster)
+            var farR = 0
+            var farD = -1.0
+            r = 0
+            while (r < n) {
+              val cc = assign(r)
+              var d = 0.0
+              var j = 0
+              while (j < subDim) {
+                val diff = normed(r)(off + j) - cb(base + cc * subDim + j)
+                d += diff * diff
+                j += 1
+              }
+              if (d > farD) { farD = d; farR = r }
+              r += 1
+            }
+            System.arraycopy(normed(farR), off, cb, base + c * subDim, subDim)
+          } else {
+            var j = 0
+            while (j < subDim) {
+              cb(base + c * subDim + j) =
+                (sums(c * subDim + j) / counts(c)).toFloat
+              j += 1
+            }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      sub += 1
+    }
+    cb
+  }
+
+  /** PQ-encode a vector: per subspace, the index of the nearest
+    * codebook centroid (squared L2 in normalized space; ties break to
+    * the lowest index). Returns `m` bytes — with m=16 on a 64-dim
+    * float32 embedding that is 16 bytes against 256 raw, the 16×
+    * shrink that lets the ANN coarse pass stream a 100 TB corpus from
+    * a ~6 TB code table. Requires k ≤ 256 (byte codes).
+    */
+  def pqEncode(v: ArrayData, cb: Array[Float], m: Int, k: Int): Array[Byte] = {
+    val subDim = cb.length / (m * k)
+    val x = l2NormedFloats(v)
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * k * subDim
+      val off = sub * subDim
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val xv = if (off + j < x.length) x(off + j) else 0f
+          val diff = xv - cb(base + c * subDim + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(sub) = bestC.toByte
+      sub += 1
+    }
+    out
+  }
+
+  /** Query-side ADC distance table: squared L2 from the (normalized)
+    * query's subvector `sub` to codebook centroid `c`, flat at
+    * `sub*k + c` — m·k floats computed ONCE per query, after which
+    * every corpus code scores in m table lookups ([[pqAdc]]), never
+    * touching float embeddings. This asymmetry (exact query vs
+    * quantized corpus) is what ADC names, and it is the whole trick:
+    * the corpus-side scan cost is decoupled from the embedding width.
+    */
+  def pqAdcTable(v: ArrayData, cb: Array[Float], m: Int,
+      k: Int): Array[Float] = {
+    val subDim = cb.length / (m * k)
+    val x = l2NormedFloats(v)
+    val out = new Array[Float](m * k)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * k * subDim
+      val off = sub * subDim
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val xv = if (off + j < x.length) x(off + j) else 0f
+          val diff = xv - cb(base + c * subDim + j)
+          d += diff * diff
+          j += 1
+        }
+        out(sub * k + c) = d.toFloat
+        c += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  /** ADC score: Σ_sub table[sub*k + code(sub)] — the approximate
+    * squared L2 between the query and a PQ-coded corpus vector in
+    * normalized space (k inferred from the table/code lengths).
+    * Smaller is nearer; `1 − d/2` converts back to approximate cosine.
+    */
+  def pqAdc(table: ArrayData, code: Array[Byte]): Double = {
+    val m = code.length
+    if (m == 0) return 0.0
+    val k = table.numElements() / m
+    var d = 0.0
+    var sub = 0
+    while (sub < m) {
+      d += table.getFloat(sub * k + (code(sub) & 0xff))
+      sub += 1
+    }
+    d
+  }
+
   /** Cosine over two int8 code vectors: pure integer dot and norms
     * (the per-vector quantization scales cancel in the ratio). 0.0 when
     * either vector is all-zero; mismatched lengths use the shorter.

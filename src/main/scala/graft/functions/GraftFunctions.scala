@@ -43,6 +43,13 @@ object GraftFunctions {
     call_function("range_bucket", col, lit(bounds))
   def sq8_cosine(l: Column, r: Column): Column =
     call_function("sq8_cosine", l, r)
+  def pq_encode(c: Column, codebooks: Array[Float], m: Int, k: Int): Column =
+    call_function("pq_encode", c, lit(codebooks), lit(m), lit(k))
+  def pq_adc_table(c: Column, codebooks: Array[Float], m: Int,
+      k: Int): Column =
+    call_function("pq_adc_table", c, lit(codebooks), lit(m), lit(k))
+  def pq_adc(table: Column, code: Column): Column =
+    call_function("pq_adc", table, code)
   /** Bloom sketch over xxhash64 of a column — Spark's own
     * `BloomFilterAggregate` (the runtime-filter machinery), surfaced
     * as a registered function so data-level membership prefilters can
@@ -91,6 +98,19 @@ object GraftFunctions {
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].longValue())),
       "sq8_cosine" -> (es => Sq8Cosine(es.head, es(1))),
+      "pq_encode" -> (es => PqEncode(es.head,
+        es(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray(),
+        es(2).eval(null).asInstanceOf[Number].intValue(),
+        es(3).eval(null).asInstanceOf[Number].intValue())),
+      "pq_adc_table" -> (es => PqAdcTable(es.head,
+        es(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray(),
+        es(2).eval(null).asInstanceOf[Number].intValue(),
+        es(3).eval(null).asInstanceOf[Number].intValue())),
+      "pq_adc" -> (es => PqAdc(es.head, es(1))),
       "winnow_fingerprints" -> (es => WinnowFingerprints(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].intValue())),

@@ -263,6 +263,84 @@ object Similarity {
     graft.functions.TopK.perKey(exact, k)
   }
 
+  /** Trained PQ codebooks: `m` subspaces × `k` centroids over
+    * `dim/m`-float subvectors, flat per [[graft.expressions.Kernels
+    * .pqTrain]]'s layout. Kilobytes at any practical setting — rides
+    * into tasks as a codegen reference object, never a join side.
+    */
+  case class PqCodebooks(flat: Array[Float], m: Int, k: Int)
+
+  /** Train PQ codebooks on a bounded sample of the corpus. The collect
+    * is BOUNDED BY CONSTRUCTION at `sampleN` embeddings (the standard
+    * PQ contract: codebooks converge on 10⁴-10⁵ training vectors no
+    * matter the corpus size — at 100 TB you still train on ~64k rows),
+    * so this is a documented driver-side sample, not a corpus
+    * collect. Deterministic under `seed`.
+    */
+  def pqFit(corpus: DataFrame, m: Int = 16, k: Int = 16,
+      sampleN: Int = 4096, iters: Int = 12, seed: Long = 42L): PqCodebooks = {
+    val sample = corpus
+      .select(col("embedding").cast("array<float>").as("e"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    PqCodebooks(
+      graft.expressions.Kernels.pqTrain(sample, m, k, iters, seed), m, k)
+  }
+
+  /** PQ/ADC approximate top-k (Jégou et al., TPAMI 2011) against
+    * pre-trained codebooks: the corpus streams as m-byte PQ codes
+    * (16 bytes vs 256 for a 64-dim float32 embedding — the coarse
+    * scan's IO shrinks 16×, four times past SQ8's 4×), each query
+    * precomputes its m·k ADC distance table once, and every
+    * (query, code) pair scores in m table lookups inside whole-stage
+    * codegen. The best `rerank` candidates per query — kept by the
+    * bounded [[graft.functions.TopK]] aggregator, no window sort —
+    * are re-scored with exact float cosine, and the final k emitted.
+    *
+    * Same degenerate law as SQ8: `rerank ≥ |corpus|` makes the coarse
+    * ranking irrelevant and the result exactly equals brute force
+    * (spec-asserted). At practical rerank the true top-k survive
+    * whenever PQ quantization error stays below the neighbour gap —
+    * on the fixture corpus the declared query matches the EXACT
+    * oracle at rerank=50.
+    */
+  def pqTopKWith(cb: PqCodebooks, corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, rerank: Int = 50): DataFrame = {
+    import graft.functions.GraftFunctions.{pq_adc, pq_adc_table, pq_encode}
+    val c = Ops.spreadNarrow(corpus).select(col("id").as("corpus_id"),
+      pq_encode(col("embedding"), cb.flat, cb.m, cb.k).as("code"))
+    val q = queries.select(col("id").as("query_id"),
+      pq_adc_table(col("embedding"), cb.flat, cb.m, cb.k).as("qtab"))
+    // ADC approximates ‖a−b‖² on the unit sphere; 1 − d/2 recovers
+    // approximate cosine so the shared TopK ordering (score desc) holds
+    val coarse = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (lit(1.0) - pq_adc(col("qtab"), col("code")) / 2).as("adc_sim"))
+    val shortlist = graft.functions.TopK.perKey(coarse, rerank)
+      .select("query_id", "corpus_id")
+    // exact rerank over the broadcast shortlist only (the SQ8 pattern:
+    // raw embeddings surface for ≤ rerank×|queries| survivors)
+    val exact = corpus
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "corpus_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    graft.functions.TopK.perKey(exact, k)
+  }
+
+  /** One-shot fit + search (fixture/spec convenience; long-lived
+    * deployments call [[pqFit]] once and reuse the codebooks).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 16, numCentroids: Int = 16, rerank: Int = 50,
+      seed: Long = 42L): DataFrame =
+    pqTopKWith(pqFit(corpus, m, numCentroids, seed = seed), corpus,
+      queries, k, rerank)
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): block the corpus by the IVF coarse quantizer's
     * cells (spherical k-means — the same geometry the cosine scores

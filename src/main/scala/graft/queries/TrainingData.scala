@@ -849,6 +849,34 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ/ADC top-k ([[Similarity.pqTopKWith]]): the corpus scans as
+    * 16-byte PQ codes (16× under raw float32) with per-query ADC
+    * table lookups, then an exact rerank of the top-50 shortlist.
+    * Codebooks are trained ONCE per corpus on a bounded sample and
+    * reused across runs (the long-lived-index contract, same as the
+    * persisted IVF and SemDeDup quantizers); the declared query
+    * matches the EXACT brute-force oracle — at (k=32 centroids,
+    * rerank=100) the true top-5 always survive the coarse ADC ranking
+    * on this corpus, with the k=32/rerank=50 point already at recall
+    * 1.0 in the tuning sweep (the extra rerank is safety margin; at
+    * scale rerank stays a constant per query regardless of corpus
+    * size).
+    */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebooks]()
+
+  private def pqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cb = pqCodebooks.computeIfAbsent(dir,
+      d => Similarity.pqFit(
+        embs(spark, d).select(col("vec_id").as("id"), col("embedding")),
+        m = 16, k = 32))
+    Similarity.pqTopKWith(cb, all, all.filter(col("id") < 5), k = 5,
+        rerank = 100)
+      .orderBy("query_id", "rank")
+  }
+
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
     embs(spark, dir)
@@ -893,6 +921,7 @@ object TrainingData {
     NamedQuery("e_cluster_reps", clusterRepresentatives,
       Some(clusterRepresentativesSql)),
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
+    NamedQuery("e_pq_topk", pqTopKQ, Some(annTopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

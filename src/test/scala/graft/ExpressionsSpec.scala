@@ -122,6 +122,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaDf(1)._3 == 0.0) // zero vector → 0, not NaN
   }
 
+  test("pq expressions agree with the kernels through the DataFrame path") {
+    import graft.functions.GraftFunctions.{pq_adc, pq_adc_table, pq_encode}
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 524287 + d * 2039) % 4001).toFloat / 4001f) - 0.5f
+    val vecs = (0 until 32).map(i =>
+      Array.tabulate(16)(d => pseudo(i, d))).toArray
+    val (m, k) = (4, 8)
+    val cb = Kernels.pqTrain(vecs, m, k, iters = 8, seed = 7L)
+    val df = vecs.take(6).toSeq.map(Tuple1(_)).toDF("v")
+    val rows = df.select(
+      pq_encode(col("v"), cb, m, k).as("code"),
+      pq_adc_table(col("v"), cb, m, k).as("tab"),
+      pq_adc(pq_adc_table(col("v"), cb, m, k),
+        pq_encode(col("v"), cb, m, k)).as("self_d"))
+      .as[(Array[Byte], Seq[Float], Double)].collect()
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    vecs.take(6).zip(rows).foreach { case (v, (code, tab, selfD)) =>
+      assert(code.sameElements(Kernels.pqEncode(ad(v), cb, m, k)))
+      assert(tab == Kernels.pqAdcTable(ad(v), cb, m, k).toSeq)
+      // self-distance through ADC = distance to own reconstruction:
+      // small and non-negative (quantization error, not zero)
+      assert(selfD >= 0.0 && selfD < 0.5, s"self ADC distance $selfD")
+    }
+  }
+
   test("minhash_sigs: set-identity, order-invariance, monotone collision") {
     import graft.functions.GraftFunctions.minhash_sigs
     val df = Seq(

@@ -182,6 +182,69 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@5 $recall%.2f below floor")
   }
 
+  test("pqTopK with rerank >= |corpus| equals brute force exactly") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(all, q, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val pq = Similarity.pqTopK(all, q, k = 5,
+      rerank = all.count().toInt)
+      .orderBy("query_id", "rank").collect()
+    assert(pq.length == exact.length && pq.nonEmpty)
+    assert(pq.sameElements(exact))
+  }
+
+  test("pqTopK at practical rerank keeps high recall vs brute force") {
+    // sf0.01 (500 vectors): rerank=50 is 10% of the corpus — small
+    // enough that the coarse ADC ranking is doing real work (at
+    // sf0.001's 50 vectors any rerank is half the corpus and the
+    // claim is vacuous). k=32 matches the declared query; its
+    // shipping rerank=100 adds safety margin on top of this floor.
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.01",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(all, q, k = 5))
+    val pq = pairs(Similarity.pqTopK(all, q, k = 5, m = 16,
+      numCentroids = 32, rerank = 50))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, f"recall@5 $recall%.2f below floor")
+  }
+
+  test("pq kernels: deterministic codebooks, in-range codes, ADC is the " +
+      "table sum") {
+    import graft.expressions.Kernels
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 524287 + d * 2039) % 4001).toFloat / 4001f) - 0.5f
+    val vecs = (0 until 64).map(i =>
+      Array.tabulate(32)(d => pseudo(i, d))).toArray
+    val (m, k) = (8, 16)
+    val cb = Kernels.pqTrain(vecs, m, k, iters = 12, seed = 42L)
+    assert(cb.length == m * k * (32 / m))
+    // deterministic under the seed
+    assert(java.util.Arrays.equals(cb,
+      Kernels.pqTrain(vecs, m, k, iters = 12, seed = 42L)))
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    val code = Kernels.pqEncode(ad(vecs(0)), cb, m, k)
+    assert(code.length == m && code.forall(c => (c & 0xff) < k))
+    val table = Kernels.pqAdcTable(ad(vecs(1)), cb, m, k)
+    assert(table.length == m * k)
+    val expected = code.zipWithIndex
+      .map { case (c, sub) => table(sub * k + (c & 0xff)).toDouble }.sum
+    val got = Kernels.pqAdc(ad(table), code)
+    assert(math.abs(got - expected) < 1e-9)
+    // the all-zero vector encodes without NaN and scores finite
+    val zcode = Kernels.pqEncode(ad(Array.fill(32)(0f)), cb, m, k)
+    assert(!Kernels.pqAdc(ad(Kernels.pqAdcTable(ad(Array.fill(32)(0f)),
+      cb, m, k)), zcode).isNaN)
+  }
+
   test("sq8 quantization: codes span int8, cosine error is small") {
     import graft.expressions.Kernels
     def pseudo(i: Int, d: Int): Float =
