@@ -34,6 +34,7 @@ object Bench {
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
+        "e_ivfpq_topk",
         "d_incr_dedup", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",

@@ -246,6 +246,15 @@ object ToleranceCheck {
         "probe of the PERSISTED cell-partitioned IVF index, top-5 " +
           "overlap with exact cosine top-5 (same contract as e_ivf_topk)")
     }
+    check("e_ivfpq_topk") {
+      val r = recall(topkSet(res("e_ivfpq_topk")),
+        topkSet(res("e_ann_topk")))
+      Check("recall_vs_brute_force", r, 0.45, r >= 0.45,
+        "IVF-PQ composed index (6-of-16 cells, 16-byte codes, " +
+          "rerank=100): recall is bounded by the cell pruning — it " +
+          "must track e_ivf_topk's at the same nProbe, the PQ stage " +
+          "losing essentially nothing")
+    }
 
     // centroid features are means of L1-normalized histograms: each
     // media type's 16 weights must sum to 1 (up to 6-dp rounding)

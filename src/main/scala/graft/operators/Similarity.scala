@@ -341,6 +341,85 @@ object Similarity {
     pqTopKWith(pqFit(corpus, m, numCentroids, seed = seed), corpus,
       queries, k, rerank)
 
+  /** IVF-PQ: the composed billion-scale index layout (what FAISS's
+    * IVFPQ names) — the coarse quantizer's cells bound WHICH corpus
+    * fraction a query touches (partition pruning), and PQ codes bound
+    * the BYTES each touched row costs (16-byte codes, no embeddings in
+    * the index at all). The index over a 100 TB embedding corpus is
+    * ~6 TB of (cell, code) rows; a 6-of-16-cell probe reads ~2 TB of
+    * codes where flat IVF reads ~37 TB of floats.
+    *
+    * Codes quantize the raw (normalized) vectors, not per-cell
+    * residuals — residual encoding (FAISS's default) buys accuracy at
+    * the cost of a per-(query, cell) ADC table; with the exact-rerank
+    * shortlist downstream the simpler shared table wins here, and the
+    * recall difference is absorbed by `rerank` (quantified in the
+    * tolerance artifact: IVF-PQ tracks flat IVF's recall at the same
+    * nProbe, so the PQ stage loses essentially nothing).
+    */
+  case class IvfPqIndex(assigned: DataFrame, centroids: DataFrame,
+      cb: PqCodebooks, nCells: Int) {
+    def release(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** One batch pass builds both quantizers: spherical k-means cells
+    * (shared with [[ivfFit]]) and sample-trained PQ codebooks
+    * ([[pqFit]]); the index rows are (corpus_id, cell, code) — the
+    * embedding column itself is DROPPED, which is the point.
+    */
+  def ivfPqFit(corpus: DataFrame, nCells: Int = 16, m: Int = 16,
+      k: Int = 32, seed: Long = 42L, cache: Boolean = true): IvfPqIndex = {
+    import graft.functions.GraftFunctions.pq_encode
+    val ivf = ivfFit(corpus, nCells, seed, cache = false)
+    val cb = pqFit(corpus, m, k, seed = seed)
+    val raw = ivf.assigned.select(col("corpus_id"), col("cell"),
+      pq_encode(col("c_emb"), cb.flat, cb.m, cb.k).as("code"))
+    val assigned = if (cache)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
+    IvfPqIndex(assigned, ivf.centroids, cb, ivf.nCells)
+  }
+
+  /** Probe the composed index: rank cells per query (broadcast
+    * centroids, the [[ivfProbe]] dial), ADC-score ONLY the probed
+    * cells' codes, keep a bounded shortlist, exact-rerank against the
+    * corpus. `corpus` supplies raw embeddings for the rerank join —
+    * the index itself carries none.
+    */
+  def ivfPqProbe(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 6, rerank: Int = 100): DataFrame = {
+    import graft.functions.GraftFunctions.{pq_adc, pq_adc_table}
+    val dist2 = aggregate(
+      zip_with(col("q_normed"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = queries
+      .select(col("id").as("query_id"), col("embedding").as("q_emb"),
+        l2normed(col("embedding")).as("q_normed"),
+        pq_adc_table(col("embedding"), index.cb.flat, index.cb.m,
+          index.cb.k).as("qtab"))
+      .crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("qtab"), col("cell"), dist2.as("d2"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qtab", "cell")
+    val coarse = probes.join(index.assigned, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (lit(1.0) - pq_adc(col("qtab"), col("code")) / 2).as("adc_sim"))
+    val shortlist = graft.functions.TopK.perKey(coarse, rerank)
+      .select("query_id", "corpus_id")
+    val exact = corpus
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "corpus_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine_sim(col("q_emb"), col("c_emb")), 4).as("cosine"))
+    graft.functions.TopK.perKey(exact, k)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): block the corpus by the IVF coarse quantizer's
     * cells (spherical k-means — the same geometry the cosine scores

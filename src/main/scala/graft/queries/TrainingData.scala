@@ -877,6 +877,29 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ probe ([[Similarity.ivfPqFit]]/[[Similarity.ivfPqProbe]]):
+    * the composed index — coarse cells prune WHICH corpus fraction a
+    * query touches, 16-byte PQ codes bound the BYTES per touched row,
+    * and the index holds no embeddings at all. Built once per corpus
+    * (cached, like the IVF/PQ/SemDeDup structures); no SQL oracle
+    * (k-means cells); ToleranceCheck pins recall vs brute force —
+    * IVF-PQ tracks flat IVF's recall at the same nProbe=6, i.e. the
+    * PQ stage loses essentially nothing past the cell pruning.
+    */
+  private val ivfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+
+  private def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val idx = ivfPqIndexes.computeIfAbsent(dir,
+      d => Similarity.ivfPqFit(
+        embs(spark, d).select(col("vec_id").as("id"), col("embedding"))))
+    Similarity.ivfPqProbe(idx, all, all.filter(col("id") < 5), k = 5,
+        nProbe = 6, rerank = 100)
+      .orderBy("query_id", "rank")
+  }
+
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
     embs(spark, dir)
@@ -922,6 +945,7 @@ object TrainingData {
       Some(clusterRepresentativesSql)),
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_pq_topk", pqTopKQ, Some(annTopKSql)),
+    NamedQuery("e_ivfpq_topk", ivfPqTopK, None),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

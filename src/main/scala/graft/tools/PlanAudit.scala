@@ -37,6 +37,7 @@ object PlanAudit {
     "d_shard_manifest" -> "two-phase global cumsum: bucket sums -> tiny bucket-prefix window -> broadcast offsets + per-bucket local windows; no single-partition global window",
     "e_semdedup_pairs" -> "SemDeDup blocking: soft cell assignment (broadcast centroids, per-id window), then a cell-keyed self-join — pairwise work is per-cell, never n^2",
     "e_pq_topk" -> "PQ/ADC coarse pass: the corpus streams as 16-byte codes against broadcast per-query ADC tables (m lookups per pair, inside codegen), the bounded top-k aggregator keeps the shortlist, and the exact rerank joins only broadcast survivors",
+    "e_ivfpq_topk" -> "IVF-PQ composed probe: broadcast centroids rank cells per query, the cell join touches only probed (cell, code) index rows — no embeddings in the index — and the exact rerank joins the corpus on broadcast survivors",
     "d_collapse_repeats" -> "token-stutter scrub: pure codegen'd HOFs over the scan, zero exchanges before the final sort",
     "q15_top_supplier" -> "argmax without a global sort: the revenue view aggregates once, its max returns as a broadcast single row, equality selects the winner",
     "q21_waiting_supplier" -> "double-correlated EXISTS/NOT EXISTS decorrelated to ONE per-(order,supplier) aggregate + per-order windows over it: the fact is scanned once (join-back would scan twice — pushed-filter drift defeats exchange reuse)",

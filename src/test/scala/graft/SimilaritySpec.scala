@@ -245,6 +245,44 @@ class SimilaritySpec extends SparkSpec {
       cb, m, k)), zcode).isNaN)
   }
 
+  test("ivfPq with full probing and rerank >= |corpus| equals brute force " +
+      "exactly") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val n = all.count().toInt
+    val exact = Similarity.bruteForceTopK(all, q, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val idx = Similarity.ivfPqFit(all, nCells = 4, cache = false)
+    val got = Similarity.ivfPqProbe(idx, all, q, k = 5, nProbe = 4,
+        rerank = n)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length == exact.length && got.nonEmpty)
+    assert(got.sameElements(exact))
+  }
+
+  test("ivfPq partial probing tracks flat IVF recall at the same nProbe") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(all, q, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(all, q, k = 5, nCells = 4,
+      nProbe = 2))
+    val idx = Similarity.ivfPqFit(all, nCells = 4, cache = false)
+    val ivfpq = pairs(Similarity.ivfPqProbe(idx, all, q, k = 5,
+      nProbe = 2, rerank = all.count().toInt))
+    // with rerank >= the probed volume, the ONLY loss is cell pruning,
+    // which is identical (same quantizer seed) — so recall matches
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    val rPq = (exact & ivfpq).size.toDouble / exact.size
+    assert(rPq >= rIvf - 1e-9,
+      f"ivfpq recall $rPq%.2f below flat ivf $rIvf%.2f")
+  }
+
   test("sq8 quantization: codes span int8, cosine error is small") {
     import graft.expressions.Kernels
     def pseudo(i: Int, d: Int): Float =
