@@ -900,6 +900,34 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Triangles of the near-dup similarity graph
+    * ([[graft.operators.Graph.triangles]], degree-ordered forward
+    * algorithm): the structural step between pairwise similarity and
+    * cluster quality — triangle-dense regions are true duplicate
+    * communities, triangle-free chains are the transitive-closure
+    * artifacts a curator treats with suspicion. Exact oracle: DuckDB
+    * three-way self-join over the same canonical (a < b) pair
+    * relation.
+    */
+  private def dupTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangles(
+      Similarity.nearDupPairs(
+        embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+        threshold = 0.3))
+      .orderBy("x", "y", "z")
+
+  private val dupTrianglesSql =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.3)
+      |SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z
+      |FROM pairs p1
+      |JOIN pairs p2 ON p2.id_a = p1.id_b
+      |JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+      |ORDER BY x, y, z""".stripMargin
+
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
     embs(spark, dir)
@@ -946,6 +974,7 @@ object TrainingData {
     NamedQuery("e_sq8_topk", sq8TopK, Some(annTopKSql)),
     NamedQuery("e_pq_topk", pqTopKQ, Some(annTopKSql)),
     NamedQuery("e_ivfpq_topk", ivfPqTopK, None),
+    NamedQuery("g_triangles", dupTriangles, Some(dupTrianglesSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

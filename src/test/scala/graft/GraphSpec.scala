@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    Graph.triangles(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+  test("triangles: K4 has 4, a star has 0, a path has 0") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(tri(k4) == Seq((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L),
+      (1L, 2L, 3L)))
+    assert(tri(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).isEmpty)
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L))).isEmpty)
+  }
+
+  test("triangles: triangle + pendant found once; direction/dup/loop " +
+      "noise in the input is canonicalized away") {
+    val noisy = Seq(
+      (1L, 2L), (2L, 1L),          // both orientations of one edge
+      (2L, 3L), (3L, 1L),
+      (1L, 1L),                    // self loop
+      (3L, 3L),
+      (3L, 4L), (3L, 4L))          // pendant, duplicated
+    assert(tri(noisy) == Seq((1L, 2L, 3L)))
+  }
+
+  test("triangles: agrees with the naive three-way join on the fixture " +
+      "near-dup graph") {
+    val pairs = graft.operators.Similarity.nearDupPairs(
+      graft.queries.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.2).select("id_a", "id_b").cache()
+    val p1 = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+    val p2 = pairs.select(col("id_a").as("y"), col("id_b").as("z"))
+    val p3 = pairs.select(col("id_a").as("x"), col("id_b").as("z"))
+    val naive = p1.join(p2, "y").join(p3, Seq("x", "z"))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect().sorted.toSeq
+    val fast = Graph.triangles(pairs)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    pairs.unpersist()
+    assert(naive.nonEmpty, "fixture graph should contain triangles")
+    assert(fast == naive)
+  }
+}
