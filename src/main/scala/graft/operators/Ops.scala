@@ -723,4 +723,54 @@ object Ops {
       case Some(w) => df.filter(col(column) > lit(w))
       case None    => df
     }
+
+  /** The minimal patch reconciling `replica` to `target` on `keys`:
+    * `upserts` = target rows added or changed (null-safe comparison on
+    * every non-key column), `deletes` = key rows absent from target.
+    * Anti-entropy repair for drifted copies — the actionable step
+    * after `q_table_diff`'s drift REPORT. Each side is scanned once;
+    * the full-outer key join is the only shuffle, and the patch it
+    * emits is proportional to the DRIFT, not the table: shipping it
+    * to the replica (or feeding [[mergeUpsert]]/[[deleteWhere]])
+    * moves megabytes where a full re-copy moves the 100 TB table.
+    * Law (ReconcileSpec): [[applyPatch]](replica, patch) ≡ target,
+    * and unchanged rows appear in neither side of the patch.
+    */
+  case class Patch(upserts: DataFrame, deletes: DataFrame)
+
+  def reconcilePatch(target: DataFrame, replica: DataFrame,
+      keys: Seq[String]): Patch = {
+    val dataCols = target.columns.filterNot(keys.contains)
+    require(replica.columns.sorted.sameElements(target.columns.sorted),
+      "target and replica must share a schema")
+    val t = target.select(struct(keys.map(col): _*).as("k"),
+      struct(dataCols.map(col): _*).as("tv"))
+    val r = replica.select(struct(keys.map(col): _*).as("k"),
+      struct(dataCols.map(col): _*).as("rv"))
+    val joined = t.join(r, Seq("k"), "full_outer")
+      // struct <=> struct is one null-safe comparison over every data
+      // column at once — column drift, null→value, and value→null all
+      // count as changed; null <=> null does not
+      .withColumn("changed", !(col("tv") <=> col("rv")))
+    val upserts = joined
+      .filter(col("tv").isNotNull && (col("rv").isNull || col("changed")))
+      .select(keys.map(k => col(s"k.$k").as(k))
+        ++ dataCols.map(c => col(s"tv.$c").as(c)): _*)
+    val deletes = joined
+      .filter(col("tv").isNull)
+      .select(keys.map(k => col(s"k.$k").as(k)): _*)
+    Patch(upserts, deletes)
+  }
+
+  /** Apply a [[reconcilePatch]] patch to a replica frame: drop deleted
+    * and re-upserted keys, union the upsert rows. Pure frame form of
+    * what [[mergeUpsert]] + [[deleteWhere]] do against a stored table.
+    */
+  def applyPatch(replica: DataFrame, patch: Patch,
+      keys: Seq[String]): DataFrame = {
+    val gone = patch.deletes
+      .unionByName(patch.upserts.select(keys.map(col): _*))
+    replica.join(gone, keys, "left_anti")
+      .unionByName(patch.upserts)
+  }
 }

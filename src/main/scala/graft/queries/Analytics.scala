@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.operators.Ops
 
 /** Data-ops / analytics extensions beyond the round-1 surface: the
   * operational queries a warehouse team runs *about* its tables
@@ -93,6 +94,44 @@ object Analytics {
           - coalesce(col("p_price"), lit(0.0))), 2).as("price_delta"))
       .orderBy("status")
   }
+
+  /** Anti-entropy REPAIR for the drift `q_table_diff` reports
+    * ([[graft.operators.Ops.reconcilePatch]]/[[graft.operators.Ops
+    * .applyPatch]]): compute the minimal upsert+delete patch between
+    * the same two order snapshots, apply it to the stale replica, and
+    * emit the reconciled table. The oracle is the target snapshot
+    * computed independently — the patch path must reproduce it
+    * row-for-row (hash compare), which is exactly the reconciliation
+    * contract. At scale the patch is proportional to the DRIFT, not
+    * the table: it ships megabytes where a re-copy ships the table.
+    */
+  private def tablePatch(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val target = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("2000-01-01"))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("c_price"),
+        col("o_orderstatus").as("c_status"))
+    val replica = orders
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_totalprice").as("c_price"),
+        col("o_orderstatus").as("c_status"))
+    val patch = Ops.reconcilePatch(target, replica, Seq("o_orderkey"))
+    Ops.applyPatch(replica, patch, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tablePatchSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+      |       ELSE o_totalprice END AS c_price,
+      |  o_orderstatus AS c_status
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01'
+      |ORDER BY o_orderkey""".stripMargin
 
   private val tableDiffSql =
     """WITH cur AS (
@@ -845,6 +884,7 @@ object Analytics {
       Some(unigramLogprobSql)),
     NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
+    NamedQuery("q_table_patch", tablePatch, Some(tablePatchSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
