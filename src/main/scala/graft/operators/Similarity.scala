@@ -380,6 +380,39 @@ object Similarity {
     IvfPqIndex(assigned, ivf.centroids, cb, ivf.nCells)
   }
 
+  /** Persist the composed index: (corpus_id, code) rows
+    * hive-partitioned on `cell` — same pruning contract as
+    * [[ivfSave]], but each cell directory holds 16-byte codes instead
+    * of embeddings, so the on-disk index is ~16× smaller and a probe
+    * lists nProbe directories of codes. Codebooks and centroids are
+    * kilobytes, stored beside it.
+    */
+  def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/assigned")
+    index.centroids.write.mode("overwrite").parquet(path + "/centroids")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    index.cb.flat.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v")
+      .withColumn("m", lit(index.cb.m)).withColumn("k", lit(index.cb.k))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+  }
+
+  /** Reopen a persisted composed index; the code table stays on disk
+    * (partition-pruned per probe), only the kilobyte codebook loads.
+    */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val centroids = spark.read.parquet(path + "/centroids")
+    val cbRows = spark.read.parquet(path + "/codebooks")
+      .orderBy("i").collect()
+    val cb = PqCodebooks(cbRows.map(_.getAs[Float]("v")),
+      cbRows.head.getAs[Int]("m"), cbRows.head.getAs[Int]("k"))
+    IvfPqIndex(spark.read.parquet(path + "/assigned"), centroids, cb,
+      nCells = centroids.count().toInt)
+  }
+
   /** Probe the composed index: rank cells per query (broadcast
     * centroids, the [[ivfProbe]] dial), ADC-score ONLY the probed
     * cells' codes, keep a bounded shortlist, exact-rerank against the

@@ -262,6 +262,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sameElements(exact))
   }
 
+  test("persisted IVF-PQ index: save/load probe equals the in-memory " +
+      "probe and the code table holds no embeddings") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = all.filter(col("id") < 5)
+    val idx = Similarity.ivfPqFit(all, nCells = 4, cache = false)
+    val inMem = Similarity.ivfPqProbe(idx, all, q, k = 5, nProbe = 2,
+      rerank = 20).orderBy("query_id", "rank").collect()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.ivfPqSave(idx, dir)
+    val loaded = Similarity.ivfPqLoad(spark, dir)
+    assert(loaded.nCells == idx.nCells && loaded.cb.m == idx.cb.m
+      && loaded.cb.k == idx.cb.k)
+    assert(java.util.Arrays.equals(loaded.cb.flat, idx.cb.flat))
+    // the persisted code table carries ids, cells, codes — nothing else
+    assert(loaded.assigned.columns.sorted.toSeq ==
+      Seq("cell", "code", "corpus_id"))
+    val fromDisk = Similarity.ivfPqProbe(loaded, all, q, k = 5,
+      nProbe = 2, rerank = 20).orderBy("query_id", "rank").collect()
+    assert(fromDisk.sameElements(inMem))
+  }
+
   test("ivfPq partial probing tracks flat IVF recall at the same nProbe") {
     val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
         "embeddings")
