@@ -149,6 +149,40 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("pq identity law: a per-point codebook makes ADC the exact " +
+      "normalized squared distance") {
+    // when every training sample is its own centroid (k = n distinct
+    // samples), quantization is lossless: encode(s) reconstructs s
+    // exactly, so ADC(table(q), encode(s)) must equal ||q̂ - ŝ||² to
+    // float rounding — the law pinning that ADC computes what it
+    // claims, with zero quantization error in the degenerate limit
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 48271 + d * 16807) % 65537).toFloat / 65537f) - 0.5f
+    val n = 24
+    val dim = 16
+    val vecs = (0 until n).map(i =>
+      Array.tabulate(dim)(d => pseudo(i, d))).toArray
+    val (m, k) = (4, n)
+    val cb = Kernels.pqTrain(vecs, m, k, iters = 4, seed = 11L)
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    def normed(v: Array[Float]): Array[Float] = {
+      val ss = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (ss == 0) v else v.map(x => (x / ss).toFloat)
+    }
+    for (qi <- 0 until 5; si <- 0 until n) {
+      val q = vecs(qi); val s = vecs(si)
+      val adc = Kernels.pqAdc(
+        ad(Kernels.pqAdcTable(ad(q), cb, m, k)),
+        Kernels.pqEncode(ad(s), cb, m, k))
+      val exact = normed(q).zip(normed(s))
+        .map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      assert(math.abs(adc - exact) < 1e-5,
+        f"q=$qi s=$si adc=$adc%.6f exact=$exact%.6f")
+    }
+  }
+
   test("minhash_sigs: set-identity, order-invariance, monotone collision") {
     import graft.functions.GraftFunctions.minhash_sigs
     val df = Seq(

@@ -58,4 +58,34 @@ class ReconcileSpec extends SparkSpec {
         Seq("k"))
     }
   }
+
+  test("property: apply ∘ reconcile == target over generated drifted " +
+      "tables (nullable values, disjoint and overlapping keys)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen: Gen[(Long, Option[Double], String)] = for {
+      k <- Gen.choose(0L, 25L)
+      p <- Gen.option(Gen.choose(0, 500).map(_ / 10.0))
+      s <- Gen.oneOf("A", "B", "C")
+    } yield (k, p, s)
+    val tableGen = Gen.listOf(rowGen)
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique keys
+    def sample(i: Long) =
+      tableGen.pureApply(Gen.Parameters.default.withSize(30), Seed(i))
+    for (i <- 1 to 8) {
+      val t = sample(i)
+      val r = sample(i + 500)
+      val tDf = t.toDF("k", "price", "status")
+      val rDf = r.toDF("k", "price", "status")
+      val patch = Ops.reconcilePatch(tDf, rDf, Seq("k"))
+      val repaired = Ops.applyPatch(rDf, patch, Seq("k"))
+        .as[(Long, Option[Double], String)].collect().toSet
+      assert(repaired == t.toSet, s"trial $i")
+      // minimality: no row of the patch is an unchanged row
+      val unchanged = t.toSet & r.toSet
+      val up = patch.upserts.as[(Long, Option[Double], String)]
+        .collect().toSet
+      assert((up & unchanged).isEmpty, s"trial $i non-minimal")
+    }
+  }
 }
