@@ -361,4 +361,45 @@ class PlanSpec extends SparkSpec {
       s"the per-part aggregate must be reused for the total, got " +
         s"$scans lineitem scans:\n$p")
   }
+
+  test("Graph.triangles: every orientation/wedge/closing join is a hash " +
+      "join on node ids — no cartesian, no nested loop, no window") {
+    // gate the OPERATOR plan, not the declared query's full pipeline:
+    // g_triangles feeds it from the exact pair baseline, whose labeled
+    // cross join is the one intentional cartesian in the repo
+    import spark.implicits._
+    val edges = (0L to 40L).flatMap(a => Seq((a, (a + 1) % 41),
+      (a, (a + 7) % 41))).toDF("id_a", "id_b")
+    val p = plan(graft.operators.Graph.triangles(edges))
+    assert(!p.contains("CartesianProduct"),
+      s"wedge generation must never go cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the closing-edge probe must be an equi join:\n$p")
+    assert(!p.contains("Window"),
+      s"triangle enumeration needs no window sort:\n$p")
+  }
+
+  test("e_pq_topk: the coarse ADC pass broadcasts the query tables and " +
+      "keeps top-k in the bounded aggregator, never a window sort") {
+    val p = plan(q("e_pq_topk"))
+    assert(p.contains("BroadcastExchange"),
+      s"query-side ADC tables must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"shortlist must ride the bounded TopK aggregator:\n$p")
+    assert(!p.contains("Window"),
+      s"no window sort anywhere in the PQ path:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the code scan must stream against a broadcast, not pair " +
+        s"partitions:\n$p")
+  }
+
+  test("q_table_patch: one full-outer hash join computes the patch; " +
+      "apply is anti-join + union, nothing nested-loop") {
+    val p = plan(q("q_table_patch"))
+    assert(p.contains("FullOuter"), s"diff needs the full-outer join:\n$p")
+    assert(p.contains("LeftAnti"), s"apply drops patched keys anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"reconciliation must stay hash-joined:\n$p")
+  }
 }
