@@ -462,6 +462,88 @@ object Events {
       |  n_events IS NULL AS is_gap
       |FROM j ORDER BY h, event_type""".stripMargin
 
+  /** Linear interpolation across series gaps — LOCF's companion for
+    * numeric series where a carried value biases downstream models
+    * (a sensor that reported 10 then 20 across a 3-hour gap most
+    * plausibly passed through ~13.3 and ~16.7, not 10-10): each
+    * missing hour takes prev + (next − prev) · elapsed/gap between
+    * its nearest observed neighbours. Same calendar-bounded spine
+    * discipline as `ev_locf` (every window input is (hour, type)
+    * rows, never events); the four neighbour lookups (prev/next
+    * value and hour) share ONE event_type partitioning. Leading and
+    * trailing gaps have only one neighbour and stay NULL — identical
+    * convention in both engines. The interpolated value is emitted
+    * RAW (no rounding): both engines compute the same IEEE double
+    * from the same inputs with the same operation order, while
+    * rounding it could split them at shortest-repr half boundaries.
+    */
+  private def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(round(sum("value"), 2).as("hour_value"))
+    val spine = hourly.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(0, Window.unboundedFollowing)
+    def secs(c: org.apache.spark.sql.Column) =
+      unix_timestamp(c).cast("double")
+    spine.join(hourly, Seq("h", "event_type"), "left")
+      .withColumn("pv", last(col("hour_value"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("ph", last(when(col("hour_value").isNotNull, col("h")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("hour_value"), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("nh", first(when(col("hour_value").isNotNull, col("h")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("value_interp",
+        when(col("hour_value").isNotNull, col("hour_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((secs(col("h")) - secs(col("ph")))
+              / (secs(col("nh")) - secs(col("ph"))))))
+      .select(col("h"), col("event_type"), col("value_interp"),
+        col("hour_value").isNull.as("is_gap"))
+      .orderBy("h", "event_type")
+  }
+
+  private val interpolateSql =
+    """WITH agg AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+      |    round(sum(value), 2) AS hour_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT unnest(generate_series(min(h), max(h),
+      |    INTERVAL 1 HOUR)) AS h FROM agg),
+      |spine AS (SELECT b.h, t.event_type FROM b,
+      |  (SELECT DISTINCT event_type FROM events) t),
+      |j AS (SELECT spine.h, spine.event_type, agg.hour_value
+      |      FROM spine LEFT JOIN agg
+      |        ON spine.h = agg.h AND spine.event_type = agg.event_type),
+      |n AS (SELECT h, event_type, hour_value,
+      |  last_value(hour_value IGNORE NULLS) OVER wp AS pv,
+      |  last_value(CASE WHEN hour_value IS NOT NULL THEN h END
+      |    IGNORE NULLS) OVER wp AS ph,
+      |  first_value(hour_value IGNORE NULLS) OVER wn AS nv,
+      |  first_value(CASE WHEN hour_value IS NOT NULL THEN h END
+      |    IGNORE NULLS) OVER wn AS nh
+      |  FROM j WINDOW
+      |    wp AS (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY event_type ORDER BY h
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT h, event_type,
+      |  CASE WHEN hour_value IS NOT NULL THEN hour_value
+      |       ELSE pv + (nv - pv)
+      |         * ((CAST(epoch(h) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+      |           / (CAST(epoch(nh) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE)))
+      |  END AS value_interp,
+      |  hour_value IS NULL AS is_gap
+      |FROM n ORDER BY h, event_type""".stripMargin
+
   /** Time-weighted average value (TWAP — the quote-series aggregate a
     * price warehouse actually wants: a value that held for an hour
     * counts 3600× one that held a second): each observation is
@@ -504,6 +586,7 @@ object Events {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("ev_twap", twap, Some(twapSql)),
     NamedQuery("ev_locf", locf, Some(locfSql)),
+    NamedQuery("ev_interpolate", interpolate, Some(interpolateSql)),
     NamedQuery("ev_funnel", funnel, Some(funnelSql)),
     NamedQuery("ev_retention", retention, Some(retentionSql)),
     NamedQuery("ev_click_in_view", clickInView, Some(clickInViewSql)),
