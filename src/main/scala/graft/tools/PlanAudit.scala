@@ -38,6 +38,8 @@ object PlanAudit {
     "e_semdedup_pairs" -> "SemDeDup blocking: soft cell assignment (broadcast centroids, per-id window), then a cell-keyed self-join — pairwise work is per-cell, never n^2",
     "e_pq_topk" -> "PQ/ADC coarse pass: the corpus streams as 16-byte codes against broadcast per-query ADC tables (m lookups per pair, inside codegen), the bounded top-k aggregator keeps the shortlist, and the exact rerank joins only broadcast survivors",
     "e_ivfpq_topk" -> "IVF-PQ composed probe: broadcast centroids rank cells per query, the cell join touches only probed (cell, code) index rows — no embeddings in the index — and the exact rerank joins the corpus on broadcast survivors",
+    "q_table_patch" -> "anti-entropy repair: ONE full-outer key join with a single struct null-safe comparison computes the minimal patch; apply is anti-join + union — patch volume tracks drift, not table size",
+    "ev_interpolate" -> "linear gap interpolation: all four neighbour lookups (prev/next value and hour) ride ONE event_type partitioning over the calendar-bounded spine, never the event stream",
     "d_collapse_repeats" -> "token-stutter scrub: pure codegen'd HOFs over the scan, zero exchanges before the final sort",
     "q15_top_supplier" -> "argmax without a global sort: the revenue view aggregates once, its max returns as a broadcast single row, equality selects the winner",
     "q21_waiting_supplier" -> "double-correlated EXISTS/NOT EXISTS decorrelated to ONE per-(order,supplier) aggregate + per-order windows over it: the fact is scanned once (join-back would scan twice — pushed-filter drift defeats exchange reuse)",

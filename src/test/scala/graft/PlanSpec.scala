@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
       s"all four analytics must ride one exchange, got $hashEx:\n$p")
   }
 
+  test("ev_interpolate: the four neighbour lookups stack on one " +
+      "event_type partitioning (no exchange between the windows)") {
+    val p = plan(q("ev_interpolate"))
+    val first = p.indexOf("Window")
+    val last = p.lastIndexOf("Window")
+    assert(first >= 0 && last > first, s"expected stacked windows:\n$p")
+    // the spine between the outermost and innermost window operator
+    // carries only projections — an Exchange there would mean the
+    // prev/next lookups repartitioned between frames
+    assert(!p.substring(first, last).contains("Exchange"),
+      s"windows must share one partitioning:\n$p")
+  }
+
   test("watermark-filtered scan prunes via pushed-down predicate") {
     val df = graft.queries.Tables(spark, sf, "orders")
       .filter(col("o_orderdate") > lit("1997-06-01"))
