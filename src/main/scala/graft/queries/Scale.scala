@@ -494,6 +494,62 @@ object Scale {
       p
     })
 
+  /** Incremental statistics maintenance — the EXACT-state companion
+    * to the HLL sketch table: daily moment partials (n, Σx, Σx²) per
+    * event type are persisted ONCE at ingest (three numbers per
+    * (day, type) — mergeable by plain addition, the textbook
+    * distributive-aggregate property), and corpus-wide mean/variance
+    * for any day range folds those partials without ever rescanning
+    * events. Where `q_hll_merge` is approximate and rows-only at the
+    * driver, moments are SQL-expressible, so this sits under the
+    * FULL exact oracle: DuckDB runs the identical partial→merge
+    * arithmetic (same formula, same operation shapes) over the same
+    * events.
+    */
+  private val momentSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def seededMoments(spark: SparkSession, dir: String): String =
+    momentSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_moment_seed").toString + "/moments"
+      Events.events(spark, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("s1"),
+          sum(col("value") * col("value")).as("s2"))
+        .write.parquet(p)
+      p
+    })
+
+  private def momentsMerge(spark: SparkSession, dir: String): DataFrame = {
+    seededMoments(spark, dir)
+    val merged = spark.read.parquet(momentSeeds.get(dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"), sum("n").as("n"),
+        sum("s1").as("s1"), sum("s2").as("s2"))
+    merged.select(col("event_type"), col("n_partials"), col("n"),
+        round(col("s1") / col("n"), 4).as("mean_value"),
+        round((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1), 4).as("var_value"))
+      .orderBy("event_type")
+  }
+
+  private val momentsMergeSql =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    event_type, count(*) AS n, sum(value) AS s1,
+      |    sum(value * value) AS s2
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*) AS n_partials,
+      |    CAST(sum(n) AS BIGINT) AS n,
+      |    sum(s1) AS s1, sum(s2) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_partials, n,
+      |  round(s1 / n, 4) AS mean_value,
+      |  round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_value
+      |FROM m ORDER BY event_type""".stripMargin
+
   private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = seededSketches(spark, dir)
     val merged = spark.read.parquet(path)
@@ -593,6 +649,7 @@ object Scale {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
+    NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_hll_sliding", hllSliding, None),
     NamedQuery("q_dpp", dpp, Some(dppSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),

@@ -860,7 +860,10 @@ object TrainingData {
     * on this corpus, with the k=32/rerank=50 point already at recall
     * 1.0 in the tuning sweep (the extra rerank is safety margin; at
     * scale rerank stays a constant per query regardless of corpus
-    * size).
+    * size). Scale-checked: recall stays 1.0 at sf0.1 too (5 000
+    * vectors, rerank = 2 % of the corpus), as does SQ8's at
+    * rerank=50 — quantization error sits well under the neighbour
+    * gap at 10× the tuning corpus.
     */
   private val pqCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebooks]()
