@@ -550,6 +550,53 @@ object Scale {
       |  round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_value
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** The range-query payoff of the persisted moment table (the exact
+    * analogue of `q_hll_sliding`): mean/variance over ANY trailing
+    * 7-day window folds ≤7 three-number partials per anchor — a true
+    * date-RANGE window over the tiny partial table, never an events
+    * rescan. Windows with a single observation emit NULL variance
+    * (n−1 guard, identical CASE in both engines); the frame is a date
+    * RANGE on the day index, so sparse days fold exactly the days in
+    * range, not the last 7 rows.
+    */
+  private def momentsSliding(spark: SparkSession, dir: String): DataFrame = {
+    seededMoments(spark, dir)
+    val dayIdx = datediff(to_date(col("day")), to_date(lit("1995-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d").rangeBetween(-6, 0)
+    spark.read.parquet(momentSeeds.get(dir))
+      .withColumn("d", dayIdx)
+      .select(col("event_type"), col("day"),
+        sum("n").over(w).as("n"),
+        sum("s1").over(w).as("s1"), sum("s2").over(w).as("s2"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("s1") / col("n"), 4).as("mean_7d"),
+        when(col("n") > 1,
+          round((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1), 4)).as("var_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  private val momentsSlidingSql =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    event_type, count(*) AS n, sum(value) AS s1,
+      |    sum(value * value) AS s2
+      |  FROM events GROUP BY 1, 2),
+      |win AS (SELECT event_type, day,
+      |    CAST(sum(n) OVER w AS BIGINT) AS n,
+      |    sum(s1) OVER w AS s1, sum(s2) OVER w AS s2
+      |  FROM (SELECT daily.*,
+      |      date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS d
+      |    FROM daily)
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, n,
+      |  round(s1 / n, 4) AS mean_7d,
+      |  CASE WHEN n > 1
+      |    THEN round((s2 - s1 * s1 / n) / (n - 1), 4) END AS var_7d
+      |FROM win ORDER BY event_type, day""".stripMargin
+
   private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = seededSketches(spark, dir)
     val merged = spark.read.parquet(path)
@@ -650,6 +697,7 @@ object Scale {
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
+    NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),
     NamedQuery("q_hll_sliding", hllSliding, None),
     NamedQuery("q_dpp", dpp, Some(dppSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
