@@ -52,5 +52,5 @@ object SparkEntry {
     queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
       "st_tumbling_hourly", "st_dedup_events", "st_click_attribution",
       "st_scd2_merge", "st_curation", "st_enrich", "st_anomaly",
-      "st_rate_limit", "st_sliding_distinct")
+      "st_rate_limit", "st_sliding_distinct", "st_moments")
 }

@@ -535,7 +535,7 @@ object Scale {
       .orderBy("event_type")
   }
 
-  private val momentsMergeSql =
+  private[queries] val momentsMergeSql =
     """WITH daily AS (
       |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
       |    event_type, count(*) AS n, sum(value) AS s1,

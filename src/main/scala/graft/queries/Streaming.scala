@@ -144,6 +144,8 @@ object Streaming {
       Some(attributionSql)),
     NamedQuery("st_scd2_merge", Streams.scd2ViaStream,
       Some(Scale.scd2MergeSql)),
+    NamedQuery("st_moments", Streams.momentsViaStream,
+      Some(Scale.momentsMergeSql)),
     // no SQL oracle (sketch estimates aren't SQL-expressible);
     // ToleranceCheck pins the streamed estimates ≡ q_hll_sliding's
     NamedQuery("st_sliding_distinct", Streams.slidingDistinctViaStream,

@@ -484,6 +484,44 @@ object Streams {
     out
   }
 
+  /** The moment-ingest job run THROUGH the streaming engine: daily
+    * (n, Σx, Σx²) partials per (day, event_type) accumulate in the
+    * streaming state store — the same plain-addition mergeability
+    * that makes the batch moment table incremental makes the
+    * streaming aggregate cheap (state is days-in-watermark × types
+    * THREE-NUMBER rows, never events) — then the same partial→merge
+    * fold as the batch `q_moments_merge` runs over the streamed
+    * partials. Unlike the sketch twin this sits under the FULL SQL
+    * oracle: the streamed mean/variance must equal DuckDB's to the
+    * emitted rounding.
+    */
+  def momentsViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = eventsStream(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s1"),
+        sum(col("value") * col("value")).as("s2"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val merged = spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"), sum("n").as("n"),
+        sum("s1").as("s1"), sum("s2").as("s2"))
+    val out = merged
+      .select(col("event_type"), col("n_partials"), col("n"),
+        round(col("s1") / col("n"), 4).as("mean_value"),
+        round((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1), 4).as("var_value"))
+      .orderBy("event_type")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = hourlyCounts(eventsStream(spark, dir))
