@@ -133,6 +133,54 @@ object Analytics {
       |  AND o_orderdate < TIMESTAMP '2000-01-01'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Approximate query processing on a DETERMINISTIC hash sample: a
+    * 10% row sample drawn by the same salted-md5 bucketing the
+    * curation split uses (`Curation.hashBucket` — a pure function of
+    * the row key, so reruns, repartitions, cluster scale-out AND the
+    * DuckDB oracle draw the IDENTICAL sample), scaled by 1/f into a
+    * revenue estimate with its realized error against the exact
+    * answer. This is the AQP trade at 100 TB — scan a tenth, answer
+    * in a tenth — made fully oracle-checkable because the sample is
+    * deterministic rather than RNG-drawn; the realized per-group
+    * error column is what a user consults before trusting the
+    * estimate for a given group size.
+    */
+  private def aqpRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("rk"))
+    val est = li.filter(Curation.hashBucket(col("rk"), "aqp-v1", 10) === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("rev")) * 10, 2).as("est_revenue"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(round(sum(col("rev")), 2).as("exact_revenue"))
+    est.join(exact, "l_returnflag")
+      .withColumn("rel_err_pct",
+        round((col("est_revenue") / col("exact_revenue") - 1) * 100, 3))
+      .orderBy("l_returnflag")
+  }
+
+  private val aqpRevenueSql =
+    """WITH keyed AS (
+      |  SELECT l_returnflag, l_extendedprice * (1 - l_discount) AS rev,
+      |    CAST(('0x' || substr(md5('aqp-v1:' || CAST(l_orderkey AS VARCHAR)
+      |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 10 AS b
+      |  FROM lineitem),
+      |est AS (SELECT l_returnflag, count(*) AS n_sampled,
+      |    round(sum(rev) * 10, 2) AS est_revenue
+      |  FROM keyed WHERE b = 0 GROUP BY 1),
+      |ex AS (SELECT l_returnflag, round(sum(rev), 2) AS exact_revenue
+      |  FROM keyed GROUP BY 1)
+      |SELECT l_returnflag, n_sampled, est_revenue, exact_revenue,
+      |  round((est_revenue / exact_revenue - 1) * 100, 3) AS rel_err_pct
+      |FROM est JOIN ex USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   private val tableDiffSql =
     """WITH cur AS (
       |  SELECT o_orderkey,
@@ -885,6 +933,7 @@ object Analytics {
     NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
     NamedQuery("q_table_patch", tablePatch, Some(tablePatchSql)),
+    NamedQuery("q_aqp_revenue", aqpRevenue, Some(aqpRevenueSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
