@@ -28,9 +28,10 @@ object Bench {
     // so its timed run measures the steady-state load+probe path — the
     // point of a persisted index (compare against e_ivf_topk's timed
     // probe of the in-memory assignment)
-    // e_semdedup_pairs / d_incr_dedup / e_pq_topk warm runs build their
-    // once-per-corpus structures (quantizer centroids / key index /
-    // PQ codebooks)
+    // e_semdedup_pairs / d_incr_dedup / e_pq_topk / e_ivfpq_topk /
+    // q_moments_merge warm runs build their once-per-corpus structures
+    // (quantizer centroids / key index / PQ codebooks / composed
+    // cell+code index / the persisted moment-partial table)
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
