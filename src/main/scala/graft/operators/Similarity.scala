@@ -427,7 +427,7 @@ object Similarity {
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val probes = queries
-      .select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("id").as("query_id"),
         l2normed(col("embedding")).as("q_normed"),
         pq_adc_table(col("embedding"), index.cb.flat, index.cb.m,
           index.cb.k).as("qtab"))

@@ -523,8 +523,7 @@ object Scale {
     })
 
   private def momentsMerge(spark: SparkSession, dir: String): DataFrame = {
-    seededMoments(spark, dir)
-    val merged = spark.read.parquet(momentSeeds.get(dir))
+    val merged = spark.read.parquet(seededMoments(spark, dir))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_partials"), sum("n").as("n"),
         sum("s1").as("s1"), sum("s2").as("s2"))
@@ -560,11 +559,11 @@ object Scale {
     * range, not the last 7 rows.
     */
   private def momentsSliding(spark: SparkSession, dir: String): DataFrame = {
-    seededMoments(spark, dir)
+    val path = seededMoments(spark, dir)
     val dayIdx = datediff(to_date(col("day")), to_date(lit("1995-01-01")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("d").rangeBetween(-6, 0)
-    spark.read.parquet(momentSeeds.get(dir))
+    spark.read.parquet(path)
       .withColumn("d", dayIdx)
       .select(col("event_type"), col("day"),
         sum("n").over(w).as("n"),
