@@ -70,4 +70,38 @@ object Graph {
       .select(array_sort(array(col("src"), col("v"), col("w"))).as("t"))
       .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
   }
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * — what fraction of a node's neighbour pairs are themselves
+    * connected. The community-quality readout over a similarity graph:
+    * coefficient ≈ 1 marks a clique-like duplicate community,
+    * coefficient ≈ 0 a hub stitching unrelated docs (exactly the node
+    * a transitive-closure dedup should distrust). Cost is the
+    * [[triangles]] enumeration (orientation-bounded) plus one
+    * explode+groupBy over the triangle relation — tiny next to the
+    * edge list — and the degree fold; every node of degree ≥ 1 is
+    * emitted, with coefficient 0 when degree < 2 (no neighbour pair
+    * exists).
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val triPerNode = triangles(edges, "a", "b")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
 }

@@ -931,6 +931,49 @@ object TrainingData {
       |JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
       |ORDER BY x, y, z""".stripMargin
 
+  /** Local clustering coefficient over the same near-dup graph
+    * ([[graft.operators.Graph.clusteringCoefficient]]): coefficient
+    * ≈ 1 marks clique-like duplicate communities, ≈ 0 the hub nodes a
+    * transitive-closure dedup should distrust. Exact oracle: DuckDB
+    * recomputes triangles by three-way pair self-join and degrees by
+    * endpoint unnest.
+    */
+  private def dupClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficient(
+      Similarity.nearDupPairs(
+        embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+        threshold = 0.3))
+      .orderBy("node")
+
+  private val dupClusteringSql =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.3),
+      |deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT id_a AS node FROM pairs
+      |    UNION ALL SELECT id_b FROM pairs)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z
+      |  FROM pairs p1
+      |  JOIN pairs p2 ON p2.id_a = p1.id_b
+      |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+      |tpn AS (SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT deg.node, deg.degree,
+      |  coalesce(tpn.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN deg.degree >= 2
+      |    THEN round(2.0 * coalesce(tpn.n_triangles, 0)
+      |      / (deg.degree * (deg.degree - 1)), 4)
+      |    ELSE 0.0 END AS clustering_coeff
+      |FROM deg LEFT JOIN tpn USING (node)
+      |ORDER BY node""".stripMargin
+
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
     embs(spark, dir)
@@ -978,6 +1021,7 @@ object TrainingData {
     NamedQuery("e_pq_topk", pqTopKQ, Some(annTopKSql)),
     NamedQuery("e_ivfpq_topk", ivfPqTopK, None),
     NamedQuery("g_triangles", dupTriangles, Some(dupTrianglesSql)),
+    NamedQuery("g_clustering", dupClustering, Some(dupClusteringSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

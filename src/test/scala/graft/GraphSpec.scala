@@ -30,6 +30,26 @@ class GraphSpec extends SparkSpec {
     assert(tri(noisy) == Seq((1L, 2L, 3L)))
   }
 
+  test("clusteringCoefficient: clique nodes are 1, leaves and stars 0, " +
+      "the hub of triangle+pendant is 1/3") {
+    val k4 = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b))
+      .toDF("id_a", "id_b")
+    val k4out = Graph.clusteringCoefficient(k4)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(k4out == (0L to 3L).map(n => (n, 3L, 3L, 1.0)))
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    assert(Graph.clusteringCoefficient(star)
+      .as[(Long, Long, Long, Double)].collect()
+      .forall { case (_, _, t, c) => t == 0L && c == 0.0 })
+    val triPendant = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val tp = Graph.clusteringCoefficient(triPendant)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(tp == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.3333), (4L, 1L, 0L, 0.0)))
+  }
+
   test("triangles: agrees with the naive three-way join on the fixture " +
       "near-dup graph") {
     val pairs = graft.operators.Similarity.nearDupPairs(
