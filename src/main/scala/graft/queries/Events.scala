@@ -544,6 +544,58 @@ object Events {
       |  hour_value IS NULL AS is_gap
       |FROM n ORDER BY h, event_type""".stripMargin
 
+  /** Multi-touch linear attribution — the batch companion to the
+    * streamed LAST-touch `st_click_attribution`: every click within
+    * the 30-minute look-back of a purchase earns an equal 1/n share
+    * of its value, reported as credited revenue per click event.
+    * Credit is CONSERVED by construction (Σ credit = Σ value of
+    * touched purchases — the invariant attribution must keep,
+    * law-pinned in EventsSpec). Same interval equi-join shape as the
+    * attribution stream (user equi-key + time band, never a pure
+    * range join); the per-purchase touch count is one window over the
+    * joined pairs, which are bounded by the look-back, not the event
+    * history.
+    */
+  private def multiTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val pairs = p.join(c, col("user_id") === col("c_user")
+      && col("c_ts") <= col("p_ts")
+      && col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+    val perPurchase = Window.partitionBy("p_id")
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(perPurchase))
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value") / col("n_touch")), 2).as("credited_value"))
+      .orderBy("c_id")
+  }
+
+  private val multiTouchSql =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+      |    value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_user, event_id AS c_id,
+      |    CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.p_id, p.value, c.c_id
+      |  FROM p JOIN c ON p.user_id = c.c_user
+      |    AND c.c_ts <= p.p_ts
+      |    AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE),
+      |t AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touch
+      |  FROM pairs)
+      |SELECT c_id, count(*) AS n_purchases,
+      |  round(sum(value / n_touch), 2) AS credited_value
+      |FROM t GROUP BY c_id ORDER BY c_id""".stripMargin
+
   /** Time-weighted average value (TWAP — the quote-series aggregate a
     * price warehouse actually wants: a value that held for an hour
     * counts 3600× one that held a second): each observation is
@@ -587,6 +639,7 @@ object Events {
     NamedQuery("ev_twap", twap, Some(twapSql)),
     NamedQuery("ev_locf", locf, Some(locfSql)),
     NamedQuery("ev_interpolate", interpolate, Some(interpolateSql)),
+    NamedQuery("ev_multi_touch", multiTouch, Some(multiTouchSql)),
     NamedQuery("ev_funnel", funnel, Some(funnelSql)),
     NamedQuery("ev_retention", retention, Some(retentionSql)),
     NamedQuery("ev_click_in_view", clickInView, Some(clickInViewSql)),

@@ -53,4 +53,27 @@ class EventsSpec extends SparkSpec {
     assert(parsed.agg(sum("n_events")).head.getLong(0) === total)
     assert(parsed.filter(col("avg_k").isNull).count() === 0)
   }
+
+  test("multi-touch attribution conserves credit: total credited value " +
+      "equals the value of every touched purchase") {
+    val credited = SparkEntry.queries("ev_multi_touch")(spark, sf)
+      .agg(sum("credited_value")).head.getDouble(0)
+    // the same interval join, aggregated purchase-side: each touched
+    // purchase contributes its full value exactly once
+    val ev = Events.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val touched = p.join(c, col("user_id") === col("c_user")
+        && col("c_ts") <= col("p_ts")
+        && col("c_ts") >= col("p_ts") - expr("interval 30 minutes"),
+        "left_semi")
+      .agg(sum("value")).head.getDouble(0)
+    // per-click 2-dp rounding perturbs each credit by <0.005
+    assert(math.abs(credited - touched) < 0.01 *
+      SparkEntry.queries("ev_multi_touch")(spark, sf).count(),
+      s"credited $credited vs touched $touched")
+  }
 }
