@@ -40,7 +40,7 @@ object Bench {
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
-        "q_moments_merge",
+        "q_moments_merge", "d_posting_search",
         "q_dpp", "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its

@@ -974,6 +974,77 @@ object TrainingData {
       |FROM deg LEFT JOIN tpn USING (node)
       |ORDER BY node""".stripMargin
 
+  /** Boolean term search against a PERSISTED inverted index: the
+    * posting table (token, doc_id) is built once per corpus and laid
+    * out hive-partitioned on a salted-md5 token bucket
+    * ([[graft.operators.Curation.hashBucket]] — the same
+    * engine-portable hash the curation split uses), so a conjunctive
+    * query reads ONLY the queried terms' bucket directories (partition
+    * pruning) and inside them only the queried tokens' rows (pushed
+    * dictionary filter) — the corpus text is never rescanned at query
+    * time. The intersection is one groupBy counting distinct matched
+    * terms. Exact oracle: DuckDB answers the same conjunction by
+    * scanning the text directly — the index path must return exactly
+    * the scan path's documents. A PlanSpec gate asserts the bucket
+    * partition filter lands in the posting scan.
+    */
+  private val postingSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val PostingBuckets = 16
+  private val PostingSalt = "postings-v1"
+  private[graft] val searchTerms = Seq("join", "hash", "scan")
+
+  private def seededPostings(spark: SparkSession, dir: String): String =
+    postingSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_posting_seed").toString + "/postings"
+      docs(spark, d)
+        .select(col("doc_id"), explode(array_distinct(array_remove(
+          split(lower(trim(col("text"))), "\\s+"), ""))).as("token"))
+        .withColumn("bucket",
+          graft.operators.Curation.hashBucket(col("token"), PostingSalt,
+            PostingBuckets))
+        .write.partitionBy("bucket").parquet(p)
+      p
+    })
+
+  /** Driver-side twin of [[graft.operators.Curation.hashBucket]] for
+    * literal terms (same md5-prefix arithmetic), so the query can name
+    * the exact bucket directories to prune to.
+    */
+  private def termBucket(token: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest((PostingSalt + ":" + token).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % PostingBuckets
+  }
+
+  private[graft] def postingSearch(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = seededPostings(spark, dir)
+    val buckets = searchTerms.map(termBucket).distinct
+    val matched = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*)
+        && col("token").isin(searchTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("token").as("n_terms"))
+      .filter(col("n_terms") === searchTerms.length)
+    matched.join(docs(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val postingSearchSql =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE list_contains(string_split_regex(lower(trim(text)), '\s+'),
+      |    'join')
+      |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'),
+      |    'hash')
+      |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'),
+      |    'scan')
+      |ORDER BY doc_id""".stripMargin
+
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
     embs(spark, dir)
@@ -1022,6 +1093,7 @@ object TrainingData {
     NamedQuery("e_ivfpq_topk", ivfPqTopK, None),
     NamedQuery("g_triangles", dupTriangles, Some(dupTrianglesSql)),
     NamedQuery("g_clustering", dupClustering, Some(dupClusteringSql)),
+    NamedQuery("d_posting_search", postingSearch, Some(postingSearchSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

@@ -406,6 +406,19 @@ class PlanSpec extends SparkSpec {
         s"partitions:\n$p")
   }
 
+  test("d_posting_search: the posting scan prunes to the queried " +
+      "terms' bucket directories and pushes the token filter") {
+    val p = formatted(q("d_posting_search"))
+    // the bucket IN (...) predicate must land as a partition filter on
+    // the posting-table scan (only the queried buckets' dirs open) and
+    // the token IN (...) as a pushed data filter inside them
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"bucket pruning must reach the posting scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(token".r.findFirstIn(p)
+      .isDefined, s"token IN must push into the posting scan:\n$p")
+  }
+
   test("q_table_patch: one full-outer hash join computes the patch; " +
       "apply is anti-join + union, nothing nested-loop") {
     val p = plan(q("q_table_patch"))
