@@ -994,13 +994,21 @@ object TrainingData {
   private val PostingSalt = "postings-v1"
   private[graft] val searchTerms = Seq("join", "hash", "scan")
 
+  /** The posting rows carry token POSITIONS (one row per occurrence,
+    * not per distinct token), so the same index answers boolean
+    * conjunctions (`d_posting_search` — duplicate rows are harmless
+    * under its distinct-count intersection) AND positional phrase
+    * queries (`d_phrase_search`).
+    */
   private def seededPostings(spark: SparkSession, dir: String): String =
     postingSeeds.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_posting_seed").toString + "/postings"
       docs(spark, d)
-        .select(col("doc_id"), explode(array_distinct(array_remove(
-          split(lower(trim(col("text"))), "\\s+"), ""))).as("token"))
+        .select(col("doc_id"), posexplode(array_remove(
+          split(lower(trim(col("text"))), "\\s+"), "")))
+        .withColumnRenamed("pos", "position")
+        .withColumnRenamed("col", "token")
         .withColumn("bucket",
           graft.operators.Curation.hashBucket(col("token"), PostingSalt,
             PostingBuckets))
@@ -1043,6 +1051,51 @@ object TrainingData {
       |    'hash')
       |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'),
       |    'scan')
+      |ORDER BY doc_id""".stripMargin
+
+  /** Positional phrase search against the SAME persisted posting index
+    * ([[seededPostings]] — positions ride in the posting rows): the
+    * phrase "hash join" is the two terms' postings self-joined on
+    * (doc, position+1). Still only the two terms' bucket directories
+    * open; adjacency is an equi join on (doc_id, position), never a
+    * text rescan. Exact oracle: DuckDB reconstructs positions from the
+    * text with a lateral index unnest and applies the same adjacency.
+    */
+  private[graft] val phraseTerms = Seq("hash", "join")
+
+  private[graft] def phraseSearch(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = seededPostings(spark, dir)
+    val buckets = phraseTerms.map(termBucket).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*)
+        && col("token").isin(phraseTerms: _*))
+    val a = postings.filter(col("token") === phraseTerms.head)
+      .select(col("doc_id"), col("position").as("pa"))
+    val b = postings.filter(col("token") === phraseTerms(1))
+      .select(col("doc_id"), col("position").as("pb"))
+    val matched = a.join(b, a("doc_id") === b("doc_id")
+        && col("pb") === col("pa") + 1)
+      .select(a("doc_id")).distinct()
+    matched.join(docs(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val phraseSearchSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS ws
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, ws[i] AS w, i FROM base,
+      |    (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      |m AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+      |  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  AND a.w = 'hash' AND b.w = 'join')
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM m JOIN documents d USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   private def labelStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1094,6 +1147,7 @@ object TrainingData {
     NamedQuery("g_triangles", dupTriangles, Some(dupTrianglesSql)),
     NamedQuery("g_clustering", dupClustering, Some(dupClusteringSql)),
     NamedQuery("d_posting_search", postingSearch, Some(postingSearchSql)),
+    NamedQuery("d_phrase_search", phraseSearch, Some(phraseSearchSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),
