@@ -386,4 +386,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** PPJoin-style prefix-filtered EXACT similarity join: the same
+    * result relation as [[jaccardPairs]] (same shingles, same
+    * threshold, NO frequency cap — semantics untouched) from a far
+    * smaller candidate join. Shingles rank under one global rare-first
+    * total order (ascending document frequency, shingle text as
+    * tiebreak) and only each doc's first `|s| − ceil(t·|s|) + 1` — its
+    * PREFIX — enter the candidate join. Completeness (All-Pairs/PPJoin
+    * prefix lemma): J(a,b) ≥ t forces overlap o ≥ ceil(t·max(|a|,|b|));
+    * if the prefixes were disjoint, every common shingle of `a` would
+    * sit in its last ceil(t·|a|)−1 positions — fewer than o — and
+    * (under the SHARED order) any common shingle inside a's prefix is ≤
+    * b's prefix boundary, hence inside b's prefix too. So qualifying
+    * pairs always collide on a prefix shingle; frequency-hot shingles
+    * land at the END of the order and never generate candidates —
+    * the capped twins' stop-shingle effect with zero semantic change.
+    * Survivors verify EXACTLY via one codegen'd `array_intersect` over
+    * the full shingle arrays (bounded by candidate count, not n²).
+    *
+    * At 100 TB: one shingle-keyed agg for document frequencies, one
+    * per-doc window for ranks (rides the id partitioning the shingle
+    * build already has), a candidate join whose input is prefix rows
+    * only (≈ (1−t) of the exploded volume, and biased to RARE shingles
+    * — the hot keys that make the naive join quadratic are exactly the
+    * ones prefixes exclude), then an id-keyed verify join on candidate
+    * pairs.
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    val grams = distinctGrams(df, idCol, textCol, n)
+      .filter(size(col("grams")) > 0)
+    // one explicit id-partitioning so the prefix window and both
+    // verify-join branches reuse a single tokenization exchange
+    val keyed = grams.repartition(col("id"))
+    val exploded = keyed.select(col("id"),
+      size(col("grams")).cast("bigint").as("sz"),
+      explode(col("grams")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // α = ceil(t·|s|) computed with a tiny downward nudge: IEEE can
+    // land t·|s| a few ULPs ABOVE an exact integer (0.6×15 =
+    // 9.000000000000002), and ceil of that overshoots α by 1 — a
+    // SHORTER prefix, which would break the completeness guarantee.
+    // The nudge only ever lengthens the prefix (more candidates,
+    // never fewer).
+    val alpha = ceil(col("sz") * threshold - lit(1e-9))
+    val prefix = exploded.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - alpha + 1)
+      .select("id", "sz", "g")
+    val candA = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("g"))
+    val candB = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("g"))
+    val cand = candA.join(candB, Seq("g"))
+      .filter(col("id_a") < col("id_b")
+        // length filter: J ≤ min/max, so J ≥ t needs min ≥ t·max
+        && least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")) * threshold - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("gs_a"), col("gs_b")))
+      .cast("double")
+    cand
+      .join(keyed.select(col("id").as("id_a"), col("grams").as("gs_a")),
+        "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("grams").as("gs_b")),
+        "id_b")
+      .withColumn("jaccard", round(inter /
+        (size(col("gs_a")) + size(col("gs_b")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

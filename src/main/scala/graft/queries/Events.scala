@@ -13,17 +13,16 @@ import graft.operators.Joins
   * sessionized/as-of surface a warehouse consumer runs over an event
   * table.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as nanos
-  * LongType (`nanosAsLong`, see Tables.configure), so every query first
-  * converts to a microsecond TimestampType — identical to DuckDB's
-  * ns→us cast, so oracles compare exactly.
+  * `events.ts` normalizes to a session-zone (UTC) TimestampType via
+  * [[Tables.eventTime]], whichever physical type the generator wrote
+  * (TIMESTAMP(NANOS)-as-long or plain micros) — identical to DuckDB's
+  * native read of the same file, so oracles compare exactly.
   */
 object Events {
 
   /** The events table with `ts` as a proper TimestampType (UTC, µs). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.eventTime(Tables(spark, dir, "events"))
 
   /** Tumbling 1-hour windows per event type: the canonical streaming agg
     * shape, run batch. At scale: partial aggregation map-side, shuffle

@@ -39,10 +39,31 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(t => apply(spark, dir, t).createOrReplaceTempView(t))
 
+  /** Event-time normalizer for the `events` table, adaptive to how the
+    * generator wrote `ts` — the column has shipped as parquet
+    * TIMESTAMP(NANOS) (read as nanos LongType under `nanosAsLong`) and
+    * as plain TIMESTAMP micros (read as TIMESTAMP_NTZ, no UTC
+    * adjustment flag). Every consumer normalizes to session-zone
+    * TimestampType (session pinned UTC), so windows/watermarks and the
+    * DuckDB oracle — which reads the same file natively — see the same
+    * instants whichever physical type the file carries.
+    */
+  def eventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Session config every graft entry point uses. `nanosAsLong` is
-    * required to read the `events` table (parquet TIMESTAMP(NANOS) —
-    * Spark has no nanosecond timestamp type and otherwise refuses the
-    * file); `ts` then arrives as nanos-since-epoch LongType.
+    * kept for the TIMESTAMP(NANOS) variant of the `events` table
+    * (Spark has no nanosecond timestamp type and otherwise refuses the
+    * file); `ts` then arrives as nanos-since-epoch LongType and
+    * [[eventTime]] converts. Harmless for the micros variant.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new graft.functions.GraftExtensions)

@@ -165,6 +165,45 @@ object TrainingData {
       |WHERE round(p.common::DOUBLE / (sa.sz + sb.sz - p.common), 4) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered EXACT twin of the trigram family
+    * ([[graft.operators.Dedup.ppjoinPairs]]): the UNCAPPED trigram
+    * Jaccard relation — same semantics a naive all-shingle join
+    * computes — via PPJoin prefix filtering, so the candidate join
+    * sees only each doc's rarest `(1−t)`-fraction of shingles. Where
+    * `d_jaccard_capped` trades semantics (drops hot shingles from the
+    * score) for scale, this keeps the exact score and still never
+    * joins on hot shingles — they rank last and fall outside every
+    * prefix. Exact oracle: DuckDB computes uncapped trigram Jaccard
+    * directly.
+    */
+  private def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ppjoinPairs(docs(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  private val ppjoinPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+      |    '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS gs
+      |  FROM toks WHERE len(t) >= 3),
+      |exploded AS (SELECT doc_id, g FROM grams, unnest(gs) AS u(g)),
+      |sized AS (SELECT doc_id, len(gs) AS sz FROM grams WHERE len(gs) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b,
+      |  round(p.common::DOUBLE / (sa.sz + sb.sz - p.common), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sized sa ON sa.doc_id = p.id_a
+      |JOIN sized sb ON sb.doc_id = p.id_b
+      |WHERE round(p.common::DOUBLE / (sa.sz + sb.sz - p.common), 4) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash twin of [[jaccardCapped]]: same trigram shingles, same
     * maxDf cap ahead of the banded bucket join. No SQL oracle (minhash
     * signatures aren't SQL-expressible); rows-only check + the
@@ -1053,6 +1092,89 @@ object TrainingData {
       |    'scan')
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document token counts (dl) persisted BESIDE the posting index
+    * — the tiny stats sidecar BM25 needs (one row per doc, two longs).
+    * Built once per corpus from the already-seeded postings, never
+    * from a text rescan.
+    */
+  private val docLenSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededDocLens(spark: SparkSession, dir: String): String =
+    docLenSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_doclen_seed").toString + "/doclens"
+      spark.read.parquet(seededPostings(spark, d))
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .write.parquet(p)
+      p
+    })
+
+  /** BM25 ranked retrieval over the SAME persisted inverted index
+    * ([[seededPostings]]) — the scoring companion to
+    * `d_posting_search`'s boolean conjunctions. Okapi BM25 (k1=1.2,
+    * b=0.75, Lucene's non-negative idf = ln(1 + (N−df+0.5)/(df+0.5))):
+    * tf per (doc, term) comes straight from the queried terms' bucket
+    * directories (partition pruning + pushed token filter — the corpus
+    * text is never rescanned), df per term falls out of the same
+    * fetched rows, and dl/avgdl/N come from the doc-length sidecar
+    * ([[seededDocLens]]). Top-10 by score lands as
+    * TakeOrderedAndProject — scoring work is candidate-docs-sized, the
+    * k-row result crosses one boundary. Exact oracle: DuckDB computes
+    * the same formula from the raw text; both sides floor-truncate the
+    * score at 1e-4 (summation-order ULP guard) and break ties on
+    * doc_id.
+    */
+  private[graft] val bm25Terms = Seq("join", "hash", "scan")
+
+  private def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val postings = seededPostings(spark, dir)
+    val dl = spark.read.parquet(seededDocLens(spark, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val buckets = bm25Terms.map(termBucket).distinct
+    val tf = spark.read.parquet(postings)
+      .filter(col("bucket").isin(buckets: _*)
+        && col("token").isin(bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // operand order AND literal values mirror the oracle SQL exactly:
+      // double + and × are not associative, the hash gate compares
+      // truncated doubles, and every constant is written as the same
+      // parse-time literal on both sides (k1+1 computed at runtime
+      // need not equal the parsed literal 2.2 to the last ULP)
+      .withColumn("contrib",
+        log(lit(1d) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg((floor(sum("contrib") * 1e4) / 1e4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val bm25TopKSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok AS token
+      |  FROM documents, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> x <> '')) AS t(tok)),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      |    * tf * 2.2::DOUBLE
+      |    / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+      |      + 0.75::DOUBLE * dl / avgdl))) * 1e4) / 1e4 AS bm25
+      |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   /** Positional phrase search against the SAME persisted posting index
     * ([[seededPostings]] — positions ride in the posting rows): the
     * phrase "hash join" is the two terms' postings self-joined on
@@ -1119,6 +1241,7 @@ object TrainingData {
     NamedQuery("d_incr_dedup", incrDedup, Some(incrDedupSql)),
     NamedQuery("d_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     NamedQuery("d_jaccard_capped", jaccardCapped, Some(jaccardCappedSql)),
+    NamedQuery("d_ppjoin_pairs", ppjoinPairs, Some(ppjoinPairsSql)),
     NamedQuery("d_minhash_pairs", minhashPairs, None),
     NamedQuery("d_minhash_capped", minhashCapped, None),
     NamedQuery("d_simhash_pairs", simhashPairs, None),
@@ -1148,6 +1271,7 @@ object TrainingData {
     NamedQuery("g_clustering", dupClustering, Some(dupClusteringSql)),
     NamedQuery("d_posting_search", postingSearch, Some(postingSearchSql)),
     NamedQuery("d_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    NamedQuery("d_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

@@ -22,12 +22,12 @@ import graft.queries.Tables
   */
 object Streams {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) read as nanos LongType
-    * (see [[Tables.configure]]); every streaming consumer first converts
+  /** `events.ts` arrives as whatever physical type the generator wrote
+    * (nanos LongType or TIMESTAMP_NTZ micros — see
+    * [[Tables.eventTime]]); every streaming consumer first normalizes
     * to a µs TimestampType so watermarks/windows get real event time.
     */
-  def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def withEventTime(df: DataFrame): DataFrame = Tables.eventTime(df)
 
   /** File-source stream over a testdata dir. Schema comes from a batch
     * probe of the same file (file streams require a declared schema —

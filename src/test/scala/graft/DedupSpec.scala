@@ -233,6 +233,44 @@ class DedupSpec extends SparkSpec {
       15L -> "new"))
   }
 
+  // ---- PPJoin prefix filtering: exactness law ----
+
+  test("ppjoinPairs ≡ jaccardPairs — the prefix filter loses no pair " +
+      "and invents none") {
+    // generated corpus with heavy vocabulary overlap (the adversarial
+    // regime for candidate generation) and varied sizes, incl. lengths
+    // where t·|s| lands a few ULPs above an integer (|s|=15, t=0.6 —
+    // the ceil-overshoot trap the α nudge guards)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val gen = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(18) // sizes 3..20, hits 15 often
+      (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.75); n <- Seq(1, 2)) {
+      val naive = Dedup.jaccardPairs(gen, "doc_id", "text",
+        n = n, threshold = t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val pp = Dedup.ppjoinPairs(gen, "doc_id", "text",
+        n = n, threshold = t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(pp == naive,
+        s"ppjoin(t=$t, n=$n) diverged: ${pp.size} vs ${naive.size} pairs")
+    }
+  }
+
+  test("ppjoinPairs prefix excludes the hottest shingles from the " +
+      "candidate join") {
+    // every doc shares the boilerplate phrase; with rare-first ranking
+    // the boiler shingles sort LAST, so the pair relation must still be
+    // exactly the uncapped jaccard relation while candidates stay small
+    val naive = Dedup.jaccardPairs(boilerDocs, "doc_id", "text",
+      n = 3, threshold = 0.6).orderBy("id_a", "id_b").collect().toSeq
+    val pp = Dedup.ppjoinPairs(boilerDocs, "doc_id", "text",
+      n = 3, threshold = 0.6).orderBy("id_a", "id_b").collect().toSeq
+    assert(pp == naive)
+  }
+
   test("winnowPairs maxDf cap drops boilerplate fingerprints") {
     val out = Dedup.winnowPairs(boilerDocs, "doc_id", "text",
       k = 16, w = 4, threshold = 0.5, maxDf = 0.9)

@@ -247,6 +247,19 @@ class PlanSpec extends SparkSpec {
       prev.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q_bloom_join: the explicit bloom probe guards the fact scan " +
+      "below the join") {
+    val p = plan(q("q_bloom_join"))
+    // the sketch probe (the facade lowers to the native might_contain
+    // expression) must sit on the orders (fact) side as a plain filter
+    // — pre-join row pruning — and the join stays semi, no cartesian
+    // fallback
+    assert(p.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("xxhash64(o_custkey")),
+      s"bloom probe must test the fact join key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_dune_watermark: the MAX/COUNT probe is pushed INTO the scan") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
