@@ -52,7 +52,13 @@ object Bench {
     // A failed query must be visible as a failure, not a fast timing:
     // record -1 for it and list it under "failed".
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.benchQueries.map { case (name, fn) =>
+    // optional comma-separated name filter for focused local timing
+    // (the round bench never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.benchQueries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -69,6 +75,7 @@ object Bench {
     // SparkEntry.benchQueries). Recorded so the fixed cost is visible,
     // not mixed into the throughput metric.
     val streaming = SparkEntry.queries.keys.filter(_.startsWith("st_"))
+      .filter(n => only.forall(_.contains(n)))
       .toSeq.sorted.map { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -417,8 +417,14 @@ object Dedup {
       n: Int = 1, threshold: Double = 0.6): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"))
+    // explicit null guards BEFORE the repartition: the explode branch,
+    // the df-count branch, and both verify-join branches each push
+    // their own implicit IsNotNull constraints — without these guards
+    // the subtrees differ per branch, ReuseExchange sees four distinct
+    // plans, and tokenization runs four times instead of once
     val grams = distinctGrams(df, idCol, textCol, n)
-      .filter(size(col("grams")) > 0)
+      .filter(size(col("grams")) > 0
+        && col("id").isNotNull && col("grams").isNotNull)
     // one explicit id-partitioning so the prefix window and both
     // verify-join branches reuse a single tokenization exchange
     val keyed = grams.repartition(col("id"))

@@ -20,6 +20,12 @@ object Profile {
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // the plan AQE actually executed, after the warm runs
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_PLAN")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString())
+    }
     spark.stop()
   }
 }
