@@ -29,9 +29,11 @@ object Bench {
     // point of a persisted index (compare against e_ivf_topk's timed
     // probe of the in-memory assignment)
     // e_semdedup_pairs / d_incr_dedup / e_pq_topk / e_ivfpq_topk /
-    // q_moments_merge warm runs build their once-per-corpus structures
-    // (quantizer centroids / key index / PQ codebooks / composed
-    // cell+code index / the persisted moment-partial table)
+    // q_moments_merge / d_bm25_topk warm runs build their
+    // once-per-corpus structures (quantizer centroids / key index /
+    // PQ codebooks / composed cell+code index / the persisted
+    // moment-partial table / the doc-length sidecar beside the
+    // posting index)
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
@@ -40,7 +42,7 @@ object Bench {
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
-        "q_moments_merge", "d_posting_search",
+        "q_moments_merge", "d_posting_search", "d_bm25_topk",
         "q_dpp", "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its

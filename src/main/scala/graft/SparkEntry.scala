@@ -32,14 +32,15 @@ object SparkEntry {
 
   /** Headline bench set: everything except
     *
-    *  - the two exact-similarity queries that are quadratic *by
-    *    definition* on this corpus (`documents` shares a ~30-word
-    *    vocabulary, so exact word-set Jaccard / MinHash-at-0.5 emit
-    *    most of the n² pairs — at sf0.1 that is the answer, not an
-    *    inefficiency). They stay in the correctness gate at sf0.01;
-    *    their frequency-capped twins `d_jaccard_capped` /
-    *    `d_minhash_capped` (trigram shingles, maxDf = 0.004 — the
-    *    scale path) ARE in the bench set.
+    *  - the exact-similarity queries that are quadratic *by
+    *    definition*: word-set Jaccard / MinHash-at-0.5 on this corpus
+    *    (`documents` shares a ~30-word vocabulary, so they emit most
+    *    of the n² pairs — at sf0.1 that is the answer, not an
+    *    inefficiency) and the brute-force k-NN self-join
+    *    `e_knn_exact` (all n top-k lists ARE the output). They stay
+    *    in the correctness gate at sf0.01; their scale twins
+    *    (`d_jaccard_capped` / `d_minhash_capped` / `d_ppjoin_pairs` /
+    *    `e_knn_graph`) ARE in the bench set.
     *  - the streaming-engine queries, whose data computation is
     *    already benched by their batch twins (`ev_tumbling_hourly`,
     *    `ev_asof_click`, `d_clean_pipeline`/`d_split_assign`, the
@@ -49,7 +50,7 @@ object SparkEntry {
     *    stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs",
+    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact",
       "st_tumbling_hourly", "st_dedup_events", "st_click_attribution",
       "st_scd2_merge", "st_curation", "st_enrich", "st_anomaly",
       "st_rate_limit", "st_sliding_distinct", "st_moments") ++

@@ -147,6 +147,22 @@ object ToleranceCheck {
           "jaccard, threshold 0.6")
     }
 
+    // Incremental probe of the persisted MinHash index: must recall the
+    // capped-jaccard pairs that CROSS the batch/corpus split (batch =
+    // doc_id % 5 == 0; within-batch and within-corpus pairs are the
+    // batch/full runs' job). Same parameters as d_minhash_capped, so
+    // the same ≥0.95 band-collision law applies; precision is exact by
+    // construction (candidates rescore on true shingle sets).
+    check("d_incr_minhash") {
+      val want = pairSet(res("d_jaccard_capped"))
+        .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      val got = pairSet(res("d_incr_minhash"))
+      val r = recall(got, want)
+      Check("recall_vs_exact_jaccard_cross", r, 0.95, r >= 0.95,
+        "persisted-index probe (frozen stop list, 8 band tables) vs " +
+          "capped exact jaccard restricted to batch x corpus pairs")
+    }
+
     // Winnowing fingerprints: a pair with capped trigram-jaccard >= 0.6
     // shares most 3-word sequences, hence long normalized substrings,
     // hence (by the w+k-1 guarantee) winnow fingerprints — so the
@@ -245,6 +261,17 @@ object ToleranceCheck {
       Check("recall_vs_brute_force", pRecall, 0.45, pRecall >= 0.45,
         "probe of the PERSISTED cell-partitioned IVF index, top-5 " +
           "overlap with exact cosine top-5 (same contract as e_ivf_topk)")
+    }
+    // k-NN graph over the whole corpus: recall vs the exact
+    // brute-force graph (oracle-checked e_knn_exact). Same cell-probe
+    // contract as e_ivf_topk, measured across ALL nodes instead of the
+    // 5-query sample — the corpus-wide law the sampled probes imply.
+    check("e_knn_graph") {
+      val r = recall(topkSet(res("e_knn_graph")),
+        topkSet(res("e_knn_exact")))
+      Check("recall_vs_exact_graph", r, 0.45, r >= 0.45,
+        "IVF-probed top-5 neighbour graph (6-of-16 cells, persisted " +
+          "index) vs the exact brute-force k-NN graph, all nodes")
     }
     check("e_ivfpq_topk") {
       val r = recall(topkSet(res("e_ivfpq_topk")),

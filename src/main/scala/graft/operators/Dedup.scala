@@ -174,6 +174,45 @@ object Dedup {
       .filter(col("df") > maxDf * nDocs)
       .agg(collect_list(col(termCol)).as("__hot"))
 
+  /** The hot stop-shingle relation for an EXPLICIT document universe
+    * and denominator — the persistable form of the cap
+    * [[hotTermArray]] applies inline: an incremental near-dup index
+    * must freeze its stop list at build time so a later batch shingles
+    * under the SAME cap (recomputing df over corpus+batch would
+    * silently shift which shingles score). One row, `__hot`
+    * array<string>.
+    */
+  def hotShingleArray(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Double, nDocsDenominator: Long): DataFrame =
+    hotTermArray(
+      distinctGrams(df, idCol, textCol, n)
+        .select(col("id"), explode(col("grams")).as("t")),
+      "t", maxDf, nDocsDenominator)
+
+  /** `(id, toks)` capped shingle sets under a PRE-BUILT stop list
+    * (map-side `array_except` against the broadcast one-row hot
+    * array) — the probe-time twin of the cap inside
+    * [[minhashPairs]]/[[jaccardPairs]], taking the frozen list instead
+    * of recomputing it.
+    */
+  def cappedGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, hot: DataFrame): DataFrame =
+    distinctGrams(df, idCol, textCol, n)
+      .filter(size(col("grams")) > 0)
+      .crossJoin(broadcast(hot))
+      .select(col("id"), array_except(col("grams"), col("__hot")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Banded MinHash signature rows `(id, t, sig)` for a capped toks
+    * relation — the persistable index payload: 8-byte signature per
+    * (doc, table), the bucket join key incremental probes collide on.
+    */
+  def minhashBands(toks: DataFrame, numHashTables: Int,
+      seed: Long): DataFrame =
+    toks.select(col("id"), posexplode(
+      minhash_sigs(col("toks"), numHashTables, seed)))
+      .toDF("id", "t", "sig")
+
   /** SimHash near-dup pairs: 64-bit signature per doc, banded into
     * `bands` sub-keys; docs sharing any band become candidates
     * (bucket join, no n²), then exact Hamming distance filters.

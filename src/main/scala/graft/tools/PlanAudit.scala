@@ -44,7 +44,12 @@ object PlanAudit {
     "q15_top_supplier" -> "argmax without a global sort: the revenue view aggregates once, its max returns as a broadcast single row, equality selects the winner",
     "q21_waiting_supplier" -> "double-correlated EXISTS/NOT EXISTS decorrelated to ONE per-(order,supplier) aggregate + per-order windows over it: the fact is scanned once (join-back would scan twice — pushed-filter drift defeats exchange reuse)",
     "q22_idle_customers" -> "decorrelated NOT EXISTS: broadcast scalar threshold + hash LEFT ANTI against the date-filtered orders (predicate pushed into that scan)",
-    "q_hll_sliding" -> "sliding distinct from the sketch table: date-RANGE window unions <=7 tiny daily sketches per anchor — the approx branch reads only sketch rows (the events scan in this plan is the exact verification twin that rides along for ToleranceCheck)")
+    "q_hll_sliding" -> "sliding distinct from the sketch table: date-RANGE window unions <=7 tiny daily sketches per anchor — the approx branch reads only sketch rows (the events scan in this plan is the exact verification twin that rides along for ToleranceCheck)",
+    "d_ppjoin_pairs" -> "PPJoin prefix filtering: ONE tokenization exchange reused by the df-count, prefix-window, and both verify branches; only prefix (rare) shingles enter the candidate join, survivors verify on full sets",
+    "d_bm25_topk" -> "BM25 over the persisted posting index: queried terms' bucket dirs prune the scan, df falls out of the fetched rows, dl/avgdl come from the tiny sidecar, top-10 is TakeOrderedAndProject",
+    "q_bloom_join" -> "bloom semi-join reduction: the dim keys' sketch probes as a might_contain filter on the fact scan BEFORE the join — shuffle carries probable matches, the semi join removes false positives",
+    "d_passage_dedup" -> "passage-grain dedup: chunk explode into one passage-keyed first-occurrence window, per-doc retention folds back on doc_id — one shuffle, no self-join",
+    "d_incr_minhash" -> "incremental near-dup probe: batch bands join the PERSISTED band index on (t, sig), rescore joins the persisted shingle sets — corpus text never rescanned")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()

@@ -271,6 +271,39 @@ class DedupSpec extends SparkSpec {
     assert(pp == naive)
   }
 
+  test("incremental minhash index: frozen stop list governs the batch, " +
+      "planted near-dup found, boilerplate collision suppressed") {
+    // corpus: 20 docs sharing a boilerplate trigram run; batch: one
+    // true near-dup of corpus doc 3 and one doc made ONLY of
+    // boilerplate. With the stop list frozen from the full universe,
+    // the boiler-only batch doc caps to an empty shingle set (no
+    // candidates at all) instead of colliding with every corpus doc.
+    val boiler = "terms of service apply to all pages here"
+    val corpus = (0L until 20L).map(i =>
+      (i, s"$boiler unique$i alpha$i beta$i gamma$i delta$i"))
+    val uni = corpus ++ Seq(
+      (100L, corpus(3)._2 + " tail"), // near-dup of doc 3
+      (101L, boiler))                 // boilerplate-only
+    val all = uni.toDF("doc_id", "text")
+    val hot = Dedup.hotShingleArray(all, "doc_id", "text",
+      n = 3, maxDf = 0.5, nDocsDenominator = uni.size.toLong)
+    val corpusToks = Dedup.cappedGrams(
+      all.filter(col("doc_id") < 100), "doc_id", "text", n = 3, hot = hot)
+    val batchToks = Dedup.cappedGrams(
+      all.filter(col("doc_id") >= 100), "doc_id", "text", n = 3, hot = hot)
+    // the boiler-only doc has nothing left after the frozen cap
+    assert(batchToks.filter(col("id") === 101L).count() == 0)
+    val bands = Dedup.minhashBands(corpusToks, 8, 42L)
+    val batchBands = Dedup.minhashBands(batchToks, 8, 42L)
+    val cand = batchBands.select(col("id").as("b"), col("t"), col("sig"))
+      .join(bands.select(col("id").as("c"), col("t"), col("sig")),
+        Seq("t", "sig"))
+      .select("b", "c").distinct()
+      .as[(Long, Long)].collect().toSet
+    // the planted near-dup collides with its source
+    assert(cand.contains((100L, 3L)), s"missing planted pair in $cand")
+  }
+
   test("winnowPairs maxDf cap drops boilerplate fingerprints") {
     val out = Dedup.winnowPairs(boilerDocs, "doc_id", "text",
       k = 16, w = 4, threshold = 0.5, maxDf = 0.9)
