@@ -38,7 +38,7 @@ object Bench {
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
         "e_ivfpq_topk",
-        "d_incr_dedup", "q_incr_agg",
+        "d_incr_dedup", "d_incr_minhash", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
@@ -58,7 +58,11 @@ object Bench {
     // (the round bench never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val results = SparkEntry.benchQueries
+    // name-sorted execution: Map iteration order shifts whenever the
+    // query set changes, which silently reshuffles which queries absorb
+    // GC/codegen-cache pressure — sorted order keeps per-query numbers
+    // comparable across rounds
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -69,7 +73,8 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val total = results.values.filter(_ >= 0).sum
+    val resultsMap = results.toMap
+    val total = results.map(_._2).filter(_ >= 0).sum
     // The streaming family is timed once in its own section, excluded
     // from the scale total: each number is dominated by fixed per-query
     // engine startup + checkpoint I/O (~4-8 s regardless of sf — the
@@ -105,7 +110,7 @@ object Bench {
     // budget so line + epilogue always fit the capture window.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
-    val sortedBatch = results.toSeq.sortBy(_._1)
+    val sortedBatch = results
     val streamTotal = streaming.map(_._2).filter(_ >= 0).sum
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
@@ -151,9 +156,9 @@ object Bench {
       // events + graph + multimodal
       "ev_sessionize", "ev_funnel", "ev_interpolate", "g_pagerank",
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
-      .filter(results.contains)
+      .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"queries":${obj(kept.map(k => k -> results(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -487,6 +487,30 @@ object Ops {
     }
   }
 
+  /** Keyed DELETE — S8's right-to-be-forgotten form: remove every row
+    * whose `keyCol` appears in the `keys` relation (which must carry
+    * exactly that column). The complement is computed with a LEFT ANTI
+    * join, not an `isin` literal: the forget set of a 100 TB warehouse
+    * is itself a table (millions of subjects), and an anti join
+    * broadcasts or shuffles it like any other relation instead of
+    * inlining it through the driver. Same staged-overwrite safety as
+    * [[deleteWhere]]; null keys on the target side survive (anti join
+    * null semantics — a NULL key matches nothing, and SQL DELETE only
+    * removes rows the predicate proves).
+    */
+  def deleteMatching(spark: SparkSession, targetPath: String,
+      keys: DataFrame, keyCol: String): Unit = {
+    require(keys.columns.toSeq == Seq(keyCol),
+      s"deleteMatching: keys must carry exactly [$keyCol], " +
+        s"got [${keys.columns.mkString(",")}]")
+    if (ParquetIO.exists(spark, targetPath)) {
+      requireFlatLayout(spark, targetPath, "deleteMatching")
+      val kept = spark.read.parquet(targetPath)
+        .join(keys, Seq(keyCol), "left_anti")
+      ParquetIO.overwriteSafe(kept, targetPath)
+    }
+  }
+
   /** Spread a narrow input across the session's shuffle width before
     * CPU-heavy per-row work. A single unsplittable file (one parquet
     * row group — exactly what a small dimension/corpus file looks like)

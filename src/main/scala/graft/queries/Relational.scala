@@ -744,6 +744,85 @@ object Relational {
       |    AND o_totalprice > 150000, false)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Right-to-be-forgotten cascade ([[graft.operators.Ops.deleteMatching]]):
+    * given a forget set of customers, delete their rows from the whole
+    * star — child tables FIRST (lineitems of their orders, then the
+    * orders, then the customers), each via the keyed anti-join delete,
+    * so no intermediate state ever has a fact row pointing at a
+    * deleted parent. The doomed order-key relation is computed BEFORE
+    * any delete runs. Result: per-table kept counts plus residual
+    * orphan counts (provably zero after a correct cascade — the
+    * referential contract sits inside the gated result, not just in a
+    * spec). Cost at 100 TB: one anti join per table, keyed on the
+    * forget relation — never a table rewrite proportional to anything
+    * but the table itself, and `deleteMatching` stages the overwrite
+    * so a crash mid-cascade leaves every table readable. Re-seeded
+    * from the source tables every run, so the query is idempotent.
+    */
+  private def cascadeDeleteQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cascade_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val (cPath, oPath, lPath) =
+      (s"$base/customer", s"$base/orders", s"$base/lineitem")
+    graft.operators.Ops.fullRefresh(Tables(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
+    graft.operators.Ops.fullRefresh(Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey"), oPath)
+    graft.operators.Ops.fullRefresh(Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber"), lPath)
+    val forget = spark.read.parquet(cPath)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 500)
+      .select("c_custkey")
+    val doomedOrders = spark.read.parquet(oPath)
+      .join(forget.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.operators.Ops.deleteMatching(spark, lPath, doomedOrders,
+      "l_orderkey")
+    graft.operators.Ops.deleteMatching(spark, oPath,
+      forget.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    graft.operators.Ops.deleteMatching(spark, cPath, forget, "c_custkey")
+    val (c, o, l) = (spark.read.parquet(cPath), spark.read.parquet(oPath),
+      spark.read.parquet(lPath))
+    def row(tbl: String, kept: DataFrame, orphans: DataFrame): DataFrame =
+      kept.agg(count(lit(1)).as("n_kept"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(tbl).as("tbl"), col("n_kept"), col("n_orphans"))
+    row("customer", c, c.limit(0))
+      .unionByName(row("lineitem", l,
+        l.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")))
+      .unionByName(row("orders", o,
+        o.join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")))
+      .orderBy("tbl")
+  }
+
+  private val cascadeDeleteSql =
+    """WITH forget AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 500),
+      |keptc AS (SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)),
+      |kepto AS (SELECT * FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)),
+      |keptl AS (SELECT * FROM lineitem
+      |  WHERE l_orderkey NOT IN (
+      |    SELECT o_orderkey FROM orders
+      |    WHERE o_custkey IN (SELECT c_custkey FROM forget)))
+      |SELECT 'customer' AS tbl, count(*) AS n_kept,
+      |  CAST(0 AS BIGINT) AS n_orphans FROM keptc
+      |UNION ALL
+      |SELECT 'lineitem', count(*),
+      |  (SELECT count(*) FROM keptl WHERE l_orderkey NOT IN (
+      |    SELECT o_orderkey FROM kepto)) FROM keptl
+      |UNION ALL
+      |SELECT 'orders', count(*),
+      |  (SELECT count(*) FROM kepto WHERE o_custkey NOT IN (
+      |    SELECT c_custkey FROM keptc)) FROM kepto
+      |ORDER BY tbl""".stripMargin
+
   /** Z-order clustering under the oracle gate ([[graft.operators.ZOrder]]):
     * rewrite lineitem clustered on (ship day, quantity) — quantile
     * rank-buckets bit-interleaved into a Morton key, one range shuffle —
@@ -1464,5 +1543,6 @@ object Relational {
     NamedQuery("q8_market_share", marketShare, Some(marketShareSql)),
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
+    NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }

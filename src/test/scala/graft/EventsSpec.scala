@@ -15,6 +15,31 @@ class EventsSpec extends SparkSpec {
     assert(ev.count() > 0)
   }
 
+  test("eventTime normalizes every physical ts type to the same instant") {
+    import spark.implicits._
+    import graft.queries.Tables
+    // one instant, three generator encodings: nanos-as-long,
+    // TIMESTAMP_NTZ micros, and already-LTZ timestamp — all must land
+    // on the identical UTC TimestampType value
+    val micros = 1500000123456789L
+    val asLong = Seq(micros * 1000L).toDF("ts")
+    // LTZ→NTZ cast keeps the session-local (UTC) wall clock — the
+    // same reading the generator's naive micros column carries
+    val asNtz = Seq(micros).toDF("us")
+      .select(expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+    val asLtz = Seq(micros).toDF("us")
+      .select(expr("timestamp_micros(us)").as("ts"))
+    assert(asNtz.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = Seq(asLong, asNtz, asLtz).map { df =>
+      val out = Tables.eventTime(df)
+      assert(out.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      out.select(expr("unix_micros(ts)")).as[Long].head()
+    }
+    assert(got.forall(_ == micros), s"instants diverged: $got")
+  }
+
   test("lag-based sessionize and native session_window agree") {
     val byLag = SparkEntry.queries("ev_sessionize")(spark, sf)
       .select(col("user_id"), col("session_start"), col("n_events"),
