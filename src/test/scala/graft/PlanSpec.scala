@@ -432,6 +432,35 @@ class PlanSpec extends SparkSpec {
       .isDefined, s"token IN must push into the posting scan:\n$p")
   }
 
+  test("d_bm25_topk: index-only scoring — bucket-pruned posting scan, " +
+      "broadcast df, top-k without a global sort") {
+    val p = formatted(q("d_bm25_topk"))
+    // same index discipline as the boolean search: only the queried
+    // terms' bucket dirs open, token IN pushes into them
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"bucket pruning must reach the posting scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(token".r.findFirstIn(p)
+      .isDefined, s"token IN must push into the posting scan:\n$p")
+    // k rows cross the final boundary; the documents table is nowhere
+    // in the plan (tf/df/dl all come from the index + sidecar)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"BM25 must never rescan the corpus text:\n$p")
+  }
+
+  test("d_passage_dedup: one passage-keyed shuffle, no self-join") {
+    val p = plan(q("d_passage_dedup"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"passage dedup is a window + fold-back, never a join:\n$p")
+    // exactly one hash exchange on the passage key feeds the
+    // first-occurrence window; the doc_id agg rides partial+final
+    val passageExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(passage"))
+    assert(passageExchanges == 1,
+      s"expected exactly one passage-keyed exchange, got $passageExchanges:\n$p")
+  }
+
   test("q_table_patch: one full-outer hash join computes the patch; " +
       "apply is anti-join + union, nothing nested-loop") {
     val p = plan(q("q_table_patch"))
