@@ -50,10 +50,8 @@ object SparkEntry {
     *    stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact",
-      "st_tumbling_hourly", "st_dedup_events", "st_click_attribution",
-      "st_scd2_merge", "st_curation", "st_enrich", "st_anomaly",
-      "st_rate_limit", "st_sliding_distinct", "st_moments") ++
+    (queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact"))
+      .filter { case (name, _) => !name.startsWith("st_") } ++
       benchVariants
 
   /** Bench-only bodies substituted under the declared names: the HLL
