@@ -511,6 +511,77 @@ object Ops {
     }
   }
 
+  /** Snapshot versioning — time travel over immutable version
+    * directories, the missing half of the staged-overwrite story:
+    * `overwriteSafe` makes a single rewrite atomic, but the superseded
+    * state is gone the moment the swap lands. A snapshot table is a
+    * root holding `v0, v1, …`; writers only ADD a new version (staged
+    * write + one rename, so a version is either absent or complete —
+    * a reader can never observe partial data), readers resolve
+    * "latest" by listing — so a long-running job that opened v3 keeps
+    * reading v3 bit-for-bit while v4 lands (snapshot isolation without
+    * a transaction log), and yesterday's state stays queryable for
+    * audits/diffs until [[snapshotPrune]] drops it. Single-writer per
+    * root (the reference's job model); retention is an explicit prune,
+    * not a side effect of writing.
+    */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+")
+        && fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toInt).sorted
+  }
+
+  /** Write `df` as the next version under `root`; returns the version
+    * number. Staged: a crash before the final rename leaves only a
+    * `__staging_*` orphan, never a half-written `v{k}`.
+    */
+  def snapshotWrite(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val next = snapshotVersions(spark, root).lastOption.fold(0)(_ + 1)
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root,
+      "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    try df.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    val dest = new Path(rootP, s"v$next")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"snapshotWrite: rename $tmp -> $dest failed (concurrent writer?)")
+    }
+    next
+  }
+
+  /** Read a specific version, or latest when `version` is None. */
+  def snapshotRead(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"snapshotRead: no versions under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"snapshotRead: version $v not in ${vs.mkString(",")}")
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  /** Drop all but the newest `keep` versions; returns the dropped
+    * version numbers. Never drops the latest.
+    */
+  def snapshotPrune(spark: SparkSession, root: String,
+      keep: Int): Seq[Int] = {
+    require(keep >= 1, "snapshotPrune: keep must be >= 1")
+    val vs = snapshotVersions(spark, root)
+    val drop = vs.dropRight(keep)
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => fs.delete(new Path(rootP, s"v$v"), true))
+    drop
+  }
+
   /** Spread a narrow input across the session's shuffle width before
     * CPU-heavy per-row work. A single unsplittable file (one parquet
     * row group — exactly what a small dimension/corpus file looks like)

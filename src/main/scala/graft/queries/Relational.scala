@@ -823,6 +823,60 @@ object Relational {
       |    SELECT c_custkey FROM keptc)) FROM kepto
       |ORDER BY tbl""".stripMargin
 
+  /** Time travel over snapshot versions
+    * ([[graft.operators.Ops.snapshotWrite]]/`snapshotRead`): seed the
+    * merge target as snapshot v0, land the merge batch as v1 (same
+    * update set as `q_merge_upsert`), then read BOTH versions — the
+    * superseded pre-merge state stays byte-for-byte queryable after
+    * the merge, which a plain overwrite destroys. The gated result is
+    * the per-version audit (rows + total), i.e. the before/after the
+    * warehouse's reconciliation jobs diff; the oracle recomputes both
+    * states from the raw table. Root is wiped and re-seeded per run so
+    * the query is idempotent.
+    */
+  private def timeTravelQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val v0 = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_totalprice")
+    graft.operators.Ops.snapshotWrite(v0, root)
+    val batch = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val merged = graft.operators.Ops.snapshotRead(spark, root)
+      .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch)
+    graft.operators.Ops.snapshotWrite(merged, root)
+    def audit(v: Int): DataFrame =
+      graft.operators.Ops.snapshotRead(spark, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("total"))
+    audit(0).unionByName(audit(1)).orderBy("version")
+  }
+
+  private val timeTravelSql =
+    """WITH v0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0),
+      |v1 AS (
+      |  SELECT * FROM v0
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total FROM v0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+      |FROM v1
+      |ORDER BY version""".stripMargin
+
   /** Z-order clustering under the oracle gate ([[graft.operators.ZOrder]]):
     * rewrite lineitem clustered on (ship day, quantity) — quantile
     * rank-buckets bit-interleaved into a Morton key, one range shuffle —
@@ -1544,5 +1598,6 @@ object Relational {
     NamedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
     NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
+    NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }

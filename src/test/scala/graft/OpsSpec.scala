@@ -230,4 +230,30 @@ class OpsSpec extends SparkSpec {
     assert(above == 2, s"barrier folded away (filters=$above):\n$plan")
     assert(gated.count() == 100)
   }
+
+  test("snapshots: versions are immutable, latest resolves, prune " +
+      "keeps the newest") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_spec").toString + "/t"
+    assert(Ops.snapshotVersions(spark, root).isEmpty)
+    val v0 = Ops.snapshotWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val v1 = Ops.snapshotWrite(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root)
+    assert((v0, v1) == (0, 1))
+    assert(Ops.snapshotVersions(spark, root) == Seq(0, 1))
+    // time travel: the superseded version reads back unchanged
+    assert(Ops.snapshotRead(spark, root, Some(0))
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // latest resolves to the newest version
+    assert(Ops.snapshotRead(spark, root)
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a2"), (3L, "c")))
+    // prune drops only the oldest, never the latest
+    assert(Ops.snapshotPrune(spark, root, keep = 1) == Seq(0))
+    assert(Ops.snapshotVersions(spark, root) == Seq(1))
+    assert(Ops.snapshotPrune(spark, root, keep = 1).isEmpty)
+    // version numbers keep ascending after a prune (no reuse)
+    assert(Ops.snapshotWrite(Seq((9L, "z")).toDF("k", "v"), root) == 2)
+  }
 }
