@@ -62,5 +62,6 @@ object SparkEntry {
     */
   def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_merge" -> (Scale.hllMergeSketchOnly(_, _)),
-    "q_hll_sliding" -> (Scale.hllSlidingSketchOnly(_, _)))
+    "q_hll_sliding" -> (Scale.hllSlidingSketchOnly(_, _)),
+    "q_hll_intersect" -> (Scale.hllIntersectSketchOnly(_, _)))
 }

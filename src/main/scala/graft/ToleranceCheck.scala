@@ -147,6 +147,20 @@ object ToleranceCheck {
           "jaccard, threshold 0.6")
     }
 
+    // HLL inclusion-exclusion overlap: the subtraction concentrates the
+    // union's absolute error onto the (smaller) intersection, so the
+    // bound is looser than the plain-union checks — 3 sketches at lgK=12
+    // RSE ~1.6% each, overlap here is a large fraction of the union.
+    check("q_hll_intersect") {
+      val r = res("q_hll_intersect")
+        .select((abs(col("approx_both") - col("exact_both")) /
+          col("exact_both")).as("rel_err"))
+      val e = maxOrFail(r, "rel_err")
+      Check("rel_err_vs_exact", e, 0.1, e <= 0.1,
+        "inclusion-exclusion |view ∩ purchase| from merged daily HLL " +
+          "sketches vs exact both-types distinct count")
+    }
+
     // Incremental probe of the persisted MinHash index: must recall the
     // capped-jaccard pairs that CROSS the batch/corpus split (batch =
     // doc_id % 5 == 0; within-batch and within-corpus pairs are the

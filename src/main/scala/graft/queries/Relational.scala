@@ -859,6 +859,65 @@ object Relational {
     audit(0).unionByName(audit(1)).orderBy("version")
   }
 
+  /** Row-level CDC feed — the change stream a downstream consumer
+    * (cache, search index, replica) applies to follow this warehouse:
+    * classify every key across two table states as I/U/D with before
+    * and after values, from ONE full-outer key join (the same
+    * single-join discipline as `q_table_patch`; `q_table_diff` reports
+    * the counts, this emits the rows). The states are the time-travel
+    * pair (v0 = pre-merge slice, v1 = after deletes of key%7=0 and
+    * upserts of doubled evens), so the feed exercises all three ops;
+    * unchanged keys never leave the join. At 100 TB the feed volume
+    * tracks the CHANGE set, not the table.
+    */
+  private def cdcFeedQ(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_totalprice")
+    val upd = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val v1 = v0.filter(col("o_orderkey") % 7 =!= 0)
+      .join(upd.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(upd.filter(col("o_orderkey") % 7 =!= 0))
+    val a = v0.select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+    val b = v1.select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_price").isNull, "I")
+          .when(col("new_price").isNull, "D")
+          .when(col("old_price") =!= col("new_price"), "U"))
+      .filter(col("op").isNotNull)
+      .select("o_orderkey", "op", "old_price", "new_price")
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcFeedSql =
+    """WITH v0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0),
+      |v1 AS (
+      |  SELECT * FROM v0 WHERE o_orderkey % 7 <> 0
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+      |j AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |  FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey)
+      |SELECT o_orderkey,
+      |  CASE WHEN old_price IS NULL THEN 'I'
+      |       WHEN new_price IS NULL THEN 'D'
+      |       WHEN old_price <> new_price THEN 'U' END AS op,
+      |  old_price, new_price
+      |FROM j
+      |WHERE CASE WHEN old_price IS NULL THEN 'I'
+      |       WHEN new_price IS NULL THEN 'D'
+      |       WHEN old_price <> new_price THEN 'U' END IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   private val timeTravelSql =
     """WITH v0 AS (
       |  SELECT o_orderkey, o_totalprice FROM orders
@@ -1599,5 +1658,6 @@ object Relational {
     NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
     NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
+    NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }

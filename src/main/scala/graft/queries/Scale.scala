@@ -644,6 +644,61 @@ object Scale {
       .orderBy("event_type", "day")
   }
 
+  /** Sketch-algebra set OVERLAP from the SAME persisted daily sketch
+    * table: distinct users who did BOTH 'view' and 'purchase',
+    * estimated by inclusion–exclusion over merged HLL sketches —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) — so the audience-overlap
+    * question (the ad-tech/retention staple) reads three tiny sketch
+    * unions, never the events table. HLL unions are exact sketch
+    * algebra (per-register max); the subtraction is where the error
+    * concentrates — absolute error scales with est(A∪B)'s, so the
+    * RELATIVE error grows as the true overlap shrinks. Both the
+    * estimate and that caveat are pinned: the exact twin rides along
+    * (verification column, rescans events — stripped from the bench
+    * variant like the other HLL queries) and ToleranceCheck bounds
+    * the relative error.
+    */
+  private def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val path = seededSketches(spark, dir)
+    def merged(t: String) =
+      spark.read.parquet(path).filter(col("event_type") === t)
+        .agg(hll_union_agg(col("sk")).as("sk"))
+    val a = merged("view").select(col("sk").as("sk_a"))
+    val b = merged("purchase").select(col("sk").as("sk_b"))
+    val approx = a.crossJoin(b).select(
+      hll_sketch_estimate(col("sk_a")).as("approx_a"),
+      hll_sketch_estimate(col("sk_b")).as("approx_b"),
+      hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+        .as("approx_union"))
+      .withColumn("approx_both",
+        col("approx_a") + col("approx_b") - col("approx_union"))
+    val exact = Events.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("exact_both"))
+    approx.crossJoin(exact)
+      .select(lit("view").as("type_a"), lit("purchase").as("type_b"),
+        col("approx_a"), col("approx_b"), col("approx_union"),
+        col("approx_both"), col("exact_both"))
+  }
+
+  private[graft] def hllIntersectSketchOnly(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = seededSketches(spark, dir)
+    def merged(t: String) =
+      spark.read.parquet(path).filter(col("event_type") === t)
+        .agg(hll_union_agg(col("sk")).as("sk"))
+    merged("view").select(col("sk").as("sk_a"))
+      .crossJoin(merged("purchase").select(col("sk").as("sk_b")))
+      .select(
+        (hll_sketch_estimate(col("sk_a"))
+          + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("approx_both"))
+  }
+
   /** Sliding-window distinct users from the SAME persisted daily
     * sketch table [[hllMerge]] seeds — the range-query payoff of
     * mergeable sketches: "distinct users over ANY trailing 7-day
@@ -772,6 +827,7 @@ object Scale {
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
+    NamedQuery("q_hll_intersect", hllIntersect, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),
     NamedQuery("q_hll_sliding", hllSliding, None),
