@@ -918,6 +918,68 @@ object Relational {
       |       WHEN old_price <> new_price THEN 'U' END IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Streaming CDC APPLY — the consumer side of [[cdcFeedQ]]: the
+    * I/U/D feed arrives as a stream (4 file micro-batches), and each
+    * batch applies to the replica inside `foreachBatch` with tombstone
+    * semantics — batch keys delete first ([[graft.operators
+    * .Ops.deleteMatching]] — the D rows' whole purpose), then the I/U
+    * rows append. Feed batches are key-disjoint (one op per key), so
+    * apply order across batches is free and checkpoint replay of a
+    * batch is idempotent (delete-then-append of the same keys). The
+    * gate is the strongest available: after the stream drains, the
+    * replica's ROWS must equal the post-change state recomputed by the
+    * oracle from the raw table — a replica following the feed
+    * converges to the source, byte-for-byte. At 100 TB each apply
+    * batch costs one anti join + one append, tracking feed volume.
+    */
+  private def cdcApplyQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcapply_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val (feedDir, tgt) = (s"$base/feed", s"$base/target")
+    graft.operators.Ops.fullRefresh(
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_totalprice"), tgt)
+    cdcFeedQ(spark, dir).repartition(4).write.parquet(feedDir)
+    val feed = spark.readStream
+      .schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.Ops.deleteMatching(spark, tgt,
+          b.select("o_orderkey"), "o_orderkey")
+        b.filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("new_price").as("o_totalprice"))
+          .write.mode("append").parquet(tgt)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tgt)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val cdcApplySql =
+    """WITH v0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0),
+      |v1 AS (
+      |  SELECT * FROM v0 WHERE o_orderkey % 7 <> 0
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd WHERE o_orderkey % 7 <> 0)
+      |SELECT o_orderkey, o_totalprice FROM v1
+      |ORDER BY o_orderkey""".stripMargin
+
   private val timeTravelSql =
     """WITH v0 AS (
       |  SELECT o_orderkey, o_totalprice FROM orders
@@ -1659,5 +1721,6 @@ object Relational {
     NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
+    NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }
