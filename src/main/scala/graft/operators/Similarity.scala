@@ -499,6 +499,13 @@ object Similarity {
       zip_with(col("v_normed"), col("centroid"),
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
+    // NOTE on the duplicated assignment subtree: both self-join
+    // branches recompute the (cheap) centroid distances + ranking
+    // window rather than sharing one exchange — measured, an explicit
+    // cell repartition to force ReuseExchange costs MORE here, because
+    // the cell join broadcasts its build side and the streamed side
+    // then flows with NO exchange at all; pinning a shared exchange
+    // would buy one window at the price of shuffling the corpus.
     val soft = Ops.spreadNarrow(embeddings)
       .select(col("id"), col("embedding"),
         l2normed(col("embedding")).as("v_normed"))

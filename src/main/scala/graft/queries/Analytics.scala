@@ -403,6 +403,59 @@ object Analytics {
     * each partial carries the co-moment sums), stack-unpivoted to pair
     * rows. Rounded to 4 on both engines.
     */
+  /** Grouped linear-trend fit + one-step forecast — the capacity-
+    * planning staple: per event type, ordinary least squares of the
+    * DAILY total against the day index via the SQL-standard `regr_*`
+    * aggregates (slope, intercept, R²), then next-day prediction from
+    * the fitted line. Two aggregations total: events fold to ~90 day
+    * rows per type map-side, the regression folds those — the fit
+    * never sees event grain, so a 100 TB stream costs one partial agg
+    * pass. The prediction is computed FROM the 4-digit-rounded
+    * coefficients (not the raw ones), so both engines derive it from
+    * identical inputs and the hash gate can't split on regression
+    * internals' ULP order.
+    */
+  private def trendRegression(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Events.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum("value").as("y"))
+      .withColumn("x",
+        datediff(to_date(col("day")), to_date(lit("1995-01-01")))
+          .cast("double"))
+    daily.groupBy("event_type")
+      .agg(round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 4).as("r2"),
+        max(col("x")).as("mx"))
+      .withColumn("next_day_pred",
+        round(col("intercept") + col("slope") * (col("mx") + 1), 2))
+      .select("event_type", "slope", "intercept", "r2", "next_day_pred")
+      .orderBy("event_type")
+  }
+
+  private val trendRegressionSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    sum(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT event_type, y,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(day AS DATE))
+      |      AS DOUBLE) AS x
+      |  FROM daily),
+      |r AS (
+      |  SELECT event_type,
+      |    round(regr_slope(y, x), 4) AS slope,
+      |    round(regr_intercept(y, x), 4) AS intercept,
+      |    round(regr_r2(y, x), 4) AS r2,
+      |    max(x) AS mx
+      |  FROM d2 GROUP BY 1)
+      |SELECT event_type, slope, intercept, r2,
+      |  round(intercept + slope * (mx + 1), 2) AS next_day_pred
+      |FROM r ORDER BY event_type""".stripMargin
+
   private def correlation(spark: SparkSession, dir: String): DataFrame = {
     val pairs = profileCols.combinations(2).toSeq.map {
       case Seq(a, b) => (a, b)
@@ -938,6 +991,8 @@ object Analytics {
     NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
+    NamedQuery("q_trend_regression", trendRegression,
+      Some(trendRegressionSql)),
     NamedQuery("ev_winsorize", winsorize, Some(winsorizeSql)),
     NamedQuery("ev_latest_per_key", latestPerKey, Some(latestPerKeySql)),
     NamedQuery("ev_anomaly", anomaly, Some(anomalySql)),

@@ -231,6 +231,25 @@ class OpsSpec extends SparkSpec {
     assert(gated.count() == 100)
   }
 
+  test("deleteMatching: keyed rows go, null-keyed rows survive, " +
+      "key relation shape is enforced") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_delmatch").toString + "/t"
+    Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n"), (Some(3L), "c"))
+      .toDF("k", "v").write.parquet(path)
+    Ops.deleteMatching(spark, path, Seq(1L, 3L).toDF("k"), "k")
+    val left = spark.read.parquet(path)
+      .select(col("k"), col("v")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // SQL DELETE semantics: a NULL key proves nothing, so it stays
+    assert(left == Set((Some(2L), "b"), (None, "n")))
+    intercept[IllegalArgumentException] {
+      Ops.deleteMatching(spark, path,
+        Seq((1L, "x")).toDF("k", "extra"), "k")
+    }
+  }
+
   test("snapshots: versions are immutable, latest resolves, prune " +
       "keeps the newest") {
     import spark.implicits._
