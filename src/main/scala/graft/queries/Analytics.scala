@@ -687,6 +687,70 @@ object Analytics {
       |WHERE doc_id < 100
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM log-probability scoring — the conditional companion to
+    * [[unigramLogprob]]: score(doc) = mean over bigram occurrences of
+    * ln P(wᵢ | wᵢ₋₁) with add-one smoothing, P = (c(wᵢ₋₁wᵢ)+1) /
+    * (c(wᵢ₋₁)+V). Sensitive to word ORDER where the unigram score is
+    * not — scrambled boilerplate scores low even when its vocabulary
+    * is common. Same scale shape: the bigram stream shuffles once into
+    * counts, the unigram counts and the vocab-size scalar come back as
+    * broadcasts, per-doc mean is one keyed agg — never a self-join.
+    * Scores floor-truncated at 1e-4.
+    */
+  private def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // (prev, bigram) per OCCURRENCE, order preserved: w_i needs its
+    // predecessor's count in the denominator
+    val pairs = graft.operators.Ops.spreadNarrow(
+      Tables(spark, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS prev, " +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)) AS big))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.big").as("big"))
+    val uni = graft.operators.Ops.spreadNarrow(
+      Tables(spark, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs.groupBy("big").agg(count(lit(1)).as("c2"))
+    pairs
+      .join(broadcast(bi), "big")
+      .join(broadcast(uni.withColumnRenamed("term", "prev")), "prev")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(log((col("c2") + lit(1d)) /
+          (col("c1") + col("v")))) * 1e4) / 1e4).as("logprob"))
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id")
+  }
+
+  private val bigramLogprobSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+      |    '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i+1] AS big
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2),
+      |uni AS (
+      |  SELECT u.tok AS term, count(*) AS c1
+      |  FROM toks, unnest(t) AS u(tok) GROUP BY 1),
+      |vocab AS (SELECT count(*) AS v FROM uni),
+      |bi AS (SELECT big, count(*) AS c2 FROM pairs GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(avg(ln((c2 + CAST(1 AS DOUBLE)) / (c1 + v))) * 1e4) / 1e4
+      |    AS logprob
+      |FROM pairs
+      |JOIN bi USING (big)
+      |JOIN uni ON uni.term = pairs.prev, vocab
+      |WHERE doc_id < 100
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Referential-integrity audit for incremental loads: count fact rows
     * referencing parent keys that are not (yet) loaded — here lineitems
     * whose order lies beyond the parent snapshot's watermark
@@ -983,6 +1047,8 @@ object Analytics {
     NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
     NamedQuery("d_unigram_logprob", unigramLogprob,
       Some(unigramLogprobSql)),
+    NamedQuery("d_bigram_logprob", bigramLogprob,
+      Some(bigramLogprobSql)),
     NamedQuery("q_moving_avg", movingAvg, Some(movingAvgSql)),
     NamedQuery("q_table_diff", tableDiff, Some(tableDiffSql)),
     NamedQuery("q_table_patch", tablePatch, Some(tablePatchSql)),

@@ -255,6 +255,48 @@ object Events {
       |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** VARIANT ingestion — Spark 4's semi-structured type under the
+    * exact gate: a nested JSON payload (synthesized from the event
+    * columns, so the oracle can recompute the answer relationally)
+    * parses ONCE to `VariantType` (`parse_json` — binary-encoded,
+    * no per-access re-parse like repeated `get_json_object` string
+    * scans) and typed paths extract with `variant_get`. The gate
+    * proves the round-trip is lossless: doubles survive
+    * to_json → parse_json → variant_get bit-exactly (shortest-repr
+    * serialization), strings and ints likewise, and nested-path
+    * extraction agrees with the flat columns the payload came from.
+    * At 100 TB this is the ingest pattern for schemaless event
+    * payloads: parse at the edge, keep VARIANT in the table, extract
+    * typed columns at query time without a string in sight.
+    */
+  private def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("payload", to_json(struct(
+        col("event_type").as("t"),
+        col("value").as("v"),
+        struct(col("user_id").as("id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .as("u"))))
+      .withColumn("var", parse_json(col("payload")))
+      .select(
+        variant_get(col("var"), "$.t", "string").as("t"),
+        variant_get(col("var"), "$.v", "double").as("v"),
+        variant_get(col("var"), "$.u.id", "bigint").as("uid"),
+        variant_get(col("var"), "$.u.k", "int").as("k"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("v"), 2).as("total_value"),
+        countDistinct("uid").as("n_users"),
+        max("k").as("max_k"))
+      .orderBy("t")
+
+  private val variantExtractSql =
+    """SELECT event_type AS t, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY t""".stripMargin
+
   /** Conversion funnel signup → click → purchase with strict temporal
     * order per user: a click counts only at-or-after the user's first
     * signup, a purchase only at-or-after the first qualifying click.
@@ -650,5 +692,7 @@ object Events {
     NamedQuery("ev_asof_click", asofClick, Some(asofClickSql)),
     NamedQuery("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     NamedQuery("ev_value_bands", valueBands, Some(valueBandsSql)),
-    NamedQuery("ev_json_props", jsonProps, Some(jsonPropsSql)))
+    NamedQuery("ev_json_props", jsonProps, Some(jsonPropsSql)),
+    NamedQuery("ev_variant_extract", variantExtract,
+      Some(variantExtractSql)))
 }
