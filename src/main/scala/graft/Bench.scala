@@ -34,7 +34,12 @@ object Bench {
     // PQ codebooks / composed cell+code index / the persisted
     // moment-partial table / the doc-length sidecar beside the
     // posting index)
+    // q_summary_rewrite / q_quantile_merge warm runs stage the summary
+    // table and the histogram-partial table (one-time ingest jobs), so
+    // their timed runs measure the steady-state read path: a
+    // dims-product summary scan / a bins-table quantile walk
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
+        "q_summary_rewrite", "q_quantile_merge", "q_quantile_sliding",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
         "e_ivfpq_topk",
@@ -142,7 +147,8 @@ object Bench {
       // sinks + sources + scale machinery
       "q_merge_upsert", "q_incr_agg", "q_delete_where", "q_dune_source",
       "q_dpp", "q_zorder_skip", "q_partition_prune", "q_hll_merge",
-      "q_moments_merge", "q_aqp_revenue",
+      "q_moments_merge", "q_aqp_revenue", "q_summary_rewrite",
+      "q_quantile_merge",
       // dedup family
       "d_dedup_exact", "d_minhash_capped", "d_jaccard_capped",
       "d_simhash_pairs", "e_dup_clusters", "d_incr_dedup",

@@ -117,6 +117,24 @@ object ToleranceCheck {
         "percentile_approx(10k sketch) vs exact percentile, p50+p95")
     }
 
+    // persisted histogram partials vs exact interpolated percentiles:
+    // the estimate is the upper edge of the bin where the cumulative
+    // count crosses q·n, so it sits within ~one bin width of the true
+    // order statistic (width = domain/4095 ≈ 0.1% of the p50 values
+    // here; bound 0.01 is a 10x margin over that construction bound)
+    check("q_quantile_merge") {
+      val qErr = maxOrFail(res("q_quantile_merge").alias("h")
+        .join(res("q_percentiles").alias("e"), Seq("priority"))
+        .select(greatest(
+          abs(col("p50_hist") - col("p50")) / col("p50"),
+          abs(col("p95_hist") - col("p95")) / col("p95")).as("rel_err")),
+        "rel_err")
+      Check("max_rel_err_vs_exact", qErr, 0.01, qErr <= 0.01,
+        "equi-width histogram partials (4096 bins, merged by SUM over " +
+          "months) vs exact percentile, p50+p95 per priority; error " +
+          "bounded by one bin width by construction")
+    }
+
     // FNV fingerprint dedup must reproduce the exact word-set groups
     // (collision-free on this corpus): same (keep_id, dup_count) set
     def groups(name: String): Set[(Long, Long)] =

@@ -145,9 +145,13 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Fnv1a64].getName, name), builder))
     }
+    // aggregate navigation (no-op until a summary table is registered
+    // in graft.plans.SummaryCatalog)
+    ext.injectOptimizerRule(graft.plans.SummaryRewrite(_))
+  }
 }

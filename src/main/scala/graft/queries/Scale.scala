@@ -336,6 +336,29 @@ object Scale {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** Point-in-time navigation of the SCD2 dimension — the read-side
+    * payoff of keeping versioned history: reconstruct the dimension AS
+    * OF batch 1 (before the delta) by slicing validity intervals,
+    * `valid_from <= t < coalesce(valid_to, ∞)`. The law the oracle
+    * checks is exact round-tripping: the as-of-1 slice of the merged
+    * table must equal the original seed row-for-row — no history
+    * navigation drift. (Complementary to `q_time_travel`'s file-level
+    * snapshots: this is ROW-level time travel inside one table, the
+    * form that survives compaction and partition rewrites.) Runs the
+    * idempotent merge first, so it is self-contained in any order.
+    */
+  private def scd2Asof(spark: SparkSession, dir: String): DataFrame =
+    scd2Merge(spark, dir)
+      .filter(col("valid_from") <= 1 &&
+        (col("valid_to").isNull || col("valid_to") > 1))
+      .select(col("o_orderkey"), col("price"))
+      .orderBy("o_orderkey")
+
+  private val scd2AsofSql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_orderkey % 3 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   private[queries] val scd2MergeSql =
     """WITH seed AS (
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
@@ -823,7 +846,233 @@ object Scale {
       |JOIN dim USING (om)
       |GROUP BY om ORDER BY om""".stripMargin
 
+  /** Persisted mergeable QUANTILE partials — the third leg of the
+    * sketch-table triad (count-distinct: `q_hll_merge`; moments:
+    * `q_moments_merge`; quantiles: this). `percentile_approx` answers
+    * one query's quantiles but its sketch state isn't persistable from
+    * the public API, so the persisted form is an equi-width histogram
+    * over a domain FROZEN at ingest: per (priority, month) a sparse
+    * (bin, cnt) table. Histogram partials merge by plain `SUM` —
+    * distributive, order-insensitive, any dim/time slice — and any
+    * quantile is a cumulative walk over ≤4096 bins. Error is bounded
+    * by construction: the estimate (upper edge of the bin where the
+    * cumulative count crosses q·n) sits within one bin width of the
+    * true order statistic. At 100 TB the quantile query reads ONLY
+    * this table: dims-product × 4096 rows, no fact rescan ever.
+    */
+  private val histSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val HistBins = 4096
+
+  private def seededHist(spark: SparkSession, dir: String): String =
+    histSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_hist_seed").toString + "/hist"
+      val o = Tables(spark, d, "orders")
+      val r = o.agg(min("o_totalprice"), max("o_totalprice")).head
+      val lo = r.getDouble(0)
+      // width picked so the max value lands INSIDE the last bin
+      val width = (r.getDouble(1) - lo) / (HistBins - 1)
+      o.select(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("om"),
+          floor((col("o_totalprice") - lit(lo)) / lit(width)).as("bin"))
+        .groupBy("priority", "om", "bin")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("lo", lit(lo)).withColumn("width", lit(width))
+        .write.parquet(p)
+      p
+    })
+
+  /** Quantiles from the persisted histogram table alone — no fact
+    * rescan (the exact anchor is `q_percentiles`'s own dump;
+    * ToleranceCheck joins the two and bounds the error at one bin
+    * width). Merge = SUM over months; quantile = min bin whose
+    * cumulative count reaches ceil(q·n), upper bin edge as the
+    * estimate.
+    */
+  private def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val h = spark.read.parquet(seededHist(spark, dir))
+    val merged = h.groupBy("priority", "bin", "lo", "width")
+      .agg(sum("cnt").as("cnt"))
+    val totals = merged.groupBy("priority").agg(sum("cnt").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("bin")
+    val cum = merged.withColumn("cum", sum("cnt").over(w))
+      .join(totals, "priority")
+    def at(q: Double, name: String): DataFrame = cum
+      .filter(col("cum") >= ceil(lit(q) * col("total")))
+      .groupBy("priority", "lo", "width").agg(min("bin").as("bin"))
+      .select(col("priority"),
+        round(col("lo") + (col("bin") + 1) * col("width"), 2).as(name))
+    at(0.5, "p50_hist").join(at(0.95, "p95_hist"), "priority")
+      .orderBy("priority")
+  }
+
+  /** The histogram walk is deterministic integer counting over
+    * IEEE-identical doubles ((lo, width) frozen at seed time ARE
+    * min/max-derived, so the oracle recomputes them bit-for-bit from
+    * the same parquet) — which makes the sketch fully SQL-checkable,
+    * unlike the HLL family. ToleranceCheck separately pins the
+    * approximation error vs the exact interpolated percentiles.
+    */
+  private val quantileMergeSql =
+    """WITH dom AS (SELECT min(o_totalprice) AS lo,
+      |    (max(o_totalprice) - min(o_totalprice)) / 4095 AS w
+      |  FROM orders),
+      |b AS (SELECT o_orderpriority AS priority,
+      |    floor((o_totalprice - lo) / w) AS bin, count(*) AS cnt
+      |  FROM orders, dom GROUP BY 1, 2),
+      |c AS (SELECT priority, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY priority) AS total
+      |  FROM b),
+      |sel AS (SELECT priority,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) AS b50,
+      |    min(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) AS b95
+      |  FROM c GROUP BY 1)
+      |SELECT priority, round(lo + (b50 + 1) * w, 2) AS p50_hist,
+      |  round(lo + (b95 + 1) * w, 2) AS p95_hist
+      |FROM sel, dom ORDER BY priority""".stripMargin
+
+  /** Trailing-3-month p50 per (priority, month) from the SAME persisted
+    * partials — the range-query payoff (`q_moments_sliding`'s shape for
+    * quantiles): a months-RANGE window sums ≤3 months of bin counts per
+    * (priority, bin), then the cumulative walk runs per anchor month.
+    * Everything after the seed is bins-table-sized; the fact table is
+    * never rescanned for any window placement.
+    */
+  private def quantileSliding(spark: SparkSession, dir: String): DataFrame = {
+    val mIdx = (substring(col("om"), 1, 4).cast("int") * 12 +
+      substring(col("om"), 6, 2).cast("int")).as("m")
+    val parts = spark.read.parquet(seededHist(spark, dir))
+      .withColumn("m", mIdx)
+    // a month-m partial contributes to anchors m, m+1, m+2 — explode
+    // the contribution (≤3 rows per partial, an equi-join shape that
+    // broadcasts/shuffles on exact keys; a months-RANGE window over
+    // the SPARSE bin table would silently drop bins absent at the
+    // anchor month), then keep only anchors that exist for that
+    // priority so no phantom months appear
+    val contrib = parts.withColumn("am",
+        explode(sequence(col("m"), col("m") + 2)))
+      .select(col("priority"), col("am"), col("bin"),
+        col("lo"), col("width"), col("cnt"))
+    val anchors = parts.select(col("priority"), col("m").as("am"),
+      col("om")).distinct()
+    val win = contrib.join(anchors, Seq("priority", "am"))
+      .groupBy("priority", "om", "bin", "lo", "width")
+      .agg(sum("cnt").as("cnt3"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority", "om").orderBy("bin")
+    val cum = win.withColumn("cum", sum("cnt3").over(wCum))
+      .withColumn("total", sum("cnt3").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("priority", "om")))
+    cum.filter(col("cum") >= ceil(lit(0.5) * col("total")))
+      .groupBy("priority", "om", "lo", "width").agg(min("bin").as("bin"))
+      .select(col("priority"), col("om"),
+        round(col("lo") + (col("bin") + 1) * col("width"), 2)
+          .as("p50_3m"))
+      .orderBy("priority", "om")
+  }
+
+  private val quantileSlidingSql =
+    """WITH dom AS (SELECT min(o_totalprice) AS lo,
+      |    (max(o_totalprice) - min(o_totalprice)) / 4095 AS w
+      |  FROM orders),
+      |b AS (SELECT o_orderpriority AS priority,
+      |    strftime(o_orderdate, '%Y-%m') AS om,
+      |    floor((o_totalprice - lo) / w) AS bin, count(*) AS cnt
+      |  FROM orders, dom GROUP BY 1, 2, 3),
+      |mm AS (SELECT b.*, CAST(om[1:4] AS INT) * 12 +
+      |    CAST(om[6:7] AS INT) AS m FROM b),
+      |a AS (SELECT DISTINCT priority, m, om FROM mm),
+      |w3 AS (SELECT a.priority, a.om, mm.bin, sum(mm.cnt) AS cnt3
+      |  FROM a JOIN mm ON mm.priority = a.priority
+      |    AND mm.m BETWEEN a.m - 2 AND a.m
+      |  GROUP BY 1, 2, 3),
+      |c AS (SELECT priority, om, bin,
+      |    sum(cnt3) OVER (PARTITION BY priority, om ORDER BY bin) AS cum,
+      |    sum(cnt3) OVER (PARTITION BY priority, om) AS total
+      |  FROM w3),
+      |sel AS (SELECT priority, om,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) AS b50
+      |  FROM c GROUP BY 1, 2)
+      |SELECT priority, om, round(lo + (b50 + 1) * w, 2) AS p50_3m
+      |FROM sel, dom ORDER BY priority, om""".stripMargin
+
+  /** Staged fact+summary pair for aggregate navigation
+    * ([[graft.plans.SummaryRewrite]]): the fact table is a staged copy
+    * of lineitem (the summary is scoped to ITS path, so the rewrite
+    * can never touch the other declared queries' lineitem scans) and
+    * the summary is the dims-product pre-aggregate an ingest job would
+    * refresh alongside it — sum/count partials per
+    * (returnflag, linestatus, shipmode), 42-ish rows at any sf.
+    */
+  private val summarySeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def seededSummary(spark: SparkSession,
+      dir: String): (String, String) =
+    summarySeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_summary_seed").toString
+      val fact = s"$root/fact"
+      val summary = s"$root/summary"
+      Tables(spark, d, "lineitem").write.parquet(fact)
+      spark.read.parquet(fact)
+        .groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .write.parquet(summary)
+      (fact, summary)
+    })
+
+  /** Aggregate navigation: the query is written against the FACT
+    * table — dim-only filter, dims-subset grouping, additive
+    * aggregates — and the optimizer routes it to the 42-row summary
+    * ([[graft.plans.SummaryRewrite]]; SummaryRewriteSpec gates that
+    * the executed plan scans the summary and never the fact table).
+    * The oracle recomputes from raw lineitem, so the gate also proves
+    * the rollup algebra (SUM of sums, SUM of counts) exact. At 100 TB
+    * this is the difference between a full fact scan and a
+    * dims-product read for every covered reporting query.
+    */
+  private def summaryRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, summary) = seededSummary(spark, dir)
+    graft.plans.SummaryCatalog.register(graft.plans.SummaryDef(
+      baseDir = fact, summaryPath = summary,
+      dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
+      sums = Map("l_quantity" -> "sum_qty",
+        "l_extendedprice" -> "sum_price"),
+      cntCol = "cnt"))
+    graft.plans.SummaryRewrite.install(spark)
+    spark.read.parquet(fact)
+      .where(col("l_linenumber") <= 3)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sq"),
+        sum("l_extendedprice").as("sp"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sq"), 2).as("sum_qty"),
+        round(col("sp"), 2).as("sum_price"), col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val summaryRewriteSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_linenumber <= 3
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_quantile_merge", quantileMerge, Some(quantileMergeSql)),
+    NamedQuery("q_quantile_sliding", quantileSliding,
+      Some(quantileSlidingSql)),
+    NamedQuery("q_summary_rewrite", summaryRewrite, Some(summaryRewriteSql)),
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
@@ -842,6 +1091,7 @@ object Scale {
     NamedQuery("q_merge_upsert_part", mergeUpsertPart,
       Some(mergeUpsertPartSql)),
     NamedQuery("q_scd2_merge", scd2Merge, Some(scd2MergeSql)),
+    NamedQuery("q_scd2_asof", scd2Asof, Some(scd2AsofSql)),
     NamedQuery("q_incr_agg", incrAgg, Some(incrAggSql)),
     NamedQuery("q_schema_evolution", schemaEvolution,
       Some(schemaEvolutionSql)))

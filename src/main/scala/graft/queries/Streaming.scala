@@ -131,7 +131,35 @@ object Streaming {
       |  FROM events)
       |WHERE rk <= 3 ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the streamed histogram-quantile ingest: identical
+    * frozen-domain binning and ceil(q·n) cumulative crossing in
+    * DuckDB — bin arithmetic is deterministic, so the streamed sketch
+    * is fully oracle-checked (the approximation error itself is the
+    * quantile family's construction bound, pinned for
+    * `q_quantile_merge` in tolerance_check).
+    */
+  private val quantileStreamSql =
+    """WITH dom AS (SELECT min(value) AS lo,
+      |    (max(value) - min(value)) / 4095 AS w FROM events),
+      |b AS (SELECT event_type, floor((value - lo) / w) AS bin,
+      |    count(*) AS cnt
+      |  FROM events, dom GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM b),
+      |sel AS (SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+      |    min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b95
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(lo + (b50 + 1) * w, 2) AS p50_hist,
+      |  round(lo + (b95 + 1) * w, 2) AS p95_hist
+      |FROM sel, dom ORDER BY event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_quantile", Streams.quantileViaStream,
+      Some(quantileStreamSql)),
     NamedQuery("st_rate_limit", Streams.rateLimitViaStream,
       Some(rateLimitSql)),
     NamedQuery("st_anomaly", Streams.anomalyViaStream, Some(anomalySql)),

@@ -522,6 +522,59 @@ object Streams {
     out
   }
 
+  /** Streamed QUANTILE-partial ingest — the histogram leg of the
+    * sketch-table triad (HLL `st_sliding_distinct`, moments
+    * `st_moments`, quantiles here) run THROUGH the streaming engine:
+    * the stream maintains per-(event_type, bin) counts over a domain
+    * FROZEN before the stream starts (the ingest contract pins
+    * (lo, width); re-deriving them per micro-batch would silently
+    * change bin meanings mid-stream), and any quantile is a cumulative
+    * walk over the bin table afterwards — never an events rescan.
+    * Unlike the HLL twin, bin arithmetic is deterministic integer
+    * counting on IEEE-identical doubles, so this sits under the FULL
+    * SQL oracle: DuckDB rebuilds the same bins and walks the same
+    * ceil(q·n) crossing to the same upper bin edge.
+    */
+  def quantileViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val mm = graft.queries.Events.events(spark, dir)
+      .agg(min("value"), max("value")).head
+    val lo = mm.getDouble(0)
+    val width = (mm.getDouble(1) - lo) / 4095
+    val q = eventsStream(spark, dir)
+      .groupBy(col("event_type"),
+        floor((col("value") - lit(lo)) / lit(width)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    // checkpoint the (bins-sized) table once: the quantile walk joins
+    // it against itself, and the memory sink's MemoryPlan is not a
+    // MultiInstanceRelation — self-join dedup needs a re-instantiable
+    // leaf under it
+    val merged = spark.table(name).groupBy("event_type", "bin")
+      .agg(sum("cnt").as("cnt")).localCheckpoint(true)
+    val totals = merged.groupBy("event_type").agg(sum("cnt").as("n"))
+    val cum = merged.withColumn("cum", sum("cnt").over(w))
+      .join(totals, "event_type")
+    def at(qq: Double, nm: String): DataFrame = cum
+      .filter(col("cum") >= ceil(lit(qq) * col("n")))
+      .groupBy("event_type").agg(min("bin").as("bin"))
+      .select(col("event_type"),
+        round(lit(lo) + (col("bin") + 1) * lit(width), 2).as(nm))
+    val out = totals.join(at(0.5, "p50_hist"), "event_type")
+      .join(at(0.95, "p95_hist"), "event_type")
+      .select(col("event_type"), col("n"), col("p50_hist"), col("p95_hist"))
+      .orderBy("event_type")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = hourlyCounts(eventsStream(spark, dir))

@@ -23,6 +23,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("histogram-partial quantiles: construction law — estimate in " +
+      "[type-1 order statistic, +one bin width]") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val hist = SparkEntry.queries("q_quantile_merge")(spark, sf)
+      .as[(String, Double, Double)].collect()
+      .map { case (p, a, b) => p -> (a, b) }.toMap
+    val o = graft.queries.Tables(spark, sf, "orders")
+    val mm = o.agg(min("o_totalprice"), max("o_totalprice")).head
+    val width = (mm.getDouble(1) - mm.getDouble(0)) / 4095
+    // the exact TYPE-1 quantile (smallest value whose CDF reaches q):
+    // the bin where the cumulative count crosses ceil(q·n) is exactly
+    // the bin CONTAINING this order statistic, so the upper-edge
+    // estimate must sit in [t1, t1 + width]. (The interpolated
+    // percentile is a different convention: on small samples it drifts
+    // by the local inter-value gap — many bins at sf0.001 — which is
+    // why the anchor here is the order statistic; ToleranceCheck pins
+    // the interpolated comparison at the Verify scale, where gaps are
+    // sub-bin: measured max_rel_err 4.2e-4 vs its 0.01 bound.)
+    val ranked = o.select(col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("priority")))
+    def t1(q: Double): Map[String, Double] = ranked
+      .filter(col("rn") >= ceil(lit(q) * col("n")))
+      .groupBy("priority").agg(min("v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (t50, t95) = (t1(0.5), t1(0.95))
+    assert(hist.nonEmpty && hist.size == t50.size)
+    hist.foreach { case (p, (h50, h95)) =>
+      // 0.005 slack: the estimate is rounded to 2 decimals
+      assert(h50 >= t50(p) - 0.005 && h50 <= t50(p) + width + 0.005,
+        s"$p p50: $h50 outside [${t50(p)}, +$width]")
+      assert(h95 >= t95(p) - 0.005 && h95 <= t95(p) + width + 0.005,
+        s"$p p95: $h95 outside [${t95(p)}, +$width]")
+    }
+  }
+
   test("approx distinct counts sit within 5% of the exact counts") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .select($"approx_parts", $"exact_parts")

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{SummaryCatalog, SummaryDef, SummaryRewrite}
+
+/** Aggregate navigation ([[graft.plans.SummaryRewrite]]): covered
+  * aggregates route to the summary scan; anything the summary cannot
+  * answer exactly is left untouched. Both directions are plan-gated
+  * AND value-gated against direct computation on the fact table.
+  */
+class SummaryRewriteSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val seeded: (String, String) = {
+    val root = tmpDir("graft_sumspec")
+    val fact = s"$root/fact"
+    val summary = s"$root/summary"
+    spark.read.parquet(s"$sf/lineitem.parquet").write.parquet(fact)
+    spark.read.parquet(fact)
+      .groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .write.parquet(summary)
+    (fact, summary)
+  }
+
+  private def withSummary[A](f: (String, String) => A): A = {
+    val (fact, summary) = seeded
+    SummaryCatalog.register(SummaryDef(
+      baseDir = fact, summaryPath = summary,
+      dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
+      sums = Map("l_quantity" -> "sum_qty",
+        "l_extendedprice" -> "sum_price"),
+      cntCol = "cnt"))
+    SummaryRewrite.install(spark)
+    try f(fact, summary) finally SummaryCatalog.clear()
+  }
+
+  /** Root paths of every file scan in the final adaptive plan —
+    * descends through AQE roots, materialized query stages, and
+    * reused exchanges (whose plans hide outside `children`).
+    */
+  private def scannedPaths(df: DataFrame): Seq[String] = {
+    df.collect() // finalize AQE
+    import org.apache.spark.sql.execution._
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: adaptive.QueryStageExec => scans(q.plan)
+      case r: exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      case other => other.children.flatMap(scans)
+    }
+    val out = scans(df.queryExecution.executedPlan)
+    assert(out.nonEmpty, "no file scans found in " +
+      df.queryExecution.executedPlan)
+    out
+  }
+
+  test("covered aggregate scans the summary, not the fact table") {
+    withSummary { (fact, summary) =>
+      val df = spark.read.parquet(fact)
+        .where(col("l_linenumber") <= 2)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))
+      val paths = scannedPaths(df)
+      assert(paths.nonEmpty && paths.forall(_.contains(summary)), paths)
+      assert(!paths.exists(_.contains(fact)), paths)
+    }
+  }
+
+  test("rewritten values equal direct fact-table computation") {
+    withSummary { (fact, _) =>
+      def q(path: String): Array[(String, String, Double, Long)] =
+        spark.read.parquet(path)
+          .where(col("l_linenumber") <= 3)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sq"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+            r.getLong(3)))
+      val rewritten = q(fact)
+      // same shape against the ORIGINAL lineitem file: not registered,
+      // so this runs the stock full-scan plan on identical data
+      val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .where(col("l_linenumber") <= 3)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sq"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getLong(3)))
+      assert(rewritten.sameElements(direct))
+    }
+  }
+
+  test("dims-subset regrouping re-aggregates partials losslessly") {
+    withSummary { (fact, summary) =>
+      val df = spark.read.parquet(fact)
+        .groupBy("l_linenumber")
+        .agg(sum("l_extendedprice").as("sp"))
+        .orderBy("l_linenumber")
+      assert(scannedPaths(df).forall(_.contains(summary)))
+      val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_linenumber")
+        .agg(sum("l_extendedprice").as("sp"))
+        .orderBy("l_linenumber")
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val got = df.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      got.zip(direct).foreach { case ((m1, v1), (m2, v2)) =>
+        assert(m1 == m2)
+        assert(math.abs(v1 - v2) <= math.abs(v2) * 1e-12)
+      }
+    }
+  }
+
+  test("uncovered aggregates are left untouched") {
+    withSummary { (fact, _) =>
+      // AVG is not additive over partials — must keep the fact scan
+      val avg_ = spark.read.parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(avg("l_quantity").as("aq"))
+      assert(scannedPaths(avg_).forall(_.contains(fact)))
+      // measure-predicate filter changes group membership — fact scan
+      val mfilter = spark.read.parquet(fact)
+        .where(col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sq"))
+      assert(scannedPaths(mfilter).forall(_.contains(fact)))
+      // grouping outside the summary dims — fact scan
+      val odim = spark.read.parquet(fact)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(odim).forall(_.contains(fact)))
+    }
+  }
+
+  test("unregistered tables never match") {
+    SummaryRewrite.install(spark)
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(df).forall(_.contains("orders")))
+  }
+}
