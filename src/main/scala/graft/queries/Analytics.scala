@@ -824,7 +824,7 @@ object Analytics {
     val n = deg.count().toDouble
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
       .localCheckpoint()
-    for (i <- 1 to 10) {
+    for (_ <- 1 to 10) {
       // rank is node-sized (entity count, not fact rows): broadcast it
       // so the edge list never shuffles — per round the only exchange
       // is the dst-grouped agg, shrunk node-sized by partial
@@ -835,12 +835,13 @@ object Analytics {
         .agg(sum(col("r") / col("d")).as("contrib"))
         .select(col("dst").as("node"),
           round(lit(0.15 / n) + lit(0.85) * col("contrib"), 9).as("r"))
-      // checkpoint every 3rd round, not every round: lineage must be
-      // cut before analyzer/codegen cost compounds, but each eager
-      // materialization is a full job — at 3-round stride the plan
-      // nests at most 3 broadcast-join rounds (fine for codegen) and
-      // the iteration pays a third of the scheduling barriers
-      if (i % 3 == 0 || i == 10) pr = pr.localCheckpoint()
+        .localCheckpoint()
+      // checkpoint EVERY round: the broadcast build materializes its
+      // input each round, so any non-checkpointed round would be
+      // re-executed by every later round in its stride — a k-round
+      // stride trades k scheduling barriers for ~k/2x redundant join
+      // work, a losing trade as soon as the edge relation is real
+      // (focused sf0.1 A/B measured the stride neutral-at-best)
     }
     pr.orderBy(col("r").desc, col("node")).limit(25)
       .select(col("node"), col("r").as("pagerank"))

@@ -894,17 +894,25 @@ object Scale {
     val h = spark.read.parquet(seededHist(spark, dir))
     val merged = h.groupBy("priority", "bin", "lo", "width")
       .agg(sum("cnt").as("cnt"))
-    val totals = merged.groupBy("priority").agg(sum("cnt").as("total"))
-    val w = org.apache.spark.sql.expressions.Window
+    // single pass over the bins table: cumulative + total as two
+    // window frames sharing one (priority)-partitioned sort, both
+    // crossings picked by conditional MIN in one aggregation — no
+    // self-joins, no repeated scans
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("priority").orderBy("bin")
-    val cum = merged.withColumn("cum", sum("cnt").over(w))
-      .join(totals, "priority")
-    def at(q: Double, name: String): DataFrame = cum
-      .filter(col("cum") >= ceil(lit(q) * col("total")))
-      .groupBy("priority", "lo", "width").agg(min("bin").as("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority")
+    val cum = merged.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+    cum.groupBy("priority", "lo", "width")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("total")), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("total")), col("bin")))
+          .as("b95"))
       .select(col("priority"),
-        round(col("lo") + (col("bin") + 1) * col("width"), 2).as(name))
-    at(0.5, "p50_hist").join(at(0.95, "p95_hist"), "priority")
+        round(col("lo") + (col("b50") + 1) * col("width"), 2).as("p50_hist"),
+        round(col("lo") + (col("b95") + 1) * col("width"), 2).as("p95_hist"))
       .orderBy("priority")
   }
 

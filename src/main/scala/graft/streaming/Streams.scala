@@ -550,25 +550,27 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val w = org.apache.spark.sql.expressions.Window
+    // single pass over the streamed bins table (one reference to the
+    // memory sink — MemoryPlan is not re-instantiable for self-joins):
+    // cumulative + total share one partitioned sort, both crossings
+    // picked by conditional MIN in one aggregation
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("bin")
-    // checkpoint the (bins-sized) table once: the quantile walk joins
-    // it against itself, and the memory sink's MemoryPlan is not a
-    // MultiInstanceRelation — self-join dedup needs a re-instantiable
-    // leaf under it
-    val merged = spark.table(name).groupBy("event_type", "bin")
-      .agg(sum("cnt").as("cnt")).localCheckpoint(true)
-    val totals = merged.groupBy("event_type").agg(sum("cnt").as("n"))
-    val cum = merged.withColumn("cum", sum("cnt").over(w))
-      .join(totals, "event_type")
-    def at(qq: Double, nm: String): DataFrame = cum
-      .filter(col("cum") >= ceil(lit(qq) * col("n")))
-      .groupBy("event_type").agg(min("bin").as("bin"))
-      .select(col("event_type"),
-        round(lit(lo) + (col("bin") + 1) * lit(width), 2).as(nm))
-    val out = totals.join(at(0.5, "p50_hist"), "event_type")
-      .join(at(0.95, "p95_hist"), "event_type")
-      .select(col("event_type"), col("n"), col("p50_hist"), col("p95_hist"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val out = spark.table(name).groupBy("event_type", "bin")
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("bin")))
+          .as("b95"))
+      .select(col("event_type"), col("n"),
+        round(lit(lo) + (col("b50") + 1) * lit(width), 2).as("p50_hist"),
+        round(lit(lo) + (col("b95") + 1) * lit(width), 2).as("p95_hist"))
       .orderBy("event_type")
       .localCheckpoint(true)
     spark.catalog.dropTempView(name)
