@@ -127,22 +127,17 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       a => d.dims.contains(a.name))))
     sOut = SummaryCatalog.summaryRelation(spark, d.summaryPath)
       .output.map(a => a.name -> a).toMap
-    // aggregates: grouping passthroughs, SUM(measure), COUNT(*)
+    // aggregates: grouping passthroughs, or any expression tree over
+    // SUM(measure) / COUNT(*) calls and dimension attributes —
+    // CollapseProject routinely folds the final projection (rounding,
+    // ratios) INTO the aggregate, so the agg calls sit under composite
+    // expressions, not directly under the alias
     newAggs <- traverse(agg.aggregateExpressions) {
       case a: AttributeReference if d.dims.contains(a.name) =>
         Some(Alias(sOut(a.name), a.name)(exprId = a.exprId))
-      case al @ Alias(AggregateExpression(s: Sum, Complete, false, None, _),
-          name) => s.child match {
-        case m: AttributeReference if d.sums.contains(m.name) =>
-          Some(Alias(AggregateExpression(
-            s.copy(child = sOut(d.sums(m.name))), Complete,
-            isDistinct = false), name)(exprId = al.exprId))
-        case _ => None
-      }
-      case al @ Alias(AggregateExpression(c: Count, Complete, false, None, _),
-          name) if c.children.forall(_.foldable) =>
-        Some(Alias(AggregateExpression(Sum(sOut(d.cntCol)), Complete,
-          isDistinct = false), name)(exprId = al.exprId))
+      case al @ Alias(child, name) =>
+        rewriteExpr(child, d, sOut).map(c =>
+          Alias(c, name)(exprId = al.exprId))
       case _ => None
     }
   } yield {
@@ -152,6 +147,35 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     Aggregate(
       groupAttrs.map { case a: AttributeReference => sOut(a.name) },
       newAggs, filtered)
+  }
+
+  /** Rewrites an aggregate-output expression tree onto the summary:
+    * covered aggregate calls swap to their partial re-aggregations,
+    * dimension attributes remap by name, any composite around them
+    * (rounding, arithmetic) is preserved node-for-node. `None` the
+    * moment anything uncovered appears — an unknown aggregate
+    * function, DISTINCT/FILTER modifiers, a measure attribute outside
+    * an aggregate call — so partial coverage never half-rewrites.
+    */
+  private def rewriteExpr(e: Expression, d: SummaryDef,
+      sOut: Map[String, Attribute]): Option[Expression] = e match {
+    case AggregateExpression(s: Sum, Complete, false, None, _) =>
+      s.child match {
+        case m: AttributeReference if d.sums.contains(m.name) =>
+          Some(AggregateExpression(s.copy(child = sOut(d.sums(m.name))),
+            Complete, isDistinct = false))
+        case _ => None
+      }
+    case AggregateExpression(c: Count, Complete, false, None, _)
+        if c.children.forall(_.foldable) =>
+      Some(AggregateExpression(Sum(sOut(d.cntCol)), Complete,
+        isDistinct = false))
+    case _: AggregateExpression => None
+    case a: AttributeReference =>
+      if (d.dims.contains(a.name)) Some(sOut(a.name)) else None
+    case other =>
+      traverse(other.children)(rewriteExpr(_, d, sOut))
+        .map(other.withNewChildren)
   }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {

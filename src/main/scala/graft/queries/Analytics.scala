@@ -1042,7 +1042,56 @@ object Analytics {
       |FROM nb WHERE n_key IS NOT NULL
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Join-key skew diagnostic — the measurement behind the
+    * salt-or-not decision (`q_salted_join` / SCALE.md's AQE-vs-salting
+    * boundary): per candidate key column, the key-frequency
+    * distribution folded to one row — total rows, distinct keys,
+    * hottest key's row count and share, exact p99 of per-key counts,
+    * and the max/avg skew ratio. Two shuffles per profiled column
+    * (key-count, then a 1-row fold of the bounded count relation);
+    * nothing here scales with anything but the distinct-key count.
+    * `event_type` (5 values, ratio ≫ 1) vs `user_id` (fine-grained,
+    * ratio ≈ 1) shows both ends of the dial in one result.
+    */
+  private def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Events.events(spark, dir)
+    def profile(keyCol: String): DataFrame = ev
+      .groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("c").as("max_rows"), round(avg("c"), 2).as("avg_rows"),
+        round(expr("percentile(c, 0.99)"), 2).as("p99_rows"))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_rows"), col("avg_rows"), col("p99_rows"),
+        round(col("max_rows") / col("n_rows"), 6).as("top_share"),
+        round(col("max_rows") / col("avg_rows"), 2).as("skew_ratio"))
+    profile("user_id").unionByName(profile("event_type"))
+      .orderBy("key_col")
+  }
+
+  private val skewProfileSql =
+    """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+      |pu AS (SELECT 'user_id' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+      |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows,
+      |    round(avg(c), 2) AS avg_rows,
+      |    round(quantile_cont(c, 0.99), 2) AS p99_rows,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+      |    round(CAST(max(c) AS DOUBLE) / avg(c), 2) AS skew_ratio
+      |  FROM u),
+      |pt AS (SELECT 'event_type' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+      |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows,
+      |    round(avg(c), 2) AS avg_rows,
+      |    round(quantile_cont(c, 0.99), 2) AS p99_rows,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+      |    round(CAST(max(c) AS DOUBLE) / avg(c), 2) AS skew_ratio
+      |  FROM t)
+      |SELECT * FROM pu UNION ALL SELECT * FROM pt
+      |ORDER BY key_col""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_skew_profile", skewProfile, Some(skewProfileSql)),
     NamedQuery("d_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
     NamedQuery("e_vector_norms", vectorNorms, Some(vectorNormsSql)),
     NamedQuery("q_nested_topn", nestedTopN, Some(nestedTopNSql)),

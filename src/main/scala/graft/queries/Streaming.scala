@@ -157,7 +157,17 @@ object Streaming {
       |  round(lo + (b95 + 1) * w, 2) AS p95_hist
       |FROM sel, dom ORDER BY event_type""".stripMargin
 
+  /** Batch twin of the resumed incremental ingest: the two resumed
+    * AvailableNow passes must append, between them, exactly the rows
+    * the one-shot batch filter finds over the full events table.
+    */
+  private val resumeSql =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value >= 100
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_resume", Streams.resumeViaStream, Some(resumeSql)),
     NamedQuery("st_quantile", Streams.quantileViaStream,
       Some(quantileStreamSql)),
     NamedQuery("st_rate_limit", Streams.rateLimitViaStream,

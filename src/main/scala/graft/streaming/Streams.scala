@@ -352,6 +352,50 @@ object Streams {
     * then stop" batch loop, with checkpointed offsets instead of a
     * MAX(watermark) probe), blocking until drained.
     */
+  /** Checkpoint-resume law — the operational property a recurring
+    * ingest lives on: ONE streaming query resumed run after run, each
+    * `AvailableNow` pass processing exactly the files that arrived
+    * since the last checkpoint commit and appending to the same sink.
+    * Staged here end-to-end: half the events land, the query runs to
+    * its sink; the other half lands, the SAME query (same checkpoint,
+    * same sink) resumes and processes only the delta. The appended
+    * output must converge to the batch answer over everything — that
+    * is the oracle — and StreamsSpec additionally pins the
+    * incremental-processing side (run 2 leaves run 1's sink files
+    * byte-identical and appends exactly the delta's rows). At 100 TB
+    * this is what makes re-running the ingest O(new data), not
+    * O(history): the checkpoint's file log is the watermark.
+    */
+  def resumeViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val (out, _, _) = resumeStaged(spark, dir)
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
+  /** Stages the two-arrival resume scenario; returns (sink, src,
+    * checkpoint) so the spec can assert on the intermediate states.
+    */
+  private[graft] def resumeStaged(spark: SparkSession, dir: String,
+      afterFirstRun: (String => Unit) = _ => ()): (String, String, String) = {
+    val src = Files.createTempDirectory("graft_st_resume_src").toString
+    val out = Files.createTempDirectory("graft_st_resume_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_resume_ckpt").toString
+    val ev = graft.queries.Events.events(spark, dir)
+    def gate(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      runAvailableNow(gate(spark.readStream.schema(schema).parquet(src)),
+        out, ckpt)
+    }
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    afterFirstRun(out)
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    run()
+    (out, src, ckpt)
+  }
+
   def runAvailableNow(df: DataFrame, outPath: String,
       checkpoint: String): Unit = {
     val q = df.writeStream

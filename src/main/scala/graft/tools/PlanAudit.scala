@@ -49,7 +49,10 @@ object PlanAudit {
     "d_bm25_topk" -> "BM25 over the persisted posting index: queried terms' bucket dirs prune the scan, df falls out of the fetched rows, dl/avgdl come from the tiny sidecar, top-10 is TakeOrderedAndProject",
     "q_bloom_join" -> "bloom semi-join reduction: the dim keys' sketch probes as a might_contain filter on the fact scan BEFORE the join — shuffle carries probable matches, the semi join removes false positives",
     "d_passage_dedup" -> "passage-grain dedup: chunk explode into one passage-keyed first-occurrence window, per-doc retention folds back on doc_id — one shuffle, no self-join",
-    "d_incr_minhash" -> "incremental near-dup probe: batch bands join the PERSISTED band index on (t, sig), rescore joins the persisted shingle sets — corpus text never rescanned")
+    "d_incr_minhash" -> "incremental near-dup probe: batch bands join the PERSISTED band index on (t, sig), rescore joins the persisted shingle sets — corpus text never rescanned",
+    "q_summary_rewrite" -> "aggregate navigation: the optimizer rule swaps the fact scan for the dims-product summary — the plan's only file scan is the summary parquet, re-aggregated by SUM of sums/counts",
+    "q_quantile_merge" -> "histogram-quantile walk: one scan of the persisted bins table, cumulative + total as two frames over ONE partitioned sort, both crossings by conditional MIN — the fact table appears nowhere",
+    "q_skew_profile" -> "skew diagnostic: per key column one key-count shuffle then a 1-row fold of the bounded count relation — cost tracks distinct keys, not rows")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()

@@ -481,4 +481,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.sameElements(batch),
       "streamed sketch estimates drifted from the batch-built table")
   }
+
+  test("checkpoint resume: run 2 appends exactly the delta and leaves " +
+      "run 1's sink files byte-identical") {
+    var firstFiles: Map[String, (Long, Long)] = Map.empty
+    var firstRows = -1L
+    val (out, _, _) = Streams.resumeStaged(spark, sf, { sink =>
+      firstRows = spark.read.parquet(sink).count()
+      firstFiles = listParquet(sink)
+    })
+    val ev = graft.queries.Events.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+    val evenExpected = ev.filter(col("event_id") % 2 === 0).count()
+    val allExpected = ev.count()
+    assert(firstRows == evenExpected, "run 1 must process the even half")
+    assert(spark.read.parquet(out).count() == allExpected,
+      "resumed run must converge to the batch answer")
+    // incremental side: every file from run 1 still present with the
+    // same length and mtime — the resumed run APPENDED, never rewrote
+    val after = listParquet(out)
+    assert(firstFiles.nonEmpty)
+    firstFiles.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"run 2 disturbed run-1 file $f")
+    }
+    assert(after.size > firstFiles.size, "run 2 appended no files")
+  }
+
+  private def listParquet(dirPath: String): Map[String, (Long, Long)] = {
+    val d = new java.io.File(dirPath)
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
 }

@@ -140,6 +140,13 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("incremental summary refresh: the declared query's only file " +
+      "scan is the refreshed summary") {
+    val df = SparkEntry.queries("q_summary_incr")(spark, sf)
+    val paths = scannedPaths(df)
+    assert(paths.forall(_.contains("summary_v2")), paths)
+  }
+
   test("unregistered tables never match") {
     SummaryRewrite.install(spark)
     val df = spark.read.parquet(s"$sf/orders.parquet")
