@@ -37,11 +37,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     a dims-SUBSET is fine: `SUM` of sums and `SUM` of counts
   *     re-aggregate losslessly — the additivity that makes rollup
   *     algebra work);
-  *   - every aggregate must be `SUM(measure)` (→ `SUM(sum_measure)`)
-  *     or `COUNT(*)`/`COUNT(1)` (→ `SUM(cnt)`), non-DISTINCT and
-  *     unfiltered. `AVG`, `COUNT(DISTINCT)`, percentiles are not
-  *     additive over partials and are deliberately not claimed
-  *     (mergeable-sketch variants live in `graft.queries.Scale`).
+  *   - every aggregate must be `SUM(measure)` (→ `SUM(sum_measure)`),
+  *     `COUNT(*)`/`COUNT(1)` (→ `SUM(cnt)`), or — for measures the
+  *     registration declares NULL-FREE — `AVG(measure)`
+  *     (→ `SUM(sum_measure)/SUM(cnt)`, the weighted mean over
+  *     partials); all non-DISTINCT and unfiltered. `COUNT(DISTINCT)`
+  *     and percentiles are not additive over partials and are
+  *     deliberately not claimed (mergeable-sketch variants live in
+  *     `graft.queries.Scale`).
   *
   * Output attribute `ExprId`s are preserved (aliases are re-issued
   * under the original ids), so parent operators — the final rounding
@@ -59,7 +62,8 @@ case class SummaryDef(
     summaryPath: String,
     dims: Set[String],
     sums: Map[String, String],
-    cntCol: String)
+    cntCol: String,
+    nullFreeMeasures: Set[String] = Set.empty)
 
 /** Process-wide registry of summary tables, keyed by the base-table
   * path the rewrite recognizes. Registration is per-dataset (the
@@ -170,6 +174,24 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if c.children.forall(_.foldable) =>
       Some(AggregateExpression(Sum(sOut(d.cntCol)), Complete,
         isDistinct = false))
+    // AVG(measure) = SUM(sum_measure) / SUM(cnt): the weighted mean
+    // over partials — NOT avg of partial avgs, which would weight every
+    // group equally. Sound ONLY for null-free measures (Average divides
+    // by the non-null count; the summary's cnt counts all rows), so the
+    // registration must declare the measure null-free — an ingest
+    // contract the summary builder can assert (count(m) = count(*))
+    // when it writes the partials.
+    case AggregateExpression(av: Average, Complete, false, None, _) =>
+      av.child match {
+        case m: AttributeReference if d.sums.contains(m.name) &&
+            d.nullFreeMeasures.contains(m.name) =>
+          Some(Divide(
+            Cast(AggregateExpression(Sum(sOut(d.sums(m.name))), Complete,
+              isDistinct = false), org.apache.spark.sql.types.DoubleType),
+            Cast(AggregateExpression(Sum(sOut(d.cntCol)), Complete,
+              isDistinct = false), org.apache.spark.sql.types.DoubleType)))
+        case _ => None
+      }
     case _: AggregateExpression => None
     case a: AttributeReference =>
       if (d.dims.contains(a.name)) Some(sOut(a.name)) else None

@@ -1052,17 +1052,23 @@ object Scale {
       dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
       sums = Map("l_quantity" -> "sum_qty",
         "l_extendedprice" -> "sum_price"),
-      cntCol = "cnt"))
+      cntCol = "cnt",
+      // ingest contract: these measures are null-free (assertable at
+      // summary build time via count(m) = count(*)), which is what
+      // licenses the AVG -> SUM(sums)/SUM(cnt) rewrite
+      nullFreeMeasures = Set("l_quantity", "l_extendedprice")))
     graft.plans.SummaryRewrite.install(spark)
     spark.read.parquet(fact)
       .where(col("l_linenumber") <= 3)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sq"),
         sum("l_extendedprice").as("sp"),
+        avg("l_quantity").as("aq"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("l_linestatus"),
         round(col("sq"), 2).as("sum_qty"),
-        round(col("sp"), 2).as("sum_price"), col("n_rows"))
+        round(col("sp"), 2).as("sum_price"),
+        round(col("aq"), 4).as("avg_qty"), col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -1143,6 +1149,7 @@ object Scale {
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_linenumber <= 3

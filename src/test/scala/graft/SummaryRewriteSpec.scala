@@ -34,7 +34,8 @@ class SummaryRewriteSpec extends SparkSpec {
       dims = Set("l_returnflag", "l_linestatus", "l_linenumber"),
       sums = Map("l_quantity" -> "sum_qty",
         "l_extendedprice" -> "sum_price"),
-      cntCol = "cnt"))
+      cntCol = "cnt",
+      nullFreeMeasures = Set("l_quantity")))
     SummaryRewrite.install(spark)
     try f(fact, summary) finally SummaryCatalog.clear()
   }
@@ -119,13 +120,38 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
-  test("uncovered aggregates are left untouched") {
-    withSummary { (fact, _) =>
-      // AVG is not additive over partials — must keep the fact scan
-      val avg_ = spark.read.parquet(fact)
+  test("declared-null-free AVG rewrites as the weighted mean of " +
+      "partials; AVG of an undeclared measure does not") {
+    withSummary { (fact, summary) =>
+      val covered = spark.read.parquet(fact)
         .groupBy("l_returnflag")
         .agg(avg("l_quantity").as("aq"))
-      assert(scannedPaths(avg_).forall(_.contains(fact)))
+      assert(scannedPaths(covered).forall(_.contains(summary)))
+      val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(avg("l_quantity").as("aq"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      covered.collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - direct(r.getString(0))) <=
+          math.abs(direct(r.getString(0))) * 1e-12)
+      }
+      // l_extendedprice is summed but NOT declared null-free: its AVG
+      // must keep the fact scan (Average divides by the non-null
+      // count; the summary's cnt counts all rows)
+      val undeclared = spark.read.parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(avg("l_extendedprice").as("ap"))
+      assert(scannedPaths(undeclared).forall(_.contains(fact)))
+    }
+  }
+
+  test("uncovered aggregates are left untouched") {
+    withSummary { (fact, _) =>
+      // MIN is not derivable from sum/count partials — fact scan stays
+      val min_ = spark.read.parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(min("l_quantity").as("mq"))
+      assert(scannedPaths(min_).forall(_.contains(fact)))
       // measure-predicate filter changes group membership — fact scan
       val mfilter = spark.read.parquet(fact)
         .where(col("l_quantity") > 25)
@@ -145,6 +171,20 @@ class SummaryRewriteSpec extends SparkSpec {
     val df = SparkEntry.queries("q_summary_incr")(spark, sf)
     val paths = scannedPaths(df)
     assert(paths.forall(_.contains("summary_v2")), paths)
+  }
+
+  test("SQL-text queries route through the same rewrite") {
+    withSummary { (fact, summary) =>
+      spark.read.parquet(fact).createOrReplaceTempView("srw_fact")
+      try {
+        val df = spark.sql(
+          """SELECT l_returnflag, round(sum(l_quantity), 2) AS sq,
+            |  count(*) AS n
+            |FROM srw_fact WHERE l_linenumber <= 2
+            |GROUP BY l_returnflag""".stripMargin)
+        assert(scannedPaths(df).forall(_.contains(summary)))
+      } finally spark.catalog.dropTempView("srw_fact")
+    }
   }
 
   test("unregistered tables never match") {
