@@ -1059,12 +1059,21 @@ object Analytics {
       .groupBy(col(keyCol).cast("string").as("k"))
       .agg(count(lit(1)).as("c"))
       .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
-        max("c").as("max_rows"), round(avg("c"), 2).as("avg_rows"),
-        round(expr("percentile(c, 0.99)"), 2).as("p99_rows"))
+        max("c").as("max_rows"),
+        // ratio-derived values truncate (floor-scaled) instead of
+        // rounding: round() half-boundary behavior differs between
+        // engines (see NamedQuery's rounding caveat), and every one of
+        // these can land exactly on a half boundary
+        (floor(avg("c") * 100) / 100).as("avg_rows"),
+        (floor(expr("percentile(c, 0.99)") * 100) / 100).as("p99_rows"),
+        // ratio over the RAW average (not the floored display column)
+        // so both engines truncate the same quantity
+        (floor(max("c") / avg("c") * 100) / 100).as("skew_ratio"))
       .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
         col("max_rows"), col("avg_rows"), col("p99_rows"),
-        round(col("max_rows") / col("n_rows"), 6).as("top_share"),
-        round(col("max_rows") / col("avg_rows"), 2).as("skew_ratio"))
+        (floor(col("max_rows") / col("n_rows") * 1000000) / 1000000)
+          .as("top_share"),
+        col("skew_ratio"))
     profile("user_id").unionByName(profile("event_type"))
       .orderBy("key_col")
   }
@@ -1075,17 +1084,19 @@ object Analytics {
       |t AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
       |pu AS (SELECT 'user_id' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
       |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows,
-      |    round(avg(c), 2) AS avg_rows,
-      |    round(quantile_cont(c, 0.99), 2) AS p99_rows,
-      |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
-      |    round(CAST(max(c) AS DOUBLE) / avg(c), 2) AS skew_ratio
+      |    floor(avg(c) * 100) / 100 AS avg_rows,
+      |    floor(quantile_cont(c, 0.99) * 100) / 100 AS p99_rows,
+      |    floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000) / 1000000
+      |      AS top_share,
+      |    floor(CAST(max(c) AS DOUBLE) / avg(c) * 100) / 100 AS skew_ratio
       |  FROM u),
       |pt AS (SELECT 'event_type' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
       |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows,
-      |    round(avg(c), 2) AS avg_rows,
-      |    round(quantile_cont(c, 0.99), 2) AS p99_rows,
-      |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
-      |    round(CAST(max(c) AS DOUBLE) / avg(c), 2) AS skew_ratio
+      |    floor(avg(c) * 100) / 100 AS avg_rows,
+      |    floor(quantile_cont(c, 0.99) * 100) / 100 AS p99_rows,
+      |    floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000) / 1000000
+      |      AS top_share,
+      |    floor(CAST(max(c) AS DOUBLE) / avg(c) * 100) / 100 AS skew_ratio
       |  FROM t)
       |SELECT * FROM pu UNION ALL SELECT * FROM pt
       |ORDER BY key_col""".stripMargin
