@@ -537,6 +537,70 @@ object TrainingData {
        |FROM best ORDER BY doc_id""".stripMargin
   }
 
+  /** PMI phrase mining (word2phrase's scoring step): rank adjacent
+    * word pairs by pointwise mutual information —
+    * ln(p(w1w2) / (p(w1)·p(w2))) — to find collocations worth merging
+    * into single tokenizer units ("new york" → "new_york"). One
+    * posexplode + per-doc lead() builds the bigram stream; pair counts
+    * shuffle once on the pair, unigram counts are vocab-sized and the
+    * two totals are 1-row broadcasts, so nothing scales beyond the
+    * vocabulary. min-count 5 suppresses the PMI small-count
+    * pathology; PMI floor-scales at 4 digits (round-half drift) and
+    * the top-20 is a bounded TakeOrdered. Exact DuckDB oracle: the
+    * identical tokenization contract (`TextAnalysis.tokens` ≡
+    * filtered `string_split_regex`), windows, and ln nesting.
+    */
+  private def phraseMine(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.withColumn("nxt", lead("token", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val big = bi.groupBy(col("token").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    big
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .filter(col("pair_count") >= 5)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        (floor(log((col("pair_count") / col("n_bi")) /
+          ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni"))))
+          * 10000) / 10000).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val phraseMineSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS ws
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, ws[i] AS token, i AS ord FROM base,
+      |    (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      |bi AS (
+      |  SELECT token AS w1,
+      |    lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      |  FROM toks),
+      |big AS (SELECT w1, w2, count(*) AS pair_count FROM bi
+      |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      |uni AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_uni FROM toks),
+      |tb AS (SELECT count(*) AS n_bi FROM bi WHERE w2 IS NOT NULL)
+      |SELECT w1, w2, pair_count,
+      |  floor(ln((pair_count / n_bi) /
+      |    ((u1.c / n_uni) * (u2.c / n_uni))) * 10000) / 10000 AS pmi
+      |FROM big JOIN uni u1 ON big.w1 = u1.token
+      |  JOIN uni u2 ON big.w2 = u2.token, tot, tb
+      |WHERE pair_count >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   private def tokenTopK(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -1485,6 +1549,7 @@ object TrainingData {
       Some(collapseRepeatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
+    NamedQuery("d_phrase_mine", phraseMine, Some(phraseMineSql)),
     NamedQuery("d_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     NamedQuery("d_token_topk_approx", tokenTopKApprox, None),
     NamedQuery("d_clean_pipeline", cleanPipeline, Some(cleanPipelineSql)),

@@ -62,6 +62,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("histogram merge law: quantiles from month partials equal " +
+      "quantiles from one global histogram") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val fromPartials = SparkEntry.queries("q_quantile_merge")(spark, sf)
+      .as[(String, Double, Double)].collect().toSeq.sorted
+    // independent single-pass histogram: same frozen domain, no month
+    // split — merging partials must be invisible to the walk
+    val o = graft.queries.Tables(spark, sf, "orders")
+    val mm = o.agg(min("o_totalprice"), max("o_totalprice")).head
+    val lo = mm.getDouble(0)
+    val width = (mm.getDouble(1) - lo) / 4095
+    val wCum = Window.partitionBy("priority").orderBy("bin")
+    val wAll = Window.partitionBy("priority")
+    val global = o
+      .select(col("o_orderpriority").as("priority"),
+        floor((col("o_totalprice") - lit(lo)) / lit(width)).as("bin"))
+      .groupBy("priority", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+      .groupBy("priority")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("total")), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("total")), col("bin")))
+          .as("b95"))
+      .select(col("priority"),
+        round(lit(lo) + (col("b50") + 1) * lit(width), 2),
+        round(lit(lo) + (col("b95") + 1) * lit(width), 2))
+      .as[(String, Double, Double)].collect().toSeq.sorted
+    assert(fromPartials.nonEmpty && fromPartials == global)
+  }
+
   test("approx distinct counts sit within 5% of the exact counts") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .select($"approx_parts", $"exact_parts")

@@ -163,6 +163,11 @@ class SummaryRewriteSpec extends SparkSpec {
         .groupBy("l_partkey")
         .agg(count(lit(1)).as("n"))
       assert(scannedPaths(odim).forall(_.contains(fact)))
+      // COUNT(DISTINCT measure) is not additive over partials
+      val cd = spark.read.parquet(fact)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_quantity").as("nd"))
+      assert(scannedPaths(cd).forall(_.contains(fact)))
     }
   }
 
