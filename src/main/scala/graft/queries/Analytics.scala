@@ -1101,7 +1101,46 @@ object Analytics {
       |SELECT * FROM pu UNION ALL SELECT * FROM pt
       |ORDER BY key_col""".stripMargin
 
+  /** k-anonymity audit — the privacy companion to `d_pseudonymize`:
+    * after direct identifiers are pseudonymized, quasi-identifier
+    * combinations (here nation × market segment) can still single
+    * people out. Groups smaller than k are re-identification risk;
+    * the audit folds the QI-group relation (bounded by the QI value
+    * domain, never row count) into one summary row: group counts,
+    * how many fall under k, how many ROWS sit in those groups, the
+    * smallest group, and the at-risk share (floor-scaled ratio).
+    * The release gate a 100 TB PII pipeline runs before publishing.
+    */
+  private def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    Tables(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") < k, 1).otherwise(0)).as("risky_groups"),
+        sum(when(col("c") < k, col("c")).otherwise(0)).as("risky_rows"),
+        min("c").as("min_group"), sum("c").as("n_rows"))
+      .select(lit(k).as("k"), col("n_groups"), col("risky_groups"),
+        col("risky_rows"), col("min_group"),
+        (floor(col("risky_rows") / col("n_rows") * 1000000) / 1000000)
+          .as("risky_share"))
+  }
+
+  private val kanonAuditSql =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT 5 AS k, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS risky_groups,
+      |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+      |    AS risky_rows,
+      |  CAST(min(c) AS BIGINT) AS min_group,
+      |  floor(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+      |    / sum(c) * 1000000) / 1000000 AS risky_share
+      |FROM g""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
     NamedQuery("q_skew_profile", skewProfile, Some(skewProfileSql)),
     NamedQuery("d_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
     NamedQuery("e_vector_norms", vectorNorms, Some(vectorNormsSql)),

@@ -124,7 +124,51 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY asset_id""".stripMargin
 
+  /** Content-hash dedup ACROSS modalities: group assets by md5 of the
+    * decoded body (payload minus the 16-byte container header) — the
+    * same bytes can ship as image, audio, or video containers, and
+    * content identity must see through the wrapper. Emitting the hex
+    * digest itself makes the oracle compare prove byte-exact payload
+    * round-tripping through the container seam (DuckDB hashes the raw
+    * text bytes; Spark hashes what it unpacks). One hash shuffle,
+    * deterministic survivor — the exact-dedup discipline applied to
+    * binary columns. At 100 TB the md5 column is computed at ingest
+    * and persisted; this is the query side.
+    */
+  private def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = assets(spark, dir).toDF()
+    // re-ingest scenario: every 10th asset arrives again under a fresh
+    // id (the double-upload / re-crawl case content dedup exists for);
+    // the original must survive as the keeper
+    val reingested = a.filter(col("asset_id") % 10 === 0)
+      .withColumn("asset_id", col("asset_id") + 1000000L)
+    a.unionByName(reingested)
+      .select(col("asset_id"),
+        md5(expr("substring(payload, 17)")).as("content_md5"),
+        (length(col("payload")) - 16).as("n_bytes"))
+      .groupBy("content_md5")
+      .agg(min("asset_id").as("keep_id"),
+        count(lit(1)).as("dup_count"), min("n_bytes").as("n_bytes"))
+      .filter(col("dup_count") > 1)
+      .select("keep_id", "content_md5", "dup_count", "n_bytes")
+      .orderBy("keep_id")
+  }
+
+  private val mmDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |h AS (SELECT doc_id, md5(text) AS content_md5,
+      |    strlen(text) AS n_bytes
+      |  FROM d)
+      |SELECT min(doc_id) AS keep_id, content_md5,
+      |  count(*) AS dup_count, CAST(min(n_bytes) AS BIGINT) AS n_bytes
+      |FROM h GROUP BY content_md5 HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("mm_dedup", mmDedup, Some(mmDedupSql)),
     NamedQuery("mm_patch_grid", patchGrid, Some(patchGridSql)),
     NamedQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     NamedQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
