@@ -166,7 +166,20 @@ object Streaming {
       |WHERE event_type = 'purchase' AND value >= 100
       |ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the streamed summary maintenance: the incrementally
+    * folded summary must equal the one-shot aggregate.
+    */
+  private val summaryMaintSql =
+    """SELECT l_returnflag, l_linenumber,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linenumber
+      |ORDER BY l_returnflag, l_linenumber""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_summary_maint", Streams.summaryMaintViaStream,
+      Some(summaryMaintSql)),
     NamedQuery("st_resume", Streams.resumeViaStream, Some(resumeSql)),
     NamedQuery("st_quantile", Streams.quantileViaStream,
       Some(quantileStreamSql)),

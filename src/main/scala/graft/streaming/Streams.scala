@@ -352,6 +352,62 @@ object Streams {
     * then stop" batch loop, with checkpointed offsets instead of a
     * MAX(watermark) probe), blocking until drained.
     */
+  /** Streamed maintenance of the aggregate-navigation summary — the
+    * ingest-side loop that keeps [[graft.plans.SummaryRewrite]]'s
+    * summary fresh while facts STREAM in: each micro-batch folds its
+    * own additive partials (SUM/COUNT per dims) into the persisted
+    * summary through the staged overwrite, so the summary is correct
+    * after every batch, not just at end-of-day. `maxFilesPerTrigger`
+    * forces several micro-batches here, proving the accumulation is
+    * genuinely incremental (partials of partials — the same rollup
+    * algebra as `q_summary_incr`, run N times). Cost per batch is
+    * O(batch + dims-product); the fact history is never rescanned.
+    * Exact oracle: the final summary must equal DuckDB's one-shot
+    * aggregate over everything that streamed through.
+    */
+  def summaryMaintViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_summ").toString
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val summary = s"$root/summary"
+    Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linenumber", "l_quantity",
+        "l_extendedprice")
+      .repartition(6) // several source files -> several micro-batches
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val partial = batch.toDF()
+          .groupBy("l_returnflag", "l_linenumber")
+          .agg(sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_price"),
+            count(lit(1)).as("cnt"))
+        val merged =
+          if (graft.operators.ParquetIO.exists(sp, summary))
+            sp.read.parquet(summary).unionByName(partial)
+              .groupBy("l_returnflag", "l_linenumber")
+              .agg(sum("sum_qty").as("sum_qty"),
+                sum("sum_price").as("sum_price"),
+                sum("cnt").as("cnt"))
+          else partial
+        graft.operators.ParquetIO.overwriteSafe(merged, summary)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(summary)
+      .select(col("l_returnflag"), col("l_linenumber"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        round(col("sum_price"), 2).as("sum_price"), col("cnt"))
+      .orderBy("l_returnflag", "l_linenumber")
+  }
+
   /** Checkpoint-resume law — the operational property a recurring
     * ingest lives on: ONE streaming query resumed run after run, each
     * `AvailableNow` pass processing exactly the files that arrived
