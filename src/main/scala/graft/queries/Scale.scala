@@ -1007,6 +1007,65 @@ object Scale {
       |SELECT priority, om, round(lo + (b50 + 1) * w, 2) AS p50_3m
       |FROM sel, dom ORDER BY priority, om""".stripMargin
 
+  /** Domain evolution of the persisted histogram WITHOUT a fact
+    * rescan: when the value domain outgrows [lo, lo+4096·w) (new data
+    * above hi), the partials REBIN to a 2× wider domain by exact
+    * integer bin-pair merge — value ∈ bin b at width w lands in bin
+    * ⌊b/2⌋ at width 2w, identically to re-binning the raw value
+    * (⌊⌊y⌋/2⌋ = ⌊y/2⌋ for y ≥ 0), so widening costs one pass over the
+    * BINS table and loses exactly one level of resolution. The oracle
+    * rebuilds bins from raw orders and applies the SAME nested-floor
+    * merge, so the equality is exact; the quantile walk then runs at
+    * the doubled width. This is how a 100 TB sketch table absorbs
+    * domain drift: evolve the partials, never re-read history.
+    */
+  private def quantileRebin(spark: SparkSession, dir: String): DataFrame = {
+    val h = spark.read.parquet(seededHist(spark, dir))
+    val merged = h
+      .select(col("priority"), expr("bin div 2").as("bin2"),
+        col("lo"), (col("width") * 2).as("width2"), col("cnt"))
+      .groupBy("priority", "bin2", "lo", "width2")
+      .agg(sum("cnt").as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("bin2")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority")
+    merged.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+      .groupBy("priority", "lo", "width2")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("total")), col("bin2")))
+          .as("b50"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("total")), col("bin2")))
+          .as("b95"))
+      .select(col("priority"),
+        round(col("lo") + (col("b50") + 1) * col("width2"), 2)
+          .as("p50_hist2"),
+        round(col("lo") + (col("b95") + 1) * col("width2"), 2)
+          .as("p95_hist2"))
+      .orderBy("priority")
+  }
+
+  private val quantileRebinSql =
+    """WITH dom AS (SELECT min(o_totalprice) AS lo,
+      |    (max(o_totalprice) - min(o_totalprice)) / 4095 AS w
+      |  FROM orders),
+      |b AS (SELECT o_orderpriority AS priority,
+      |    floor(floor((o_totalprice - lo) / w) / 2) AS bin2,
+      |    count(*) AS cnt
+      |  FROM orders, dom GROUP BY 1, 2),
+      |c AS (SELECT priority, bin2, cnt,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY bin2) AS cum,
+      |    sum(cnt) OVER (PARTITION BY priority) AS total
+      |  FROM b),
+      |sel AS (SELECT priority,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bin2 END) AS b50,
+      |    min(CASE WHEN cum >= ceil(0.95 * total) THEN bin2 END) AS b95
+      |  FROM c GROUP BY 1)
+      |SELECT priority, round(lo + (b50 + 1) * (w * 2), 2) AS p50_hist2,
+      |  round(lo + (b95 + 1) * (w * 2), 2) AS p95_hist2
+      |FROM sel, dom ORDER BY priority""".stripMargin
+
   /** Staged fact+summary pair for aggregate navigation
     * ([[graft.plans.SummaryRewrite]]): the fact table is a staged copy
     * of lineitem (the summary is scoped to ITS path, so the rewrite
@@ -1160,6 +1219,7 @@ object Scale {
     NamedQuery("q_quantile_merge", quantileMerge, Some(quantileMergeSql)),
     NamedQuery("q_quantile_sliding", quantileSliding,
       Some(quantileSlidingSql)),
+    NamedQuery("q_quantile_rebin", quantileRebin, Some(quantileRebinSql)),
     NamedQuery("q_summary_rewrite", summaryRewrite, Some(summaryRewriteSql)),
     NamedQuery("q_summary_incr", summaryIncr, Some(summaryIncrSql)),
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),

@@ -192,6 +192,44 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("law: randomized covered shapes all route to the summary and " +
+      "equal the direct computation") {
+    withSummary { (fact, summary) =>
+      val rnd = new scala.util.Random(42)
+      val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+      (1 to 10).foreach { i =>
+        val groupDims = rnd.shuffle(dims).take(1 + rnd.nextInt(2))
+        val thresh = 1 + rnd.nextInt(6)
+        val aggs = rnd.shuffle(Seq(
+          sum("l_quantity").as("a1"),
+          sum("l_extendedprice").as("a2"),
+          count(lit(1)).as("a3"),
+          avg("l_quantity").as("a4"))).take(1 + rnd.nextInt(3))
+        def shape(path: String) = spark.read.parquet(path)
+          .where(col("l_linenumber") <= thresh)
+          .groupBy(groupDims.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(groupDims.map(col): _*)
+        val viaSummary = shape(fact)
+        assert(scannedPaths(viaSummary).forall(_.contains(summary)),
+          s"shape $i (dims=$groupDims, thresh=$thresh) kept a fact scan")
+        val got = viaSummary.collect()
+        val want = shape(s"$sf/lineitem.parquet").collect()
+        assert(got.length == want.length, s"shape $i row counts")
+        got.zip(want).foreach { case (g, e) =>
+          (0 until g.length).foreach { c =>
+            (g.get(c), e.get(c)) match {
+              case (a: java.lang.Double, b: java.lang.Double) =>
+                assert(math.abs(a - b) <= math.abs(b) * 1e-12 + 1e-12,
+                  s"shape $i col $c: $a vs $b")
+              case (a, b) => assert(a == b, s"shape $i col $c: $a vs $b")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("unregistered tables never match") {
     SummaryRewrite.install(spark)
     val df = spark.read.parquet(s"$sf/orders.parquet")
