@@ -1139,7 +1139,53 @@ object Analytics {
       |    / sum(c) * 1000000) / 1000000 AS risky_share
       |FROM g""".stripMargin
 
+  /** Inline audit metrics via `Dataset.observe` (CollectMetrics): the
+    * quality gate's bookkeeping — rows seen, rows with non-positive
+    * value, rows gated out — is collected IN THE SAME PASS as the
+    * query itself (the observe node accumulates during the scan;
+    * a second audit scan at 100 TB costs another full read). The
+    * declared result carries the observed counters beside the
+    * surviving-row aggregate; the oracle recomputes every number from
+    * SQL, proving the inline counters equal a dedicated audit pass.
+    * One bounded driver action (the 1-row summary) triggers the
+    * execution whose metrics are read back — the maxWatermark
+    * discipline.
+    */
+  private def observeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val observed = Events.events(spark, dir)
+      .observe("gate_metrics",
+        count(lit(1)).as("rows_in"),
+        sum(when(col("value") <= 0, 1).otherwise(0)).as("nonpositive"),
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .as("error_rows"))
+    val gated = observed
+      .filter(col("value") > 0 && col("event_type") =!= "error")
+    val outDf = gated.agg(count(lit(1)).as("rows_kept"),
+      round(sum("value"), 2).as("kept_value"))
+    val summary = outDf.collect()(0)
+    val m = outDf.queryExecution.observedMetrics("gate_metrics")
+    import spark.implicits._
+    Seq((m.getAs[Long]("rows_in"), m.getAs[Long]("nonpositive"),
+      m.getAs[Long]("error_rows"), summary.getAs[Long]("rows_kept"),
+      summary.getAs[Double]("kept_value")))
+      .toDF("rows_in", "nonpositive", "error_rows", "rows_kept",
+        "kept_value")
+  }
+
+  private val observeAuditSql =
+    """SELECT count(*) AS rows_in,
+      |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nonpositive,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS error_rows,
+      |  CAST(sum(CASE WHEN value > 0 AND event_type <> 'error'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+      |  round(sum(CASE WHEN value > 0 AND event_type <> 'error'
+      |    THEN value ELSE 0 END), 2) AS kept_value
+      |FROM events""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_observe_audit", observeAudit, Some(observeAuditSql)),
     NamedQuery("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
     NamedQuery("q_skew_profile", skewProfile, Some(skewProfileSql)),
     NamedQuery("d_fuzzy_blocked", fuzzyBlocked, Some(fuzzyBlockedSql)),
