@@ -39,7 +39,7 @@ object Bench {
     // their timed runs measure the steady-state read path: a
     // dims-product summary scan / a bins-table quantile walk
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
-        "q_summary_rewrite", "q_summary_incr",
+        "q_summary_rewrite", "q_summary_incr", "q_scd2_asof",
         "q_quantile_merge", "q_quantile_sliding",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
