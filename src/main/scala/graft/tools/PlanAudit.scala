@@ -52,7 +52,9 @@ object PlanAudit {
     "d_incr_minhash" -> "incremental near-dup probe: batch bands join the PERSISTED band index on (t, sig), rescore joins the persisted shingle sets — corpus text never rescanned",
     "q_summary_rewrite" -> "aggregate navigation: the optimizer rule swaps the fact scan for the dims-product summary — the plan's only file scan is the summary parquet, re-aggregated by SUM of sums/counts",
     "q_quantile_merge" -> "histogram-quantile walk: one scan of the persisted bins table, cumulative + total as two frames over ONE partitioned sort, both crossings by conditional MIN — the fact table appears nowhere",
-    "q_skew_profile" -> "skew diagnostic: per key column one key-count shuffle then a 1-row fold of the bounded count relation — cost tracks distinct keys, not rows")
+    "q_skew_profile" -> "skew diagnostic: per key column one key-count shuffle then a 1-row fold of the bounded count relation — cost tracks distinct keys, not rows",
+    "d_phrase_mine" -> "PMI phrase mining: one posexplode + per-doc lead() builds the bigram stream; pair counts shuffle once on the pair, unigram counts join vocab-sized, totals broadcast as 1-row relations, top-20 is TakeOrdered",
+    "mm_dedup" -> "cross-modal content dedup: one md5-hash shuffle over the asset stream (digests computable at ingest); dup groups fold map-side before the exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
