@@ -676,7 +676,49 @@ object Events {
       |FROM d WHERE dur IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-user event-transition matrix (first-order Markov counts):
+    * P(next event type | current) from each user's time-ordered
+    * stream — the navigation-analytics staple behind "what do users
+    * do after X". One per-user lead() window (the same user-keyed
+    * exchange every sessionization query pays), then counts shuffle
+    * on the (from, to) pair — 5×5 here, type-domain-bounded at any
+    * scale. Probabilities are floor-scaled ratios (round-half drift);
+    * ties in simultaneous events are broken by event_id, matching the
+    * oracle's window ORDER BY exactly.
+    */
+  private def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    pairs
+      .withColumn("row_total", sum("n").over(totals))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n") / col("row_total") * 1000000) / 1000000)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  floor(n / (sum(n) OVER (PARTITION BY from_type)) * 1000000)
+      |    / 1000000 AS p
+      |FROM p ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_transitions", transitions, Some(transitionsSql)),
     NamedQuery("ev_twap", twap, Some(twapSql)),
     NamedQuery("ev_locf", locf, Some(locfSql)),
     NamedQuery("ev_interpolate", interpolate, Some(interpolateSql)),

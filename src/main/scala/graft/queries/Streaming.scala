@@ -177,7 +177,20 @@ object Streaming {
       |FROM lineitem GROUP BY l_returnflag, l_linenumber
       |ORDER BY l_returnflag, l_linenumber""".stripMargin
 
+  /** Batch twin of the dead-letter fan-out: per-sink/per-reason row
+    * accounting must be lossless (main + dlq = input).
+    */
+  private val dlqSql =
+    """SELECT 'dlq' AS sink, 'low_value' AS reason,
+      |  count(*) AS n, CAST(NULL AS DOUBLE) AS sum_value
+      |FROM events WHERE value < 5
+      |UNION ALL
+      |SELECT 'main', 'kept', count(*), round(sum(value), 2)
+      |FROM events WHERE value >= 5
+      |ORDER BY sink, reason""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_dlq", Streams.dlqViaStream, Some(dlqSql)),
     NamedQuery("st_summary_maint", Streams.summaryMaintViaStream,
       Some(summaryMaintSql)),
     NamedQuery("st_resume", Streams.resumeViaStream, Some(resumeSql)),

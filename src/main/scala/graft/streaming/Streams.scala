@@ -408,6 +408,51 @@ object Streams {
       .orderBy("l_returnflag", "l_linenumber")
   }
 
+  /** Dead-letter routing — the ingest pattern that keeps bad records
+    * from either BLOCKING the pipeline or being SILENTLY dropped: each
+    * micro-batch is read once, cached, and fanned out to the main sink
+    * (rows passing the gate) and the dead-letter sink (failing rows,
+    * tagged with the reason) — two appends per batch, no second read
+    * of the source. The declared result is the per-sink/per-reason
+    * row accounting; the oracle recomputes it from SQL, proving the
+    * fan-out is lossless (main + dlq = input, row-for-row by gate).
+    * At 100 TB the DLQ is what makes reprocessing failures O(failed
+    * rows) instead of a full re-run.
+    */
+  def dlqViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_dlq").toString
+    val (main, dlq, ckpt) = (s"$root/main", s"$root/dlq", s"$root/ckpt")
+    val q = eventsStream(spark, dir)
+      .withColumn("dlq_reason",
+        when(col("value") < 5, lit("low_value")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        batch.filter(col("dlq_reason").isNull).drop("dlq_reason")
+          .write.mode("append").parquet(main)
+        batch.filter(col("dlq_reason").isNotNull)
+          .select(col("event_id"), col("event_type"), col("dlq_reason"))
+          .write.mode("append").parquet(dlq)
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mainRows = spark.read.parquet(main)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(lit("main").as("sink"), lit("kept").as("reason"),
+        col("n"), col("sum_value"))
+    val dlqRows = spark.read.parquet(dlq)
+      .groupBy(col("dlq_reason").as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dlq").as("sink"), col("reason"), col("n"),
+        lit(null).cast("double").as("sum_value"))
+    mainRows.unionByName(dlqRows).orderBy("sink", "reason")
+  }
+
   /** Checkpoint-resume law — the operational property a recurring
     * ingest lives on: ONE streaming query resumed run after run, each
     * `AvailableNow` pass processing exactly the files that arrived
