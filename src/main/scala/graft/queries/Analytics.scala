@@ -1184,7 +1184,47 @@ object Analytics {
       |    THEN value ELSE 0 END), 2) AS kept_value
       |FROM events""".stripMargin
 
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * encoder: each row's category is replaced by the mean target of
+    * the OTHER rows in its category, (Σ − x)/(n − 1), so a row never
+    * sees its own label (plain mean encoding leaks the target and
+    * inflates validation scores; same leakage discipline as
+    * decontamination and the embargo split). One category-keyed
+    * partial aggregate broadcast back onto the rows — the encode pass
+    * adds no second fact scan; n=1 categories yield NULL (no peers to
+    * encode from). The arithmetic runs in EXACT integer cents: a
+    * double partition sum differs between engines in the last ulp
+    * (order-dependent addition — measured 3/15000 rows flipping the
+    * truncated cent), while BIGINT cent sums are order-independent
+    * and integer division is floor on both engines.
+    */
+  private def looEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+    Tables(spark, dir, "orders")
+      .withColumn("xc", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("cat_sumc", sum("xc").over(w))
+      .withColumn("cat_n", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_orderpriority").as("category"),
+        when(col("cat_n") > 1,
+          expr("(cat_sumc - xc) div (cat_n - 1)") / 100.0)
+          .as("loo_mean_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val looEncodeSql =
+    """WITH c AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority AS category,
+      |  CASE WHEN count(*) OVER w > 1
+      |    THEN ((sum(xc) OVER w - xc) // (count(*) OVER w - 1)) / 100.0
+      |    END AS loo_mean_price
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_orderpriority)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_loo_encode", looEncode, Some(looEncodeSql)),
     NamedQuery("q_observe_audit", observeAudit, Some(observeAuditSql)),
     NamedQuery("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
     NamedQuery("q_skew_profile", skewProfile, Some(skewProfileSql)),

@@ -507,7 +507,40 @@ object Curation {
       |  doc_id
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Temporal train/validation split with an EMBARGO gap — the
+    * leakage-safe companion to the hash split (`d_split_assign`):
+    * when examples carry time and the task is forecasting, a random
+    * split leaks the future into training, and even a clean cut leaks
+    * through serial correlation at the boundary — so rows inside the
+    * embargo window between train-end and validation-start are
+    * DROPPED, not assigned. Pure per-row date arithmetic (no shuffle
+    * until the audit fold); the output is the per-split row/date-range
+    * accounting the pipeline gates on before training.
+    */
+  private def temporalSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("split",
+        when(col("o_orderdate") < lit("1997-07-01"), "train")
+          .when(col("o_orderdate") >= lit("1997-10-01"), "validation")
+          .otherwise("embargo"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_date"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_date"))
+      .orderBy("split")
+
+  private val temporalSplitSql =
+    """SELECT CASE
+      |    WHEN o_orderdate < TIMESTAMP '1997-07-01' THEN 'train'
+      |    WHEN o_orderdate >= TIMESTAMP '1997-10-01' THEN 'validation'
+      |    ELSE 'embargo' END AS split,
+      |  count(*) AS n_rows,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+      |FROM orders GROUP BY 1 ORDER BY split""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_temporal_split", temporalSplit, Some(temporalSplitSql)),
     NamedQuery("d_weighted_sample", weightedSample,
       Some(weightedSampleSql)),
     NamedQuery("d_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
