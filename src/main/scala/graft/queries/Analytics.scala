@@ -1223,7 +1223,42 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_orderpriority)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Ingestion-gap audit — the backfill planner's input: which days
+    * inside the table's own [min, max] span have NO rows? The expected
+    * calendar spine generates from two scalar bounds (one 1-row
+    * aggregate broadcast into `sequence()` — the spine is
+    * calendar-sized, never fact-sized) and anti-joins the observed
+    * distinct days. Finds this dataset's 6 genuinely empty days; at
+    * 100 TB this is the completeness check that runs after every load
+    * and feeds the backfill queue, at the cost of one distinct-days
+    * fold.
+    */
+  private def gapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"))
+    val bounds = o.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(o.distinct(), Seq("day"), "left_anti")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("missing_day"))
+      .orderBy("missing_day")
+  }
+
+  private val gapAuditSql =
+    """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+      |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      |spine AS (SELECT unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS day FROM b),
+      |seen AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+      |  FROM orders)
+      |SELECT strftime(CAST(spine.day AS DATE), '%Y-%m-%d')
+      |    AS missing_day
+      |FROM spine LEFT JOIN seen ON CAST(spine.day AS DATE) = seen.day
+      |WHERE seen.day IS NULL
+      |ORDER BY missing_day""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_gap_audit", gapAudit, Some(gapAuditSql)),
     NamedQuery("q_loo_encode", looEncode, Some(looEncodeSql)),
     NamedQuery("q_observe_audit", observeAudit, Some(observeAuditSql)),
     NamedQuery("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
