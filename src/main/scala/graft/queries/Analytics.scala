@@ -1257,7 +1257,53 @@ object Analytics {
       |WHERE seen.day IS NULL
       |ORDER BY missing_day""".stripMargin
 
+  /** RFM segmentation — the warehouse-classic customer scoring:
+    * Recency (days since last order), Frequency (order count),
+    * Monetary (total spend) per customer, each quintile-scored with
+    * `ntile(5)`. The per-customer fold is one fact shuffle on the
+    * customer key; the three ntile windows run over the CUSTOMER
+    * relation (entity-sized, not fact-sized) and share its single
+    * partitioning. ntile ties are broken deterministically (ORDER BY
+    * metric, custkey on both engines), so the segment assignment is
+    * hash-stable. Output is the segment-level rollup (125 possible
+    * cells), the table a campaign targets from.
+    */
+  private def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum("o_totalprice").as("monetary"))
+    def score(orderCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      ntile(5).over(Window.orderBy(orderCols: _*))
+    perCust
+      .withColumn("r_score", score(Seq(col("last_day").desc,
+        col("o_custkey"))))
+      .withColumn("f_score", score(Seq(col("freq"), col("o_custkey"))))
+      .withColumn("m_score", score(Seq(col("monetary"), col("o_custkey"))))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("monetary"), 2).as("segment_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmSegmentsSql =
+    """WITH pc AS (
+      |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    count(*) AS freq, sum(o_totalprice) AS monetary
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT *,
+      |    ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      |  FROM pc)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  round(sum(monetary), 2) AS segment_value
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     NamedQuery("q_gap_audit", gapAudit, Some(gapAuditSql)),
     NamedQuery("q_loo_encode", looEncode, Some(looEncodeSql)),
     NamedQuery("q_observe_audit", observeAudit, Some(observeAuditSql)),

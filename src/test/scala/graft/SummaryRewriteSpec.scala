@@ -168,6 +168,13 @@ class SummaryRewriteSpec extends SparkSpec {
         .groupBy("l_returnflag")
         .agg(countDistinct("l_quantity").as("nd"))
       assert(scannedPaths(cd).forall(_.contains(fact)))
+      // grouping by an EXPRESSION over a dim (not a bare attribute):
+      // the summary holds raw dim values, so this must keep the fact
+      // scan even though the expression's inputs are all dims
+      val gexpr = spark.read.parquet(fact)
+        .groupBy(upper(col("l_returnflag")).as("rf"))
+        .agg(sum("l_quantity").as("sq"))
+      assert(scannedPaths(gexpr).forall(_.contains(fact)))
     }
   }
 
