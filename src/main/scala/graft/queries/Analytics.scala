@@ -1302,7 +1302,61 @@ object Analytics {
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** ABC / Pareto classification — inventory's 80/15/5 rule: parts
+    * whose cumulative revenue share reaches 80% are class A, the next
+    * 15% B, the tail C. The per-part fold is one fact shuffle; the
+    * cumulative walk runs over the PART relation (entity-sized). The
+    * classification boundary is where engines usually diverge — a
+    * double cumsum differs in the last ulp exactly at the one part
+    * near 80% — so revenue accumulates as exact BIGINT cents and the
+    * class test is integer cross-multiplication (cum·5 ≤ total·4),
+    * bit-identical everywhere.
+    */
+  private def abcClass(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables(spark, dir, "lineitem")
+      .withColumn("rev_c", round(col("l_extendedprice")
+        * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy("l_partkey").agg(sum("rev_c").as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+    val wAll = Window.partitionBy()
+    perPart
+      .withColumn("cum_c", sum("rev_c").over(w))
+      .withColumn("total_c", sum("rev_c").over(wAll))
+      .withColumn("abc_class",
+        when(col("cum_c") * 5 <= col("total_c") * 4, "A")
+          .when(col("cum_c") * 20 <= col("total_c") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum("rev_c") / 100.0).as("class_revenue"),
+        (floor(sum("rev_c") * lit(1000000) / max("total_c")) / 1000000)
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
+  private val abcClassSql =
+    """WITH pp AS (
+      |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice
+      |      * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, rev_c,
+      |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+      |      AS BIGINT) AS cum_c,
+      |    CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+      |  FROM pp),
+      |k AS (SELECT *, CASE
+      |    WHEN cum_c * 5 <= total_c * 4 THEN 'A'
+      |    WHEN cum_c * 20 <= total_c * 19 THEN 'B'
+      |    ELSE 'C' END AS abc_class
+      |  FROM c)
+      |SELECT abc_class, count(*) AS n_parts,
+      |  sum(rev_c) / 100.0 AS class_revenue,
+      |  floor(sum(rev_c) * 1000000 / max(total_c)) / 1000000
+      |    AS revenue_share
+      |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_abc_class", abcClass, Some(abcClassSql)),
     NamedQuery("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     NamedQuery("q_gap_audit", gapAudit, Some(gapAuditSql)),
     NamedQuery("q_loo_encode", looEncode, Some(looEncodeSql)),
