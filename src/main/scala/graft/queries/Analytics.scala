@@ -1355,7 +1355,187 @@ object Analytics {
       |    AS revenue_share
       |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin
 
+  /** Market-basket affinity — which part pairs are co-ordered more
+    * often than chance? Support (co-occurrence count) and lift
+    * (observed / expected-if-independent) per unordered pair. The
+    * basket relation distincts to (order, part) once; the pair
+    * expansion is a SELF-join on the order key — both sides are the
+    * same plan subtree, so the second side rides the first's exchange
+    * (ReusedExchange), and per-order fan-out is bounded by basket size
+    * k (~4 here, ≤k² pairs per order), never corpus-quadratic. Item
+    * frequencies and the basket count re-aggregate the SAME distinct
+    * relation (no second fact scan); frequencies come back as a
+    * broadcast onto pair-sized data. Lift is emitted in exact
+    * parts-per-million — floor(1e6·N·n_ab / (n_a·n_b)) in BIGINT — so
+    * the boundary can't flip on a double divide. At 100 TB the one
+    * guard a real deployment adds is a per-basket item cap before the
+    * self-join (the d_domain_cap machinery); uncapped is honest here
+    * because the generator bounds baskets at 7 lines.
+    */
+  private def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val oi = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val pairs = oi.join(oi.withColumnRenamed("item", "item_b"), "okey")
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val freq = oi.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val n = oi.select(countDistinct("okey").as("n_baskets"))
+    pairs
+      .join(broadcast(freq.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(freq.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)")
+          .as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(100)
+  }
+
+  private val marketBasketSql =
+    """WITH oi AS (SELECT DISTINCT l_orderkey AS okey,
+      |    l_partkey AS item FROM lineitem),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      |  FROM oi a JOIN oi b ON a.okey = b.okey AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |freq AS (SELECT item, count(*) AS n_item FROM oi GROUP BY 1),
+      |n AS (SELECT count(DISTINCT okey) AS n_baskets FROM oi)
+      |SELECT item_a, item_b, n_ab,
+      |  (n_ab * n_baskets * 1000000) // (fa.n_item * fb.n_item)
+      |    AS lift_ppm
+      |FROM pairs
+      |JOIN freq fa ON fa.item = item_a
+      |JOIN freq fb ON fb.item = item_b, n
+      |ORDER BY n_ab DESC, item_a, item_b LIMIT 100""".stripMargin
+
+  /** Year-over-year growth — the monthly revenue trend every warehouse
+    * reports: each month joined to the SAME month one year earlier,
+    * growth in exact basis points. Revenue accumulates as BIGINT cents
+    * (the LOO/ABC discipline — double month-sums flip the last cent
+    * between engines); the YoY delta is floor-scaled integer
+    * arithmetic, floor((cur−prev)·10⁴ / prev), so the boundary month
+    * can't disagree. The fact fold is one shuffle into calendar-sized
+    * month groups; the self-join runs over ~80 month rows (broadcast,
+    * no second fact scan). First-year months emit NULL growth (no
+    * prior year), kept — a report that silently drops them hides the
+    * ramp.
+    */
+  private def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "orders")
+      .withColumn("pc", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum("pc").as("rev_c"))
+    val prev = monthly.select(col("month").as("pmonth"),
+      col("rev_c").as("prev_c"))
+    monthly
+      .join(broadcast(prev),
+        add_months(col("month"), -12) === col("pmonth"), "left")
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        (col("rev_c") / 100.0).as("revenue"),
+        (col("prev_c") / 100.0).as("prev_year_revenue"),
+        when(col("prev_c") > 0,
+          floor(((col("rev_c") - col("prev_c")) * 10000)
+            / col("prev_c")).cast("long")).as("growth_bp"))
+      .orderBy("month")
+  }
+
+  private val yoyGrowthSql =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(CAST(cur.month AS DATE), '%Y-%m') AS month,
+      |  cur.rev_c / 100.0 AS revenue,
+      |  prev.rev_c / 100.0 AS prev_year_revenue,
+      |  CASE WHEN prev.rev_c > 0 THEN CAST(floor(
+      |    ((cur.rev_c - prev.rev_c) * 10000.0) / prev.rev_c) AS BIGINT)
+      |  END AS growth_bp
+      |FROM m cur LEFT JOIN m prev
+      |  ON cur.month = prev.month + INTERVAL 1 YEAR
+      |ORDER BY month""".stripMargin
+
+  /** Rolling-origin forecast backtest — the evaluation discipline that
+    * belongs next to `q_trend_regression`'s one-step forecast: replay
+    * history at K training cutoffs, fit ONLY on days before each
+    * cutoff, score the next-5-day forecasts against what actually
+    * happened (MAE per type per cutoff). The temporal hygiene is the
+    * same as `d_temporal_split`'s — a model must never see its own
+    * test window. All K fits share one plan over the DAILY pre-
+    * aggregate (types × days rows, entity-sized): the cutoff dim
+    * cross-joins onto it (K× a tiny relation, never K fact scans).
+    * The hash discipline follows trend_regression: coefficients round
+    * to 4dp BEFORE forecasting, forecasts to 2dp before the error
+    * average, so engine-internal regression precision can't split the
+    * gate. Counts (not value sums) are the target — integer actuals
+    * keep the error arithmetic anchored.
+    */
+  private def forecastBacktest(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val horizon = 5
+    val daily = Events.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01")).cast("double"))
+    val cutoffs = Seq("2024-01-15", "2024-01-20", "2024-01-25")
+      .toDF("cutoff")
+      .withColumn("cx",
+        datediff(col("cutoff"), lit("2024-01-01")).cast("double"))
+    val fit = daily.crossJoin(broadcast(cutoffs))
+      .filter(col("x") < col("cx"))
+      .groupBy("event_type", "cutoff")
+      .agg(round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("icept"))
+    daily.join(broadcast(cutoffs),
+        col("x") >= col("cx") && col("x") < col("cx") + horizon)
+      .join(fit, Seq("event_type", "cutoff"))
+      .withColumn("pred",
+        round(col("icept") + col("slope") * col("x"), 2))
+      .groupBy("event_type", "cutoff")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("pred") - col("y"))), 2).as("mae"))
+      .orderBy("event_type", "cutoff")
+  }
+
+  private val forecastBacktestSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, y,
+      |    CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x
+      |  FROM daily),
+      |cut AS (SELECT cutoff, CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(cutoff AS DATE)) AS DOUBLE) AS cx
+      |  FROM (VALUES ('2024-01-15'), ('2024-01-20'), ('2024-01-25'))
+      |    c(cutoff)),
+      |fit AS (
+      |  SELECT event_type, cutoff,
+      |    round(regr_slope(y, x), 4) AS slope,
+      |    round(regr_intercept(y, x), 4) AS icept
+      |  FROM d2, cut WHERE x < cx GROUP BY 1, 2),
+      |test AS (
+      |  SELECT d2.event_type, cut.cutoff, x, y
+      |  FROM d2, cut WHERE x >= cx AND x < cx + 5)
+      |SELECT test.event_type AS event_type, test.cutoff AS cutoff,
+      |  count(*) AS n_days,
+      |  round(avg(abs(round(icept + slope * x, 2) - y)), 2) AS mae
+      |FROM test JOIN fit ON test.event_type = fit.event_type
+      |  AND test.cutoff = fit.cutoff
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_forecast_backtest", forecastBacktest,
+      Some(forecastBacktestSql)),
+    NamedQuery("q_market_basket", marketBasket, Some(marketBasketSql)),
+    NamedQuery("q_yoy_growth", yoyGrowth, Some(yoyGrowthSql)),
     NamedQuery("q_abc_class", abcClass, Some(abcClassSql)),
     NamedQuery("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     NamedQuery("q_gap_audit", gapAudit, Some(gapAuditSql)),

@@ -717,7 +717,119 @@ object Events {
       |    / 1000000 AS p
       |FROM p ORDER BY from_type, to_type""".stripMargin
 
+  /** CUSUM change-point detection — where did each event type's daily
+    * volume shift level? The classic cumulative-sum statistic: with
+    * daily counts c₁..cₙ (total T), the scaled deviation path
+    * Sₖ = n·Σᵢ≤ₖcᵢ − k·T is exactly zero-mean, and its extreme |Sₖ|
+    * marks the most likely level-shift boundary. Everything stays in
+    * BIGINT — the path is integer by construction (no mean subtraction
+    * in doubles), so argmax and magnitude are bit-identical across
+    * engines; ties break to the earliest day. The fact fold is one
+    * shuffle into calendar-sized (type, day) groups; the cumulative
+    * walk and both totals ride ONE event_type partitioning over the
+    * daily relation (≤ types × days rows — entity-sized, the
+    * Analytics-module rule for global windows). At 100 TB this is the
+    * monitoring query that pages the ingest on-call.
+    */
+  private def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val walk = byType.orderBy("day")
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("cum", sum("c").over(
+        walk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(walk))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum("c").over(byType))
+      .withColumn("dev",
+        abs(col("n_days") * col("cum") - col("k") * col("total")))
+      .withColumn("pick",
+        row_number().over(byType.orderBy(col("dev").desc, col("day"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+        col("dev").as("max_abs_dev"), col("n_days"), col("total"))
+      .orderBy("event_type")
+  }
+
+  private val cusumSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |walk AS (
+      |  SELECT event_type, day, c,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day) AS BIGINT) AS k,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS n_days,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS total
+      |  FROM daily),
+      |dev AS (SELECT *, abs(n_days * cum - k * total) AS dev FROM walk),
+      |pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dev DESC, day) AS pick FROM dev)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+      |  dev AS max_abs_dev, n_days, total
+      |FROM pick WHERE pick = 1 ORDER BY event_type""".stripMargin
+
+  /** Lag-feature matrix — the feature-engineering pass in front of
+    * every tabular/sequence model: per (user, active day), the
+    * trailing-activity features a trainer consumes (previous active
+    * day's count, gap since it, calendar-true 7-day rolling totals).
+    * ALL features ride ONE user_id partitioning over the (user, day)
+    * relation: the row-frame lag/gap and the RANGE-frame 7-day windows
+    * share the same sort — one shuffle, one sort, four features (the
+    * rolling frame is RANGE over the integer day index, so calendar
+    * gaps are handled by the frame itself — a ROWS frame would
+    * silently count 7 ACTIVE days, a classic leakage-adjacent bug).
+    * Everything is integer arithmetic end to end — counts, day
+    * indices, gaps — so the gate compares exactly, no rounding needed.
+    * At 100 TB the per-day pre-aggregate (this plan's first fold) is
+    * what keeps the window input user-day-sized, never event-sized.
+    */
+  private def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("x")
+    val roll7 = byUser.rangeBetween(-6, 0)
+    events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01")).cast("long"))
+      .withColumn("n_lag1", lag("n", 1).over(byUser))
+      .withColumn("gap_days", col("x") - lag("x", 1).over(byUser))
+      .withColumn("roll7_n", sum("n").over(roll7))
+      .withColumn("active_in_7", count(lit(1)).over(roll7))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("n_lag1"), col("gap_days"), col("roll7_n"),
+        col("active_in_7"))
+      .orderBy("user_id", "day")
+  }
+
+  private val lagFeaturesSql =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2, 4)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+      |  lag(n, 1) OVER w AS n_lag1,
+      |  x - lag(x, 1) OVER w AS gap_days,
+      |  CAST(sum(n) OVER r AS BIGINT) AS roll7_n,
+      |  CAST(count(*) OVER r AS BIGINT) AS active_in_7
+      |FROM ud
+      |WINDOW w AS (PARTITION BY user_id ORDER BY x),
+      |  r AS (PARTITION BY user_id ORDER BY x
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
+    NamedQuery("ev_cusum", cusum, Some(cusumSql)),
     NamedQuery("ev_transitions", transitions, Some(transitionsSql)),
     NamedQuery("ev_twap", twap, Some(twapSql)),
     NamedQuery("ev_locf", locf, Some(locfSql)),

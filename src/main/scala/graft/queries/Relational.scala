@@ -1671,8 +1671,66 @@ object Relational {
       |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q20 shape (potential part promotion), adapted to this
+    * fixture's tables (no partsupp): which suppliers DOMINATE the 1996
+    * shipped volume of a PROMO part — their own shipped quantity
+    * exceeds half of everyone's? Q20's signature nested double
+    * aggregation survives intact: an inner (part, supplier) fold, an
+    * outer per-part fold over it, a correlated threshold between the
+    * two, then a semi-join into the supplier dimension. The per-part
+    * totals re-aggregate the (part, supplier) PARTIAL — the fact table
+    * is scanned once and the second aggregate consumes the first's
+    * exchange (ReusedExchange, gated in PlanSpec). The dominance test
+    * is integer cross-multiplication over BIGINT quantity sums
+    * (2·qty_sp > qty_p) — quantities are integral, so both engines
+    * compare exactly; no double ratio can flip at the boundary.
+    * Reference context: delegated analytics (SURVEY §2.3/§2.4 — the
+    * reference pushes all such SQL to Dune).
+    */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sp"))
+    val p = sp.groupBy("l_partkey").agg(sum("qty_sp").as("qty_p"))
+    val dom = sp.join(p, "l_partkey")
+      .filter(col("qty_sp") * 2 > col("qty_p"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_dominated"))
+    dom.join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("n_dominated"))
+      .orderBy("s_name")
+  }
+
+  private val q20Sql =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |p AS (SELECT l_partkey, CAST(sum(qty_sp) AS BIGINT) AS qty_p
+      |  FROM sp GROUP BY 1),
+      |dom AS (
+      |  SELECT l_suppkey, count(*) AS n_dominated
+      |  FROM sp JOIN p USING (l_partkey)
+      |  WHERE qty_sp * 2 > qty_p GROUP BY 1)
+      |SELECT s_name, n_name, n_dominated
+      |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_name""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q1_pricing_summary", q1, Some(q1Sql)),
+    NamedQuery("q20_promo_supplier", q20, Some(q20Sql)),
     NamedQuery("q10_returned_revenue", q10, Some(q10Sql)),
     NamedQuery("q13_cust_distribution", q13, Some(q13Sql)),
     NamedQuery("q15_top_supplier", q15, Some(q15Sql)),

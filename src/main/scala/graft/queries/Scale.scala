@@ -1226,7 +1226,124 @@ object Scale {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** File-level zone-map pruning ([[graft.operators.ZoneMap]]): the
+    * lineitem slice is laid out range-clustered on l_shipdate once per
+    * JVM (table maintenance, like the bucket/partition/z-order seeds
+    * above), and the query plans its scan from the persisted per-file
+    * (min, max) index — only files intersecting the half-year window
+    * are ever listed. Differs from `q_zorder_skip` (row-group stats
+    * inside a scan that still touches every footer) and
+    * `q_partition_prune` (pruning needs the predicate on the partition
+    * COLUMN): the zone map prunes at planning time from one tiny index
+    * read, on any indexed column. ZoneMapSpec gates that the pruned
+    * file list is a strict subset; the oracle gates exactness
+    * (intervals over-approximate, the exact predicate re-applies
+    * inside [[graft.operators.ZoneMap.read]]).
+    */
+  private val zonemapSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zonemapLookup(spark: SparkSession, dir: String): DataFrame = {
+    val path = zonemapSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_zonemap_seed").toString + "/lineitem"
+      graft.operators.ZoneMap.build(
+        Tables(spark, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice", "l_shipdate"),
+        p, "l_shipdate", numFiles = 16)
+      p
+    })
+    graft.operators.ZoneMap
+      .read(spark, path, "l_shipdate", "1996-01-01", "1996-07-01")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val zonemapLookupSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Persisted result cache ([[graft.plans.ResultCache]]): the query
+    * body builds the monthly-revenue aggregate TWICE through two
+    * different code paths (select-then-agg vs agg-then-alias), and
+    * serves both through the cache — canonicalization collides them
+    * onto one fingerprint, so the first materializes and the second is
+    * a pure parquet read of the entry (ResultCacheSpec gates the
+    * hit/miss sequence and the cross-plan collision). The declared
+    * result is the SECOND (cache-hit) read — the steady-state path a
+    * dashboard pays — and the oracle proves serving from cache loses
+    * nothing. Entries scope per sf dir here (immutable inputs); the
+    * staleness contract for mutable tables is in the operator doc.
+    */
+  private val cacheSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def resultCache(spark: SparkSession, dir: String): DataFrame = {
+    val root = cacheSeeded.computeIfAbsent(dir, { _ =>
+      java.nio.file.Files
+        .createTempDirectory("graft_result_cache").toString
+    })
+    def monthly: DataFrame = Tables(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("om"),
+        col("o_totalprice"))
+      .groupBy("om")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("om")
+    val (_, _) = graft.plans.ResultCache.cached(monthly, root)
+    val (served, _) = graft.plans.ResultCache.cached(monthly, root)
+    // cached parquet preserves rows, not order — re-assert the contract
+    served.orderBy("om")
+  }
+
+  private val resultCacheSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS om,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY om""".stripMargin
+
+  /** Approximation governor ([[graft.plans.ApproxGovernorRule]]): the
+    * SAME query text — an exact `countDistinct` per group — executed
+    * once with the session's approx flag on (the optimizer swaps the
+    * distinct count for HyperLogLog++ at plan time; materialized
+    * eagerly via localCheckpoint so the flag's scope is exactly this
+    * execution) and once with it off (the exact twin). No SQL oracle —
+    * the result is approximate by design — so the gate reads the
+    * quantified tolerance: both columns ship in the row and
+    * ToleranceCheck pins the relative error. ApproxGovernorSpec gates
+    * the plan shapes (flag off ⇒ distinct Count survives; flag on ⇒
+    * HLL++ aggregate, no Expand) and the soundness bounds (multi-column
+    * and FILTER'd distincts never rewrite).
+    */
+  private def approxGovernor(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ApproxGovernor.install(spark)
+    def q = Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_custs"))
+    val approx = try {
+      spark.conf.set(graft.plans.ApproxGovernor.Flag, "true")
+      // eager: the governed plan optimizes + executes HERE, inside the
+      // flag's scope — a lazy frame would re-optimize at sink time
+      // with the flag already reset
+      q.localCheckpoint(true)
+    } finally spark.conf.set(graft.plans.ApproxGovernor.Flag, "false")
+    approx.withColumnRenamed("n_custs", "approx_custs")
+      .join(q.withColumnRenamed("n_custs", "exact_custs"),
+        "o_orderpriority")
+      .select("o_orderpriority", "approx_custs", "exact_custs")
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_approx_governor", approxGovernor, None),
+    NamedQuery("q_zonemap_lookup", zonemapLookup, Some(zonemapLookupSql)),
+    NamedQuery("q_result_cache", resultCache, Some(resultCacheSql)),
     NamedQuery("q_quantile_merge", quantileMerge, Some(quantileMergeSql)),
     NamedQuery("q_quantile_sliding", quantileSliding,
       Some(quantileSlidingSql)),

