@@ -67,6 +67,18 @@ object ToleranceCheck {
           "HLL++ default rsd=0.05, bound = 3 sigma for the max over groups")
     }
 
+    // optimizer-governed approx rewrite vs the exact twin of the SAME
+    // query text (both columns live in the dumped row)
+    check("q_approx_governor") {
+      val err = maxOrFail(res("q_approx_governor")
+        .select((abs(col("approx_custs") - col("exact_custs")) /
+          col("exact_custs")).as("rel_err")), "rel_err")
+      Check("max_rel_err_vs_exact", err, 0.15, err <= 0.15,
+        "ApproxGovernorRule: COUNT(DISTINCT o_custkey) rewritten to " +
+          "HLL++ at plan time under the session flag; rsd=0.05, bound " +
+          "= 3 sigma for the max over 5 groups")
+    }
+
     // merged daily HLL sketches vs exact distinct users (both columns
     // live in the query; the sketch side never rescans events)
     check("q_hll_merge") {

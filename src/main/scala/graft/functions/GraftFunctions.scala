@@ -153,5 +153,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate navigation (no-op until a summary table is registered
     // in graft.plans.SummaryCatalog)
     ext.injectOptimizerRule(graft.plans.SummaryRewrite(_))
+    // approximation governor (no-op until the session opts in via
+    // spark.graft.approx.countDistinct=true)
+    ext.injectOptimizerRule(graft.plans.ApproxGovernorRule(_))
   }
 }

@@ -54,7 +54,13 @@ object PlanAudit {
     "q_quantile_merge" -> "histogram-quantile walk: one scan of the persisted bins table, cumulative + total as two frames over ONE partitioned sort, both crossings by conditional MIN — the fact table appears nowhere",
     "q_skew_profile" -> "skew diagnostic: per key column one key-count shuffle then a 1-row fold of the bounded count relation — cost tracks distinct keys, not rows",
     "d_phrase_mine" -> "PMI phrase mining: one posexplode + per-doc lead() builds the bigram stream; pair counts shuffle once on the pair, unigram counts join vocab-sized, totals broadcast as 1-row relations, top-20 is TakeOrdered",
-    "mm_dedup" -> "cross-modal content dedup: one md5-hash shuffle over the asset stream (digests computable at ingest); dup groups fold map-side before the exchange")
+    "mm_dedup" -> "cross-modal content dedup: one md5-hash shuffle over the asset stream (digests computable at ingest); dup groups fold map-side before the exchange",
+    "q_zonemap_lookup" -> "zone-map pruned scan: the file list comes from the persisted per-file (min,max) index BEFORE planning — the lineitem scan's ReadFiles covers only the range-clustered files intersecting the predicate, and the exact filter re-applies above",
+    "q_result_cache" -> "result-cache hit path: the whole plan is ONE parquet read of the fingerprint entry plus the declared sort — the orders table appears nowhere",
+    "q_market_basket" -> "basket affinity: the distinct (order,item) relation shuffles once on the order key and BOTH self-join sides reuse that exchange; item frequencies and the basket count come back as broadcasts onto pair-sized data",
+    "q20_promo_supplier" -> "nested double aggregation: per-part totals re-aggregate the (part,supplier) partial via ReusedExchange — one fact scan feeds both aggregation levels, dominance tests in BIGINT cross-multiplication",
+    "ev_lag_features" -> "lag-feature matrix: row-frame lags and RANGE-frame 7-day rollups share ONE user partitioning over the per-day pre-aggregate — one shuffle, one sort, four features",
+    "ev_cusum" -> "CUSUM change-point: one fold into (type,day) counts, then cumulative/total/argmax as frames over ONE type partitioning of the calendar-sized daily relation — the deviation path never leaves BIGINT")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
