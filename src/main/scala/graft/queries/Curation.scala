@@ -539,7 +539,75 @@ object Curation {
       |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
       |FROM orders GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** PII scrubbing — the redaction pass every released corpus runs:
+    * emails, phone numbers, and IPv4 addresses replaced with typed
+    * placeholder tokens, per-pattern counts kept for the release
+    * audit. Pure codegen'd regexp_replace/regexp_extract_all over the
+    * scan — zero shuffles before the final sort, embarrassingly
+    * parallel at any scale (the same shape as the quality gates).
+    * The fixture corpus contains no PII, so the spans under test are
+    * CONSTRUCTED deterministically from doc_id (one email, one phone,
+    * one IP appended per doc — the codec-seam discipline: synthetic
+    * input, real plumbing) and the oracle re-runs the identical
+    * construction + regexes in DuckDB, gating byte-exact redaction via
+    * md5 of the scrubbed text. Patterns stay in the RE2 ∩ Java-regex
+    * dialect (\\d, \\w, explicit classes — no lookbehind) so both
+    * engines compile them identically.
+    */
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+\\d{2} \\d{3}-\\d{3}-\\d{4}"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val withPii = docs(spark, dir)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com or +01 555-000-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7")).as("text"))
+    withPii
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+          .cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("text"), lit(ipPat), lit(0)))
+          .cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_ips"), md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    """WITH withpii AS (
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@example.com or +01 555-000-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      |    AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+\d{2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      |    'g'), '\+\d{2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+      |    AS scrubbed_md5
+      |FROM withpii ORDER BY doc_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_pii_scrub", piiScrub, Some(piiScrubSql)),
     NamedQuery("d_temporal_split", temporalSplit, Some(temporalSplitSql)),
     NamedQuery("d_weighted_sample", weightedSample,
       Some(weightedSampleSql)),

@@ -1340,7 +1340,87 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
+  /** Bitemporal read — BOTH time axes at once, composed from two
+    * operators this library already ships: transaction time from
+    * [[Ops.snapshotWrite]] (immutable `v=N` table versions, one per
+    * load) and valid time from [[Ops.scd2Merge]] (row-level validity
+    * intervals inside each version). The seeded history: merge 1
+    * (seed) → snapshot v0, merge 2 (delta doubling even keys) →
+    * snapshot v1. The declared 3-row matrix reads
+    * (tx=0, valid=1), (tx=1, valid=1), (tx=1, valid=2) — and the law
+    * that makes bitemporal storage trustworthy is visible IN the
+    * result: the (0,1) and (1,1) rows are identical, i.e. a later
+    * merge never rewrites what an earlier version believed about an
+    * earlier valid time (auditors reconstruct past reports
+    * bit-for-bit). Sums are BIGINT cents per the module discipline.
+    * At 100 TB: snapshots are directory renames (O(1) commit,
+    * `q_time_travel`), the SCD2 merge is partition-scoped
+    * (`q_scd2_merge`) — the bitemporal READ costs one version's scan
+    * plus an interval filter, nothing new.
+    */
+  private val bitemporalSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val root = bitemporalSeeded.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bitemporal").toString
+      val work = s"$base/work"
+      val snaps = s"$base/snaps"
+      val seed = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("etl_updated_ts", lit(1L))
+      Ops.scd2Merge(spark, work, seed, Seq("o_orderkey"))
+      Ops.snapshotWrite(spark.read.parquet(work), snaps) // v0
+      val delta = Tables(spark, d, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .withColumn("etl_updated_ts", lit(2L))
+      Ops.scd2Merge(spark, work, delta, Seq("o_orderkey"))
+      Ops.snapshotWrite(spark.read.parquet(work), snaps) // v1
+      snaps
+    })
+    def cell(tx: Int, t: Int): DataFrame =
+      Ops.snapshotRead(spark, root, Some(tx))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("total_cents"))
+        .select(lit(tx).as("tx_version"), lit(t).as("valid_at"),
+          col("n_rows"), col("total_cents"))
+    cell(0, 1).unionByName(cell(1, 1)).unionByName(cell(1, 2))
+      .orderBy("tx_version", "valid_at")
+  }
+
+  private val bitemporalSql =
+    """WITH seed AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |delta AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |v2 AS (
+      |  SELECT * FROM seed WHERE o_orderkey % 2 <> 0
+      |  UNION ALL SELECT * FROM delta),
+      |m AS (
+      |  SELECT 0 AS tx_version, 1 AS valid_at, count(*) AS n_rows,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS total_cents FROM seed
+      |  UNION ALL
+      |  SELECT 1, 1, count(*),
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) FROM seed
+      |  UNION ALL
+      |  SELECT 1, 2, count(*),
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) FROM v2)
+      |SELECT * FROM m ORDER BY tx_version, valid_at""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_bitemporal", bitemporal, Some(bitemporalSql)),
     NamedQuery("q_approx_governor", approxGovernor, None),
     NamedQuery("q_zonemap_lookup", zonemapLookup, Some(zonemapLookupSql)),
     NamedQuery("q_result_cache", resultCache, Some(resultCacheSql)),

@@ -60,7 +60,9 @@ object PlanAudit {
     "q_market_basket" -> "basket affinity: the distinct (order,item) relation shuffles once on the order key and BOTH self-join sides reuse that exchange; item frequencies and the basket count come back as broadcasts onto pair-sized data",
     "q20_promo_supplier" -> "nested double aggregation: per-part totals re-aggregate the (part,supplier) partial via ReusedExchange — one fact scan feeds both aggregation levels, dominance tests in BIGINT cross-multiplication",
     "ev_lag_features" -> "lag-feature matrix: row-frame lags and RANGE-frame 7-day rollups share ONE user partitioning over the per-day pre-aggregate — one shuffle, one sort, four features",
-    "ev_cusum" -> "CUSUM change-point: one fold into (type,day) counts, then cumulative/total/argmax as frames over ONE type partitioning of the calendar-sized daily relation — the deviation path never leaves BIGINT")
+    "ev_cusum" -> "CUSUM change-point: one fold into (type,day) counts, then cumulative/total/argmax as frames over ONE type partitioning of the calendar-sized daily relation — the deviation path never leaves BIGINT",
+    "q_bitemporal" -> "bitemporal matrix: each cell is one snapshot version's scan + a validity-interval filter + a 1-row fold — transaction time picks the directory, valid time slices rows, nothing else moves",
+    "d_pii_scrub" -> "PII redaction: three regexp passes + per-pattern counts fused into the document scan, zero exchanges before the final sort")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()

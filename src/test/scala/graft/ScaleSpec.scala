@@ -135,4 +135,17 @@ class ScaleSpec extends SparkSpec {
     q.foreach { case (a, e) =>
       assert(math.abs(a - e).toDouble / e <= 0.05, s"hll $a vs exact $e") }
   }
+
+  test("bitemporal law: a later merge never rewrites what an earlier " +
+      "version believed about an earlier valid time") {
+    val m = SparkEntry.queries("q_bitemporal")(spark, sf)
+      .select($"tx_version", $"valid_at", $"n_rows", $"total_cents")
+      .as[(Int, Int, Long, Long)].collect()
+      .map { case (tx, t, n, c) => (tx, t) -> ((n, c)) }.toMap
+    assert(m.size == 3)
+    // belief about valid-time 1 is identical at tx 0 and tx 1
+    assert(m((0, 1)) == m((1, 1)))
+    // and the current state genuinely moved (the delta landed)
+    assert(m((1, 2)) != m((1, 1)))
+  }
 }
