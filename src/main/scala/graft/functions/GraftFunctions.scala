@@ -156,5 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // approximation governor (no-op until the session opts in via
     // spark.graft.approx.countDistinct=true)
     ext.injectOptimizerRule(graft.plans.ApproxGovernorRule(_))
+    // row-level security + column masking (no-op until a policy is
+    // registered in graft.plans.AccessPolicyCatalog)
+    ext.injectOptimizerRule(graft.plans.AccessPolicyRule(_))
   }
 }

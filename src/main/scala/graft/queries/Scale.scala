@@ -1419,7 +1419,50 @@ object Scale {
       |      AS BIGINT) FROM v2)
       |SELECT * FROM m ORDER BY tx_version, valid_at""".stripMargin
 
+  /** Row-level security + column masking
+    * ([[graft.plans.AccessPolicyRule]]): the governed customer copy is
+    * read through a PLAIN `spark.read.parquet` + aggregate — no filter
+    * or mask anywhere in the query text — and the policy registered on
+    * its path (rows: `c_acctbal > 0`; mask: `c_name → md5(c_name)`)
+    * rewrites the scan inside the optimizer. The oracle applies the
+    * same predicate and mask EXPLICITLY in SQL over the original
+    * table: the policy-governed implicit read must equal the explicit
+    * form exactly. AccessPolicySpec additionally gates that the
+    * injected row filter participates in predicate pushdown
+    * (PushedFilters on the governed scan — the policy prunes I/O at
+    * 100 TB, it doesn't post-filter it), that ungoverned tables are
+    * byte-untouched, and that type-changing masks are rejected.
+    */
+  private val rlsSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rlsMasked(spark: SparkSession, dir: String): DataFrame = {
+    val path = rlsSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_rls_seed").toString + "/customer_gov"
+      Tables(spark, d, "customer").write.parquet(p)
+      graft.plans.AccessPolicyCatalog.register(graft.plans.PolicyDef(
+        p, rowFilter = Some("c_acctbal > 0"),
+        masks = Map("c_name" -> "md5(c_name)")))
+      p
+    })
+    spark.read.parquet(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        min("c_name").as("min_masked_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val rlsMaskedSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  min(md5(c_name)) AS min_masked_name
+      |FROM customer WHERE c_acctbal > 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_rls_masked", rlsMasked, Some(rlsMaskedSql)),
     NamedQuery("q_bitemporal", bitemporal, Some(bitemporalSql)),
     NamedQuery("q_approx_governor", approxGovernor, None),
     NamedQuery("q_zonemap_lookup", zonemapLookup, Some(zonemapLookupSql)),
