@@ -1461,7 +1461,34 @@ object Scale {
       |FROM customer WHERE c_acctbal > 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Column-level lineage ([[graft.tools.Lineage]]) under the gate:
+    * the lineage of `q5_nation_revenue` — a 5-table join + aggregate —
+    * emitted as (out_col, src_table, src_column) rows and pinned
+    * against a literal oracle. Impact analysis is a correctness
+    * surface, not a best-effort report: if a refactor of q5 (or of the
+    * walker) changes which source columns feed an output, this row set
+    * moves and the gate goes red. Value lineage over the ANALYZED plan
+    * (what the query means, not what the optimizer pruned); the walk
+    * costs plan size, never data size.
+    */
+  private def lineageQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = graft.SparkEntry.queries("q5_nation_revenue")(spark, dir)
+    graft.tools.Lineage.rows(target)
+      .toDF("out_col", "src_table", "src_column")
+      .orderBy("out_col", "src_table", "src_column")
+  }
+
+  private val lineageSql =
+    """SELECT * FROM (VALUES
+      |  ('n_name', 'nation', 'n_name'),
+      |  ('revenue', 'lineitem', 'l_discount'),
+      |  ('revenue', 'lineitem', 'l_extendedprice'))
+      |  t(out_col, src_table, src_column)
+      |ORDER BY out_col, src_table, src_column""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_lineage", lineageQ, Some(lineageSql)),
     NamedQuery("q_rls_masked", rlsMasked, Some(rlsMaskedSql)),
     NamedQuery("q_bitemporal", bitemporal, Some(bitemporalSql)),
     NamedQuery("q_approx_governor", approxGovernor, None),
