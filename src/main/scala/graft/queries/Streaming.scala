@@ -11,6 +11,22 @@ import graft.streaming.Streams
   */
 object Streaming {
 
+  /** Batch twin of the streaming daily leaderboard: same day × user
+    * aggregate, same deterministic tie-break (rounded total desc, user
+    * asc), top 3 per day.
+    */
+  private val leaderboardSql =
+    """WITH agg AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |      AS day, user_id,
+      |    count(*) AS n_events, round(sum(value), 2) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY day
+      |    ORDER BY total_value DESC, user_id) AS rank FROM agg)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, user_id, n_events,
+      |  total_value, rank
+      |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+
   private val dedupSql =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
@@ -203,6 +219,8 @@ object Streaming {
     NamedQuery("st_curation", Streams.curationViaStream, Some(curationSql)),
     NamedQuery("st_tumbling_hourly", Streams.tumblingViaStream,
       Some(Events.tumblingSql)),
+    NamedQuery("st_leaderboard", Streams.leaderboardViaStream,
+      Some(leaderboardSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

@@ -31,6 +31,23 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("leaderboardViaStream equals the batch daily top-3 twin") {
+    val streamed = Streams.leaderboardViaStream(spark, sf).collect()
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("total_value").desc, col("user_id"))
+    val batch = graft.queries.Events.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .withColumn("rank", row_number().over(byDay))
+      .filter(col("rank") <= 3)
+      .orderBy("day", "rank").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+    assert(streamed.groupBy(_.getString(0)).values.forall(_.length <= 3))
+  }
+
   test("dedupeViaStream collapses the self-unioned stream to the table") {
     val got = Streams.dedupeViaStream(spark, sf)
     val want = graft.queries.Tables(spark, sf, "events")
