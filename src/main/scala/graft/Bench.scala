@@ -144,7 +144,7 @@ object Bench {
       "q_percentiles", "q_rollup_sales", "q_top_customers",
       // join shapes
       "q_salted_join", "q_bucketed_join", "q_null_skew_join",
-      "ev_asof_click",
+      "ev_asof_click", "ev_asof_native",
       // sinks + sources + scale machinery
       "q_merge_upsert", "q_incr_agg", "q_delete_where", "q_dune_source",
       "q_dpp", "q_zorder_skip", "q_partition_prune", "q_hll_merge",

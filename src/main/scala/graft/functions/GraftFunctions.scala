@@ -159,5 +159,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row-level security + column masking (no-op until a policy is
     // registered in graft.plans.AccessPolicyCatalog)
     ext.injectOptimizerRule(graft.plans.AccessPolicyRule(_))
+    // whole-operator as-of join: plans graft.plans.AsOfJoin nodes into
+    // the sort-merge AsOfJoinExec; a no-op on every other plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

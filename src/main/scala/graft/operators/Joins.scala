@@ -64,6 +64,22 @@ object Joins {
         valueCols.map(v => s"__graft_v_$v"): _*)
   }
 
+  /** Whole-operator as-of join — same semantics as [[asofJoinLast]]
+    * (latest right row per key with `rightTs <= leftTs`, left rows
+    * always kept, `asof_<name>` value columns), but executed by the
+    * injected native operator ([[graft.plans.AsOfJoinExec]]): each
+    * side shuffles and sorts independently on (key, ts), then a single
+    * forward merge pass per partition with O(1) state. Where
+    * [[asofJoinLast]] pays one combined union shuffle + window
+    * buffering, this pays two smaller parallel shuffles and no window
+    * buffer — and the left side's layout survives for downstream
+    * reuse. Requires [[graft.functions.GraftExtensions]] on the
+    * session (it injects the planner strategy).
+    */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
+    graft.plans.AsOfJoin.frame(left, right, keys, leftTs, rightTs, valueCols)
+
   /** Point-in-interval join where BOTH sides are large: every point row
     * pairs with every interval row sharing its `keys` whose
     * `[startCol, endCol]` (inclusive) contains `pointCol`. All three

@@ -174,6 +174,30 @@ object Events {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** The same purchase ⋈ last-click as-of join through the NATIVE
+    * whole-operator path ([[Joins.asofJoinMerge]] → custom logical
+    * node → injected planner strategy → sort-merge `AsOfJoinExec`),
+    * sharing `ev_asof_click`'s DuckDB ASOF oracle — the two
+    * implementations (union-window composition vs native merge) must
+    * produce identical rows. At scale the native form shuffles each
+    * side separately (clicks never carry purchase columns through the
+    * exchange) and merges with O(1) state instead of window buffering.
+    */
+  private def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+    Joins.asofJoinMerge(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_ts").as("last_click_ts"),
+        round((unix_micros(col("ts")) -
+          unix_micros(col("asof_click_ts"))) / 1e6, 3).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=…)`
     * parity): the latest click counts only if it happened within 10
     * minutes of the purchase — older matches null out, exactly like a
@@ -844,6 +868,7 @@ object Events {
     NamedQuery("ev_sessionize", sessionize, Some(sessionizeSql)),
     NamedQuery("ev_session_window", sessionWindow, Some(sessionWindowSql)),
     NamedQuery("ev_asof_click", asofClick, Some(asofClickSql)),
+    NamedQuery("ev_asof_native", asofNative, Some(asofClickSql)),
     NamedQuery("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     NamedQuery("ev_value_bands", valueBands, Some(valueBandsSql)),
     NamedQuery("ev_json_props", jsonProps, Some(jsonPropsSql)),

@@ -20,6 +20,7 @@ object PlanAudit {
     "q_exists_subquery" -> "correlated EXISTS decorrelated to a left-semi join",
     "q_correlated_avg" -> "correlated scalar subquery decorrelated to aggregate-then-join",
     "ev_asof_click" -> "as-of join as union + running last(): one hash shuffle, no range join",
+    "ev_asof_native" -> "native whole-operator as-of: AsOfJoinExec, one exchange + sort per side, O(1)-state forward merge",
     "e_ann_topk_agg" -> "bounded top-k aggregator: <=k rows per group cross the shuffle, no window sort",
     "d_clean_pipeline" -> "cleaning capstone: gates fused into the scan side, two shuffles total",
     "d_mix_uniform" -> "mixture rebalance: per-group counts broadcast back, fact side filters without shuffling",
