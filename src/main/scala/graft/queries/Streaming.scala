@@ -27,6 +27,20 @@ object Streaming {
       |  total_value, rank
       |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
+  /** Batch twin of the transformWithState running totals: same
+    * (ts, event_id) fold order, money in exact integer cents so the
+    * running value is fold-order-independent.
+    */
+  private val twsRunningSql =
+    """SELECT event_id, user_id,
+      |  row_number() OVER w AS seq,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+      |    AS BIGINT) AS total_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   private val dedupSql =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
@@ -221,6 +235,8 @@ object Streaming {
       Some(Events.tumblingSql)),
     NamedQuery("st_leaderboard", Streams.leaderboardViaStream,
       Some(leaderboardSql)),
+    NamedQuery("st_tws_running", Streams.runningTotalsViaStream,
+      Some(twsRunningSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

@@ -778,6 +778,83 @@ object Streams {
     out
   }
 
+  case class RunningTotal(event_id: Long, user_id: Long, seq: Long,
+      total_cents: Long)
+
+  /** Per-user running (sequence, total) through the Spark 4
+    * arbitrary-state v2 API: `transformWithState` + a typed
+    * [[org.apache.spark.sql.streaming.ValueState]] cell, the
+    * RocksDB-backed successor to flatMapGroupsWithState — named state
+    * cells with per-cell TTL, timers, and changelog checkpointing, so
+    * at 100 TB/day state scales as one (count, cents) pair per ACTIVE
+    * user in RocksDB, never heap. Money folds in exact integer cents
+    * (BIGINT), so the running value is identical under ANY fold order —
+    * no IEEE accumulation-order dependence for the gate to trip on.
+    * Events fold in (ts, event_id) order within each micro-batch and
+    * the cell carries (n, cents) across batches — the same
+    * time-ordered-arrival contract as [[anomalyAlerts]].
+    */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ScoredEvent, RunningTotal] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ScoredEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        n += 1
+        cents += math.round(e.value * 100)
+        RunningTotal(e.event_id, key, n, cents)
+      }
+      state.update((n, cents))
+      out.iterator
+    }
+  }
+
+  /** [[RunningTotalProcessor]] over the events file stream, drained
+    * with AvailableNow into parquet and read back — the
+    * `transformWithState` declared query (`st_tws_running`). The v2
+    * state API requires the RocksDB state store provider; it is set
+    * for this query and restored after (the other streaming queries
+    * keep the default HDFS-backed provider so both store paths stay
+    * exercised).
+    */
+  def runningTotalsViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("unix_micros(ts)").as("ts_us"))
+        .as[ScoredEvent]
+      val out = Files.createTempDirectory("graft_st_tws_out").toString
+      val ckpt = Files.createTempDirectory("graft_st_tws_ckpt").toString
+      val res = ev.groupByKey(_.user_id)
+        .transformWithState(new RunningTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runAvailableNow(res.toDF(), out, ckpt)
+      spark.read.parquet(out).orderBy("event_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Stream-stream interval join end-to-end: purchases and clicks split
     * from the events stream, attributed within a 30-minute look-back
     * ([[clickAttribution]]), appended to a parquet sink, read back.

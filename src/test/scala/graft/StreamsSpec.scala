@@ -48,6 +48,59 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.groupBy(_.getString(0)).values.forall(_.length <= 3))
   }
 
+  test("runningTotalsViaStream equals the batch running-cents twin") {
+    val streamed = Streams.runningTotalsViaStream(spark, sf).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = graft.queries.Events.events(spark, sf)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("seq"),
+        sum("cents").over(w).as("total_cents"))
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
+  test("transformWithState ValueState carries (n, cents) across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.ScoredEvent]
+      val name = "st_tws_" + java.util.UUID.randomUUID.toString.take(8)
+      val q = in.toDS().groupByKey(_.user_id)
+        .transformWithState(new Streams.RunningTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      def ev(id: Long, uid: Long, tsUs: Long, v: Double) =
+        Streams.ScoredEvent(id, uid, "e", v, tsUs)
+      try {
+        in.addData(ev(1, 7, us(1).toLong, 1.25), ev(2, 7, us(2).toLong, 2.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 7, us(3).toLong, 0.75), ev(4, 9, us(1).toLong, 5.0))
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select($"event_id", $"seq", $"total_cents")
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+        // user 7's batch-2 row continues from batch-1 state: seq 3,
+        // 125 + 200 + 75 cents
+        assert(got == Seq((1L, 1L, 125L), (2L, 2L, 325L),
+          (3L, 3L, 400L), (4L, 1L, 500L)))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dedupeViaStream collapses the self-unioned stream to the table") {
     val got = Streams.dedupeViaStream(spark, sf)
     val want = graft.queries.Tables(spark, sf, "events")
