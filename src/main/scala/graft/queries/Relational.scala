@@ -524,6 +524,84 @@ object Relational {
       |    AS p_total
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** UNPIVOT (melt): the three lineitem charge columns fold to
+    * (measure, value) rows — Catalyst plans `unpivot` as a map-side
+    * Expand (×3 row fan-out inside the scan stage, no join, no extra
+    * exchange), then ONE hash aggregate. Money in integer cents so the
+    * per-measure totals are exact under any fold order. The inverse of
+    * `q_pivot_status` — together they close the reshape pair every
+    * warehouse needs.
+    */
+  private def unpivotCharges(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long")
+          .as("extendedprice_cents"),
+        round(col("l_discount") * 100).cast("long").as("discount_cents"),
+        round(col("l_tax") * 100).cast("long").as("tax_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("extendedprice_cents"), col("discount_cents"),
+          col("tax_cents")),
+        "measure", "cents")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .orderBy("l_returnflag", "measure")
+
+  private val unpivotChargesSql =
+    """WITH base AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS extendedprice_cents,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS discount_cents,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_cents
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT l_returnflag, 'extendedprice_cents' AS measure,
+      |    extendedprice_cents AS cents FROM base
+      |  UNION ALL SELECT l_returnflag, 'discount_cents', discount_cents
+      |  FROM base
+      |  UNION ALL SELECT l_returnflag, 'tax_cents', tax_cents FROM base)
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin
+
+  /** Higher-order array functions (lambda forms — SURVEY §2.8 breadth):
+    * per-order sorted quantity array folded/filtered/mapped entirely
+    * inside codegen'd expressions. The point at scale: `aggregate`/
+    * `filter`/`transform`/`exists` run per-row WITHOUT a second
+    * explode+groupBy round trip — one aggregation builds the array,
+    * every derived metric after that is shuffle-free. Scalars (and a
+    * joined string) out, so the gate compares exactly.
+    */
+  private def arrayFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("int")))
+        .as("qty"))
+      .select(col("l_orderkey"),
+        expr("cast(aggregate(qty, 0, (acc, x) -> acc + x) as bigint)")
+          .as("total_qty"),
+        expr("cast(size(filter(qty, x -> x >= 25)) as bigint)").as("n_big"),
+        expr("exists(qty, x -> x = 50)").as("has_50"),
+        expr("array_join(transform(qty, x -> cast(x * 2 as string)), ',')")
+          .as("doubled_csv"),
+        expr("element_at(qty, 1)").as("min_qty"),
+        expr("element_at(qty, -1)").as("max_qty"))
+      .orderBy("l_orderkey")
+
+  private val arrayFunctionsSql =
+    """WITH a AS (SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS INT))) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(list_sum(qty) AS BIGINT) AS total_qty,
+      |  CAST(len(list_filter(qty, x -> x >= 25)) AS BIGINT) AS n_big,
+      |  list_contains(qty, 50) AS has_50,
+      |  array_to_string(list_transform(qty, x -> CAST(x * 2 AS VARCHAR)),
+      |    ',') AS doubled_csv,
+      |  qty[1] AS min_qty,
+      |  qty[-1] AS max_qty
+      |FROM a ORDER BY l_orderkey""".stripMargin
+
   /** Exact percentiles (continuous interpolation — matches DuckDB's
     * `quantile_cont`). `percentile` is exact and distributed; at true
     * 100 TB scale the sketch twin is `percentile_approx`, the same
@@ -1759,6 +1837,8 @@ object Relational {
     NamedQuery("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     NamedQuery("q_cube_sales", cubeSales, Some(cubeSalesSql)),
     NamedQuery("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
+    NamedQuery("q_unpivot", unpivotCharges, Some(unpivotChargesSql)),
+    NamedQuery("q_array_functions", arrayFunctions, Some(arrayFunctionsSql)),
     NamedQuery("q_full_outer", fullOuter, Some(fullOuterSql)),
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_window_stats", windowStats, Some(windowStatsSql)),

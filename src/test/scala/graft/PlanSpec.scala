@@ -461,6 +461,26 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one passage-keyed exchange, got $passageExchanges:\n$p")
   }
 
+  test("q_unpivot: melt plans as map-side Expand + ONE aggregate " +
+      "exchange — no join, no per-measure rescan") {
+    val p = plan(q("q_unpivot"))
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    assert(!p.contains("Join"), s"no join in a reshape:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one aggregate exchange, got $exchanges:\n$p")
+  }
+
+  test("q_array_functions: lambda forms stay in ONE aggregation round " +
+      "trip — no second explode+groupBy") {
+    val p = plan(q("q_array_functions"))
+    assert(!p.contains("Generate"),
+      s"derived metrics must not explode the array again:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"one exchange builds the per-order arrays, got $exchanges:\n$p")
+  }
+
   test("q_table_patch: one full-outer hash join computes the patch; " +
       "apply is anti-join + union, nothing nested-loop") {
     val p = plan(q("q_table_patch"))
