@@ -41,6 +41,14 @@ object Streaming {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Batch truth for the state-store audit: the streaming dedup must
+    * hold exactly one state row per distinct event id.
+    */
+  private val stateInspectSql =
+    """SELECT count(DISTINCT event_id) AS n_state_keys,
+      |  min(event_id) AS min_key, max(event_id) AS max_key
+      |FROM events""".stripMargin
+
   private val dedupSql =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
@@ -237,6 +245,8 @@ object Streaming {
       Some(leaderboardSql)),
     NamedQuery("st_tws_running", Streams.runningTotalsViaStream,
       Some(twsRunningSql)),
+    NamedQuery("st_state_inspect", Streams.stateInspectViaStream,
+      Some(stateInspectSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

@@ -855,6 +855,29 @@ object Streams {
     }
   }
 
+  /** Streaming-state observability through Spark's `statestore` data
+    * source: a keyed stateful query (streaming dedup on `event_id`)
+    * drains under AvailableNow, then its CHECKPOINTED STATE — not its
+    * output — is read back as a DataFrame and audited. This is the
+    * on-call question "what is this job actually holding?" answered
+    * with a query instead of heap dumps: state keys are first-class
+    * rows, so key count, key range, and (at scale) per-partition skew
+    * of a 100-TB job's state all come from the same parquet-speed
+    * reader, against a LIVE checkpoint, without stopping the job. The
+    * gate pins the audit to the batch truth: the dedup operator must
+    * hold exactly one state row per distinct event id.
+    */
+  def stateInspectViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir).select("event_id")
+    val out = Files.createTempDirectory("graft_st_insp_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_insp_ckpt").toString
+    runAvailableNow(ev.dropDuplicates("event_id"), out, ckpt)
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_state_keys"),
+        min("event_id").as("min_key"), max("event_id").as("max_key"))
+  }
+
   /** Stream-stream interval join end-to-end: purchases and clicks split
     * from the events stream, attributed within a 30-minute look-back
     * ([[clickAttribution]]), appended to a parquet sink, read back.

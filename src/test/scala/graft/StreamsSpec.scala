@@ -101,6 +101,20 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("statestore reader exposes one state row per dedup key") {
+    val ev = Streams.eventsStream(spark, sf).select("event_id")
+    val out = tmpDir("st_insp_out")
+    val ckpt = tmpDir("st_insp_ckpt")
+    Streams.runAvailableNow(ev.dropDuplicates("event_id"), out, ckpt)
+    val stateKeys = spark.read.format("statestore").load(ckpt)
+      .select($"key.event_id".as("event_id"))
+    val truth = graft.queries.Tables(spark, sf, "events")
+      .select("event_id").distinct()
+    assert(stateKeys.count() == truth.count())
+    assert(stateKeys.except(truth).isEmpty &&
+      truth.except(stateKeys).isEmpty)
+  }
+
   test("dedupeViaStream collapses the self-unioned stream to the table") {
     val got = Streams.dedupeViaStream(spark, sf)
     val want = graft.queries.Tables(spark, sf, "events")
