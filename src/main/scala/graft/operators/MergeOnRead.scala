@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes — equality-delete tombstones, the
+  * Iceberg/Delta "deletion vector" trade re-expressed at the parquet
+  * layout level. [[Ops.deleteWhere]] is copy-on-write: each delete
+  * rewrites the table, O(table) per delete. At 100 TB a daily
+  * right-to-be-forgotten batch cannot pay that; merge-on-read flips
+  * the cost: a delete APPENDS a small tombstone file of matching keys
+  * (O(matches)), the read path subtracts tombstones with one ANTI
+  * join (broadcast while the tombstone set is small — the common
+  * case), and a periodic [[compact]] folds tombstones into a single
+  * rewrite, amortizing N deletes into one table pass.
+  *
+  * Layout:
+  * {{{
+  * root/data/...parquet        immutable base rows
+  * root/deletes/d<uuid>/...    one dir per delete batch: key tombstones
+  * }}}
+  *
+  * Deletes are KEYED (equality deletes): a tombstone kills every base
+  * row with that key, including keys tombstoned twice (idempotent by
+  * construction — the anti join does not care). Readers that can
+  * tolerate deleted rows briefly (pure analytics over append-mostly
+  * data) may scan `data/` directly and skip the join; [[readCurrent]]
+  * is the correct view.
+  */
+object MergeOnRead {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataDir(root: String) = s"$root/data"
+  private def deletesDir(root: String) = s"$root/deletes"
+
+  /** Create the table from `df`. */
+  def init(df: DataFrame, root: String): Unit =
+    df.write.mode("overwrite").parquet(dataDir(root))
+
+  /** Append a tombstone batch: the keys of CURRENT rows matching
+    * `predicate`. Returns the number of keys tombstoned. Base data is
+    * never touched — cost is one current-view scan + an O(matches)
+    * append.
+    */
+  def deleteWhere(spark: SparkSession, root: String, keyCol: String,
+      predicate: Column): Long = {
+    val victims = readCurrent(spark, root, keyCol)
+      .filter(predicate).select(keyCol).distinct()
+    val n = victims.count()
+    if (n > 0) {
+      val dest = s"${deletesDir(root)}/d" +
+        java.util.UUID.randomUUID().toString.take(8)
+      victims.write.mode("errorifexists").parquet(dest)
+    }
+    n
+  }
+
+  /** The live view: base rows minus tombstoned keys. One LEFT ANTI
+    * join; Catalyst broadcasts the tombstone side while it is small
+    * (the usual case between compactions).
+    */
+  def readCurrent(spark: SparkSession, root: String,
+      keyCol: String): DataFrame = {
+    val base = spark.read.parquet(dataDir(root))
+    val del = new Path(deletesDir(root))
+    if (!fsOf(spark, del).exists(del)) base
+    else {
+      val tombstones = spark.read
+        .parquet(s"${deletesDir(root)}/d*").distinct()
+      base.join(tombstones, Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Fold every tombstone into the base: one staged rewrite of the
+    * current view, then the tombstone dirs drop. After compaction the
+    * read path is a plain scan again. Returns the number of tombstone
+    * batches folded.
+    */
+  def compact(spark: SparkSession, root: String, keyCol: String): Int = {
+    val del = new Path(deletesDir(root))
+    val fs = fsOf(spark, del)
+    if (!fs.exists(del)) return 0
+    val batches = fs.listStatus(del).count(_.isDirectory)
+    if (batches == 0) return 0
+    ParquetIO.overwriteSafe(readCurrent(spark, root, keyCol), dataDir(root))
+    fs.delete(del, true)
+    batches
+  }
+}

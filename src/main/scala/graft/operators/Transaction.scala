@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table atomic publish — the cross-table half of
+  * [[Ops.snapshotWrite]]'s single-table versioning, the Iceberg-lite
+  * commit protocol every warehouse needs once two tables must move
+  * together (facts + their dimension, a table + its index, orders +
+  * lineitem): readers either see ALL tables at transaction N or all at
+  * N−1, never a torn mix.
+  *
+  * Layout:
+  * {{{
+  * root/<table>/t<txId>/...parquet     data, immutable once committed
+  * root/_commits/tx<txId>.json         manifest: table -> txId written
+  * }}}
+  *
+  * The ONLY atomic primitive used is single-path filesystem rename, on
+  * the manifest file: data dirs stage under `__staging_*` and rename
+  * into place FIRST (invisible to readers — readers resolve paths only
+  * through committed manifests), then the manifest itself stages and
+  * renames into `_commits/` — that rename IS the commit point. A crash
+  * anywhere before it leaves orphan `t<txId>` dirs that no manifest
+  * references; the next publish at the same txId deletes and re-stages
+  * them (they are uncommitted by construction — their txId is absent
+  * from `_commits`).
+  *
+  * Unchanged tables are NOT rewritten: the new manifest carries the
+  * previous table→version entries forward, so a 100-table warehouse
+  * publishing one changed table pays one table write + one tiny
+  * manifest, and time travel ([[read]] with `tx`) still resolves every
+  * table of the historical snapshot. Single-committer semantics, like
+  * every staged swap in [[ParquetIO]] — a real deployment puts a lock
+  * (or a CAS-capable store) under `_commits/`.
+  */
+object Transaction {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitsDir(root: String) = new Path(root, "_commits")
+
+  /** Committed transaction ids, ascending; empty before first publish. */
+  def committedTxs(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = commitsDir(root)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("tx") && n.endsWith(".json") =>
+        n.stripPrefix("tx").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** The table→version map of transaction `tx`. */
+  def manifest(spark: SparkSession, root: String,
+      tx: Long): Map[String, Long] = {
+    val p = new Path(commitsDir(root), s"tx$tx.json")
+    val fs = fsOf(spark, p)
+    require(fs.exists(p), s"transaction $tx not committed under $root")
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        out.toByteArray
+      } finally in.close()
+    val s = new String(bytes, StandardCharsets.UTF_8)
+    "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  /** Atomically publish `tables` as one transaction; any table NOT in
+    * the map carries forward from the previous transaction. Returns
+    * the committed txId.
+    */
+  def publish(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "publish: no tables")
+    val committed = committedTxs(spark, root)
+    val txId = committed.lastOption.fold(0L)(_ + 1)
+    val prev = committed.lastOption
+      .map(manifest(spark, root, _)).getOrElse(Map.empty[String, Long])
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    // data first, invisible until the manifest commits
+    tables.foreach { case (name, df) =>
+      val dest = new Path(new Path(rootP, name), s"t$txId")
+      // leftover from a crashed publish at this txId is uncommitted by
+      // construction (txId is not in _commits) — safe to drop
+      if (fs.exists(dest)) fs.delete(dest, true)
+      val tmp = new Path(rootP,
+        "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+      try df.write.mode("overwrite").parquet(tmp.toString)
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"publish: rename $tmp -> $dest failed")
+      }
+    }
+    // commit point: one manifest rename
+    val entries = prev ++ tables.keys.map(_ -> txId)
+    val json = entries.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"${graft.Json.quote(t)}: $v" }
+      .mkString("{", ", ", "}")
+    val dir = commitsDir(root)
+    fs.mkdirs(dir)
+    val mTmp = new Path(dir,
+      "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(mTmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val mDest = new Path(dir, s"tx$txId.json")
+    if (!fs.rename(mTmp, mDest)) {
+      fs.delete(mTmp, false)
+      throw new java.io.IOException(
+        s"publish: commit rename $mTmp -> $mDest failed " +
+          "(concurrent committer?)")
+    }
+    txId
+  }
+
+  /** Read `table` at transaction `tx` (latest committed when None) —
+    * always through a committed manifest, so concurrent publishes and
+    * torn crashes are invisible.
+    */
+  def read(spark: SparkSession, root: String, table: String,
+      tx: Option[Long] = None): DataFrame = {
+    val committed = committedTxs(spark, root)
+    require(committed.nonEmpty, s"no committed transactions under $root")
+    val id = tx.getOrElse(committed.last)
+    val m = manifest(spark, root, id)
+    require(m.contains(table),
+      s"table '$table' not in transaction $id (${m.keys.mkString(", ")})")
+    spark.read.parquet(s"$root/$table/t${m(table)}")
+  }
+}

@@ -937,6 +937,107 @@ object Relational {
     audit(0).unionByName(audit(1)).orderBy("version")
   }
 
+  /** Merge-on-read deletes ([[graft.operators.MergeOnRead]]): two
+    * delete batches append keyed tombstones (base data untouched —
+    * MorDeleteSpec pins the data dir byte-identical), the live view
+    * subtracts them with one ANTI join, and compaction folds them into
+    * a single rewrite. The query audits the view BEFORE and AFTER
+    * compaction under one oracle — the two phases must agree exactly,
+    * which is the whole merge-on-read contract: readers never see the
+    * difference, only the write/read cost trade moves.
+    */
+  private def morDeleteQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mor_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val mor = graft.operators.MergeOnRead
+    mor.init(Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice"), root)
+    mor.deleteWhere(spark, root, "o_orderkey", col("o_orderkey") % 7 === 0)
+    mor.deleteWhere(spark, root, "o_orderkey",
+      col("o_totalprice") > 300000.0)
+    def audit(phase: String): (String, Long, Long) = {
+      val r = mor.readCurrent(spark, root, "o_orderkey")
+        .agg(count(lit(1)),
+          sum(round(col("o_totalprice") * 100).cast("long")))
+        .head()
+      (phase, r.getLong(0), r.getLong(1))
+    }
+    val before = audit("merge_on_read")
+    mor.compact(spark, root, "o_orderkey")
+    val after = audit("compacted")
+    // two bounded rows, materialized because compaction invalidates the
+    // pre-compaction plan's tombstone paths
+    Seq(before, after).toDF("phase", "n_rows", "total_cents")
+      .orderBy("phase")
+  }
+
+  private val morDeleteSql =
+    """WITH cur AS (SELECT * FROM orders
+      |  WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 300000)),
+      |a AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM cur)
+      |SELECT 'compacted' AS phase, n_rows, total_cents FROM a
+      |UNION ALL
+      |SELECT 'merge_on_read', n_rows, total_cents FROM a
+      |ORDER BY phase""".stripMargin
+
+  /** Cross-table atomic publish ([[graft.operators.Transaction]] —
+    * Iceberg-lite): tx0 publishes orders + lineitem together, tx1
+    * republishes ONLY orders (doubled prices) and the manifest carries
+    * lineitem forward — no rewrite of the unchanged table. The query
+    * reads BOTH transactions through their committed manifests and
+    * audits the join, so the gate pins (a) manifest-resolved time
+    * travel, (b) carry-forward, and (c) cross-table consistency —
+    * every read pairs orders and lineitem from the SAME transaction.
+    * The commit point is one manifest rename; TransactionSpec proves a
+    * torn publish (data staged, no manifest) is invisible.
+    */
+  private def txReadQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_tx_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders0 = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val line0 = Tables(spark, dir, "lineitem").select("l_orderkey")
+    graft.operators.Transaction.publish(spark, root,
+      Map("orders" -> orders0, "lineitem" -> line0))
+    val orders1 = orders0
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.operators.Transaction.publish(spark, root,
+      Map("orders" -> orders1))
+    def audit(tx: Long): DataFrame =
+      graft.operators.Transaction.read(spark, root, "orders", Some(tx))
+        .join(graft.operators.Transaction
+            .read(spark, root, "lineitem", Some(tx)),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("order_cents"))
+        .select(lit(tx).as("tx"), col("n_pairs"), col("order_cents"))
+    audit(0).unionByName(audit(1)).orderBy("tx")
+  }
+
+  private val txReadSql =
+    """WITH j AS (SELECT o.o_totalprice
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      |SELECT CAST(0 AS BIGINT) AS tx, count(*) AS n_pairs,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS order_cents
+      |FROM j
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+      |FROM j
+      |ORDER BY tx""".stripMargin
+
   /** Row-level CDC feed — the change stream a downstream consumer
     * (cache, search index, replica) applies to follow this warehouse:
     * classify every key across two table states as I/U/D with before
@@ -1858,6 +1959,8 @@ object Relational {
     NamedQuery("q_delete_where", deleteWhereQ, Some(deleteWhereSql)),
     NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
+    NamedQuery("q_tx_read", txReadQ, Some(txReadSql)),
+    NamedQuery("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeOnRead
+
+/** Laws of merge-on-read deletes: appends never touch base data,
+  * re-deletes are idempotent, compaction preserves the view and
+  * returns the read path to a plain scan.
+  */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataFiles(root: String): Set[(String, Long)] = {
+    val p = new Path(s"$root/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(s => (s.getPath.getName, s.getLen)).toSet
+  }
+
+  test("delete appends a tombstone; base data files are untouched") {
+    val root = tmpDir("graft_mor")
+    MergeOnRead.init(Seq((1, "a"), (7, "b"), (14, "c"), (3, "d"))
+      .toDF("k", "v"), root)
+    val before = dataFiles(root)
+    val n = MergeOnRead.deleteWhere(spark, root, "k", col("k") % 7 === 0)
+    assert(n == 2)
+    assert(dataFiles(root) == before, "base data must not be rewritten")
+    val got = MergeOnRead.readCurrent(spark, root, "k")
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (3, "d")))
+  }
+
+  test("re-deleting already-tombstoned keys is a no-op (idempotent)") {
+    val root = tmpDir("graft_mor")
+    MergeOnRead.init(Seq((7, "x"), (2, "y")).toDF("k", "v"), root)
+    assert(MergeOnRead.deleteWhere(spark, root, "k",
+      col("k") === 7) == 1)
+    assert(MergeOnRead.deleteWhere(spark, root, "k",
+      col("k") === 7) == 0, "victims come from the CURRENT view")
+    assert(MergeOnRead.readCurrent(spark, root, "k").count() == 1)
+  }
+
+  test("compaction preserves the view exactly and clears tombstones; " +
+      "the read plan is a plain scan afterwards") {
+    val root = tmpDir("graft_mor")
+    MergeOnRead.init((1 to 100).map(i => (i, i * 10)).toDF("k", "n"), root)
+    MergeOnRead.deleteWhere(spark, root, "k", col("k") % 3 === 0)
+    MergeOnRead.deleteWhere(spark, root, "k", col("k") > 90)
+    val before = MergeOnRead.readCurrent(spark, root, "k")
+      .orderBy("k").as[(Int, Int)].collect().toSeq
+    assert(MergeOnRead.compact(spark, root, "k") == 2)
+    val after = MergeOnRead.readCurrent(spark, root, "k")
+      .orderBy("k").as[(Int, Int)].collect().toSeq
+    assert(after == before)
+    // tombstones folded: no join left on the read path
+    val plan = MergeOnRead.readCurrent(spark, root, "k")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"post-compaction read must be a scan:\n$plan")
+    // compacting again is a no-op
+    assert(MergeOnRead.compact(spark, root, "k") == 0)
+  }
+}
