@@ -137,4 +137,93 @@ object Transaction {
       s"table '$table' not in transaction $id (${m.keys.mkString(", ")})")
     spark.read.parquet(s"$root/$table/t${m(table)}")
   }
+
+  private def refsDir(root: String) = new Path(root, "_refs")
+
+  /** Pin a human name to a committed transaction (Iceberg "tag"): the
+    * release a model trained on, the audited month-end, the state a
+    * backfill should reproduce. A ref is one tiny file whose content
+    * is the txId; re-tagging moves the name atomically (staged write +
+    * rename). Refs also act as GC roots for [[vacuum]].
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+      tx: Long): Unit = {
+    require(name.nonEmpty && !name.contains('/') && !name.startsWith("__"),
+      s"bad ref name '$name'")
+    require(committedTxs(spark, root).contains(tx),
+      s"cannot tag uncommitted transaction $tx")
+    val dir = refsDir(root)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, false)
+    try out.write(tx.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(dir, name)
+    fs.delete(dest, false) // re-tag: move the name
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"tag: rename to $dest failed")
+    }
+  }
+
+  /** Resolve a ref name to its txId. */
+  def refTx(spark: SparkSession, root: String, name: String): Long = {
+    val p = new Path(refsDir(root), name)
+    val fs = fsOf(spark, p)
+    require(fs.exists(p), s"no ref '$name' under $root")
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8).trim.toLong
+    } finally in.close()
+  }
+
+  /** Read `table` as of the tagged transaction. */
+  def readRef(spark: SparkSession, root: String, table: String,
+      name: String): DataFrame =
+    read(spark, root, table, Some(refTx(spark, root, name)))
+
+  /** Drop history: keep the newest `keep` transactions plus everything
+    * a ref pins, delete the manifests of the rest, and remove every
+    * table-version dir no surviving manifest references. Returns the
+    * dropped txIds. The reachability walk is the law that makes this
+    * safe: a version dir carried forward by a NEWER kept manifest
+    * survives even when the transaction that wrote it is dropped.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "vacuum: keep must be >= 1")
+    val committed = committedTxs(spark, root)
+    val refDir = refsDir(root)
+    val fs = fsOf(spark, refDir)
+    val pinned: Set[Long] =
+      if (!fs.exists(refDir)) Set.empty
+      else fs.listStatus(refDir).map(_.getPath.getName).toSeq
+        .filterNot(_.startsWith("__"))
+        .map(refTx(spark, root, _)).toSet
+    val keptTxs = (committed.takeRight(keep).toSet ++ pinned).toSeq.sorted
+    val dropTxs = committed.filterNot(keptTxs.contains)
+    if (dropTxs.isEmpty) return Seq.empty
+    // reachable (table, version) pairs under the kept manifests
+    val live: Set[(String, Long)] = keptTxs
+      .flatMap(tx => manifest(spark, root, tx).toSeq).toSet
+    dropTxs.foreach { tx =>
+      fs.delete(new Path(commitsDir(root), s"tx$tx.json"), false)
+    }
+    val rootP = new Path(root)
+    fs.listStatus(rootP).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("__")).foreach { t =>
+      val table = t.getPath.getName
+      fs.listStatus(t.getPath).filter(_.isDirectory).foreach { v =>
+        val name = v.getPath.getName
+        if (name.startsWith("t") && name.drop(1).forall(_.isDigit) &&
+            !live.contains((table, name.drop(1).toLong)))
+          fs.delete(v.getPath, true)
+      }
+    }
+    dropTxs
+  }
 }

@@ -21,6 +21,10 @@ object PlanAudit {
     "q_correlated_avg" -> "correlated scalar subquery decorrelated to aggregate-then-join",
     "ev_asof_click" -> "as-of join as union + running last(): one hash shuffle, no range join",
     "ev_asof_native" -> "native whole-operator as-of: AsOfJoinExec, one exchange + sort per side, O(1)-state forward merge",
+    "q_unpivot" -> "melt as map-side Expand (x3 fan-out in the scan stage) + ONE aggregate exchange; no join, no per-measure rescan",
+    "q_array_functions" -> "array lambdas (aggregate/filter/transform/exists) as codegen'd expressions over per-order arrays: one groupBy exchange, no re-explode",
+    "q_tx_read" -> "manifest-resolved transactional reads: each tx pairs orders+lineitem from ONE committed manifest; carried-forward table read from its original dir",
+    "q_mor_delete" -> "merge-on-read view: base scan LEFT ANTI broadcast tombstones; post-compaction phase is a plain scan",
     "e_ann_topk_agg" -> "bounded top-k aggregator: <=k rows per group cross the shuffle, no window sort",
     "d_clean_pipeline" -> "cleaning capstone: gates fused into the scan side, two shuffles total",
     "d_mix_uniform" -> "mixture rebalance: per-group counts broadcast back, fact side filters without shuffling",

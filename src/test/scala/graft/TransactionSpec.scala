@@ -73,6 +73,51 @@ class TransactionSpec extends SparkSpec {
     }
   }
 
+  test("tags pin transactions; vacuum keeps refs and carried-forward " +
+      "versions reachable, drops the rest") {
+    val root = freshRoot()
+    // tx0: a+b; tx1: only a changes (b carries forward at version 0);
+    // tx2, tx3: only a changes again
+    Transaction.publish(spark, root, Map(
+      "a" -> Seq((1, 0)).toDF("k", "n"), "b" -> Seq(10).toDF("m")))
+    Transaction.publish(spark, root, Map("a" -> Seq((1, 1)).toDF("k", "n")))
+    Transaction.publish(spark, root, Map("a" -> Seq((1, 2)).toDF("k", "n")))
+    Transaction.tag(spark, root, "release", 1L)
+    Transaction.publish(spark, root, Map("a" -> Seq((1, 3)).toDF("k", "n")))
+    // keep=1 would keep only tx3, but the tag pins tx1
+    val dropped = Transaction.vacuum(spark, root, keep = 1)
+    assert(dropped == Seq(0L, 2L))
+    // tagged read still works end-to-end
+    assert(Transaction.readRef(spark, root, "a", "release")
+      .as[(Int, Int)].head() == ((1, 1)))
+    // b's ONLY version (t0, written in dropped tx0) survives because
+    // kept manifests still reference it — the reachability law
+    assert(Transaction.read(spark, root, "b").as[Int].head() == 10)
+    // dropped tx manifests are gone; kept ones resolve
+    assert(Transaction.committedTxs(spark, root) == Seq(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Transaction.read(spark, root, "a", Some(2L))
+    }
+    // a's unreachable version dirs were deleted, reachable kept
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val aVersions = fs.listStatus(new Path(root, "a"))
+      .map(_.getPath.getName).toSet
+    assert(aVersions == Set("t1", "t3"))
+  }
+
+  test("re-tagging moves the name; tagging uncommitted tx fails") {
+    val root = freshRoot()
+    Transaction.publish(spark, root, Map("a" -> Seq(1).toDF("k")))
+    Transaction.publish(spark, root, Map("a" -> Seq(2).toDF("k")))
+    Transaction.tag(spark, root, "prod", 0L)
+    Transaction.tag(spark, root, "prod", 1L)
+    assert(Transaction.refTx(spark, root, "prod") == 1L)
+    intercept[IllegalArgumentException] {
+      Transaction.tag(spark, root, "prod", 99L)
+    }
+  }
+
   test("reading a table absent from the manifest fails loudly") {
     val root = freshRoot()
     Transaction.publish(spark, root, Map("a" -> Seq(1).toDF("k")))
