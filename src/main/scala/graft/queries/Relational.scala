@@ -937,6 +937,108 @@ object Relational {
     audit(0).unionByName(audit(1)).orderBy("version")
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`, planned as UnionLoop —
+    * iterative in the engine, NOT driver-looped): every order walks the
+    * implicit binary tree `k -> k div 2` up to the root, yielding its
+    * depth; the result aggregates per depth. At scale each iteration is
+    * one distributed step over the frontier (rows still walking), and
+    * the frontier SHRINKS as walks finish — cost is rows × log(maxKey),
+    * never rows². The same shape solves org charts, BOM explosions, and
+    * graph reachability without a driver loop.
+    */
+  private def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_rec")
+    spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT o_orderkey AS k, o_orderkey AS cur, CAST(0 AS BIGINT) AS d
+        |  FROM orders_rec
+        |  UNION ALL
+        |  SELECT k, cur DIV 2, d + 1 FROM walk WHERE cur > 1)
+        |SELECT d AS depth, count(*) AS n_orders,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM walk WHERE cur = 1
+        |GROUP BY d ORDER BY depth""".stripMargin)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE walk AS (
+      |  SELECT o_orderkey AS k, o_orderkey AS cur, CAST(0 AS BIGINT) AS d
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT k, cur // 2, d + 1 FROM walk WHERE cur > 1)
+      |SELECT d AS depth, count(*) AS n_orders,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM walk WHERE cur = 1
+      |GROUP BY d ORDER BY depth""".stripMargin
+
+  /** ANSI-safe arithmetic (`try_*` family): Spark 4 runs ANSI mode by
+    * default, so a divide-by-zero, overflow, or bad cast THROWS
+    * mid-job — correct for a warehouse, fatal for a 100 TB pipeline
+    * that must stay total over dirty rows. The `try_` forms return
+    * NULL instead, per row, keeping the error lane data- not
+    * control-flow. The oracle states the semantics (CASE-guarded),
+    * not the syntax. `per_excess_e4` is hundredths of a cent per
+    * excess unit, floored: integer numerator / integer-valued
+    * denominator is the SAME IEEE divide on both engines, so the floor
+    * is exact — no round-half boundary for the gate to trip on.
+    */
+  private def tryFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_try")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(try_divide(100 * round(l_extendedprice * 100),
+        |    l_quantity - 25.0)) AS BIGINT) AS per_excess_e4,
+        |  try_add(9223372036854775807, CAST(l_orderkey AS BIGINT))
+        |    AS overflowed,
+        |  try_cast(l_returnflag AS INT) AS flag_num
+        |FROM lineitem_try
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  private val tryFunctionsSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity = 25 THEN NULL
+      |    ELSE CAST(floor(100 * round(l_extendedprice * 100)
+      |      / (l_quantity - 25.0)) AS BIGINT) END AS per_excess_e4,
+      |  CASE WHEN l_orderkey > 0 THEN NULL
+      |    ELSE 9223372036854775807 END AS overflowed,
+      |  CAST(NULL AS INT) AS flag_num
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Collation-aware grouping (Spark 4 collations): a mixed-case
+    * priority column groups under UTF8_LCASE so 'URGENT' and 'urgent'
+    * are ONE key at the comparator level — no lower() rewrite of the
+    * data, and every comparison/join/agg on the collated column
+    * inherits the semantics. The oracle states the equivalence class
+    * via lower(); counts are in exact cents.
+    */
+  private def collationGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_coll")
+    spark.sql(
+      """WITH v AS (SELECT
+        |    CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+        |      ELSE lower(o_orderpriority) END AS p,
+        |    o_totalprice FROM orders_coll)
+        |SELECT min(lower(p)) AS priority, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM v
+        |GROUP BY collate(p, 'UTF8_LCASE')
+        |ORDER BY priority""".stripMargin)
+  }
+
+  private val collationGroupSql =
+    """WITH v AS (SELECT
+      |    CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+      |      ELSE lower(o_orderpriority) END AS p,
+      |    o_totalprice FROM orders)
+      |SELECT min(lower(p)) AS priority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM v
+      |GROUP BY lower(p)
+      |ORDER BY priority""".stripMargin
+
   /** Merge-on-read deletes ([[graft.operators.MergeOnRead]]): two
     * delete batches append keyed tombstones (base data untouched —
     * MorDeleteSpec pins the data dir byte-identical), the live view
@@ -1961,6 +2063,9 @@ object Relational {
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     NamedQuery("q_tx_read", txReadQ, Some(txReadSql)),
     NamedQuery("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
+    NamedQuery("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    NamedQuery("q_try_functions", tryFunctions, Some(tryFunctionsSql)),
+    NamedQuery("q_collation", collationGroup, Some(collationGroupSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
