@@ -1039,6 +1039,34 @@ object Relational {
       |GROUP BY lower(p)
       |ORDER BY priority""".stripMargin
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — top-2 nations
+    * per region, written the way an analyst writes it (a per-row
+    * subquery) and planned the way an engine must run it (Catalyst
+    * decorrelates to a join + per-group rank; no per-region re-scan of
+    * customer). The same SQL text runs on both engines, so the gate
+    * also pins that the decorrelation is semantics-preserving under
+    * ORDER/LIMIT inside the lateral body.
+    */
+  private def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "region").createOrReplaceTempView("region")
+    Tables(spark, dir, "nation").createOrReplaceTempView("nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(lateralTopnSql)
+  }
+
+  private val lateralTopnSql =
+    """SELECT r.r_name AS region, t.nation, t.total_cents
+      |FROM region r, LATERAL (
+      |  SELECT n.n_name AS nation,
+      |    CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY total_cents DESC, nation
+      |  LIMIT 2) t
+      |ORDER BY region, total_cents DESC, nation""".stripMargin
+
   /** Merge-on-read deletes ([[graft.operators.MergeOnRead]]): two
     * delete batches append keyed tombstones (base data untouched —
     * MorDeleteSpec pins the data dir byte-identical), the live view
@@ -2066,6 +2094,7 @@ object Relational {
     NamedQuery("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     NamedQuery("q_try_functions", tryFunctions, Some(tryFunctionsSql)),
     NamedQuery("q_collation", collationGroup, Some(collationGroupSql)),
+    NamedQuery("q_lateral_topn", lateralTopn, Some(lateralTopnSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
