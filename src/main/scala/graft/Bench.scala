@@ -38,7 +38,13 @@ object Bench {
     // table and the histogram-partial table (one-time ingest jobs), so
     // their timed runs measure the steady-state read path: a
     // dims-product summary scan / a bins-table quantile walk
+    // q_bitemporal / q_zonemap_lookup warm runs build their
+    // memoized-one-time structures (the SCD2 history + its two
+    // snapshots / the persisted per-file zone map), so the timed runs
+    // measure the read matrix / the pruned-lookup path — the
+    // steady-state cost, same policy as the index/summary families
     for (warm <- Seq("q1_pricing_summary", "q_merge_upsert_part",
+        "q_bitemporal", "q_zonemap_lookup",
         "q_summary_rewrite", "q_summary_incr", "q_scd2_asof",
         "q_quantile_merge", "q_quantile_sliding",
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
