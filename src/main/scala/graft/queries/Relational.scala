@@ -1039,6 +1039,51 @@ object Relational {
       |GROUP BY lower(p)
       |ORDER BY priority""".stripMargin
 
+  /** Join-view incremental maintenance ([[graft.operators.Ivm]]): the
+    * materialized orders⋈customer view absorbs a batch where BOTH
+    * sides grow, by appending the three delta terms
+    * (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — work bounded by the delta, the base
+    * join is never recomputed. The query emits the delta-maintained
+    * audit AND the full-recompute audit under one oracle; the gate
+    * passing means the join identity held on real data, not just in
+    * the spec's multiset law.
+    */
+  private def ivmJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val aOld = orders.filter(col("o_orderkey") % 2 === 0)
+    val dA = orders.filter(col("o_orderkey") % 2 === 1)
+    val bOld = cust.filter(col("custkey") % 3 =!= 0)
+    val dB = cust.filter(col("custkey") % 3 === 0)
+    val v0 = aOld.join(bOld, Seq("custkey"))
+    val maintained = v0.unionByName(
+      graft.operators.Ivm.joinDelta(aOld, dA, bOld, dB, Seq("custkey")))
+    val recomputed = orders.join(cust, Seq("custkey"))
+    def audit(phase: String, v: DataFrame): DataFrame =
+      v.agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+    audit("delta_maintained", maintained)
+      .unionByName(audit("recomputed", recomputed))
+      .orderBy("phase")
+  }
+
+  private val ivmJoinSql =
+    """WITH j AS (SELECT o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |a AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM j)
+      |SELECT 'delta_maintained' AS phase, n_rows, total_cents FROM a
+      |UNION ALL
+      |SELECT 'recomputed', n_rows, total_cents FROM a
+      |ORDER BY phase""".stripMargin
+
   /** LATERAL correlated subquery with ORDER BY + LIMIT — top-2 nations
     * per region, written the way an analyst writes it (a per-row
     * subquery) and planned the way an engine must run it (Catalyst
@@ -2095,6 +2140,7 @@ object Relational {
     NamedQuery("q_try_functions", tryFunctions, Some(tryFunctionsSql)),
     NamedQuery("q_collation", collationGroup, Some(collationGroupSql)),
     NamedQuery("q_lateral_topn", lateralTopn, Some(lateralTopnSql)),
+    NamedQuery("q_ivm_join", ivmJoinQ, Some(ivmJoinSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
