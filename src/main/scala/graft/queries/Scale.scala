@@ -98,6 +98,31 @@ object Scale {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Bucket PRUNING on the same bucketed layout — the point-lookup
+    * half of the bucketing payoff (the join half is `q_bucketed_join`):
+    * an IN-list on the bucket column hashes each key to its bucket and
+    * the scan opens ONLY those bucket files
+    * (`SelectedBucketsCount: k out of 16` — BucketingSpec gates it).
+    * At 100 TB a keyed audit touches 1/16th of the table per key
+    * instead of all of it, with zero index structures beyond the
+    * layout itself.
+    */
+  private def bucketPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, _) = bucketedTables(spark, dir)
+    spark.table(lt)
+      .filter(col("l_orderkey").isin(1L, 1027L, 2054L))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_orderkey")
+  }
+
+  private val bucketPruneSql =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem WHERE l_orderkey IN (1, 1027, 2054)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** Distinct-count at scale: HLL++ sketch (`approx_count_distinct`)
     * beside the exact count. Sketches merge associatively, so the
     * partial/final split never moves raw values — at 100 TB this is the
@@ -1509,6 +1534,7 @@ object Scale {
     NamedQuery("q_hll_sliding", hllSliding, None),
     NamedQuery("q_dpp", dpp, Some(dppSql)),
     NamedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    NamedQuery("q_bucket_prune", bucketPrune, Some(bucketPruneSql)),
     NamedQuery("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     NamedQuery("q_csv_source", csvSource, Some(csvSourceSql)),
     NamedQuery("q_orc_source", orcSource, Some(orcSourceSql)),

@@ -65,4 +65,16 @@ class BucketingSpec extends SparkSpec {
     assert(hashEx <= 1, s"join must not shuffle (got $hashEx hash exchanges):\n$plan")
     assert(df.count() > 0)
   }
+
+  test("point lookups on the bucket column open only their buckets") {
+    val df = SparkEntry.queries("q_bucket_prune")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected bucket pruning in the scan:\n$plan")
+    val (selected, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(total == 16 && selected <= 3,
+      s"3 keys must select <=3 of 16 buckets, got $selected/$total")
+  }
 }
