@@ -36,4 +36,44 @@ object Ivm {
     aDelta.join(bOld, keys)
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
+
+  import org.apache.spark.sql.functions._
+
+  /** Apply a SIGNED delta (Z-set) to a materialized multiset view —
+    * the retraction direction [[joinDelta]]'s insert-only kernel
+    * composes with: an update is (−1 old row, +1 new row), a delete is
+    * −1, and the view compacts by summing multiplicities per distinct
+    * row and re-expanding the positive sums. One hash shuffle on the
+    * full row (the compaction group-by); delta-sized input on the
+    * union side. Net-negative multiplicities indicate a retraction for
+    * a row the view never held — a pipeline bug — and fail loudly
+    * rather than clamp silently.
+    *
+    * `signedDelta` = the view's columns plus integer `signCol`.
+    */
+  def applySigned(view: DataFrame, signedDelta: DataFrame,
+      signCol: String = "sign"): DataFrame = {
+    val cols = view.columns.toSeq
+    require(!cols.contains(signCol),
+      s"view already has a '$signCol' column")
+    require((cols :+ signCol).toSet ==
+      signedDelta.columns.toSet,
+      s"signed delta must be view columns + $signCol " +
+        s"(got ${signedDelta.columns.mkString(", ")})")
+    val m = "__graft_mult"
+    val compacted = view.withColumn(signCol, lit(1L))
+      .unionByName(signedDelta
+        .select((cols.map(col) :+ col(signCol).cast("long")): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(signCol).as(m))
+    // assertion rides the same plan: a negative sum poisons the
+    // sequence() below with an explicit error, not a silent clamp
+    compacted
+      .withColumn(m, when(col(m) >= 0, col(m)).otherwise(
+        raise_error(concat(lit("Ivm.applySigned: negative multiplicity "),
+          col(m).cast("string")))))
+      .filter(col(m) > 0)
+      .withColumn("__graft_i", explode(expr(s"sequence(1, $m)")))
+      .drop(m, "__graft_i")
+  }
 }

@@ -1084,6 +1084,60 @@ object Relational {
       |SELECT 'recomputed', n_rows, total_cents FROM a
       |ORDER BY phase""".stripMargin
 
+  /** Z-set (signed-delta) maintenance of the same join view
+    * ([[graft.operators.Ivm.applySigned]]): a price correction lands
+    * as retractions (−1 the stale join rows) plus insertions (+1 the
+    * corrected ones), and the view compacts by multiplicity sum —
+    * updates/deletes without rebuilding, the direction `q_ivm_join`'s
+    * insert-only identity can't express. Work is delta-sized on the
+    * union side plus one full-row compaction shuffle; negative
+    * multiplicities (retracting what was never held) raise instead of
+    * clamping.
+    */
+  private def ivmUpdateQ(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val view = orders.join(cust, Seq("custkey"))
+    val affected = orders.filter(col("o_orderkey") % 5 === 0)
+    val corrected = affected
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val signed = affected.join(cust, Seq("custkey"))
+      .withColumn("sign", lit(-1L))
+      .unionByName(corrected.join(cust, Seq("custkey"))
+        .withColumn("sign", lit(1L)))
+    val maintained = graft.operators.Ivm.applySigned(view, signed)
+    val recomputed = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .join(cust, Seq("custkey"))
+    def audit(phase: String, v: DataFrame): DataFrame =
+      v.agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("total_cents"))
+    audit("delta_maintained", maintained)
+      .unionByName(audit("recomputed", recomputed))
+      .orderBy("phase")
+  }
+
+  private val ivmUpdateSql =
+    """WITH j AS (SELECT
+      |    CASE WHEN o.o_orderkey % 5 = 0 THEN o.o_totalprice * 2
+      |      ELSE o.o_totalprice END AS price
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |a AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM j)
+      |SELECT 'delta_maintained' AS phase, n_rows, total_cents FROM a
+      |UNION ALL
+      |SELECT 'recomputed', n_rows, total_cents FROM a
+      |ORDER BY phase""".stripMargin
+
   /** LATERAL correlated subquery with ORDER BY + LIMIT — top-2 nations
     * per region, written the way an analyst writes it (a per-row
     * subquery) and planned the way an engine must run it (Catalyst
@@ -2141,6 +2195,7 @@ object Relational {
     NamedQuery("q_collation", collationGroup, Some(collationGroupSql)),
     NamedQuery("q_lateral_topn", lateralTopn, Some(lateralTopnSql)),
     NamedQuery("q_ivm_join", ivmJoinQ, Some(ivmJoinSql)),
+    NamedQuery("q_ivm_update", ivmUpdateQ, Some(ivmUpdateSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))

@@ -33,6 +33,47 @@ class IvmSpec extends SparkSpec {
     assert(delta.count() == recomputed.count() - v0.count())
   }
 
+  test("applySigned: update = retract + insert; delete = retract; " +
+      "duplicates keep their multiplicity") {
+    import org.apache.spark.sql.functions.lit
+    // view holds (1,'a') TWICE — multiset
+    val view = Seq((1, "a"), (1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val delta = Seq(
+      (1, "a", -1L),            // retract ONE of the two duplicates
+      (2, "b", -1L), (2, "B", 1L), // update
+      (3, "c", -1L),            // delete
+      (4, "d", 1L)              // insert
+    ).toDF("k", "v", "sign")
+    val got = Ivm.applySigned(view, delta)
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(got == Seq((1, "a"), (2, "B"), (4, "d")))
+  }
+
+  test("applySigned: retracting a row the view never held fails loudly") {
+    val view = Seq((1, "a")).toDF("k", "v")
+    val delta = Seq((9, "zz", -1L)).toDF("k", "v", "sign")
+    val e = intercept[Exception] {
+      Ivm.applySigned(view, delta).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("signed join maintenance: retracting a base row removes its " +
+      "join contributions") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "a")
+    val b = Seq((1, "b1"), (1, "b1x"), (2, "b2")).toDF("k", "b")
+    val view = a.join(b, Seq("k"))
+    // retract a-row (1,'a1'): its join contribution is (1,'a1')⋈B
+    import org.apache.spark.sql.functions.lit
+    val retract = Seq((1, "a1")).toDF("k", "a")
+      .join(b, Seq("k")).withColumn("sign", lit(-1L))
+    val got = Ivm.applySigned(view, retract)
+      .as[(Int, String, String)].collect().toSeq.sorted
+    val expect = a.filter($"a" =!= "a1").join(b, Seq("k"))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(got == expect)
+  }
+
   test("empty deltas append nothing") {
     val a = Seq((1, "a")).toDF("k", "a")
     val b = Seq((1, "b")).toDF("k", "b")
