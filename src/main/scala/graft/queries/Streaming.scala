@@ -70,6 +70,30 @@ object Streaming {
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
       |ORDER BY p.event_id, c.ts""".stripMargin
 
+  /** Batch twin of the LEFT OUTER interval join, restricted to the
+    * provably-final region (`p_ts <= max(ts) − 3 h` — see
+    * `Streams.attributionOuterViaStream` for why the watermark tail is
+    * excluded on BOTH sides).
+    */
+  private val attributionOuterSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |mx AS (SELECT least(
+      |    (SELECT max(ts) FROM e WHERE event_type = 'purchase')
+      |      - INTERVAL 1 HOUR,
+      |    (SELECT max(ts) FROM e WHERE event_type = 'click')
+      |      - INTERVAL 2 HOUR) - INTERVAL 30 MINUTE AS m)
+      |SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts, p.value
+      |FROM e p LEFT JOIN e c
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |WHERE p.event_type = 'purchase'
+      |  AND p.ts <= (SELECT m FROM mx)
+      |ORDER BY p.event_id, c.ts""".stripMargin
+
   /** Batch twin of the streamed curation gates: every gate is a pure
     * function of the document, so the stream over the same corpus must
     * agree row-for-row — the oracle recomputes quality, lang-id, and
@@ -247,6 +271,8 @@ object Streaming {
       Some(twsRunningSql)),
     NamedQuery("st_state_inspect", Streams.stateInspectViaStream,
       Some(stateInspectSql)),
+    NamedQuery("st_attr_outer", Streams.attributionOuterViaStream,
+      Some(attributionOuterSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

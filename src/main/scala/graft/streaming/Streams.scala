@@ -534,6 +534,78 @@ object Streams {
         col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantically hard
+    * half of [[clickAttribution]]: an unmatched purchase must emit a
+    * null-click row, but only once the watermark PROVES no matching
+    * click can still arrive (future clicks have `c_ts > watermark`;
+    * the condition needs `c_ts <= p_ts`, so a purchase is final when
+    * the join watermark passes its `p_ts`). Until then the row sits in
+    * state — correctness at scale is exactly the watermark bound: state
+    * holds only the unproven tail, never the stream.
+    */
+  def clickAttributionOuter(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, expr(
+      s"""user_id = c_user AND
+         |c_ts <= p_ts AND
+         |c_ts >= p_ts - interval $windowMinutes minutes""".stripMargin),
+      "leftOuter")
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("value"))
+  }
+
+  /** [[clickAttributionOuter]] end-to-end. Two mechanics the inner
+    * variant never needed, both pinned by the gate:
+    *
+    *  1. Null rows flush on EVICTION, which happens in the batch AFTER
+    *     the watermark advances — and AvailableNow stops at the last
+    *     data batch. The second run on the same checkpoint processes
+    *     zero data but its no-data batch evicts everything the final
+    *     watermark proved, without re-emitting matches (state is
+    *     checkpointed; restart-safety and finality in one move).
+    *  2. The event-time tail is UNPROVABLE by construction — the final
+    *     join watermark is min(maxPurchaseTs − 1 h, maxClickTs − 2 h),
+    *     and purchases above it are still legitimately waiting. Both
+    *     the streamed result and the oracle restrict to p_ts at or
+    *     below that bound (less a margin), the provably final region;
+    *     comparing the tail would be asserting an answer the semantics
+    *     say is not yet known.
+    */
+  def attributionOuterViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_st_attro_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_attro_ckpt").toString
+    def run(): Unit = {
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+      runAvailableNow(clickAttributionOuter(purchases, clicks), out, ckpt)
+    }
+    run() // data batches: matches emit, tail nulls still in state
+    run() // restart: the no-data batch evicts at the final watermark
+    // The provable region ends at the JOIN watermark = min over the
+    // two sides of (that side's max event time − its delay) — with
+    // sparse data the click side can lag far behind max(ts) overall,
+    // so the bound must be per-side, minus a safety margin for the
+    // strict eviction comparison. The oracle computes the same bound.
+    val ev = Tables.eventTime(Tables(spark, dir, "events"))
+    def mxOf(t: String): Long = ev.filter(col("event_type") === t)
+      .agg(max("ts")).head().getTimestamp(0).getTime
+    val wmMs = math.min(mxOf("purchase") - 1L * 3600 * 1000,
+      mxOf("click") - 2L * 3600 * 1000)
+    val bound = new java.sql.Timestamp(wmMs - 30L * 60 * 1000)
+    spark.read.parquet(out)
+      .filter(col("p_ts") <= lit(bound))
+      .orderBy("event_id", "c_ts")
+  }
+
   /** Streaming incremental upsert: every micro-batch merges into the
     * keyed parquet target through [[graft.operators.Ops.mergeUpsert]] —
     * the reference's watermark-fetch-upsert loop (`__main__.py:80-130`)

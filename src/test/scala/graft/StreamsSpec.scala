@@ -101,6 +101,33 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("outer interval join emits null-click rows for unmatched " +
+      "purchases and equals the batch left-join twin") {
+    val streamed = Streams.attributionOuterViaStream(spark, sf)
+    val rows = streamed.collect()
+    assert(rows.exists(_.isNullAt(3)),
+      "outer semantics unexercised: no null-click purchase in result")
+    assert(rows.exists(!_.isNullAt(3)))
+    val ev = graft.queries.Tables.eventTime(
+      graft.queries.Tables(spark, sf, "events"))
+    def mxOf(t: String): Long = ev.filter($"event_type" === t)
+      .agg(max("ts")).head().getTimestamp(0).getTime
+    val bound = new java.sql.Timestamp(
+      math.min(mxOf("purchase") - 1L * 3600 * 1000,
+        mxOf("click") - 2L * 3600 * 1000) - 30L * 60 * 1000)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("p_ts"), $"value")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val batch = p.join(c, expr(
+        "user_id = c_user AND c_ts <= p_ts AND " +
+          "c_ts >= p_ts - interval 30 minutes"), "leftOuter")
+      .select($"event_id", $"user_id", $"p_ts", $"c_ts", $"value")
+      .filter($"p_ts" <= lit(bound))
+      .orderBy("event_id", "c_ts").collect()
+    assert(rows.length == batch.length && rows.sameElements(batch))
+  }
+
   test("statestore reader exposes one state row per dedup key") {
     val ev = Streams.eventsStream(spark, sf).select("event_id")
     val out = tmpDir("st_insp_out")
