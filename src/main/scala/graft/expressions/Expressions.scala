@@ -30,6 +30,27 @@ case class Fnv1a64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
 }
 
+/** Unicode NFC normalization — the canonicalization every text-dedup
+  * pipeline needs BEFORE fingerprinting: "café" composed (U+00E9) and
+  * decomposed (e + U+0301) are byte-different, so every hash/shingle
+  * operator sees two documents until normalization folds them. Spark
+  * has no built-in; this keeps it inside whole-stage codegen (one
+  * static call, input returned untouched on the NFC-quick-check fast
+  * path).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(c)
+}
+
 /** 64-bit SimHash of whitespace tokens (spec in Kernels.simhash64). */
 case class SimHash64(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {

@@ -29,6 +29,20 @@ object Kernels {
     h
   }
 
+  /** Unicode NFC normalization (composed form). Fast path: NFC-quick
+    * check via `Normalizer.isNormalized` returns the INPUT object for
+    * the overwhelmingly common already-composed case — zero
+    * allocation, one pass; only genuinely decomposed strings pay the
+    * recomposition.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
   /** FNV-1a 64 of an 8-byte little-endian long (used to derive
     * independent hash families / hyperplanes from a seed).
     */

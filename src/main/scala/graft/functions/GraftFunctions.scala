@@ -20,6 +20,8 @@ import graft.expressions._
   */
 object GraftFunctions {
   def fnv1a64(col: Column): Column = call_function("fnv1a64", col)
+  def nfc_normalize(col: Column): Column =
+    call_function("nfc_normalize", col)
   def simhash64(col: Column): Column = call_function("simhash64", col)
   def hamming64(l: Column, r: Column): Column =
     call_function("hamming64", l, r)
@@ -86,6 +88,7 @@ object GraftFunctions {
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] =
     Seq(
       "fnv1a64" -> (es => Fnv1a64(es.head)),
+      "nfc_normalize" -> (es => NfcNormalize(es.head)),
       "simhash64" -> (es => SimHash64(es.head)),
       "hamming64" -> (es => HammingDistance(es.head, es(1))),
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),

@@ -27,6 +27,41 @@ object TrainingData {
 
   // ---- dedup ----
 
+  /** Unicode-canonical dedup keys ([[graft.expressions.NfcNormalize]],
+    * a codegen'd expression — Spark has no built-in normalizer): NFC
+    * ("café" composed) and NFD (e + combining acute) spellings of the
+    * same text are byte-different, so every hash/shingle dedup sees two
+    * documents until normalization folds them. The corpus is unioned
+    * with a planted NFC/NFD pair (built via chr() on BOTH engines so no
+    * source-encoding ambiguity exists) and counted raw vs normalized —
+    * the normalized count must be one lower. At 100 TB this is a
+    * zero-shuffle map step in front of the fingerprint, with an
+    * isNormalized fast path that returns the input untouched for the
+    * (dominant) already-composed case.
+    */
+  private def nfcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // planted pair as Scala \u escapes — Spark SQL's chr() is mod-256
+    // (bytes, not codepoints), so the oracle builds the same two
+    // strings with DuckDB's codepoint chr() instead
+    val planted = Seq("caf\u00e9 latte", "cafe\u0301 latte").toDF("text")
+    docs(spark, dir).select(col("text"))
+      .unionByName(planted)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("text")).as("n_raw_forms"),
+        countDistinct(graft.functions.GraftFunctions
+          .nfc_normalize(col("text"))).as("n_nfc_forms"))
+  }
+
+  private val nfcDedupSql =
+    """WITH v AS (
+      |  SELECT text FROM documents
+      |  UNION ALL SELECT 'caf' || chr(233) || ' latte'
+      |  UNION ALL SELECT 'cafe' || chr(769) || ' latte')
+      |SELECT count(*) AS n_rows, count(DISTINCT text) AS n_raw_forms,
+      |  count(DISTINCT nfc_normalize(text)) AS n_nfc_forms
+      |FROM v""".stripMargin
+
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(
       docs(spark, dir).withColumn("k", Dedup.wordSetKey(col("text"))),
@@ -1576,5 +1611,6 @@ object TrainingData {
     NamedQuery("e_ivf_persisted", ivfPersisted, None),
     NamedQuery("e_knn_exact", knnExact, Some(knnExactSql)),
     NamedQuery("e_knn_graph", knnGraph, None),
-    NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)))
+    NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)),
+    NamedQuery("d_nfc_dedup", nfcDedup, Some(nfcDedupSql)))
 }

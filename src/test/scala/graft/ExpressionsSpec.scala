@@ -26,6 +26,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaDf.distinct.length == 4) // case-sensitive, all distinct
   }
 
+  test("nfc_normalize folds decomposed forms; composed input unchanged") {
+    val composed = "caf\u00e9 latte"
+    val decomposed = "cafe\u0301 latte" // e + combining acute
+    val out = Seq(composed, decomposed, "plain ascii", null)
+      .toDF("s").select(nfc_normalize(col("s"))).as[String].collect()
+    assert(out(0) == composed)
+    assert(out(1) == composed, "NFD must fold to the composed form")
+    assert(out(2) == "plain ascii")
+    assert(out(3) == null)
+    // kernel fast path: already-NFC input returns the same object
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(composed)
+    assert(Kernels.nfc(u) eq u)
+    // and fingerprints collapse after normalization — the dedup payoff
+    val fps = Seq(composed, decomposed).toDF("s")
+      .select(fnv1a64(nfc_normalize(col("s")))).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
   test("simhash64 is token-order invariant, multiplicity sensitive") {
     val out = Seq(
       "spark window agg join", "join agg window spark",   // same multiset
