@@ -128,6 +128,91 @@ class StreamsSpec extends SparkSpec {
     assert(rows.length == batch.length && rows.sameElements(batch))
   }
 
+  test("transformWithState event-time timers + MapState: per-type " +
+      "counts flush when the watermark passes the inactivity deadline") {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 10L * 60 * 1000
+    // per-user MapState[event_type -> count]; each batch re-arms an
+    // event-time timer at (max event ts + gap); expiry emits the
+    // accumulated per-type counts and clears state
+    class FlushProcessor extends StatefulProcessor[
+        Long, Streams.ScoredEvent, (Long, String, Long)] {
+      @transient private var counts:
+          org.apache.spark.sql.streaming.MapState[String, Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        counts = getHandle.getMapState[String, Long]("counts",
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[Streams.ScoredEvent],
+          timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+        var maxTs = Long.MinValue
+        rows.foreach { e =>
+          val t = e.event_type
+          counts.updateValue(t,
+            (if (counts.containsKey(t)) counts.getValue(t) else 0L) + 1)
+          maxTs = math.max(maxTs, e.ts_us / 1000)
+        }
+        getHandle.listTimers().foreach(ts =>
+          getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(maxTs + gapMs)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo)
+          : Iterator[(Long, String, Long)] = {
+        val out = counts.iterator().map { case (t, n) => (key, t, n) }.toSeq
+        counts.clear()
+        out.iterator
+      }
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.ScoredEvent]
+      val name = "st_twst_" + java.util.UUID.randomUUID.toString.take(8)
+      val q = in.toDS()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .as[Streams.ScoredEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new FlushProcessor, TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "event_type", "n")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      def ev(id: Long, uid: Long, min: Double, t: String) =
+        Streams.ScoredEvent(id, uid, t, 1.0, us(min))
+      try {
+        // user 7: two click batches inside the gap — no flush yet
+        in.addData(ev(1, 7, 1, "click"), ev(2, 7, 2, "view"))
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 0,
+          "timer must not fire inside the gap")
+        // a much later event for ANOTHER user advances the watermark
+        // past user 7's deadline -> user 7 flushes, user 9 stays open
+        in.addData(ev(3, 9, 60, "click"))
+        q.processAllAvailable()
+        in.addData(ev(4, 9, 61, "view")) // one more batch to deliver expiry
+        q.processAllAvailable()
+        val got = spark.table(name).as[(Long, String, Long)]
+          .collect().toSeq.sorted
+        assert(got == Seq((7L, "click", 1L), (7L, "view", 1L)),
+          s"expected user 7's per-type counts, got $got")
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("statestore reader exposes one state row per dedup key") {
     val ev = Streams.eventsStream(spark, sf).select("event_id")
     val out = tmpDir("st_insp_out")
