@@ -27,6 +27,20 @@ object Streaming {
       |  total_value, rank
       |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
+  /** Batch twin of the chained dedup→window plan: hourly aggregate over
+    * DISTINCT events, restricted to provably-final windows (window end
+    * at or below max(ts) − 1 h watermark − 30 min margin).
+    */
+  private val dedupWindowSql =
+    """WITH d AS (SELECT DISTINCT event_id, event_type, value,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |mx AS (SELECT max(ts) - INTERVAL 90 MINUTE AS m FROM d)
+      |SELECT date_trunc('hour', ts) AS ws, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM d
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT m FROM mx)
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
   /** Batch twin of the transformWithState running totals: same
     * (ts, event_id) fold order, money in exact integer cents so the
     * running value is fold-order-independent.
@@ -273,6 +287,8 @@ object Streaming {
       Some(stateInspectSql)),
     NamedQuery("st_attr_outer", Streams.attributionOuterViaStream,
       Some(attributionOuterSql)),
+    NamedQuery("st_dedup_window", Streams.dedupWindowViaStream,
+      Some(dedupWindowSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

@@ -1019,6 +1019,47 @@ object Streams {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** TWO stateful operators chained in ONE streaming plan (Spark's
+    * multiple-stateful-operator support): the self-unioned stream
+    * (guaranteed duplicates) dedups within the watermark, and the
+    * SURVIVORS feed a tumbling hourly aggregate — dedup state and
+    * window state live in the same query, one checkpoint, no
+    * intermediate sink. The 100 TB shape this unlocks: ingest pipelines
+    * that previously needed two jobs and a durable handoff topic
+    * (dedup job → storage → aggregate job) collapse into one
+    * exactly-once plan; the handoff becomes an in-plan shuffle. Oracle:
+    * the hourly aggregate over DISTINCT events — double-counting any
+    * duplicate or dropping any survivor breaks the compare.
+    */
+  def dedupWindowViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_st_dw_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_dw_ckpt").toString
+    def run(): Unit = {
+      val doubled = eventsStream(spark, dir)
+        .unionByName(eventsStream(spark, dir))
+      val plan = dedupe(doubled) // stateful op 1: watermark dedup
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value")) // stateful op 2
+      runAvailableNow(plan.select(col("window.start").as("ws"),
+        col("event_type"), col("n_events"), col("total_value")), out, ckpt)
+    }
+    // multi-stateful plans must run in APPEND mode, so windows emit on
+    // watermark passage: same two mechanics as attributionOuterViaStream
+    // — a second run's no-data batch flushes what the final watermark
+    // proved, and the gate restricts to provably-final windows
+    // (window end at or below max(ts) − 1 h watermark, minus margin)
+    run()
+    run()
+    val mx = Tables.eventTime(Tables(spark, dir, "events"))
+      .agg(max("ts")).head().getTimestamp(0)
+    val bound = new java.sql.Timestamp(
+      mx.getTime - (1L * 3600 + 30L * 60) * 1000) // wm − 30 min margin
+    spark.read.parquet(out)
+      .filter(col("ws") + expr("interval 1 hour") <= lit(bound))
+      .orderBy("ws", "event_type")
+  }
+
   /** Continuous curation: the cleaning gates (quality score, lang-id,
     * deterministic split assignment — all stateless codegen'd
     * projections) applied ON THE STREAM as documents arrive, appended
