@@ -70,5 +70,10 @@ object Tables {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // recursive CTEs (q_recursive_cte): the default 1M-row guard trips
+    // at sf0.1 already (|orders| × log2(maxKey) rows pass through the
+    // loop); 50M covers sf1 with the same headroom while still
+    // guarding against a genuinely non-terminating recursion
+    .config("spark.sql.cteRecursionRowLimit", "50000000")
     .config("spark.ui.enabled", "false")
 }

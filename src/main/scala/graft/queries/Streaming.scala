@@ -27,6 +27,30 @@ object Streaming {
       |  total_value, rank
       |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
+  /** Batch twin of the dynamic-gap sessions: interval merging as a
+    * running-max-of-ends boundary flag + cumulative session id, then
+    * per-session aggregates; restricted to sessions provably closed
+    * under the final watermark (end <= max(ts) − 1 h).
+    */
+  private val dynamicSessionSql =
+    """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'purchase' THEN INTERVAL 15 MINUTE
+      |      ELSE INTERVAL 30 MINUTE END AS gap FROM events),
+      |x AS (SELECT *, ts + gap AS e_end FROM e),
+      |f AS (SELECT *, CASE WHEN max(e_end) OVER w IS NULL
+      |      OR ts >= max(e_end) OVER w THEN 1 ELSE 0 END AS new_s
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+      |g AS (SELECT user_id, min(ts) AS s_start, max(e_end) AS s_end,
+      |    count(*) AS n_events, round(sum(value), 2) AS total_value
+      |  FROM s GROUP BY user_id, sid),
+      |mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS m FROM e)
+      |SELECT s_start, s_end, user_id, n_events, total_value FROM g
+      |WHERE s_end <= (SELECT m FROM mx)
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** Batch twin of the chained dedup→window plan: hourly aggregate over
     * DISTINCT events, restricted to provably-final windows (window end
     * at or below max(ts) − 1 h watermark − 30 min margin).
@@ -289,6 +313,8 @@ object Streaming {
       Some(attributionOuterSql)),
     NamedQuery("st_dedup_window", Streams.dedupWindowViaStream,
       Some(dedupWindowSql)),
+    NamedQuery("st_session_dynamic", Streams.dynamicSessionViaStream,
+      Some(dynamicSessionSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

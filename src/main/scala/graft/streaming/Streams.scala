@@ -1019,6 +1019,43 @@ object Streams {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** DYNAMIC-gap session windows: the inactivity gap is a per-event
+    * EXPRESSION (15 min after a purchase, 30 min otherwise), so session
+    * shape adapts to behavior — the fixed-gap `session_window` can't
+    * express "purchases close sessions faster". Semantics are interval
+    * merging (each event spans [ts, ts+gap), overlapping spans fuse,
+    * order-free), which the oracle re-derives relationally: a session
+    * boundary is an event at or past the running max of previous
+    * events' ends. Append-mode finality handled as in the other
+    * append-mode streams (second run flushes, gate restricted to
+    * sessions provably closed under the final watermark).
+    */
+  def dynamicSessionViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_st_dyn_out").toString
+    val ckpt = Files.createTempDirectory("graft_st_dyn_ckpt").toString
+    def run(): Unit = {
+      val ev = eventsStream(spark, dir)
+      val gap = when(col("event_type") === "purchase", lit("15 minutes"))
+        .otherwise(lit("30 minutes"))
+      val plan = ev.withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"),
+          col("n_events"), col("total_value"))
+      runAvailableNow(plan, out, ckpt)
+    }
+    run()
+    run()
+    val mx = Tables.eventTime(Tables(spark, dir, "events"))
+      .agg(max("ts")).head().getTimestamp(0)
+    val bound = new java.sql.Timestamp(mx.getTime - 1L * 3600 * 1000)
+    spark.read.parquet(out)
+      .filter(col("s_end") <= lit(bound))
+      .orderBy("user_id", "s_start")
+  }
+
   /** TWO stateful operators chained in ONE streaming plan (Spark's
     * multiple-stateful-operator support): the self-unioned stream
     * (guaranteed duplicates) dedups within the watermark, and the

@@ -67,7 +67,11 @@ object PlanAudit {
     "ev_lag_features" -> "lag-feature matrix: row-frame lags and RANGE-frame 7-day rollups share ONE user partitioning over the per-day pre-aggregate — one shuffle, one sort, four features",
     "ev_cusum" -> "CUSUM change-point: one fold into (type,day) counts, then cumulative/total/argmax as frames over ONE type partitioning of the calendar-sized daily relation — the deviation path never leaves BIGINT",
     "q_bitemporal" -> "bitemporal matrix: each cell is one snapshot version's scan + a validity-interval filter + a 1-row fold — transaction time picks the directory, valid time slices rows, nothing else moves",
-    "d_pii_scrub" -> "PII redaction: three regexp passes + per-pattern counts fused into the document scan, zero exchanges before the final sort")
+    "d_pii_scrub" -> "PII redaction: three regexp passes + per-pattern counts fused into the document scan, zero exchanges before the final sort",
+    "q_recursive_cte" -> "WITH RECURSIVE as UnionLoop: the anchor scan plus an iterated step whose frontier shrinks as walks reach the root — engine-iterative, no driver loop",
+    "q_lateral_topn" -> "LATERAL with ORDER BY+LIMIT decorrelated: one nation-customer join + per-region rank window; customer is scanned once, never per region",
+    "q_ivm_join" -> "join-view delta maintenance: the three delta terms each broadcast their small side onto a single base scan per table; the recomputed twin in the same plan is the audit, not the maintenance path",
+    "q_bucket_prune" -> "bucketed point lookup: SelectedBucketsCount shows only the IN-list keys' hash buckets open — layout-as-index, no shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
