@@ -165,5 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator as-of join: plans graft.plans.AsOfJoin nodes into
     // the sort-merge AsOfJoinExec; a no-op on every other plan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // query guardrail (no-op until the session opts in via
+    // spark.graft.guardrail.enabled=true): rejects unconditioned
+    // large-by-large joins at plan time
+    ext.injectOptimizerRule(graft.plans.GuardrailRule(_))
   }
 }

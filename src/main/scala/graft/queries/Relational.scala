@@ -1084,6 +1084,39 @@ object Relational {
       |SELECT 'recomputed', n_rows, total_cents FROM a
       |ORDER BY phase""".stripMargin
 
+  /** Column-level encryption at rest (`aes_encrypt`/`aes_decrypt`,
+    * codegen'd built-ins): the PII column round-trips through AES-128
+    * in deterministic ECB mode — the mode a warehouse uses when
+    * encrypted values must still JOIN and GROUP (equality is
+    * preserved; the well-known trade is that equality leaks, which is
+    * the point — GCM is the confidentiality mode, ECB the
+    * deterministic one, same dial as deterministic vs randomized
+    * encryption in cloud warehouses). The oracle can't run AES, so the
+    * gate pins the ROUND-TRIP law relationally: per-segment counts,
+    * the all-rows-decrypted-equal count, and min/max of the decrypted
+    * column must equal the plaintext facts — a broken key path or
+    * padding bug shifts every one of them.
+    */
+  private def columnCrypto(spark: SparkSession, dir: String): DataFrame = {
+    val key = "0123456789abcdef" // 16-byte AES-128 demo key
+    Tables(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_name"),
+        expr(s"cast(aes_decrypt(aes_encrypt(cast(c_name as binary), " +
+          s"'$key', 'ECB'), '$key', 'ECB') as string)").as("dec"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("dec") === col("c_name"), 1L).otherwise(0L))
+          .as("n_roundtrip_ok"),
+        min("dec").as("first_name"), max("dec").as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val columnCryptoSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  count(*) AS n_roundtrip_ok,
+      |  min(c_name) AS first_name, max(c_name) AS last_name
+      |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   /** Z-set (signed-delta) maintenance of the same join view
     * ([[graft.operators.Ivm.applySigned]]): a price correction lands
     * as retractions (−1 the stale join rows) plus insertions (+1 the
@@ -2196,6 +2229,7 @@ object Relational {
     NamedQuery("q_lateral_topn", lateralTopn, Some(lateralTopnSql)),
     NamedQuery("q_ivm_join", ivmJoinQ, Some(ivmJoinSql)),
     NamedQuery("q_ivm_update", ivmUpdateQ, Some(ivmUpdateSql)),
+    NamedQuery("q_column_crypto", columnCrypto, Some(columnCryptoSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
