@@ -41,6 +41,32 @@ class MorDeleteSpec extends SparkSpec {
     assert(MergeOnRead.readCurrent(spark, root, "k").count() == 1)
   }
 
+  test("property: any interleaving of deletes and compactions equals " +
+      "the running batch filter") {
+    // deterministic pseudo-random predicates from a seeded sequence;
+    // compact after every 3rd delete — the view must equal filtering
+    // the base by the conjunction of all predicates so far, at every
+    // step
+    val root = tmpDir("graft_mor_prop")
+    val base = (1 to 500).map(i => (i, (i * 2654435761L % 97).toInt))
+      .toDF("k", "v")
+    MergeOnRead.init(base, root)
+    var kept = base
+    for (step <- 1 to 7) {
+      val m = 3 + (step * 7919) % 11 // modulus 3..13, deterministic
+      val r = (step * 104729) % m
+      val pred = col("k") % m === r
+      MergeOnRead.deleteWhere(spark, root, "k", pred)
+      kept = kept.filter(!(col("k") % m === r))
+      if (step % 3 == 0) MergeOnRead.compact(spark, root, "k")
+      val got = MergeOnRead.readCurrent(spark, root, "k")
+        .as[(Int, Int)].collect().toSeq.sorted
+      val want = kept.as[(Int, Int)].collect().toSeq.sorted
+      assert(got == want, s"diverged at step $step (m=$m r=$r)")
+    }
+    assert(MergeOnRead.readCurrent(spark, root, "k").count() > 0)
+  }
+
   test("compaction preserves the view exactly and clears tombstones; " +
       "the read plan is a plain scan afterwards") {
     val root = tmpDir("graft_mor")
