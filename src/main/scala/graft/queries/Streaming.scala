@@ -87,6 +87,23 @@ object Streaming {
       |  min(event_id) AS min_key, max(event_id) AS max_key
       |FROM events""".stripMargin
 
+  /** Full-history running totals restricted to the streamed (post-
+    * cutoff) region: sequence numbers must continue the historical
+    * count across the batch/stream seam.
+    */
+  private val twsBootstrapSql =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |w AS (SELECT event_id, user_id, ts,
+      |    row_number() OVER win AS seq,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER win
+      |      AS BIGINT) AS total_cents
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, seq, total_cents FROM w
+      |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
   private val dedupSql =
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
@@ -315,6 +332,8 @@ object Streaming {
       Some(dedupWindowSql)),
     NamedQuery("st_session_dynamic", Streams.dynamicSessionViaStream,
       Some(dynamicSessionSql)),
+    NamedQuery("st_tws_bootstrap", Streams.runningTotalsBootstrapViaStream,
+      Some(twsBootstrapSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

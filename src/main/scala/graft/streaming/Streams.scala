@@ -894,6 +894,92 @@ object Streams {
     }
   }
 
+  /** [[RunningTotalProcessor]] with batch-computed INITIAL STATE — the
+    * operational pattern that makes streaming adoptable on a table
+    * with history: a new streaming job must not reprocess 100 TB of
+    * past events to warm its per-key state, and it must not start from
+    * zero either. `StatefulProcessorWithInitialState` seeds each key's
+    * state cell from a batch aggregate ONCE (first micro-batch), then
+    * the stream continues exactly where history left off — sequence
+    * numbers and totals carry across the batch/stream boundary, which
+    * is precisely what the gate checks.
+    */
+  class BootstrapRunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, ScoredEvent, RunningTotal, (Long, Long)] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: (Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[ScoredEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        n += 1
+        cents += math.round(e.value * 100)
+        RunningTotal(e.event_id, key, n, cents)
+      }
+      state.update((n, cents))
+      out.iterator
+    }
+  }
+
+  /** [[BootstrapRunningTotalProcessor]] end-to-end: history (events
+    * before the cutoff) folds to one (count, cents) pair per user
+    * BATCH-side; the stream processes only events from the cutoff on,
+    * seeded with that state. Output rows are the streamed region only —
+    * their sequence numbers continue the historical count, so the
+    * oracle is the FULL-history running window restricted to the
+    * streamed rows: any seam at the boundary (restart from zero,
+    * double-counted history) shifts every seq/total.
+    */
+  def runningTotalsBootstrapViaStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = "TIMESTAMP '2024-01-15 00:00:00'"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val history = withEventTime(Tables(spark, dir, "events"))
+        .filter(expr(s"ts < $cutoff"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      val stream = eventsStream(spark, dir)
+        .filter(expr(s"ts >= $cutoff"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("unix_micros(ts)").as("ts_us"))
+        .as[ScoredEvent]
+      val out = Files.createTempDirectory("graft_st_boot_out").toString
+      val ckpt = Files.createTempDirectory("graft_st_boot_ckpt").toString
+      val res = stream.groupByKey(_.user_id)
+        .transformWithState(new BootstrapRunningTotalProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(), history)
+      runAvailableNow(res.toDF(), out, ckpt)
+      spark.read.parquet(out).orderBy("event_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** [[RunningTotalProcessor]] over the events file stream, drained
     * with AvailableNow into parquet and read back — the
     * `transformWithState` declared query (`st_tws_running`). The v2
