@@ -87,6 +87,15 @@ object Streaming {
       |  min(event_id) AS min_key, max(event_id) AS max_key
       |FROM events""".stripMargin
 
+  /** Batch truth for the streamed transactional publish: the summary at
+    * the latest committed transaction equals the one-shot aggregate.
+    */
+  private val txPublishSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Full-history running totals restricted to the streamed (post-
     * cutoff) region: sequence numbers must continue the historical
     * count across the batch/stream seam.
@@ -334,6 +343,8 @@ object Streaming {
       Some(dynamicSessionSql)),
     NamedQuery("st_tws_bootstrap", Streams.runningTotalsBootstrapViaStream,
       Some(twsBootstrapSql)),
+    NamedQuery("st_tx_publish", Streams.txPublishSummary,
+      Some(txPublishSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

@@ -1013,6 +1013,69 @@ object Streams {
     }
   }
 
+  /** Streaming ATOMIC multi-table publish: each micro-batch commits its
+    * delta AND the incrementally-folded summary as ONE
+    * [[graft.operators.Transaction]] — a reader at any moment sees a
+    * (deltas, summary) pair from the same transaction, never a summary
+    * ahead of or behind its facts. This is the exactly-once serving
+    * contract a dashboard needs from a streaming ingest, built from
+    * the same one-rename commit the batch side uses; per-batch work is
+    * O(batch + summary), the facts history is never rewritten
+    * (each delta is its own immutable table version).
+    * TransactionSpec's streaming law iterates every committed tx and
+    * re-folds its deltas — summary@tx must equal the fold, at EVERY tx,
+    * not just the last.
+    */
+  def txPublishViaStream(spark: SparkSession, dir: String): String = {
+    import graft.operators.Transaction
+    val root = Files.createTempDirectory("graft_st_txpub").toString
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val txRoot = s"$root/tx"
+    withEventTime(Tables(spark, dir, "events"))
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .repartition(6) // several source files -> several micro-batches
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val partial = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum("cents").as("total_cents"))
+          val merged =
+            if (Transaction.committedTxs(s, txRoot).isEmpty) partial
+            else Transaction.read(s, txRoot, "summary")
+              .unionByName(partial)
+              .groupBy("event_type")
+              .agg(sum("n_events").as("n_events"),
+                sum("total_cents").as("total_cents"))
+          Transaction.publish(s, txRoot, Map(
+            "delta" -> batch.toDF(), "summary" -> merged))
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    txRoot
+  }
+
+  /** The declared-query face of [[txPublishViaStream]]: the summary at
+    * the LATEST transaction must equal the batch aggregate over
+    * everything that streamed through.
+    */
+  def txPublishSummary(spark: SparkSession, dir: String): DataFrame = {
+    val txRoot = txPublishViaStream(spark, dir)
+    graft.operators.Transaction.read(spark, txRoot, "summary")
+      .orderBy("event_type")
+  }
+
   /** Streaming-state observability through Spark's `statestore` data
     * source: a keyed stateful query (streaming dedup on `event_id`)
     * drains under AvailableNow, then its CHECKPOINTED STATE — not its

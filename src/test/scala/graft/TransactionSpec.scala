@@ -118,6 +118,30 @@ class TransactionSpec extends SparkSpec {
     }
   }
 
+  test("streaming publish: EVERY committed tx pairs its summary with " +
+      "exactly its deltas (cross-table atomicity under micro-batches)") {
+    import org.apache.spark.sql.functions._
+    val txRoot = graft.streaming.Streams
+      .txPublishViaStream(spark, "/root/testdata/sf0.001")
+    val txs = Transaction.committedTxs(spark, txRoot)
+    assert(txs.size >= 2, s"expected several micro-batch txs, got $txs")
+    for (tx <- txs) {
+      // re-fold the deltas of tx 0..tx: every committed snapshot must
+      // be internally consistent, not just the last one
+      val deltas = txs.filter(_ <= tx).map(t =>
+        Transaction.read(spark, txRoot, "delta", Some(t)))
+        .reduce(_ unionByName _)
+      val refold = deltas.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+        .as[(String, Long, Long)].collect().toSeq
+      val summary = Transaction.read(spark, txRoot, "summary", Some(tx))
+        .orderBy("event_type")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(summary == refold, s"tx $tx summary out of step with deltas")
+    }
+  }
+
   test("reading a table absent from the manifest fails loudly") {
     val root = freshRoot()
     Transaction.publish(spark, root, Map("a" -> Seq(1).toDF("k")))
