@@ -1531,7 +1531,81 @@ object Analytics {
       |  AND test.cutoff = fit.cutoff
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sparse-patch coalescing — the CDC shape `q_cdc_feed` does NOT
+    * cover: upstream emits PARTIAL updates (only the changed columns,
+    * the rest NULL), and the warehouse needs the latest NON-NULL value
+    * per column per key, not the latest row (the latest row would wipe
+    * columns the final patch didn't carry — the classic sparse-upsert
+    * bug). Patches are derived deterministically from lineitem
+    * (key = order, seq = linenumber, each payload column present on
+    * its own linenumber stride). One aggregation does the whole merge:
+    * `max_by(col, seq) FILTER (WHERE col IS NOT NULL)` picks each
+    * column's latest non-null independently — partial+final
+    * HashAggregate, one key-sized shuffle, no window sort, and seq is
+    * unique per key so the pick is deterministic. The fixture repeats
+    * (key, seq) — concurrent writers landing the same version — so a
+    * first fold resolves in-batch conflicts by deterministic per-column
+    * MAX within (key, seq) before the coalesce (the conflict-resolution
+    * step any real CDC apply needs; without it max_by's pick among
+    * tied seqs is engine-dependent). At 100 TB this runs per
+    * micro-batch over the delta and merges via `Ops.mergeUpsert`; a
+    * key's state is one row regardless of patch count. Money stays in
+    * integer cents; an all-NULL column for a key stays NULL in both
+    * engines (MAX over none / empty FILTER set).
+    */
+  private def patchCoalesce(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        col("l_linenumber").cast("long").as("seq"),
+        when(col("l_linenumber") % 2 === 1,
+          round(col("l_quantity")).cast("long")).as("qty"),
+        when(col("l_linenumber") % 3 === 1, col("l_returnflag"))
+          .as("flag"),
+        when(col("l_linenumber") % 2 === 0,
+          round(col("l_extendedprice") * 100).cast("long"))
+          .as("price_cents"))
+      .groupBy("okey", "seq")
+      .agg(max("qty").as("qty"), max("flag").as("flag"),
+        max("price_cents").as("price_cents"),
+        count(lit(1)).as("n_in_version"))
+      .groupBy("okey")
+      .agg(
+        expr("max_by(qty, seq) FILTER (WHERE qty IS NOT NULL)")
+          .as("qty"),
+        expr("max_by(flag, seq) FILTER (WHERE flag IS NOT NULL)")
+          .as("flag"),
+        expr("max_by(price_cents, seq) " +
+          "FILTER (WHERE price_cents IS NOT NULL)").as("price_cents"),
+        count(lit(1)).as("n_versions"),
+        sum("n_in_version").as("n_patches"))
+      .orderBy("okey")
+
+  private val patchCoalesceSql =
+    """WITH patches AS (
+      |  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS seq,
+      |    CASE WHEN l_linenumber % 2 = 1
+      |      THEN CAST(round(l_quantity) AS BIGINT) END AS qty,
+      |    CASE WHEN l_linenumber % 3 = 1 THEN l_returnflag END AS flag,
+      |    CASE WHEN l_linenumber % 2 = 0
+      |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END
+      |      AS price_cents
+      |  FROM lineitem),
+      |versions AS (
+      |  SELECT okey, seq, max(qty) AS qty, max(flag) AS flag,
+      |    max(price_cents) AS price_cents,
+      |    CAST(count(*) AS BIGINT) AS n_in_version
+      |  FROM patches GROUP BY okey, seq)
+      |SELECT okey,
+      |  max_by(qty, seq) FILTER (WHERE qty IS NOT NULL) AS qty,
+      |  max_by(flag, seq) FILTER (WHERE flag IS NOT NULL) AS flag,
+      |  max_by(price_cents, seq) FILTER (WHERE price_cents IS NOT NULL)
+      |    AS price_cents,
+      |  CAST(count(*) AS BIGINT) AS n_versions,
+      |  CAST(sum(n_in_version) AS BIGINT) AS n_patches
+      |FROM versions GROUP BY okey ORDER BY okey""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_patch_coalesce", patchCoalesce, Some(patchCoalesceSql)),
     NamedQuery("q_forecast_backtest", forecastBacktest,
       Some(forecastBacktestSql)),
     NamedQuery("q_market_basket", marketBasket, Some(marketBasketSql)),

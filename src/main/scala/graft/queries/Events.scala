@@ -851,7 +851,68 @@ object Events {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
 
+  /** Exponentially-weighted trailing value per event type — EWMA with
+    * α = 1/2 (half-life one day), the smoothing every monitoring /
+    * forecasting stack runs (pandas `ewm`, Prometheus-style decay) but
+    * in arithmetic the hash gate can compare EXACTLY. The trick:
+    * α = 1/2 makes every weight a power of two, so the whole fold
+    * lives in Q20 fixed point — for anchor day d,
+    * N_d = Σ_{k=0..19} cents_{d−k} · 2^(19−k) is a BIGINT (weights are
+    * left-shifts, inputs are integer cents), and the estimate is one
+    * integer division N_d div 2^20 = Σ cents_{d−k} · 2^−(k+1) floored
+    * to whole cents — bit-identical in any engine, where the float
+    * recurrence s_d = x_d/2 + s_{d−1}/2 would drift by summation
+    * order. Support truncates at 20 days (weight < 1e−6 beyond —
+    * below one cent for any daily total under $10k).
+    *
+    * Scale shape: the fact table folds ONCE into the calendar-sized
+    * daily relation (types × days); the 20-day support is an explicit
+    * bounded-range self-join of that tiny relation (≤20× fan-out of
+    * calendar rows, never of events) — the same
+    * global-windows-only-over-pre-aggregates rule as `q_moving_avg`,
+    * chosen over a RANGE window because the weight depends on the
+    * anchor−source gap, which a windowed SUM of a precomputed column
+    * cannot express without 2^day factors that overflow past day 43.
+    */
+  private def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val anchors = daily.select(col("event_type"), col("day").as("d"))
+    val sources = daily.select(col("event_type"),
+      col("day").as("src_day"), col("cents"))
+    anchors.join(sources, "event_type")
+      .filter(datediff(col("d"), col("src_day")).between(0, 19))
+      .withColumn("w",
+        expr("shiftleft(1L, 19 - datediff(d, src_day))"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents") * col("w")).as("n_fixed"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        expr("n_fixed div 1048576").as("ewma_cents"), col("n_days"))
+      .orderBy("event_type", "day")
+  }
+
+  private val ewmaSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+      |  CAST(sum(b.cents * (CAST(1 AS BIGINT)
+      |      << (19 - date_diff('day', b.day, a.day)))) AS BIGINT)
+      |    // 1048576 AS ewma_cents,
+      |  CAST(count(*) AS BIGINT) AS n_days
+      |FROM daily a JOIN daily b
+      |  ON a.event_type = b.event_type
+      |  AND date_diff('day', b.day, a.day) BETWEEN 0 AND 19
+      |GROUP BY a.event_type, a.day
+      |ORDER BY a.event_type, day""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_ewma", ewma, Some(ewmaSql)),
     NamedQuery("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
     NamedQuery("ev_cusum", cusum, Some(cusumSql)),
     NamedQuery("ev_transitions", transitions, Some(transitionsSql)),

@@ -1455,7 +1455,7 @@ object TrainingData {
     */
   private[graft] val bm25Terms = Seq("join", "hash", "scan")
 
-  private def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val postings = seededPostings(spark, dir)
     val dl = spark.read.parquet(seededDocLens(spark, dir))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
@@ -1481,9 +1481,12 @@ object TrainingData {
             + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg((floor(sum("contrib") * 1e4) / 1e4).as("bm25"))
+  }
+
+  private def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(10)
-  }
 
   private val bm25TopKSql =
     """WITH toks AS (
@@ -1503,6 +1506,86 @@ object TrainingData {
       |      + 0.75::DOUBLE * dl / avgdl))) * 1e4) / 1e4 AS bm25
       |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG /
+    * curation-pipeline shape (Elasticsearch/Vespa "hybrid search"):
+    * a LEXICAL leg (BM25 over the persisted posting index, the
+    * [[bm25Scored]] machinery) and a VECTOR leg (cosine against one
+    * query embedding) each produce a top-20, fused by
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) (Cormack et al. SIGIR'09;
+    * 60 is the canonical k). Ranks — not scores — are fused, so the
+    * two legs' incomparable score scales never meet; a doc missing
+    * from one leg contributes 0 for it (FULL OUTER on doc_id).
+    *
+    * Exactness: each leg's ranking is already hash-stable (BM25
+    * floor-truncated at 1e-4, cosine rounded at 1e-4, ties on doc_id),
+    * ranks are integers, and the fused score is two IEEE divisions and
+    * one addition written in the same operand order on both sides —
+    * bit-identical, no rounding needed (the `ev_interpolate` raw-double
+    * discipline). Scale shape: each leg is a bounded top-k (the vector
+    * leg at 100 TB swaps in the persisted IVF probe, same contract);
+    * the rank windows run over ≤20 already-limited rows and the fusion
+    * join is result-sized — nothing after the legs touches corpus-sized
+    * data.
+    */
+  private def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lexRank = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val q = embs(spark, dir).filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"))
+    val vecRank = embs(spark, dir).crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col("q_emb"), col("embedding")), 4))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+  }
+
+  private val hybridRrfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok AS token
+      |  FROM documents, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> x <> '')) AS t(tok)),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |lex AS (SELECT doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      |    * tf * 2.2::DOUBLE
+      |    / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+      |      + 0.75::DOUBLE * dl / avgdl))) * 1e4) / 1e4 AS bm25
+      |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+      |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |lexr AS (SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank FROM lex),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id = 7),
+      |vec AS (SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(q.qe,
+      |      CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+      |  FROM embeddings e, q
+      |  ORDER BY cosine DESC, doc_id LIMIT 20),
+      |vecr AS (SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank FROM vec)
+      |SELECT doc_id, lex_rank, vec_rank,
+      |  coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+      |    + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf
+      |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   /** Positional phrase search against the SAME persisted posting index
     * ([[seededPostings]] — positions ride in the posting rows): the
@@ -1606,6 +1689,7 @@ object TrainingData {
       Some(postingSearchSql)),
     NamedQuery("d_phrase_search", phraseSearch, Some(phraseSearchSql)),
     NamedQuery("d_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    NamedQuery("d_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

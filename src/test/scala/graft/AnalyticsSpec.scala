@@ -142,4 +142,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r._2 == n), "no nulls in the fixture")
     assert(out.forall(r => r._3 > 0 && r._3 <= n))
   }
+
+  test("q_patch_coalesce equals the last-non-null window twin") {
+    import org.apache.spark.sql.expressions.Window
+    // independent reimplementation: same deterministic patch stream,
+    // coalesced with last(ignoreNulls) over an unbounded frame instead
+    // of the query's max_by FILTER aggregates — same answer required
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val versions = li.select(col("l_orderkey").as("okey"),
+        col("l_linenumber").cast("long").as("seq"),
+        when(col("l_linenumber") % 2 === 1,
+          round(col("l_quantity")).cast("long")).as("qty"),
+        when(col("l_linenumber") % 3 === 1, col("l_returnflag"))
+          .as("flag"),
+        when(col("l_linenumber") % 2 === 0,
+          round(col("l_extendedprice") * 100).cast("long"))
+          .as("price_cents"))
+      .groupBy("okey", "seq")
+      .agg(max("qty").as("qty"), max("flag").as("flag"),
+        max("price_cents").as("price_cents"))
+    val w = Window.partitionBy("okey").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val twin = versions
+      .withColumn("qty", last("qty", ignoreNulls = true).over(w))
+      .withColumn("flag", last("flag", ignoreNulls = true).over(w))
+      .withColumn("price_cents",
+        last("price_cents", ignoreNulls = true).over(w))
+      .groupBy("okey").agg(first("qty").as("qty"),
+        first("flag").as("flag"), first("price_cents").as("price_cents"))
+    val got = run("q_patch_coalesce")
+      .select("okey", "qty", "flag", "price_cents")
+    assert(got.count() == twin.count())
+    assert(got.except(twin).isEmpty && twin.except(got).isEmpty)
+    // sparse semantics: some keys must have a NULL column survive
+    // (all patches for that column absent), or the fixture is trivial
+    assert(got.filter(col("qty").isNull || col("flag").isNull
+      || col("price_cents").isNull).count() > 0)
+  }
 }

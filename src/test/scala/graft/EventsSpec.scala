@@ -133,4 +133,31 @@ class EventsSpec extends SparkSpec {
       assert(r.getLong(3) == n && r.getLong(4) == total)
     }
   }
+
+  test("ev_ewma: Q20 fixed-point laws on a constant series") {
+    import spark.implicits._
+    // one event of $100.00/day for 25 days: daily cents = 10000.
+    // Day 1 (support 1): floor(10000 · 2^19 / 2^20) = 5000 (= c/2).
+    // Day ≥ 20 (full 20-day support): floor(10000 · (2^20−1) / 2^20)
+    //   = 9999 (= c−1 — the truncated geometric sum, exactly).
+    val dir = tmpDir("graft_ewma")
+    (0 until 25).map { d =>
+      (d.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        1L, "click", 100.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_ewma")(spark, dir)
+      .select("day", "ewma_cents", "n_days")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 25)
+    assert(out.head == (("2024-01-01", 5000L, 1L)))
+    assert(out.last == (("2024-01-25", 9999L, 20L)))
+    // day d carries floor(c − c/2^d): strictly increasing while the
+    // tail term c/2^d ≥ 1 (through day 14 for c = 10000), then flat
+    // at c−1
+    val vals = out.map(_._2)
+    assert(vals.take(14).sliding(2).forall(p => p(0) < p(1)))
+    assert(vals.drop(13).forall(_ == 9999L))
+  }
 }

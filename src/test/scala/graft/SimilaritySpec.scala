@@ -333,4 +333,26 @@ class SimilaritySpec extends SparkSpec {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
+
+  test("d_hybrid_rrf: fused score is exactly the rank-reciprocal sum") {
+    val out = SparkEntry.queries("d_hybrid_rrf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(lex.nonEmpty || vec.nonEmpty, "doc in neither leg")
+      (lex.toSeq ++ vec.toSeq).foreach(x => assert(x >= 1 && x <= 20))
+      val expected = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expected,
+        s"rrf not the exact reciprocal sum for $r")
+    }
+    // the query embedding's own doc tops the vector leg (cosine 1.0)
+    val self = out.find(_.getAs[Long]("doc_id") == 7L)
+    assert(self.exists(r => r.getAs[java.lang.Long]("vec_rank") == 1L))
+    // presented in descending fused order
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
