@@ -543,4 +543,77 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified re-ranking: from each query's top-`topN` shortlist,
+    * greedily select `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * diversity pass behind retrieval serving AND dedup-aware training
+    * sample selection (pure top-k hands back near-duplicates; MMR
+    * spends the slots on coverage).
+    *
+    * Everything after the shortlist is RESULT-SIZED: candidates are
+    * |queries|×topN, the pairwise sim relation |queries|×topN², and
+    * each greedy step is a window + two joins over those, checkpointed
+    * (the pagerank discipline — tiny relations, k scheduling barriers,
+    * no exponential lineage re-execution). At 100 TB only the
+    * shortlist source changes (swap [[bruteForceTopK]] for the
+    * persisted IVF probe); the greedy never sees corpus-sized data.
+    *
+    * Exactness discipline: rel and sim are the codegen'd cosine
+    * rounded at 1e-4 (the parity anchor every ANN oracle uses); the
+    * greedy score is two IEEE products and one subtraction in fixed
+    * operand order; ties break on id. NOTE `1.0 − λ` is computed in
+    * doubles HERE — an oracle must interpolate
+    * `(1.0 - lambda).toString` (e.g. 0.30000000000000004 for λ=0.7),
+    * never the decimal it "should" be.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, topN: Int = 20,
+      k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    val emb = corpus.select(col("id"), col("embedding"))
+    val cand = bruteForceTopK(corpus, queries, topN)
+      .select(col("query_id"), col("corpus_id").as("id"),
+        col("cosine").as("rel"))
+      .join(emb, "id")
+      .localCheckpoint()
+    val ce = cand.select(col("query_id"), col("id"), col("embedding"))
+    val sims = ce.select(col("query_id"), col("id").as("id_a"),
+        col("embedding").as("e_a"))
+      .join(ce.select(col("query_id"), col("id").as("id_b"),
+        col("embedding").as("e_b")), "query_id")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id").as("sq"), col("id_a"), col("id_b"),
+        round(cosine_sim(col("e_a"), col("e_b")), 4).as("sim"))
+      .localCheckpoint()
+    val lam = lit(lambda)
+    val oml = lit(1.0 - lambda)
+    var state = cand.select(col("query_id"), col("id"), col("rel"),
+      lit(0.0).as("ms")).localCheckpoint()
+    var picks: DataFrame = null
+    for (t <- 1 to k) {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("id"))
+      val pick = state
+        .withColumn("score", lam * col("rel") - oml * col("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), col("rel"), col("score"),
+          lit(t.toLong).as("sel_rank"))
+        .localCheckpoint()
+      picks = if (picks == null) pick else picks.unionByName(pick)
+      if (t < k) state = state
+        .join(pick.select(col("query_id"), col("id").as("picked")),
+          "query_id")
+        .filter(col("id") =!= col("picked"))
+        .join(sims, col("sq") === col("query_id")
+          && col("id_a") === col("id") && col("id_b") === col("picked"))
+        .select(col("query_id"), col("id"), col("rel"),
+          greatest(col("ms"), col("sim")).as("ms"))
+        .localCheckpoint()
+    }
+    picks
+      .select(col("query_id"), col("sel_rank"), col("id").as("doc_id"),
+        col("rel"), col("score"))
+      .orderBy("query_id", "sel_rank")
+  }
 }

@@ -1587,6 +1587,76 @@ object TrainingData {
       |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** MMR diversified re-ranking over the ANN shortlist
+    * ([[Similarity.mmrRerank]]): greedy
+    * `λ·rel − (1−λ)·max-sim-to-selected` selection of 5 from each
+    * query's top-20 — pure top-k returns near-duplicates; MMR spends
+    * slots on coverage (the dedup-aware sample-selection pass).
+    * Oracle: the SAME greedy unrolled as chained CTEs (the pagerank
+    * discipline — one state/pick CTE pair per step, generated by the
+    * same loop bound). λ weights are interpolated from the Scala
+    * doubles (`(1.0 - 0.7).toString` = 0.30000000000000004 — writing
+    * the decimal 0.3 would diverge by one ULP per step).
+    */
+  private val mmrK = 5
+
+  private def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.mmrRerank(all, all.filter(col("id") < 3),
+      topN = 20, k = mmrK, lambda = 0.7)
+  }
+
+  private val mmrRerankSql = {
+    val lam = 0.7.toString
+    val oml = (1.0 - 0.7).toString
+    def pick(t: Int, from: String): String =
+      s"""pick$t AS (
+         |  SELECT query_id, id, rel, score,
+         |    CAST($t AS BIGINT) AS sel_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, id) AS rn
+         |    FROM (SELECT query_id, id, rel, ms,
+         |        $lam::DOUBLE * rel - $oml::DOUBLE * ms AS score
+         |      FROM $from))
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to mmrK).map { t =>
+      s"""state${t - 1} AS (
+         |  SELECT s.query_id, s.id, s.rel, greatest(s.ms, x.sim) AS ms
+         |  FROM state${t - 2} s
+         |  JOIN pick${t - 1} p ON s.query_id = p.query_id
+         |    AND s.id <> p.id
+         |  JOIN sims x ON x.query_id = s.query_id AND x.id_a = s.id
+         |    AND x.id_b = p.id),
+         |${pick(t, s"state${t - 1}")}""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to mmrK).map(t => s"SELECT * FROM pick$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |    CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    round(list_cosine_similarity(q.qe,
+       |      CAST(e.embedding AS DOUBLE[])), 4) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, id, emb, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, id) AS rn FROM scored)
+       |  WHERE rn <= 20),
+       |sims AS (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+       |    round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.id <> b.id),
+       |state0 AS (SELECT query_id, id, rel, 0.0::DOUBLE AS ms FROM cand),
+       |${pick(1, "state0")},
+       |$steps
+       |SELECT query_id, sel_rank, id AS doc_id, rel, score
+       |FROM ($unioned)
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   /** Positional phrase search against the SAME persisted posting index
     * ([[seededPostings]] — positions ride in the posting rows): the
     * phrase "hash join" is the two terms' postings self-joined on
@@ -1690,6 +1760,7 @@ object TrainingData {
     NamedQuery("d_phrase_search", phraseSearch, Some(phraseSearchSql)),
     NamedQuery("d_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     NamedQuery("d_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    NamedQuery("e_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

@@ -355,4 +355,27 @@ class SimilaritySpec extends SparkSpec {
     val scores = out.map(_.getAs[Double]("rrf")).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("mmrRerank: exact duplicates never double-picked; λ=1 is top-k") {
+    // query along e1; two IDENTICAL candidates on e1, one orthogonal,
+    // one near-query. Pure relevance top-3 = both duplicates + near.
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f)), // exact duplicate of 1
+      (3L, Array(0f, 1f, 0f)), // orthogonal
+      (10L, Array(0.9f, 0.1f, 0f))).toDF("id", "embedding")
+    val queries = Seq((0L, Array(1f, 0f, 0f))).toDF("id", "embedding")
+    def picks(lambda: Double): Seq[Long] =
+      Similarity.mmrRerank(corpus, queries, topN = 4, k = 3,
+        lambda = lambda)
+        .orderBy("sel_rank").select("doc_id")
+        .as[Long].collect().toSeq
+    // λ=1: diversity term off — degenerates to relevance top-k, the
+    // duplicate pair fills two slots
+    assert(picks(1.0) == Seq(1L, 2L, 10L))
+    // λ=0.3: after picking 1, its exact duplicate scores
+    // 0.3·1 − 0.7·1 = −0.4, below the orthogonal's 0.0 and the
+    // near-query's ~−0.398 — coverage wins the remaining slots
+    assert(picks(0.3) == Seq(1L, 3L, 10L))
+  }
 }
