@@ -169,4 +169,32 @@ object Curation {
       .withColumn("shard_id", expr(s"(__offset + __local) div $budget"))
       .drop("__b", "__offset", "__local", "__bytes")
   }
+
+  /** Contrastive-batch shaping: assign docs to `nBatches` training
+    * batches so no two members of one near-dup CLUSTER share a batch —
+    * in-batch negatives (CLIP/SimCLR-style contrastive losses) treat
+    * every other batch member as a negative, and a near-duplicate
+    * landing in the same batch becomes a FALSE negative that actively
+    * un-trains the model. Input `members`: (id, cluster) — singletons
+    * carry their own id as cluster.
+    *
+    * Deterministic, one cluster-keyed window, no RNG: member rank0
+    * within its cluster (ordered by id) lands in batch
+    * (rank0 + cluster mod n) mod n — distinct batches per cluster by
+    * construction, and the cluster-offset stagger spreads small
+    * clusters evenly instead of piling every rank-0 doc into batch 0.
+    * Members past rank n−1 are DROPPED (a cluster may fill at most one
+    * slot per batch — the dedup-aware cap; report the drop count, as
+    * any bounding operator must). At scale: the window shuffles the
+    * (id, cluster) relation once on cluster; nothing is corpus-quadratic.
+    */
+  def contrastiveBatches(members: DataFrame, nBatches: Int): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy("id")
+    members
+      .withColumn("rank0", row_number().over(w).cast("long") - 1L)
+      .filter(col("rank0") < nBatches)
+      .withColumn("batch",
+        (col("rank0") + col("cluster") % nBatches) % nBatches)
+      .drop("rank0")
+  }
 }

@@ -977,6 +977,61 @@ object TrainingData {
       |SELECT cluster, count(*) AS size, max(id) AS max_id
       |FROM labeled GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Contrastive-batch shaping
+    * ([[graft.operators.Curation.contrastiveBatches]]): the near-dup
+    * clusters feed batch assignment so no cluster contributes two
+    * docs to one training batch — in-batch negatives stay true
+    * negatives. Result is the per-batch audit; `max_per_cluster` must
+    * read 1 on every row (the law IS the gated output). Oracle: the
+    * `e_dup_clusters` recursive-CTE closure extended with the same
+    * window-rank + modular-stagger arithmetic — integers end to end.
+    */
+  private def contrastiveBatches(spark: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = Similarity.nearDupPairs(
+      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+    val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val members = embs(spark, dir).select(col("vec_id").as("id"))
+      .join(clustered, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    graft.operators.Curation.contrastiveBatches(members, nBatches = 16)
+      .groupBy("batch", "cluster").agg(count(lit(1)).as("m"))
+      .groupBy("batch")
+      .agg(sum("m").as("n_docs"), count(lit(1)).as("n_clusters"),
+        max("m").as("max_per_cluster"))
+      .orderBy("batch")
+  }
+
+  private val contrastiveBatchesSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |labeled AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |members AS (
+      |  SELECT e.vec_id AS id, coalesce(l.cluster, e.vec_id) AS cluster
+      |  FROM embeddings e LEFT JOIN labeled l ON l.id = e.vec_id),
+      |assigned AS (
+      |  SELECT id, cluster, (rank0 + cluster % 16) % 16 AS batch
+      |  FROM (SELECT id, cluster, row_number() OVER (
+      |      PARTITION BY cluster ORDER BY id) - 1 AS rank0 FROM members)
+      |  WHERE rank0 < 16),
+      |bc AS (SELECT batch, cluster, count(*) AS m FROM assigned
+      |  GROUP BY 1, 2)
+      |SELECT batch, CAST(sum(m) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(max(m) AS BIGINT) AS max_per_cluster
+      |FROM bc GROUP BY batch ORDER BY batch""".stripMargin
+
   /** Multiprobe SRP-LSH (6 tables × 8 query-side probes): each query
     * visits its base bucket plus its 7 lowest-margin neighbouring
     * buckets per table, ~8×ing the candidate pool for the SAME
@@ -1761,6 +1816,8 @@ object TrainingData {
     NamedQuery("d_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     NamedQuery("d_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     NamedQuery("e_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    NamedQuery("e_contrastive_batches", contrastiveBatches,
+      Some(contrastiveBatchesSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),

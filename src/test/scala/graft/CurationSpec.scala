@@ -254,4 +254,24 @@ class CurationSpec extends SparkSpec {
     stats.foreach { case (sid, b, m) =>
       assert(b <= budget + m, s"shard $sid overshoots: $b > $budget + $m") }
   }
+
+  test("contrastiveBatches: one slot per cluster per batch, overflow " +
+    "dropped, singletons spread") {
+    import spark.implicits._
+    // one oversized cluster (20 members, cluster id 100) + 8 singletons
+    val members = ((0L until 20L).map(i => (1000L + i, 100L)) ++
+      (0L until 8L).map(i => (i, i))).toDF("id", "cluster")
+    val out = Curation.contrastiveBatches(members, nBatches = 16)
+    // cap: the 20-member cluster keeps exactly 16 (one per batch)
+    assert(out.count() === 16 + 8)
+    val perBatchCluster = out.groupBy("batch", "cluster").count()
+      .agg(max("count")).head.getLong(0)
+    assert(perBatchCluster === 1L, "a cluster repeated within a batch")
+    val clusterBatches = out.filter(col("cluster") === 100L)
+      .select("batch").as[Long].collect().toSet
+    assert(clusterBatches.size === 16, "capped cluster must cover all batches")
+    // determinism: same input, same assignment
+    val again = Curation.contrastiveBatches(members, nBatches = 16)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
 }
