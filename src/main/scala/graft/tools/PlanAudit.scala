@@ -71,7 +71,12 @@ object PlanAudit {
     "q_recursive_cte" -> "WITH RECURSIVE as UnionLoop: the anchor scan plus an iterated step whose frontier shrinks as walks reach the root — engine-iterative, no driver loop",
     "q_lateral_topn" -> "LATERAL with ORDER BY+LIMIT decorrelated: one nation-customer join + per-region rank window; customer is scanned once, never per region",
     "q_ivm_join" -> "join-view delta maintenance: the three delta terms each broadcast their small side onto a single base scan per table; the recomputed twin in the same plan is the audit, not the maintenance path",
-    "q_bucket_prune" -> "bucketed point lookup: SelectedBucketsCount shows only the IN-list keys' hash buckets open — layout-as-index, no shuffle")
+    "q_bucket_prune" -> "bucketed point lookup: SelectedBucketsCount shows only the IN-list keys' hash buckets open — layout-as-index, no shuffle",
+    "d_hybrid_rrf" -> "hybrid RRF retrieval: each leg is a bounded top-20 (BM25 rides the pruned posting index, cosine broadcasts one query vector), rank windows run over the 20 limited rows, fusion is a result-sized full-outer join",
+    "e_mmr_rerank" -> "MMR diversification: shortlist + pairwise-sim relations checkpoint once (queries x topN rows), each greedy step is a window + two joins over those — nothing after the shortlist is corpus-sized",
+    "ev_ewma" -> "exact EWMA: the fact folds once into (type, day) cents, the 20-day support is a bounded range self-join of that calendar-sized relation, the Q20 fixed-point fold stays BIGINT end to end",
+    "q_patch_coalesce" -> "sparse-patch coalescing: per-version conflict fold then latest-non-null-per-column via max_by FILTER — two partial+final aggregates on the same key, no window sort",
+    "e_contrastive_batches" -> "contrastive batch shaping: the dup-cluster relation takes one cluster-keyed window (rank + modular stagger), then two bounded aggregates — nothing corpus-quadratic after the pair stage")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
