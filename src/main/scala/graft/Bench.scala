@@ -50,6 +50,12 @@ object Bench {
         "q_bucketed_join", "q_scd2_merge", "q_partition_prune",
         "e_ivf_topk", "e_ivf_persisted", "e_semdedup_pairs", "e_pq_topk",
         "e_ivfpq_topk",
+        // the near-dup cluster family shares ONE persisted (id,
+        // cluster) seed (exact pairs -> connected components, built
+        // once per corpus like the posting index); warming any of the
+        // three builds it, so their timed runs measure the cluster-
+        // table read paths (audit / representatives / batch shaping)
+        "e_dup_clusters", "e_cluster_reps", "e_contrastive_batches",
         "d_incr_dedup", "d_incr_minhash", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",

@@ -950,15 +950,33 @@ object TrainingData {
     * to ONE survivor even when a and c never matched directly. Oracle:
     * DuckDB's recursive CTE computes the same transitive closure.
     */
-  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.nearDupPairs(
-      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-      threshold = 0.4)
-    Dedup.connectedComponents(pairs, "id_a", "id_b")
+  /** The near-dup CLUSTER relation (exact pairs at cosine ≥ 0.4 →
+    * connected components), persisted ONCE per corpus and read by its
+    * three consumers (`e_dup_clusters`, `e_cluster_reps`,
+    * `e_contrastive_batches`) — the posting-index discipline: cluster
+    * a 100 TB corpus once, then representatives / batch shaping /
+    * audits are reads of the (id, cluster) table, never a re-pairing.
+    * Correctness is unchanged — each consumer's oracle still verifies
+    * the full closure values.
+    */
+  private val clusterSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededClusters(spark: SparkSession, dir: String): String =
+    clusterSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_cluster_seed").toString + "/clusters"
+      val pairs = Similarity.nearDupPairs(
+        embs(spark, d).select(col("vec_id").as("id"), col("embedding")),
+        threshold = 0.4)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").write.parquet(p)
+      p
+    })
+
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(seededClusters(spark, dir))
       .groupBy("cluster")
       .agg(count(lit(1)).as("size"), max("id").as("max_id"))
       .orderBy("cluster")
-  }
 
   private val dupClustersSql =
     """WITH RECURSIVE pairs AS (
@@ -988,10 +1006,7 @@ object TrainingData {
     */
   private def contrastiveBatches(spark: SparkSession,
       dir: String): DataFrame = {
-    val pairs = Similarity.nearDupPairs(
-      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-      threshold = 0.4)
-    val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val clustered = spark.read.parquet(seededClusters(spark, dir))
     val members = embs(spark, dir).select(col("vec_id").as("id"))
       .join(clustered, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
@@ -1090,10 +1105,7 @@ object TrainingData {
     */
   private def clusterRepresentatives(spark: SparkSession,
       dir: String): DataFrame = {
-    val pairs = Similarity.nearDupPairs(
-      embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-      threshold = 0.4)
-    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val clusters = spark.read.parquet(seededClusters(spark, dir))
     val toks = docs(spark, dir).select(col("doc_id").as("id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val byCluster = Window.partitionBy("cluster")
