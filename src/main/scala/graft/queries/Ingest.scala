@@ -115,7 +115,52 @@ object Ingest {
       |FROM orders
       |WHERE strftime(o_orderdate, '%Y-%m-%d') > '1996-12-31'""".stripMargin
 
+  /** Transactional DSv2 SINK round trip
+    * ([[graft.sources.GraftSinkDataSource]], `format("graftsink")`):
+    * the engine's own V2 write protocol carries an overwrite (manifest
+    * v0: the F orders) then an append (manifest v1 carries v0's files
+    * forward untouched and adds the P orders) — task-staged files,
+    * task commit messages, ONE manifest rename as the commit point.
+    * The read resolves the LATEST manifest only. Oracle: the same
+    * union from the raw orders table — the sink must neither lose,
+    * duplicate, nor mutate a row across the write/commit/read cycle
+    * (money compared in exact cents).
+    */
+  private val sinkSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededSink(spark: SparkSession, dir: String): String =
+    sinkSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_seed").toString + "/orders_sink"
+      val o = Tables(spark, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+      o.filter(col("o_orderstatus") === "F")
+        .write.format("graftsink").mode("overwrite").save(p)
+      o.filter(col("o_orderstatus") === "P")
+        .write.format("graftsink").mode("append").save(p)
+      p
+    })
+
+  private def dsv2Sink(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededSink(spark, dir))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(to_date(col("o_orderdate")).cast("string")).as("last_day"))
+      .orderBy("status")
+
+  private val dsv2SinkSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
+      |FROM orders WHERE o_orderstatus IN ('F', 'P')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
-    NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)))
+    NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
+    NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)))
 }

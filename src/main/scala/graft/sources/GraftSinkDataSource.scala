@@ -1,0 +1,394 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Transactional DSv2 SINK — the write-side completion of the
+  * connector story (the Dune source covers the read tiers). The
+  * engine drives the full V2 write protocol:
+  *
+  *  - every task writes to `_staging/<writeId>/part-<pid>-<tid>` and
+  *    returns a [[GraftCommitMessage]] naming its file — a SPECULATIVE
+  *    or retried attempt leaves a stray staged file that no message
+  *    names, so it can never become data (exactly-once per partition
+  *    by construction, the property file-sink speculation breaks);
+  *  - `BatchWrite.commit` renames ONLY message-named files into
+  *    `data/` and then publishes ONE manifest (`manifest-v{k}`) via
+  *    staged-write + atomic rename — the manifest is the commit
+  *    point: a version is absent or complete, never partial (the
+  *    `Ops.snapshotWrite` / `operators.Transaction` discipline, here
+  *    reached through the engine's own write path);
+  *  - `abort` deletes the staging directory — a failed job leaves the
+  *    table at its previous version;
+  *  - reads resolve the LATEST manifest and scan only its files, so
+  *    an in-flight or torn write is invisible, and append vs truncate
+  *    is a property of what the new manifest lists (SupportsTruncate —
+  *    `.mode("overwrite")` publishes a manifest with only the new
+  *    files; `.mode("append")` carries the previous file set forward
+  *    without touching it).
+  *
+  * Row format: one line per row, the sink's own canonical JSON with
+  * values in INTERNAL representation (timestamp = epoch micros, date
+  * = epoch days, strings escaped by the one escaper `graft.Json`), so
+  * the reader reconstructs InternalRows without any parse/format
+  * round-trip through session-zone or locale. Supported field types:
+  * long, int, double, boolean, string, timestamp (tz and ntz),
+  * date — declared
+  * loudly otherwise.
+  *
+  * At scale: tasks write in parallel straight to the target
+  * filesystem, the driver does O(#tasks) renames plus one manifest
+  * rename; readers list one manifest, not directories.
+  */
+class GraftSinkDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftsink"
+
+  private def root(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      sys.error("graftsink requires .option(\"path\", dir) / save(dir)"))
+
+  /** Reads resolve the schema from the latest committed manifest. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    GraftSink.latestManifest(spark, root(options))
+      .map(m => StructType.fromDDL(m.schemaDdl))
+      .getOrElse(sys.error(
+        s"graftsink: no committed manifest under ${root(options)}"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftSinkTable(schema,
+      root(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Driver-side manifest helpers (shared with specs/queries). */
+object GraftSink {
+  final case class Manifest(version: Int, schemaDdl: String,
+      files: Seq[String])
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[sources] def manifestName(v: Int) = f"manifest-v$v%06d"
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) None
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-v"))
+      .map(_.stripPrefix("manifest-v").toInt)
+      .sorted.lastOption
+  }
+
+  /** The manifest is two-part plain text: line 1 = schema DDL, every
+    * further line = one committed data file name. No JSON parse on
+    * the read path.
+    */
+  def latestManifest(spark: SparkSession, dir: String): Option[Manifest] =
+    latestVersion(spark, dir).map { v =>
+      val f = fs(spark, dir)
+      val in = f.open(new Path(dir, manifestName(v)))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+      Manifest(v, lines.head, lines.tail)
+    }
+
+  private[sources] def writeManifest(conf: SerializableConfiguration,
+      dir: String, version: Int, schemaDdl: String,
+      files: Seq[String]): Unit = {
+    val f = new Path(dir).getFileSystem(conf.value)
+    val tmp = new Path(dir, s".${manifestName(version)}.staged")
+    val out = f.create(tmp, true)
+    try out.write((schemaDdl +: files).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(dir, manifestName(version))))
+      sys.error(s"graftsink: manifest v$version commit rename failed " +
+        "(concurrent writer?)")
+  }
+
+  private[sources] def checkSupported(schema: StructType): Unit =
+    schema.fields.foreach { fld =>
+      fld.dataType match {
+        case LongType | IntegerType | DoubleType | BooleanType |
+             StringType | TimestampType | TimestampNTZType | DateType => ()
+        case dt => sys.error(
+          s"graftsink: unsupported field type ${dt.sql} for ${fld.name}")
+      }
+    }
+}
+
+private class GraftSinkTable(tableSchema: StructType, path: String)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graftsink:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(info, path)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSinkScanBuilder(tableSchema, path)
+}
+
+private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      GraftSink.checkSupported(info.schema())
+      new GraftBatchWrite(info.schema(), path, truncateFirst,
+        new SerializableConfiguration(SparkSession.active
+          .sparkContext.hadoopConfiguration))
+    }
+  }
+}
+
+private case class GraftCommitMessage(stagedFile: String, rows: Long)
+  extends WriterCommitMessage
+
+private class GraftBatchWrite(schema: StructType, path: String,
+    truncateFirst: Boolean, conf: SerializableConfiguration)
+    extends BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema, path, writeId, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(path).getFileSystem(conf.value)
+    val staging = new Path(path, s"_staging/$writeId")
+    val dataDir = new Path(path, "data")
+    f.mkdirs(dataDir)
+    // only files a task COMMITTED move out of staging — stray
+    // speculative/retry attempts stay behind and die with the dir
+    val committed = messages.collect { case m: GraftCommitMessage
+        if m.rows > 0 => m.stagedFile }
+    committed.foreach { name =>
+      if (!f.rename(new Path(staging, name), new Path(dataDir, name)))
+        sys.error(s"graftsink: staging->data rename failed for $name")
+    }
+    val spark = SparkSession.active
+    val prev =
+      if (truncateFirst) Seq.empty
+      else GraftSink.latestManifest(spark, path).map(_.files)
+        .getOrElse(Seq.empty)
+    val version = GraftSink.latestVersion(spark, path).getOrElse(-1) + 1
+    GraftSink.writeManifest(conf, path, version, schema.toDDL,
+      prev ++ committed)
+    f.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(path).getFileSystem(conf.value)
+    f.delete(new Path(path, s"_staging/$writeId"), true)
+  }
+}
+
+private class GraftWriterFactory(schema: StructType, path: String,
+    writeId: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, path, writeId, partitionId, taskId, conf)
+}
+
+private class GraftDataWriter(schema: StructType, path: String,
+    writeId: String, partitionId: Int, taskId: Long,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+  // task attempt id in the name: a retry writes its OWN file; only
+  // the attempt whose message reaches commit() is ever renamed
+  private val fileName = s"part-$partitionId-$taskId"
+  private val staged = new Path(path, s"_staging/$writeId/$fileName")
+  private lazy val out = {
+    val f = staged.getFileSystem(conf.value)
+    f.mkdirs(staged.getParent)
+    f.create(staged, true)
+  }
+  private val sb = new java.lang.StringBuilder
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      val fld = schema(i)
+      sb.append(graft.Json.quote(fld.name)).append(':')
+      if (row.isNullAt(i)) sb.append("null")
+      else fld.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          sb.append(row.getLong(i))
+        case IntegerType | DateType => sb.append(row.getInt(i))
+        case DoubleType => sb.append(row.getDouble(i))
+        case BooleanType => sb.append(row.getBoolean(i))
+        case StringType =>
+          sb.append(graft.Json.quote(row.getUTF8String(i).toString))
+        case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
+      }
+      i += 1
+    }
+    sb.append('}').append('\n')
+    out.write(sb.toString.getBytes("UTF-8"))
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftCommitMessage(fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    staged.getFileSystem(conf.value).delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---- read path: latest manifest -> its files, one split per file ----
+
+private class GraftSinkScanBuilder(schema: StructType, path: String)
+    extends ScanBuilder {
+  override def build(): Scan = new GraftSinkScan(schema, path)
+}
+
+private class GraftSinkScan(scanSchema: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = scanSchema
+  override def toBatch: Batch = this
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = GraftSink.latestManifest(SparkSession.active, path)
+      .getOrElse(sys.error(s"graftsink: no committed manifest at $path"))
+    m.files.map(f =>
+      GraftFilePartition(s"$path/data/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(scanSchema, conf)
+}
+
+private case class GraftFilePartition(file: String) extends InputPartition
+
+private class GraftSinkReaderFactory(schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftSinkReader(schema,
+      partition.asInstanceOf[GraftFilePartition].file, conf)
+}
+
+/** Parses the sink's OWN canonical line format back to InternalRows —
+  * the exact inverse of [[GraftDataWriter.write]] (fields in schema
+  * order, internal value representations, `graft.Json` escaping), so
+  * the round trip is bit-exact with no timezone/locale/format hop.
+  */
+private class GraftSinkReader(schema: StructType, file: String,
+    conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf.value).open(p), "UTF-8"))
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null) false
+    else { row = parse(line); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+
+  private def parse(line: String): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var pos = 1 // past '{'
+    var i = 0
+    while (i < schema.length) {
+      pos = skipString(line, pos) // field name (writer-canonical)
+      pos += 1 // ':'
+      if (line.charAt(pos) == '"') {
+        val end = skipString(line, pos)
+        vals(i) = UTF8String.fromString(unescape(line, pos + 1, end - 1))
+        pos = end
+      } else {
+        var end = pos
+        while (end < line.length && line.charAt(end) != ','
+          && line.charAt(end) != '}') end += 1
+        val tok = line.substring(pos, end)
+        vals(i) =
+          if (tok == "null") null
+          else schema(i).dataType match {
+            case LongType | TimestampType | TimestampNTZType => tok.toLong
+            case IntegerType | DateType => tok.toInt
+            case DoubleType => tok.toDouble
+            case BooleanType => tok.toBoolean
+            case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
+          }
+        pos = end
+      }
+      pos += 1 // ',' or '}'
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  /** Returns the index ONE PAST the closing quote of the string
+    * starting at `start` (which must point at the opening quote).
+    */
+  private def skipString(s: String, start: Int): Int = {
+    var i = start + 1
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') i += 2 else i += 1
+    }
+    i + 1
+  }
+
+  private def unescape(s: String, from: Int, to: Int): String = {
+    val b = new java.lang.StringBuilder(to - from)
+    var i = from
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+}

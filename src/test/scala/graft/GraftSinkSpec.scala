@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftSink
+
+class GraftSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir = tmpDir("graft_sink") + "/t"
+
+  private def sample = Seq(
+    (1L, 10.5, "plain", true),
+    (2L, -0.25, "esc\"ape\\\n\ttab", false),
+    (3L, 0.1 + 0.2, null.asInstanceOf[String], true))
+    .toDF("k", "v", "s", "b")
+
+  test("write/read round trip is exact, including escapes and nulls") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    val back = spark.read.format("graftsink").load(dir)
+    assert(back.schema === sample.schema)
+    assert(back.count() === 3)
+    assert(back.except(sample).isEmpty && sample.except(back).isEmpty)
+    // the awkward double survives bit-exactly (internal repr on disk)
+    val v3 = back.filter($"k" === 3L).select("v").as[Double].head()
+    assert(v3 === 0.1 + 0.2)
+  }
+
+  test("timestamp/date round trip via internal micros/days") {
+    val dir = freshDir
+    val df = Seq(1L).toDF("k")
+      .withColumn("ts", expr("timestamp_micros(1500000123456789)"))
+      .withColumn("d", expr("DATE '2024-02-29'"))
+    df.write.format("graftsink").mode("append").save(dir)
+    val back = spark.read.format("graftsink").load(dir)
+    assert(back.select(expr("unix_micros(ts)")).as[Long].head()
+      === 1500000123456789L)
+    assert(back.select(expr("CAST(d AS STRING)")).as[String].head()
+      === "2024-02-29")
+  }
+
+  test("append carries prior files forward; overwrite truncates") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(1))
+    assert(spark.read.format("graftsink").load(dir).count() === 2)
+    Seq((9L, "z")).toDF("k", "s").write.format("graftsink")
+      .mode("overwrite").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(2))
+    val after = spark.read.format("graftsink").load(dir)
+    assert(after.count() === 1)
+    assert(after.select("k").as[Long].head() === 9L)
+    // truncate is manifest-level: the old version's files still exist
+    // on disk (time-travel-able), just unreferenced by v2
+    val v1 = GraftSink.latestManifest(spark, dir).get
+    assert(v1.files.size === 1)
+  }
+
+  test("a torn write is invisible: stray staging and unmanifested " +
+    "data files never surface") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    // a crashed writer's leftovers: a staged attempt AND a data file
+    // that made it past rename but whose commit never published
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true)
+      o.write("{\"k\":999,\"s\":\"ghost\"}\n".getBytes("UTF-8"))
+      o.close()
+    }
+    plant("_staging/dead-write/part-0-99")
+    plant("data/dead-write-0")
+    val back = spark.read.format("graftsink").load(dir)
+    assert(back.count() === 1)
+    assert(back.filter($"k" === 999L).isEmpty)
+  }
+
+  test("empty-partition tasks publish no files") {
+    val dir = freshDir
+    // 8 partitions, 3 rows: most tasks commit zero rows
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(8).write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size <= 3, s"empty tasks leaked files: ${m.files}")
+    assert(spark.read.format("graftsink").load(dir).count() === 3)
+  }
+
+  test("schema round-trips through the manifest for schemaless reads") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      === sample.schema)
+  }
+
+  test("unsupported field types are rejected loudly") {
+    val dir = freshDir
+    val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
+    val e = intercept[Exception] {
+      bad.write.format("graftsink").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+}
