@@ -104,4 +104,36 @@ object Graph {
             / (col("degree") * (col("degree") - 1)), 4))
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), fixed
+    * `rounds`: every node starts as its own label and each round
+    * adopts the MODE of its neighbours' previous-round labels (ties →
+    * smallest label), all nodes updating together — a pure function
+    * of the graph, integers end to end (no modularity randomness).
+    * `sym`: symmetric edge list (src, dst). Complements
+    * [[graft.operators.Dedup.connectedComponents]]: CC merges anything
+    * reachable (one bridge edge fuses two communities), LPA keeps
+    * densely-linked groups apart. Per round: one edge⋈label join
+    * (labels node-sized, broadcast), a (node, label) count fold, one
+    * per-node argmax window; labels checkpointed per round (the
+    * pagerank discipline). Returns (node, lab).
+    */
+  def labelPropagation(sym: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lab"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("node", "lab")
+        .localCheckpoint()
+    }
+    labels
+  }
 }

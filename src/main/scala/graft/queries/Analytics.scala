@@ -871,6 +871,69 @@ object Analytics {
        |ORDER BY pagerank DESC, node LIMIT 25""".stripMargin
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007),
+    * SYNCHRONOUS variant over the same supplier–part co-occurrence
+    * graph as [[pagerank]]: every node starts as its own label; each
+    * round it adopts the MODE of its neighbours' previous-round labels
+    * (ties → smallest label), all nodes updating together. Synchronous
+    * update + deterministic tie-break make the fixed 4-round state a
+    * pure function of the graph — integers end to end, so the DuckDB
+    * oracle (the same rounds unrolled as CTEs, the pagerank
+    * discipline) matches bit-for-bit; no modularity randomness, no
+    * float scores. Communities complement [[Dedup.connectedComponents]]:
+    * CC merges anything REACHABLE (one bridge edge fuses two
+    * communities), LPA keeps densely-linked groups apart — the
+    * dedup-graph triage for "is this one duplicate family or two
+    * topics sharing a boilerplate edge".
+    *
+    * Per round: one edge⋈label join (labels node-sized, broadcast),
+    * a (node, label) count fold, and one per-node argmax window —
+    * label relations checkpointed per round (the pagerank discipline).
+    * Output is the community-size histogram, entity-sized.
+    */
+  private val lpaRounds = 4
+
+  private def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    // REPEAT co-occurrence only (pair multiplicity >= 2): incidental
+    // one-off pairs are exactly the bridge edges that collapse LPA to
+    // one giant community; thresholding keeps the dense cores apart
+    val e = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("a"),
+        (col("l_partkey") + 1000000L).as("b"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("a", "b")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    graft.operators.Graph.labelPropagation(sym, lpaRounds)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(25)
+  }
+
+  private val lpaCommunitiesSql = {
+    val rounds = (1 to lpaRounds).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, p.lab, count(*) AS c
+         |  FROM sym e JOIN l${r - 1} p ON e.src = p.node
+         |  GROUP BY 1, 2),
+         |l$r AS (SELECT node, lab FROM (
+         |    SELECT node, lab, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lab) AS rn FROM c$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT l_suppkey AS a, l_partkey + 1000000 AS b
+       |  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+       |$rounds
+       |SELECT lab AS community, count(*) AS size
+       |FROM l$lpaRounds GROUP BY lab
+       |ORDER BY size DESC, community LIMIT 25""".stripMargin
+  }
+
   /** Deterministic pseudonymization: identities replaced by salted
     * sha256 tokens BEFORE data leaves the warehouse for
     * training/analytics. Same (salt, name) → same token everywhere —
@@ -1623,6 +1686,8 @@ object Analytics {
     NamedQuery("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     NamedQuery("d_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     NamedQuery("g_pagerank", pagerank, Some(pagerankSql)),
+    NamedQuery("g_lpa_communities", lpaCommunities,
+      Some(lpaCommunitiesSql)),
     NamedQuery("q_ri_audit", riAudit, Some(riAuditSql)),
     NamedQuery("q_ratio_to_report", ratioToReport, Some(ratioToReportSql)),
     NamedQuery("d_unigram_logprob", unigramLogprob,

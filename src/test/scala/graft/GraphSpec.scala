@@ -67,4 +67,36 @@ class GraphSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture graph should contain triangles")
     assert(fast == naive)
   }
+
+  test("labelPropagation separates bridged cliques that CC would merge") {
+    // two 4-cliques {0..3} and {10..13} joined by ONE bridge edge 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val undirected = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))
+    val sym = (undirected ++ undirected.map(_.swap))
+      .toDF("src", "dst")
+    val labs = Graph.labelPropagation(sym, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // every clique converges to its min member's label...
+    assert(Seq(0L, 1L, 2L, 3L).forall(labs(_) == 0L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(labs(_) == 10L))
+    // ...while connected components would fuse all 8 across the bridge
+    val cc = graft.operators.Dedup.connectedComponents(
+      undirected.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("cluster").distinct().as[Long].collect().toSeq
+    assert(cc == Seq(0L))
+  }
+
+  test("labelPropagation is deterministic and label-closed") {
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(sym, 3).as[(Long, Long)].collect().toSet
+    val b = Graph.labelPropagation(sym, 3).as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // labels are always node ids from the graph itself
+    val nodes = Set(1L, 2L, 3L, 4L, 5L)
+    assert(a.forall { case (n, l) => nodes(n) && nodes(l) })
+    assert(a.map(_._1) == nodes)
+  }
 }
