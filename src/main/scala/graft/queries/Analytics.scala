@@ -268,6 +268,71 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic on the SAME
+    * base/current split as `q_drift_psi` — PSI sees mass moved between
+    * bins, KS sees the largest CDF gap, and monitoring wants both
+    * (PSI misses a pure location shift spread thinly; KS misses
+    * symmetric reshuffling). ECDFs are evaluated on a fixed $100 value
+    * grid (the histogram-family discipline: the grid bounds the
+    * window's input by the PRICE RANGE, not the sample size — a raw
+    * per-distinct-value ECDF would hand a 100 TB sample to one global
+    * window). D is computed as the integer cross-multiplication
+    * max |n_curr·cumA − n_base·cumB| — no division until the final
+    * floor-scaled report, so argmax and magnitude are bit-identical
+    * across engines; ties break to the smallest grid point.
+    */
+  private def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate"))
+    val counts = Tables(spark, dir, "orders")
+      .filter(yr.isin(1997, 1998))
+      .withColumn("grid",
+        floor(col("o_totalprice") / 10000.0).cast("long"))
+      .groupBy("grid")
+      .agg(sum(when(yr === 1997, 1L).otherwise(0L)).as("ca"),
+        sum(when(yr === 1998, 1L).otherwise(0L)).as("cb"))
+    val walk = Window.orderBy("grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.agg(sum("ca").as("n_base"), sum("cb").as("n_curr"))
+    counts
+      .withColumn("cuma", sum("ca").over(walk))
+      .withColumn("cumb", sum("cb").over(walk))
+      .crossJoin(broadcast(totals))
+      .withColumn("dev",
+        abs(col("n_curr") * col("cuma") - col("n_base") * col("cumb")))
+      .withColumn("pick", row_number().over(
+        Window.orderBy(col("dev").desc, col("grid"))))
+      .filter(col("pick") === 1)
+      .select(col("grid").as("at_grid"), col("n_base"), col("n_curr"),
+        col("dev").as("d_num"),
+        expr("dev * 1000000 div (n_base * n_curr)").as("d_e6"))
+  }
+
+  private val driftKsSql =
+    """WITH counts AS (
+      |  SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS grid,
+      |    sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+      |      AS ca,
+      |    sum(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END)
+      |      AS cb
+      |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+      |  GROUP BY 1),
+      |walk AS (
+      |  SELECT grid, ca, cb,
+      |    CAST(sum(ca) OVER (ORDER BY grid ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (ORDER BY grid ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumb,
+      |    CAST(sum(ca) OVER () AS BIGINT) AS n_base,
+      |    CAST(sum(cb) OVER () AS BIGINT) AS n_curr
+      |  FROM counts),
+      |dev AS (SELECT *, abs(n_curr * cuma - n_base * cumb) AS dev
+      |  FROM walk),
+      |pick AS (SELECT *, row_number() OVER (ORDER BY dev DESC, grid)
+      |    AS pick FROM dev)
+      |SELECT grid AS at_grid, n_base, n_curr, dev AS d_num,
+      |  dev * 1000000 // (n_base * n_curr) AS d_e6
+      |FROM pick WHERE pick = 1""".stripMargin
+
   private val driftPsiSql =
     """WITH counts AS (
       |  SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9)
@@ -1700,6 +1765,7 @@ object Analytics {
     NamedQuery("q_aqp_revenue", aqpRevenue, Some(aqpRevenueSql)),
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
+    NamedQuery("q_drift_ks", driftKs, Some(driftKsSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
     NamedQuery("q_trend_regression", trendRegression,

@@ -143,6 +143,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r._3 > 0 && r._3 <= n))
   }
 
+  test("q_drift_ks matches a driver-side ECDF recomputation") {
+    val li = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .select(floor(col("o_totalprice") / 10000.0).cast("long").as("g"),
+        year(col("o_orderdate")).as("y"))
+      .as[(Long, Int)].collect()
+    val grids = li.map(_._1).distinct.sorted
+    val na = li.count(_._2 == 1997).toLong
+    val nb = li.count(_._2 == 1998).toLong
+    var cuma = 0L; var cumb = 0L
+    val devs = grids.map { g =>
+      cuma += li.count(r => r._1 == g && r._2 == 1997)
+      cumb += li.count(r => r._1 == g && r._2 == 1998)
+      g -> math.abs(nb * cuma - na * cumb)
+    }
+    val expectMax = devs.map(_._2).max
+    val row = run("q_drift_ks").head()
+    assert(row.getAs[Long]("d_num") === expectMax)
+    assert(row.getAs[Long]("n_base") === na)
+    assert(row.getAs[Long]("n_curr") === nb)
+    assert(row.getAs[Long]("d_e6") ===
+      expectMax * 1000000L / (na * nb))
+  }
+
   test("q_patch_coalesce equals the last-non-null window twin") {
     import org.apache.spark.sql.expressions.Window
     // independent reimplementation: same deterministic patch stream,
