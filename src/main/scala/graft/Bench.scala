@@ -60,6 +60,7 @@ object Bench {
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
         "q_dune_source", "q_delete_where", "q_hll_merge", "q_hll_sliding",
+        "q_bitmap_merge",
         "q_moments_merge", "d_posting_search", "d_bm25_topk",
         "q_dpp", "q_zorder_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries

@@ -64,6 +64,24 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** Popcount of a bitmap BINARY column — the read side of the exact
+  * mergeable bitmap-distinct family (`graft.functions.BitmapDistinct`):
+  * persisted bitmaps union by byte-OR, and cardinality is one codegen'd
+  * pass over the final bytes.
+  */
+case class BitmapCardinality(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(BinaryType)
+  override def prettyName: String = "bitmap_cardinality"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.bitmapCardinality(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.name}.bitmapCardinality($c)")
+  override protected def withNewChildInternal(c: Expression): BitmapCardinality =
+    copy(c)
+}
+
 /** popcount(a XOR b) — bit distance between two 64-bit signatures. */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

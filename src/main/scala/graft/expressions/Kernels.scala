@@ -745,4 +745,17 @@ object Kernels {
     if (na == 0L || nb == 0L) 0.0
     else dot / math.sqrt(na.toDouble * nb.toDouble)
   }
+
+  /** Popcount of a bitmap byte array (the exact-distinct companion to
+    * the HLL estimate — see `graft.functions.BitmapDistinct`).
+    */
+  def bitmapCardinality(b: Array[Byte]): Long = {
+    var i = 0
+    var n = 0L
+    while (i < b.length) {
+      n += java.lang.Integer.bitCount(b(i) & 0xFF)
+      i += 1
+    }
+    n
+  }
 }

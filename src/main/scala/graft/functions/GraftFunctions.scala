@@ -27,6 +27,8 @@ object GraftFunctions {
     call_function("hamming64", l, r)
   def cosine_sim(l: Column, r: Column): Column =
     call_function("cosine_sim", l, r)
+  def bitmap_cardinality(col: Column): Column =
+    call_function("bitmap_cardinality", col)
   def dot_f(l: Column, r: Column): Column = call_function("dot_f", l, r)
   def srp_bucket(col: Column, numBits: Int, seed: Long): Column =
     call_function("srp_bucket", col, lit(numBits), lit(seed))
@@ -92,6 +94,7 @@ object GraftFunctions {
       "simhash64" -> (es => SimHash64(es.head)),
       "hamming64" -> (es => HammingDistance(es.head, es(1))),
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+      "bitmap_cardinality" -> (es => BitmapCardinality(es.head)),
       "dot_f" -> (es => DotF(es.head, es(1))),
       "srp_bucket" -> srpBuilder,
       "srp_probes" -> srpProbesBuilder,

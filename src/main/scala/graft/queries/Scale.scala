@@ -655,6 +655,68 @@ object Scale {
       |    THEN round((s2 - s1 * s1 / n) / (n - 1), 4) END AS var_7d
       |FROM win ORDER BY event_type, day""".stripMargin
 
+  /** EXACT mergeable distinct state — the bitmap companion to the HLL
+    * sketch table ([[graft.functions.BitmapDistinct]]): one bitmap of
+    * user_id per (day, event_type), persisted once at ingest. Same
+    * algebra as the sketch (range queries merge partials by byte-OR,
+    * history never rescanned) but exact, so BOTH bitmap queries sit
+    * under the FULL DuckDB oracle (count(DISTINCT ...) over the same
+    * slice) — the property the HLL row can only approach with a
+    * tolerance bound. The trade is state ∝ key domain (user domain
+    * here: a few hundred bytes) vs the sketch's fixed bytes at any
+    * domain; warehouses keep both and pick per column.
+    */
+  private val bitmapSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def seededBitmaps(spark: SparkSession, dir: String): String =
+    bitmapSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bitmap_seed").toString + "/bitmaps"
+      Events.events(spark, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(graft.functions.BitmapDistinct.build(col("user_id"))
+          .as("bm"))
+        .write.parquet(p)
+      p
+    })
+
+  private def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Events.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapDistinct.cardinality(
+        graft.functions.BitmapDistinct.build(col("user_id")))
+        .as("n_users"))
+      .orderBy("event_type")
+
+  private val bitmapDistinctSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Distinct users over an arbitrary day range from the persisted
+    * bitmap partials only — exact, and O(days-in-range) bitmap ORs.
+    */
+  private def bitmapMerge(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(seededBitmaps(spark, dir))
+      .filter(col("day") >= "2024-01-10")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"),
+        graft.functions.BitmapDistinct.cardinality(
+          graft.functions.BitmapDistinct.union(col("bm")))
+          .as("n_users"))
+      .orderBy("event_type")
+
+  private val bitmapMergeSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT strftime(CAST(ts AS TIMESTAMP),
+      |    '%Y-%m-%d')) AS BIGINT) AS n_partials,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = seededSketches(spark, dir)
     val merged = spark.read.parquet(path)
@@ -1528,6 +1590,9 @@ object Scale {
     NamedQuery("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     NamedQuery("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     NamedQuery("q_hll_merge", hllMerge, None),
+    NamedQuery("q_bitmap_distinct", bitmapDistinct,
+      Some(bitmapDistinctSql)),
+    NamedQuery("q_bitmap_merge", bitmapMerge, Some(bitmapMergeSql)),
     NamedQuery("q_hll_intersect", hllIntersect, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),

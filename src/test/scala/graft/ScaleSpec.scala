@@ -148,4 +148,31 @@ class ScaleSpec extends SparkSpec {
     // and the current state genuinely moved (the delta landed)
     assert(m((1, 2)) != m((1, 1)))
   }
+
+  test("bitmap distinct: build/union/cardinality laws") {
+    import graft.functions.BitmapDistinct._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    import spark.implicits._
+    // kernel laws on planted ids (duplicates, byte boundaries, zero)
+    val idsA = Seq(0L, 7L, 8L, 8L, 63L, 64L, 1000L)
+    val idsB = Seq(8L, 9L, 64L, 5000L)
+    val bmA = idsA.foldLeft(Array.emptyByteArray)(setBit)
+    val bmB = idsB.foldLeft(Array.emptyByteArray)(setBit)
+    def card(b: Array[Byte]): Long =
+      graft.expressions.Kernels.bitmapCardinality(b)
+    assert(card(bmA) === idsA.distinct.size.toLong)
+    assert(card(or(bmA, bmB)) === (idsA ++ idsB).distinct.size.toLong)
+    // idempotent and commutative union
+    assert(card(or(bmA, bmA)) === card(bmA))
+    assert(or(bmA, bmB).toSeq === or(bmB, bmA).toSeq)
+    // the aggregate path equals countDistinct on a real frame
+    val df = (idsA ++ idsB).toDF("id")
+    val viaBitmap = df.agg(cardinality(build(col("id")))).head.getLong(0)
+    val exact = df.agg(countDistinct("id")).head.getLong(0)
+    assert(viaBitmap === exact)
+    // domain guard fires on negative keys
+    intercept[Exception] {
+      Seq(-1L).toDF("id").agg(cardinality(build(col("id")))).head()
+    }
+  }
 }
