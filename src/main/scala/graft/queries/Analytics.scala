@@ -268,6 +268,91 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Golden-record survivorship (MDM "merge" step): three source
+    * systems emit the same customer entity with different quality
+    * (derived deterministically — entity = custkey div 3, source =
+    * custkey mod 3; source 1 shouts names in caps, source 2 drops
+    * some names and mislabels some segments), and the golden record
+    * picks each attribute by its OWN rule — the four classic ones in
+    * one pass:
+    *  - name: source-PRIORITY first non-null (`min_by(name, source)
+    *    FILTER non-null` — trust order, not recency: the complement of
+    *    `q_patch_coalesce`'s latest-wins);
+    *  - segment: CONSENSUS mode across sources (ties → smallest value;
+    *    two honest sources outvote the mislabeler);
+    *  - acctbal: GREATEST value in exact cents;
+    *  - nation: BEST-RECORD — taken from the record with the highest
+    *    acctbal (scalar ordering key cents·10 + (2−source), unique per
+    *    entity since sources are distinct, so cross-engine ties are
+    *    impossible without comparing structs).
+    * Plan: the entity-keyed aggregate is one partial+final pass; the
+    * consensus mode is a second fold of the ≤|sources| per-entity
+    * relation plus one entity-sized argmax window — nothing beyond
+    * entity-sized crosses an exchange.
+    */
+  private def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val recs = c.select(
+      expr("c_custkey div 3").as("entity"),
+      (col("c_custkey") % 3).as("source"),
+      when(col("c_custkey") % 3 === 1, upper(col("c_name")))
+        .when(col("c_custkey") % 3 === 2 && col("c_custkey") % 5 === 0,
+          lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 2 && col("c_custkey") % 7 === 0,
+        lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      col("c_nationkey").cast("long").as("nation"))
+      .withColumn("ord", col("cents") * 10 + (lit(2) - col("source")))
+    val base = recs.groupBy("entity").agg(
+      expr("min_by(name, source) FILTER (WHERE name IS NOT NULL)")
+        .as("name"),
+      max("cents").as("acctbal_cents"),
+      expr("max_by(nation, ord)").as("nation"),
+      count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy("entity")
+      .orderBy(col("votes").desc, col("segment"))
+    val consensus = recs.groupBy("entity", "segment")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("entity", "segment")
+    base.join(consensus, "entity")
+      .select("entity", "name", "segment", "acctbal_cents", "nation",
+        "n_sources")
+      .orderBy("entity")
+  }
+
+  private val goldenRecordSql =
+    """WITH recs AS (
+      |  SELECT c_custkey // 3 AS entity, c_custkey % 3 AS source,
+      |    CASE WHEN c_custkey % 3 = 1 THEN upper(c_name)
+      |         WHEN c_custkey % 3 = 2 AND c_custkey % 5 = 0 THEN NULL
+      |         ELSE c_name END AS name,
+      |    CASE WHEN c_custkey % 3 = 2 AND c_custkey % 7 = 0
+      |         THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    CAST(c_nationkey AS BIGINT) AS nation
+      |  FROM customer),
+      |o AS (SELECT *, cents * 10 + (2 - source) AS ord FROM recs),
+      |base AS (
+      |  SELECT entity,
+      |    min_by(name, source) FILTER (WHERE name IS NOT NULL) AS name,
+      |    max(cents) AS acctbal_cents,
+      |    max_by(nation, ord) AS nation,
+      |    CAST(count(*) AS BIGINT) AS n_sources
+      |  FROM o GROUP BY entity),
+      |votes AS (SELECT entity, segment, count(*) AS votes
+      |  FROM recs GROUP BY 1, 2),
+      |consensus AS (
+      |  SELECT entity, segment FROM (
+      |    SELECT entity, segment, row_number() OVER (
+      |      PARTITION BY entity ORDER BY votes DESC, segment) AS rn
+      |    FROM votes)
+      |  WHERE rn = 1)
+      |SELECT entity, name, segment, acctbal_cents, nation, n_sources
+      |FROM base JOIN consensus USING (entity)
+      |ORDER BY entity""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov drift statistic on the SAME
     * base/current split as `q_drift_psi` — PSI sees mass moved between
     * bins, KS sees the largest CDF gap, and monitoring wants both
@@ -1766,6 +1851,7 @@ object Analytics {
     NamedQuery("q_histogram", histogram, Some(histogramSql)),
     NamedQuery("q_drift_psi", driftPsi, Some(driftPsiSql)),
     NamedQuery("q_drift_ks", driftKs, Some(driftKsSql)),
+    NamedQuery("q_golden_record", goldenRecord, Some(goldenRecordSql)),
     NamedQuery("q_profile_stats", profileStats, Some(profileStatsSql)),
     NamedQuery("q_correlation", correlation, Some(correlationSql)),
     NamedQuery("q_trend_regression", trendRegression,

@@ -143,6 +143,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r._3 > 0 && r._3 <= n))
   }
 
+  test("q_golden_record: priority name, max balance, 3 sources") {
+    val golden = run("q_golden_record")
+      .select("entity", "name", "acctbal_cents", "n_sources")
+      .as[(Long, String, Long, Long)].collect()
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val full = golden.filter(_._4 == 3L)
+    assert(full.nonEmpty)
+    full.foreach { case (e, name, cents, _) =>
+      // priority rule: source 0 (custkey = 3e) always has a non-null,
+      // unshouted name — it must survive verbatim
+      assert(name === cust(3 * e)._1, s"entity $e name")
+      // greatest-value rule across the three source records
+      val maxCents = (0L to 2L).map(s => cust(3 * e + s)._2).max
+      assert(cents === maxCents, s"entity $e balance")
+    }
+  }
+
   test("q_drift_ks matches a driver-side ECDF recomputation") {
     val li = spark.read.parquet(s"$dir/orders.parquet")
       .filter(year(col("o_orderdate")).isin(1997, 1998))
