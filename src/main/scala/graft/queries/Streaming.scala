@@ -315,6 +315,13 @@ object Streaming {
       |FROM events WHERE value >= 5
       |ORDER BY sink, reason""".stripMargin
 
+  private val bitmapStreamSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT strftime(CAST(ts AS TIMESTAMP),
+      |    '%Y-%m-%d')) AS BIGINT) AS n_partials,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("st_dlq", Streams.dlqViaStream, Some(dlqSql)),
     NamedQuery("st_summary_maint", Streams.summaryMaintViaStream,
@@ -352,6 +359,8 @@ object Streaming {
       Some(Scale.scd2MergeSql)),
     NamedQuery("st_moments", Streams.momentsViaStream,
       Some(Scale.momentsMergeSql)),
+    NamedQuery("st_bitmap", Streams.bitmapViaStream,
+      Some(bitmapStreamSql)),
     // no SQL oracle (sketch estimates aren't SQL-expressible);
     // ToleranceCheck pins the streamed estimates ≡ q_hll_sliding's
     NamedQuery("st_sliding_distinct", Streams.slidingDistinctViaStream,

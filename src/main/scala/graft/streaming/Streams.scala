@@ -794,6 +794,38 @@ object Streams {
     out
   }
 
+  /** Streamed EXACT-distinct maintenance — the bitmap leg of the
+    * sketch-table family run THROUGH the engine: the streaming
+    * aggregate's state per (day, type) IS the custom
+    * [[graft.functions.BitmapDistinct]] buffer (a typed Aggregator is
+    * a declarative aggregate, so the state store holds and merges the
+    * bitmap bytes across micro-batches like any built-in), and the
+    * read-back unions partials by byte-OR. Exact, so unlike the HLL
+    * twin (`st_sliding_distinct`) this sits under the FULL
+    * count(DISTINCT) oracle.
+    */
+  def bitmapViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = eventsStream(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(graft.functions.BitmapDistinct.build(col("user_id")).as("bm"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"),
+        graft.functions.BitmapDistinct.cardinality(
+          graft.functions.BitmapDistinct.union(col("bm"))).as("n_users"))
+      .orderBy("event_type")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
     val name = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = hourlyCounts(eventsStream(spark, dir))
