@@ -82,6 +82,23 @@ case class BitmapCardinality(child: Expression) extends UnaryExpression
     copy(c)
 }
 
+/** |A ∩ B| of two bitmap BINARY columns — popcount of the byte-AND,
+  * the exact audience-overlap primitive (`q_bitmap_intersect`).
+  */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "bitmap_and_cardinality"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.bitmapAndCardinality(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.name}.bitmapAndCardinality($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BitmapAndCardinality = copy(l, r)
+}
+
 /** popcount(a XOR b) — bit distance between two 64-bit signatures. */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -758,4 +758,18 @@ object Kernels {
     }
     n
   }
+
+  /** |A ∩ B| of two bitmaps — popcount of the byte-wise AND (bytes
+    * past the shorter array intersect to zero).
+    */
+  def bitmapAndCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      c += java.lang.Integer.bitCount(a(i) & b(i) & 0xFF)
+      i += 1
+    }
+    c
+  }
 }

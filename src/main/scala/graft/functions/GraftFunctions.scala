@@ -29,6 +29,8 @@ object GraftFunctions {
     call_function("cosine_sim", l, r)
   def bitmap_cardinality(col: Column): Column =
     call_function("bitmap_cardinality", col)
+  def bitmap_and_cardinality(l: Column, r: Column): Column =
+    call_function("bitmap_and_cardinality", l, r)
   def dot_f(l: Column, r: Column): Column = call_function("dot_f", l, r)
   def srp_bucket(col: Column, numBits: Int, seed: Long): Column =
     call_function("srp_bucket", col, lit(numBits), lit(seed))
@@ -95,6 +97,8 @@ object GraftFunctions {
       "hamming64" -> (es => HammingDistance(es.head, es(1))),
       "cosine_sim" -> (es => CosineSim(es.head, es(1))),
       "bitmap_cardinality" -> (es => BitmapCardinality(es.head)),
+      "bitmap_and_cardinality" ->
+        (es => BitmapAndCardinality(es.head, es(1))),
       "dot_f" -> (es => DotF(es.head, es(1))),
       "srp_bucket" -> srpBuilder,
       "srp_probes" -> srpProbesBuilder,

@@ -717,6 +717,49 @@ object Scale {
       |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** EXACT audience overlap from the same persisted bitmap partials —
+    * the bitmap counterpart of `q_hll_intersect`: union each type's
+    * daily bitmaps, then |A∩B| is one byte-AND popcount
+    * (`bitmap_and_cardinality`) and |A∪B| follows by
+    * inclusion–exclusion — but here every number is exact and the
+    * whole row sits under the FULL oracle (the HLL version's
+    * intersection error compounds from three estimates). The two
+    * unioned audience bitmaps are a 2-row relation joined by key —
+    * result-sized, nothing rescans events.
+    */
+  private def bitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val perType = spark.read.parquet(seededBitmaps(spark, dir))
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapDistinct.union(col("bm")).as("bm"))
+    val a = perType.filter(col("event_type") === "click")
+      .select(col("bm").as("bm_a"))
+    val b = perType.filter(col("event_type") === "purchase")
+      .select(col("bm").as("bm_b"))
+    a.crossJoin(b).select(
+      graft.functions.GraftFunctions.bitmap_cardinality(col("bm_a"))
+        .as("n_click"),
+      graft.functions.GraftFunctions.bitmap_cardinality(col("bm_b"))
+        .as("n_purchase"),
+      graft.functions.GraftFunctions.bitmap_and_cardinality(
+        col("bm_a"), col("bm_b")).as("n_both"))
+      .withColumn("n_either",
+        col("n_click") + col("n_purchase") - col("n_both"))
+  }
+
+  private val bitmapIntersectSql =
+    """SELECT
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |    WHERE event_type = 'click') AS n_click,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |    WHERE event_type = 'purchase') AS n_purchase,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |    WHERE event_type = 'click' AND user_id IN (
+      |      SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS n_both,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      |    WHERE event_type IN ('click', 'purchase')) AS n_either""".stripMargin
+
   private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = seededSketches(spark, dir)
     val merged = spark.read.parquet(path)
@@ -1593,6 +1636,8 @@ object Scale {
     NamedQuery("q_bitmap_distinct", bitmapDistinct,
       Some(bitmapDistinctSql)),
     NamedQuery("q_bitmap_merge", bitmapMerge, Some(bitmapMergeSql)),
+    NamedQuery("q_bitmap_intersect", bitmapIntersect,
+      Some(bitmapIntersectSql)),
     NamedQuery("q_hll_intersect", hllIntersect, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),

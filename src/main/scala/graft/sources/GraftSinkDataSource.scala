@@ -102,7 +102,14 @@ object GraftSink {
     * the read path.
     */
   def latestManifest(spark: SparkSession, dir: String): Option[Manifest] =
-    latestVersion(spark, dir).map { v =>
+    manifestAt(spark, dir, None)
+
+  /** Time-travel resolution: a pinned `version` reads that manifest
+    * (absent => error surfaces at planInputPartitions); None = latest.
+    */
+  def manifestAt(spark: SparkSession, dir: String,
+      version: Option[Int]): Option[Manifest] =
+    version.orElse(latestVersion(spark, dir)).map { v =>
       val f = fs(spark, dir)
       val in = f.open(new Path(dir, manifestName(v)))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -147,7 +154,8 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
     new GraftWriteBuilder(info, path)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSinkScanBuilder(tableSchema, path)
+    new GraftSinkScanBuilder(tableSchema, path,
+      Option(options.get("version")).map(_.toInt))
 }
 
 private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
@@ -270,21 +278,22 @@ private class GraftDataWriter(schema: StructType, path: String,
 
 // ---- read path: latest manifest -> its files, one split per file ----
 
-private class GraftSinkScanBuilder(schema: StructType, path: String)
-    extends ScanBuilder {
-  override def build(): Scan = new GraftSinkScan(schema, path)
+private class GraftSinkScanBuilder(schema: StructType, path: String,
+    version: Option[Int]) extends ScanBuilder {
+  override def build(): Scan = new GraftSinkScan(schema, path, version)
 }
 
-private class GraftSinkScan(scanSchema: StructType, path: String)
-    extends Scan with Batch {
+private class GraftSinkScan(scanSchema: StructType, path: String,
+    version: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftSink.latestManifest(SparkSession.active, path)
-      .getOrElse(sys.error(s"graftsink: no committed manifest at $path"))
+    val m = GraftSink.manifestAt(SparkSession.active, path, version)
+      .getOrElse(sys.error(s"graftsink: no committed manifest at $path" +
+        version.fold("")(v => s" (version $v)")))
     m.files.map(f =>
       GraftFilePartition(s"$path/data/$f"): InputPartition).toArray
   }

@@ -101,6 +101,25 @@ class GraftSinkSpec extends SparkSpec {
       === sample.schema)
   }
 
+  test("time travel: a pinned version reads its own manifest") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    Seq((9L, "z")).toDF("k", "s").write.format("graftsink")
+      .mode("overwrite").save(dir)
+    def at(v: Int) = spark.read.format("graftsink")
+      .option("version", v).load(dir).select("k").as[Long]
+      .collect().toSet
+    assert(at(0) === Set(1L))
+    assert(at(1) === Set(1L, 2L))
+    assert(at(2) === Set(9L))
+    // unpinned read = latest
+    assert(spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet === Set(9L))
+  }
+
   test("unsupported field types are rejected loudly") {
     val dir = freshDir
     val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
