@@ -717,6 +717,42 @@ object Scale {
       |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** EXACT trailing-7-day distinct users per (type, day) from the
+    * bitmap partials — sliding-window COUNT(DISTINCT) is the textbook
+    * non-distributive aggregate (you cannot subtract yesterday out of
+    * a running count), which is why `q_hll_sliding` exists in sketch
+    * form; bitmaps make the window distributive again (union ≤7 daily
+    * partials per anchor by byte-OR) AND exact, so this sits under the
+    * FULL oracle. The union aggregator rides a date-RANGE window over
+    * the calendar-sized partial table — the same frame shape as the
+    * HLL twin, never an events rescan.
+    */
+  private def bitmapSliding(spark: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(to_date(col("day")), to_date(lit("2024-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d").rangeBetween(-6, 0)
+    spark.read.parquet(seededBitmaps(spark, dir))
+      .withColumn("d", dayIdx)
+      .select(col("event_type"), col("day"),
+        graft.functions.BitmapDistinct.cardinality(
+          graft.functions.BitmapDistinct.union(col("bm")).over(w))
+          .as("users_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  private val bitmapSlidingSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+      |  FROM events)
+      |SELECT d.event_type, d.day,
+      |  (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT) FROM events e
+      |   WHERE e.event_type = d.event_type
+      |     AND CAST(e.ts AS DATE)
+      |       BETWEEN CAST(d.day AS DATE) - INTERVAL 6 DAY
+      |       AND CAST(d.day AS DATE)) AS users_7d
+      |FROM daily d ORDER BY event_type, day""".stripMargin
+
   /** EXACT audience overlap from the same persisted bitmap partials —
     * the bitmap counterpart of `q_hll_intersect`: union each type's
     * daily bitmaps, then |A∩B| is one byte-AND popcount
@@ -1638,6 +1674,8 @@ object Scale {
     NamedQuery("q_bitmap_merge", bitmapMerge, Some(bitmapMergeSql)),
     NamedQuery("q_bitmap_intersect", bitmapIntersect,
       Some(bitmapIntersectSql)),
+    NamedQuery("q_bitmap_sliding", bitmapSliding,
+      Some(bitmapSlidingSql)),
     NamedQuery("q_hll_intersect", hllIntersect, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),
