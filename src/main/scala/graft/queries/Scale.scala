@@ -395,6 +395,83 @@ object Scale {
       |FROM orders WHERE o_orderkey % 3 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Fact-to-SCD2 interval lookup — THE warehouse dimension join:
+    * every fact row joins the dimension VERSION valid at its own
+    * time, `d.key = f.key AND valid_from <= t < coalesce(valid_to, ∞)`
+    * (facts here carry a deterministic batch time 1 or 2, so both
+    * history versions are exercised; odd-line facts see v1 prices,
+    * even-line facts see v2's doubled ones where a v2 row exists).
+    * Plan shape matters: the join is EQUI on the key with the
+    * validity interval as a residual filter — hash/SMJ on o_orderkey,
+    * never a range-only nested loop — because a dimension key has ≤
+    * a handful of versions, so the residual prunes per key in O(1).
+    * LEFT join keeps facts whose key never entered the dimension
+    * (the orphan lane an RI audit counts, not silently drops).
+    * Result is the per-batch-time audit in exact cents.
+    */
+  private def dimLookup(spark: SparkSession, dir: String): DataFrame = {
+    val path = scd2AsofReady.computeIfAbsent(dir, { d =>
+      scd2Merge(spark, d)
+      scd2Seeded.get(d)
+    })
+    val dim = spark.read.parquet(path)
+      .select(col("o_orderkey").as("d_key"),
+        round(col("o_totalprice") * 100).cast("long").as("d_cents"),
+        col("valid_from"), col("valid_to"))
+    val facts = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (lit(1L) + col("l_linenumber") % 2).as("t"))
+    facts.join(dim,
+        col("l_orderkey") === col("d_key")
+          && col("valid_from") <= col("t")
+          && (col("valid_to").isNull || col("valid_to") > col("t")),
+        "left")
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_facts"),
+        count(col("d_key")).as("n_matched"),
+        sum(coalesce(col("d_cents"), lit(0L))).as("dim_cents"))
+      .orderBy("t")
+  }
+
+  private val dimLookupSql =
+    """WITH seed AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |delta AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |closed AS (
+      |  SELECT s.o_orderkey, round(s.o_totalprice, 2) AS price,
+      |    CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+      |  FROM seed s JOIN delta d ON s.o_orderkey = d.o_orderkey
+      |  WHERE s.o_totalprice <> d.o_totalprice),
+      |kept AS (
+      |  SELECT s.o_orderkey, round(s.o_totalprice, 2) AS price,
+      |    CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT)
+      |      AS valid_to
+      |  FROM seed s LEFT JOIN delta d ON s.o_orderkey = d.o_orderkey
+      |  WHERE d.o_orderkey IS NULL OR s.o_totalprice = d.o_totalprice),
+      |ins AS (
+      |  SELECT d.o_orderkey, round(d.o_totalprice, 2) AS price,
+      |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT)
+      |      AS valid_to
+      |  FROM delta d LEFT JOIN seed s ON s.o_orderkey = d.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR s.o_totalprice <> d.o_totalprice),
+      |dim AS (
+      |  SELECT o_orderkey AS d_key,
+      |    CAST(round(price * 100) AS BIGINT) AS d_cents,
+      |    valid_from, valid_to
+      |  FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
+      |        UNION ALL SELECT * FROM ins)),
+      |facts AS (
+      |  SELECT l_orderkey, 1 + l_linenumber % 2 AS t FROM lineitem)
+      |SELECT t, CAST(count(*) AS BIGINT) AS n_facts,
+      |  CAST(count(d_key) AS BIGINT) AS n_matched,
+      |  CAST(sum(coalesce(d_cents, 0)) AS BIGINT) AS dim_cents
+      |FROM facts LEFT JOIN dim ON l_orderkey = d_key
+      |  AND valid_from <= t AND (valid_to IS NULL OR valid_to > t)
+      |GROUP BY t ORDER BY t""".stripMargin
+
   private[queries] val scd2MergeSql =
     """WITH seed AS (
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
@@ -1693,6 +1770,7 @@ object Scale {
       Some(mergeUpsertPartSql)),
     NamedQuery("q_scd2_merge", scd2Merge, Some(scd2MergeSql)),
     NamedQuery("q_scd2_asof", scd2Asof, Some(scd2AsofSql)),
+    NamedQuery("q_dim_lookup", dimLookup, Some(dimLookupSql)),
     NamedQuery("q_incr_agg", incrAgg, Some(incrAggSql)),
     NamedQuery("q_schema_evolution", schemaEvolution,
       Some(schemaEvolutionSql)))

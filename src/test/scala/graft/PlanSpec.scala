@@ -490,4 +490,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"reconciliation must stay hash-joined:\n$p")
   }
+
+  test("q_dim_lookup: SCD2 interval lookup is an EQUI join on the key " +
+    "with the validity interval as residual, never a nested loop") {
+    val p = finalPlan(q("q_dim_lookup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal lookup degenerated to a range-only join:\n$p")
+    assert(p.contains("Join") && p.contains("LeftOuter"),
+      s"expected a left outer equi join:\n$p")
+  }
 }
