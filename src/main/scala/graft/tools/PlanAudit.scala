@@ -76,7 +76,13 @@ object PlanAudit {
     "e_mmr_rerank" -> "MMR diversification: shortlist + pairwise-sim relations checkpoint once (queries x topN rows), each greedy step is a window + two joins over those — nothing after the shortlist is corpus-sized",
     "ev_ewma" -> "exact EWMA: the fact folds once into (type, day) cents, the 20-day support is a bounded range self-join of that calendar-sized relation, the Q20 fixed-point fold stays BIGINT end to end",
     "q_patch_coalesce" -> "sparse-patch coalescing: per-version conflict fold then latest-non-null-per-column via max_by FILTER — two partial+final aggregates on the same key, no window sort",
-    "e_contrastive_batches" -> "contrastive batch shaping: the dup-cluster relation takes one cluster-keyed window (rank + modular stagger), then two bounded aggregates — nothing corpus-quadratic after the pair stage")
+    "e_contrastive_batches" -> "contrastive batch shaping: the dup-cluster relation takes one cluster-keyed window (rank + modular stagger), then two bounded aggregates — nothing corpus-quadratic after the pair stage",
+    "q_golden_record" -> "survivorship merge: one entity-keyed partial+final aggregate (priority/greatest/best-record rules as max_by over scalar orderings) + an entity-sized consensus fold; nothing beyond entity-sized crosses an exchange",
+    "q_drift_ks" -> "KS drift: ECDF walk over the $100 grid relation (bounded by price range, not sample size), integer cross-multiplied deviations, one argmax window",
+    "g_lpa_communities" -> "label propagation: per round one edge-label broadcast join + a (node,label) count fold + a per-node argmax window, labels checkpointed — rounds never re-run upstream",
+    "q_bitmap_sliding" -> "exact sliding distinct: the bitmap-union aggregator rides a date-RANGE frame over the calendar-sized partial table (<=7 byte-ORs per anchor), cardinality is one codegen'd popcount — no events rescan",
+    "q_dsv2_sink" -> "DSv2 sink read-back: the scan plans one split per manifest-listed file (latest manifest only — torn writes invisible), then one partial+final audit aggregate",
+    "q_dim_lookup" -> "fact-to-SCD2 lookup: LEFT equi join on the key with the validity interval as residual — hash/SMJ, never a range-only nested loop (PlanSpec-gated)")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
