@@ -167,7 +167,75 @@ object Multimodal {
       |FROM h GROUP BY content_md5 HAVING count(*) > 1
       |ORDER BY keep_id""".stripMargin
 
+  /** Aspect-ratio bucketing for vision training (the SDXL-style batch
+    * shaping step): images/videos batch together only with near-equal
+    * aspect ratios, so one bucket's batch needs no destructive
+    * crop/pad to a common shape. Ratio is the INTEGER
+    * `width·1000 div height` (exact in both engines — a double ratio
+    * would round-split at bucket edges), bucketed tall / square /
+    * wide; the per-bucket audit reports asset counts, the ratio
+    * span actually observed, total pixels, and the resulting batch
+    * count at batch size 32 (`(n+31) div 32`). Width/height come from
+    * the DECODED container header — the oracle recomputes them from
+    * the generator arithmetic, so equality proves the byte plumbing
+    * again on a new read path. Scale: one decode pass (metadata-only
+    * projection), one bucket-keyed fold — batch assignment downstream
+    * is `row_number() div 32` within each bucket, embarrassingly
+    * parallel.
+    */
+  private def aspectBuckets(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAssets(assets(spark, dir))
+      .filter(col("media_type").isin("image", "video"))
+      .withColumn("ratio_e3",
+        expr("(width * 1000L) div height"))
+      .withColumn("bucket",
+        when(col("ratio_e3") < 750, "tall")
+          .when(col("ratio_e3") < 1333, "square")
+          .otherwise("wide"))
+      // second axis: resolution-area bucket (batching by resolution
+      // bounds the padding waste within a batch even at equal aspect —
+      // and THIS fixture is all-square by construction, w ≡ h for
+      // doc_id < 768, which the aspect column honestly reports)
+      .withColumn("area_bucket",
+        when(col("width").cast("long") * col("height") < 40000L, "small")
+          .when(col("width").cast("long") * col("height") < 160000L,
+            "medium")
+          .otherwise("large"))
+      .groupBy("media_type", "bucket", "area_bucket")
+      .agg(count(lit(1)).as("n_assets"),
+        min("ratio_e3").as("min_ratio_e3"),
+        max("ratio_e3").as("max_ratio_e3"),
+        sum(col("width").cast("long") * col("height")).as("total_px"),
+        expr("(count(1) + 31) div 32").as("n_batches"))
+      .orderBy("media_type", "bucket", "area_bucket")
+
+  private val aspectBucketsSql =
+    """WITH dims AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'video' END
+      |      AS media_type,
+      |    64 + doc_id % 1024 AS w, 64 + doc_id % 768 AS h
+      |  FROM documents WHERE doc_id % 3 IN (0, 2)),
+      |r AS (SELECT media_type, w, h, (w * 1000) // h AS ratio_e3
+      |  FROM dims),
+      |b AS (SELECT media_type,
+      |    CASE WHEN ratio_e3 < 750 THEN 'tall'
+      |         WHEN ratio_e3 < 1333 THEN 'square'
+      |         ELSE 'wide' END AS bucket,
+      |    CASE WHEN w * h < 40000 THEN 'small'
+      |         WHEN w * h < 160000 THEN 'medium'
+      |         ELSE 'large' END AS area_bucket,
+      |    ratio_e3, w, h
+      |  FROM r)
+      |SELECT media_type, bucket, area_bucket, count(*) AS n_assets,
+      |  min(ratio_e3) AS min_ratio_e3, max(ratio_e3) AS max_ratio_e3,
+      |  CAST(sum(w * h) AS BIGINT) AS total_px,
+      |  (count(*) + 31) // 32 AS n_batches
+      |FROM b GROUP BY 1, 2, 3
+      |ORDER BY media_type, bucket, area_bucket""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("mm_aspect_buckets", aspectBuckets,
+      Some(aspectBucketsSql)),
     NamedQuery("mm_dedup", mmDedup, Some(mmDedupSql)),
     NamedQuery("mm_patch_grid", patchGrid, Some(patchGridSql)),
     NamedQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
