@@ -1457,6 +1457,58 @@ object Analytics {
       .orderBy("missing_day")
   }
 
+  /** Backfill planner — `q_gap_audit`'s output turned into RUNNABLE
+    * work: consecutive missing days coalesce into date-range jobs
+    * (one ingest invocation per contiguous gap, not per day). The
+    * classic gaps-and-islands derivation, exact integers: island key
+    * = day_index − row_number() is constant exactly within a
+    * consecutive run. Scale shape: the missing-day relation is
+    * calendar-bounded (spine anti-join, same as the audit), so the
+    * single ordering window runs over at most |calendar| rows; the
+    * plan emits one row per gap — the driver's job list, ≤ days/2
+    * rows by construction.
+    */
+  private def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"))
+    val bounds = o.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val missing = spine.join(o.distinct(), Seq("day"), "left_anti")
+      .withColumn("x", datediff(col("day"), lit("1990-01-01")).cast("long"))
+    val w = Window.orderBy("x")
+    missing
+      .withColumn("island", col("x") - row_number().over(w))
+      .groupBy("island")
+      .agg(date_format(min("day"), "yyyy-MM-dd").as("gap_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select("gap_start", "gap_end", "n_days")
+      .orderBy("gap_start")
+  }
+
+  private val backfillPlanSql =
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+      |spine AS (
+      |  SELECT CAST(u.d AS DATE) AS day
+      |  FROM bounds, unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS u(d)),
+      |missing AS (
+      |  SELECT s.day,
+      |    CAST(date_diff('day', DATE '1990-01-01', s.day) AS BIGINT)
+      |      AS x
+      |  FROM spine s LEFT JOIN days d ON s.day = d.day
+      |  WHERE d.day IS NULL),
+      |islands AS (
+      |  SELECT day, x - row_number() OVER (ORDER BY x) AS island
+      |  FROM missing)
+      |SELECT strftime(min(day), '%Y-%m-%d') AS gap_start,
+      |  strftime(max(day), '%Y-%m-%d') AS gap_end,
+      |  CAST(count(*) AS BIGINT) AS n_days
+      |FROM islands GROUP BY island ORDER BY gap_start""".stripMargin
+
   private val gapAuditSql =
     """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
       |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
@@ -1826,6 +1878,7 @@ object Analytics {
     NamedQuery("q_abc_class", abcClass, Some(abcClassSql)),
     NamedQuery("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     NamedQuery("q_gap_audit", gapAudit, Some(gapAuditSql)),
+    NamedQuery("q_backfill_plan", backfillPlan, Some(backfillPlanSql)),
     NamedQuery("q_loo_encode", looEncode, Some(looEncodeSql)),
     NamedQuery("q_observe_audit", observeAudit, Some(observeAuditSql)),
     NamedQuery("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),

@@ -143,6 +143,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r._3 > 0 && r._3 <= n))
   }
 
+  test("q_backfill_plan partitions the audit's missing days into " +
+    "disjoint contiguous ranges") {
+    val gaps = run("q_gap_audit").select("missing_day")
+      .as[String].collect().toSet
+    val plan = run("q_backfill_plan")
+      .select("gap_start", "gap_end", "n_days")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    def d(s: String) = java.time.LocalDate.parse(s)
+    // each range is exactly its day count, fully missing, contiguous
+    val covered = plan.flatMap { case (s, e, n) =>
+      val days = Iterator.iterate(d(s))(_.plusDays(1))
+        .takeWhile(!_.isAfter(d(e))).map(_.toString).toSeq
+      assert(days.size.toLong === n, s"range $s..$e length")
+      assert(days.forall(gaps), s"range $s..$e contains a present day")
+      days
+    }
+    // together the ranges are exactly the audit (no overlap, no loss)
+    assert(covered.length === covered.distinct.length)
+    assert(covered.toSet === gaps)
+    // maximality: ranges cannot touch (else they'd be one island)
+    plan.sliding(2).foreach {
+      case Array((_, e1, _), (s2, _, _)) =>
+        assert(d(e1).plusDays(1).isBefore(d(s2)),
+          s"adjacent ranges $e1 / $s2 should have coalesced")
+      case _ => ()
+    }
+  }
+
   test("q_golden_record: priority name, max balance, 3 sources") {
     val golden = run("q_golden_record")
       .select("entity", "name", "acctbal_cents", "n_sources")
