@@ -480,6 +480,52 @@ object Curation {
     * epoch reproducibly. The oracle replays the identical hash text,
     * so shard AND position must match exactly.
     */
+  /** Exact sampling-quota apportionment (Hamilton / largest
+    * remainder): split a budget of N=997 sample slots across sources
+    * PROPORTIONAL to their character mass, with Σquota = N exactly —
+    * naive per-domain rounding under- or over-shoots the budget, and
+    * a float share drifts at half boundaries. All integer: floor
+    * share = (N·wᵢ) div W, then the N − Σfloor leftover slots go to
+    * the largest remainders (N·wᵢ mod W, ties → source asc). The
+    * windows run over the DOMAIN-sized weight relation (20 rows here,
+    * thousands at worst — the Analytics global-window rule); the fact
+    * table contributes one partial+final weight fold. Downstream, the
+    * per-source quota feeds `d_stratified_sample`'s exactly-n-per-
+    * stratum machinery.
+    */
+  private def quotaAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val n = 997L
+    val w = docs(spark, dir).groupBy("source")
+      .agg(sum("n_chars").as("w"))
+    val wAll = Window.partitionBy(lit(1))
+    val rank = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("source"))
+    w.withColumn("tw", sum("w").over(wAll))
+      .withColumn("floor_q", expr(s"($n * w) div tw"))
+      .withColumn("rem", expr(s"($n * w) % tw"))
+      .withColumn("deficit", lit(n) - sum("floor_q").over(wAll))
+      .withColumn("rn", row_number().over(rank))
+      .select(col("source"), col("w").as("weight"),
+        (col("floor_q") + when(col("rn") <= col("deficit"), 1L)
+          .otherwise(0L)).as("quota"))
+      .orderBy("source")
+  }
+
+  private val quotaAllocSql =
+    """WITH w AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tw FROM w),
+      |f AS (SELECT *, (997 * w) // tw AS floor_q,
+      |    (997 * w) % tw AS rem FROM t),
+      |d AS (SELECT *,
+      |    997 - CAST(sum(floor_q) OVER () AS BIGINT) AS deficit,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+      |  FROM f)
+      |SELECT source, w AS weight,
+      |  floor_q + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS quota
+      |FROM d ORDER BY source""".stripMargin
+
   private def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(concat(lit("shuf-v1:"), col("doc_id").cast("string")))
     val sharded = docs(spark, dir)
@@ -607,6 +653,7 @@ object Curation {
       |FROM withpii ORDER BY doc_id""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("d_quota_alloc", quotaAlloc, Some(quotaAllocSql)),
     NamedQuery("d_pii_scrub", piiScrub, Some(piiScrubSql)),
     NamedQuery("d_temporal_split", temporalSplit, Some(temporalSplitSql)),
     NamedQuery("d_weighted_sample", weightedSample,

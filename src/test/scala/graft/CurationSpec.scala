@@ -255,6 +255,25 @@ class CurationSpec extends SparkSpec {
       assert(b <= budget + m, s"shard $sid overshoots: $b > $budget + $m") }
   }
 
+  test("d_quota_alloc: quotas sum exactly to the budget and respect " +
+    "weight order") {
+    val out = SparkEntry.queries("d_quota_alloc")(
+      spark, "/root/testdata/sf0.001")
+      .select("source", "weight", "quota")
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._3).sum === 997L, "largest-remainder must hit N")
+    // apportionment monotonicity: a strictly larger weight never
+    // receives a smaller quota
+    for (a <- out; b <- out if a._2 > b._2)
+      assert(a._3 >= b._3, s"${a._1} (${a._2}) < ${b._1} (${b._2})")
+    // quota within one slot of the unrounded proportional share
+    val tw = out.map(_._2).sum
+    out.foreach { case (s, w, q) =>
+      val exact = 997.0 * w / tw
+      assert(q >= exact - 1 && q <= exact + 1, s"$s: $q vs $exact")
+    }
+  }
+
   test("contrastiveBatches: one slot per cluster per batch, overflow " +
     "dropped, singletons spread") {
     import spark.implicits._
