@@ -830,6 +830,63 @@ object Scale {
       |       AND CAST(d.day AS DATE)) AS users_7d
       |FROM daily d ORDER BY event_type, day""".stripMargin
 
+  /** DAU / WAU / MAU — THE product-analytics dashboard row, exact,
+    * from the same bitmap partials: per-day bitmaps union across
+    * event types (one byte-OR fold to a daily GLOBAL bitmap), then
+    * WAU/MAU are trailing 7-/30-day RANGE frames over that
+    * calendar-sized relation. Plain counts cannot do this (a user
+    * active twice in the window must count once — the whole point);
+    * the ratio columns every growth team watches (wau/dau stickiness)
+    * stay exact integers scaled e4 with floor division.
+    */
+  private def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(to_date(col("day")), to_date(lit("2024-01-01")))
+    val daily = spark.read.parquet(seededBitmaps(spark, dir))
+      .groupBy("day")
+      .agg(graft.functions.BitmapDistinct.union(col("bm")).as("bm"))
+      .withColumn("d", dayIdx)
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy("d").rangeBetween(-6, 0)
+    val w30 = org.apache.spark.sql.expressions.Window
+      .orderBy("d").rangeBetween(-29, 0)
+    daily
+      .select(col("day"),
+        graft.functions.BitmapDistinct.cardinality(col("bm")).as("dau"),
+        graft.functions.BitmapDistinct.cardinality(
+          graft.functions.BitmapDistinct.union(col("bm")).over(w7))
+          .as("wau"),
+        graft.functions.BitmapDistinct.cardinality(
+          graft.functions.BitmapDistinct.union(col("bm")).over(w30))
+          .as("mau"))
+      .withColumn("stickiness_e4", expr("(dau * 10000) div wau"))
+      .orderBy("day")
+  }
+
+  private val activeUsersSql =
+    """WITH days AS (
+      |  SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+      |    AS day FROM events)
+      |SELECT d.day,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+      |   WHERE strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') = d.day)
+      |    AS dau,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+      |   WHERE CAST(e.ts AS DATE)
+      |     BETWEEN CAST(d.day AS DATE) - INTERVAL 6 DAY
+      |     AND CAST(d.day AS DATE)) AS wau,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+      |   WHERE CAST(e.ts AS DATE)
+      |     BETWEEN CAST(d.day AS DATE) - INTERVAL 29 DAY
+      |     AND CAST(d.day AS DATE)) AS mau,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+      |   WHERE strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') = d.day)
+      |    * 10000
+      |    // (SELECT count(DISTINCT user_id) FROM events e
+      |       WHERE CAST(e.ts AS DATE)
+      |         BETWEEN CAST(d.day AS DATE) - INTERVAL 6 DAY
+      |         AND CAST(d.day AS DATE)) AS stickiness_e4
+      |FROM days d ORDER BY day""".stripMargin
+
   /** EXACT audience overlap from the same persisted bitmap partials —
     * the bitmap counterpart of `q_hll_intersect`: union each type's
     * daily bitmaps, then |A∩B| is one byte-AND popcount
@@ -1753,6 +1810,7 @@ object Scale {
       Some(bitmapIntersectSql)),
     NamedQuery("q_bitmap_sliding", bitmapSliding,
       Some(bitmapSlidingSql)),
+    NamedQuery("ev_active_users", activeUsers, Some(activeUsersSql)),
     NamedQuery("q_hll_intersect", hllIntersect, None),
     NamedQuery("q_moments_merge", momentsMerge, Some(momentsMergeSql)),
     NamedQuery("q_moments_sliding", momentsSliding, Some(momentsSlidingSql)),
