@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -86,6 +86,13 @@ object GraftSink {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private[sources] def manifestName(v: Int) = f"manifest-v$v%06d"
+
+  /** Field names of the most recent scan's pruned read schema —
+    * makes column pruning spec-observable (the DuneDataSource
+    * inferenceRuns-counter discipline).
+    */
+  val lastScanFields =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
@@ -279,11 +286,20 @@ private class GraftDataWriter(schema: StructType, path: String,
 // ---- read path: latest manifest -> its files, one split per file ----
 
 private class GraftSinkScanBuilder(schema: StructType, path: String,
-    version: Option[Int]) extends ScanBuilder {
-  override def build(): Scan = new GraftSinkScan(schema, path, version)
+    version: Option[Int]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  // column pruning: the reader walks every field positionally (the
+  // line format is schema-ordered) but only MATERIALIZES required
+  // ones — unneeded strings are skipped without unescaping
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftSinkScan(schema, required, path, version)
 }
 
-private class GraftSinkScan(scanSchema: StructType, path: String,
+private class GraftSinkScan(fullSchema: StructType,
+    scanSchema: StructType, path: String,
     version: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
@@ -294,21 +310,23 @@ private class GraftSinkScan(scanSchema: StructType, path: String,
     val m = GraftSink.manifestAt(SparkSession.active, path, version)
       .getOrElse(sys.error(s"graftsink: no committed manifest at $path" +
         version.fold("")(v => s" (version $v)")))
+    GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
     m.files.map(f =>
       GraftFilePartition(s"$path/data/$f"): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(scanSchema, conf)
+    new GraftSinkReaderFactory(fullSchema, scanSchema, conf)
 }
 
 private case class GraftFilePartition(file: String) extends InputPartition
 
-private class GraftSinkReaderFactory(schema: StructType,
+private class GraftSinkReaderFactory(fullSchema: StructType,
+    required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftSinkReader(schema,
+    new GraftSinkReader(fullSchema, required,
       partition.asInstanceOf[GraftFilePartition].file, conf)
 }
 
@@ -317,9 +335,12 @@ private class GraftSinkReaderFactory(schema: StructType,
   * order, internal value representations, `graft.Json` escaping), so
   * the round trip is bit-exact with no timezone/locale/format hop.
   */
-private class GraftSinkReader(schema: StructType, file: String,
-    conf: SerializableConfiguration)
+private class GraftSinkReader(schema: StructType, required: StructType,
+    file: String, conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
+  // position in the OUTPUT row for each file field, -1 = pruned
+  private val outIdx: Array[Int] =
+    schema.fieldNames.map(n => required.fieldNames.indexOf(n))
   private val in = {
     val p = new Path(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -336,30 +357,34 @@ private class GraftSinkReader(schema: StructType, file: String,
   override def close(): Unit = in.close()
 
   private def parse(line: String): InternalRow = {
-    val vals = new Array[Any](schema.length)
+    val vals = new Array[Any](required.length)
     var pos = 1 // past '{'
     var i = 0
     while (i < schema.length) {
       pos = skipString(line, pos) // field name (writer-canonical)
       pos += 1 // ':'
+      val out = outIdx(i)
       if (line.charAt(pos) == '"') {
         val end = skipString(line, pos)
-        vals(i) = UTF8String.fromString(unescape(line, pos + 1, end - 1))
+        if (out >= 0)
+          vals(out) = UTF8String.fromString(unescape(line, pos + 1, end - 1))
         pos = end
       } else {
         var end = pos
         while (end < line.length && line.charAt(end) != ','
           && line.charAt(end) != '}') end += 1
-        val tok = line.substring(pos, end)
-        vals(i) =
-          if (tok == "null") null
-          else schema(i).dataType match {
-            case LongType | TimestampType | TimestampNTZType => tok.toLong
-            case IntegerType | DateType => tok.toInt
-            case DoubleType => tok.toDouble
-            case BooleanType => tok.toBoolean
-            case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
-          }
+        if (out >= 0) {
+          val tok = line.substring(pos, end)
+          vals(out) =
+            if (tok == "null") null
+            else schema(i).dataType match {
+              case LongType | TimestampType | TimestampNTZType => tok.toLong
+              case IntegerType | DateType => tok.toInt
+              case DoubleType => tok.toDouble
+              case BooleanType => tok.toBoolean
+              case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
+            }
+        }
         pos = end
       }
       pos += 1 // ',' or '}'

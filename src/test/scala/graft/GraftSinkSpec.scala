@@ -120,6 +120,21 @@ class GraftSinkSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet === Set(9L))
   }
 
+  test("column pruning reaches the scan: a projection reads only its " +
+    "fields") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    val got = spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+    assert(GraftSink.lastScanFields.get() === Seq("k"),
+      s"pruned read schema was ${GraftSink.lastScanFields.get()}")
+    // full-width read restores the full schema
+    spark.read.format("graftsink").load(dir).collect()
+    assert(GraftSink.lastScanFields.get().toSet ===
+      Set("k", "v", "s", "b"))
+  }
+
   test("unsupported field types are rejected loudly") {
     val dir = freshDir
     val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
