@@ -911,7 +911,53 @@ object Events {
       |GROUP BY a.event_type, a.day
       |ORDER BY a.event_type, day""".stripMargin
 
+  /** Sequence-pattern matching over per-user event TAPES — the
+    * MATCH_RECOGNIZE gap (Spark has no row-pattern clause): each
+    * user's time-ordered event-type initials concatenate into one
+    * string (initials are unique across this domain: c/s/e/v/p), and
+    * "view, then click, then purchase, with no error in between"
+    * becomes the regex `v[^e]*?c[^e]*?p` counted per tape. LAZY
+    * quantifiers on BOTH sides — greedy `[^e]*` could jump a later
+    * 'c' after backtracking, and while both engines implement Perl
+    * leftmost semantics, the lazy form makes the match extents
+    * obviously canonical (earliest continuation, non-overlapping
+    * scan). Result is the matches-per-user histogram. Scale: one
+    * user-keyed sort-aggregate builds tapes (bounded by per-user
+    * activity — sessionize first if users are unbounded); the regex
+    * runs once per tape inside codegen; the histogram is
+    * value-bounded.
+    */
+  private def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val tape = events(spark, dir)
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")))),
+        x => x.getField("ch"))).as("tape"))
+    tape
+      .withColumn("n_matches",
+        size(expr("regexp_extract_all(tape, 'v[^e]*?c[^e]*?p', 0)"))
+          .cast("long"))
+      .groupBy("n_matches")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_matches")
+  }
+
+  private val patternMatchSql =
+    """WITH tape AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS tape
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT user_id,
+      |    CAST(len(regexp_extract_all(tape, 'v[^e]*?c[^e]*?p'))
+      |      AS BIGINT) AS n_matches
+      |  FROM tape)
+      |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY n_matches ORDER BY n_matches""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev_pattern_match", patternMatch, Some(patternMatchSql)),
     NamedQuery("ev_ewma", ewma, Some(ewmaSql)),
     NamedQuery("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
     NamedQuery("ev_cusum", cusum, Some(cusumSql)),
