@@ -526,6 +526,50 @@ object Curation {
       |  floor_q + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS quota
       |FROM d ORDER BY source""".stripMargin
 
+  /** Per-document n-gram NOVELTY — the curriculum/dedup triage score:
+    * what fraction of a doc's 5-gram occurrences appear here FIRST
+    * (by doc_id ingest order) rather than in any earlier document?
+    * ≈1 = fresh content, ≈0 = restatement of the earlier corpus —
+    * finer-grained than pairwise near-dup because it charges partial
+    * copying proportionally. Two gram-keyed shuffles (first-occurrence
+    * fold, then the join-back — the `d_decontaminate` shape; under a
+    * skewed gram distribution the same broadcast maxDf cap applies);
+    * the score is floor-scaled integer division, engine-exact.
+    */
+  private def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir).select(col("doc_id"),
+      explode(word_ngrams(col("text"), 5)).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_e4", expr("(n_novel * 10000) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+      |    '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+      |  WHERE len(t) >= 5),
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM grams
+      |  GROUP BY g),
+      |agg AS (
+      |  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_novel
+      |  FROM grams gr JOIN first f USING (g)
+      |  GROUP BY gr.doc_id)
+      |SELECT doc_id, n_grams, n_novel,
+      |  (n_novel * 10000) // n_grams AS novelty_e4
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   private def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(concat(lit("shuf-v1:"), col("doc_id").cast("string")))
     val sharded = docs(spark, dir)
@@ -654,6 +698,7 @@ object Curation {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("d_quota_alloc", quotaAlloc, Some(quotaAllocSql)),
+    NamedQuery("d_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     NamedQuery("d_pii_scrub", piiScrub, Some(piiScrubSql)),
     NamedQuery("d_temporal_split", temporalSplit, Some(temporalSplitSql)),
     NamedQuery("d_weighted_sample", weightedSample,
