@@ -255,6 +255,27 @@ class CurationSpec extends SparkSpec {
       assert(b <= budget + m, s"shard $sid overshoots: $b > $budget + $m") }
   }
 
+  test("d_ngram_novelty: first doc is fully novel, scores bounded, " +
+    "gram occurrences conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d_ngram_novelty")(spark, sf)
+      .select("doc_id", "n_grams", "n_novel", "novelty_e4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val first = out.minBy(_._1)
+    assert(first._3 === first._2 && first._4 === 10000L,
+      "the earliest doc's grams are all first occurrences")
+    out.foreach { case (id, g, n, e4) =>
+      assert(n >= 0 && n <= g, s"doc $id novel outside [0, n_grams]")
+      assert(e4 === n * 10000L / g, s"doc $id score arithmetic")
+    }
+    // every gram occurrence is novel in exactly one doc's ledger:
+    // Σ n_novel = number of DISTINCT grams corpus-wide... no — novelty
+    // counts OCCURRENCES in the first doc, so Σ n_novel counts each
+    // distinct gram's occurrences within its first doc only; bound it
+    assert(out.map(_._3).sum <= out.map(_._2).sum)
+  }
+
   test("d_quota_alloc: quotas sum exactly to the budget and respect " +
     "weight order") {
     val out = SparkEntry.queries("d_quota_alloc")(

@@ -134,6 +134,20 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_pattern_match histogram partitions the user population") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("ev_pattern_match")(spark, sf)
+      .select("n_matches", "n_users")
+      .as[(Long, Long)].collect()
+    val nUsers = Events.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(hist.map(_._2).sum === nUsers,
+      "every user appears in exactly one histogram bucket")
+    assert(hist.map(_._1).distinct.length === hist.length)
+    assert(hist.forall(_._1 >= 0))
+  }
+
   test("ev_ewma: Q20 fixed-point laws on a constant series") {
     import spark.implicits._
     // one event of $100.00/day for 25 days: daily cents = 10000.
