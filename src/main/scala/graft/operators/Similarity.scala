@@ -527,9 +527,60 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Sign-band LSH candidate pairs with exact cosine verification —
+    * the bucketed edge generator for similarity-GRAPH queries
+    * (`g_triangles` / `g_clustering`), replacing [[nearDupPairs]]'s
+    * crossJoin on their path. The banding is DETERMINISTIC and
+    * engine-portable by construction: band `k`'s key is the integer
+    * packing of `sign(embedding[k·bits + i]) for i in 1..bits`
+    * (1-indexed, matching SQL array semantics) — no hash function, no
+    * random hyperplanes — so a SQL oracle recomputes the SAME key from
+    * the same parquet floats and the emitted relation is exactly
+    * checkable despite being a recall-lossy subset of the brute-force
+    * pair set. (Sign bits ARE a signed-random-projection family with
+    * the axis-aligned hyperplanes; collision probability per bit is
+    * 1 − θ/π, so high-cosine pairs — the ones that form duplicate
+    * communities — survive banding with high probability.)
+    *
+    * The 100 TB contract: one explode to `bands` keyed rows per
+    * vector, a self-equi-join on (band, key) — hash shuffle, never
+    * Cartesian — a pair-dedup, and exact cosine re-verification of
+    * candidates only. Pairwise work is Σ_bucket |bucket|² with
+    * E|bucket| ≈ n / 2^bits per band: `bits` is the knob that grows
+    * with corpus size (8–16 at real scale), exactly like MinHash band
+    * width. Precision is 1.0 (every emitted pair carries its exact
+    * cosine, re-checked against the threshold); recall is fixed by the
+    * band scheme and identical in any engine that replays it.
+    */
+  def signBandPairs(embeddings: DataFrame, threshold: Double,
+      bands: Int = 10, bits: Int = 6): DataFrame = {
+    val key = (0 until bits).map { i =>
+      when(element_at(col("embedding"),
+        (col("band") * bits + i + 1).cast("int")) >= 0f,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val keyed = Ops.spreadNarrow(embeddings)
+      .select(col("id"), col("embedding"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key", key)
+    val a = keyed.select(col("band"), col("key"), col("id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = keyed.select(col("band"), col("key"), col("id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair colliding in several bands must be scored/emitted once
+      .select("id_a", "id_b", "emb_a", "emb_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine_sim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute-force pair generation — the exact-answer baseline; LSH
-    * bucketing (as in [[lshTopK]]) is the approximate scale path.
+    * bucketing ([[signBandPairs]], or [[lshTopK]]'s hashed variant) is
+    * the scale path.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     // spread side a: CartesianExec pairs partitions, so a 1x1-partition

@@ -1285,23 +1285,54 @@ object TrainingData {
     * algorithm): the structural step between pairwise similarity and
     * cluster quality — triangle-dense regions are true duplicate
     * communities, triangle-free chains are the transitive-closure
-    * artifacts a curator treats with suspicion. Exact oracle: DuckDB
-    * three-way self-join over the same canonical (a < b) pair
-    * relation.
+    * artifacts a curator treats with suspicion.
+    *
+    * The edge list is [[Similarity.signBandPairs]] — deterministic
+    * sign-band LSH candidates re-verified by exact cosine — NOT the
+    * brute-force crossJoin: at 100 TB the edge generation must be
+    * bucketed (a key-equi shuffle), and because the banding is a pure
+    * function of the stored floats the oracle replays the identical
+    * relation, keeping the triangle enumeration EXACTLY checkable.
+    * The brute-force pair relation stays oracle-anchored through
+    * `e_neardup_pairs` / `e_dup_clusters`. A PlanSpec gate pins
+    * no-CartesianProduct on this query's physical plan.
     */
   private def dupTriangles(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangles(
-      Similarity.nearDupPairs(
+      Similarity.signBandPairs(
         embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-        threshold = 0.3))
+        threshold = 0.3, bands = 10, bits = 6))
       .orderBy("x", "y", "z")
 
+  /** Shared oracle preamble: the sign-band candidate relation (band
+    * key = integer-packed signs of six consecutive dims, 1-indexed —
+    * the exact SQL mirror of [[Similarity.signBandPairs]]) joined back
+    * to embeddings for exact-cosine verification at 0.3.
+    */
+  private val bandPairsCte =
+    """WITH keyed AS (
+      |  SELECT vec_id, band,
+      |    (CASE WHEN embedding[band*6+1] >= 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN embedding[band*6+2] >= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[band*6+3] >= 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[band*6+4] >= 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN embedding[band*6+5] >= 0 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN embedding[band*6+6] >= 0 THEN 32 ELSE 0 END) AS key
+      |  FROM embeddings, range(0, 10) r(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM keyed a JOIN keyed b
+      |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b
+      |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |      CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3)""".stripMargin
+
   private val dupTrianglesSql =
-    """WITH pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.3)
+    s"""$bandPairsCte
       |SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z
       |FROM pairs p1
       |JOIN pairs p2 ON p2.id_a = p1.id_b
@@ -1311,23 +1342,21 @@ object TrainingData {
   /** Local clustering coefficient over the same near-dup graph
     * ([[graft.operators.Graph.clusteringCoefficient]]): coefficient
     * ≈ 1 marks clique-like duplicate communities, ≈ 0 the hub nodes a
-    * transitive-closure dedup should distrust. Exact oracle: DuckDB
-    * recomputes triangles by three-way pair self-join and degrees by
-    * endpoint unnest.
+    * transitive-closure dedup should distrust. Edges come from the
+    * same [[Similarity.signBandPairs]] bucketed generator as
+    * `g_triangles` (see there for the oracle-replayable banding);
+    * DuckDB recomputes triangles by three-way pair self-join and
+    * degrees by endpoint unnest over the identical relation.
     */
   private def dupClustering(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.clusteringCoefficient(
-      Similarity.nearDupPairs(
+      Similarity.signBandPairs(
         embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-        threshold = 0.3))
+        threshold = 0.3, bands = 10, bits = 6))
       .orderBy("node")
 
   private val dupClusteringSql =
-    """WITH pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.3),
+    s"""$bandPairsCte,
       |deg AS (SELECT node, count(*) AS degree FROM (
       |    SELECT id_a AS node FROM pairs
       |    UNION ALL SELECT id_b FROM pairs)

@@ -491,6 +491,21 @@ class PlanSpec extends SparkSpec {
       s"reconciliation must stay hash-joined:\n$p")
   }
 
+  test("g_triangles / g_clustering: edge generation is the bucketed " +
+      "sign-band join — no CartesianProduct anywhere in the plan") {
+    for (name <- Seq("g_triangles", "g_clustering")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name edge list must come from the (band, key) equi join, " +
+          s"never an all-pairs product:\n$p")
+      // the candidate generator's band join is a hash-partitioned
+      // equi join on (band, key) — visible as a SortMergeJoin or
+      // ShuffledHashJoin keyed on band
+      assert(p.contains("band"), s"$name lost the band-keyed join:\n$p")
+    }
+  }
+
   test("q_dim_lookup: SCD2 interval lookup is an EQUI join on the key " +
     "with the validity interval as residual, never a nested loop") {
     val p = finalPlan(q("q_dim_lookup"))

@@ -70,6 +70,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.6, s"declared tolerance floor violated at sf0.001: $r8")
   }
 
+  test("signBandPairs: non-empty, precision 1.0 vs the exact relation, " +
+      "and deterministic across runs") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = toSet(Similarity.nearDupPairs(all, 0.3))
+    val banded = toSet(Similarity.signBandPairs(all, 0.3))
+    assert(banded.nonEmpty, "band scheme found no candidate pairs")
+    // precision 1.0: every emitted pair carries a re-verified exact
+    // cosine, so banding can only LOSE pairs, never invent them
+    assert(banded.subsetOf(exact),
+      s"banded pairs outside the exact relation: ${banded.diff(exact)}")
+    // the banding is a pure function of the stored floats — two runs
+    // produce the identical relation (what makes it oracle-replayable)
+    assert(toSet(Similarity.signBandPairs(all, 0.3)) == banded)
+    // wider bands (fewer bits) only ADD candidates: recall is monotone
+    val wider = toSet(Similarity.signBandPairs(all, 0.3, bands = 10,
+      bits = 4))
+    assert(banded.subsetOf(wider) || wider.size >= banded.size)
+  }
+
   test("lshTopK scores agree with brute force on recalled pairs") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
