@@ -60,13 +60,20 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       sys.error("graftsink requires .option(\"path\", dir) / save(dir)"))
 
-  /** Reads resolve the schema from the latest committed manifest. */
+  /** Reads resolve the schema from the manifest they will scan: a
+    * pinned `version` option resolves ITS manifest, so time travel
+    * across a truncate-with-new-schema parses the old files with the
+    * old schema (positional line format — the wrong schema would
+    * mis-type or throw), not the latest one.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    GraftSink.latestManifest(spark, root(options))
+    val version = Option(options.get("version")).map(_.toInt)
+    GraftSink.manifestAt(spark, root(options), version)
       .map(m => StructType.fromDDL(m.schemaDdl))
       .getOrElse(sys.error(
-        s"graftsink: no committed manifest under ${root(options)}"))
+        s"graftsink: no committed manifest under ${root(options)}" +
+          version.fold("")(v => s" (version $v)")))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -104,38 +111,121 @@ object GraftSink {
       .sorted.lastOption
   }
 
+  /** Terminator line: a manifest is COMPLETE only when it ends with
+    * this marker. A writer that dies mid-manifest leaves a detectable
+    * torn file instead of a silently truncated file list.
+    */
+  private[sources] val EofMarker = "#eof"
+
+  /** A concurrent committer claimed this version first — the caller
+    * must re-read the latest state and retry at the next version.
+    */
+  final class ManifestCollisionException(version: Int, cause: Throwable)
+    extends RuntimeException(
+      s"graftsink: manifest v$version already exists (concurrent writer)",
+      cause)
+
   /** The manifest is two-part plain text: line 1 = schema DDL, every
-    * further line = one committed data file name. No JSON parse on
-    * the read path.
+    * further line = one committed data file name, final line = the
+    * `#eof` completeness marker. No JSON parse on the read path.
     */
   def latestManifest(spark: SparkSession, dir: String): Option[Manifest] =
     manifestAt(spark, dir, None)
 
   /** Time-travel resolution: a pinned `version` reads that manifest
-    * (absent => error surfaces at planInputPartitions); None = latest.
+    * (absent or torn ⇒ error surfaces at planInputPartitions); None =
+    * the latest COMPLETE manifest — a torn leftover from a crashed
+    * committer is skipped, the table stays readable at its previous
+    * version.
     */
   def manifestAt(spark: SparkSession, dir: String,
-      version: Option[Int]): Option[Manifest] =
-    version.orElse(latestVersion(spark, dir)).map { v =>
-      val f = fs(spark, dir)
+      version: Option[Int]): Option[Manifest] = {
+    val f = fs(spark, dir)
+    def read(v: Int): Option[Manifest] = {
       val in = f.open(new Path(dir, manifestName(v)))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-      Manifest(v, lines.head, lines.tail)
+      if (lines.lastOption.contains(EofMarker))
+        Some(Manifest(v, lines.head, lines.tail.dropRight(1)))
+      else None // torn: writer died mid-manifest
     }
+    version match {
+      case Some(v) => Some(read(v).getOrElse(sys.error(
+        s"graftsink: manifest v$v at $dir is incomplete (torn write)")))
+      case None =>
+        // newest complete manifest wins; torn tails are skipped
+        fsVersionsDesc(spark, dir).iterator.map(read)
+          .collectFirst { case Some(m) => m }
+    }
+  }
 
+  private def fsVersionsDesc(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-v"))
+      .map(_.stripPrefix("manifest-v").toInt)
+      .sorted(Ordering.Int.reverse).toSeq
+  }
+
+  /** Publish one version: exclusive-create the manifest file
+    * (`create(overwrite = false)`) so a version collision between two
+    * concurrent committers surfaces as [[ManifestCollisionException]]
+    * instead of one writer's rename silently replacing the other's
+    * manifest (POSIX/LocalFileSystem rename overwrites — the round-4
+    * lost-update hazard). Content ends with [[EofMarker]]; readers
+    * treat a marker-less file as torn and skip it.
+    */
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
       files: Seq[String]): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
-    val tmp = new Path(dir, s".${manifestName(version)}.staged")
-    val out = f.create(tmp, true)
-    try out.write((schemaDdl +: files).mkString("\n").getBytes("UTF-8"))
+    val dst = new Path(dir, manifestName(version))
+    val out =
+      try f.create(dst, false)
+      catch { case e: java.io.IOException =>
+        throw new ManifestCollisionException(version, e)
+      }
+    try out.write(((schemaDdl +: files) :+ EofMarker)
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, new Path(dir, manifestName(version))))
-      sys.error(s"graftsink: manifest v$version commit rename failed " +
-        "(concurrent writer?)")
+  }
+
+  /** The commit point's read-modify-write, made collision-safe: read
+    * the latest complete manifest, gate the schema on append (the line
+    * format is positional against ONE schema — appending a different
+    * shape would corrupt reads of the carried-forward files), attempt
+    * the next version exclusively, and on collision re-read and retry
+    * so the surviving manifest contains BOTH writers' files. Returns
+    * the published version.
+    */
+  private[sources] def publish(spark: SparkSession,
+      conf: SerializableConfiguration, dir: String, schemaDdl: String,
+      newFiles: Seq[String], truncate: Boolean,
+      maxRetries: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      val prev = if (truncate) None else latestManifest(spark, dir)
+      prev.foreach { m =>
+        if (m.schemaDdl != schemaDdl) sys.error(
+          "graftsink: append schema does not match the table schema " +
+            s"(table: ${m.schemaDdl}; write: $schemaDdl). Use " +
+            "mode(\"overwrite\") to replace the table shape.")
+      }
+      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      try {
+        writeManifest(conf, dir, version, schemaDdl,
+          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles)
+        return version
+      } catch {
+        case e: ManifestCollisionException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   private[sources] def checkSupported(schema: StructType): Unit =
@@ -204,14 +294,8 @@ private class GraftBatchWrite(schema: StructType, path: String,
       if (!f.rename(new Path(staging, name), new Path(dataDir, name)))
         sys.error(s"graftsink: staging->data rename failed for $name")
     }
-    val spark = SparkSession.active
-    val prev =
-      if (truncateFirst) Seq.empty
-      else GraftSink.latestManifest(spark, path).map(_.files)
-        .getOrElse(Seq.empty)
-    val version = GraftSink.latestVersion(spark, path).getOrElse(-1) + 1
-    GraftSink.writeManifest(conf, path, version, schema.toDDL,
-      prev ++ committed)
+    GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
+      committed.toSeq, truncateFirst)
     f.delete(staging, true)
   }
 

@@ -135,6 +135,63 @@ class GraftSinkSpec extends SparkSpec {
       Set("k", "v", "s", "b"))
   }
 
+  test("append with a different schema is rejected before publishing") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    // same arity, different name+type: positional parse would silently
+    // mis-type the carried-forward files — must fail loudly instead
+    val e = intercept[Exception] {
+      Seq((2L, 0.5)).toDF("k", "ratio").write.format("graftsink")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema")))
+    // the table is untouched: still v0 with one row
+    assert(GraftSink.latestVersion(spark, dir) === Some(0))
+    assert(spark.read.format("graftsink").load(dir).count() === 1)
+    // overwrite with the new shape IS allowed
+    Seq((2L, 0.5)).toDF("k", "ratio").write.format("graftsink")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graftsink").load(dir)
+      .columns.toSeq === Seq("k", "ratio"))
+  }
+
+  test("time travel across a schema change uses the pinned version's " +
+    "schema") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    Seq((0.5, 7L)).toDF("ratio", "n").write.format("graftsink")
+      .mode("overwrite").save(dir)
+    val v0 = spark.read.format("graftsink").option("version", 0).load(dir)
+    assert(v0.columns.toSeq === Seq("k", "s"))
+    assert(v0.select("s").as[String].head() === "a")
+    val v1 = spark.read.format("graftsink").load(dir)
+    assert(v1.columns.toSeq === Seq("ratio", "n"))
+  }
+
+  test("a torn (marker-less) manifest is skipped; the table stays " +
+    "readable at its previous version") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    // a committer that died mid-manifest: v1 exists but has no #eof
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(dir, "manifest-v000001")
+    val o = fs.create(torn, true)
+    o.write("k BIGINT,s STRING\nsome-file".getBytes("UTF-8"))
+    o.close()
+    val back = spark.read.format("graftsink").load(dir)
+    assert(back.count() === 1)
+    // the NEXT commit must not collide forever: it claims v2
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(2))
+    assert(spark.read.format("graftsink").load(dir).count() === 2)
+  }
+
   test("unsupported field types are rejected loudly") {
     val dir = freshDir
     val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
