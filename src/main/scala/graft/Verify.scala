@@ -42,6 +42,23 @@ object Verify {
           s"${q("pass")}: ${c.pass}, ${q("note")}: ${q(c.note)}}"
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/tolerance_check.json"), checks)
+      // The same artifact, committed IN the repo beside the driver's
+      // CORRECTNESS_r{n}.json (round = max existing + 1), so the 22
+      // no-oracle rows are auditable from the repo alone instead of a
+      // /tmp scratch dir. Best-effort: skipped when cwd isn't the repo.
+      try {
+        val here = Paths.get(".").toAbsolutePath
+        if (Files.exists(here.resolve("build.sbt"))) {
+          val pat = "CORRECTNESS_r(\\d+)\\.json".r
+          val round = Files.list(here).toArray.map(_.toString)
+            .flatMap(p => pat.findFirstMatchIn(p).map(_.group(1).toInt))
+            .maxOption.getOrElse(0) + 1
+          Files.writeString(
+            here.resolve(f"TOLERANCE_r$round%02d.json"), checks)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] tolerance repo copy failed: ${e.getMessage}")
+      }
       // One sidecar per no-oracle query, beside its result dir: a
       // `no_oracle` row in the driver's correctness table is never
       // opaque — the quantified bound sits right next to the parquet

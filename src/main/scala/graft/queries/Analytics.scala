@@ -382,14 +382,22 @@ object Analytics {
       .withColumn("cuma", sum("ca").over(walk))
       .withColumn("cumb", sum("cb").over(walk))
       .crossJoin(broadcast(totals))
+      // DECIMAL(38,0) cross-multiplication: n_base*n_curr (and dev,
+      // bounded by it) exceeds BIGINT past ~3e9 rows PER SIDE — tiny
+      // against the 100 TB target. decimal(19,0)x(19,0) products stay
+      // exact to 1e38, and dev*1e6 still fits while either side is
+      // under ~1e16 rows; `div` (IntegralDivide) floors to BIGINT.
       .withColumn("dev",
-        abs(col("n_curr") * col("cuma") - col("n_base") * col("cumb")))
+        abs(col("n_curr").cast("decimal(19,0)") * col("cuma") -
+          col("n_base").cast("decimal(19,0)") * col("cumb")))
       .withColumn("pick", row_number().over(
         Window.orderBy(col("dev").desc, col("grid"))))
       .filter(col("pick") === 1)
       .select(col("grid").as("at_grid"), col("n_base"), col("n_curr"),
         col("dev").as("d_num"),
-        expr("dev * 1000000 div (n_base * n_curr)").as("d_e6"))
+        expr("CAST((dev * 1000000) div " +
+          "(CAST(n_base AS DECIMAL(19,0)) * n_curr) AS BIGINT)")
+          .as("d_e6"))
   }
 
   private val driftKsSql =
@@ -410,12 +418,15 @@ object Analytics {
       |    CAST(sum(ca) OVER () AS BIGINT) AS n_base,
       |    CAST(sum(cb) OVER () AS BIGINT) AS n_curr
       |  FROM counts),
-      |dev AS (SELECT *, abs(n_curr * cuma - n_base * cumb) AS dev
+      |dev AS (SELECT *, abs(CAST(n_curr AS HUGEINT) * cuma
+      |    - CAST(n_base AS HUGEINT) * cumb) AS dev
       |  FROM walk),
       |pick AS (SELECT *, row_number() OVER (ORDER BY dev DESC, grid)
       |    AS pick FROM dev)
-      |SELECT grid AS at_grid, n_base, n_curr, dev AS d_num,
-      |  dev * 1000000 // (n_base * n_curr) AS d_e6
+      |SELECT grid AS at_grid, n_base, n_curr,
+      |  CAST(dev AS DECIMAL(38,0)) AS d_num,
+      |  CAST(dev * 1000000 // (CAST(n_base AS HUGEINT) * n_curr)
+      |    AS BIGINT) AS d_e6
       |FROM pick WHERE pick = 1""".stripMargin
 
   private val driftPsiSql =
