@@ -33,18 +33,30 @@ class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
   def targetPath(spec: TableSpec): String =
     s"$warehouseDir/${spec.targetTable.replace('.', '/')}"
 
-  def runJob(spec: TableSpec): JobResult = {
+  def runJob(spec: TableSpec): JobResult = runJob(spec, RunOptions())
+
+  /** One job under per-invocation options: `--full-refresh` skips the
+    * watermark probe entirely and reloads; `--incremental-value`
+    * substitutes the given value for the target's MAX (the reference's
+    * developer override, `arguments.py:18-24`) — both leave the spec's
+    * own strategy untouched for the next unadorned run.
+    */
+  def runJob(spec: TableSpec, opts: RunOptions): JobResult = {
     meta.startJob(spec.jobName)
     val attempt = Try {
       val path = targetPath(spec)
       val watermark = (spec.strategy, spec.watermarkCol) match {
+        case _ if opts.fullRefresh => None
         case (Incremental, Some(c)) =>
-          // partitionCol (derived from the watermark, hence monotone
-          // with it) prunes the MAX probe to one partition directory
-          Ops.maxWatermark(spark, path, c, spec.partitionCol)
+          opts.incrementalValue.orElse {
+            // partitionCol (derived from the watermark, hence monotone
+            // with it) prunes the MAX probe to one partition directory
+            Ops.maxWatermark(spark, path, c, spec.partitionCol)
+          }
         case _ => None
       }
-      val doFull = spec.strategy == FullRefresh || watermark.isEmpty
+      val doFull = opts.fullRefresh ||
+        spec.strategy == FullRefresh || watermark.isEmpty
       val fetched = source.fetch(spark, spec, watermark)
       val shaped = Ops.auditStamp(
         Ops.applyDerived(
@@ -70,8 +82,19 @@ class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
   /** Run every spec whose job is active in the control table, in order,
     * isolating failures per job.
     */
-  def run(specs: Seq[TableSpec]): Seq[JobResult] = {
+  def run(specs: Seq[TableSpec]): Seq[JobResult] = run(specs, RunOptions())
+
+  /** The metadata-driven loop under CLI options: `--select` narrows to
+    * the named jobs but never overrides the control table's active
+    * flag (an operator can point a run at one table; they cannot
+    * resurrect a disabled job from the command line — the active flag
+    * stays the system of record; reference CLI surface
+    * `arguments.py:26-33`).
+    */
+  def run(specs: Seq[TableSpec], opts: RunOptions): Seq[JobResult] = {
     val active = meta.activeJobs.collect().map(_.job_name).toSet
-    specs.filter(s => active(s.jobName)).map(runJob)
+    specs.filter(s => active(s.jobName))
+      .filter(s => opts.select.forall(_.contains(s.jobName)))
+      .map(runJob(_, opts))
   }
 }

@@ -12,12 +12,19 @@ import graft.sources.FixtureSource
 /** Smoke entry: runs the full metadata-driven pipeline over synthesized
   * bitcoin-shaped fixtures — full refresh, then an incremental delta,
   * then a round with one broken job to show per-job error isolation.
-  * `sbt "runMain graft.tools.PipelineDemo [workDir]"`
+  * `sbt "runMain graft.tools.PipelineDemo [workDir] [options]"`
+  *
+  * Options mirror the reference CLI (`arguments.py:1-41`): when any of
+  * `--select job...` / `--full-refresh` / `--incremental-value v` is
+  * given, a fourth round re-runs the sync under those options after
+  * the demo rounds, printing what the flags changed.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse(
+    val base = args.headOption.filterNot(_.startsWith("--")).getOrElse(
       Files.createTempDirectory("graft_demo").toString)
+    val opts = graft.runner.RunOptions.parse(
+      args.dropWhile(!_.startsWith("--")).toSeq)
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-pipeline-demo")
@@ -70,6 +77,11 @@ object PipelineDemo {
     Files.delete(Paths.get(s"$fixtures/2177353.json"))
     pipe.run(Seq(BitcoinWarehouse.inputs, BitcoinWarehouse.block))
       .foreach(r => println(s"   $r"))
+
+    if (!opts.isDefault) {
+      println(s"== round 4: CLI-driven run: $opts")
+      pipe.run(specs, opts).foreach(r => println(s"   $r"))
+    }
 
     println("== final etl_job control table:")
     meta.all.orderBy("job_name").show(false)

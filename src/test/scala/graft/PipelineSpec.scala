@@ -127,6 +127,64 @@ class PipelineSpec extends SparkSpec {
     assert(t1fee == 0.01, "stale pre-watermark repeat must not apply")
   }
 
+  test("CLI options: --select narrows the run, --full-refresh forces a " +
+    "reload, --incremental-value overrides the watermark") {
+    val base = tmpDir("cli")
+    val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
+    val prices = BitcoinWarehouse.pricesUsd
+    val block = BitcoinWarehouse.block
+    writeFixture(fixtures, prices.queryId, Seq(
+      """{"date": "2025-01-01", "price": 95000.0}""",
+      """{"date": "2025-01-02", "price": 96000.0}"""))
+    val meta = new JobStateStore(spark, s"$base/etl_job")
+    seedJobs(meta, Seq(prices, block), Set(prices.jobName, block.jobName))
+    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+      s"$base/warehouse")
+
+    // --select: only prices runs even though block is active (and its
+    // missing fixture would otherwise record a failure)
+    val opts1 = graft.runner.RunOptions.parse(
+      Seq("--select", prices.jobName))
+    val r1 = pipe.run(Seq(prices, block), opts1)
+    assert(r1.map(_.jobName) == Seq(prices.jobName))
+    assert(r1.head.rows == 2L && r1.head.fullRefresh)
+
+    // --incremental-value: explicit watermark replaces the target MAX —
+    // '2024-12-31' re-admits BOTH fixture rows (the stored max
+    // 2025-01-02 would admit neither), so a changed 01-02 price lands
+    writeFixture(fixtures, prices.queryId, Seq(
+      """{"date": "2025-01-01", "price": 95000.0}""",
+      """{"date": "2025-01-02", "price": 1.0}"""))
+    val r2 = pipe.run(Seq(prices), graft.runner.RunOptions.parse(
+      Seq("--select", prices.jobName, "--incremental-value", "2024-12-31")))
+    assert(!r2.head.fullRefresh && r2.head.rows == 2L)
+    val p0102 = spark.read.parquet(pipe.targetPath(prices))
+      .filter($"date" === "2025-01-02")
+      .select("price_in_dollar").as[Double].head()
+    assert(p0102 == 1.0,
+      "the overridden watermark must re-admit the changed row")
+
+    // --full-refresh: watermark skipped entirely, target rebuilt from
+    // the (now 1-row) fixture
+    writeFixture(fixtures, prices.queryId, Seq(
+      """{"date": "2025-02-01", "price": 99000.0}"""))
+    val r3 = pipe.run(Seq(prices), graft.runner.RunOptions.parse(
+      Seq("--full-refresh")))
+    assert(r3.head.fullRefresh && r3.head.rows == 1L)
+    assert(spark.read.parquet(pipe.targetPath(prices)).count() == 1L)
+
+    // parse errors are loud
+    intercept[RuntimeException] {
+      graft.runner.RunOptions.parse(Seq("--ful-refresh"))
+    }
+    intercept[RuntimeException] {
+      graft.runner.RunOptions.parse(Seq("--incremental-value"))
+    }
+    intercept[RuntimeException] {
+      graft.runner.RunOptions.parse(Seq("--select", "--full-refresh"))
+    }
+  }
+
   test("inactive jobs are skipped (metadata scan WHERE active=1)") {
     val base = tmpDir("inact")
     val fixtures = s"$base/fixtures"; Files.createDirectories(Paths.get(fixtures))
