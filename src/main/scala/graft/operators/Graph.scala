@@ -32,9 +32,14 @@ object Graph {
     * (x, y, z).
     */
   def triangles(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    // canonicalize: undirected, loop-free, deduped on (min, max)
-    val edges = pairs
+      bCol: String = "id_b", canonical: Boolean = false): DataFrame = {
+    // canonicalize: undirected, loop-free, deduped on (min, max) —
+    // skipped (one full shuffle saved) when the caller vouches the
+    // relation is already in that form
+    val edges = if (canonical)
+      pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+    else pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
@@ -93,7 +98,7 @@ object Graph {
       .distinct()
     val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val triPerNode = triangles(edges, "a", "b")
+    val triPerNode = triangles(edges, "a", "b", canonical = true)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     deg.join(triPerNode, Seq("node"), "left")

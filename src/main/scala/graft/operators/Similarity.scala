@@ -569,12 +569,16 @@ object Similarity {
       col("embedding").as("emb_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      // a pair colliding in several bands must be scored/emitted once
-      .select("id_a", "id_b", "emb_a", "emb_b")
-      .dropDuplicates("id_a", "id_b")
+      // score BEFORE the dedup: cosine is a pure function of the pair,
+      // so a multi-band collision re-computes the identical value but
+      // the dedup shuffle then carries (id, id, cosine) — not two
+      // embedding vectors per row. At scale that's the difference
+      // between shuffling candidate ids and shuffling the corpus.
       .withColumn("cosine", round(cosine_sim(col("emb_a"), col("emb_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      // a pair colliding in several bands must be emitted once
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).

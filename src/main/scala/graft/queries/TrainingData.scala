@@ -1301,7 +1301,10 @@ object TrainingData {
     graft.operators.Graph.triangles(
       Similarity.signBandPairs(
         embs(spark, dir).select(col("vec_id").as("id"), col("embedding")),
-        threshold = 0.3, bands = 10, bits = 6))
+        threshold = 0.3, bands = 10, bits = 6),
+      // signBandPairs emits id_a < id_b, deduped — already canonical,
+      // so the enumeration skips its re-canonicalization shuffle
+      canonical = true)
       .orderBy("x", "y", "z")
 
   /** Shared oracle preamble: the sign-band candidate relation (band
