@@ -159,8 +159,35 @@ object Ingest {
       |FROM orders WHERE o_orderstatus IN ('F', 'P')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Change-feed read over the seeded sink: `changesFrom = 0` scans
+    * ONLY the files the v1 append added (the P orders) — incremental
+    * consumption of an append-only table with no rescan of the carried
+    * v0 files. The oracle recomputes the same slice from the raw
+    * orders table; at 100 TB this is the downstream-ETL primitive that
+    * replaces "diff two snapshots" (two full scans + an anti-join)
+    * with a manifest file-set difference (driver-side metadata only).
+    */
+  private def sinkChanges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").option("changesFrom", 0)
+      .load(seededSink(spark, dir))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(to_date(col("o_orderdate")).cast("string")).as("last_day"))
+      .orderBy("status")
+
+  private val sinkChangesSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
+      |FROM orders WHERE o_orderstatus = 'P'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
     NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
-    NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)))
+    NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
+    NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)))
 }

@@ -63,8 +63,10 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
   /** Reads resolve the schema from the manifest they will scan: a
     * pinned `version` option resolves ITS manifest, so time travel
     * across a truncate-with-new-schema parses the old files with the
-    * old schema (positional line format — the wrong schema would
-    * mis-type or throw), not the latest one.
+    * old schema, not the latest one (each file is parsed under its own
+    * recorded schema and reconciled by name — see the reader). A
+    * change-feed read (`changesFrom`) presents its TARGET version's
+    * schema, like any snapshot read of that version.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
@@ -86,8 +88,14 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
 
 /** Driver-side manifest helpers (shared with specs/queries). */
 object GraftSink {
+  /** One committed data file and the schema its lines were written
+    * under — files written before a schema evolution keep their
+    * original shape and are reconciled BY NAME at read time.
+    */
+  final case class ManifestFile(name: String, schemaDdl: String)
+
   final case class Manifest(version: Int, schemaDdl: String,
-      files: Seq[String])
+      files: Seq[ManifestFile])
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,9 +133,11 @@ object GraftSink {
       s"graftsink: manifest v$version already exists (concurrent writer)",
       cause)
 
-  /** The manifest is two-part plain text: line 1 = schema DDL, every
-    * further line = one committed data file name, final line = the
-    * `#eof` completeness marker. No JSON parse on the read path.
+  /** The manifest is plain text: line 1 = the TABLE schema DDL, every
+    * further line = one committed data file as `name<TAB>fileDdl`
+    * (a bare name means the file was written under the table schema),
+    * final line = the `#eof` completeness marker. No JSON parse on the
+    * read path.
     */
   def latestManifest(spark: SparkSession, dir: String): Option[Manifest] =
     manifestAt(spark, dir, None)
@@ -146,9 +156,15 @@ object GraftSink {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-      if (lines.lastOption.contains(EofMarker))
-        Some(Manifest(v, lines.head, lines.tail.dropRight(1)))
-      else None // torn: writer died mid-manifest
+      if (lines.lastOption.contains(EofMarker)) {
+        val tableDdl = lines.head
+        Some(Manifest(v, tableDdl, lines.tail.dropRight(1).map { l =>
+          l.split("\t", 2) match {
+            case Array(name, ddl) => ManifestFile(name, ddl)
+            case Array(name)      => ManifestFile(name, tableDdl)
+          }
+        }))
+      } else None // torn: writer died mid-manifest
     }
     version match {
       case Some(v) => Some(read(v).getOrElse(sys.error(
@@ -180,7 +196,7 @@ object GraftSink {
     */
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
-      files: Seq[String]): Unit = {
+      files: Seq[ManifestFile]): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
     val out =
@@ -188,36 +204,72 @@ object GraftSink {
       catch { case e: java.io.IOException =>
         throw new ManifestCollisionException(version, e)
       }
-    try out.write(((schemaDdl +: files) :+ EofMarker)
+    val fileLines = files.map { mf =>
+      if (mf.schemaDdl == schemaDdl) mf.name
+      else s"${mf.name}\t${mf.schemaDdl}"
+    }
+    try out.write(((schemaDdl +: fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** The published table schema for an append: unchanged when the
+    * write matches; under `evolve`, the union (existing columns first,
+    * genuinely new columns appended) — legal only if every SHARED
+    * column keeps its exact type, because each file is parsed under
+    * its own recorded schema and reconciled by name, never re-typed.
+    */
+  private[sources] def evolvedDdl(prevDdl: String, writeDdl: String,
+      evolve: Boolean): String = {
+    if (prevDdl == writeDdl) prevDdl
+    else if (!evolve) sys.error(
+      "graftsink: append schema does not match the table schema " +
+        s"(table: $prevDdl; write: $writeDdl). Use mode(\"overwrite\") " +
+        "to replace the table shape, or .option(\"evolveSchema\", true) " +
+        "to add new columns.")
+    else {
+      val prev = StructType.fromDDL(prevDdl)
+      val incoming = StructType.fromDDL(writeDdl)
+      val prevByName = prev.fields.map(f => f.name -> f).toMap
+      incoming.fields.foreach { f =>
+        prevByName.get(f.name).foreach { p =>
+          if (p.dataType != f.dataType) sys.error(
+            s"graftsink: evolveSchema cannot re-type column ${f.name} " +
+              s"(table: ${p.dataType.sql}; write: ${f.dataType.sql})")
+        }
+      }
+      // added columns are ALWAYS nullable in the table schema: every
+      // pre-evolution file lacks them, so readers must be allowed to
+      // produce null (a non-nullable read schema would make codegen
+      // skip the null check and fabricate zeros)
+      val added = incoming.fields.filterNot(f => prevByName.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(prev.fields ++ added).toDDL
+    }
+  }
+
   /** The commit point's read-modify-write, made collision-safe: read
-    * the latest complete manifest, gate the schema on append (the line
-    * format is positional against ONE schema — appending a different
-    * shape would corrupt reads of the carried-forward files), attempt
-    * the next version exclusively, and on collision re-read and retry
-    * so the surviving manifest contains BOTH writers' files. Returns
-    * the published version.
+    * the latest complete manifest, gate (or evolve) the schema on
+    * append — each file is parsed under its own recorded schema, so an
+    * un-gated shape change would corrupt reads of the carried-forward
+    * files — attempt the next version exclusively, and on collision
+    * re-read and retry so the surviving manifest contains BOTH
+    * writers' files. Returns the published version.
     */
   private[sources] def publish(spark: SparkSession,
       conf: SerializableConfiguration, dir: String, schemaDdl: String,
-      newFiles: Seq[String], truncate: Boolean,
+      newFiles: Seq[String], truncate: Boolean, evolve: Boolean = false,
       maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
       val prev = if (truncate) None else latestManifest(spark, dir)
-      prev.foreach { m =>
-        if (m.schemaDdl != schemaDdl) sys.error(
-          "graftsink: append schema does not match the table schema " +
-            s"(table: ${m.schemaDdl}; write: $schemaDdl). Use " +
-            "mode(\"overwrite\") to replace the table shape.")
-      }
+      val tableDdl = prev.fold(schemaDdl)(m =>
+        evolvedDdl(m.schemaDdl, schemaDdl, evolve))
       val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
       try {
-        writeManifest(conf, dir, version, schemaDdl,
-          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles)
+        writeManifest(conf, dir, version, tableDdl,
+          prev.map(_.files).getOrElse(Seq.empty) ++
+            newFiles.map(ManifestFile(_, schemaDdl)))
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -252,7 +304,8 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(tableSchema, path,
-      Option(options.get("version")).map(_.toInt))
+      Option(options.get("version")).map(_.toInt),
+      Option(options.get("changesFrom")).map(_.toInt))
 }
 
 private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
@@ -263,6 +316,7 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
     override def toBatch: BatchWrite = {
       GraftSink.checkSupported(info.schema())
       new GraftBatchWrite(info.schema(), path, truncateFirst,
+        info.options().getBoolean("evolveSchema", false),
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -273,7 +327,8 @@ private case class GraftCommitMessage(stagedFile: String, rows: Long)
   extends WriterCommitMessage
 
 private class GraftBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, conf: SerializableConfiguration)
+    truncateFirst: Boolean, evolveSchema: Boolean,
+    conf: SerializableConfiguration)
     extends BatchWrite {
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -295,7 +350,7 @@ private class GraftBatchWrite(schema: StructType, path: String,
         sys.error(s"graftsink: staging->data rename failed for $name")
     }
     GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
-      committed.toSeq, truncateFirst)
+      committed.toSeq, truncateFirst, evolveSchema)
     f.delete(staging, true)
   }
 
@@ -370,7 +425,7 @@ private class GraftDataWriter(schema: StructType, path: String,
 // ---- read path: latest manifest -> its files, one split per file ----
 
 private class GraftSinkScanBuilder(schema: StructType, path: String,
-    version: Option[Int]) extends ScanBuilder
+    version: Option[Int], changesFrom: Option[Int]) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   // column pruning: the reader walks every field positionally (the
   // line format is schema-ordered) but only MATERIALIZES required
@@ -379,39 +434,57 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftSinkScan(schema, required, path, version)
+    new GraftSinkScan(schema, required, path, version, changesFrom)
 }
 
 private class GraftSinkScan(fullSchema: StructType,
     scanSchema: StructType, path: String,
-    version: Option[Int]) extends Scan with Batch {
+    version: Option[Int], changesFrom: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
+  /** The scanned file set: the target manifest's files; under the
+    * change-feed option (`changesFrom` = base version, exclusive; the
+    * target is `version` or latest) only files NOT YET PRESENT in the
+    * base manifest — for the append-only cadence exactly the new rows,
+    * with no rescan of carried-forward data. File-level diff: an
+    * overwrite in between surfaces the overwriting version's full
+    * content (its files are all new), matching snapshot semantics.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftSink.manifestAt(SparkSession.active, path, version)
+    val spark = SparkSession.active
+    val m = GraftSink.manifestAt(spark, path, version)
       .getOrElse(sys.error(s"graftsink: no committed manifest at $path" +
         version.fold("")(v => s" (version $v)")))
+    val files = changesFrom match {
+      case None => m.files
+      case Some(base) =>
+        val baseNames = GraftSink.manifestAt(spark, path, Some(base))
+          .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        m.files.filterNot(f => baseNames(f.name))
+    }
     GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
-    m.files.map(f =>
-      GraftFilePartition(s"$path/data/$f"): InputPartition).toArray
+    files.map(f => GraftFilePartition(s"$path/data/${f.name}",
+      f.schemaDdl): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(fullSchema, scanSchema, conf)
+    new GraftSinkReaderFactory(scanSchema, conf)
 }
 
-private case class GraftFilePartition(file: String) extends InputPartition
+private case class GraftFilePartition(file: String, fileSchemaDdl: String)
+  extends InputPartition
 
-private class GraftSinkReaderFactory(fullSchema: StructType,
-    required: StructType,
+private class GraftSinkReaderFactory(required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftSinkReader(fullSchema, required,
-      partition.asInstanceOf[GraftFilePartition].file, conf)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftSinkReader(StructType.fromDDL(p.fileSchemaDdl), required,
+      p.file, conf)
+  }
 }
 
 /** Parses the sink's OWN canonical line format back to InternalRows —

@@ -192,6 +192,58 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 2)
   }
 
+  test("evolveSchema append: new columns land, old files read as null " +
+    "for them, shared columns keep their type") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    // widen with a new column — allowed only under the option
+    Seq((2L, "b", 0.5)).toDF("k", "s", "score").write.format("graftsink")
+      .option("evolveSchema", true).mode("append").save(dir)
+    val back = spark.read.format("graftsink").load(dir)
+    assert(back.columns.toSeq === Seq("k", "s", "score"))
+    val got = back.select("k", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(0.5)))
+    // a narrower append (no score) is also fine post-evolution
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .option("evolveSchema", true).mode("append").save(dir)
+    assert(spark.read.format("graftsink").load(dir)
+      .filter($"k" === 3L).select("score").as[Option[Double]]
+      .head() === None)
+    // re-typing a shared column stays forbidden even under the option
+    val e = intercept[Exception] {
+      Seq((4L, 9)).toDF("k", "s").write.format("graftsink")
+        .option("evolveSchema", true).mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("re-type")))
+  }
+
+  test("changesFrom reads only the files added after the base version") {
+    val dir = freshDir
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v0
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v1
+    Seq((4L, "d")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v2
+    def changes(from: Int, to: Option[Int] = None) = {
+      val r = spark.read.format("graftsink").option("changesFrom", from)
+      to.fold(r)(v => r.option("version", v)).load(dir)
+        .select("k").as[Long].collect().toSet
+    }
+    assert(changes(0) === Set(3L, 4L))
+    assert(changes(1) === Set(4L))
+    assert(changes(0, to = Some(1)) === Set(3L))
+    assert(changes(2) === Set.empty[Long])
+    // snapshot semantics across an overwrite: all of v3's files are new
+    Seq((9L, "z")).toDF("k", "s").write.format("graftsink")
+      .mode("overwrite").save(dir)                    // v3
+    assert(changes(2) === Set(9L))
+  }
+
   test("unsupported field types are rejected loudly") {
     val dir = freshDir
     val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
