@@ -403,6 +403,40 @@ object Relational {
       |FROM orders WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Render-at-edge timezone conversion — the reference's Bangkok
+    * display convention (`load_metadata.ipynb:71-72` renders stored
+    * instants in Asia/Bangkok for its operators). Storage stays pinned
+    * UTC (SURVEY §7); conversion is a presentation-layer projection at
+    * the query edge: `from_utc_timestamp` to Bangkok wall-clock (UTC+7
+    * year-round, no DST — the clean parity case), rendered as text so
+    * the stored instant never mutates. The oracle is DuckDB's
+    * two-step `timezone('UTC', ts)` interpret + `timezone('Asia/
+    * Bangkok', tstz)` render, immune to either engine's session zone.
+    */
+  private def tzRender(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        col("o_orderdate").as("utc_instant"),
+        date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Bangkok"),
+          "yyyy-MM-dd HH:mm:ss").as("bangkok_wall"),
+        date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Bangkok"),
+          "yyyy-MM-dd").as("bangkok_date"),
+        hour(from_utc_timestamp(col("o_orderdate"), "Asia/Bangkok"))
+          .cast("bigint").as("bangkok_hour"))
+      .orderBy("o_orderkey")
+
+  private val tzRenderSql =
+    """SELECT o_orderkey, o_orderdate AS utc_instant,
+      |  strftime(timezone('Asia/Bangkok', timezone('UTC', o_orderdate)),
+      |    '%Y-%m-%d %H:%M:%S') AS bangkok_wall,
+      |  strftime(timezone('Asia/Bangkok', timezone('UTC', o_orderdate)),
+      |    '%Y-%m-%d') AS bangkok_date,
+      |  CAST(hour(timezone('Asia/Bangkok', timezone('UTC', o_orderdate)))
+      |    AS BIGINT) AS bangkok_hour
+      |FROM orders WHERE o_orderkey % 500 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** String scalar functions (§2.8 breadth): case, slicing, regex
     * capture, padding — identical names and semantics on both engines,
     * one codegen'd projection.
@@ -2206,6 +2240,7 @@ object Relational {
     NamedQuery("q_lag_lead", lagLead, Some(lagLeadSql)),
     NamedQuery("q_window_stats", windowStats, Some(windowStatsSql)),
     NamedQuery("q_date_functions", dateFunctions, Some(dateFunctionsSql)),
+    NamedQuery("q_tz_render", tzRender, Some(tzRenderSql)),
     NamedQuery("q_null_semantics", nullSemantics, Some(nullSemanticsSql)),
     NamedQuery("q_date_spine", dateSpine, Some(dateSpineSql)),
     NamedQuery("q_string_functions", stringFunctions,

@@ -280,6 +280,58 @@ object GraftSink {
     -1 // unreachable
   }
 
+  final case class VacuumStats(expiredVersions: Seq[Int],
+      deletedDataFiles: Int, deletedStagingDirs: Int)
+
+  /** Retention: expire all but the newest `keepVersions` COMPLETE
+    * manifests, delete data files no surviving manifest references,
+    * and clear crashed writers' staging leftovers older than
+    * `stagingGraceMs` (a grace window protects a concurrent in-flight
+    * write whose files haven't reached commit yet; an abandoned dir
+    * only gets older). Ordering is crash-safe: expired manifests are
+    * removed FIRST, so a vacuum that dies mid-delete leaves
+    * unreferenced-but-present files (re-vacuum collects them), never a
+    * referenced-but-deleted file. The latest version is never
+    * expirable (`keepVersions` min 1); torn manifests are removed
+    * unconditionally (readers already skip them).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+      stagingGraceMs: Long = 3600000L): VacuumStats = {
+    require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    val f = fs(spark, dir)
+    val complete = fsVersionsDesc(spark, dir)
+      .filter(v => manifestIsComplete(spark, dir, v))
+    val (live, expired) = complete.splitAt(keepVersions)
+    val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)
+    val keepFiles = live.flatMap(v =>
+      manifestAt(spark, dir, Some(v)).toSeq.flatMap(_.files.map(_.name)))
+      .toSet
+    // 1. drop dead manifests (commit point of the expiry)
+    (expired ++ torn).foreach(v => f.delete(new Path(dir, manifestName(v)), false))
+    // 2. then data files nothing surviving references
+    val dataDir = new Path(dir, "data")
+    val orphans =
+      if (!f.exists(dataDir)) Array.empty[Path]
+      else f.listStatus(dataDir).map(_.getPath)
+        .filterNot(p => keepFiles(p.getName))
+    orphans.foreach(f.delete(_, false))
+    // 3. stale staging dirs beyond the in-flight grace window
+    val stagingRoot = new Path(dir, "_staging")
+    val staleStaging =
+      if (!f.exists(stagingRoot)) Array.empty[Path]
+      else f.listStatus(stagingRoot)
+        .filter(_.getModificationTime <
+          System.currentTimeMillis() - stagingGraceMs)
+        .map(_.getPath)
+    staleStaging.foreach(f.delete(_, true))
+    VacuumStats(expired, orphans.length, staleStaging.length)
+  }
+
+  private def manifestIsComplete(spark: SparkSession, dir: String,
+      v: Int): Boolean =
+    try manifestAt(spark, dir, Some(v)).isDefined
+    catch { case _: Throwable => false }
+
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { fld =>
       fld.dataType match {

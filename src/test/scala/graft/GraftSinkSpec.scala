@@ -244,6 +244,60 @@ class GraftSinkSpec extends SparkSpec {
     assert(changes(2) === Set(9L))
   }
 
+  test("vacuum: expired versions' manifests and orphaned data files go; " +
+    "surviving versions read byte-identically") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v0: fileA
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("overwrite").save(dir)                    // v1: fileB only
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v2: fileB+fileC
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "data")).length
+    assert(dataFiles === 3)
+    val stats = GraftSink.vacuum(spark, dir, keepVersions = 2)
+    assert(stats.expiredVersions === Seq(0))
+    // v0's file was referenced ONLY by v0 -> collected
+    assert(stats.deletedDataFiles === 1 && dataFiles === 2)
+    // the expired version is gone for pinned readers...
+    intercept[Exception] {
+      spark.read.format("graftsink").option("version", 0).load(dir).count()
+    }
+    // ...while both survivors stay exact
+    assert(spark.read.format("graftsink").option("version", 1).load(dir)
+      .select("k").as[Long].collect().toSet === Set(2L))
+    assert(spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet === Set(2L, 3L))
+    // idempotent: nothing left to collect
+    val again = GraftSink.vacuum(spark, dir, keepVersions = 2)
+    assert(again.expiredVersions.isEmpty && again.deletedDataFiles === 0)
+    intercept[IllegalArgumentException] {
+      GraftSink.vacuum(spark, dir, keepVersions = 0)
+    }
+  }
+
+  test("vacuum: stale staging dirs die after the grace window, " +
+    "in-flight ones survive it") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(dir, "_staging/dead-writer")
+    fs.mkdirs(stray)
+    // a generous grace keeps it (could be an in-flight writer)...
+    assert(GraftSink.vacuum(spark, dir, 1, stagingGraceMs = 3600000L)
+      .deletedStagingDirs === 0)
+    assert(fs.exists(stray))
+    // ...zero grace collects it
+    assert(GraftSink.vacuum(spark, dir, 1, stagingGraceMs = 0L)
+      .deletedStagingDirs === 1)
+    assert(!fs.exists(stray))
+  }
+
   test("unsupported field types are rejected loudly") {
     val dir = freshDir
     val bad = Seq((1L, Array(1f, 2f))).toDF("k", "emb")
