@@ -63,7 +63,7 @@ object Bench {
         "q_hll_merge", "q_hll_sliding",
         "q_bitmap_merge",
         "q_moments_merge", "d_posting_search", "d_bm25_topk",
-        "q_dpp", "q_zorder_skip"))
+        "q_dpp", "q_zorder_skip", "q_bloom_skip"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its
     // 10 round plans anyway — measured identical either way — so the

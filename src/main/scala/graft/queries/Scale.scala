@@ -1570,6 +1570,49 @@ object Scale {
       |  AND l_shipdate < TIMESTAMP '1996-07-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** File-level Bloom skipping ([[graft.operators.BloomIndex]]): the
+    * POINT-LOOKUP twin of `q_zonemap_lookup`. The lineitem slice is
+    * laid out hash-spread (deliberately NOT clustered on l_orderkey —
+    * the layout where a zone map on that column prunes nothing), with
+    * a per-file Bloom filter persisted once per JVM; the probe keeps
+    * only files whose filter holds ALL the key's bit positions, and
+    * the read re-applies the exact IN so a false positive can never
+    * surface. BloomIndexSpec gates no-false-negatives, strict-subset
+    * pruning, and probe/build hash identity; the oracle gates
+    * exactness against the raw table.
+    */
+  private val bloomSeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val bloomProbeKeys = Seq(11L, 777L, 1494L)
+
+  private def bloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = bloomSeeded.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bloom_seed").toString + "/lineitem"
+      graft.operators.BloomIndex.build(
+        Tables(spark, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice"),
+        p, "l_orderkey", numFiles = 16)
+      p
+    })
+    graft.operators.BloomIndex
+      .read(spark, path, "l_orderkey", bloomProbeKeys)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_orderkey")
+  }
+
+  private val bloomSkipSql =
+    """SELECT l_orderkey, count(*) AS n_lines,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem WHERE l_orderkey IN (11, 777, 1494)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** Persisted result cache ([[graft.plans.ResultCache]]): the query
     * body builds the monthly-revenue aggregate TWICE through two
     * different code paths (select-then-agg vs agg-then-alias), and
@@ -1793,6 +1836,7 @@ object Scale {
     NamedQuery("q_bitemporal", bitemporal, Some(bitemporalSql)),
     NamedQuery("q_approx_governor", approxGovernor, None),
     NamedQuery("q_zonemap_lookup", zonemapLookup, Some(zonemapLookupSql)),
+    NamedQuery("q_bloom_skip", bloomSkip, Some(bloomSkipSql)),
     NamedQuery("q_result_cache", resultCache, Some(resultCacheSql)),
     NamedQuery("q_quantile_merge", quantileMerge, Some(quantileMergeSql)),
     NamedQuery("q_quantile_sliding", quantileSliding,
