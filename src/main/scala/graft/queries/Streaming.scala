@@ -11,6 +11,18 @@ import graft.streaming.Streams
   */
 object Streaming {
 
+  /** Batch twin of the sink streaming tail: everything drained across
+    * both AvailableNow runs must equal the raw F∪P order slice —
+    * a replayed version would double its counts.
+    */
+  private val sinkTailSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
+      |FROM orders WHERE o_orderstatus IN ('F', 'P')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch twin of the streaming daily leaderboard: same day × user
     * aggregate, same deterministic tie-break (rounded total desc, user
     * asc), top 3 per day.
@@ -352,6 +364,8 @@ object Streaming {
       Some(twsBootstrapSql)),
     NamedQuery("st_tx_publish", Streams.txPublishSummary,
       Some(txPublishSql)),
+    NamedQuery("st_sink_tail", Streams.sinkTailSummary,
+      Some(sinkTailSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

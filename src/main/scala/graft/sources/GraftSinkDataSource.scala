@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -280,6 +281,10 @@ object GraftSink {
     -1 // unreachable
   }
 
+  /** Newest version with a COMPLETE manifest (torn tails skipped). */
+  def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] =
+    latestManifest(spark, dir).map(_.version)
+
   final case class VacuumStats(expiredVersions: Seq[Int],
       deletedDataFiles: Int, deletedStagingDirs: Int)
 
@@ -349,7 +354,8 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
@@ -357,7 +363,8 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(tableSchema, path,
       Option(options.get("version")).map(_.toInt),
-      Option(options.get("changesFrom")).map(_.toInt))
+      Option(options.get("changesFrom")).map(_.toInt),
+      options.getInt("startingVersion", 0))
 }
 
 private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
@@ -477,7 +484,8 @@ private class GraftDataWriter(schema: StructType, path: String,
 // ---- read path: latest manifest -> its files, one split per file ----
 
 private class GraftSinkScanBuilder(schema: StructType, path: String,
-    version: Option[Int], changesFrom: Option[Int]) extends ScanBuilder
+    version: Option[Int], changesFrom: Option[Int],
+    startingVersion: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   // column pruning: the reader walks every field positionally (the
   // line format is schema-ordered) but only MATERIALIZES required
@@ -486,14 +494,19 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftSinkScan(schema, required, path, version, changesFrom)
+    new GraftSinkScan(schema, required, path, version, changesFrom,
+      startingVersion)
 }
 
 private class GraftSinkScan(fullSchema: StructType,
     scanSchema: StructType, path: String,
-    version: Option[Int], changesFrom: Option[Int]) extends Scan with Batch {
+    version: Option[Int], changesFrom: Option[Int],
+    startingVersion: Int) extends Scan with Batch {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftSinkMicroBatchStream(scanSchema, path, startingVersion, conf)
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
@@ -528,6 +541,72 @@ private class GraftSinkScan(fullSchema: StructType,
 
 private case class GraftFilePartition(file: String, fileSchemaDdl: String)
   extends InputPartition
+
+/** Streaming tail of the sink: the change feed as a Structured
+  * Streaming source. Offsets are MANIFEST VERSIONS (an offset = the
+  * last consumed version), so each micro-batch reads exactly the files
+  * committed after the previous offset — the same driver-side manifest
+  * diff as `changesFrom`, applied per trigger. Exactly-once falls out
+  * of the commit protocol: a version is absent or complete, files
+  * never move between manifest entries, and the checkpoint replays a
+  * batch as the identical file-set diff.
+  *
+  * `startingVersion` (default 0) is the first version consumed: the
+  * initial batch is the table as of the stream start, subsequent
+  * batches are pure appends. Overwrites surface their full new content
+  * (their files are all new — snapshot semantics, as in the batch
+  * change feed).
+  */
+private class GraftSinkMicroBatchStream(required: StructType,
+    path: String, startingVersion: Int,
+    conf: SerializableConfiguration) extends MicroBatchStream {
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion - 1)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(GraftSink.latestCompleteVersion(spark, path)
+      .getOrElse(startingVersion - 1))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    if (e <= s || e < 0) return Array.empty
+    val endFiles = GraftSink.manifestAt(spark, path, Some(e)).toSeq
+      .flatMap(_.files)
+    val baseNames =
+      if (s < 0) Set.empty[String]
+      else scala.util.Try(GraftSink.manifestAt(spark, path, Some(s)))
+        // a vacuumed-away base version still diffs correctly: its
+        // files either survive in the end manifest (carried forward,
+        // and were already consumed as part of version s) or were
+        // truncated out — but carried files absent from the base set
+        // would REPLAY. Resuming across a vacuum that expired the
+        // last-consumed version is therefore refused loudly instead.
+        .getOrElse(sys.error(
+          s"graftsink stream: committed offset v$s was vacuumed away; " +
+            "restart the stream with a fresh checkpoint"))
+        .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+    endFiles.filterNot(f => baseNames(f.name))
+      .map(f => GraftFilePartition(s"$path/data/${f.name}",
+        f.schemaDdl): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class GraftVersionOffset(v: Int) extends Offset {
+  override def json: String = v.toString
+}
 
 private class GraftSinkReaderFactory(required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {

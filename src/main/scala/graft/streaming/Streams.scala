@@ -1108,6 +1108,44 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Streaming tail of the engine's own DSv2 sink
+    * ([[graft.sources.GraftSinkDataSource]] MicroBatchStream): seed the
+    * table with the F orders (manifest v0), drain an AvailableNow run
+    * into a parquet log, append the P orders (v1), and drain AGAIN from
+    * the same checkpoint — offsets are manifest versions, so the second
+    * run reads exactly v1's files (a replay of v0 would double the F
+    * counts and break the oracle). The declared face aggregates the
+    * drained log; the oracle recomputes from the raw orders table, so
+    * exactly-once across the restart is what is actually checked.
+    */
+  def sinkTailSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_sinktail").toString
+    val sink = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    o.filter(col("o_orderstatus") === "F")
+      .write.format("graftsink").mode("overwrite").save(sink)   // v0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftsink")
+        .option("startingVersion", 0).load(sink)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    o.filter(col("o_orderstatus") === "P")
+      .write.format("graftsink").mode("append").save(sink)      // v1
+    drain()
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("total_cents"),
+        max(to_date(col("o_orderdate")).cast("string")).as("last_day"))
+      .orderBy("status")
+  }
+
   /** Streaming-state observability through Spark's `statestore` data
     * source: a keyed stateful query (streaming dedup on `event_id`)
     * drains under AvailableNow, then its CHECKPOINTED STATE — not its
