@@ -89,11 +89,16 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
 
 /** Driver-side manifest helpers (shared with specs/queries). */
 object GraftSink {
-  /** One committed data file and the schema its lines were written
-    * under — files written before a schema evolution keep their
-    * original shape and are reconciled BY NAME at read time.
+  /** One committed data file, the schema its lines were written under
+    * (files written before a schema evolution keep their original
+    * shape, reconciled BY NAME at read time), and its exact row/byte
+    * counts — the writer knows both at commit, so table statistics and
+    * COUNT(*) become manifest metadata instead of file scans.
+    * `rows`/`bytes` = -1 for files recorded by pre-statistics
+    * manifests (readers fall back to scanning).
     */
-  final case class ManifestFile(name: String, schemaDdl: String)
+  final case class ManifestFile(name: String, schemaDdl: String,
+      rows: Long = -1L, bytes: Long = -1L)
 
   final case class Manifest(version: Int, schemaDdl: String,
       files: Seq[ManifestFile])
@@ -109,6 +114,30 @@ object GraftSink {
     */
   val lastScanFields =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** Data-file readers constructed since JVM start — a metadata-served
+    * COUNT(*) is spec-observable as this counter NOT moving.
+    */
+  val readersCreated = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The file set a read of (version, changesFrom) scans: the target
+    * manifest's files, minus the base manifest's under the change-feed
+    * option. Shared by the row scan, the metadata COUNT, and the
+    * statistics report so all three describe the same relation.
+    */
+  private[sources] def scanFiles(spark: SparkSession, dir: String,
+      version: Option[Int], changesFrom: Option[Int]): Seq[ManifestFile] = {
+    val m = manifestAt(spark, dir, version)
+      .getOrElse(sys.error(s"graftsink: no committed manifest at $dir" +
+        version.fold("")(v => s" (version $v)")))
+    changesFrom match {
+      case None => m.files
+      case Some(base) =>
+        val baseNames = manifestAt(spark, dir, Some(base))
+          .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        m.files.filterNot(f => baseNames(f.name))
+    }
+  }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
@@ -160,9 +189,16 @@ object GraftSink {
       if (lines.lastOption.contains(EofMarker)) {
         val tableDdl = lines.head
         Some(Manifest(v, tableDdl, lines.tail.dropRight(1).map { l =>
-          l.split("\t", 2) match {
+          // 4-field current form name\tddl\trows\tbytes ("" ddl = the
+          // table schema); shorter forms are older manifests, which
+          // carry no statistics (-1 = unknown)
+          l.split("\t", -1) match {
+            case Array(name, ddl, rows, bytes) => ManifestFile(name,
+              if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong)
             case Array(name, ddl) => ManifestFile(name, ddl)
             case Array(name)      => ManifestFile(name, tableDdl)
+            case other => sys.error(
+              s"graftsink: unparseable manifest line '$l'")
           }
         }))
       } else None // torn: writer died mid-manifest
@@ -206,8 +242,8 @@ object GraftSink {
         throw new ManifestCollisionException(version, e)
       }
     val fileLines = files.map { mf =>
-      if (mf.schemaDdl == schemaDdl) mf.name
-      else s"${mf.name}\t${mf.schemaDdl}"
+      val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}"
     }
     try out.write(((schemaDdl +: fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8"))
@@ -259,8 +295,8 @@ object GraftSink {
     */
   private[sources] def publish(spark: SparkSession,
       conf: SerializableConfiguration, dir: String, schemaDdl: String,
-      newFiles: Seq[String], truncate: Boolean, evolve: Boolean = false,
-      maxRetries: Int = 20): Int = {
+      newFiles: Seq[ManifestFile], truncate: Boolean,
+      evolve: Boolean = false, maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
       val prev = if (truncate) None else latestManifest(spark, dir)
@@ -269,8 +305,7 @@ object GraftSink {
       val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
       try {
         writeManifest(conf, dir, version, tableDdl,
-          prev.map(_.files).getOrElse(Seq.empty) ++
-            newFiles.map(ManifestFile(_, schemaDdl)))
+          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles)
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -382,8 +417,8 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
   }
 }
 
-private case class GraftCommitMessage(stagedFile: String, rows: Long)
-  extends WriterCommitMessage
+private case class GraftCommitMessage(stagedFile: String, rows: Long,
+    bytes: Long) extends WriterCommitMessage
 
 private class GraftBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, evolveSchema: Boolean,
@@ -403,10 +438,11 @@ private class GraftBatchWrite(schema: StructType, path: String,
     // only files a task COMMITTED move out of staging — stray
     // speculative/retry attempts stay behind and die with the dir
     val committed = messages.collect { case m: GraftCommitMessage
-        if m.rows > 0 => m.stagedFile }
-    committed.foreach { name =>
-      if (!f.rename(new Path(staging, name), new Path(dataDir, name)))
-        sys.error(s"graftsink: staging->data rename failed for $name")
+        if m.rows > 0 =>
+      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes) }
+    committed.foreach { mf =>
+      if (!f.rename(new Path(staging, mf.name), new Path(dataDir, mf.name)))
+        sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
     }
     GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
       committed.toSeq, truncateFirst, evolveSchema)
@@ -441,6 +477,7 @@ private class GraftDataWriter(schema: StructType, path: String,
   }
   private val sb = new java.lang.StringBuilder
   private var rows = 0L
+  private var bytes = 0L
 
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
@@ -464,13 +501,15 @@ private class GraftDataWriter(schema: StructType, path: String,
       i += 1
     }
     sb.append('}').append('\n')
-    out.write(sb.toString.getBytes("UTF-8"))
+    val payload = sb.toString.getBytes("UTF-8")
+    out.write(payload)
     rows += 1L
+    bytes += payload.length
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCommitMessage(fileName, rows)
+    GraftCommitMessage(fileName, rows, bytes)
   }
 
   override def abort(): Unit = {
@@ -486,22 +525,96 @@ private class GraftDataWriter(schema: StructType, path: String,
 private class GraftSinkScanBuilder(schema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
     startingVersion: Int) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   // column pruning: the reader walks every field positionally (the
   // line format is schema-ordered) but only MATERIALIZES required
   // ones — unneeded strings are skipped without unescaping
   private var required: StructType = schema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (!countPushed) required = requiredSchema
+
+  /** COUNT(*) is COMPLETE metadata: the manifest records each file's
+    * exact row count at commit (empty tasks publish no files, so the
+    * counts are authoritative). Accepted only when every scanned file
+    * carries statistics — a table with pre-statistics manifest lines
+    * falls back to the row scan. Nothing else pushes: there are no
+    * pushed filters to interact with, and any column-reading aggregate
+    * belongs in Spark above the scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countOnly(agg) && allCountsKnown
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (countOnly(agg) && allCountsKnown) { countPushed = true; true }
+    else false
+  }
+  private def countOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar => true
+      case _ => false
+    }
+  private lazy val files = GraftSink.scanFiles(SparkSession.active, path,
+    version, changesFrom)
+  private def allCountsKnown: Boolean = files.forall(_.rows >= 0L)
+
   override def build(): Scan =
-    new GraftSinkScan(schema, required, path, version, changesFrom,
+    if (countPushed)
+      new GraftSinkCountScan(path, files.map(_.rows).sum, files.size)
+    else new GraftSinkScan(schema, required, path, version, changesFrom,
       startingVersion)
+}
+
+/** A pushed COUNT(*): one row from manifest metadata, zero data files
+  * opened (the reader-counter spec observes exactly that).
+  */
+private class GraftSinkCountScan(path: String, total: Long, nFiles: Int)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"GraftSinkCountScan path=$path, PushedAggregates=[COUNT(*)]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountReaderFactory
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(16L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(1L)
+    }
+}
+
+private case class GraftCountPartition(total: Long) extends InputPartition
+
+private class GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val total = partition.asInstanceOf[GraftCountPartition].total
+      private var served = false
+      override def next(): Boolean = !served && { served = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
 }
 
 private class GraftSinkScan(fullSchema: StructType,
     scanSchema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
-    startingVersion: Int) extends Scan with Batch {
+    startingVersion: Int) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -519,20 +632,31 @@ private class GraftSinkScan(fullSchema: StructType,
     * content (its files are all new), matching snapshot semantics.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val m = GraftSink.manifestAt(spark, path, version)
-      .getOrElse(sys.error(s"graftsink: no committed manifest at $path" +
-        version.fold("")(v => s" (version $v)")))
-    val files = changesFrom match {
-      case None => m.files
-      case Some(base) =>
-        val baseNames = GraftSink.manifestAt(spark, path, Some(base))
-          .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-        m.files.filterNot(f => baseNames(f.name))
-    }
+    val files = GraftSink.scanFiles(SparkSession.active, path, version,
+      changesFrom)
     GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
     files.map(f => GraftFilePartition(s"$path/data/${f.name}",
       f.schemaDdl): InputPartition).toArray
+  }
+
+  /** Exact when every manifest line carries statistics (the planner
+    * can size the table for broadcast decisions from metadata alone);
+    * silent absence otherwise — never a guess.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = scala.util.Try(GraftSink.scanFiles(SparkSession.active,
+      path, version, changesFrom)).getOrElse(Seq.empty)
+    val known = files.nonEmpty && files.forall(f =>
+      f.rows >= 0L && f.bytes >= 0L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(files.map(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(files.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -613,6 +737,7 @@ private class GraftSinkReaderFactory(required: StructType,
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
+    GraftSink.readersCreated.incrementAndGet()
     new GraftSinkReader(StructType.fromDDL(p.fileSchemaDdl), required,
       p.file, conf)
   }

@@ -244,6 +244,63 @@ class GraftSinkSpec extends SparkSpec {
     assert(changes(2) === Set(9L))
   }
 
+  test("COUNT(*) is served from manifest metadata: zero data-file " +
+    "readers open") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    Seq((4L, 1.0, "x", true)).toDF("k", "v", "s", "b")
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir).count() === 4L)
+    assert(GraftSink.readersCreated.get() === before,
+      "a pushed COUNT(*) must not open any data file")
+    // the pushed aggregate is visible in the physical plan
+    val plan = spark.read.format("graftsink").load(dir)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSinkCountScan"), plan)
+    // version-pinned and change-feed counts ride the same metadata
+    assert(spark.read.format("graftsink").option("version", 0).load(dir)
+      .count() === 3L)
+    assert(spark.read.format("graftsink").option("changesFrom", 0)
+      .load(dir).count() === 1L)
+    assert(GraftSink.readersCreated.get() === before)
+    // a real row read DOES open readers, with correct results
+    assert(spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(GraftSink.readersCreated.get() > before)
+  }
+
+  test("a pre-statistics manifest falls back to the row scan for " +
+    "COUNT(*) and still counts right") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    // rewrite the manifest in the legacy 1-field-line form (no stats)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = GraftSink.latestManifest(spark, dir).get
+    val legacy = new org.apache.hadoop.fs.Path(dir, "manifest-v000001")
+    val o = fs.create(legacy, true)
+    o.write(((m.schemaDdl +: m.files.map(_.name)) :+ "#eof")
+      .mkString("\n").getBytes("UTF-8"))
+    o.close()
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir).count() === 3L)
+    assert(GraftSink.readersCreated.get() > before,
+      "without per-file stats the count must come from scanning")
+  }
+
+  test("scan statistics report exact rows/bytes from the manifest") {
+    val dir = freshDir
+    sample.write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.map(_.rows).sum === 3L)
+    assert(m.files.forall(_.bytes > 0L))
+    val rel = spark.read.format("graftsink").load(dir)
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3)),
+      s"planner must see the exact metadata row count, got $stats")
+  }
+
   test("vacuum: expired versions' manifests and orphaned data files go; " +
     "surviving versions read byte-identically") {
     val dir = freshDir
