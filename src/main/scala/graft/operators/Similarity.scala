@@ -520,11 +520,15 @@ object Similarity {
       col("embedding").as("emb_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      // a pair sharing several cells must be scored (and emitted) once
-      .select("id_a", "id_b", "emb_a", "emb_b").dropDuplicates("id_a", "id_b")
+      // score BEFORE the dedup (the signBandPairs discipline): cosine
+      // is a pure function of the pair, so a multi-cell collision
+      // recomputes the identical value, and the dedup shuffle carries
+      // (id, id, cosine) instead of two embedding vectors per row
       .withColumn("cosine", round(cosine_sim(col("emb_a"), col("emb_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      // a pair sharing several cells must be emitted once
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Sign-band LSH candidate pairs with exact cosine verification —
