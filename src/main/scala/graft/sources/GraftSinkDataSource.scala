@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,14 +91,46 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
 object GraftSink {
   /** One committed data file, the schema its lines were written under
     * (files written before a schema evolution keep their original
-    * shape, reconciled BY NAME at read time), and its exact row/byte
+    * shape, reconciled BY NAME at read time), its exact row/byte
     * counts — the writer knows both at commit, so table statistics and
-    * COUNT(*) become manifest metadata instead of file scans.
-    * `rows`/`bytes` = -1 for files recorded by pre-statistics
-    * manifests (readers fall back to scanning).
+    * COUNT(*) become manifest metadata instead of file scans — and the
+    * per-column [lo, hi] bounds of its numeric fields (`statsJson`,
+    * `{"col":["lo","hi"],...}` with values rendered in INTERNAL form),
+    * which turn comparison predicates into file skipping at planning
+    * time. `rows`/`bytes` = -1 and empty stats for files recorded by
+    * pre-statistics manifests (readers fall back to scanning).
     */
   final case class ManifestFile(name: String, schemaDdl: String,
-      rows: Long = -1L, bytes: Long = -1L)
+      rows: Long = -1L, bytes: Long = -1L, statsJson: String = "") {
+    /** Typed bounds per column, resolved against the FILE's schema
+      * (long-backed fields parse as Long, double as Double). Empty for
+      * stat-less files — every predicate keeps them.
+      */
+    lazy val bounds: Map[String, (Any, Any)] =
+      if (statsJson.isEmpty) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val types = StructType.fromDDL(schemaDdl)
+          .fields.map(f => f.name -> f.dataType).toMap
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(statsJson)
+        node.properties().asScala.flatMap { e =>
+          val arr = e.getValue
+          types.get(e.getKey).flatMap {
+            case LongType | TimestampType | TimestampNTZType =>
+              Some(e.getKey -> ((arr.get(0).asText.toLong: Any),
+                (arr.get(1).asText.toLong: Any)))
+            case IntegerType | DateType =>
+              Some(e.getKey -> ((arr.get(0).asText.toInt: Any),
+                (arr.get(1).asText.toInt: Any)))
+            case DoubleType =>
+              Some(e.getKey -> ((arr.get(0).asText.toDouble: Any),
+                (arr.get(1).asText.toDouble: Any)))
+            case _ => None
+          }
+        }.toMap
+      }
+  }
 
   final case class Manifest(version: Int, schemaDdl: String,
       files: Seq[ManifestFile])
@@ -119,6 +151,58 @@ object GraftSink {
     * COUNT(*) is spec-observable as this counter NOT moving.
     */
   val readersCreated = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Exact comparison in the bound's own domain; None = incomparable
+    * (type mismatch, e.g. a timestamp filter against long-micros
+    * bounds) — callers must treat None as "may match".
+    */
+  private def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)   => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Int)    => Some(java.lang.Long.compare(x, y.toLong))
+    case (x: Int, y: Long)    => Some(java.lang.Long.compare(x.toLong, y))
+    case (x: Int, y: Int)     => Some(java.lang.Integer.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case _ => None
+  }
+
+  /** Interval test: can `filter` match any row of file `f`, judged by
+    * the file's recorded column bounds? Over-approximate by design —
+    * unknown columns, unknown shapes, and incomparable values all KEEP
+    * the file; Spark re-applies every filter above the scan, so
+    * skipping is purely an optimization and can never drop a row.
+    */
+  private[sources] def mayMatch(f: ManifestFile, filter: Filter): Boolean = {
+    def ge(a: Any, b: Any) = cmpOpt(a, b).forall(_ >= 0)
+    def le(a: Any, b: Any) = cmpOpt(a, b).forall(_ <= 0)
+    def gt(a: Any, b: Any) = cmpOpt(a, b).forall(_ > 0)
+    def lt(a: Any, b: Any) = cmpOpt(a, b).forall(_ < 0)
+    def inRange(c: String, v: Any)(test: ((Any, Any)) => Boolean) =
+      f.bounds.get(c).forall(test)
+    filter match {
+      case EqualTo(c, v) => inRange(c, v) { case (lo, hi) =>
+        le(lo, v) && le(v, hi) }
+      case GreaterThan(c, v) => inRange(c, v) { case (_, hi) => gt(hi, v) }
+      case GreaterThanOrEqual(c, v) => inRange(c, v) { case (_, hi) =>
+        ge(hi, v) }
+      case LessThan(c, v) => inRange(c, v) { case (lo, _) => lt(lo, v) }
+      case LessThanOrEqual(c, v) => inRange(c, v) { case (lo, _) =>
+        le(lo, v) }
+      case In(c, vs) => f.bounds.get(c).forall { case (lo, hi) =>
+        vs.exists(v => le(lo, v) && le(v, hi)) }
+      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
+      case _ => true
+    }
+  }
+
+  /** The filter shapes [[mayMatch]] can act on (explain-visibility). */
+  private[sources] def prunableShape(filter: Filter): Boolean = filter match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    case And(l, r) => prunableShape(l) && prunableShape(r)
+    case Or(l, r)  => prunableShape(l) && prunableShape(r)
+    case _ => false
+  }
 
   /** The file set a read of (version, changesFrom) scans: the target
     * manifest's files, minus the base manifest's under the change-feed
@@ -189,10 +273,13 @@ object GraftSink {
       if (lines.lastOption.contains(EofMarker)) {
         val tableDdl = lines.head
         Some(Manifest(v, tableDdl, lines.tail.dropRight(1).map { l =>
-          // 4-field current form name\tddl\trows\tbytes ("" ddl = the
-          // table schema); shorter forms are older manifests, which
-          // carry no statistics (-1 = unknown)
+          // 5-field current form name\tddl\trows\tbytes\tstats ("" ddl
+          // = the table schema); shorter forms are older manifests,
+          // which carry no statistics (-1 / empty = unknown)
           l.split("\t", -1) match {
+            case Array(name, ddl, rows, bytes, stats) => ManifestFile(name,
+              if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong,
+              stats)
             case Array(name, ddl, rows, bytes) => ManifestFile(name,
               if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong)
             case Array(name, ddl) => ManifestFile(name, ddl)
@@ -243,7 +330,7 @@ object GraftSink {
       }
     val fileLines = files.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
-      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}"
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}"
     }
     try out.write(((schemaDdl +: fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8"))
@@ -418,7 +505,7 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
 }
 
 private case class GraftCommitMessage(stagedFile: String, rows: Long,
-    bytes: Long) extends WriterCommitMessage
+    bytes: Long, statsJson: String) extends WriterCommitMessage
 
 private class GraftBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, evolveSchema: Boolean,
@@ -439,7 +526,8 @@ private class GraftBatchWrite(schema: StructType, path: String,
     // speculative/retry attempts stay behind and die with the dir
     val committed = messages.collect { case m: GraftCommitMessage
         if m.rows > 0 =>
-      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes) }
+      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes,
+        m.statsJson) }
     committed.foreach { mf =>
       if (!f.rename(new Path(staging, mf.name), new Path(dataDir, mf.name)))
         sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
@@ -478,6 +566,45 @@ private class GraftDataWriter(schema: StructType, path: String,
   private val sb = new java.lang.StringBuilder
   private var rows = 0L
   private var bytes = 0L
+  // per-field [lo, hi] for the numeric-internal types (long-backed,
+  // int-backed, double) — nulls skipped; folded into the manifest line
+  // at commit so comparison predicates can skip this file unopened
+  private val statLo = new Array[Long](schema.length)
+  private val statHi = new Array[Long](schema.length)
+  private val statLoD = new Array[Double](schema.length)
+  private val statHiD = new Array[Double](schema.length)
+  private val statSeen = new Array[Boolean](schema.length)
+  private def trackLong(i: Int, v: Long): Unit = {
+    if (!statSeen(i)) { statLo(i) = v; statHi(i) = v; statSeen(i) = true }
+    else { if (v < statLo(i)) statLo(i) = v
+      if (v > statHi(i)) statHi(i) = v }
+  }
+  private def trackDouble(i: Int, v: Double): Unit = {
+    if (!statSeen(i)) { statLoD(i) = v; statHiD(i) = v; statSeen(i) = true }
+    else { if (v < statLoD(i)) statLoD(i) = v
+      if (v > statHiD(i)) statHiD(i) = v }
+  }
+  private def statsJson: String = {
+    val parts = (0 until schema.length).flatMap { i =>
+      if (!statSeen(i)) None
+      else schema(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(s"${graft.Json.quote(schema(i).name)}:" +
+            s"[${graft.Json.quote(statLo(i).toString)}," +
+            s"${graft.Json.quote(statHi(i).toString)}]")
+        case IntegerType | DateType =>
+          Some(s"${graft.Json.quote(schema(i).name)}:" +
+            s"[${graft.Json.quote(statLo(i).toString)}," +
+            s"${graft.Json.quote(statHi(i).toString)}]")
+        case DoubleType =>
+          Some(s"${graft.Json.quote(schema(i).name)}:" +
+            s"[${graft.Json.quote(statLoD(i).toString)}," +
+            s"${graft.Json.quote(statHiD(i).toString)}]")
+        case _ => None
+      }
+    }
+    if (parts.isEmpty) "" else parts.mkString("{", ",", "}")
+  }
 
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
@@ -490,9 +617,11 @@ private class GraftDataWriter(schema: StructType, path: String,
       if (row.isNullAt(i)) sb.append("null")
       else fld.dataType match {
         case LongType | TimestampType | TimestampNTZType =>
-          sb.append(row.getLong(i))
-        case IntegerType | DateType => sb.append(row.getInt(i))
-        case DoubleType => sb.append(row.getDouble(i))
+          val v = row.getLong(i); trackLong(i, v); sb.append(v)
+        case IntegerType | DateType =>
+          val v = row.getInt(i); trackLong(i, v.toLong); sb.append(v)
+        case DoubleType =>
+          val v = row.getDouble(i); trackDouble(i, v); sb.append(v)
         case BooleanType => sb.append(row.getBoolean(i))
         case StringType =>
           sb.append(graft.Json.quote(row.getUTF8String(i).toString))
@@ -509,7 +638,7 @@ private class GraftDataWriter(schema: StructType, path: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCommitMessage(fileName, rows, bytes)
+    GraftCommitMessage(fileName, rows, bytes, statsJson)
   }
 
   override def abort(): Unit = {
@@ -526,14 +655,28 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
     startingVersion: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   // column pruning: the reader walks every field positionally (the
   // line format is schema-ordered) but only MATERIALIZES required
   // ones — unneeded strings are skipped without unescaping
   private var required: StructType = schema
   private var countPushed = false
+  private var pruning: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed) required = requiredSchema
+
+  /** ADVISORY pushdown, the parquet discipline: comparison shapes are
+    * remembered for manifest-bounds file skipping, and EVERY filter is
+    * returned for Spark to re-apply above the scan — the bounds only
+    * over-approximate, so skipping can never change a result, only
+    * the number of files opened.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(GraftSink.prunableShape)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pruning
 
   /** COUNT(*) is COMPLETE metadata: the manifest records each file's
     * exact row count at commit (empty tasks publish no files, so the
@@ -567,7 +710,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     if (countPushed)
       new GraftSinkCountScan(path, files.map(_.rows).sum, files.size)
     else new GraftSinkScan(schema, required, path, version, changesFrom,
-      startingVersion)
+      startingVersion, pruning)
 }
 
 /** A pushed COUNT(*): one row from manifest metadata, zero data files
@@ -613,9 +756,13 @@ private class GraftCountReaderFactory extends PartitionReaderFactory {
 private class GraftSinkScan(fullSchema: StructType,
     scanSchema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
-    startingVersion: Int) extends Scan with Batch
+    startingVersion: Int, pruning: Array[Filter] = Array.empty)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = scanSchema
+  override def description(): String =
+    s"GraftSinkScan path=$path" + (if (pruning.isEmpty) ""
+      else s", PushedFilters=[${pruning.mkString(", ")}]")
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
@@ -634,8 +781,12 @@ private class GraftSinkScan(fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftSink.scanFiles(SparkSession.active, path, version,
       changesFrom)
+    // manifest-bounds file skipping: a file survives only if EVERY
+    // pruned predicate can match its recorded [lo, hi] interval
+    val kept = files.filter(f =>
+      pruning.forall(p => GraftSink.mayMatch(f, p)))
     GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
-    files.map(f => GraftFilePartition(s"$path/data/${f.name}",
+    kept.map(f => GraftFilePartition(s"$path/data/${f.name}",
       f.schemaDdl): InputPartition).toArray
   }
 

@@ -301,6 +301,73 @@ class GraftSinkSpec extends SparkSpec {
       s"planner must see the exact metadata row count, got $stats")
   }
 
+  test("manifest-bounds file skipping: a selective predicate on a " +
+    "clustered layout opens only its files, exactly") {
+    val dir = freshDir
+    // 8 files range-clustered on k: each file covers a disjoint k band
+    spark.range(8000)
+      .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size === 8)
+    assert(m.files.forall(_.bounds.contains("k")))
+
+    val before = GraftSink.readersCreated.get()
+    val one = spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 4242L)
+    assert(one.select("k").as[Long].collect().toSeq === Seq(4242L))
+    val opened = GraftSink.readersCreated.get() - before
+    assert(opened === 1L,
+      s"an equality probe must open exactly its file, opened $opened")
+    // the pruned predicate is visible in the plan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+
+    // range predicate: only the tail files open, result exact
+    val b2 = GraftSink.readersCreated.get()
+    val tail = spark.read.format("graftsink").load(dir)
+      .filter(col("k") >= 7000L)
+    assert(tail.count() === 1000L)
+    assert(GraftSink.readersCreated.get() - b2 < 8L)
+
+    // a predicate excluded by every file's interval opens nothing
+    val b3 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 999999L).count() === 0L)
+    assert(GraftSink.readersCreated.get() === b3)
+  }
+
+  test("file skipping never drops rows: double bounds, IN lists, and " +
+    "stat-less files all stay exact") {
+    val dir = freshDir
+    spark.range(1000)
+      .select(col("id").as("k"), (col("id") / 10.0).as("score"))
+      .repartitionByRange(4, col("score"))
+      .write.format("graftsink").mode("append").save(dir)
+    // double range
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("score") >= 90.0).count() === 100L)
+    // IN list spanning two bands
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k").isin(5L, 995L)).select("k").as[Long]
+      .collect().toSet === Set(5L, 995L))
+    // legacy manifest without stats: same results, zero pruning
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = GraftSink.latestManifest(spark, dir).get
+    val o = fs.create(new org.apache.hadoop.fs.Path(dir,
+      "manifest-v000001"), true)
+    o.write(((m.schemaDdl +: m.files.map(_.name)) :+ "#eof")
+      .mkString("\n").getBytes("UTF-8"))
+    o.close()
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 5L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - before === 4L,
+      "without bounds every file must be read")
+  }
+
   test("vacuum: expired versions' manifests and orphaned data files go; " +
     "surviving versions read byte-identically") {
     val dir = freshDir
