@@ -50,7 +50,9 @@ object SparkEntry {
     *    stay in the correctness gate.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    (queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact"))
+    (queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact",
+      // driver-serial oracle twin of d_bpe_merges (which IS benched)
+      "d_bpe_exact"))
       .filter { case (name, _) => !name.startsWith("st_") } ++
       benchVariants
 

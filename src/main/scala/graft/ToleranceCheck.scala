@@ -160,6 +160,23 @@ object ToleranceCheck {
         "fnv1a64 fingerprint groups == exact word-set groups (no collisions)")
     }
 
+    // Distributed BPE must learn the IDENTICAL merge sequence as the
+    // driver-side exact twin: same ranks, pairs, and counts, in order
+    check("d_bpe_merges") {
+      def seq(name: String): Seq[(Int, String, String, Long)] =
+        res(name).orderBy("rank")
+          .select(col("rank").cast("int"), col("left"), col("right"),
+            col("pair_count").cast("long"))
+          .collect().map(r =>
+            (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+      val same = seq("d_bpe_merges") == seq("d_bpe_exact")
+      Check("merge_sequence_equals_exact_twin",
+        if (same) 1.0 else 0.0, 1.0, same,
+        "distributed BPE merge rules (rank, left, right, count) == " +
+          "driver-exact greedy on the same word-frequency table")
+    }
+
     // MinHash candidates must recall the exact high-jaccard pairs
     check("d_minhash_pairs") {
       val mhRecall = recall(pairSet(res("d_minhash_pairs")),

@@ -1280,6 +1280,28 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Distributed BPE merge-rule training ([[graft.operators.Bpe]]):
+    * 20 merge rules learned from the corpus's word-frequency table —
+    * the vocabulary-learning half of the pipeline tokenizer. One
+    * corpus pass builds (word, n); each round is a vocab-bounded pair
+    * count + one-row argmax (ties to the smallest pair), so at 100 TB
+    * the cost shape is k small jobs after one scan. No SQL oracle
+    * (iterative argmax with threaded state); ToleranceCheck requires
+    * SEQUENCE EQUALITY against [[graft.operators.Bpe.trainExact]] —
+    * the same algorithm run driver-side on the collected
+    * word-frequency table (`d_bpe_exact`, bench-excluded:
+    * driver-serial by design).
+    */
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(
+      graft.operators.Bpe.wordFreq(docs(spark, dir), "text"), 20)
+
+  private def bpeExact(spark: SparkSession, dir: String): DataFrame = {
+    val wf = graft.operators.Bpe.wordFreq(docs(spark, dir), "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.Bpe.trainExact(spark, wf, 20)
+  }
+
   /** Triangles of the near-dup similarity graph
     * ([[graft.operators.Graph.triangles]], degree-ordered forward
     * algorithm): the structural step between pairwise similarity and
@@ -1835,6 +1857,8 @@ object TrainingData {
     NamedQuery("d_collapse_repeats", collapseRepeatsQ,
       Some(collapseRepeatsSql)),
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
+    NamedQuery("d_bpe_merges", bpeMerges, None),
+    NamedQuery("d_bpe_exact", bpeExact, None),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
     NamedQuery("d_phrase_mine", phraseMine, Some(phraseMineSql)),
     NamedQuery("d_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
