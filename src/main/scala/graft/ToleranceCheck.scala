@@ -24,7 +24,8 @@ object ToleranceCheck {
   case class Check(metric: String, value: Double, bound: Double,
       pass: Boolean, note: String)
 
-  def run(spark: SparkSession, outDir: String): Seq[(String, Check)] = {
+  def run(spark: SparkSession, outDir: String,
+      sfDir: String = ""): Seq[(String, Check)] = {
     def res(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
 
     def pairSet(df: DataFrame): Set[(Long, Long)] =
@@ -175,6 +176,47 @@ object ToleranceCheck {
         if (same) 1.0 else 0.0, 1.0, same,
         "distributed BPE merge rules (rank, left, right, count) == " +
           "driver-exact greedy on the same word-frequency table")
+    }
+
+    // Rank-greedy distributed encoding must reproduce every per-doc
+    // token count derived through the INDEPENDENT sequential-replay
+    // path (apply merges in rank order to fixpoint — equal to
+    // rank-greedy by the standard BPE equivalence; a divergence in
+    // either the equivalence or the distributed plumbing fails here)
+    if (sfDir.nonEmpty) check("d_bpe_encode") {
+      val merges = res("d_bpe_merges").orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = res("d_bpe_encode").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id",
+          "regexp_extract_all(lower(text), '[a-z]+', 0) AS ws")
+        .collect()
+      def tokCount(w: String): Long = {
+        var syms = w.map(_.toString).toVector
+        merges.foreach { case (l, r) =>
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r)
+              out(out.length - 1) = l + r
+            else out += x
+          }
+          syms = out.toVector
+        }
+        syms.length.toLong
+      }
+      val cache = collection.mutable.Map.empty[String, Long]
+      val want = docs.map { row =>
+        val ws = row.getSeq[String](1)
+        (row.getLong(0),
+          ws.map(w => cache.getOrElseUpdate(w, tokCount(w))).sum,
+          ws.map(_.length.toLong).sum)
+      }.toSet
+      val same = got == want
+      Check("per_doc_counts_equal_sequential_replay",
+        if (same) 1.0 else 0.0, 1.0, same,
+        "rank-greedy distributed BPE encode (token, char counts per " +
+          "doc) == driver sequential-replay of the learned merges")
     }
 
     // MinHash candidates must recall the exact high-jaccard pairs

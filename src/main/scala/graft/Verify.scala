@@ -35,7 +35,7 @@ object Verify {
     // `no_oracle` in the round's artifacts. Reads the parquet dumped
     // above, never recomputing the (quadratic) exact twins.
     try {
-      val all = ToleranceCheck.run(spark, outDir)
+      val all = ToleranceCheck.run(spark, outDir, sfDir)
       val checks = all.map { case (name, c) =>
         s"${q(name)}: {${q("metric")}: ${q(c.metric)}, " +
           s"${q("value")}: ${c.value}, ${q("bound")}: ${c.bound}, " +
@@ -45,10 +45,13 @@ object Verify {
       // The same artifact, committed IN the repo beside the driver's
       // CORRECTNESS_r{n}.json (round = max existing + 1), so the 22
       // no-oracle rows are auditable from the repo alone instead of a
-      // /tmp scratch dir. Best-effort: skipped when cwd isn't the repo.
+      // /tmp scratch dir. Best-effort: skipped when cwd isn't the
+      // repo, and skipped for FILTERED runs (a local single-query
+      // iteration must not replace the round's full-artifact copy
+      // with a mostly-missing-inputs one).
       try {
         val here = Paths.get(".").toAbsolutePath
-        if (Files.exists(here.resolve("build.sbt"))) {
+        if (only.isEmpty && Files.exists(here.resolve("build.sbt"))) {
           val pat = "CORRECTNESS_r(\\d+)\\.json".r
           val round = Files.list(here).toArray.map(_.toString)
             .flatMap(p => pat.findFirstMatchIn(p).map(_.group(1).toInt))

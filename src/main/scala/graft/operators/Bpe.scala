@@ -91,10 +91,70 @@ object Bpe {
       .orderBy("rank")
   }
 
-  /** The exact driver-side twin — same tokenization, same tie-breaks,
-    * same scan — run on the collected word-frequency table. The
-    * oracle anchor for ToleranceCheck (sequence equality required);
-    * driver-sized by the vocabulary bound, quadratic in nothing.
+  /** True BPE inference on one word: repeatedly merge the adjacent
+    * pair with the LOWEST learned rank until none applies — the
+    * tokenizer-side algorithm (rank-greedy, NOT left-to-right: rank
+    * order is what training's merge sequence means). Position ties
+    * take the leftmost occurrence. Pure function — the same code runs
+    * executor-side in [[encode]] and driver-side in the twin, so the
+    * two can only agree or both be wrong in the same way.
+    */
+  def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+        syms.drop(bestAt + 2)
+    }
+    syms
+  }
+
+  /** Tokenize a text column under learned merge rules: per-document
+    * (doc token count, char count). The rank table broadcasts
+    * (vocab-bounded); the rank-greedy per-word loop runs in
+    * `mapPartitions` with a per-partition word cache — the sanctioned
+    * seam for iterative per-record algorithms no Catalyst `Expression`
+    * expresses (the multimodal-codec / Misra-Gries precedent; §2.9:
+    * this is NOT a `udf()`), and the cache exploits word repetition so
+    * each distinct word per partition tokenizes once.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    import spark.implicits._
+    val words = df.select(col(idCol).cast("long").as("id"),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)").as("ws"))
+      .as[(Long, Seq[String])]
+    words.mapPartitions { it =>
+      val cache = collection.mutable.HashMap.empty[String, Int]
+      val r = bRanks.value
+      it.map { case (id, ws) =>
+        var toks = 0L; var chars = 0L
+        ws.foreach { w =>
+          toks += cache.getOrElseUpdate(w, encodeWord(w, r).length)
+          chars += w.length
+        }
+        (id, toks, chars)
+      }
+    }.toDF("doc_id", "n_tokens", "n_chars")
+  }
+
+  /** The exact driver-side twin of [[train]] — same tokenization, same
+    * tie-breaks, same scan — run on the collected word-frequency
+    * table. The oracle anchor for ToleranceCheck (sequence equality
+    * required); driver-sized by the vocabulary bound.
     */
   def trainExact(spark: SparkSession, wordFreq: Seq[(String, Long)],
       numMerges: Int): DataFrame = {

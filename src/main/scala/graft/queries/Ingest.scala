@@ -185,9 +185,49 @@ object Ingest {
       |FROM orders WHERE o_orderstatus = 'P'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Manifest-bounds file skipping through the declared surface: a
+    * SECOND sink seed laid out range-clustered on o_orderkey (16
+    * files, disjoint key bands — the layout where per-file [lo, hi]
+    * bounds bite), probed with a key-range predicate. The scan's
+    * pushFilters prune to the intersecting band files; Spark re-applies
+    * the predicate above (advisory pushdown), and the oracle
+    * recomputes from the raw table — results must be exact no matter
+    * how many files were skipped. GraftSinkSpec pins the actual
+    * opened-file counts with the reader counter.
+    */
+  private val skipSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededSkipSink(spark: SparkSession, dir: String): String =
+    skipSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_skip_seed").toString + "/orders"
+      Tables(spark, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .write.format("graftsink").mode("overwrite").save(p)
+      p
+    })
+
+  private def sinkSkip(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededSkipSink(spark, dir))
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 2000L)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"))
+      .orderBy("status")
+
+  private val sinkSkipSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
     NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
-    NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)))
+    NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)),
+    NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)))
 }

@@ -1302,6 +1302,33 @@ object TrainingData {
     graft.operators.Bpe.trainExact(spark, wf, 20)
   }
 
+  /** Tokenizer inference under the learned rules
+    * ([[graft.operators.Bpe.encode]]): per-document token and char
+    * counts from rank-greedy BPE encoding — the pipeline's real
+    * "how many tokens is this corpus" pass. The rule table is learned
+    * once per sf dir (memoized — at scale it ships as a tiny artifact,
+    * not a per-query recompute); ToleranceCheck re-derives every
+    * per-doc count through an INDEPENDENT code path (sequential
+    * full application of the merges in rank order — the training-side
+    * replay, equal to rank-greedy by the standard BPE equivalence)
+    * and requires set equality.
+    */
+  private val bpeRules =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def learnedMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    bpeRules.computeIfAbsent(dir, { d =>
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs(spark, d), "text"), 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.encode(docs(spark, dir), "doc_id", "text",
+      learnedMerges(spark, dir))
+      .orderBy("doc_id")
+
   /** Triangles of the near-dup similarity graph
     * ([[graft.operators.Graph.triangles]], degree-ordered forward
     * algorithm): the structural step between pairwise similarity and
@@ -1859,6 +1886,7 @@ object TrainingData {
     NamedQuery("d_lang_id", langId, Some(langIdSql)),
     NamedQuery("d_bpe_merges", bpeMerges, None),
     NamedQuery("d_bpe_exact", bpeExact, None),
+    NamedQuery("d_bpe_encode", bpeEncode, None),
     NamedQuery("d_token_topk", tokenTopK, Some(tokenTopKSql)),
     NamedQuery("d_phrase_mine", phraseMine, Some(phraseMineSql)),
     NamedQuery("d_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

@@ -54,4 +54,41 @@ class BpeSpec extends SparkSpec {
     val m = rows(Bpe.train(words, 5))
     assert(m === Seq((1, "a", "b", 3L)))
   }
+
+  test("encodeWord is rank-greedy, not left-to-right, and always " +
+    "round-trips") {
+    // lowest rank wins even when a higher-rank pair sits further left
+    val ranks = Map(("b", "c") -> 0, ("a", "b") -> 1)
+    assert(Bpe.encodeWord("abc", ranks) === Vector("a", "bc"))
+    // with the priorities flipped, left-to-right and greedy agree
+    assert(Bpe.encodeWord("abc",
+      Map(("a", "b") -> 0, ("b", "c") -> 1)) === Vector("ab", "c"))
+    // position ties take the leftmost occurrence
+    assert(Bpe.encodeWord("abab", Map(("a", "b") -> 0))
+      === Vector("ab", "ab"))
+    // round-trip: concatenating tokens always restores the word
+    for (w <- Seq("banana", "mississippi", "xyzzy", "a", ""))
+      assert(Bpe.encodeWord(w, ranks).mkString === w)
+  }
+
+  test("distributed encode equals the per-word function, doc by doc") {
+    val docs = Seq(
+      (1L, "the newest lower tower"),
+      (2L, "low wide west"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val ranks = merges.zipWithIndex.toMap
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    def count(text: String): (Long, Long) = {
+      val ws = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      (ws.map(w => Bpe.encodeWord(w, ranks).length.toLong).sum,
+        ws.map(_.length.toLong).sum)
+    }
+    assert(got === Map(
+      1L -> count("the newest lower tower"),
+      2L -> count("low wide west"),
+      3L -> ((0L, 0L))))
+  }
 }
