@@ -23,6 +23,16 @@ object Streaming {
       |FROM orders WHERE o_orderstatus IN ('F', 'P')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Batch twin of the streamed-into-sink aggregate: the final sink
+    * table under complete mode must BE the full-events aggregate —
+    * an epoch replay or a stale version surviving would break it.
+    */
+  private val sinkPipeSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch twin of the streaming daily leaderboard: same day × user
     * aggregate, same deterministic tie-break (rounded total desc, user
     * asc), top 3 per day.
@@ -366,6 +376,8 @@ object Streaming {
       Some(txPublishSql)),
     NamedQuery("st_sink_tail", Streams.sinkTailSummary,
       Some(sinkTailSql)),
+    NamedQuery("st_sink_pipe", Streams.sinkPipeSummary,
+      Some(sinkPipeSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),
     NamedQuery("st_click_attribution", Streams.attributionViaStream,
       Some(attributionSql)),

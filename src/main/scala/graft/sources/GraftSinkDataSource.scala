@@ -132,8 +132,13 @@ object GraftSink {
       }
   }
 
+  /** @param epoch the streaming epoch that committed this version
+    *              (None for batch commits) — the exactly-once guard: a
+    *              replayed epoch finds its id already at the head and
+    *              publishes nothing.
+    */
   final case class Manifest(version: Int, schemaDdl: String,
-      files: Seq[ManifestFile])
+      files: Seq[ManifestFile], epoch: Option[Long] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -239,6 +244,11 @@ object GraftSink {
     */
   private[sources] val EofMarker = "#eof"
 
+  /** Header line `#epoch<TAB>id` recording the streaming epoch that
+    * published a version (see [[Manifest.epoch]]).
+    */
+  private[sources] val EpochMarker = "#epoch"
+
   /** A concurrent committer claimed this version first — the caller
     * must re-read the latest state and retry at the next version.
     */
@@ -272,7 +282,11 @@ object GraftSink {
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       if (lines.lastOption.contains(EofMarker)) {
         val tableDdl = lines.head
-        Some(Manifest(v, tableDdl, lines.tail.dropRight(1).map { l =>
+        val (epochLines, fileLines) = lines.tail.dropRight(1)
+          .partition(_.startsWith(s"$EpochMarker\t"))
+        val epoch = epochLines.headOption
+          .map(_.stripPrefix(s"$EpochMarker\t").toLong)
+        Some(Manifest(v, tableDdl, fileLines.map { l =>
           // 5-field current form name\tddl\trows\tbytes\tstats ("" ddl
           // = the table schema); shorter forms are older manifests,
           // which carry no statistics (-1 / empty = unknown)
@@ -287,7 +301,7 @@ object GraftSink {
             case other => sys.error(
               s"graftsink: unparseable manifest line '$l'")
           }
-        }))
+        }, epoch))
       } else None // torn: writer died mid-manifest
     }
     version match {
@@ -320,7 +334,7 @@ object GraftSink {
     */
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
-      files: Seq[ManifestFile]): Unit = {
+      files: Seq[ManifestFile], epoch: Option[Long] = None): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
     val out =
@@ -332,7 +346,8 @@ object GraftSink {
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}"
     }
-    try out.write(((schemaDdl +: fileLines) :+ EofMarker)
+    val header = schemaDdl +: epoch.toSeq.map(e => s"$EpochMarker\t$e")
+    try out.write(((header ++ fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -383,16 +398,26 @@ object GraftSink {
   private[sources] def publish(spark: SparkSession,
       conf: SerializableConfiguration, dir: String, schemaDdl: String,
       newFiles: Seq[ManifestFile], truncate: Boolean,
-      evolve: Boolean = false, maxRetries: Int = 20): Int = {
+      evolve: Boolean = false, epoch: Option[Long] = None,
+      maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
-      val prev = if (truncate) None else latestManifest(spark, dir)
+      val latest = latestManifest(spark, dir)
+      // streaming exactly-once: a recovery-replayed epoch finds its id
+      // on the head manifest and publishes nothing (Spark replays at
+      // most the last uncommitted batch, so one-deep lookback is the
+      // full contract)
+      epoch.foreach { e =>
+        if (latest.exists(_.epoch.contains(e)))
+          return latest.get.version
+      }
+      val prev = if (truncate) None else latest
       val tableDdl = prev.fold(schemaDdl)(m =>
         evolvedDdl(m.schemaDdl, schemaDdl, evolve))
       val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
       try {
         writeManifest(conf, dir, version, tableDdl,
-          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles)
+          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles, epoch)
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -477,7 +502,7 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info, path)
@@ -494,18 +519,59 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
+    private def conf = new SerializableConfiguration(SparkSession.active
+      .sparkContext.hadoopConfiguration)
     override def toBatch: BatchWrite = {
       GraftSink.checkSupported(info.schema())
       new GraftBatchWrite(info.schema(), path, truncateFirst,
-        info.options().getBoolean("evolveSchema", false),
-        new SerializableConfiguration(SparkSession.active
-          .sparkContext.hadoopConfiguration))
+        info.options().getBoolean("evolveSchema", false), conf)
+    }
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite = {
+      GraftSink.checkSupported(info.schema())
+      new GraftStreamingWrite(info.schema(), path, truncateFirst,
+        info.options().getBoolean("evolveSchema", false), conf)
     }
   }
 }
 
 private case class GraftCommitMessage(stagedFile: String, rows: Long,
     bytes: Long, statsJson: String) extends WriterCommitMessage
+
+/** The shared commit point: rename only message-named files out of the
+  * write's staging dir (stray speculative/retry attempts stay behind
+  * and die with the dir), publish ONE manifest, drop staging. Batch
+  * and streaming epochs both land here; epochs add the exactly-once
+  * replay guard inside [[GraftSink.publish]].
+  */
+private object GraftCommit {
+  def apply(conf: SerializableConfiguration, path: String,
+      schema: StructType, writeId: String,
+      messages: Array[WriterCommitMessage], truncate: Boolean,
+      evolve: Boolean, epoch: Option[Long]): Unit = {
+    val f = new Path(path).getFileSystem(conf.value)
+    val staging = new Path(path, s"_staging/$writeId")
+    val dataDir = new Path(path, "data")
+    f.mkdirs(dataDir)
+    val committed = messages.collect { case m: GraftCommitMessage
+        if m.rows > 0 =>
+      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes,
+        m.statsJson) }
+    committed.foreach { mf =>
+      if (!f.rename(new Path(staging, mf.name), new Path(dataDir, mf.name)))
+        sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
+    }
+    GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
+      committed.toSeq, truncate, evolve, epoch)
+    f.delete(staging, true)
+  }
+
+  def abort(conf: SerializableConfiguration, path: String,
+      writeId: String): Unit = {
+    val f = new Path(path).getFileSystem(conf.value)
+    f.delete(new Path(path, s"_staging/$writeId"), true)
+  }
+}
 
 private class GraftBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, evolveSchema: Boolean,
@@ -517,30 +583,54 @@ private class GraftBatchWrite(schema: StructType, path: String,
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, path, writeId, conf)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val f = new Path(path).getFileSystem(conf.value)
-    val staging = new Path(path, s"_staging/$writeId")
-    val dataDir = new Path(path, "data")
-    f.mkdirs(dataDir)
-    // only files a task COMMITTED move out of staging — stray
-    // speculative/retry attempts stay behind and die with the dir
-    val committed = messages.collect { case m: GraftCommitMessage
-        if m.rows > 0 =>
-      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes,
-        m.statsJson) }
-    committed.foreach { mf =>
-      if (!f.rename(new Path(staging, mf.name), new Path(dataDir, mf.name)))
-        sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
-    }
-    GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
-      committed.toSeq, truncateFirst, evolveSchema)
-    f.delete(staging, true)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit(conf, path, schema, writeId, messages, truncateFirst,
+      evolveSchema, None)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val f = new Path(path).getFileSystem(conf.value)
-    f.delete(new Path(path, s"_staging/$writeId"), true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit.abort(conf, path, writeId)
+}
+
+/** Streaming face of the sink: each micro-batch epoch stages its task
+  * files under an epoch-scoped staging dir and commits ONE manifest
+  * version carrying the epoch id. Exactly-once across failure
+  * recovery: Spark replays at most the last un-checkpointed batch, and
+  * a replayed epoch finds its id on the head manifest and publishes
+  * nothing — duplicate rows are structurally impossible, not merely
+  * unlikely. `complete` output mode maps to truncate-per-epoch (the
+  * table is the continuously-refreshed aggregate, history
+  * time-travelable version by version).
+  */
+private class GraftStreamingWrite(schema: StructType, path: String,
+    truncateEach: Boolean, evolveSchema: Boolean,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val writeId = java.util.UUID.randomUUID().toString
+  private def epochWriteId(epochId: Long) = s"$writeId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
+      .streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(schema, path, writeId, conf)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit(conf, path, schema, epochWriteId(epochId), messages,
+      truncateEach, evolveSchema, Some(epochId))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit.abort(conf, path, epochWriteId(epochId))
+}
+
+private class GraftStreamingWriterFactory(schema: StructType,
+    path: String, writeId: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, path, s"$writeId-e$epochId", partitionId,
+      taskId, conf)
 }
 
 private class GraftWriterFactory(schema: StructType, path: String,

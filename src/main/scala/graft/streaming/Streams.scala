@@ -1146,6 +1146,44 @@ object Streams {
       .orderBy("status")
   }
 
+  /** Streamed write INTO the engine's own sink via the full V2
+    * streaming-write protocol (GraftStreamingWrite — no foreachBatch):
+    * the per-type running aggregate lands in a graftsink table under
+    * `complete` mode, each epoch publishing one truncate-manifest
+    * version with its epoch id (the exactly-once guard). Two
+    * AvailableNow runs around a source append prove the refresh; the
+    * declared face reads the final table back, and the oracle
+    * recomputes the aggregate from raw events — so epoch replay or
+    * double-publish would break the gate.
+    */
+  def sinkPipeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_sinkpipe").toString
+    val src = s"$root/src"; val dst = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = withEventTime(Tables(spark, dir, "events"))
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    // two source halves -> two drains, the second sees only new files
+    val h1 = ev.filter(col("cents") % 2 === 0)
+    val h2 = ev.filter(col("cents") % 2 =!= 0)
+    h1.coalesce(2).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        .writeStream.format("graftsink")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    h2.coalesce(2).write.mode("append").parquet(src)
+    drain()
+    spark.read.format("graftsink").load(dst).orderBy("event_type")
+  }
+
   /** Streaming-state observability through Spark's `statestore` data
     * source: a keyed stateful query (streaming dedup on `event_id`)
     * drains under AvailableNow, then its CHECKPOINTED STATE — not its

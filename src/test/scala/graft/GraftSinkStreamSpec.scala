@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.sources.GraftSink
+
 /** The sink's streaming tail: manifest versions as offsets, each
   * micro-batch = the files committed since the last consumed version.
   */
@@ -80,6 +82,104 @@ class GraftSinkStreamSpec extends SparkSpec {
       assert(spark.table(name).select("k").as[Long].collect().toSet
         === Set(1L, 9L))
     } finally q.stop()
+  }
+
+  test("streaming WRITE: a graftsink-to-graftsink pipe lands each " +
+    "epoch as one manifest version") {
+    val src = tmpDir("sink_w_src") + "/s"
+    val dst = tmpDir("sink_w_dst") + "/d"
+    val ckpt = tmpDir("sink_w_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graftsink")
+        .option("startingVersion", 0).load(src)
+        .writeStream.format("graftsink")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pipe()
+    assert(spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L))
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    pipe()
+    val out = spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().toSeq
+    assert(out.sorted === Seq(1L, 2L, 3L), s"exactly once, got $out")
+    // each drained epoch published one version carrying its epoch id
+    val m = GraftSink.latestManifest(spark, dst).get
+    assert(m.epoch.isDefined)
+  }
+
+  test("epoch replay after checkpoint loss of the commit marker " +
+    "publishes NOTHING (exactly-once, structurally)") {
+    val src = tmpDir("sink_r_src") + "/s"
+    val dst = tmpDir("sink_r_dst") + "/d"
+    val ckpt = tmpDir("sink_r_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graftsink")
+        .option("startingVersion", 0).load(src)
+        .writeStream.format("graftsink")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pipe()
+    assert(spark.read.format("graftsink").load(dst).count() === 2L)
+    // simulate the canonical failure window: the sink committed but
+    // the driver died before recording the batch — delete the commit
+    // marker so recovery REPLAYS the epoch against the sink
+    val commits = new java.io.File(s"$ckpt/commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(latest.delete())
+    // the sidecar checksum too, or the local FS treats the re-write of
+    // the marker as another writer's interference
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    pipe()
+    val out = spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().toSeq
+    assert(out.sorted === Seq(1L, 2L),
+      s"the replayed epoch must publish nothing, got $out")
+  }
+
+  test("complete-mode aggregation: each epoch truncates to the fresh " +
+    "aggregate; history stays time-travelable") {
+    val src = tmpDir("sink_c_src")
+    val dst = tmpDir("sink_c_dst") + "/d"
+    val ckpt = tmpDir("sink_c_ckpt")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$src/in"))
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$src/in")
+    val schema = spark.read.parquet(s"$src/in").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/in")
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+        .writeStream.format("graftsink")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.format("graftsink").load(dst)
+      .as[(String, Long)].collect().toMap === Map("x" -> 2L, "y" -> 1L))
+    Seq((4L, "y"), (5L, "z")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$src/in")
+    run()
+    assert(spark.read.format("graftsink").load(dst)
+      .as[(String, Long)].collect().toMap ===
+      Map("x" -> 2L, "y" -> 2L, "z" -> 1L),
+      "the table must BE the refreshed aggregate, not an append log")
   }
 
   test("a late starting version skips the history before it") {
