@@ -100,8 +100,16 @@ object GraftSink {
     * time. `rows`/`bytes` = -1 and empty stats for files recorded by
     * pre-statistics manifests (readers fall back to scanning).
     */
+  /** @param rewrite true for files that REORGANIZE existing rows
+    *                (compaction) rather than adding data — the Delta
+    *                `dataChange=false` idea: snapshot reads include
+    *                them, change-feed diffs and the streaming tail
+    *                EXCLUDE them (their rows were consumed from the
+    *                files they replaced).
+    */
   final case class ManifestFile(name: String, schemaDdl: String,
-      rows: Long = -1L, bytes: Long = -1L, statsJson: String = "") {
+      rows: Long = -1L, bytes: Long = -1L, statsJson: String = "",
+      rewrite: Boolean = false) {
     /** Typed bounds per column, resolved against the FILE's schema
       * (long-backed fields parse as Long, double as Double). Empty for
       * stat-less files — every predicate keeps them.
@@ -209,10 +217,58 @@ object GraftSink {
     case _ => false
   }
 
+  /** Change-feed delta as a LOG WALK: the union over versions
+    * `(fromExclusive, toInclusive]` of each version's newly-added
+    * non-rewrite files, diffed against its predecessor. A single
+    * end-vs-base manifest diff would be wrong twice over — a
+    * compaction absorbs un-consumed appends into a rewrite file (their
+    * rows would vanish from the diff), and the rewrite file itself
+    * re-lists consumed rows (they would duplicate). Walking the chain
+    * delivers every committed append exactly once, even when a later
+    * version within the window compacted or overwrote it; torn
+    * versions never became visible and contribute nothing. Requires
+    * the walked manifests to still exist — consuming across a vacuumed
+    * window is refused loudly rather than guessed at.
+    */
+  private[sources] def addedFiles(spark: SparkSession, dir: String,
+      fromExclusive: Int, toInclusive: Int): Seq[ManifestFile] = {
+    var prevNames =
+      if (fromExclusive < 0) Set.empty[String]
+      else readManifestOrRefuse(spark, dir, fromExclusive)
+        .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+    val out = Seq.newBuilder[ManifestFile]
+    val seen = collection.mutable.Set.empty[String]
+    for (v <- (fromExclusive.max(-1) + 1) to toInclusive) {
+      readManifestOrRefuse(spark, dir, v).foreach { m =>
+        m.files.foreach { f =>
+          if (!prevNames(f.name) && !f.rewrite && seen.add(f.name))
+            out += f
+        }
+        prevNames = m.files.map(_.name).toSet
+      }
+    }
+    out.result()
+  }
+
+  /** None for a TORN version (never visible); loud error for a MISSING
+    * one (vacuumed mid-window — the walk cannot be trusted).
+    */
+  private def readManifestOrRefuse(spark: SparkSession, dir: String,
+      v: Int): Option[Manifest] =
+    try manifestAt(spark, dir, Some(v))
+    catch {
+      case e: Throwable if e.getMessage != null &&
+          e.getMessage.contains("torn") => None
+      case _: java.io.FileNotFoundException => sys.error(
+        s"graftsink: change-feed window crosses vacuumed version v$v; " +
+          "restart the consumer from a live snapshot")
+    }
+
   /** The file set a read of (version, changesFrom) scans: the target
-    * manifest's files, minus the base manifest's under the change-feed
-    * option. Shared by the row scan, the metadata COUNT, and the
-    * statistics report so all three describe the same relation.
+    * manifest's files; under the change-feed option, the log-walked
+    * per-version adds (see [[addedFiles]]). Shared by the row scan,
+    * the metadata COUNT, and the statistics report so all three
+    * describe the same relation.
     */
   private[sources] def scanFiles(spark: SparkSession, dir: String,
       version: Option[Int], changesFrom: Option[Int]): Seq[ManifestFile] = {
@@ -221,10 +277,7 @@ object GraftSink {
         version.fold("")(v => s" (version $v)")))
     changesFrom match {
       case None => m.files
-      case Some(base) =>
-        val baseNames = manifestAt(spark, dir, Some(base))
-          .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-        m.files.filterNot(f => baseNames(f.name))
+      case Some(base) => addedFiles(spark, dir, base, m.version)
     }
   }
 
@@ -287,10 +340,13 @@ object GraftSink {
         val epoch = epochLines.headOption
           .map(_.stripPrefix(s"$EpochMarker\t").toLong)
         Some(Manifest(v, tableDdl, fileLines.map { l =>
-          // 5-field current form name\tddl\trows\tbytes\tstats ("" ddl
-          // = the table schema); shorter forms are older manifests,
-          // which carry no statistics (-1 / empty = unknown)
+          // 6-field current form name\tddl\trows\tbytes\tstats\tflags
+          // ("" ddl = the table schema; flags "r" = rewrite); shorter
+          // forms are older manifests (-1 / empty = unknown)
           l.split("\t", -1) match {
+            case Array(name, ddl, rows, bytes, stats, flags) =>
+              ManifestFile(name, if (ddl.isEmpty) tableDdl else ddl,
+                rows.toLong, bytes.toLong, stats, flags.contains('r'))
             case Array(name, ddl, rows, bytes, stats) => ManifestFile(name,
               if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong,
               stats)
@@ -344,7 +400,8 @@ object GraftSink {
       }
     val fileLines = files.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
-      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}"
+      val flags = if (mf.rewrite) "r" else ""
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
     }
     val header = schemaDdl +: epoch.toSeq.map(e => s"$EpochMarker\t$e")
     try out.write(((header ++ fileLines) :+ EofMarker)
@@ -431,6 +488,123 @@ object GraftSink {
   /** Newest version with a COMPLETE manifest (torn tails skipped). */
   def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] =
     latestManifest(spark, dir).map(_.version)
+
+  final case class CompactStats(groupsMerged: Int, filesBefore: Int,
+      filesAfter: Int)
+
+  /** Small-file compaction — the lakehouse maintenance pass that keeps
+    * a high-frequency append cadence from degrading reads into
+    * thousands of tiny-file opens. Files under `smallBytes` sharing a
+    * schema are binned into ~`targetBytes` groups; each group merges
+    * into ONE new data file by straight byte concatenation (the line
+    * format is self-delimited text, so concatenation IS the merged
+    * file — no parse, no shuffle), executed as one Spark job with a
+    * task per group. The new manifest version lists merged files with
+    * summed rows/bytes and interval-UNIONED column bounds; content is
+    * bit-identical row-wise, so readers, COUNT(*), and file skipping
+    * carry over, and prior versions still time-travel to the original
+    * small files until vacuumed.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallBytes: Long = 32L * 1024 * 1024): CompactStats = {
+    val m = latestManifest(spark, dir).getOrElse(
+      sys.error(s"graftsink: nothing to compact at $dir"))
+    require(m.files.forall(f => f.rows >= 0 && f.bytes >= 0),
+      "graftsink: compaction needs per-file statistics " +
+        "(pre-statistics manifest)")
+    val (small, big) = m.files.partition(_.bytes < smallBytes)
+    // bin per schema (concatenation requires one line format) into
+    // ~targetBytes groups, in name order for determinism
+    val groups = small.groupBy(_.schemaDdl).toSeq.flatMap { case (_, fs) =>
+      val bins = Seq.newBuilder[Seq[ManifestFile]]
+      var cur = Vector.empty[ManifestFile]; var bytes = 0L
+      fs.sortBy(_.name).foreach { f =>
+        if (cur.nonEmpty && bytes + f.bytes > targetBytes) {
+          bins += cur; cur = Vector(f); bytes = f.bytes
+        } else { cur = cur :+ f; bytes += f.bytes }
+      }
+      if (cur.nonEmpty) bins += cur
+      bins.result()
+    }.filter(_.size > 1)
+    if (groups.isEmpty) return CompactStats(0, m.files.size, m.files.size)
+
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val compactId = java.util.UUID.randomUUID().toString.take(8)
+    // one task per group: stream-concatenate the group's files into a
+    // fresh data file (executor-side IO, driver sees only metadata)
+    val merged = spark.sparkContext
+      .parallelize(groups.zipWithIndex, groups.size.max(1))
+      .map { case (group, gi) =>
+        val name = s"compact-$compactId-$gi"
+        val dst = new Path(dir, s"data/$name")
+        val f = dst.getFileSystem(conf.value)
+        val out = f.create(dst, false)
+        try group.foreach { mf =>
+          val in = f.open(new Path(dir, s"data/${mf.name}"))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        } finally out.close()
+        (gi, name)
+      }.collect().toMap
+
+    val mergedEntries = groups.zipWithIndex.map { case (group, gi) =>
+      ManifestFile(merged(gi), group.head.schemaDdl,
+        group.map(_.rows).sum, group.map(_.bytes).sum,
+        unionStats(group), rewrite = true)
+    }
+    val compacted = Set(groups.flatten.map(_.name): _*)
+    var attempt = 0
+    while (true) {
+      // re-read on every attempt: a concurrent append between reads
+      // must keep its files in the surviving manifest (the publish
+      // retry discipline) — compaction only REPLACES its own group
+      // members, whatever else the head now lists
+      val head = latestManifest(spark, dir).getOrElse(m)
+      val files = head.files.filterNot(f => compacted(f.name)) ++
+        mergedEntries
+      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      try {
+        writeManifest(conf, dir, version, head.schemaDdl, files)
+        return CompactStats(groups.size, m.files.size, files.size)
+      } catch { case e: ManifestCollisionException =>
+        attempt += 1; if (attempt > 20) throw e
+      }
+    }
+    CompactStats(0, 0, 0) // unreachable
+  }
+
+  /** Interval union of a group's column bounds, re-rendered in the
+    * manifest's internal-string form; a column missing stats in ANY
+    * member is dropped (its merged interval would be a lie).
+    */
+  private def unionStats(group: Seq[ManifestFile]): String = {
+    val all = group.map(_.bounds)
+    val shared = all.map(_.keySet).reduce(_ intersect _)
+    if (shared.isEmpty) return ""
+    def lo(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => x.min(y)
+      case (x: Int, y: Int) => x.min(y)
+      case (x: Double, y: Double) => x.min(y)
+      case _ => sys.error("graftsink: mixed-type bounds in one group")
+    }
+    def hi(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => x.max(y)
+      case (x: Int, y: Int) => x.max(y)
+      case (x: Double, y: Double) => x.max(y)
+      case _ => sys.error("graftsink: mixed-type bounds in one group")
+    }
+    shared.toSeq.sorted.map { c =>
+      val los = all.map(_(c)._1).reduce(lo)
+      val his = all.map(_(c)._2).reduce(hi)
+      s"${graft.Json.quote(c)}:[${graft.Json.quote(los.toString)}," +
+        s"${graft.Json.quote(his.toString)}]"
+    }.mkString("{", ",", "}")
+  }
 
   final case class VacuumStats(expiredVersions: Seq[Int],
       deletedDataFiles: Int, deletedStagingDirs: Int)
@@ -942,24 +1116,18 @@ private class GraftSinkMicroBatchStream(required: StructType,
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s || e < 0) return Array.empty
-    val endFiles = GraftSink.manifestAt(spark, path, Some(e)).toSeq
-      .flatMap(_.files)
-    val baseNames =
-      if (s < 0) Set.empty[String]
-      else scala.util.Try(GraftSink.manifestAt(spark, path, Some(s)))
-        // a vacuumed-away base version still diffs correctly: its
-        // files either survive in the end manifest (carried forward,
-        // and were already consumed as part of version s) or were
-        // truncated out — but carried files absent from the base set
-        // would REPLAY. Resuming across a vacuum that expired the
-        // last-consumed version is therefore refused loudly instead.
-        .getOrElse(sys.error(
-          s"graftsink stream: committed offset v$s was vacuumed away; " +
-            "restart the stream with a fresh checkpoint"))
-        .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-    endFiles.filterNot(f => baseNames(f.name))
-      .map(f => GraftFilePartition(s"$path/data/${f.name}",
-        f.schemaDdl): InputPartition).toArray
+    // initial batch (nothing consumed) = the SNAPSHOT as of the first
+    // trigger — rewrite files included, their replaced originals are
+    // gone from this manifest; every later batch is the log-walked
+    // per-version delta (see GraftSink.addedFiles: exactly-once across
+    // compaction and overwrite, loud refusal across a vacuumed window
+    // — a silent diff there could replay or lose rows)
+    val files =
+      if (s < 0) GraftSink.manifestAt(spark, path, Some(e))
+        .toSeq.flatMap(_.files)
+      else GraftSink.addedFiles(spark, path, s, e)
+    files.map(f => GraftFilePartition(s"$path/data/${f.name}",
+      f.schemaDdl): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

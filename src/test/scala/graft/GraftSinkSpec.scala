@@ -368,6 +368,81 @@ class GraftSinkSpec extends SparkSpec {
       "without bounds every file must be read")
   }
 
+  test("compaction: small files merge by concatenation; reads, " +
+    "metadata COUNT, stats, and time travel carry over") {
+    val dir = freshDir
+    for (i <- 0 until 6)
+      Seq((i.toLong * 10, s"s$i")).toDF("k", "s").write
+        .format("graftsink").mode("append").save(dir)
+    assert(GraftSink.latestManifest(spark, dir).get.files.size === 6)
+    val st = GraftSink.compact(spark, dir)
+    assert(st.groupsMerged === 1 && st.filesBefore === 6 &&
+      st.filesAfter === 1)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size === 1 && m.files.head.rewrite)
+    assert(m.files.head.rows === 6L)
+    // interval union of the six single-row bounds
+    assert(m.files.head.bounds("k") === ((0L, 50L)))
+    // identical content through one file
+    assert(spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet ===
+      (0 until 6).map(_.toLong * 10).toSet)
+    // metadata COUNT still zero-reader
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir).count() === 6L)
+    assert(GraftSink.readersCreated.get() === before)
+    // pre-compaction version still time-travels to the original files
+    assert(spark.read.format("graftsink").option("version", 3).load(dir)
+      .count() === 4L)
+    // nothing small left: re-compaction is a no-op
+    assert(GraftSink.compact(spark, dir).groupsMerged === 0)
+  }
+
+  test("change feed stays exactly-once across compaction: absorbed " +
+    "appends still arrive, consumed rows never repeat") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v0 (consumed base)
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v1 (not consumed)
+    GraftSink.compact(spark, dir)                     // v2: both -> M
+    assert(GraftSink.latestManifest(spark, dir).get.files.size === 1)
+    // the naive end-minus-base diff would return NOTHING here (v1's
+    // file was absorbed) or EVERYTHING (the rewrite file); the log
+    // walk returns exactly the unconsumed append
+    assert(spark.read.format("graftsink").option("changesFrom", 0)
+      .load(dir).select("k").as[Long].collect().toSeq === Seq(2L))
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)                       // v3
+    assert(spark.read.format("graftsink").option("changesFrom", 0)
+      .load(dir).select("k").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(spark.read.format("graftsink").option("changesFrom", 2)
+      .load(dir).select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("streaming tail across a mid-stream compaction: no duplicates, " +
+    "no losses") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    val name = "sink_tail_compact"
+    val q = spark.readStream.format("graftsink")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir)
+      GraftSink.compact(spark, dir)
+      Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table(name).select("k").as[Long].collect().toSeq
+      assert(got.sorted === Seq(1L, 2L, 3L),
+        s"tail must deliver the absorbed append once, got $got")
+    } finally q.stop()
+  }
+
   test("vacuum: expired versions' manifests and orphaned data files go; " +
     "surviving versions read byte-identically") {
     val dir = freshDir
