@@ -59,7 +59,8 @@ object Bench {
         "d_incr_dedup", "d_incr_minhash", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
-        "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_delete_where",
+        "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_sql_catalog",
+        "q_delete_where",
         "q_hll_merge", "q_hll_sliding",
         "q_bitmap_merge",
         "q_moments_merge", "d_posting_search", "d_bm25_topk",

@@ -224,7 +224,50 @@ object Ingest {
       |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The TableCatalog surface end-to-end in one declared query
+    * ([[graft.sources.GraftCatalog]]): CREATE TABLE, INSERT INTO from
+    * the raw orders, a copy-on-write DELETE of the low-priority slice,
+    * and the final aggregate — every step pure Spark SQL against the
+    * registered catalog (no DataFrame writer). The oracle recomputes
+    * the same aggregate from raw orders WITH the delete predicate
+    * applied, so the DML path must be exact: a half-applied delete or
+    * a lost insert breaks the hash.
+    */
+  private val catalogSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    catalogSeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_catalog_seed").toString
+      spark.conf.set("spark.sql.catalog.graftq",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftq.root", root)
+      Tables(spark, d, "orders").createOrReplaceTempView("raw_orders")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftq.wh")
+      spark.sql("CREATE TABLE graftq.wh.orders " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING)")
+      spark.sql("INSERT INTO graftq.wh.orders SELECT o_orderkey, " +
+        "o_orderstatus, o_totalprice, o_orderpriority FROM raw_orders")
+      spark.sql(
+        "DELETE FROM graftq.wh.orders WHERE o_orderpriority = '5-LOW'")
+      root
+    })
+    spark.sql("""SELECT o_orderstatus AS status, count(*) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS total_cents
+      FROM graftq.wh.orders GROUP BY 1 ORDER BY 1""")
+  }
+
+  private val sqlCatalogSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders WHERE o_orderpriority <> '5-LOW'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
     NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),

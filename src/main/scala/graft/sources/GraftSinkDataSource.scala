@@ -4,6 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -415,9 +416,20 @@ object GraftSink {
     * column keeps its exact type, because each file is parsed under
     * its own recorded schema and reconciled by name, never re-typed.
     */
+  /** Name+type equality, nullability ignored: a catalog table created
+    * with nullable columns must accept INSERT VALUES whose literals
+    * plan as NOT NULL — the positional line format never encodes
+    * nullability, only field order and type.
+    */
+  private def sameShape(a: String, b: String): Boolean = {
+    def norm(ddl: String) = StructType.fromDDL(ddl)
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    norm(a) == norm(b)
+  }
+
   private[sources] def evolvedDdl(prevDdl: String, writeDdl: String,
       evolve: Boolean): String = {
-    if (prevDdl == writeDdl) prevDdl
+    if (sameShape(prevDdl, writeDdl)) prevDdl
     else if (!evolve) sys.error(
       "graftsink: append schema does not match the table schema " +
         s"(table: $prevDdl; write: $writeDdl). Use mode(\"overwrite\") " +
@@ -488,6 +500,29 @@ object GraftSink {
   /** Newest version with a COMPLETE manifest (torn tails skipped). */
   def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] =
     latestManifest(spark, dir).map(_.version)
+
+  /** Publish a schema-only change (ALTER TABLE ADD COLUMN): a new
+    * version with the head's file set under the new DDL. Re-reads the
+    * head on every collision retry so a concurrent append's files
+    * survive (the publish discipline).
+    */
+  private[sources] def publishSchemaChange(spark: SparkSession,
+      conf: SerializableConfiguration, dir: String, newDdl: String,
+      maxRetries: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      val head = latestManifest(spark, dir).getOrElse(
+        sys.error(s"graftsink: no committed manifest at $dir"))
+      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      try {
+        writeManifest(conf, dir, version, newDdl, head.files)
+        return version
+      } catch { case e: ManifestCollisionException =>
+        attempt += 1; if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
 
   final case class CompactStats(groupsMerged: Int, filesBefore: Int,
       filesAfter: Int)
@@ -669,9 +704,12 @@ object GraftSink {
     }
 }
 
-private class GraftSinkTable(tableSchema: StructType, path: String)
-    extends Table with SupportsWrite with SupportsRead {
-  override def name(): String = s"graftsink:$path"
+private[sources] class GraftSinkTable(tableSchema: StructType,
+    path: String, pinnedVersion: Option[Int] = None)
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  override def name(): String = s"graftsink:$path" +
+    pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
@@ -683,9 +721,53 @@ private class GraftSinkTable(tableSchema: StructType, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(tableSchema, path,
-      Option(options.get("version")).map(_.toInt),
+      Option(options.get("version")).map(_.toInt).orElse(pinnedVersion),
       Option(options.get("changesFrom")).map(_.toInt),
       options.getInt("startingVersion", 0))
+
+  /** SQL `DELETE FROM ... WHERE`: copy-on-write — the surviving rows
+    * rewrite as a fresh overwrite version through the normal commit
+    * path, so the delete is atomic, time-travelable, and bench-exact
+    * like every other write. Accepted only for filter shapes the sink
+    * can translate back to Columns exactly; anything else is rejected
+    * at `canDeleteWhere` and Spark reports it unsupported rather than
+    * half-applying.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftSinkTable.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val keep = filters.flatMap(GraftSinkTable.toColumn)
+      .foldLeft(lit(true))(_ && _)
+    val survivors = spark.read.format("graftsink").load(path)
+      .filter(!keep || keep.isNull)
+    survivors.write.format("graftsink").mode("overwrite").save(path)
+  }
+}
+
+private[sources] object GraftSinkTable {
+  import org.apache.spark.sql.Column
+
+  /** Exact Filter→Column translation for the delete path; None = the
+    * shape is not supported and the delete must be refused whole.
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case org.apache.spark.sql.sources.IsNull(c) => Some(col(c).isNull)
+    case org.apache.spark.sql.sources.IsNotNull(c) => Some(col(c).isNotNull)
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case org.apache.spark.sql.sources.Not(x) => toColumn(x).map(!_)
+    case org.apache.spark.sql.sources.AlwaysTrue() => Some(lit(true))
+    case org.apache.spark.sql.sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)

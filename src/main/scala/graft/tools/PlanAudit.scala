@@ -85,6 +85,7 @@ object PlanAudit {
     "q_sink_changes" -> "change-feed read: scanned file set = manifest(latest) minus manifest(base), a driver-side metadata diff — only the appended files are opened, the carried-forward data is never rescanned",
     "q_bloom_skip" -> "Bloom file skipping: point-lookup probe keeps only files whose persisted per-file filter holds all the key's bit positions (no false negatives; exact IN re-applied above the pruned scan) — works on layouts where zone maps prune nothing",
     "q_sink_skip" -> "manifest-bounds file skipping in the DSv2 sink scan: the key-range predicate surfaces as PushedFilters and prunes the scan to the intersecting band files (advisory — Spark re-applies everything above)",
+    "q_sql_catalog" -> "TableCatalog SQL surface: the aggregate reads a catalog-resolved graftsink table whose content was built by SQL INSERT + copy-on-write DELETE; the scan is the same manifest-listed file scan as the path API",
     "q_dim_lookup" -> "fact-to-SCD2 lookup: LEFT equi join on the key with the validity interval as residual — hash/SMJ, never a range-only nested loop (PlanSpec-gated)",
     "ev_pattern_match" -> "sequence-pattern tape: ONE user-keyed sort-aggregate builds the per-user initials string, the regex counts matches inside the projection, the histogram fold is value-bounded",
     "d_ngram_novelty" -> "n-gram novelty: gram first-occurrence fold + join-back share the gram key (two shuffles, the decontamination shape); the per-doc score is one more keyed fold")
