@@ -468,6 +468,7 @@ object GraftSink {
       conf: SerializableConfiguration, dir: String, schemaDdl: String,
       newFiles: Seq[ManifestFile], truncate: Boolean,
       evolve: Boolean = false, epoch: Option[Long] = None,
+      replace: Option[Set[String]] = None,
       maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
@@ -483,10 +484,14 @@ object GraftSink {
       val prev = if (truncate) None else latest
       val tableDdl = prev.fold(schemaDdl)(m =>
         evolvedDdl(m.schemaDdl, schemaDdl, evolve))
+      // row-level rewrite: the scanned files leave the manifest, their
+      // replacement rows arrive as newFiles; untouched files carry
+      val carried = prev.map(_.files).getOrElse(Seq.empty)
+        .filterNot(f => replace.exists(_.contains(f.name)))
       val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
       try {
         writeManifest(conf, dir, version, tableDdl,
-          prev.map(_.files).getOrElse(Seq.empty) ++ newFiles, epoch)
+          carried ++ newFiles, epoch)
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -704,10 +709,27 @@ object GraftSink {
     }
 }
 
+/** The sink's one metadata column: `_file`, each row's manifest file
+  * name — selectable like any column, and the GROUP identity for
+  * row-level operations (copy-on-write granularity = file).
+  */
+private[sources] object GraftFileMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+}
+
 private[sources] class GraftSinkTable(tableSchema: StructType,
     path: String, pinnedVersion: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetadataColumn)
   override def name(): String = s"graftsink:$path" +
     pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
@@ -744,6 +766,49 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
       .filter(!keep || keep.isNull)
     survivors.write.format("graftsink").mode("overwrite").save(path)
   }
+
+  /** SQL `UPDATE` and `MERGE INTO` (and DELETEs whose predicates the
+    * filter translation can't express): the GROUP-BASED copy-on-write
+    * rewrite at FILE granularity — the Iceberg model. The operation's
+    * scan treats the command's condition as a GROUP filter: it prunes
+    * to files that might hold matches (manifest bounds), claims the
+    * filters handled, and returns EVERY row of the surviving files —
+    * Spark's rewrite projection updates matching rows and carries the
+    * rest, the writer receives rows projected back to the table
+    * schema (the `__row_operation` protocol), and commit publishes
+    * one version = head minus exactly the scanned files plus the
+    * replacements. Untouched files are never rewritten; collision
+    * retries re-read the head so concurrent appends survive.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(tableSchema, path, info.command())
+}
+
+private class GraftRowLevelOperation(tableSchema: StructType, path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  /** Files the group scan planned — the exact set commit replaces. */
+  private[sources] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileMetadataColumn.name()))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSinkScanBuilder(tableSchema, path, None, None, 0,
+      groupScan = Some(scannedFiles))
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(winfo, path,
+      replaceFiles = Some(() => scannedFiles.get()))
 }
 
 private[sources] object GraftSinkTable {
@@ -770,7 +835,8 @@ private[sources] object GraftSinkTable {
   }
 }
 
-private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
+private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
+    replaceFiles: Option[() => Set[String]] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -780,7 +846,8 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String)
     override def toBatch: BatchWrite = {
       GraftSink.checkSupported(info.schema())
       new GraftBatchWrite(info.schema(), path, truncateFirst,
-        info.options().getBoolean("evolveSchema", false), conf)
+        info.options().getBoolean("evolveSchema", false), conf,
+        replaceFiles)
     }
     override def toStreaming: org.apache.spark.sql.connector.write
         .streaming.StreamingWrite = {
@@ -804,7 +871,8 @@ private object GraftCommit {
   def apply(conf: SerializableConfiguration, path: String,
       schema: StructType, writeId: String,
       messages: Array[WriterCommitMessage], truncate: Boolean,
-      evolve: Boolean, epoch: Option[Long]): Unit = {
+      evolve: Boolean, epoch: Option[Long],
+      replace: Option[Set[String]] = None): Unit = {
     val f = new Path(path).getFileSystem(conf.value)
     val staging = new Path(path, s"_staging/$writeId")
     val dataDir = new Path(path, "data")
@@ -818,7 +886,7 @@ private object GraftCommit {
         sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
     }
     GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
-      committed.toSeq, truncate, evolve, epoch)
+      committed.toSeq, truncate, evolve, epoch, replace)
     f.delete(staging, true)
   }
 
@@ -831,7 +899,8 @@ private object GraftCommit {
 
 private class GraftBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, evolveSchema: Boolean,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    replaceFiles: Option[() => Set[String]] = None)
     extends BatchWrite {
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -841,7 +910,7 @@ private class GraftBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommit(conf, path, schema, writeId, messages, truncateFirst,
-      evolveSchema, None)
+      evolveSchema, None, replaceFiles.map(_.apply()))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommit.abort(conf, path, writeId)
@@ -952,6 +1021,13 @@ private class GraftDataWriter(schema: StructType, path: String,
     if (parts.isEmpty) "" else parts.mkString("{", ",", "}")
   }
 
+  /** Row-level rewrites deliver (metadata, data) pairs — the metadata
+    * (`_file` lineage) is already consumed by the commit's file-set
+    * replacement, so the writer lands only the data row.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
     sb.append('{')
@@ -999,7 +1075,9 @@ private class GraftDataWriter(schema: StructType, path: String,
 
 private class GraftSinkScanBuilder(schema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
-    startingVersion: Int) extends ScanBuilder
+    startingVersion: Int,
+    groupScan: Option[java.util.concurrent.atomic
+      .AtomicReference[Set[String]]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1012,15 +1090,23 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed) required = requiredSchema
 
-  /** ADVISORY pushdown, the parquet discipline: comparison shapes are
-    * remembered for manifest-bounds file skipping, and EVERY filter is
-    * returned for Spark to re-apply above the scan — the bounds only
-    * over-approximate, so skipping can never change a result, only
-    * the number of files opened.
+  /** Two pushdown disciplines:
+    *
+    * NORMAL scans — ADVISORY, the parquet model: comparison shapes
+    * are remembered for manifest-bounds file skipping and EVERY
+    * filter is returned for Spark to re-apply above the scan — the
+    * bounds over-approximate, so skipping can only reduce file opens.
+    *
+    * GROUP scans (row-level rewrites) — the condition is a GROUP
+    * filter, the Iceberg model: prunable shapes narrow the FILE set,
+    * ALL filters are claimed handled, and the scan returns every row
+    * of the surviving files. Spark's rewrite projection re-evaluates
+    * the condition per row; re-applying it as a row filter here would
+    * drop the carried rows the replacement must preserve.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(GraftSink.prunableShape)
-    filters
+    if (groupScan.isDefined) Array.empty else filters
   }
   override def pushedFilters(): Array[Filter] = pruning
 
@@ -1056,7 +1142,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     if (countPushed)
       new GraftSinkCountScan(path, files.map(_.rows).sum, files.size)
     else new GraftSinkScan(schema, required, path, version, changesFrom,
-      startingVersion, pruning)
+      startingVersion, pruning, groupScan)
 }
 
 /** A pushed COUNT(*): one row from manifest metadata, zero data files
@@ -1102,7 +1188,9 @@ private class GraftCountReaderFactory extends PartitionReaderFactory {
 private class GraftSinkScan(fullSchema: StructType,
     scanSchema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
-    startingVersion: Int, pruning: Array[Filter] = Array.empty)
+    startingVersion: Int, pruning: Array[Filter] = Array.empty,
+    groupScan: Option[java.util.concurrent.atomic
+      .AtomicReference[Set[String]]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = scanSchema
@@ -1131,6 +1219,9 @@ private class GraftSinkScan(fullSchema: StructType,
     // pruned predicate can match its recorded [lo, hi] interval
     val kept = files.filter(f =>
       pruning.forall(p => GraftSink.mayMatch(f, p)))
+    // a row-level rewrite replaces EXACTLY the files it scanned —
+    // record them for the paired write's commit
+    groupScan.foreach(_.set(kept.map(_.name).toSet))
     GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
     kept.map(f => GraftFilePartition(s"$path/data/${f.name}",
       f.schemaDdl): InputPartition).toArray
@@ -1245,6 +1336,11 @@ private class GraftSinkReader(schema: StructType, required: StructType,
   // position in the OUTPUT row for each file field, -1 = pruned
   private val outIdx: Array[Int] =
     schema.fieldNames.map(n => required.fieldNames.indexOf(n))
+  // the _file metadata column, when requested: this row's file name
+  private val fileOrd = required.fieldNames
+    .indexOf(GraftFileMetadataColumn.name())
+  private val fileNameValue = UTF8String.fromString(
+    file.substring(file.lastIndexOf('/') + 1))
   private val in = {
     val p = new Path(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -1294,6 +1390,7 @@ private class GraftSinkReader(schema: StructType, required: StructType,
       pos += 1 // ',' or '}'
       i += 1
     }
+    if (fileOrd >= 0) vals(fileOrd) = fileNameValue
     new GenericInternalRow(vals)
   }
 

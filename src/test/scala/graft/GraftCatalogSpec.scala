@@ -108,6 +108,61 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftSink.readersCreated.get() === before)
   }
 
+  test("UPDATE and MERGE INTO rewrite copy-on-write; complex DELETEs " +
+    "fall back to the row-level path") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("CREATE TABLE graft.rl.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.rl.t VALUES " +
+      "(1, 'aa'), (2, 'bbb'), (3, 'cccc')")
+    // UPDATE
+    spark.sql("UPDATE graft.rl.t SET s = upper(s) WHERE k >= 2")
+    assert(spark.sql("SELECT s FROM graft.rl.t ORDER BY k")
+      .as[String].collect().toSeq === Seq("aa", "BBB", "CCCC"))
+    // MERGE INTO: one matched update, one not-matched insert
+    Seq((3L, "merged"), (4L, "new")).toDF("k", "s")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO graft.rl.t AS t USING mrg_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.s = s.s
+      WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)""")
+    assert(spark.sql("SELECT k, s FROM graft.rl.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "aa"), (2L, "BBB"), (3L, "merged"), (4L, "new")))
+    // a DELETE the filter translation can't express (function call)
+    // rides the row-level rewrite instead of being refused:
+    // len('CCCC'->'merged')=6 and len('new')=3 — only k=3 goes
+    spark.sql("DELETE FROM graft.rl.t WHERE length(s) > 3")
+    assert(spark.sql("SELECT k FROM graft.rl.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    // every DML step above is one more time-travelable version
+    assert(GraftSink.latestVersion(spark, s"$root/rl/t").get >= 4)
+  }
+
+  test("row-level rewrites are FILE-granular: files the condition " +
+    "cannot touch are carried, not rewritten") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fg")
+    spark.sql("CREATE TABLE graft.fg.t (k BIGINT, s STRING)")
+    // three single-row files with disjoint key bounds
+    for (i <- Seq(10L, 20L, 30L))
+      spark.sql(s"INSERT INTO graft.fg.t VALUES ($i, 'v$i')")
+    val dir = s"$root/fg/t"
+    val before = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    assert(before.size === 3)
+    spark.sql("UPDATE graft.fg.t SET s = 'HIT' WHERE k = 20")
+    val after = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    // the k=10 and k=30 files survive by NAME (never rewritten); only
+    // the k=20 file was replaced
+    assert((before -- after).size === 1,
+      s"exactly one file replaced: before=$before after=$after")
+    assert((before intersect after).size === 2)
+    assert(spark.sql("SELECT s FROM graft.fg.t ORDER BY k")
+      .as[String].collect().toSeq === Seq("v10", "HIT", "v30"))
+  }
+
   test("DDL guardrails: duplicate create, unknown table, rename") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.g")
