@@ -1192,7 +1192,35 @@ private class GraftSinkScan(fullSchema: StructType,
     groupScan: Option[java.util.concurrent.atomic
       .AtomicReference[Set[String]]] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime GROUP filtering for row-level rewrites: Spark plans a
+    * `SELECT DISTINCT _file WHERE <cond>` subquery over this same
+    * table and hands the matched file names down as an In filter —
+    * so a MERGE whose ON keys touch one file of a thousand rewrites
+    * ONE file, even though its condition is never statically
+    * pushable. Dropping the filter is always safe (more files
+    * scanned = more files carried through the rewrite); accepting it
+    * narrows both the scan and the commit's replaced set, which stay
+    * consistent because both read the same planned list.
+    */
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (groupScan.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftFileMetadataColumn.name()))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In(c, vs) if c == GraftFileMetadataColumn.name() =>
+        runtimeFiles = Some(vs.collect {
+          case s: String => s
+          case u: UTF8String => u.toString
+        }.toSet)
+      case _ => ()
+    }
   override def readSchema(): StructType = scanSchema
   override def description(): String =
     s"GraftSinkScan path=$path" + (if (pruning.isEmpty) ""
@@ -1216,9 +1244,11 @@ private class GraftSinkScan(fullSchema: StructType,
     val files = GraftSink.scanFiles(SparkSession.active, path, version,
       changesFrom)
     // manifest-bounds file skipping: a file survives only if EVERY
-    // pruned predicate can match its recorded [lo, hi] interval
+    // pruned predicate can match its recorded [lo, hi] interval —
+    // then the runtime group filter (matched _file names) if present
     val kept = files.filter(f =>
-      pruning.forall(p => GraftSink.mayMatch(f, p)))
+      pruning.forall(p => GraftSink.mayMatch(f, p)) &&
+        runtimeFiles.forall(_.contains(f.name)))
     // a row-level rewrite replaces EXACTLY the files it scanned —
     // record them for the paired write's commit
     groupScan.foreach(_.set(kept.map(_.name).toSet))

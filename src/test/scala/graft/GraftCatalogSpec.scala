@@ -163,6 +163,33 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("v10", "HIT", "v30"))
   }
 
+  test("MERGE INTO is runtime-group-filtered: files the ON keys never " +
+    "touch survive by name") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rt")
+    spark.sql("CREATE TABLE graft.rt.t (k BIGINT, s STRING)")
+    for (i <- Seq(10L, 20L, 30L))
+      spark.sql(s"INSERT INTO graft.rt.t VALUES ($i, 'v$i')")
+    val dir = s"$root/rt/t"
+    val before = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    assert(before.size === 3)
+    // the ON key hits only the k=20 file; MERGE has no statically
+    // pushable predicate, so survival proves the runtime subquery
+    // narrowed the rewrite to that one file
+    Seq((20L, "MERGED")).toDF("k", "s").createOrReplaceTempView("rt_src")
+    spark.sql("""MERGE INTO graft.rt.t AS t USING rt_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.s = s.s""")
+    val after = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    assert((before intersect after).size === 2,
+      s"untouched files must survive the MERGE by name: " +
+        s"before=$before after=$after")
+    assert(spark.sql("SELECT s FROM graft.rt.t ORDER BY k")
+      .as[String].collect().toSeq === Seq("v10", "MERGED", "v30"))
+  }
+
   test("DDL guardrails: duplicate create, unknown table, rename") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.g")
