@@ -1085,10 +1085,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   // line format is schema-ordered) but only MATERIALIZES required
   // ones — unneeded strings are skipped without unescaping
   private var required: StructType = schema
-  private var countPushed = false
   private var pruning: Array[Filter] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    if (!countPushed) required = requiredSchema
 
   /** Two pushdown disciplines:
     *
@@ -1110,77 +1107,132 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pruning
 
-  /** COUNT(*) is COMPLETE metadata: the manifest records each file's
-    * exact row count at commit (empty tasks publish no files, so the
-    * counts are authoritative). Accepted only when every scanned file
-    * carries statistics — a table with pre-statistics manifest lines
-    * falls back to the row scan. Nothing else pushes: there are no
-    * pushed filters to interact with, and any column-reading aggregate
-    * belongs in Spark above the scan.
+  /** Ungrouped COUNT(*) / MIN / MAX are COMPLETE metadata: the
+    * manifest records each file's exact row count and its numeric
+    * columns' exact [lo, hi] (min/max ignore nulls, and a stats-
+    * carrying file that omits a column provably held no non-null
+    * value of it — all-null, or the column postdates the file's
+    * schema — so it contributes nothing). Accepted only when every
+    * scanned file carries statistics; a pre-statistics manifest line
+    * falls the whole aggregation back to the row scan. All-null
+    * columns answer NULL, like the scan would.
     */
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countOnly(agg) && allCountsKnown
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    if (countOnly(agg) && allCountsKnown) { countPushed = true; true }
-    else false
-  }
-  private def countOnly(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
-      case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar => true
-      case _ => false
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planMetaAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planMetaAgg(agg) match {
+      case some @ Some(_) => metaAgg = some; true
+      case None => false
     }
+
+  private def colNameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def planMetaAgg(agg: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || files.exists(f =>
+      f.rows < 0L || f.statsJson.isEmpty)) return None
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    def bound(c: String, side: ((Any, Any)) => Any,
+        pick: (Any, Any) => Any): Option[Any] =
+      types.get(c).filter {
+        case LongType | IntegerType | DoubleType | TimestampType |
+             TimestampNTZType | DateType => true
+        case _ => false
+      }.map { _ =>
+        files.flatMap(_.bounds.get(c)).map(side)
+          .reduceOption(pick).orNull
+      }
+    def lo(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => x.min(y)
+      case (x: Int, y: Int) => x.min(y)
+      case (x: Double, y: Double) => x.min(y)
+    }
+    def hi(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => x.max(y)
+      case (x: Int, y: Int) => x.max(y)
+      case (x: Double, y: Double) => x.max(y)
+    }
+    val planned = agg.aggregateExpressions.map {
+      case _: CountStar => Some((
+        StructField("count(*)", LongType, nullable = false),
+        files.map(_.rows).sum: Any))
+      case m: Min => colNameOf(m.column).flatMap(c =>
+        bound(c, _._1, lo).map(v => (
+          StructField(s"min($c)", types(c)), v)))
+      case m: Max => colNameOf(m.column).flatMap(c =>
+        bound(c, _._2, hi).map(v => (
+          StructField(s"max($c)", types(c)), v)))
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) None
+    else Some((StructType(planned.map(_.get._1).toSeq),
+      planned.map(_.get._2).toSeq))
+  }
+
   private lazy val files = GraftSink.scanFiles(SparkSession.active, path,
     version, changesFrom)
-  private def allCountsKnown: Boolean = files.forall(_.rows >= 0L)
 
-  override def build(): Scan =
-    if (countPushed)
-      new GraftSinkCountScan(path, files.map(_.rows).sum, files.size)
-    else new GraftSinkScan(schema, required, path, version, changesFrom,
-      startingVersion, pruning, groupScan)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (metaAgg.isEmpty) required = requiredSchema
+
+  override def build(): Scan = metaAgg match {
+    case Some((aggSchema, values)) =>
+      new GraftSinkMetaAggScan(path, aggSchema, values)
+    case None =>
+      new GraftSinkScan(schema, required, path, version, changesFrom,
+        startingVersion, pruning, groupScan)
+  }
 }
 
-/** A pushed COUNT(*): one row from manifest metadata, zero data files
-  * opened (the reader-counter spec observes exactly that).
+/** A completely-pushed metadata aggregation: one row straight from the
+  * manifest, zero data files opened (the reader-counter spec observes
+  * exactly that).
   */
-private class GraftSinkCountScan(path: String, total: Long, nFiles: Int)
-    extends Scan with Batch
+private class GraftSinkMetaAggScan(path: String, aggSchema: StructType,
+    values: Seq[Any]) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = aggSchema
   override def description(): String =
-    s"GraftSinkCountScan path=$path, PushedAggregates=[COUNT(*)]"
+    s"GraftSinkMetaAggScan path=$path, " +
+      s"PushedAggregates=[${aggSchema.fieldNames.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(total))
+    Array(GraftMetaAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCountReaderFactory
+    new GraftMetaAggReaderFactory
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(16L)
+        java.util.OptionalLong.of(16L * values.size.max(1))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(1L)
     }
 }
 
-private case class GraftCountPartition(total: Long) extends InputPartition
+private case class GraftMetaAggPartition(values: Seq[Any])
+  extends InputPartition
 
-private class GraftCountReaderFactory extends PartitionReaderFactory {
+private class GraftMetaAggReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val total = partition.asInstanceOf[GraftCountPartition].total
+      private val values =
+        partition.asInstanceOf[GraftMetaAggPartition].values
       private var served = false
       override def next(): Boolean = !served && { served = true; true }
       override def get(): InternalRow =
-        new GenericInternalRow(Array[Any](total))
+        new GenericInternalRow(values.toArray)
       override def close(): Unit = ()
     }
 }

@@ -257,7 +257,7 @@ class GraftSinkSpec extends SparkSpec {
     // the pushed aggregate is visible in the physical plan
     val plan = spark.read.format("graftsink").load(dir)
       .groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("GraftSinkCountScan"), plan)
+    assert(plan.contains("GraftSinkMetaAggScan"), plan)
     // version-pinned and change-feed counts ride the same metadata
     assert(spark.read.format("graftsink").option("version", 0).load(dir)
       .count() === 3L)
@@ -268,6 +268,56 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir)
       .select("k").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
     assert(GraftSink.readersCreated.get() > before)
+  }
+
+  test("MIN/MAX ride manifest bounds: zero readers, nulls ignored, " +
+    "evolution-born columns answered from the files that hold them") {
+    val dir = freshDir
+    spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 1.5).as("score"),
+        when(col("id") % 2 === 0, col("id") * 10).as("sparse"))
+      .repartition(4)
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    val row = spark.read.format("graftsink").load(dir)
+      .agg(count(lit(1)), min("k"), max("k"), min("score"), max("score"),
+        min("sparse"), max("sparse")).head()
+    assert(row.getLong(0) === 1000L)
+    assert(row.getLong(1) === 0L && row.getLong(2) === 999L)
+    assert(row.getDouble(3) === 0.0 && row.getDouble(4) === 1498.5)
+    // nulls never enter bounds: sparse min/max come from even ids only
+    assert(row.getLong(5) === 0L && row.getLong(6) === 9980L)
+    assert(GraftSink.readersCreated.get() === before,
+      "metadata MIN/MAX must not open data files")
+    // a column added by evolution: old files contribute nothing, the
+    // answer comes from the files that HAVE it — still metadata
+    Seq((2000L, 0.5, 7L, 42L)).toDF("k", "score", "sparse", "late")
+      .write.format("graftsink").option("evolveSchema", true)
+      .mode("append").save(dir)
+    val b2 = GraftSink.readersCreated.get()
+    val r2 = spark.read.format("graftsink").load(dir)
+      .agg(min("late"), max("late"), max("k")).head()
+    assert(r2.getLong(0) === 42L && r2.getLong(1) === 42L)
+    assert(r2.getLong(2) === 2000L)
+    assert(GraftSink.readersCreated.get() === b2)
+    // an all-null column answers NULL, like the scan would
+    val dir2 = freshDir
+    spark.range(10).select(col("id").as("k"),
+      lit(null).cast("double").as("v"))
+      .write.format("graftsink").mode("append").save(dir2)
+    val r3 = spark.read.format("graftsink").load(dir2)
+      .agg(min("v"), max("v")).head()
+    assert(r3.isNullAt(0) && r3.isNullAt(1))
+    // a STRING min declines the pushdown and still answers exactly
+    val b4 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .agg(max("k"), min("score")).head().getLong(0) === 2000L)
+    assert(GraftSink.readersCreated.get() === b4)
+    sample.write.format("graftsink").mode("overwrite").save(dir2)
+    assert(spark.read.format("graftsink").load(dir2)
+      .agg(min("s")).head().getString(0) === "esc\"ape\\\n\ttab")
+    assert(GraftSink.readersCreated.get() > b4,
+      "string MIN must fall back to the row scan")
   }
 
   test("a pre-statistics manifest falls back to the row scan for " +
