@@ -1080,12 +1080,28 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       .AtomicReference[Set[String]]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   // column pruning: the reader walks every field positionally (the
   // line format is schema-ordered) but only MATERIALIZES required
   // ones — unneeded strings are skipped without unescaping
   private var required: StructType = schema
   private var pruning: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown: the manifest's exact per-file row counts
+    * let the scan plan just enough files to cover `n` rows (Spark
+    * re-applies the global limit above). Declined when filters are
+    * present (a surviving file may contribute fewer matching rows
+    * than its count), for group scans (a rewrite must read whole
+    * groups), or when any file lacks statistics. A preview query over
+    * a million-file table opens one file.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pruning.nonEmpty || groupScan.isDefined ||
+      files.exists(_.rows < 0L)) false
+    else { limit = n; true }
+  }
 
   /** Two pushdown disciplines:
     *
@@ -1190,7 +1206,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       new GraftSinkMetaAggScan(path, aggSchema, values)
     case None =>
       new GraftSinkScan(schema, required, path, version, changesFrom,
-        startingVersion, pruning, groupScan)
+        startingVersion, pruning, groupScan, limit)
   }
 }
 
@@ -1242,7 +1258,7 @@ private class GraftSinkScan(fullSchema: StructType,
     version: Option[Int], changesFrom: Option[Int],
     startingVersion: Int, pruning: Array[Filter] = Array.empty,
     groupScan: Option[java.util.concurrent.atomic
-      .AtomicReference[Set[String]]] = None)
+      .AtomicReference[Set[String]]] = None, limit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1304,8 +1320,18 @@ private class GraftSinkScan(fullSchema: StructType,
     // a row-level rewrite replaces EXACTLY the files it scanned —
     // record them for the paired write's commit
     groupScan.foreach(_.set(kept.map(_.name).toSet))
+    // pushed limit: a PREFIX of files whose exact row counts cover n
+    // (Spark re-applies the global limit above)
+    val limited =
+      if (limit < 0) kept
+      else {
+        var need = limit.toLong
+        kept.takeWhile { f =>
+          val more = need > 0; need -= f.rows; more
+        }
+      }
     GraftSink.lastScanFields.set(scanSchema.fieldNames.toSeq)
-    kept.map(f => GraftFilePartition(s"$path/data/${f.name}",
+    limited.map(f => GraftFilePartition(s"$path/data/${f.name}",
       f.schemaDdl): InputPartition).toArray
   }
 

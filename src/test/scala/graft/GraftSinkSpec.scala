@@ -320,6 +320,26 @@ class GraftSinkSpec extends SparkSpec {
       "string MIN must fall back to the row scan")
   }
 
+  test("pushed LIMIT plans a row-count-covering file prefix: a " +
+    "preview opens one file of many") {
+    val dir = freshDir
+    spark.range(8000).select(col("id").as("k"))
+      .repartition(8).write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir).limit(5)
+      .count() === 5L)
+    val opened = GraftSink.readersCreated.get() - before
+    assert(opened === 1L, s"a LIMIT 5 preview opened $opened files")
+    // a limit larger than the table still answers fully
+    assert(spark.read.format("graftsink").load(dir).limit(9999)
+      .collect().length === 8000)
+    // under a filter the limit must NOT prune files by raw row counts
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") >= 7995L).limit(5)
+      .collect().map(_.getLong(0)).toSet
+      === Set(7995L, 7996L, 7997L, 7998L, 7999L))
+  }
+
   test("a pre-statistics manifest falls back to the row scan for " +
     "COUNT(*) and still counts right") {
     val dir = freshDir
