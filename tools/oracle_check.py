@@ -21,6 +21,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# RULE (round-5 lesson, q_drift_ks): declared result schemas must NOT
+# contain DECIMAL(p,s) columns. The driver's hasher canonicalizes
+# Spark's decimal128 parquet differently from DuckDB's decimal result,
+# so a value-identical decimal column can still hash-mismatch at the
+# gate — and this local canon used to widen decimals to float64, hiding
+# the seam (local said 243/243 while the driver said 242/243). Emit
+# BIGINT (with a documented range bound) or the canonical digit STRING
+# at the report edge; keep exact decimal arithmetic internal. The one
+# sanctioned decimal query, q_decimal_amount, already CASTs to
+# VARCHAR/string on both sides. decimal_cols() below makes this local
+# gate fail loudly on any new decimal output column.
+def decimal_cols(parquet_glob: str) -> list:
+    import pyarrow.dataset as pads
+    import pyarrow as pa
+    schema = pads.dataset(parquet_glob.replace("/*.parquet", "")).schema
+    return [f.name for f in schema
+            if pa.types.is_decimal(f.type)]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to microseconds (spark writes us, duckdb ns)
@@ -48,6 +67,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
+            dec = decimal_cols(f"{out_dir}/{name}")
+            if dec:
+                failures += 1
+                print(f"FAIL {name}: DECIMAL output column(s) {dec} — "
+                      "driver hasher is not decimal-stable; emit BIGINT "
+                      "or STRING at the report edge (see RULE above)")
+                continue
             expect = canon(con.execute(sql).fetchdf())
             got = canon(
                 duckdb.connect().execute(
