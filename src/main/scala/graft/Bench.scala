@@ -73,8 +73,10 @@ object Bench {
     // 10 round plans anyway — measured identical either way — so the
     // timed number honestly includes the per-round compile cost that
     // amortizes only at real per-round data volumes.)
-      try SparkEntry.queries(warm)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .forall(_.split(",").contains(warm)))
+        try SparkEntry.queries(warm)(spark, sfDir).count()
+        catch { case _: Throwable => () }
     // A failed query must be visible as a failure, not a fast timing:
     // record -1 for it and list it under "failed".
     val failed = Seq.newBuilder[String]
@@ -126,6 +128,25 @@ object Bench {
     // Repeating it would triple the wall-clock of the least
     // data-sensitive family for no extra signal. Recorded so the fixed
     // cost is visible, not mixed into the throughput metric.
+    // State-partition rightsizing for the streaming section: a
+    // Trigger.AvailableNow run materializes one state-store instance
+    // AND a per-microbatch checkpoint file tree PER shuffle partition
+    // (×4 store families for a stream-stream join). At 32 partitions
+    // that is pure fixed I/O — the state at bench scale fits one
+    // partition many times over, and hash partitioning on the same
+    // keys at 8 yields bit-identical results. Semantics unchanged;
+    // only the per-query floor shrinks. Batch queries keep the full
+    // `cpus` parallelism (this is set AFTER the batch section).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // untimed streaming warm-up, same policy as the batch warm-up:
+    // the FIRST streaming query in a JVM pays the streaming engine's
+    // one-time spin-up (microbatch executor threads, state-store
+    // provider init, streaming-specific codegen) on top of its own
+    // work — engine spin-up isn't data throughput
+    if (only.forall(_.exists(_.startsWith("st_"))))
+      try SparkEntry.queries("st_tumbling_hourly")(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val streaming = SparkEntry.queries.keys.filter(_.startsWith("st_"))
       .filter(n => only.forall(_.contains(n)))
       .toSeq.sorted.map { name =>
@@ -137,6 +158,7 @@ object Bench {
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def obj(kvs: Seq[(String, Double)]): String =
@@ -161,6 +183,11 @@ object Bench {
       .map { case (k, (mn, md, mx)) =>
         "\"" + k + "\":[" + fmt(mn) + "," + fmt(md) + "," + fmt(mx) + "]" }
       .mkString("{", ",", "}")
+    // no silent caps: the detail artifact lists every query the bench
+    // deliberately leaves out of the scale total, with the reason
+    val excludedJson = SparkEntry.benchExclusions
+      .map { case (n, why) => Json.quote(n) + ":" + Json.quote(why) }
+      .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"nq":${sortedBatch.size},"reps":$reps,
@@ -168,6 +195,7 @@ object Bench {
          |"spread":$spreadJson,
          |"streaming_total":${fmt(streamTotal)},
          |"streaming":${obj(streaming)},
+         |"excluded":$excludedJson,
          |"failed":$failedJson}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))

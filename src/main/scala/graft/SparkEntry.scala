@@ -49,10 +49,29 @@ object SparkEntry {
     *    would measure engine spin-up, not data-scale throughput. They
     *    stay in the correctness gate.
     */
+  /** Machine-readable form of the exclusions above — emitted into
+    * bench_detail.json by [[Bench]] so the artifact declares its own
+    * coverage caps instead of leaving them implicit in code.
+    */
+  def benchExclusions: Seq[(String, String)] = Seq(
+    "d_jaccard_pairs" -> ("quadratic by definition: exact word-set " +
+      "Jaccard oracle anchor on a ~30-word shared vocabulary emits " +
+      "most n^2 pairs; scale twin d_jaccard_capped IS benched"),
+    "d_minhash_pairs" -> ("quadratic by definition: uncapped MinHash " +
+      "oracle anchor; scale twin d_minhash_capped IS benched"),
+    "e_knn_exact" -> ("brute-force k-NN self-join oracle anchor " +
+      "(all n top-k lists ARE the output); scale twin e_knn_graph " +
+      "IS benched"),
+    "d_bpe_exact" -> ("driver-serial oracle twin of d_bpe_merges, " +
+      "which IS benched"),
+    "st_* (timed separately)" -> ("streaming queries are timed " +
+      "single-shot in the bench's own streaming section, excluded " +
+      "from the scale total: per-query fixed engine startup + " +
+      "checkpoint I/O dominates regardless of sf; their data " +
+      "computation is benched by batch twins"))
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    (queries -- Seq("d_jaccard_pairs", "d_minhash_pairs", "e_knn_exact",
-      // driver-serial oracle twin of d_bpe_merges (which IS benched)
-      "d_bpe_exact"))
+    (queries -- benchExclusions.map(_._1))
       .filter { case (name, _) => !name.startsWith("st_") } ++
       benchVariants
 

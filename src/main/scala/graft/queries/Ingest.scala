@@ -266,11 +266,95 @@ object Ingest {
       |FROM orders WHERE o_orderpriority <> '5-LOW'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STRING-key file skipping through the declared surface: a sink
+    * seeded with 64-char sha256 "block hashes" (the reference's
+    * `block.hash` / `transaction_id` p_keys are exactly this shape,
+    * `utils/database.py` p_key columns), range-clustered into 16 hash
+    * bands. The manifest stores 16-char TRUNCATED bounds (lower bound
+    * = truncated min; upper = truncated max, last char incremented
+    * when truncation lost tail chars — Iceberg's truncate(16)
+    * discipline), so a hash-prefix probe prunes to the intersecting
+    * band files without the manifest ever carrying full keys. At
+    * 100 TB: manifest size stays O(files·16 chars) while equality /
+    * prefix lookups on hash keys open O(1) of millions of files.
+    * GraftSinkSpec pins the opened-file counts; here the oracle pins
+    * exactness (advisory pushdown — Spark re-applies the filter).
+    */
+  private val skipStrSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededSkipStrSink(spark: SparkSession, dir: String): String =
+    skipStrSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_skip_str_seed").toString + "/o"
+      Tables(spark, d, "orders")
+        .select(sha2(col("o_orderkey").cast("string"), 256).as("h"),
+          col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("h"))
+        .write.format("graftsink").mode("overwrite").save(p)
+      p
+    })
+
+  private def sinkSkipStr(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededSkipStrSink(spark, dir))
+      .filter(col("h").startsWith("00"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        min(col("h")).as("first_hash"))
+
+  private val sinkSkipStrSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  min(sha256(CAST(o_orderkey AS VARCHAR))) AS first_hash
+      |FROM orders
+      |WHERE sha256(CAST(o_orderkey AS VARCHAR)) LIKE '00%'""".stripMargin
+
+  /** GROUPED metadata aggregate through the declared surface: the
+    * incremental loop's per-partition watermark probe. The sink is
+    * value-clustered on o_orderstatus (one file set per status), so
+    * `MAX(o_orderkey) GROUP BY o_orderstatus` folds entirely from
+    * manifest rows — each file's bounds collapse to a single status
+    * value with a recorded zero null count, making file→group
+    * assignment provable at plan time. At 100 TB this answers "where
+    * did each partition's incremental load reach?" with ZERO file
+    * opens (GraftSinkSpec pins the reader counter; the oracle here
+    * pins the values).
+    */
+  private val groupedMaxSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededGroupedSink(spark: SparkSession, dir: String): String =
+    groupedMaxSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_grouped_seed").toString + "/o"
+      Tables(spark, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice"))
+        .repartitionByRange(3, col("o_orderstatus"))
+        .write.format("graftsink").mode("overwrite").save(p)
+      p
+    })
+
+  private def sinkGroupedMax(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededGroupedSink(spark, dir))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(max(col("o_orderkey")).as("watermark"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("status")
+
+  private val sinkGroupedMaxSql =
+    """SELECT o_orderstatus AS status, max(o_orderkey) AS watermark,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
     NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)),
-    NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)))
+    NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)),
+    NamedQuery("q_sink_skip_str", sinkSkipStr, Some(sinkSkipStrSql)),
+    NamedQuery("q_sink_grouped_max", sinkGroupedMax,
+      Some(sinkGroupedMaxSql)))
 }

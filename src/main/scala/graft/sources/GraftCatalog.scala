@@ -4,11 +4,16 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** A Spark `TableCatalog` over graftsink tables — the pure-SQL surface
@@ -29,13 +34,22 @@ import org.apache.spark.util.SerializableConfiguration
   *    (same files, evolved DDL — the reader's by-name reconciliation
   *    makes old files surface null);
   *  - namespaces are directories; tables are directories holding
-  *    manifests.
+  *    manifests;
+  *  - maintenance rides SQL stored procedures
+  *    (`CALL graft.system.vacuum(table => 'ns.t', keep_versions => 2)`,
+  *    `CALL graft.system.compact(table => 'ns.t')`) — the retention
+  *    contract is explicit: vacuum expires old versions, and a
+  *    subsequent `VERSION AS OF` read of an expired version fails
+  *    LOUDLY (`NoSuchTableException`), never returns partial data,
+  *    because expiry removes the pinned manifest before any data file
+  *    it referenced.
   *
   * Layout: `<root>/<ns…>/<table>/manifest-v*` — exactly the layout
   * `format("graftsink")` path reads use, so the catalog and the
   * path-based API interoperate on the same tables.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -155,6 +169,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       sys.error(s"graftsink: rename $src -> $dst failed")
   }
 
+  // ---- stored procedures (maintenance surface) ----
+
+  /** Resolves `CALL <catalog>.system.<proc>(…)`. Unknown names fail
+    * loudly with the list of what exists.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    (ident.namespace().toSeq, ident.name().toLowerCase) match {
+      case (Seq("system"), "vacuum")  => new GraftVacuumProcedure(this)
+      case (Seq("system"), "compact") => new GraftCompactProcedure(this)
+      case _ => sys.error(
+        s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
+          s"${ident.name()} (have: system.vacuum, system.compact)")
+    }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "vacuum"),
+        Identifier.of(Array("system"), "compact"))
+    else Array.empty
+
+  /** A procedure's dotted `'ns.t'` argument → the table directory;
+    * refuses missing tables before any destructive step runs.
+    */
+  private[sources] def tableDirOrFail(dotted: String): String = {
+    val parts = dotted.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    val dir = dirFor(ident)
+    if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
+    dir
+  }
+
+  private[sources] def session: SparkSession = spark
+
   // ---- namespaces (directories) ----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -206,5 +254,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         sys.error(s"namespace ${namespace.mkString(".")} is not empty")
       fs.delete(p, true)
     }
+  }
+}
+
+/** Driver-side single-row result for a maintenance procedure: the
+  * stats are already in hand when the procedure returns, so the scan
+  * is a `LocalScan` — no job, no partitions.
+  */
+private class GraftProcResultScan(schema: StructType, row: Seq[Any])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(
+    new GenericInternalRow(row.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    }.toArray))
+}
+
+/** `CALL <cat>.system.vacuum(table => 'ns.t', keep_versions => k,
+  * grace_ms => ms)` — [[GraftSink.vacuum]] behind SQL: expires all but
+  * the newest `keep_versions` complete manifests, then collects data
+  * files and staging dirs nothing surviving references, honoring the
+  * in-flight-commit grace window. Returns one row of what it did.
+  */
+private class GraftVacuumProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "expire old graftsink versions and collect unreferenced files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("keep_versions", IntegerType)
+      .defaultValue("2").build(),
+    ProcedureParameter.in("grace_ms", LongType)
+      .defaultValue("3600000").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val stats = GraftSink.vacuum(catalog.session, dir,
+      keepVersions = input.getInt(1), graceMs = input.getLong(2))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("expired_versions", StringType, nullable = false),
+        StructField("deleted_data_files", IntegerType, nullable = false),
+        StructField("deleted_staging_dirs", IntegerType,
+          nullable = false))),
+      Seq(stats.expiredVersions.mkString(","),
+        stats.deletedDataFiles, stats.deletedStagingDirs))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.compact(table => 'ns.t', target_bytes => …,
+  * small_bytes => …)` — [[GraftSink.compact]] behind SQL: bins small
+  * files into ~target-size groups and merges each by byte
+  * concatenation in one Spark job. Returns one row of group/file
+  * counts.
+  */
+private class GraftCompactProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge small graftsink data files into ~target-size files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_bytes", LongType)
+      .defaultValue((128L * 1024 * 1024).toString).build(),
+    ProcedureParameter.in("small_bytes", LongType)
+      .defaultValue((32L * 1024 * 1024).toString).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val stats = GraftSink.compact(catalog.session, dir,
+      targetBytes = input.getLong(1), smallBytes = input.getLong(2))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("groups_merged", IntegerType, nullable = false),
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false))),
+      Seq(stats.groupsMerged, stats.filesBefore, stats.filesAfter)))
+      .iterator()
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,10 +96,29 @@ object GraftSink {
     * counts — the writer knows both at commit, so table statistics and
     * COUNT(*) become manifest metadata instead of file scans — and the
     * per-column [lo, hi] bounds of its numeric fields (`statsJson`,
-    * `{"col":["lo","hi"],...}` with values rendered in INTERNAL form),
-    * which turn comparison predicates into file skipping at planning
-    * time. `rows`/`bytes` = -1 and empty stats for files recorded by
-    * pre-statistics manifests (readers fall back to scanning).
+    * `{"col":["lo","hi"(,"nulls")],...}` with values rendered in
+    * INTERNAL form), which turn comparison predicates into file
+    * skipping at planning time. `rows`/`bytes` = -1 and empty stats
+    * for files recorded by pre-statistics manifests (readers fall
+    * back to scanning).
+    *
+    * STRING columns carry Iceberg-style TRUNCATED bounds: lo is the
+    * min truncated to [[GraftSink.StringBoundLen]] chars (a prefix
+    * sorts <= the full string, so still a lower bound); hi is the max
+    * truncated then its last char incremented when truncation lost
+    * tail chars (every string with that prefix sorts strictly below
+    * the incremented form, so still an upper bound). Bounds stay
+    * over-approximate — skipping can never drop a row — and manifest
+    * lines stay O(16 chars) per column no matter how long the values
+    * (the reference's `block.hash` keys are 64-char hex). A string
+    * column whose lo == hi therefore provably holds EXACTLY that one
+    * value in every row (an incremented hi can never equal lo).
+    *
+    * The optional third element is the column's exact NULL count
+    * (absent in pre-round-6 manifests → unknown). min/max never need
+    * it (they ignore nulls); the grouped metadata aggregate does — a
+    * file clusters cleanly on a grouping column only when that
+    * column's null count is known zero.
     */
   /** @param rewrite true for files that REORGANIZE existing rows
     *                (compaction) rather than adding data — the Delta
@@ -135,8 +154,28 @@ object GraftSink {
             case DoubleType =>
               Some(e.getKey -> ((arr.get(0).asText.toDouble: Any),
                 (arr.get(1).asText.toDouble: Any)))
+            case StringType =>
+              Some(e.getKey -> ((arr.get(0).asText: Any),
+                (arr.get(1).asText: Any)))
             case _ => None
           }
+        }.toMap
+      }
+
+    /** Exact per-column null counts, where recorded (the statsJson
+      * third element); a missing entry means UNKNOWN (older manifest
+      * or stat-less column), never zero.
+      */
+    lazy val nullCounts: Map[String, Long] =
+      if (statsJson.isEmpty) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(statsJson)
+        node.properties().asScala.flatMap { e =>
+          val arr = e.getValue
+          if (arr.size() >= 3) Some(e.getKey -> arr.get(2).asText.toLong)
+          else None
         }.toMap
       }
   }
@@ -176,7 +215,31 @@ object GraftSink {
     case (x: Int, y: Long)    => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Int, y: Int)     => Some(java.lang.Integer.compare(x, y))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    // V1 Filter values surface string literals as java.lang.String;
+    // compareTo's UTF-16 code-unit order is the SAME total order the
+    // writer tracked min/max under, so interval tests line up.
+    case (x: String, y: String) => Some(x.compareTo(y))
     case _ => None
+  }
+
+  /** Max chars a string bound keeps in the manifest (Iceberg's
+    * write.metadata.metrics truncate(16) default) — bounds stay tiny
+    * for 64-char block hashes while still splitting the keyspace.
+    */
+  private[sources] val StringBoundLen = 16
+
+  private[sources] def truncBound(s: String): String =
+    if (s.length <= StringBoundLen) s else s.substring(0, StringBoundLen)
+
+  /** Smallest string strictly greater than every string having `s` as
+    * a prefix: increment the last non-￿ char, drop the tail.
+    * None when every char is ￿ (no finite upper bound exists).
+    */
+  private[sources] def incrementLast(s: String): Option[String] = {
+    var i = s.length - 1
+    while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
   }
 
   /** Interval test: can `filter` match any row of file `f`, judged by
@@ -203,6 +266,14 @@ object GraftSink {
         le(lo, v) }
       case In(c, vs) => f.bounds.get(c).forall { case (lo, hi) =>
         vs.exists(v => le(lo, v) && le(v, hi)) }
+      // every string with prefix p lies in [p, incrementLast(p)): the
+      // file may match iff its [lo, hi] intersects that band — the
+      // block-hash prefix probe ("hash LIKE '0000abc%'") prunes to
+      // the band files like an equality would
+      case StringStartsWith(c, p) => f.bounds.get(c).forall {
+        case (lo, hi) =>
+          ge(hi, p) && incrementLast(p).forall(succ => lt(lo, succ))
+      }
       case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
       case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
       case _ => true
@@ -212,7 +283,8 @@ object GraftSink {
   /** The filter shapes [[mayMatch]] can act on (explain-visibility). */
   private[sources] def prunableShape(filter: Filter): Boolean = filter match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In => true
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: StringStartsWith => true
     case And(l, r) => prunableShape(l) && prunableShape(r)
     case Or(l, r)  => prunableShape(l) && prunableShape(r)
     case _ => false
@@ -630,19 +702,32 @@ object GraftSink {
       case (x: Long, y: Long) => x.min(y)
       case (x: Int, y: Int) => x.min(y)
       case (x: Double, y: Double) => x.min(y)
+      // min of the members' lower bounds is a lower bound; the merged
+      // string bound stays a (possibly truncated) prefix form
+      case (x: String, y: String) => if (x.compareTo(y) <= 0) x else y
       case _ => sys.error("graftsink: mixed-type bounds in one group")
     }
     def hi(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.max(y)
       case (x: Int, y: Int) => x.max(y)
       case (x: Double, y: Double) => x.max(y)
+      // max of upper bounds (some possibly already incremented) is
+      // still an upper bound over the union
+      case (x: String, y: String) => if (x.compareTo(y) >= 0) x else y
       case _ => sys.error("graftsink: mixed-type bounds in one group")
     }
     shared.toSeq.sorted.map { c =>
       val los = all.map(_(c)._1).reduce(lo)
       val his = all.map(_(c)._2).reduce(hi)
+      // null counts sum exactly when EVERY member recorded one;
+      // otherwise the merged entry omits it (unknown, never guessed)
+      val nulls = group.map(_.nullCounts.get(c))
+      val tail =
+        if (nulls.forall(_.isDefined))
+          s",${graft.Json.quote(nulls.flatten.sum.toString)}"
+        else ""
       s"${graft.Json.quote(c)}:[${graft.Json.quote(los.toString)}," +
-        s"${graft.Json.quote(his.toString)}]"
+        s"${graft.Json.quote(his.toString)}$tail]"
     }.mkString("{", ",", "}")
   }
 
@@ -652,33 +737,50 @@ object GraftSink {
   /** Retention: expire all but the newest `keepVersions` COMPLETE
     * manifests, delete data files no surviving manifest references,
     * and clear crashed writers' staging leftovers older than
-    * `stagingGraceMs` (a grace window protects a concurrent in-flight
-    * write whose files haven't reached commit yet; an abandoned dir
-    * only gets older). Ordering is crash-safe: expired manifests are
-    * removed FIRST, so a vacuum that dies mid-delete leaves
-    * unreferenced-but-present files (re-vacuum collects them), never a
-    * referenced-but-deleted file. The latest version is never
-    * expirable (`keepVersions` min 1); torn manifests are removed
-    * unconditionally (readers already skip them).
+    * `graceMs`. The grace window protects EVERY artifact a concurrent
+    * in-flight commit may have materialized but not yet published:
+    * staged task files, data files already renamed into `data/` whose
+    * manifest hasn't landed, and a mid-write manifest that parses as
+    * torn — all are skipped until they age past `graceMs` (an
+    * abandoned file only gets older; an in-flight one publishes long
+    * before a sane window elapses). Without it, a vacuum racing a
+    * commit between its data-file renames and its manifest publish
+    * would delete files the about-to-land manifest references.
+    * Ordering is crash-safe: expired manifests are removed FIRST, so
+    * a vacuum that dies mid-delete leaves unreferenced-but-present
+    * files (re-vacuum collects them), never a referenced-but-deleted
+    * file. The latest version is never expirable (`keepVersions`
+    * min 1).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
-      stagingGraceMs: Long = 3600000L): VacuumStats = {
+      graceMs: Long = 3600000L): VacuumStats = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
     val f = fs(spark, dir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def aged(p: Path): Boolean =
+      try f.getFileStatus(p).getModificationTime < cutoff
+      catch { case _: java.io.FileNotFoundException => false }
     val complete = fsVersionsDesc(spark, dir)
       .filter(v => manifestIsComplete(spark, dir, v))
     val (live, expired) = complete.splitAt(keepVersions)
+    // a "torn" manifest older than the grace window is a crashed
+    // publish; a YOUNG one may be a rename racing this very listing
     val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)
+      .filter(v => aged(new Path(dir, manifestName(v))))
     val keepFiles = live.flatMap(v =>
       manifestAt(spark, dir, Some(v)).toSeq.flatMap(_.files.map(_.name)))
       .toSet
     // 1. drop dead manifests (commit point of the expiry)
     (expired ++ torn).foreach(v => f.delete(new Path(dir, manifestName(v)), false))
-    // 2. then data files nothing surviving references
+    // 2. then data files nothing surviving references — aged only: a
+    // fresh unreferenced file may belong to a commit that renamed it
+    // into data/ but hasn't published its manifest yet
     val dataDir = new Path(dir, "data")
     val orphans =
       if (!f.exists(dataDir)) Array.empty[Path]
-      else f.listStatus(dataDir).map(_.getPath)
+      else f.listStatus(dataDir)
+        .filter(_.getModificationTime < cutoff)
+        .map(_.getPath)
         .filterNot(p => keepFiles(p.getName))
     orphans.foreach(f.delete(_, false))
     // 3. stale staging dirs beyond the in-flight grace window
@@ -686,8 +788,7 @@ object GraftSink {
     val staleStaging =
       if (!f.exists(stagingRoot)) Array.empty[Path]
       else f.listStatus(stagingRoot)
-        .filter(_.getModificationTime <
-          System.currentTimeMillis() - stagingGraceMs)
+        .filter(_.getModificationTime < cutoff)
         .map(_.getPath)
     staleStaging.foreach(f.delete(_, true))
     VacuumStats(expired, orphans.length, staleStaging.length)
@@ -982,12 +1083,19 @@ private class GraftDataWriter(schema: StructType, path: String,
   private var rows = 0L
   private var bytes = 0L
   // per-field [lo, hi] for the numeric-internal types (long-backed,
-  // int-backed, double) — nulls skipped; folded into the manifest line
-  // at commit so comparison predicates can skip this file unopened
+  // int-backed, double) and TRUNCATED string prefixes — nulls skipped
+  // but counted exactly; folded into the manifest line at commit so
+  // comparison predicates can skip this file unopened
   private val statLo = new Array[Long](schema.length)
   private val statHi = new Array[Long](schema.length)
   private val statLoD = new Array[Double](schema.length)
   private val statHiD = new Array[Double](schema.length)
+  private val statLoS = new Array[String](schema.length)
+  private val statHiS = new Array[String](schema.length)
+  // true when a string LONGER than its truncation set/retained the
+  // current hi — render must increment to stay an upper bound
+  private val statHiTrunc = new Array[Boolean](schema.length)
+  private val statNulls = new Array[Long](schema.length)
   private val statSeen = new Array[Boolean](schema.length)
   private def trackLong(i: Int, v: Long): Unit = {
     if (!statSeen(i)) { statLo(i) = v; statHi(i) = v; statSeen(i) = true }
@@ -999,22 +1107,41 @@ private class GraftDataWriter(schema: StructType, path: String,
     else { if (v < statLoD(i)) statLoD(i) = v
       if (v > statHiD(i)) statHiD(i) = v }
   }
+  // tracks the TRUNCATED form only (bounded memory per column no
+  // matter the value lengths); truncation is monotone under
+  // compareTo, so min/max of truncations = truncation of min/max
+  private def trackString(i: Int, v: String): Unit = {
+    val t = GraftSink.truncBound(v)
+    val cut = t.length < v.length
+    if (!statSeen(i)) {
+      statLoS(i) = t; statHiS(i) = t; statHiTrunc(i) = cut
+      statSeen(i) = true
+    } else {
+      if (t.compareTo(statLoS(i)) < 0) statLoS(i) = t
+      val c = t.compareTo(statHiS(i))
+      if (c > 0) { statHiS(i) = t; statHiTrunc(i) = cut }
+      else if (c == 0 && cut) statHiTrunc(i) = true
+    }
+  }
   private def statsJson: String = {
+    def entry(i: Int, lo: String, hi: String) =
+      s"${graft.Json.quote(schema(i).name)}:" +
+        s"[${graft.Json.quote(lo)},${graft.Json.quote(hi)}," +
+        s"${graft.Json.quote(statNulls(i).toString)}]"
     val parts = (0 until schema.length).flatMap { i =>
       if (!statSeen(i)) None
       else schema(i).dataType match {
-        case LongType | TimestampType | TimestampNTZType =>
-          Some(s"${graft.Json.quote(schema(i).name)}:" +
-            s"[${graft.Json.quote(statLo(i).toString)}," +
-            s"${graft.Json.quote(statHi(i).toString)}]")
-        case IntegerType | DateType =>
-          Some(s"${graft.Json.quote(schema(i).name)}:" +
-            s"[${graft.Json.quote(statLo(i).toString)}," +
-            s"${graft.Json.quote(statHi(i).toString)}]")
+        case LongType | TimestampType | TimestampNTZType |
+             IntegerType | DateType =>
+          Some(entry(i, statLo(i).toString, statHi(i).toString))
         case DoubleType =>
-          Some(s"${graft.Json.quote(schema(i).name)}:" +
-            s"[${graft.Json.quote(statLoD(i).toString)}," +
-            s"${graft.Json.quote(statHiD(i).toString)}]")
+          Some(entry(i, statLoD(i).toString, statHiD(i).toString))
+        case StringType =>
+          val hi = if (!statHiTrunc(i)) Some(statHiS(i))
+            else GraftSink.incrementLast(statHiS(i))
+          // un-incrementable hi (all ￿ chars): drop the column's
+          // stats — no finite upper bound exists
+          hi.map(h => entry(i, statLoS(i), h))
         case _ => None
       }
     }
@@ -1036,7 +1163,7 @@ private class GraftDataWriter(schema: StructType, path: String,
       if (i > 0) sb.append(',')
       val fld = schema(i)
       sb.append(graft.Json.quote(fld.name)).append(':')
-      if (row.isNullAt(i)) sb.append("null")
+      if (row.isNullAt(i)) { statNulls(i) += 1L; sb.append("null") }
       else fld.dataType match {
         case LongType | TimestampType | TimestampNTZType =>
           val v = row.getLong(i); trackLong(i, v); sb.append(v)
@@ -1046,7 +1173,9 @@ private class GraftDataWriter(schema: StructType, path: String,
           val v = row.getDouble(i); trackDouble(i, v); sb.append(v)
         case BooleanType => sb.append(row.getBoolean(i))
         case StringType =>
-          sb.append(graft.Json.quote(row.getUTF8String(i).toString))
+          val v = row.getUTF8String(i).toString
+          trackString(i, v)
+          sb.append(graft.Json.quote(v))
         case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
       }
       i += 1
@@ -1135,7 +1264,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     */
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
-  private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planMetaAgg(agg).isDefined
@@ -1153,21 +1282,24 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     case _ => None
   }
 
+  /** GROUPED metadata aggregation folds from per-file bounds when the
+    * table is value-clustered on the grouping columns — every file's
+    * [lo, hi] for each grouping column collapses to a single point
+    * (lo == hi) with a RECORDED null count of zero. Then each file
+    * belongs wholly to one group: per-group COUNT(*) sums file row
+    * counts, per-group MIN/MAX folds file bounds, and the group keys
+    * themselves come off the manifest. That is the incremental loop's
+    * per-partition watermark probe (`MAX(ts) GROUP BY p_key` over a
+    * p_key-clustered target) answered with ZERO file opens. Any file
+    * breaking the clustering invariant — multi-value range, unknown
+    * or non-zero null count (a NULL group would need row access) —
+    * declines the whole pushdown; the row scan stays correct.
+    */
   private def planMetaAgg(agg: Aggregation)
-      : Option[(StructType, Seq[Any])] = {
-    if (agg.groupByExpressions.nonEmpty || files.exists(f =>
-      f.rows < 0L || f.statsJson.isEmpty)) return None
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    if (files.isEmpty && agg.groupByExpressions.nonEmpty) return None
+    if (files.exists(f => f.rows < 0L || f.statsJson.isEmpty)) return None
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    def bound(c: String, side: ((Any, Any)) => Any,
-        pick: (Any, Any) => Any): Option[Any] =
-      types.get(c).filter {
-        case LongType | IntegerType | DoubleType | TimestampType |
-             TimestampNTZType | DateType => true
-        case _ => false
-      }.map { _ =>
-        files.flatMap(_.bounds.get(c)).map(side)
-          .reduceOption(pick).orNull
-      }
     def lo(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.min(y)
       case (x: Int, y: Int) => x.min(y)
@@ -1178,21 +1310,65 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       case (x: Int, y: Int) => x.max(y)
       case (x: Double, y: Double) => x.max(y)
     }
-    val planned = agg.aggregateExpressions.map {
+    val groupCols = agg.groupByExpressions.toSeq.map(colNameOf)
+    if (groupCols.exists(_.isEmpty)) return None
+    val gcols = groupCols.flatten
+    // clustering check: single-point bounds + known-zero nulls.
+    // Strings qualify: a truncated/incremented hi can never equal lo,
+    // so lo == hi proves the file holds exactly that string value.
+    val clustered = gcols.forall(g => files.forall(f =>
+      f.bounds.get(g).exists(b => b._1 == b._2) &&
+        f.nullCounts.get(g).contains(0L)))
+    if (!clustered) return None
+    val groups: Seq[(Seq[Any], Seq[GraftSink.ManifestFile])] =
+      if (gcols.isEmpty) Seq((Nil, files))
+      else files.groupBy(f => gcols.map(g => f.bounds(g)._1)).toSeq
+        .sortBy(_._1.mkString(" "))
+    def bound(fs: Seq[GraftSink.ManifestFile], c: String,
+        side: ((Any, Any)) => Any,
+        pick: (Any, Any) => Any): Option[Any] =
+      types.get(c).filter {
+        case LongType | IntegerType | DoubleType | TimestampType |
+             TimestampNTZType | DateType => true
+        case _ => false
+      }.map { _ =>
+        fs.flatMap(_.bounds.get(c)).map(side)
+          .reduceOption(pick).orNull
+      }
+    val gFields = gcols.map(g => StructField(g, types(g)))
+    val planned = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some((
         StructField("count(*)", LongType, nullable = false),
-        files.map(_.rows).sum: Any))
+        (fs: Seq[GraftSink.ManifestFile]) =>
+          fs.map(_.rows).foldLeft(0L)(_ + _): Any))
       case m: Min => colNameOf(m.column).flatMap(c =>
-        bound(c, _._1, lo).map(v => (
-          StructField(s"min($c)", types(c)), v)))
+        if (types.get(c).exists {
+          case LongType | IntegerType | DoubleType | TimestampType |
+               TimestampNTZType | DateType => true
+          case _ => false
+        }) Some((StructField(s"min($c)", types(c)),
+          (fs: Seq[GraftSink.ManifestFile]) =>
+            bound(fs, c, _._1, lo).orNull))
+        else None)
       case m: Max => colNameOf(m.column).flatMap(c =>
-        bound(c, _._2, hi).map(v => (
-          StructField(s"max($c)", types(c)), v)))
+        if (types.get(c).exists {
+          case LongType | IntegerType | DoubleType | TimestampType |
+               TimestampNTZType | DateType => true
+          case _ => false
+        }) Some((StructField(s"max($c)", types(c)),
+          (fs: Seq[GraftSink.ManifestFile]) =>
+            bound(fs, c, _._2, hi).orNull))
+        else None)
       case _ => None
     }
     if (planned.exists(_.isEmpty)) None
-    else Some((StructType(planned.map(_.get._1).toSeq),
-      planned.map(_.get._2).toSeq))
+    else {
+      val defs = planned.map(_.get)
+      val rows = groups.map { case (keys, fs) =>
+        keys ++ defs.map(_._2(fs))
+      }
+      Some((StructType(gFields ++ defs.map(_._1)), rows))
+    }
   }
 
   private lazy val files = GraftSink.scanFiles(SparkSession.active, path,
@@ -1210,12 +1386,12 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   }
 }
 
-/** A completely-pushed metadata aggregation: one row straight from the
-  * manifest, zero data files opened (the reader-counter spec observes
-  * exactly that).
+/** A completely-pushed metadata aggregation: one row per group (one
+  * total for the ungrouped case) straight from the manifest, zero
+  * data files opened (the reader-counter spec observes exactly that).
   */
 private class GraftSinkMetaAggScan(path: String, aggSchema: StructType,
-    values: Seq[Any]) extends Scan with Batch
+    rows: Seq[Seq[Any]]) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = aggSchema
   override def description(): String =
@@ -1223,32 +1399,36 @@ private class GraftSinkMetaAggScan(path: String, aggSchema: StructType,
       s"PushedAggregates=[${aggSchema.fieldNames.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftMetaAggPartition(values))
+    Array(GraftMetaAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMetaAggReaderFactory
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(16L * values.size.max(1))
+        java.util.OptionalLong.of(
+          16L * aggSchema.length.max(1) * rows.size.max(1))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(1L)
+        java.util.OptionalLong.of(rows.size.toLong)
     }
 }
 
-private case class GraftMetaAggPartition(values: Seq[Any])
+private case class GraftMetaAggPartition(rows: Seq[Seq[Any]])
   extends InputPartition
 
 private class GraftMetaAggReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val values =
-        partition.asInstanceOf[GraftMetaAggPartition].values
-      private var served = false
-      override def next(): Boolean = !served && { served = true; true }
+      private val it =
+        partition.asInstanceOf[GraftMetaAggPartition].rows.iterator
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
       override def get(): InternalRow =
-        new GenericInternalRow(values.toArray)
+        new GenericInternalRow(cur.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        }.toArray)
       override def close(): Unit = ()
     }
 }

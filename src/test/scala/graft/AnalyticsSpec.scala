@@ -209,9 +209,9 @@ class AnalyticsSpec extends SparkSpec {
     }
     val expectMax = devs.map(_._2).max
     val row = run("q_drift_ks").head()
-    // d_num reports as DECIMAL(38,0) (the overflow-safe wide type)
-    assert(row.getAs[java.math.BigDecimal]("d_num").longValueExact()
-      === expectMax)
+    // d_num reports as BIGINT at the edge (arithmetic stays DECIMAL
+    // internally; decimal output columns hash unstably cross-engine)
+    assert(row.getAs[Long]("d_num") === expectMax)
     assert(row.getAs[Long]("n_base") === na)
     assert(row.getAs[Long]("n_curr") === nb)
     assert(row.getAs[Long]("d_e6") ===

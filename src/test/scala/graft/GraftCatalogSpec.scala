@@ -241,4 +241,63 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.g.a").collect()
     }
   }
+
+  test("CALL system.vacuum expires versions through SQL; a pinned " +
+    "VERSION AS OF read of a vacuumed version fails loudly") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.m")
+    assert(root.nonEmpty)
+    spark.sql("CREATE TABLE graft.m.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.m.t VALUES (1, 'a')")          // v1
+    spark.sql("INSERT OVERWRITE graft.m.t VALUES (2, 'b')")     // v2
+    spark.sql("INSERT INTO graft.m.t VALUES (3, 'c')")          // v3
+    // the pinned version works before retention...
+    assert(spark.sql("SELECT k FROM graft.m.t VERSION AS OF 1")
+      .as[Long].collect().toSeq === Seq(1L))
+    val row = spark.sql(
+      "CALL graft.system.vacuum(table => 'm.t', keep_versions => 2, " +
+        "grace_ms => 0)").collect().head
+    assert(row.getString(0).split(",").nonEmpty)   // expired versions
+    assert(row.getInt(1) >= 1)                     // v1's orphan file
+    // ...and fails LOUDLY after: the manifest is gone, so the read
+    // refuses — it can never serve partial data from surviving files
+    val e = intercept[Exception] {
+      spark.sql("SELECT k FROM graft.m.t VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    // the surviving pinned version and the head still read exactly
+    assert(spark.sql("SELECT k FROM graft.m.t VERSION AS OF 2")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql("SELECT k FROM graft.m.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+  }
+
+  test("CALL system.compact merges small files through SQL; reads " +
+    "carry over exactly") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.m2")
+    assert(root.nonEmpty)
+    spark.sql("CREATE TABLE graft.m2.t (k BIGINT)")
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO graft.m2.t VALUES ($i)"))
+    val before = GraftSink.latestManifest(spark, s"$root/m2/t")
+      .get.files.size
+    val row = spark.sql(
+      "CALL graft.system.compact(table => 'm2.t')").collect().head
+    assert(row.getInt(0) >= 1, "at least one group merged")
+    val after = GraftSink.latestManifest(spark, s"$root/m2/t")
+      .get.files.size
+    assert(after < before)
+    assert(spark.sql("SELECT k FROM graft.m2.t ORDER BY k")
+      .as[Long].collect().toSeq === (1L to 5L))
+  }
+
+  test("unknown procedures and missing tables fail loudly at CALL") {
+    intercept[Exception] {
+      spark.sql("CALL graft.system.no_such_proc()").collect()
+    }
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL graft.system.vacuum(table => 'nope.missing')").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

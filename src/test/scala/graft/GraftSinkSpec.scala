@@ -527,8 +527,16 @@ class GraftSinkSpec extends SparkSpec {
     def dataFiles = fs.listStatus(
       new org.apache.hadoop.fs.Path(dir, "data")).length
     assert(dataFiles === 3)
-    val stats = GraftSink.vacuum(spark, dir, keepVersions = 2)
-    assert(stats.expiredVersions === Seq(0))
+    // default grace: the manifest expires but the FRESH orphan data
+    // file survives — it could be a racing commit's renamed-but-not-
+    // yet-published file (the expiry is re-collectable, the file is
+    // not restorable)
+    val guarded = GraftSink.vacuum(spark, dir, keepVersions = 2)
+    assert(guarded.expiredVersions === Seq(0))
+    assert(guarded.deletedDataFiles === 0 && dataFiles === 3)
+    val stats = GraftSink.vacuum(spark, dir, keepVersions = 2,
+      graceMs = 0L)
+    assert(stats.expiredVersions.isEmpty) // already expired above
     // v0's file was referenced ONLY by v0 -> collected
     assert(stats.deletedDataFiles === 1 && dataFiles === 2)
     // the expired version is gone for pinned readers...
@@ -541,7 +549,8 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir)
       .select("k").as[Long].collect().toSet === Set(2L, 3L))
     // idempotent: nothing left to collect
-    val again = GraftSink.vacuum(spark, dir, keepVersions = 2)
+    val again = GraftSink.vacuum(spark, dir, keepVersions = 2,
+      graceMs = 0L)
     assert(again.expiredVersions.isEmpty && again.deletedDataFiles === 0)
     intercept[IllegalArgumentException] {
       GraftSink.vacuum(spark, dir, keepVersions = 0)
@@ -558,11 +567,11 @@ class GraftSinkSpec extends SparkSpec {
     val stray = new org.apache.hadoop.fs.Path(dir, "_staging/dead-writer")
     fs.mkdirs(stray)
     // a generous grace keeps it (could be an in-flight writer)...
-    assert(GraftSink.vacuum(spark, dir, 1, stagingGraceMs = 3600000L)
+    assert(GraftSink.vacuum(spark, dir, 1, graceMs = 3600000L)
       .deletedStagingDirs === 0)
     assert(fs.exists(stray))
     // ...zero grace collects it
-    assert(GraftSink.vacuum(spark, dir, 1, stagingGraceMs = 0L)
+    assert(GraftSink.vacuum(spark, dir, 1, graceMs = 0L)
       .deletedStagingDirs === 1)
     assert(!fs.exists(stray))
   }
@@ -574,5 +583,156 @@ class GraftSinkSpec extends SparkSpec {
       bad.write.format("graftsink").mode("append").save(dir)
     }
     assert(e.getMessage != null)
+  }
+
+  test("string bounds: truncated manifest prefixes prune equality, " +
+    "range, and prefix probes on long hash keys, exactly") {
+    val dir = freshDir
+    // 64-char hex "block hashes" (the reference's string p_keys),
+    // range-clustered so each of the 8 files covers a hash band —
+    // bounds in the manifest must be 16-char truncations, never the
+    // full keys
+    val hashed = spark.range(4000)
+      .select(sha2(col("id").cast("string"), 256).as("h"),
+        col("id").as("k"))
+      .repartitionByRange(8, col("h"))
+    hashed.write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size === 8)
+    m.files.foreach { f =>
+      val (lo, hi) = f.bounds("h")
+      assert(lo.asInstanceOf[String].length <= 16 &&
+        hi.asInstanceOf[String].length <= 16,
+        s"string bounds must be truncated, got ($lo, $hi)")
+      assert(f.nullCounts.get("h").contains(0L))
+    }
+    val probe = hashed.select("h").as[String].head()
+
+    // equality on the full 64-char key: exactly one band file opens
+    val before = GraftSink.readersCreated.get()
+    val got = spark.read.format("graftsink").load(dir)
+      .filter(col("h") === probe).select("k").as[Long].collect().toSeq
+    assert(got.size === 1)
+    assert(GraftSink.readersCreated.get() - before === 1L,
+      "a string equality probe must open exactly its band file")
+
+    // prefix probe (startsWith → StringStartsWith): only bands whose
+    // [lo, hi] intersects [p, succ(p)) open; result stays exact vs
+    // the unpruned recompute
+    val expectPrefix = hashed.filter(col("h").startsWith("00"))
+      .select("k").as[Long].collect().toSet
+    val b2 = GraftSink.readersCreated.get()
+    val gotPrefix = spark.read.format("graftsink").load(dir)
+      .filter(col("h").startsWith("00")).select("k").as[Long]
+      .collect().toSet
+    assert(gotPrefix === expectPrefix)
+    assert(GraftSink.readersCreated.get() - b2 < 8L,
+      "a selective prefix probe must not open every band")
+
+    // a probe below every band's lo opens nothing
+    val b3 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("h") === "!no-such-hash").count() === 0L)
+    assert(GraftSink.readersCreated.get() === b3)
+  }
+
+  test("string bounds never drop rows: values sharing a 16-char " +
+    "prefix stay findable through the incremented upper bound") {
+    val dir = freshDir
+    // every value shares the same 16-char prefix, so each file's hi
+    // must be the INCREMENTED truncation, not the truncation itself —
+    // an un-incremented hi would wrongly exclude suffixes above it
+    val df = spark.range(200)
+      .select(concat(lit("shared-prefix-16" + "-suffix-"),
+        lpad(col("id").cast("string"), 4, "0")).as("s"),
+        col("id").as("k"))
+    df.repartitionByRange(4, col("s"))
+      .write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    m.files.foreach { f =>
+      val (lo, hi) = f.bounds("s")
+      assert(lo.asInstanceOf[String].compareTo(
+        hi.asInstanceOf[String]) <= 0)
+    }
+    // every row remains reachable by exact equality
+    val all = df.select("s").as[String].collect()
+    val probes = Seq(all.min, all.max, all(57))
+    probes.foreach { p =>
+      assert(spark.read.format("graftsink").load(dir)
+        .filter(col("s") === p).count() === 1L, s"lost $p")
+    }
+    // and a range over the shared prefix returns everything
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("s") >= "shared-prefix-16").count() === 200L)
+  }
+
+  test("grouped MAX/MIN/COUNT answer from the manifest when files " +
+    "cluster one group value each: zero data-file readers") {
+    val dir = freshDir
+    // one file per group value: range-partition the write on g with
+    // as many partitions as distinct values
+    val df = spark.range(900)
+      .select((col("id") % 3).cast("string").as("g"),
+        col("id").as("ts"), (col("id") % 7).as("v"))
+    df.repartitionByRange(3, col("g"))
+      .write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.forall(f =>
+      f.bounds.get("g").exists(b => b._1 == b._2)),
+      "hash-partitioned by g: every file must hold one g value")
+
+    val before = GraftSink.readersCreated.get()
+    val got = spark.read.format("graftsink").load(dir)
+      .groupBy("g")
+      .agg(max("ts").as("max_ts"), min("ts").as("min_ts"),
+        count(lit(1)).as("n"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expect = df.groupBy("g")
+      .agg(max("ts").as("max_ts"), min("ts").as("min_ts"),
+        count(lit(1)).as("n"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+    assert(GraftSink.readersCreated.get() === before,
+      "a clustered grouped MAX must answer from manifest rows")
+
+    // the plan says so
+    val plan = spark.read.format("graftsink").load(dir)
+      .groupBy("g").agg(max("ts"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSinkMetaAggScan"), plan)
+  }
+
+  test("grouped metadata agg declines when files straddle group " +
+    "values or nulls lurk — the row scan stays exact") {
+    val dir = freshDir
+    // 2 files, each holding BOTH g values → lo != hi → decline
+    spark.range(100)
+      .select((col("id") % 2).cast("string").as("g"), col("id").as("ts"))
+      .repartitionByRange(2, col("ts"))
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    val got = spark.read.format("graftsink").load(dir)
+      .groupBy("g").agg(max("ts").as("m")).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("0", 98L), ("1", 99L)))
+    assert(GraftSink.readersCreated.get() > before,
+      "straddling files must fall back to the row scan")
+
+    // null group values → decline (the NULL group needs row access)
+    val dir2 = freshDir
+    spark.range(100)
+      .select(when(col("id") < 50, col("id") % 2).cast("string")
+        .as("g"), col("id").as("ts"))
+      .repartition(2, col("g"))
+      .write.format("graftsink").mode("append").save(dir2)
+    val expect2 = Seq((null, 99L), ("0", 48L), ("1", 49L))
+    val got2 = spark.read.format("graftsink").load(dir2)
+      .groupBy("g").agg(max("ts").as("m")).orderBy(asc_nulls_first("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 === expect2)
   }
 }
