@@ -37,8 +37,9 @@ import org.apache.spark.util.SerializableConfiguration
   *    manifests;
   *  - maintenance rides SQL stored procedures
   *    (`CALL graft.system.vacuum(table => 'ns.t', keep_versions => 2)`,
-  *    `CALL graft.system.compact(table => 'ns.t')`) — the retention
-  *    contract is explicit: vacuum expires old versions, and a
+  *    `CALL graft.system.compact(table => 'ns.t')`,
+  *    `CALL graft.system.cluster(table => 'ns.t', by => 'k')`) — the
+  *    retention contract is explicit: vacuum expires old versions, and a
   *    subsequent `VERSION AS OF` read of an expired version fails
   *    LOUDLY (`NoSuchTableException`), never returns partial data,
   *    because expiry removes the pinned manifest before any data file
@@ -178,16 +179,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "vacuum")  => new GraftVacuumProcedure(this)
       case (Seq("system"), "compact") => new GraftCompactProcedure(this)
+      case (Seq("system"), "cluster") => new GraftClusterProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
-          s"${ident.name()} (have: system.vacuum, system.compact)")
+          s"${ident.name()} (have: system.vacuum, system.compact, " +
+          "system.cluster)")
     }
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "vacuum"),
-        Identifier.of(Array("system"), "compact"))
+        Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "cluster"))
     else Array.empty
 
   /** A procedure's dotted `'ns.t'` argument → the table directory;
@@ -334,6 +338,42 @@ private class GraftCompactProcedure(catalog: GraftCatalog)
         StructField("files_before", IntegerType, nullable = false),
         StructField("files_after", IntegerType, nullable = false))),
       Seq(stats.groupsMerged, stats.filesBefore, stats.filesAfter)))
+      .iterator()
+  }
+}
+
+/** `CALL <cat>.system.cluster(table => 'ns.t', by => 'k1,k2',
+  * target_bytes => …)` — [[GraftSink.cluster]] behind SQL: rewrites
+  * the table range-clustered on the named columns so manifest-bounds
+  * skipping prunes probes on them. Returns one row of file counts.
+  */
+private class GraftClusterProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "cluster"
+  override def description(): String =
+    "rewrite a graftsink table range-clustered on the given columns"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("by", StringType).build(),
+    ProcedureParameter.in("target_bytes", LongType)
+      .defaultValue((128L * 1024 * 1024).toString).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val stats = GraftSink.cluster(catalog.session, dir, cols,
+      targetBytes = input.getLong(2))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("rows_rewritten", LongType, nullable = false))),
+      // Seq[Any] pins element types: an unascribed Seq(Int, Int, Long)
+      // numeric-widens every element to Long and the Int fields would
+      // unbox-crash in the output projection
+      Seq[Any](stats.filesBefore, stats.filesAfter, stats.rows)))
       .iterator()
   }
 }

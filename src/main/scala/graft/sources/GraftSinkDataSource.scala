@@ -215,31 +215,75 @@ object GraftSink {
     case (x: Int, y: Long)    => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Int, y: Int)     => Some(java.lang.Integer.compare(x, y))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    // V1 Filter values surface string literals as java.lang.String;
-    // compareTo's UTF-16 code-unit order is the SAME total order the
-    // writer tracked min/max under, so interval tests line up.
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // V1 Filter values surface string literals as java.lang.String.
+    // Compared in UTF-8 BYTE order (= code-point order) — the order
+    // Spark's UTF8String evaluates string predicates in. Plain
+    // String.compareTo (UTF-16 code-unit order) disagrees for
+    // astral-plane chars vs [0xE000, 0xFFFF]: under it a file of
+    // emoji values could be "proven" below a BMP probe that Spark's
+    // comparison puts it above — an unsound skip. Writer tracking,
+    // bound merging, and this interval test all use the same UTF-8
+    // order, so the three stay consistent with the engine.
+    case (x: String, y: String) => Some(cmpUtf8(x, y))
     case _ => None
   }
 
-  /** Max chars a string bound keeps in the manifest (Iceberg's
+  /** UTF-16 strings compared as their UTF-8 bytes would: at the first
+    * differing code unit, surrogate units (astral chars) shift above
+    * the BMP. Valid for well-formed strings — the bound writers below
+    * never emit a lone surrogate.
+    */
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      var ca = a.charAt(i).toInt
+      var cb = b.charAt(i).toInt
+      if (ca != cb) {
+        if (ca >= 0xD800 && ca <= 0xDFFF) ca += 0x800000
+        if (cb >= 0xD800 && cb <= 0xDFFF) cb += 0x800000
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Max UTF-16 units a string bound keeps in the manifest (Iceberg's
     * write.metadata.metrics truncate(16) default) — bounds stay tiny
     * for 64-char block hashes while still splitting the keyspace.
     */
   private[sources] val StringBoundLen = 16
 
-  private[sources] def truncBound(s: String): String =
-    if (s.length <= StringBoundLen) s else s.substring(0, StringBoundLen)
-
-  /** Smallest string strictly greater than every string having `s` as
-    * a prefix: increment the last non-￿ char, drop the tail.
-    * None when every char is ￿ (no finite upper bound exists).
+  /** Truncates at a CODE POINT boundary: a cut through a surrogate
+    * pair would leave a lone surrogate, which `getBytes("UTF-8")`
+    * mangles to '?' and code-point ordering can't place. A prefix cut
+    * at a code-point boundary sorts <= the full string in UTF-8 order,
+    * so the truncation stays a lower bound.
     */
-  private[sources] def incrementLast(s: String): Option[String] = {
-    var i = s.length - 1
-    while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+  private[graft] def truncBound(s: String): String =
+    if (s.length <= StringBoundLen) s
+    else if (Character.isHighSurrogate(s.charAt(StringBoundLen - 1)))
+      s.substring(0, StringBoundLen - 1)
+    else s.substring(0, StringBoundLen)
+
+  /** Smallest well-formed string strictly greater (in UTF-8 order)
+    * than every string having `s` as a prefix: increment the last
+    * CODE POINT, skipping the surrogate code-point gap (0xD7FF + 1 →
+    * 0xE000) and dropping trailing U+10FFFF points. None when every
+    * point is U+10FFFF (no finite upper bound exists).
+    */
+  private[graft] def incrementLast(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
     if (i < 0) None
-    else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+    else {
+      val bumped = cps(i) + 1
+      val next =
+        if (bumped >= 0xD800 && bumped <= 0xDFFF) 0xE000 else bumped
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
+    }
   }
 
   /** Interval test: can `filter` match any row of file `f`, judged by
@@ -248,7 +292,7 @@ object GraftSink {
     * the file; Spark re-applies every filter above the scan, so
     * skipping is purely an optimization and can never drop a row.
     */
-  private[sources] def mayMatch(f: ManifestFile, filter: Filter): Boolean = {
+  private[graft] def mayMatch(f: ManifestFile, filter: Filter): Boolean = {
     def ge(a: Any, b: Any) = cmpOpt(a, b).forall(_ >= 0)
     def le(a: Any, b: Any) = cmpOpt(a, b).forall(_ <= 0)
     def gt(a: Any, b: Any) = cmpOpt(a, b).forall(_ > 0)
@@ -703,8 +747,9 @@ object GraftSink {
       case (x: Int, y: Int) => x.min(y)
       case (x: Double, y: Double) => x.min(y)
       // min of the members' lower bounds is a lower bound; the merged
-      // string bound stays a (possibly truncated) prefix form
-      case (x: String, y: String) => if (x.compareTo(y) <= 0) x else y
+      // string bound stays a (possibly truncated) prefix form —
+      // merged in the same UTF-8 order the bounds were tracked in
+      case (x: String, y: String) => if (cmpUtf8(x, y) <= 0) x else y
       case _ => sys.error("graftsink: mixed-type bounds in one group")
     }
     def hi(a: Any, b: Any): Any = (a, b) match {
@@ -713,7 +758,7 @@ object GraftSink {
       case (x: Double, y: Double) => x.max(y)
       // max of upper bounds (some possibly already incremented) is
       // still an upper bound over the union
-      case (x: String, y: String) => if (x.compareTo(y) >= 0) x else y
+      case (x: String, y: String) => if (cmpUtf8(x, y) >= 0) x else y
       case _ => sys.error("graftsink: mixed-type bounds in one group")
     }
     shared.toSeq.sorted.map { c =>
@@ -729,6 +774,88 @@ object GraftSink {
       s"${graft.Json.quote(c)}:[${graft.Json.quote(los.toString)}," +
         s"${graft.Json.quote(his.toString)}$tail]"
     }.mkString("{", ",", "}")
+  }
+
+  final case class ClusterStats(filesBefore: Int, filesAfter: Int,
+      rows: Long)
+
+  /** OPTIMIZE-style re-clustering — rewrites the table's files
+    * range-clustered on `cols`, so manifest-bounds skipping bites on a
+    * table that was WRITTEN unclustered (the append-as-it-arrives
+    * cadence). After clustering, an equality/range/prefix probe on the
+    * cluster key opens O(1) of the ~targetBytes-sized files instead of
+    * all of them. The mechanics reuse the engine's own paths end to
+    * end: a pinned snapshot read (by-name schema reconciliation —
+    * evolution collapses into the current table shape), a normal
+    * graftsink write into a staging-scoped scratch table (its manifest
+    * carries the new files' exact rows/bytes/bounds), a rename of each
+    * data file into `data/`, and one manifest publish that lists the
+    * new files as `rewrite = true` — snapshot reads include them, the
+    * change feed and streaming tail EXCLUDE them (their rows were
+    * consumed from the files they replace), and prior versions still
+    * time-travel to the unclustered layout until vacuumed.
+    *
+    * Concurrency: like [[compact]], the publish retry replaces ONLY
+    * the snapshot's files, so a concurrent append's files survive in
+    * the new version untouched. Maintenance ops assume a single
+    * maintenance writer (the lakehouse convention); a concurrent
+    * TRUNCATE between snapshot and publish is the documented hazard.
+    *
+    * At 100 TB: the rewrite is one shuffle of the table (the price of
+    * any re-sort, paid once, amortized over every subsequent pruned
+    * read); the driver handles O(#files) metadata only.
+    */
+  def cluster(spark: SparkSession, dir: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): ClusterStats = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    val m = latestManifest(spark, dir).getOrElse(
+      sys.error(s"graftsink: nothing to cluster at $dir"))
+    if (m.files.isEmpty) return ClusterStats(0, 0, 0L)
+    require(m.files.forall(f => f.rows >= 0 && f.bytes >= 0),
+      "graftsink: clustering needs per-file statistics")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column $c not in table schema"))
+    val totalBytes = m.files.map(_.bytes).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val clusterId = java.util.UUID.randomUUID().toString.take(8)
+    // scratch lives under _staging so an abandoned run is collected by
+    // vacuum's staging GC after the grace window
+    val scratch = s"$dir/_staging/cluster-$clusterId/t"
+    spark.read.format("graftsink")
+      .option("version", m.version).load(dir)
+      .repartitionByRange(nFiles, cols.map(col): _*)
+      .write.format("graftsink").mode("overwrite").save(scratch)
+    val sm = latestManifest(spark, scratch).getOrElse(
+      sys.error("graftsink: cluster scratch write published nothing"))
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, "data"))
+    val moved = sm.files.map { mf =>
+      val newName = s"cluster-$clusterId-${mf.name}"
+      val ok = f.rename(new Path(scratch, s"data/${mf.name}"),
+        new Path(dir, s"data/$newName"))
+      require(ok, s"graftsink: cluster rename of ${mf.name} failed")
+      mf.copy(name = newName, rewrite = true)
+    }
+    val replaced = m.files.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val head = latestManifest(spark, dir).getOrElse(m)
+      val files = head.files.filterNot(x => replaced(x.name)) ++ moved
+      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      val conf = new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      try {
+        writeManifest(conf, dir, version, head.schemaDdl, files)
+        f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
+        return ClusterStats(m.files.size, files.size,
+          moved.map(_.rows).sum)
+      } catch { case e: ManifestCollisionException =>
+        attempt += 1; if (attempt > 20) throw e
+      }
+    }
+    ClusterStats(0, 0, 0L) // unreachable
   }
 
   final case class VacuumStats(expiredVersions: Seq[Int],
@@ -1108,8 +1235,11 @@ private class GraftDataWriter(schema: StructType, path: String,
       if (v > statHiD(i)) statHiD(i) = v }
   }
   // tracks the TRUNCATED form only (bounded memory per column no
-  // matter the value lengths); truncation is monotone under
-  // compareTo, so min/max of truncations = truncation of min/max
+  // matter the value lengths); truncation at a code-point boundary is
+  // monotone under UTF-8 order, so min/max of truncations =
+  // truncation of min/max — and the order here MUST be GraftSink
+  // .cmpUtf8, the order the scan-time interval test and Spark's own
+  // string predicates use
   private def trackString(i: Int, v: String): Unit = {
     val t = GraftSink.truncBound(v)
     val cut = t.length < v.length
@@ -1117,8 +1247,8 @@ private class GraftDataWriter(schema: StructType, path: String,
       statLoS(i) = t; statHiS(i) = t; statHiTrunc(i) = cut
       statSeen(i) = true
     } else {
-      if (t.compareTo(statLoS(i)) < 0) statLoS(i) = t
-      val c = t.compareTo(statHiS(i))
+      if (GraftSink.cmpUtf8(t, statLoS(i)) < 0) statLoS(i) = t
+      val c = GraftSink.cmpUtf8(t, statHiS(i))
       if (c > 0) { statHiS(i) = t; statHiTrunc(i) = cut }
       else if (c == 0 && cut) statHiTrunc(i) = true
     }
@@ -1262,7 +1392,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     * falls the whole aggregation back to the row scan. All-null
     * columns answer NULL, like the scan would.
     */
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
@@ -1341,6 +1471,30 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
         StructField("count(*)", LongType, nullable = false),
         (fs: Seq[GraftSink.ManifestFile]) =>
           fs.map(_.rows).foldLeft(0L)(_ + _): Any))
+      // COUNT(col) = rows − nulls, from the recorded per-file null
+      // counts. A numeric column with NO stats entry provably held no
+      // non-null values (all-null or evolution-born) → contributes 0;
+      // a STRING column's entry can also be dropped for an
+      // un-incrementable upper bound, so absence is ambiguous there —
+      // decline. Any file with an entry but no recorded null count
+      // (pre-round-6 manifest) declines the whole pushdown.
+      case c: Count if !c.isDistinct => colNameOf(c.column).flatMap { col =>
+        val isString = types.get(col).contains(StringType)
+        val perFile = files.map { f =>
+          (f.bounds.contains(col), f.nullCounts.get(col)) match {
+            case (true, Some(n)) => Some(f.rows - n)
+            case (true, None) => None
+            case (false, _) => if (isString) None else Some(0L)
+          }
+        }
+        if (perFile.exists(_.isEmpty) || !types.contains(col)) None
+        else {
+          val byName = files.zip(perFile.map(_.get)).toMap
+          Some((StructField(s"count($col)", LongType, nullable = false),
+            (fs: Seq[GraftSink.ManifestFile]) =>
+              fs.map(byName).foldLeft(0L)(_ + _): Any))
+        }
+      }
       case m: Min => colNameOf(m.column).flatMap(c =>
         if (types.get(c).exists {
           case LongType | IntegerType | DoubleType | TimestampType |

@@ -706,6 +706,163 @@ class GraftSinkSpec extends SparkSpec {
     assert(plan.contains("GraftSinkMetaAggScan"), plan)
   }
 
+  test("string bounds property: NO false negatives under UTF-8 order " +
+    "across BMP/astral boundaries, truncation, and prefix probes") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = freshDir
+    // the adversarial alphabet: chars straddling every seam where
+    // UTF-16 code-unit order and UTF-8 byte order DISAGREE (astral
+    // pairs sort between 0xD7FF and 0xE000 in unit order but above
+    // 0xFFFF in byte order), plus pair-splitting truncation bait
+    val alphabet = Seq("a", "z", "é", "ࠀ", "퟿",
+      "", "￮", "😀" /* U+1F600 */,
+      "𝕏" /* U+1D54F */)
+    val rnd = new scala.util.Random(42)
+    def randStr() =
+      (0 until rnd.nextInt(20)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size))).mkString
+    val fileRows: Seq[Seq[String]] =
+      (0 until 6).map(_ => (0 until 8).map(_ => randStr()))
+    fileRows.foreach { rows =>
+      rows.toDF("s").coalesce(1)
+        .write.format("graftsink").mode("append").save(dir)
+    }
+    val m = GraftSink.latestManifest(spark, dir).get
+    // recover each manifest file's actual rows via the _file column
+    val byFile = spark.read.format("graftsink").load(dir)
+      .select(col("_file"), col("s")).as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def utf8(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    // every row value, random non-values, and short prefixes probe
+    val values = fileRows.flatten.distinct
+    val probes = (values ++ (0 until 60).map(_ => randStr())).distinct
+    var checked = 0
+    m.files.foreach { f =>
+      val rows = byFile.getOrElse(f.name, Nil)
+      probes.foreach { v =>
+        def need(cond: Boolean,
+            fl: org.apache.spark.sql.sources.Filter): Unit =
+          if (cond) {
+            assert(GraftSink.mayMatch(f, fl),
+              s"FALSE NEGATIVE: $fl vs bounds ${f.bounds.get("s")} " +
+                s"rows=${rows.map(r => r.codePoints.toArray.toSeq)}")
+            checked += 1
+          }
+        need(rows.contains(v), EqualTo("s", v))
+        need(rows.exists(utf8(_, v) > 0), GreaterThan("s", v))
+        need(rows.exists(utf8(_, v) >= 0), GreaterThanOrEqual("s", v))
+        need(rows.exists(utf8(_, v) < 0), LessThan("s", v))
+        need(rows.exists(utf8(_, v) <= 0), LessThanOrEqual("s", v))
+        val p = if (v.isEmpty) v else GraftSink.truncBound(v)
+        need(rows.exists(_.startsWith(p)), StringStartsWith("s", p))
+      }
+    }
+    assert(checked > 2000, s"property exercised only $checked cases")
+    // bounds are also well-formed: no lone surrogates survive the
+    // manifest round-trip (getBytes would have mangled them)
+    m.files.flatMap(_.bounds.get("s")).foreach { case (lo, hi) =>
+      Seq(lo, hi).foreach { b =>
+        val str = b.asInstanceOf[String]
+        assert(str.codePoints.toArray.forall(cp =>
+          cp < 0xD800 || cp > 0xDFFF), s"lone surrogate in bound $str")
+      }
+    }
+    // and end-to-end: an astral-range predicate over the pruned scan
+    // equals the in-memory recompute
+    val x = ""
+    val expect = fileRows.flatten.count(utf8(_, x) > 0).toLong
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("s") > x).count() === expect)
+  }
+
+  test("cluster: an unclustered table rewrites range-clustered; " +
+    "probes prune after, history and change feed stay exact") {
+    val dir = freshDir
+    // round-robin layout: every file spans the whole key range, so an
+    // equality probe opens ALL files
+    spark.range(8000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(8)
+      .write.format("graftsink").mode("append").save(dir)
+    val preVersion = GraftSink.latestVersion(spark, dir).get
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 4242L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - before === 8L,
+      "unclustered: every file must open")
+
+    val totalBytes = GraftSink.latestManifest(spark, dir).get
+      .files.map(_.bytes).sum
+    val stats = GraftSink.cluster(spark, dir, Seq("k"),
+      targetBytes = totalBytes / 8)
+    assert(stats.filesBefore === 8 && stats.rows === 8000L)
+
+    // the same probe now opens exactly one file
+    val b2 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 4242L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - b2 === 1L,
+      "clustered: the probe must open exactly its band file")
+    // content identical
+    assert(spark.read.format("graftsink").load(dir).count() === 8000L)
+    assert(spark.read.format("graftsink").load(dir)
+      .agg(sum("v")).head.getLong(0) ===
+      spark.range(8000).select((col("id") % 97).as("v"))
+        .agg(sum("v")).head.getLong(0))
+    // pre-cluster version still time-travels to the old layout
+    assert(spark.read.format("graftsink")
+      .option("version", preVersion).load(dir).count() === 8000L)
+    // the rewrite is invisible to the change feed (rewrite files are
+    // reorganization, not data): nothing added since preVersion
+    assert(spark.read.format("graftsink")
+      .option("changesFrom", preVersion).load(dir).count() === 0L)
+    // a later append over the clustered layout flows through the feed
+    Seq((9999L, 1L)).toDF("k", "v").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(spark.read.format("graftsink")
+      .option("changesFrom", preVersion).load(dir).count() === 1L)
+    // scratch staging cleaned up
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir, "_staging")
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
+
+  test("COUNT(col) answers from recorded null counts: zero readers, " +
+    "nulls subtracted, all-null files contribute zero") {
+    val dir = freshDir
+    // file 1: 3 non-null + 2 null v; file 2: all-null v
+    Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, None), (5L, None))
+      .toDF("k", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    Seq((6L, None: Option[Double]), (7L, None: Option[Double]))
+      .toDF("k", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    val got = spark.read.format("graftsink").load(dir)
+      .agg(count(col("v")).as("nv"), count(col("k")).as("nk"),
+        count(lit(1)).as("n")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2))
+      === ((3L, 7L, 7L)))
+    assert(GraftSink.readersCreated.get() === before,
+      "COUNT(col) must answer from manifest null counts")
+    // grouped variant over a value-clustered layout
+    val dir2 = freshDir
+    Seq(("a", Some(1.0)), ("a", None)).toDF("g", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir2)
+    Seq(("b", Some(2.0)), ("b", Some(3.0))).toDF("g", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir2)
+    val b2 = GraftSink.readersCreated.get()
+    val rows = spark.read.format("graftsink").load(dir2)
+      .groupBy("g").agg(count(col("v")).as("nv")).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 2L)))
+    assert(GraftSink.readersCreated.get() === b2)
+  }
+
   test("grouped metadata agg declines when files straddle group " +
     "values or nulls lurk — the row scan stays exact") {
     val dir = freshDir
