@@ -1068,8 +1068,24 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    private def conf = new SerializableConfiguration(SparkSession.active
+
+  /** CLUSTER-ON-WRITE (`.option("clusterBy", "k1,k2")`): the write
+    * declares a required distribution+ordering and SPARK plans the
+    * range exchange + local sort in front of it
+    * (RequiresDistributionAndOrdering — the engine-native form of
+    * "repartitionByRange before every insert"). Files then land with
+    * disjoint key bands, so manifest-bounds skipping prunes probes
+    * from the FIRST write, no OPTIMIZE pass needed. Ordered
+    * distribution (not merely clustered): range partitioning bounds
+    * every file's interval width, which is what makes the per-file
+    * [lo, hi] selective.
+    */
+  private def clusterCols: Seq[String] =
+    Option(info.options().get("clusterBy")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  private abstract class GraftWriteBase extends Write {
+    protected def conf = new SerializableConfiguration(SparkSession.active
       .sparkContext.hadoopConfiguration)
     override def toBatch: BatchWrite = {
       GraftSink.checkSupported(info.schema())
@@ -1084,6 +1100,31 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
         info.options().getBoolean("evolveSchema", false), conf)
     }
   }
+
+  override def build(): Write =
+    if (clusterCols.isEmpty) new GraftWriteBase {}
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      val cols = clusterCols
+      cols.foreach(c =>
+        require(info.schema().fieldNames.contains(c),
+          s"graftsink: clusterBy column $c not in write schema"))
+      new GraftWriteBase with org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering {
+        private val order: Array[SortOrder] = cols.map(c =>
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
+        override def requiredDistribution(): Distribution =
+          Distributions.ordered(order)
+        override def requiredOrdering(): Array[SortOrder] = order
+        // 0 (default) lets Spark/AQE size the exchange — target-byte
+        // file sizing at scale; `.option("clusterPartitions", n)`
+        // pins an exact band count when the caller wants one
+        override def requiredNumPartitions(): Int =
+          info.options().getInt("clusterPartitions", 0)
+      }
+    }
 }
 
 private case class GraftCommitMessage(stagedFile: String, rows: Long,

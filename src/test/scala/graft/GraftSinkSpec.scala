@@ -777,6 +777,36 @@ class GraftSinkSpec extends SparkSpec {
       .filter(col("s") > x).count() === expect)
   }
 
+  test("cmpUtf8 sign-matches true UTF-8 byte comparison on random " +
+    "well-formed strings") {
+    val rnd = new scala.util.Random(7)
+    def randCp(): Int = {
+      val r = rnd.nextInt(4)
+      val cp = r match {
+        case 0 => rnd.nextInt(0x80)            // ASCII
+        case 1 => 0x80 + rnd.nextInt(0x800)    // 2-byte
+        case 2 => 0x800 + rnd.nextInt(0xF800)  // 3-byte
+        case _ => 0x10000 + rnd.nextInt(0x4000) // astral (4-byte)
+      }
+      if (cp >= 0xD800 && cp <= 0xDFFF) 0xE000 else cp
+    }
+    def randStr(): String = {
+      val cps = Array.fill(rnd.nextInt(8))(randCp())
+      new String(cps, 0, cps.length)
+    }
+    def byteCmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      java.util.Arrays.compareUnsigned(x, y)
+    }
+    (0 until 20000).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      assert(Integer.signum(GraftSink.cmpUtf8(a, b))
+        === Integer.signum(byteCmp(a, b)),
+        s"order disagreement on ${a.codePoints.toArray.toSeq} vs " +
+          s"${b.codePoints.toArray.toSeq}")
+    }
+  }
+
   test("cluster: an unclustered table rewrites range-clustered; " +
     "probes prune after, history and change feed stay exact") {
     val dir = freshDir
@@ -828,6 +858,41 @@ class GraftSinkSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(dir, "_staging")
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
+
+  test("cluster-on-write: .option(clusterBy) makes SPARK plan the " +
+    "range exchange — files land banded, probes prune immediately") {
+    val dir = freshDir
+    // deliberately scrambled input partitioning; NO manual
+    // repartition — the write itself must request the distribution
+    spark.range(8000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(8)
+      .write.format("graftsink").option("clusterBy", "k")
+      .option("clusterPartitions", 8)
+      .mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size === 8)
+    // bands are disjoint: sorted by lo, each file's hi < next file's lo
+    val bands = m.files.map(_.bounds("k"))
+      .map { case (lo, hi) => (lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
+      .sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping bands: $bands")
+      case _ => ()
+    }
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 4242L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - before === 1L,
+      "clustered-on-write: the probe must open exactly one file")
+    // unknown clusterBy column is refused loudly
+    intercept[Exception] {
+      spark.range(5).select(col("id").as("k"))
+        .write.format("graftsink").option("clusterBy", "nope")
+        .mode("append").save(freshDir)
+    }
   }
 
   test("COUNT(col) answers from recorded null counts: zero readers, " +
