@@ -1419,9 +1419,47 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(GraftSink.prunableShape)
-    if (groupScan.isDefined) Array.empty else filters
+    if (groupScan.isDefined) Array.empty
+    // FILE-EXACT filters are claimed HANDLED, not residual: when every
+    // scanned file is value-clustered on the filtered column
+    // (single-point bounds, recorded zero nulls), an EqualTo/In either
+    // matches ALL of a file's rows or NONE of them — file pruning IS
+    // the row filter, bit-exact. Claiming them (a) spares the re-apply
+    // and (b) empties the post-scan filter list, which is what lets
+    // Spark push an aggregation below a WHERE: the incremental loop's
+    // `MAX(ts) WHERE p_key = X` answers from manifest rows with zero
+    // file opens. Everything else stays ADVISORY (returned residual,
+    // Spark re-applies above).
+    else filters.filterNot(fileExactFilter)
   }
   override def pushedFilters(): Array[Filter] = pruning
+
+  /** All-or-nothing at file granularity, provable from the manifest:
+    * the column's bounds collapse to one value in EVERY scanned file
+    * and its null count is recorded zero (a null row matches no
+    * equality, so an "all rows match" file must hold none).
+    */
+  private def fileExactFilter(f: Filter): Boolean = {
+    def clusteredOn(c: String): Boolean =
+      files.nonEmpty && files.forall(mf =>
+        mf.bounds.get(c).exists(b => b._1 == b._2) &&
+          mf.nullCounts.get(c).contains(0L))
+    f match {
+      case EqualTo(c, _) => clusteredOn(c)
+      case In(c, _) => clusteredOn(c)
+      // the IsNotNull Spark pairs with every equality: with a
+      // recorded zero null count in every file it matches ALL rows —
+      // trivially all-or-nothing
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        files.nonEmpty &&
+          files.forall(_.nullCounts.get(c).contains(0L))
+      // conjunction/disjunction of all-or-nothing conjuncts is
+      // all-or-nothing
+      case And(l, r) => fileExactFilter(l) && fileExactFilter(r)
+      case Or(l, r) => fileExactFilter(l) && fileExactFilter(r)
+      case _ => false
+    }
+  }
 
   /** Ungrouped COUNT(*) / MIN / MAX are COMPLETE metadata: the
     * manifest records each file's exact row count and its numeric
@@ -1468,8 +1506,15 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     */
   private def planMetaAgg(agg: Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    if (files.isEmpty && agg.groupByExpressions.nonEmpty) return None
-    if (files.exists(f => f.rows < 0L || f.statsJson.isEmpty)) return None
+    // fold over the FILTER-PRUNED file set: claimed file-exact filters
+    // are enforced here (pruning IS the row filter for them); when any
+    // residual filter survives, Spark never pushes the aggregation, so
+    // this path only sees filters that prune exactly
+    val scanned = files.filter(f =>
+      pruning.forall(GraftSink.mayMatch(f, _)))
+    if (scanned.isEmpty && agg.groupByExpressions.nonEmpty) return None
+    if (scanned.exists(f => f.rows < 0L || f.statsJson.isEmpty))
+      return None
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     def lo(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.min(y)
@@ -1487,14 +1532,14 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     // clustering check: single-point bounds + known-zero nulls.
     // Strings qualify: a truncated/incremented hi can never equal lo,
     // so lo == hi proves the file holds exactly that string value.
-    val clustered = gcols.forall(g => files.forall(f =>
+    val clustered = gcols.forall(g => scanned.forall(f =>
       f.bounds.get(g).exists(b => b._1 == b._2) &&
         f.nullCounts.get(g).contains(0L)))
     if (!clustered) return None
     val groups: Seq[(Seq[Any], Seq[GraftSink.ManifestFile])] =
-      if (gcols.isEmpty) Seq((Nil, files))
-      else files.groupBy(f => gcols.map(g => f.bounds(g)._1)).toSeq
-        .sortBy(_._1.mkString(" "))
+      if (gcols.isEmpty) Seq((Nil, scanned))
+      else scanned.groupBy(f => gcols.map(g => f.bounds(g)._1)).toSeq
+        .sortBy(_._1.mkString("\u0000"))
     def bound(fs: Seq[GraftSink.ManifestFile], c: String,
         side: ((Any, Any)) => Any,
         pick: (Any, Any) => Any): Option[Any] =
@@ -1521,7 +1566,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       // (pre-round-6 manifest) declines the whole pushdown.
       case c: Count if !c.isDistinct => colNameOf(c.column).flatMap { col =>
         val isString = types.get(col).contains(StringType)
-        val perFile = files.map { f =>
+        val perFile = scanned.map { f =>
           (f.bounds.contains(col), f.nullCounts.get(col)) match {
             case (true, Some(n)) => Some(f.rows - n)
             case (true, None) => None
@@ -1530,7 +1575,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
         }
         if (perFile.exists(_.isEmpty) || !types.contains(col)) None
         else {
-          val byName = files.zip(perFile.map(_.get)).toMap
+          val byName = scanned.zip(perFile.map(_.get)).toMap
           Some((StructField(s"count($col)", LongType, nullable = false),
             (fs: Seq[GraftSink.ManifestFile]) =>
               fs.map(byName).foldLeft(0L)(_ + _): Any))

@@ -928,6 +928,45 @@ class GraftSinkSpec extends SparkSpec {
     assert(GraftSink.readersCreated.get() === b2)
   }
 
+  test("filtered metadata agg: a file-exact WHERE is claimed handled " +
+    "and MAX answers from manifest rows with zero readers") {
+    val dir = freshDir
+    // value-clustered on status: each file holds one status
+    val df = spark.range(600)
+      .select((col("id") % 3).cast("string").as("st"), col("id").as("ts"))
+    df.repartitionByRange(3, col("st"))
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.readersCreated.get()
+    // the incremental loop's per-partition watermark probe
+    val got = spark.read.format("graftsink").load(dir)
+      .filter(col("st") === "1")
+      .agg(max("ts").as("wm"), count(lit(1)).as("n"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) === ((598L, 200L)))
+    assert(GraftSink.readersCreated.get() === before,
+      "file-exact WHERE + MAX must answer from the manifest")
+    // a filter that matches NO file returns the empty aggregate
+    val g2 = spark.read.format("graftsink").load(dir)
+      .filter(col("st") === "9").agg(count(lit(1))).collect().head
+    assert(g2.getLong(0) === 0L)
+    // a NON-file-exact filter (range over ts, which straddles files)
+    // stays residual: correct rows, real scan
+    val b3 = GraftSink.readersCreated.get()
+    val g3 = spark.read.format("graftsink").load(dir)
+      .filter(col("ts") >= 300L).agg(count(lit(1))).collect().head
+    assert(g3.getLong(0) === 300L)
+    assert(GraftSink.readersCreated.get() > b3,
+      "a straddling filter must fall back to the row scan")
+    // claimed filters also serve plain row reads exactly (pruning IS
+    // the row filter for all-or-nothing files)
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("st") === "2").count() === 200L)
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("st").isin("0", "2")).select("ts").as[Long]
+      .collect().toSet ===
+      (0L until 600L).filter(i => i % 3 != 1).toSet)
+  }
+
   test("grouped metadata agg declines when files straddle group " +
     "values or nulls lurk — the row scan stays exact") {
     val dir = freshDir
