@@ -358,13 +358,16 @@ private class GraftClusterProcedure(catalog: GraftCatalog)
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("by", StringType).build(),
     ProcedureParameter.in("target_bytes", LongType)
-      .defaultValue((128L * 1024 * 1024).toString).build())
+      .defaultValue((128L * 1024 * 1024).toString).build(),
+    ProcedureParameter.in("zorder",
+      org.apache.spark.sql.types.BooleanType)
+      .defaultValue("false").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq
     val stats = GraftSink.cluster(catalog.session, dir, cols,
-      targetBytes = input.getLong(2))
+      targetBytes = input.getLong(2), zorder = input.getBoolean(3))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),

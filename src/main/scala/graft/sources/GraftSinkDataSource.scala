@@ -805,8 +805,21 @@ object GraftSink {
     * any re-sort, paid once, amortized over every subsequent pruned
     * read); the driver handles O(#files) metadata only.
     */
+  /** @param zorder true = multi-dimensional Morton-curve layout
+    *               ([[graft.operators.ZOrder]] — the `OPTIMIZE ZORDER
+    *               BY` capability): rows close in EVERY clustered
+    *               column land together, so the per-file bounds stay
+    *               tight in ALL dimensions at once and a probe on ANY
+    *               of them prunes ~box-fraction of the files. A
+    *               lexicographic layout (the default) prunes only on
+    *               the leading column — a trailing-column probe opens
+    *               every file. Z-order columns must be numeric/date/
+    *               timestamp (rank-bucketed via one approxQuantile
+    *               stats pass, bit-interleaved in codegen).
+    */
   def cluster(spark: SparkSession, dir: String, cols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024): ClusterStats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorder: Boolean = false, zBits: Int = 8): ClusterStats = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val m = latestManifest(spark, dir).getOrElse(
       sys.error(s"graftsink: nothing to cluster at $dir"))
@@ -816,6 +829,12 @@ object GraftSink {
     val schema = StructType.fromDDL(m.schemaDdl)
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column $c not in table schema"))
+    if (zorder) cols.foreach(c => require(
+      schema(c).dataType match {
+        case LongType | IntegerType | DoubleType | TimestampType |
+             TimestampNTZType | DateType => true
+        case _ => false
+      }, s"graftsink: zorder column $c must be numeric/date/timestamp"))
     val totalBytes = m.files.map(_.bytes).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
@@ -823,10 +842,17 @@ object GraftSink {
     // scratch lives under _staging so an abandoned run is collected by
     // vacuum's staging GC after the grace window
     val scratch = s"$dir/_staging/cluster-$clusterId/t"
-    spark.read.format("graftsink")
+    val snapshot = spark.read.format("graftsink")
       .option("version", m.version).load(dir)
-      .repartitionByRange(nFiles, cols.map(col): _*)
-      .write.format("graftsink").mode("overwrite").save(scratch)
+    val laid =
+      if (!zorder) snapshot.repartitionByRange(nFiles, cols.map(col): _*)
+      else snapshot
+        .withColumn("__z",
+          graft.operators.ZOrder.zkey(snapshot, cols, zBits))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    laid.write.format("graftsink").mode("overwrite").save(scratch)
     val sm = latestManifest(spark, scratch).getOrElse(
       sys.error("graftsink: cluster scratch write published nothing"))
     val f = fs(spark, dir)

@@ -860,6 +860,54 @@ class GraftSinkSpec extends SparkSpec {
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
   }
 
+  test("zorder cluster: probes on EITHER dimension prune; the " +
+    "lexicographic layout prunes only the leading column") {
+    def seed(): String = {
+      val dir = freshDir
+      // 4096 rows over a 64x64 (a, b) grid, scrambled layout
+      spark.range(4096)
+        .select((col("id") % 64).as("a"), (col("id") / 64).as("b"))
+        .repartition(7)
+        .write.format("graftsink").mode("append").save(dir)
+      dir
+    }
+    def opened(dir: String, c: String): Long = {
+      val before = GraftSink.readersCreated.get()
+      spark.read.format("graftsink").load(dir)
+        .filter(col(c) === 13L).count()
+      GraftSink.readersCreated.get() - before
+    }
+    val bytes = (d: String) => GraftSink.latestManifest(spark, d).get
+      .files.map(_.bytes).sum
+
+    // lexicographic on (a, b): a-probes prune, b-probes open all
+    val lex = seed()
+    GraftSink.cluster(spark, lex, Seq("a", "b"),
+      targetBytes = bytes(lex) / 16)
+    val lexFiles = GraftSink.latestManifest(spark, lex).get.files.size
+    assert(opened(lex, "a") < lexFiles.toLong)
+    assert(opened(lex, "b") === lexFiles.toLong,
+      "lexicographic: a trailing-column probe must open every file")
+
+    // z-order on (a, b): BOTH probes prune to ~box fraction
+    val zo = seed()
+    GraftSink.cluster(spark, zo, Seq("a", "b"),
+      targetBytes = bytes(zo) / 16, zorder = true)
+    val zoFiles = GraftSink.latestManifest(spark, zo).get.files.size
+    val (oa, ob) = (opened(zo, "a"), opened(zo, "b"))
+    assert(oa < zoFiles.toLong && ob < zoFiles.toLong,
+      s"zorder: both dims must prune, opened a=$oa b=$ob of $zoFiles")
+    // and the content is intact
+    assert(spark.read.format("graftsink").load(zo).count() === 4096L)
+    // strings are refused for zorder, loudly
+    val sdir = freshDir
+    Seq(("x", 1L)).toDF("s", "k").write.format("graftsink")
+      .mode("append").save(sdir)
+    intercept[Exception] {
+      GraftSink.cluster(spark, sdir, Seq("s"), zorder = true)
+    }
+  }
+
   test("cluster-on-write: .option(clusterBy) makes SPARK plan the " +
     "range exchange — files land banded, probes prune immediately") {
     val dir = freshDir
