@@ -17,6 +17,8 @@ object PlanAudit {
     "q_bucketed_join" -> "co-located SMJ over bucketed tables: no join-side Exchange",
     "q_partition_prune" -> "month predicate as PartitionFilters: out-of-range dirs never open",
     "q_dune_watermark" -> "DSv2 complete aggregate pushdown: MAX/COUNT probes emit one row from the scan, no aggregate exec above",
+    "q_sink_grouped_max" -> "grouped metadata aggregate on the lakehouse sink: per-status MAX/COUNT fold from manifest rows (GraftSinkMetaAggScan), zero data files opened",
+    "q_sink_skip_str" -> "truncated string bounds: a hash-prefix probe prunes to its band files; PushedFilters shows the claimed shapes",
     "q_exists_subquery" -> "correlated EXISTS decorrelated to a left-semi join",
     "q_correlated_avg" -> "correlated scalar subquery decorrelated to aggregate-then-join",
     "ev_asof_click" -> "as-of join as union + running last(): one hash shuffle, no range join",
