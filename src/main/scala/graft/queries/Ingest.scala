@@ -286,11 +286,15 @@ object Ingest {
     skipStrSeeds.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_sink_skip_str_seed").toString + "/o"
+      // engine-native cluster-on-write: the WRITE declares the range
+      // distribution (RequiresDistributionAndOrdering) and Spark plans
+      // the exchange — no manual repartition
       Tables(spark, d, "orders")
         .select(sha2(col("o_orderkey").cast("string"), 256).as("h"),
           col("o_orderkey"), col("o_totalprice"))
-        .repartitionByRange(16, col("h"))
-        .write.format("graftsink").mode("overwrite").save(p)
+        .write.format("graftsink")
+        .option("clusterBy", "h").option("clusterPartitions", 16)
+        .mode("overwrite").save(p)
       p
     })
 
@@ -347,6 +351,63 @@ object Ingest {
       |  count(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-ORDER clustering under the oracle gate: a scrambled two-column
+    * sink rewritten on the Morton curve (`GraftSink.cluster(zorder)`),
+    * then probed with a predicate on EACH dimension — the layout a
+    * lexicographic sort can serve for only ONE of them. The oracle
+    * recomputes both aggregates from the raw table, so the rewrite
+    * must be row-exact regardless of how many files the bounds
+    * pruned; GraftSinkSpec pins the both-dimensions-prune counters.
+    * At 100 TB this is the maintenance pass that makes a second (and
+    * third) frequent predicate column cheap without a second copy of
+    * the table.
+    */
+  private val zorderSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededZorderSink(spark: SparkSession, dir: String): String =
+    zorderSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_zorder_seed").toString + "/o"
+      Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(7) // scrambled on purpose
+        .write.format("graftsink").mode("overwrite").save(p)
+      val bytes = graft.sources.GraftSink
+        .latestManifest(spark, p).get.files.map(_.bytes).sum
+      graft.sources.GraftSink.cluster(spark, p,
+        Seq("o_orderkey", "o_custkey"),
+        targetBytes = math.max(1L, bytes / 16), zorder = true)
+      p
+    })
+
+  private def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = spark.read.format("graftsink")
+      .load(seededZorderSink(spark, dir))
+    val byKey = t.filter(col("o_orderkey") >= 1000L &&
+        col("o_orderkey") < 3000L)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(lit("by_orderkey").as("dim"), col("n"), col("cents"))
+    val byCust = t.filter(col("o_custkey") >= 100L &&
+        col("o_custkey") < 300L)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(lit("by_custkey").as("dim"), col("n"), col("cents"))
+    byKey.unionAll(byCust).orderBy("dim")
+  }
+
+  private val sinkZorderSql =
+    """SELECT 'by_custkey' AS dim, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_custkey >= 100 AND o_custkey < 300
+      |UNION ALL
+      |SELECT 'by_orderkey' AS dim, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+      |ORDER BY dim""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
@@ -356,5 +417,6 @@ object Ingest {
     NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)),
     NamedQuery("q_sink_skip_str", sinkSkipStr, Some(sinkSkipStrSql)),
     NamedQuery("q_sink_grouped_max", sinkGroupedMax,
-      Some(sinkGroupedMaxSql)))
+      Some(sinkGroupedMaxSql)),
+    NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

@@ -138,6 +138,20 @@ object LakehouseDecade {
         .agg(max("o_orderkey")).collect()
     }
 
+    // ---- grouped_wm: per-partition MAX GROUP BY on a status-
+    // clustered copy — the incremental loop's per-partition watermark,
+    // answered from manifest rows (zero file opens at either scale)
+    {
+      val gsink = s"$work/sink/by_status"
+      orders.select(col("o_orderstatus"), col("o_orderkey"))
+        .repartitionByRange(3, col("o_orderstatus"))
+        .write.format("graftsink").mode("overwrite").save(gsink)
+      out += "grouped_wm" -> time(3) {
+        spark.read.format("graftsink").load(gsink)
+          .groupBy("o_orderstatus").agg(max("o_orderkey")).collect()
+      }
+    }
+
     // ---- compact: 12 fixed-size small appends over the big base ----
     {
       val tiny = orders.limit(2000)
