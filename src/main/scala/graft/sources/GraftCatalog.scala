@@ -361,13 +361,17 @@ private class GraftClusterProcedure(catalog: GraftCatalog)
       .defaultValue((128L * 1024 * 1024).toString).build(),
     ProcedureParameter.in("zorder",
       org.apache.spark.sql.types.BooleanType)
+      .defaultValue("false").build(),
+    ProcedureParameter.in("only_new",
+      org.apache.spark.sql.types.BooleanType)
       .defaultValue("false").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq
     val stats = GraftSink.cluster(catalog.session, dir, cols,
-      targetBytes = input.getLong(2), zorder = input.getBoolean(3))
+      targetBytes = input.getLong(2), zorder = input.getBoolean(3),
+      onlyNew = input.getBoolean(4))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),

@@ -300,6 +300,11 @@ object GraftSink {
     def inRange(c: String, v: Any)(test: ((Any, Any)) => Boolean) =
       f.bounds.get(c).forall(test)
     filter match {
+      // the `_file` metadata column IS the file identity — an
+      // equality/IN probe on it prunes exactly (file-addressed reads:
+      // incremental maintenance rewrites, debugging a single file)
+      case EqualTo("_file", v) => f.name == v
+      case In("_file", vs) => vs.contains(f.name: Any)
       case EqualTo(c, v) => inRange(c, v) { case (lo, hi) =>
         le(lo, v) && le(v, hi) }
       case GreaterThan(c, v) => inRange(c, v) { case (_, hi) => gt(hi, v) }
@@ -817,9 +822,23 @@ object GraftSink {
     *               timestamp (rank-bucketed via one approxQuantile
     *               stats pass, bit-interleaved in codegen).
     */
+  /** @param onlyNew INCREMENTAL maintenance (the LSM discipline):
+    *                rewrite only the files a previous cluster pass did
+    *                NOT produce — the unsorted tail the append cadence
+    *                keeps growing. Each pass costs O(new data); the
+    *                table converges to one sorted run per pass, probes
+    *                open O(#runs) band files, and a periodic FULL
+    *                cluster (onlyNew = false) merges the runs back to
+    *                one. At 100 TB this is the difference between a
+    *                nightly O(table) re-sort and a nightly O(day's
+    *                ingest) one. The tail read prunes via the `_file`
+    *                identity filter, so old sorted runs aren't even
+    *                opened.
+    */
   def cluster(spark: SparkSession, dir: String, cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
-      zorder: Boolean = false, zBits: Int = 8): ClusterStats = {
+      zorder: Boolean = false, zBits: Int = 8,
+      onlyNew: Boolean = false): ClusterStats = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val m = latestManifest(spark, dir).getOrElse(
       sys.error(s"graftsink: nothing to cluster at $dir"))
@@ -835,15 +854,27 @@ object GraftSink {
              TimestampNTZType | DateType => true
         case _ => false
       }, s"graftsink: zorder column $c must be numeric/date/timestamp"))
-    val totalBytes = m.files.map(_.bytes).sum
+    val targetFiles =
+      if (onlyNew) m.files.filterNot(_.name.startsWith("cluster-"))
+      else m.files
+    if (targetFiles.isEmpty)
+      return ClusterStats(m.files.size, m.files.size, 0L)
+    val totalBytes = targetFiles.map(_.bytes).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
     val clusterId = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives under _staging so an abandoned run is collected by
     // vacuum's staging GC after the grace window
     val scratch = s"$dir/_staging/cluster-$clusterId/t"
-    val snapshot = spark.read.format("graftsink")
+    val full = spark.read.format("graftsink")
       .option("version", m.version).load(dir)
+    val snapshot =
+      if (!onlyNew) full
+      // file-addressed tail read: the _file filter prunes at the
+      // manifest, so prior sorted runs are not opened
+      else full.filter(
+        col("_file").isin(targetFiles.map(_.name: Any): _*))
+        .drop("_file")
     val laid =
       if (!zorder) snapshot.repartitionByRange(nFiles, cols.map(col): _*)
       else snapshot
@@ -864,7 +895,7 @@ object GraftSink {
       require(ok, s"graftsink: cluster rename of ${mf.name} failed")
       mf.copy(name = newName, rewrite = true)
     }
-    val replaced = m.files.map(_.name).toSet
+    val replaced = targetFiles.map(_.name).toSet
     var attempt = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(m)

@@ -860,6 +860,46 @@ class GraftSinkSpec extends SparkSpec {
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
   }
 
+  test("incremental cluster (onlyNew): the unsorted tail rewrites in " +
+    "O(new data) — prior sorted runs survive by name, unopened") {
+    val dir = freshDir
+    spark.range(4000).select(col("id").as("k"), lit(1L).as("v"))
+      .repartition(4)
+      .write.format("graftsink").mode("append").save(dir)
+    val bytes0 = GraftSink.latestManifest(spark, dir).get
+      .files.map(_.bytes).sum
+    GraftSink.cluster(spark, dir, Seq("k"), targetBytes = bytes0 / 8)
+    val run1 = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    assert(run1.forall(_.startsWith("cluster-")))
+    // the append cadence resumes: 3 scrambled tail files
+    spark.range(4000, 5200).select(col("id").as("k"), lit(2L).as("v"))
+      .repartition(3)
+      .write.format("graftsink").mode("append").save(dir)
+    // incremental pass: ONLY the tail is read and rewritten
+    val before = GraftSink.readersCreated.get()
+    val stats = GraftSink.cluster(spark, dir, Seq("k"),
+      targetBytes = 1L << 20, onlyNew = true)
+    assert(stats.rows === 1200L, s"only the tail rewrites: $stats")
+    assert(GraftSink.readersCreated.get() - before === 3L,
+      "the tail read must not open the prior sorted run's files")
+    val after = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet
+    assert(run1.subsetOf(after),
+      "prior sorted-run files survive by name")
+    // content exact; a point probe in the old run opens 1 old file
+    // (+0 tail files, the tail band is disjoint)
+    assert(spark.read.format("graftsink").load(dir).count() === 5200L)
+    val b2 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 77L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - b2 <= 2L,
+      "probes open at most one band file per sorted run")
+    // a second onlyNew with no new files is a no-op
+    val again = GraftSink.cluster(spark, dir, Seq("k"), onlyNew = true)
+    assert(again.rows === 0L)
+  }
+
   test("zorder cluster: probes on EITHER dimension prune; the " +
     "lexicographic layout prunes only the leading column") {
     def seed(): String = {
