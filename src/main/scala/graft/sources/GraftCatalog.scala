@@ -85,6 +85,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftSink.latestManifest(spark, dir) match {
       case Some(m) =>
         new GraftSinkTable(StructType.fromDDL(m.schemaDdl), dir)
+      case None =>
+        // Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.files`
+        // resolves here with the table name as the LAST NAMESPACE
+        // element — serve the manifest's own content as a table
+        // (observability without any side channel: what files, what
+        // bounds, what versions, all driver-side metadata)
+        val kind = ident.name().toLowerCase
+        if ((kind == "files" || kind == "history") &&
+          ident.namespace().nonEmpty) {
+          val parent = Identifier.of(ident.namespace().init,
+            ident.namespace().last)
+          val pdir = dirFor(parent)
+          if (isTableDir(new Path(pdir)))
+            return new GraftMetaTable(kind, pdir, spark)
+        }
+        throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `TIMESTAMP AS OF t` — resolves to the newest COMPLETE version
+    * whose manifest was committed at or before `t` (manifest file
+    * modification time; the rename that publishes a version stamps
+    * it). Before-first-commit reads fail loudly.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    GraftSink.versionAtTimestamp(spark, dir, timestamp / 1000L) match {
+      case Some(v) =>
+        val m = GraftSink.manifestAt(spark, dir, Some(v)).get
+        new GraftSinkTable(StructType.fromDDL(m.schemaDdl), dir,
+          pinnedVersion = Some(v))
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -383,4 +414,63 @@ private class GraftClusterProcedure(catalog: GraftCatalog)
       Seq[Any](stats.filesBefore, stats.filesAfter, stats.rows)))
       .iterator()
   }
+}
+
+/** Iceberg-style metadata table over a graftsink table's manifests:
+  * `cat.ns.t.files` = the CURRENT manifest's file entries (name, rows,
+  * bytes, rewrite flag, column-bounds JSON); `cat.ns.t.history` = one
+  * row per surviving complete version (version, file/row counts,
+  * streaming epoch, commit time). Rows come straight off driver-side
+  * manifest metadata — a `LocalScan`, no job, zero data files opened.
+  */
+private class GraftMetaTable(kind: String, dir: String,
+    spark: SparkSession)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.types.{BooleanType, TimestampType}
+
+  override def name(): String = s"graftsink:$dir#$kind"
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rewrite", BooleanType, nullable = false),
+      StructField("stats", StringType, nullable = false)))
+    case _ => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("epoch", LongType, nullable = true),
+      StructField("committed_at", TimestampType, nullable = false)))
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = kind match {
+          case "files" =>
+            GraftSink.latestManifest(spark, dir).toSeq
+              .flatMap(_.files).map { f =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(f.name), f.rows, f.bytes,
+                  f.rewrite, UTF8String.fromString(f.statsJson)))
+                  : InternalRow
+              }.toArray
+          case _ =>
+            GraftSink.history(spark, dir).map {
+              case (v, nf, rows, epoch, modMs) =>
+                new GenericInternalRow(Array[Any](
+                  v, nf, rows, epoch.map(Long.box).orNull,
+                  modMs * 1000L)): InternalRow
+            }.toArray
+        }
+      }
+    }
 }

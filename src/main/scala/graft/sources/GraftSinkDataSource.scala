@@ -492,6 +492,39 @@ object GraftSink {
     }
   }
 
+  /** Newest COMPLETE version committed at or before `tsMs` (manifest
+    * modification time = the publish rename's stamp); None when the
+    * table had no complete version yet.
+    */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+      tsMs: Long): Option[Int] = {
+    val f = fs(spark, dir)
+    fsVersionsDesc(spark, dir).find { v =>
+      (try f.getFileStatus(new Path(dir, manifestName(v)))
+        .getModificationTime <= tsMs
+      catch { case _: java.io.FileNotFoundException => false }) &&
+        (try manifestAt(spark, dir, Some(v)).isDefined
+        catch { case _: Throwable => false })
+    }
+  }
+
+  /** (version, fileCount, rowCount, epoch, committedAtMs) per COMPLETE
+    * version, newest first — the `history` metadata table's rows.
+    */
+  def history(spark: SparkSession, dir: String)
+      : Seq[(Int, Int, Long, Option[Long], Long)] = {
+    val f = fs(spark, dir)
+    fsVersionsDesc(spark, dir).flatMap { v =>
+      val mod = try f.getFileStatus(new Path(dir, manifestName(v)))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+      (try manifestAt(spark, dir, Some(v)) catch
+        { case _: Throwable => None })
+        .map(m => (v, m.files.size,
+          m.files.map(_.rows).filter(_ >= 0).sum, m.epoch, mod))
+    }
+  }
+
   private def fsVersionsDesc(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
     val p = new Path(dir)

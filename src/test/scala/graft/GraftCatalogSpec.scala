@@ -310,6 +310,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftSink.readersCreated.get() - before < row.getInt(1).toLong)
   }
 
+  test("metadata tables: SELECT FROM cat.ns.t.files / .history reads " +
+    "manifest content with zero data-file readers") {
+    assert(root.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.meta.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.meta.t VALUES (3, 'c')")
+    val before = GraftSink.readersCreated.get()
+    val files = spark.sql(
+      "SELECT file, rows, rewrite FROM graft.meta.t.files ORDER BY file")
+      .collect()
+    assert(files.length >= 2) // one or more files per insert
+    assert(files.map(_.getLong(1)).sum === 3L)
+    assert(files.forall(!_.getBoolean(2)))
+    val hist = spark.sql(
+      "SELECT version, files, rows FROM graft.meta.t.history " +
+        "ORDER BY version").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(hist.map(_.getLong(2)).toSeq === Seq(0L, 2L, 3L))
+    assert(spark.sql("SELECT committed_at FROM graft.meta.t.history")
+      .collect().forall(!_.isNullAt(0)))
+    assert(GraftSink.readersCreated.get() === before,
+      "metadata tables must not open data files")
+    // a metadata suffix on a MISSING table still fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.meta.nope.files").collect()
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves the newest version committed at or " +
+    "before the timestamp; pre-creation reads fail loudly") {
+    assert(root.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt2")
+    val before = java.sql.Timestamp.from(java.time.Instant.now()
+      .minusSeconds(5))
+    spark.sql("CREATE TABLE graft.tt2.h (k BIGINT)")
+    spark.sql("INSERT INTO graft.tt2.h VALUES (1)")
+    Thread.sleep(1100) // manifest mod-times must separate the epochs
+    val mid = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO graft.tt2.h VALUES (2)")
+    assert(spark.sql(
+      s"SELECT k FROM graft.tt2.h TIMESTAMP AS OF '$mid' ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(spark.sql("SELECT k FROM graft.tt2.h ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft.tt2.h TIMESTAMP AS OF '$before'").collect()
+    }
+  }
+
   test("unknown procedures and missing tables fail loudly at CALL") {
     intercept[Exception] {
       spark.sql("CALL graft.system.no_such_proc()").collect()
