@@ -211,10 +211,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "vacuum")  => new GraftVacuumProcedure(this)
       case (Seq("system"), "compact") => new GraftCompactProcedure(this)
       case (Seq("system"), "cluster") => new GraftClusterProcedure(this)
+      case (Seq("system"), "restore") => new GraftRestoreProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
-          "system.cluster)")
+          "system.cluster, system.restore)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -222,7 +223,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "vacuum"),
         Identifier.of(Array("system"), "compact"),
-        Identifier.of(Array("system"), "cluster"))
+        Identifier.of(Array("system"), "cluster"),
+        Identifier.of(Array("system"), "restore"))
     else Array.empty
 
   /** A procedure's dotted `'ns.t'` argument → the table directory;
@@ -473,4 +475,30 @@ private class GraftMetaTable(kind: String, dir: String,
         }
       }
     }
+}
+
+/** `CALL <cat>.system.restore(table => 'ns.t', version => v)` —
+  * [[GraftSink.restore]] behind SQL: republish a prior version's file
+  * list as the new head (no copy, no delete; the skipped-over history
+  * stays travelable). Returns the new head version.
+  */
+private class GraftRestoreProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "restore"
+  override def description(): String =
+    "roll a graftsink table back to a prior version as a new commit"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", IntegerType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val head = GraftSink.restore(catalog.session, dir, input.getInt(1))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("restored_version", IntegerType, nullable = false),
+        StructField("new_head", IntegerType, nullable = false))),
+      Seq[Any](input.getInt(1), head))).iterator()
+  }
 }

@@ -948,6 +948,35 @@ object GraftSink {
     ClusterStats(0, 0, 0L) // unreachable
   }
 
+  /** RESTORE — time travel made writable: publish a NEW version whose
+    * file list and schema are the pinned version's. Nothing is copied
+    * or deleted (the restored files are carried by name, so they're
+    * vacuum-protected the moment the new head references them); the
+    * rolled-back-over versions remain in history, still travelable,
+    * until retention expires them. A restore across a vacuumed version
+    * fails loudly at the manifest read — it can never resurrect a
+    * partial file set. Returns the new head version.
+    */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val m = (try manifestAt(spark, dir, Some(version))
+    catch { case _: Throwable => None }).getOrElse(
+      sys.error(s"graftsink: cannot restore version $version at $dir " +
+        "— no complete manifest (vacuumed or never existed)"))
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val next = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      try {
+        writeManifest(conf, dir, next, m.schemaDdl, m.files)
+        return next
+      } catch { case e: ManifestCollisionException =>
+        attempt += 1; if (attempt > 20) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   final case class VacuumStats(expiredVersions: Seq[Int],
       deletedDataFiles: Int, deletedStagingDirs: Int)
 

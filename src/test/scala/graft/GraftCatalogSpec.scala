@@ -362,6 +362,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.restore republishes a prior version as the new " +
+    "head; skipped-over history stays travelable; vacuumed fails loud") {
+    assert(root.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rb")
+    spark.sql("CREATE TABLE graft.rb.t (k BIGINT)")           // v0
+    spark.sql("INSERT INTO graft.rb.t VALUES (1)")            // v1
+    spark.sql("INSERT OVERWRITE graft.rb.t VALUES (9)")       // v2
+    val row = spark.sql(
+      "CALL graft.system.restore(table => 'rb.t', version => 1)")
+      .collect().head
+    assert(row.getInt(0) === 1 && row.getInt(1) === 3)
+    // the head is v1's content again...
+    assert(spark.sql("SELECT k FROM graft.rb.t").as[Long]
+      .collect().toSeq === Seq(1L))
+    // ...the overwrite is still one VERSION AS OF away...
+    assert(spark.sql("SELECT k FROM graft.rb.t VERSION AS OF 2")
+      .as[Long].collect().toSeq === Seq(9L))
+    // ...appends continue on top of the restored state
+    spark.sql("INSERT INTO graft.rb.t VALUES (2)")
+    assert(spark.sql("SELECT k FROM graft.rb.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // the restored files survive a vacuum (the new head references
+    // them), and restoring a VACUUMED version fails loudly
+    spark.sql("CALL graft.system.vacuum(table => 'rb.t', " +
+      "keep_versions => 2, grace_ms => 0)")
+    assert(spark.sql("SELECT k FROM graft.rb.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL graft.system.restore(table => 'rb.t', version => 2)")
+        .collect()
+    }
+    assert(e.getMessage.contains("restore"), e.getMessage)
+  }
+
   test("unknown procedures and missing tables fail loudly at CALL") {
     intercept[Exception] {
       spark.sql("CALL graft.system.no_such_proc()").collect()
