@@ -427,10 +427,25 @@ object GraftSink {
   /** A concurrent committer claimed this version first — the caller
     * must re-read the latest state and retry at the next version.
     */
-  final class ManifestCollisionException(version: Int, cause: Throwable)
+  final class ManifestCollisionException(val version: Int,
+      cause: Throwable)
     extends RuntimeException(
       s"graftsink: manifest v$version already exists (concurrent writer)",
       cause)
+
+  /** Collision handling shared by every publish retry loop: a
+    * collision with a COMPLETE manifest needs only a head re-read (the
+    * next iteration carries it); a collision with a TORN one is a
+    * corpse — a crashed pre-atomic-publish writer or a crafted legacy
+    * file, never an in-flight commit (atomic link/rename makes listed
+    * manifests complete by construction) — and must be STEPPED OVER,
+    * or the retry would collide with it forever. Returns the minimum
+    * version the next attempt may claim.
+    */
+  private def collisionFloor(spark: SparkSession, dir: String,
+      e: ManifestCollisionException): Int =
+    if (manifestIsComplete(spark, dir, e.version)) 0
+    else e.version + 1
 
   /** The manifest is plain text: line 1 = the TABLE schema DDL, every
     * further line = one committed data file as `name<TAB>fileDdl`
@@ -450,10 +465,42 @@ object GraftSink {
   def manifestAt(spark: SparkSession, dir: String,
       version: Option[Int]): Option[Manifest] = {
     val f = fs(spark, dir)
+    /** A manifest caught MID-PUBLISH reads as garbage on filesystems
+      * that can't serve a consistent prefix (LocalFileSystem races the
+      * .crc sidecar → ChecksumException; a partial block → EOF).
+      * That's the same observable state as a torn write, but it's
+      * usually TRANSIENT — the writer finishes milliseconds later. One
+      * short-backoff retry distinguishes the cases: still unreadable ⇒
+      * treat as torn (skip for latest-resolution, loud for pinned),
+      * never crash the racing reader.
+      */
+    def readBytes(v: Int): Option[String] = {
+      def attempt(): String = {
+        val in = f.open(new Path(dir, manifestName(v)))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      try Some(attempt())
+      catch {
+        case _: java.io.FileNotFoundException => throw
+          new java.io.FileNotFoundException(
+            s"$dir/${manifestName(v)} does not exist")
+        case _: java.io.IOException =>
+          Thread.sleep(50)
+          try Some(attempt())
+          catch {
+            case _: java.io.FileNotFoundException => throw
+              new java.io.FileNotFoundException(
+                s"$dir/${manifestName(v)} does not exist")
+            case _: java.io.IOException => None
+          }
+      }
+    }
     def read(v: Int): Option[Manifest] = {
-      val in = f.open(new Path(dir, manifestName(v)))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      val text = readBytes(v) match {
+        case Some(t) => t
+        case None => return None // unreadable after retry: torn
+      }
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       if (lines.lastOption.contains(EofMarker)) {
         val tableDdl = lines.head
@@ -548,20 +595,55 @@ object GraftSink {
       files: Seq[ManifestFile], epoch: Option[Long] = None): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
-    val out =
-      try f.create(dst, false)
-      catch { case e: java.io.IOException =>
-        throw new ManifestCollisionException(version, e)
-      }
     val fileLines = files.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
       s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
     }
     val header = schemaDdl +: epoch.toSeq.map(e => s"$EpochMarker\t$e")
-    try out.write(((header ++ fileLines) :+ EofMarker)
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val payload = ((header ++ fileLines) :+ EofMarker)
+      .mkString("\n").getBytes("UTF-8")
+    // The publish must be EXCLUSIVE and ALL-OR-NOTHING in one
+    // primitive. Writing into the final name (even create-exclusive)
+    // leaves a window where the manifest is LISTED but not yet
+    // complete — a racing committer then counts it for version
+    // numbering while latest-resolution skips it as torn, and its
+    // content is orphaned by the successor (observed: the threaded
+    // appenders spec lost 2/20 commits that way; plain
+    // create(overwrite=false) on the LOCAL filesystem is additionally
+    // exists-check-then-open, losing 10/20). So: write the full
+    // payload to a staging-scoped temp, then publish atomically —
+    // hard-link into place on file: schemes (kernel EEXIST = exactly
+    // one winner, content complete the instant the name exists) and
+    // no-overwrite rename on HDFS-contract filesystems. A crashed
+    // publisher leaves only a temp under _staging for vacuum's GC;
+    // a listed manifest is complete BY CONSTRUCTION.
+    val tmpName = s"_staging/manifest-tmp-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(dir, tmpName)
+    if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
+      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstLocal = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.createDirectories(tmpLocal.getParent)
+      java.nio.file.Files.write(tmpLocal, payload)
+      try java.nio.file.Files.createLink(dstLocal, tmpLocal)
+      catch { case e: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmpLocal)
+        throw new ManifestCollisionException(version, e)
+      }
+      java.nio.file.Files.deleteIfExists(tmpLocal)
+    } else {
+      val out = f.create(tmp, true)
+      try out.write(payload) finally out.close()
+      val renamed =
+        try f.rename(tmp, dst)
+        catch { case _: java.io.IOException => false }
+      if (!renamed) {
+        f.delete(tmp, false)
+        throw new ManifestCollisionException(version,
+          new java.io.IOException(s"$dst already exists"))
+      }
+    }
   }
 
   /** The published table schema for an append: unchanged when the
@@ -625,6 +707,7 @@ object GraftSink {
       replace: Option[Set[String]] = None,
       maxRetries: Int = 20): Int = {
     var attempt = 0
+    var floor = 0
     while (true) {
       val latest = latestManifest(spark, dir)
       // streaming exactly-once: a recovery-replayed epoch finds its id
@@ -642,7 +725,15 @@ object GraftSink {
       // replacement rows arrive as newFiles; untouched files carry
       val carried = prev.map(_.files).getOrElse(Seq.empty)
         .filterNot(f => replace.exists(_.contains(f.name)))
-      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      // version = carry-source version + 1, NEVER a separate listing:
+      // reading the head and the version counter in two steps lets a
+      // racer number itself PAST a commit it did not carry (observed
+      // as a lost append in the threaded spec — A lands v4, B carries
+      // v3 but lists v4 and writes v5 collision-free, orphaning A's
+      // file). Deriving the number from the carried manifest makes a
+      // missed commit a guaranteed COLLISION, which the retry re-reads.
+      // `latest` (not `prev`): a truncate still stacks on the head.
+      val version = math.max(latest.map(_.version + 1).getOrElse(0), floor)
       try {
         writeManifest(conf, dir, version, tableDdl,
           carried ++ newFiles, epoch)
@@ -651,6 +742,7 @@ object GraftSink {
         case e: ManifestCollisionException =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     -1 // unreachable
@@ -669,15 +761,17 @@ object GraftSink {
       conf: SerializableConfiguration, dir: String, newDdl: String,
       maxRetries: Int = 20): Int = {
     var attempt = 0
+    var floor = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(
         sys.error(s"graftsink: no committed manifest at $dir"))
-      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      val version = math.max(head.version + 1, floor) // same-source numbering
       try {
         writeManifest(conf, dir, version, newDdl, head.files)
         return version
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > maxRetries) throw e
+        floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     -1 // unreachable
@@ -753,6 +847,7 @@ object GraftSink {
     }
     val compacted = Set(groups.flatten.map(_.name): _*)
     var attempt = 0
+    var floor = 0
     while (true) {
       // re-read on every attempt: a concurrent append between reads
       // must keep its files in the surviving manifest (the publish
@@ -761,12 +856,13 @@ object GraftSink {
       val head = latestManifest(spark, dir).getOrElse(m)
       val files = head.files.filterNot(f => compacted(f.name)) ++
         mergedEntries
-      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      val version = math.max(head.version + 1, floor)
       try {
         writeManifest(conf, dir, version, head.schemaDdl, files)
         return CompactStats(groups.size, m.files.size, files.size)
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
+        floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     CompactStats(0, 0, 0) // unreachable
@@ -930,10 +1026,11 @@ object GraftSink {
     }
     val replaced = targetFiles.map(_.name).toSet
     var attempt = 0
+    var floor = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(m)
       val files = head.files.filterNot(x => replaced(x.name)) ++ moved
-      val version = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      val version = math.max(head.version + 1, floor)
       val conf = new SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       try {
@@ -943,6 +1040,7 @@ object GraftSink {
           moved.map(_.rows).sum)
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
+        floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     ClusterStats(0, 0, 0L) // unreachable
@@ -965,13 +1063,16 @@ object GraftSink {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     var attempt = 0
+    var floor = 0
     while (true) {
-      val next = fsVersionsDesc(spark, dir).headOption.getOrElse(-1) + 1
+      val next = math.max(latestManifest(spark, dir)
+        .map(_.version + 1).getOrElse(0), floor)
       try {
         writeManifest(conf, dir, next, m.schemaDdl, m.files)
         return next
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
+        floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     -1 // unreachable

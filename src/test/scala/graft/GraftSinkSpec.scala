@@ -860,6 +860,42 @@ class GraftSinkSpec extends SparkSpec {
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
   }
 
+  test("concurrent appenders: racing commits all land, none lost — " +
+    "the exclusive-create manifest protocol under real threads") {
+    val dir = freshDir
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = (0 until 4).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try (0 until 5).foreach { i =>
+            Seq((t * 100L + i, s"w$t-$i")).toDF("k", "s")
+              .coalesce(1)
+              .write.format("graftsink").mode("append").save(dir)
+          } catch { case e: Throwable =>
+            failures.incrementAndGet(); throw e
+          }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(failures.get() === 0, "no appender may lose its commit")
+    // every one of the 20 racing single-row appends is present
+    val got = spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet
+    val expect = (for (t <- 0 until 4; i <- 0 until 5)
+      yield t * 100L + i).toSet
+    assert(got === expect,
+      s"lost commits: ${expect -- got}; phantom: ${got -- expect}")
+    // version chain is dense: 20 appends -> versions 0..19, each one
+    // carrying exactly one more file than its predecessor
+    val head = GraftSink.latestVersion(spark, dir).get
+    assert(head === 19, s"20 appends must publish 20 versions, got $head")
+    val sizes = (0 to head).map(v =>
+      GraftSink.manifestAt(spark, dir, Some(v)).get.files.size)
+    assert(sizes === (1 to 20), s"file counts must grow by one: $sizes")
+  }
+
   test("incremental cluster (onlyNew): the unsorted tail rewrites in " +
     "O(new data) — prior sorted runs survive by name, unopened") {
     val dir = freshDir
