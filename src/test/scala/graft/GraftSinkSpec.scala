@@ -896,6 +896,48 @@ class GraftSinkSpec extends SparkSpec {
     assert(sizes === (1 to 20), s"file counts must grow by one: $sizes")
   }
 
+  test("maintenance races appends: compaction and clustering replace " +
+    "only their snapshots' files — every concurrent append survives") {
+    val dir = freshDir
+    Seq((-1L, "seed")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // maintenance loop: compact + cluster + guarded vacuum, over and
+    // over, while the appender runs
+    val maint = pool.submit(new Runnable {
+      override def run(): Unit =
+        try while (!stop.get()) {
+          GraftSink.compact(spark, dir,
+            targetBytes = 1L << 20, smallBytes = 1L << 20)
+          GraftSink.cluster(spark, dir, Seq("k"),
+            targetBytes = 1L << 20)
+          GraftSink.vacuum(spark, dir, keepVersions = 2) // default grace
+        } catch { case t: Throwable =>
+          if (!stop.get()) maintErr.set(t)
+        }
+    })
+    val appender = pool.submit(new Runnable {
+      override def run(): Unit =
+        (0 until 15).foreach { i =>
+          Seq((i.toLong, s"row$i")).toDF("k", "s").coalesce(1)
+            .write.format("graftsink").mode("append").save(dir)
+        }
+    })
+    appender.get()
+    stop.set(true)
+    maint.get()
+    pool.shutdown()
+    assert(maintErr.get() == null,
+      s"maintenance must survive the race: ${maintErr.get()}")
+    val got = spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet
+    assert(got === ((-1L until 15L).toSet),
+      s"lost rows: ${(-1L until 15L).toSet -- got}")
+  }
+
   test("incremental cluster (onlyNew): the unsorted tail rewrites in " +
     "O(new data) — prior sorted runs survive by name, unopened") {
     val dir = freshDir
