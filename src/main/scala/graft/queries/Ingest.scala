@@ -224,6 +224,56 @@ object Ingest {
       |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** NaN rows through the sink's NaN-aware manifest bounds, under the
+    * oracle: prices are deterministically poisoned with NaN, the table
+    * lands range-clustered ON the poisoned column (NaN sorts above
+    * every double, so the NaN rows concentrate in the top band file
+    * whose recorded interval is [finite lo, NaN]), and the declared
+    * query range-probes that column — file skipping prunes the low
+    * bands by their finite bounds while every NaN row must survive
+    * (Spark and DuckDB agree `NaN > c` for any finite c). A
+    * naively-tracked hi would silently drop the NaN band here and
+    * break the hash. Spark side reads the SINK; oracle recomputes
+    * from raw parquet.
+    */
+  private val nanSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededNanSink(spark: SparkSession, dir: String): String =
+    nanSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_nan_seed").toString + "/orders"
+      Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 97 === 0, lit(Double.NaN))
+            .otherwise(col("o_totalprice").cast("double")).as("v"))
+        .repartitionByRange(16, col("v"))
+        .write.format("graftsink").mode("overwrite").save(p)
+      p
+    })
+
+  private def sinkNan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededNanSink(spark, dir))
+      .filter(col("v") > 200000.0)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(isnan(col("v")), lit(1))).as("n_nan"),
+        sum(when(not(isnan(col("v"))),
+          round(col("v") * 100).cast("long"))).as("finite_cents"))
+      .orderBy("status")
+
+  private val sinkNanSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_rows,
+      |  count(CASE WHEN isnan(v) THEN 1 END) AS n_nan,
+      |  CAST(sum(CASE WHEN NOT isnan(v)
+      |    THEN CAST(round(v * 100) AS BIGINT) END) AS BIGINT)
+      |    AS finite_cents
+      |FROM (SELECT o_orderstatus,
+      |        CASE WHEN o_orderkey % 97 = 0 THEN CAST('NaN' AS DOUBLE)
+      |             ELSE CAST(o_totalprice AS DOUBLE) END AS v
+      |      FROM orders) t
+      |WHERE v > 200000.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The TableCatalog surface end-to-end in one declared query
     * ([[graft.sources.GraftCatalog]]): CREATE TABLE, INSERT INTO from
     * the raw orders, a copy-on-write DELETE of the low-priority slice,
@@ -415,6 +465,7 @@ object Ingest {
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)),
     NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)),
+    NamedQuery("q_sink_nan", sinkNan, Some(sinkNanSql)),
     NamedQuery("q_sink_skip_str", sinkSkipStr, Some(sinkSkipStrSql)),
     NamedQuery("q_sink_grouped_max", sinkGroupedMax,
       Some(sinkGroupedMaxSql)),

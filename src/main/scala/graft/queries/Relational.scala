@@ -332,6 +332,49 @@ object Relational {
       |  round(sum(o_totalprice), 2) AS revenue
       |FROM orders GROUP BY 1 ORDER BY p NULLS FIRST""".stripMargin
 
+  /** IEEE-NaN semantics, pinned cross-engine: Spark and DuckDB agree
+    * that NaN sorts ABOVE +Inf (so max() returns NaN when one is
+    * present but min() still finds the finite minimum), that sum()
+    * propagates NaN, and that NaN equals itself for DISTINCT/GROUP BY.
+    * These are exactly the rules graftsink's NaN-aware manifest bounds
+    * encode ([finite lo, NaN hi] — GraftSinkConflictSpec); this query
+    * pins the ENGINE side of that contract against the oracle. NaNs
+    * are injected deterministically (no NaNs ship in the fixtures);
+    * booleans and counts are reported as BIGINT so the driver's
+    * hasher never sees a raw NaN output value.
+    */
+  private def nanSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(col("l_orderkey") % 97 === 0, lit(Double.NaN))
+      .otherwise(col("l_extendedprice").cast("double"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), v.as("v"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(isnan(col("v")), lit(1))).as("n_nan"),
+        countDistinct(col("v")).as("n_distinct"),
+        isnan(max(col("v"))).cast("long").as("max_is_nan"),
+        isnan(sum(col("v"))).cast("long").as("sum_is_nan"),
+        round(min(col("v")), 2).as("min_finite"),
+        round(max(when(not(isnan(col("v"))), col("v"))), 2)
+          .as("max_finite"))
+      .orderBy("l_returnflag")
+  }
+
+  private val nanSemanticsSql =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  count(CASE WHEN isnan(v) THEN 1 END) AS n_nan,
+      |  count(DISTINCT v) AS n_distinct,
+      |  CAST(isnan(max(v)) AS BIGINT) AS max_is_nan,
+      |  CAST(isnan(sum(v)) AS BIGINT) AS sum_is_nan,
+      |  round(min(v), 2) AS min_finite,
+      |  round(max(CASE WHEN NOT isnan(v) THEN v END), 2) AS max_finite
+      |FROM (SELECT l_returnflag,
+      |        CASE WHEN l_orderkey % 97 = 0 THEN CAST('NaN' AS DOUBLE)
+      |             ELSE CAST(l_extendedprice AS DOUBLE) END AS v
+      |      FROM lineitem) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Calendar-spine join (the warehouse zero-fill pattern): generate
     * the full month series spanning the data (`sequence` — a lateral
     * generator, no table needed), left-join per-month revenue, and
@@ -2242,6 +2285,7 @@ object Relational {
     NamedQuery("q_date_functions", dateFunctions, Some(dateFunctionsSql)),
     NamedQuery("q_tz_render", tzRender, Some(tzRenderSql)),
     NamedQuery("q_null_semantics", nullSemantics, Some(nullSemanticsSql)),
+    NamedQuery("q_nan_semantics", nanSemantics, Some(nanSemanticsSql)),
     NamedQuery("q_date_spine", dateSpine, Some(dateSpineSql)),
     NamedQuery("q_string_functions", stringFunctions,
       Some(stringFunctionsSql)),

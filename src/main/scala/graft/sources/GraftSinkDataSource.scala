@@ -182,11 +182,19 @@ object GraftSink {
 
   /** @param epoch the streaming epoch that committed this version
     *              (None for batch commits) — the exactly-once guard: a
-    *              replayed epoch finds its id already at the head and
+    *              replayed epoch finds its id already published and
     *              publishes nothing.
+    * @param epochWriter the streaming QUERY id that published the
+    *              epoch (`LogicalWriteInfo.queryId` — stable across
+    *              restarts because it lives in the checkpoint, unlike
+    *              the per-instance write UUID). Lets the replay guard
+    *              match epochs to THEIR stream when several streams
+    *              share one table, and lets it scan PAST interleaved
+    *              batch/maintenance commits. None on legacy manifests.
     */
   final case class Manifest(version: Int, schemaDdl: String,
-      files: Seq[ManifestFile], epoch: Option[Long] = None)
+      files: Seq[ManifestFile], epoch: Option[Long] = None,
+      epochWriter: Option[String] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -205,6 +213,19 @@ object GraftSink {
     */
   val readersCreated = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Rewrite conflicts compact()/cluster() detected and recovered from
+    * (stale merged output dropped, recomputed from a fresh snapshot) —
+    * spec-observable, the readersCreated discipline.
+    */
+  val rewriteConflicts = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test seam: run by compact()/cluster() after the snapshot read and
+    * output materialization, immediately before the publish loop — a
+    * spec can commit a conflicting rewrite INTO that window
+    * deterministically instead of racing threads. No-op in production.
+    */
+  private[graft] var maintenanceBarrier: () => Unit = () => ()
+
   /** Exact comparison in the bound's own domain; None = incomparable
     * (type mismatch, e.g. a timestamp filter against long-micros
     * bounds) — callers must treat None as "may match".
@@ -214,7 +235,14 @@ object GraftSink {
     case (x: Long, y: Int)    => Some(java.lang.Long.compare(x, y.toLong))
     case (x: Int, y: Long)    => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Int, y: Int)     => Some(java.lang.Integer.compare(x, y))
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    // NaN on either side: no sound interval decision exists —
+    // Double.compare places NaN above +Inf, but Spark's predicate
+    // semantics for NaN differ per operator, and a legacy manifest
+    // written before NaN-stats suppression may carry NaN bounds.
+    // None = "may match", never an unsound skip.
+    case (x: Double, y: Double) =>
+      if (x.isNaN || y.isNaN) None
+      else Some(java.lang.Double.compare(x, y))
     // V1 Filter values surface string literals as java.lang.String.
     // Compared in UTF-8 BYTE order (= code-point order) — the order
     // Spark's UTF8String evaluates string predicates in. Plain
@@ -433,6 +461,52 @@ object GraftSink {
       s"graftsink: manifest v$version already exists (concurrent writer)",
       cause)
 
+  /** A rewrite (row-level DML, compact, cluster) lost a conflict: a
+    * file it read and planned to replace was itself replaced by a
+    * concurrent commit. Publishing anyway would duplicate or resurrect
+    * that file's rows, so the loser aborts; maintenance ops retry from
+    * a fresh snapshot, DML surfaces the error to the caller.
+    */
+  final class ConcurrentRewriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Manifest-history depth the replay guard will walk on stream
+    * (re)start. Each step is one small-manifest read; the walk ends at
+    * this stream's previous epoch, which in practice is at most a few
+    * maintenance/batch commits down. Generous bound, paid once per
+    * restart, never in steady state.
+    */
+  private val EpochScanDepth = 256
+
+  /** The most recent epoch id this WRITER published, scanning at most
+    * `depth` manifests down from the head. Manifests stamped by a
+    * DIFFERENT writer are stepped over (another stream sharing the
+    * table); legacy epoch lines without a writer stamp match any
+    * writer (the pre-stamp single-stream assumption). None: no epoch
+    * of ours within `depth` (or history vacuumed away) — publish.
+    */
+  private def epochFrontier(spark: SparkSession, dir: String,
+      latest: Option[Manifest], writer: Option[String],
+      depth: Int): Option[Long] = {
+    def matches(m: Manifest): Boolean = m.epoch.isDefined &&
+      (m.epochWriter.isEmpty || writer.isEmpty ||
+        m.epochWriter == writer)
+    var step = 0
+    var cur = latest
+    while (true) {
+      cur match {
+        case None => return None
+        case Some(m) if matches(m) => return m.epoch
+        case Some(m) =>
+          step += 1
+          if (step >= depth || m.version == 0) return None
+          cur = try manifestAt(spark, dir, Some(m.version - 1))
+          catch { case _: Throwable => None } // vacuumed / torn: stop
+      }
+    }
+    None
+  }
+
   /** Collision handling shared by every publish retry loop: a
     * collision with a COMPLETE manifest needs only a head re-read (the
     * next iteration carries it); a collision with a TORN one is a
@@ -506,8 +580,13 @@ object GraftSink {
         val tableDdl = lines.head
         val (epochLines, fileLines) = lines.tail.dropRight(1)
           .partition(_.startsWith(s"$EpochMarker\t"))
-        val epoch = epochLines.headOption
-          .map(_.stripPrefix(s"$EpochMarker\t").toLong)
+        // 2-field legacy `#epoch<TAB>id` or 3-field `#epoch<TAB>id
+        // <TAB>queryId` current form
+        val epochFields = epochLines.headOption
+          .map(_.stripPrefix(s"$EpochMarker\t").split("\t", -1))
+        val epoch = epochFields.map(_(0).toLong)
+        val epochWriter = epochFields.collect {
+          case a if a.length > 1 && a(1).nonEmpty => a(1) }
         Some(Manifest(v, tableDdl, fileLines.map { l =>
           // 6-field current form name\tddl\trows\tbytes\tstats\tflags
           // ("" ddl = the table schema; flags "r" = rewrite); shorter
@@ -526,7 +605,7 @@ object GraftSink {
             case other => sys.error(
               s"graftsink: unparseable manifest line '$l'")
           }
-        }, epoch))
+        }, epoch, epochWriter))
       } else None // torn: writer died mid-manifest
     }
     version match {
@@ -592,7 +671,8 @@ object GraftSink {
     */
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
-      files: Seq[ManifestFile], epoch: Option[Long] = None): Unit = {
+      files: Seq[ManifestFile], epoch: Option[Long] = None,
+      epochWriter: Option[String] = None): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
     val fileLines = files.map { mf =>
@@ -600,7 +680,8 @@ object GraftSink {
       val flags = if (mf.rewrite) "r" else ""
       s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
     }
-    val header = schemaDdl +: epoch.toSeq.map(e => s"$EpochMarker\t$e")
+    val header = schemaDdl +: epoch.toSeq.map(e =>
+      (s"$EpochMarker\t$e" +: epochWriter.toSeq).mkString("\t"))
     val payload = ((header ++ fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8")
     // The publish must be EXCLUSIVE and ALL-OR-NOTHING in one
@@ -700,29 +781,56 @@ object GraftSink {
     * re-read and retry so the surviving manifest contains BOTH
     * writers' files. Returns the published version.
     */
-  private[sources] def publish(spark: SparkSession,
+  private[graft] def publish(spark: SparkSession,
       conf: SerializableConfiguration, dir: String, schemaDdl: String,
       newFiles: Seq[ManifestFile], truncate: Boolean,
       evolve: Boolean = false, epoch: Option[Long] = None,
       replace: Option[Set[String]] = None,
-      maxRetries: Int = 20): Int = {
+      maxRetries: Int = 20, epochWriter: Option[String] = None,
+      replayScan: Boolean = false): Int = {
     var attempt = 0
     var floor = 0
     while (true) {
       val latest = latestManifest(spark, dir)
       // streaming exactly-once: a recovery-replayed epoch finds its id
-      // on the head manifest and publishes nothing (Spark replays at
-      // most the last uncommitted batch, so one-deep lookback is the
-      // full contract)
+      // already published and publishes nothing. Spark replays at most
+      // the last un-checkpointed batch PER STREAM, but other commits
+      // (a batch append, compact(), a schema change) can land BETWEEN
+      // that epoch's publish and the crash — so the replayed id may
+      // sit any number of versions below the head. On the FIRST commit
+      // after a (re)start (`replayScan`) the guard walks the manifest
+      // history down to this stream's previous epoch; steady-state
+      // commits check only the head (the in-process publishedThrough
+      // watermark in GraftStreamingWrite already proves the prior
+      // epoch landed this run, so the walk would find nothing new).
       epoch.foreach { e =>
-        if (latest.exists(_.epoch.contains(e)))
-          return latest.get.version
+        val frontier = epochFrontier(spark, dir, latest, epochWriter,
+          if (replayScan) EpochScanDepth else 1)
+        if (frontier.exists(_ >= e))
+          return latest.map(_.version).getOrElse(0)
       }
       val prev = if (truncate) None else latest
       val tableDdl = prev.fold(schemaDdl)(m =>
         evolvedDdl(m.schemaDdl, schemaDdl, evolve))
       // row-level rewrite: the scanned files leave the manifest, their
-      // replacement rows arrive as newFiles; untouched files carry
+      // replacement rows arrive as newFiles; untouched files carry.
+      // CONFLICT GATE: every file this rewrite scanned must still be
+      // listed at the head. If a concurrent compact/cluster/DELETE
+      // replaced one, carrying ITS replacement alongside our newFiles
+      // would duplicate (or resurrect) that file's rows — the classic
+      // rewrite-vs-rewrite conflict; the losing writer must abort
+      // (Delta's ConcurrentDeleteReadException discipline), not merge.
+      replace.foreach { r =>
+        val names = prev.map(_.files.map(_.name).toSet)
+          .getOrElse(Set.empty[String])
+        val gone = r.diff(names)
+        if (gone.nonEmpty) throw new ConcurrentRewriteException(
+          s"graftsink: row-level rewrite at $dir scanned file(s) " +
+            s"${gone.toSeq.sorted.take(3).mkString(", ")}" +
+            s"${if (gone.size > 3) ", …" else ""} that a concurrent " +
+            "commit has since rewritten or removed; re-run the " +
+            "operation against the new table state")
+      }
       val carried = prev.map(_.files).getOrElse(Seq.empty)
         .filterNot(f => replace.exists(_.contains(f.name)))
       // version = carry-source version + 1, NEVER a separate listing:
@@ -736,7 +844,7 @@ object GraftSink {
       val version = math.max(latest.map(_.version + 1).getOrElse(0), floor)
       try {
         writeManifest(conf, dir, version, tableDdl,
-          carried ++ newFiles, epoch)
+          carried ++ newFiles, epoch, epochWriter)
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -795,7 +903,8 @@ object GraftSink {
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      smallBytes: Long = 32L * 1024 * 1024): CompactStats = {
+      smallBytes: Long = 32L * 1024 * 1024,
+      rewriteRetries: Int = 3): CompactStats = {
     val m = latestManifest(spark, dir).getOrElse(
       sys.error(s"graftsink: nothing to compact at $dir"))
     require(m.files.forall(f => f.rows >= 0 && f.bytes >= 0),
@@ -846,6 +955,7 @@ object GraftSink {
         unionStats(group), rewrite = true)
     }
     val compacted = Set(groups.flatten.map(_.name): _*)
+    maintenanceBarrier()
     var attempt = 0
     var floor = 0
     while (true) {
@@ -854,6 +964,24 @@ object GraftSink {
       // retry discipline) — compaction only REPLACES its own group
       // members, whatever else the head now lists
       val head = latestManifest(spark, dir).getOrElse(m)
+      // REWRITE CONFLICT: if any group member vanished from the head
+      // (a concurrent copy-on-write DELETE/UPDATE/cluster replaced
+      // it), the merged bytes hold that member's PRE-rewrite rows —
+      // publishing them would resurrect deleted data. Drop the stale
+      // merged files and recompute from a fresh snapshot (compaction
+      // is idempotent maintenance; the rewriter won the conflict).
+      val headNames = head.files.map(_.name).toSet
+      if (!compacted.forall(headNames)) {
+        rewriteConflicts.incrementAndGet()
+        val f = fs(spark, dir)
+        mergedEntries.foreach(me =>
+          f.delete(new Path(dir, s"data/${me.name}"), false))
+        if (rewriteRetries <= 0) throw new ConcurrentRewriteException(
+          s"graftsink: compaction at $dir kept losing to concurrent " +
+            "rewrites; re-run when row-level DML traffic quiets")
+        return compact(spark, dir, targetBytes, smallBytes,
+          rewriteRetries - 1)
+      }
       val files = head.files.filterNot(f => compacted(f.name)) ++
         mergedEntries
       val version = math.max(head.version + 1, floor)
@@ -879,7 +1007,10 @@ object GraftSink {
     def lo(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.min(y)
       case (x: Int, y: Int) => x.min(y)
-      case (x: Double, y: Double) => x.min(y)
+      // NaN lo = "member had no finite values" — it never lowers the
+      // union's min (NaN sorts ABOVE all doubles in Spark's order)
+      case (x: Double, y: Double) =>
+        if (x.isNaN) y else if (y.isNaN) x else x.min(y)
       // min of the members' lower bounds is a lower bound; the merged
       // string bound stays a (possibly truncated) prefix form —
       // merged in the same UTF-8 order the bounds were tracked in
@@ -889,7 +1020,9 @@ object GraftSink {
     def hi(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.max(y)
       case (x: Int, y: Int) => x.max(y)
-      case (x: Double, y: Double) => x.max(y)
+      // any member's NaN hi dominates the union (NaN is Spark's max)
+      case (x: Double, y: Double) =>
+        if (x.isNaN || y.isNaN) Double.NaN else x.max(y)
       // max of upper bounds (some possibly already incremented) is
       // still an upper bound over the union
       case (x: String, y: String) => if (cmpUtf8(x, y) >= 0) x else y
@@ -967,7 +1100,7 @@ object GraftSink {
   def cluster(spark: SparkSession, dir: String, cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
       zorder: Boolean = false, zBits: Int = 8,
-      onlyNew: Boolean = false): ClusterStats = {
+      onlyNew: Boolean = false, rewriteRetries: Int = 3): ClusterStats = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val m = latestManifest(spark, dir).getOrElse(
       sys.error(s"graftsink: nothing to cluster at $dir"))
@@ -1025,10 +1158,27 @@ object GraftSink {
       mf.copy(name = newName, rewrite = true)
     }
     val replaced = targetFiles.map(_.name).toSet
+    maintenanceBarrier()
     var attempt = 0
     var floor = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(m)
+      // same rewrite-conflict gate as compact(): a replaced source
+      // file gone from the head means a concurrent rewrite beat us —
+      // our re-sorted copies hold its PRE-rewrite rows. Drop them and
+      // recompute from a fresh snapshot.
+      val headNames = head.files.map(_.name).toSet
+      if (!replaced.forall(headNames)) {
+        rewriteConflicts.incrementAndGet()
+        moved.foreach(mf =>
+          f.delete(new Path(dir, s"data/${mf.name}"), false))
+        f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
+        if (rewriteRetries <= 0) throw new ConcurrentRewriteException(
+          s"graftsink: clustering at $dir kept losing to concurrent " +
+            "rewrites; re-run when row-level DML traffic quiets")
+        return cluster(spark, dir, cols, targetBytes, zorder, zBits,
+          onlyNew, rewriteRetries - 1)
+      }
       val files = head.files.filterNot(x => replaced(x.name)) ++ moved
       val version = math.max(head.version + 1, floor)
       val conf = new SerializableConfiguration(
@@ -1317,7 +1467,8 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
         .streaming.StreamingWrite = {
       GraftSink.checkSupported(info.schema())
       new GraftStreamingWrite(info.schema(), path, truncateFirst,
-        info.options().getBoolean("evolveSchema", false), conf)
+        info.options().getBoolean("evolveSchema", false), conf,
+        info.queryId())
     }
   }
 
@@ -1361,7 +1512,9 @@ private object GraftCommit {
       schema: StructType, writeId: String,
       messages: Array[WriterCommitMessage], truncate: Boolean,
       evolve: Boolean, epoch: Option[Long],
-      replace: Option[Set[String]] = None): Unit = {
+      replace: Option[Set[String]] = None,
+      epochWriter: Option[String] = None,
+      replayScan: Boolean = false): Unit = {
     val f = new Path(path).getFileSystem(conf.value)
     val staging = new Path(path, s"_staging/$writeId")
     val dataDir = new Path(path, "data")
@@ -1375,7 +1528,8 @@ private object GraftCommit {
         sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
     }
     GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
-      committed.toSeq, truncate, evolve, epoch, replace)
+      committed.toSeq, truncate, evolve, epoch, replace,
+      epochWriter = epochWriter, replayScan = replayScan)
     f.delete(staging, true)
   }
 
@@ -1417,10 +1571,15 @@ private class GraftBatchWrite(schema: StructType, path: String,
   */
 private class GraftStreamingWrite(schema: StructType, path: String,
     truncateEach: Boolean, evolveSchema: Boolean,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = java.util.UUID.randomUUID().toString
   private def epochWriteId(epochId: Long) = s"$writeId-e$epochId"
+  // highest epoch proven published BY THIS INSTANCE. Long.MinValue =
+  // nothing yet ⇒ the next commit is the first since (re)start and
+  // must run the deep replay scan; after that, the previous epoch's
+  // publish happened in-process and a head check suffices.
+  @volatile private var publishedThrough = Long.MinValue
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
@@ -1428,9 +1587,14 @@ private class GraftStreamingWrite(schema: StructType, path: String,
     new GraftStreamingWriterFactory(schema, path, writeId, conf)
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (epochId <= publishedThrough) return // same-instance re-offer
     GraftCommit(conf, path, schema, epochWriteId(epochId), messages,
-      truncateEach, evolveSchema, Some(epochId))
+      truncateEach, evolveSchema, Some(epochId),
+      epochWriter = Some(queryId),
+      replayScan = publishedThrough == Long.MinValue)
+    publishedThrough = epochId
+  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -1485,12 +1649,25 @@ private class GraftDataWriter(schema: StructType, path: String,
   private val statHiTrunc = new Array[Boolean](schema.length)
   private val statNulls = new Array[Long](schema.length)
   private val statSeen = new Array[Boolean](schema.length)
+  // Spark orders NaN ABOVE every double (above +Inf), so a NaN-bearing
+  // file's sound interval is [finite min, NaN] — naive comparison
+  // tracking instead freezes at [NaN,NaN] after a leading NaN (every
+  // later `<`/`>` against NaN is false) or records a finite hi BELOW
+  // the NaN a trailing one contributes, making `c > lit` pruning and
+  // metadata-served MAX silently drop rows. So finite values track
+  // lo/hi normally and NaN raises only this flag: emission renders
+  // hi = NaN when set (and lo = NaN for an all-NaN file). Consumers
+  // stay sound: cmpOpt answers None on NaN (never an unsound skip) and
+  // a metadata MAX answering NaN IS Spark's max over a NaN-bearing
+  // column.
+  private val statNaN = new Array[Boolean](schema.length)
   private def trackLong(i: Int, v: Long): Unit = {
     if (!statSeen(i)) { statLo(i) = v; statHi(i) = v; statSeen(i) = true }
     else { if (v < statLo(i)) statLo(i) = v
       if (v > statHi(i)) statHi(i) = v }
   }
   private def trackDouble(i: Int, v: Double): Unit = {
+    if (java.lang.Double.isNaN(v)) { statNaN(i) = true; return }
     if (!statSeen(i)) { statLoD(i) = v; statHiD(i) = v; statSeen(i) = true }
     else { if (v < statLoD(i)) statLoD(i) = v
       if (v > statHiD(i)) statHiD(i) = v }
@@ -1520,13 +1697,18 @@ private class GraftDataWriter(schema: StructType, path: String,
         s"[${graft.Json.quote(lo)},${graft.Json.quote(hi)}," +
         s"${graft.Json.quote(statNulls(i).toString)}]"
     val parts = (0 until schema.length).flatMap { i =>
-      if (!statSeen(i)) None
+      // statNaN without statSeen = an all-NaN file: still emitted
+      // (bounds [NaN,NaN]) so "no stats entry ⇒ zero non-null values"
+      // — the invariant COUNT(col) metadata answers lean on — holds
+      if (!statSeen(i) && !statNaN(i)) None
       else schema(i).dataType match {
         case LongType | TimestampType | TimestampNTZType |
              IntegerType | DateType =>
           Some(entry(i, statLo(i).toString, statHi(i).toString))
         case DoubleType =>
-          Some(entry(i, statLoD(i).toString, statHiD(i).toString))
+          val lo = if (statSeen(i)) statLoD(i).toString else "NaN"
+          val hi = if (statNaN(i)) "NaN" else statHiD(i).toString
+          Some(entry(i, lo, hi))
         case StringType =>
           val hi = if (!statHiTrunc(i)) Some(statHiS(i))
             else GraftSink.incrementLast(statHiS(i))
@@ -1736,15 +1918,21 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     if (scanned.exists(f => f.rows < 0L || f.statsJson.isEmpty))
       return None
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // double picks are NaN-aware under SPARK's ordering (NaN above
+    // +Inf): a file lo of NaN means "no finite values" and never
+    // lowers a min; any NaN hi dominates a max — which is exactly
+    // what Spark's max over a NaN-bearing column returns
     def lo(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.min(y)
       case (x: Int, y: Int) => x.min(y)
-      case (x: Double, y: Double) => x.min(y)
+      case (x: Double, y: Double) =>
+        if (x.isNaN) y else if (y.isNaN) x else x.min(y)
     }
     def hi(a: Any, b: Any): Any = (a, b) match {
       case (x: Long, y: Long) => x.max(y)
       case (x: Int, y: Int) => x.max(y)
-      case (x: Double, y: Double) => x.max(y)
+      case (x: Double, y: Double) =>
+        if (x.isNaN || y.isNaN) Double.NaN else x.max(y)
     }
     val groupCols = agg.groupByExpressions.toSeq.map(colNameOf)
     if (groupCols.exists(_.isEmpty)) return None

@@ -101,6 +101,88 @@ class GraftSinkModelSpec extends SparkSpec {
     }
   }
 
+  test("random histories with NaN-bearing doubles: file skipping, " +
+    "bound merging, and metadata MIN/MAX stay exact at every step") {
+    val nanGen: Gen[Double] = Gen.frequency(
+      4 -> Gen.choose(-50.0, 50.0).map(v => math.rint(v * 4) / 4),
+      1 -> Gen.const(Double.NaN))
+    val dOpGen: Gen[(Int, List[(Long, Double)], Long)] = for {
+      kind <- Gen.frequency(5 -> 0, 1 -> 1, 2 -> 2, 2 -> 3, 2 -> 4)
+      n <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 40L); v <- nanGen
+      } yield (k, v))
+      arg <- Gen.choose(0L, 40L)
+    } yield (kind, rows, arg)
+    for (trial <- 1 to 4) {
+      val dir = tmpDir("sink_model_nan") + "/t"
+      var model = Vector.empty[(Long, Double)]
+      def started = GraftSink.latestVersion(spark, dir).isDefined
+      // NaN-safe multiset compare: doubles compared AS their
+      // (canonicalized) bit patterns — tuple == on NaN is never true
+      def canon(xs: Seq[(Long, Double)]) =
+        xs.map(r => (r._1, java.lang.Double.doubleToLongBits(r._2)))
+          .sorted
+      Gen.listOfN(12, dOpGen)
+        .pureApply(Gen.Parameters.default, Seed(4200L + trial))
+        .foreach { case (kind, rows, arg) =>
+          kind match {
+            case 0 =>
+              rows.toDF("k", "v").write.format("graftsink")
+                .mode("append").save(dir)
+              model = model ++ rows
+            case 1 =>
+              rows.toDF("k", "v").write.format("graftsink")
+                .mode("overwrite").save(dir)
+              model = rows.toVector
+            case 2 => if (started) GraftSink.compact(spark, dir)
+            case 3 => if (started) GraftSink.cluster(spark, dir, Seq("v"))
+            case 4 => if (started) {
+              spark.read.format("graftsink").load(dir)
+                .filter(col("k") =!= arg)
+                .write.format("graftsink").mode("overwrite").save(dir)
+              model = model.filterNot(_._1 == arg)
+            }
+          }
+          if (started) {
+            val t = spark.read.format("graftsink").load(dir)
+            assert(canon(t.as[(Long, Double)].collect().toSeq)
+              == canon(model), s"trial $trial op $kind: table != model")
+            // range probe rides file skipping; Spark orders NaN above
+            // every double, so NaN rows qualify for `v > c`
+            val thr = (arg - 20).toDouble
+            val gtGot = t.filter(col("v") > thr)
+              .as[(Long, Double)].collect().toSeq
+            val gtWant = model.filter(r => r._2.isNaN || r._2 > thr)
+            assert(canon(gtGot) == canon(gtWant),
+              s"trial $trial: `v > $thr` skipped a live row " +
+                s"(${gtGot.size} vs ${gtWant.size})")
+            // equality probe: NaN never equals a finite literal
+            val eqGot = t.filter(col("v") === thr)
+              .as[(Long, Double)].collect().toSeq
+            assert(canon(eqGot) == canon(model.filter(_._2 == thr)))
+            // metadata MIN/MAX (bounds possibly merged by compaction
+            // and re-tracked by clustering): min = finite minimum
+            // unless every value is NaN; max = NaN iff any NaN
+            if (model.nonEmpty) {
+              val (mn, mx) = t.agg(min(col("v")), max(col("v")))
+                .as[(Double, Double)].head()
+              val finite = model.map(_._2).filterNot(_.isNaN)
+              val wantMn =
+                if (finite.isEmpty) Double.NaN else finite.min
+              val wantMx =
+                if (finite.size < model.size) Double.NaN else finite.max
+              def same(a: Double, b: Double) =
+                (a.isNaN && b.isNaN) || a == b
+              assert(same(mn, wantMn) && same(mx, wantMx),
+                s"trial $trial: metadata MIN/MAX ($mn,$mx) != " +
+                  s"($wantMn,$wantMx)")
+            }
+          }
+        }
+    }
+  }
+
   test("the streaming tail, drained after a random batch history, " +
     "delivers every appended row exactly once (no compaction replay)") {
     for (trial <- 1 to 3) {
