@@ -1047,6 +1047,75 @@ object TrainingData {
       |  CAST(max(m) AS BIGINT) AS max_per_cluster
       |FROM bc GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** CLUSTER-AWARE train/val/test split — the test-set-leakage guard:
+    * near-duplicates of a test document must not train, so the split
+    * is keyed on the near-dup CLUSTER id (its min-member
+    * representative), not the document id. Every cluster then lands
+    * whole on one side of each boundary by construction — the audit
+    * columns prove it (`max_splits_per_cluster` must read 1,
+    * `n_straddling` 0 — the law IS the gated output, the
+    * contrastive-batches discipline). Same salted-md5 bucket function
+    * as `d_split_assign`, so assignment is a pure (salt, cluster)
+    * function: reruns, repartitions, and cluster scale-out cannot
+    * move a document across the boundary. At 100 TB: clusters come
+    * from the persisted near-dup pass (never recomputed here), the
+    * split is one map over (id, cluster) plus a cluster-keyed agg.
+    */
+  private def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = spark.read.parquet(seededClusters(spark, dir))
+    val members = embs(spark, dir).select(col("vec_id").as("id"))
+      .join(clustered, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val split = graft.operators.Curation.splitAssign(col("cluster"),
+      "csplit-v1", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    members.withColumn("split", split)
+      .groupBy("cluster")
+      .agg(countDistinct("split").as("n_splits"),
+        count(lit(1)).as("size"), min("split").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs"),
+        max("n_splits").as("max_splits_per_cluster"),
+        count(when(col("n_splits") > 1, lit(1))).as("n_straddling"))
+      .orderBy("split")
+  }
+
+  private val clusterSplitSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |labeled AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |members AS (
+      |  SELECT e.vec_id AS id, coalesce(l.cluster, e.vec_id) AS cluster
+      |  FROM embeddings e LEFT JOIN labeled l ON l.id = e.vec_id),
+      |assigned AS (
+      |  SELECT id, cluster,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT id, cluster,
+      |      CAST(('0x' || substr(md5('csplit-v1:' ||
+      |        CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |        AS bucket
+      |    FROM members) h),
+      |per_cluster AS (
+      |  SELECT cluster, count(DISTINCT split) AS n_splits,
+      |    count(*) AS size, min(split) AS split
+      |  FROM assigned GROUP BY cluster)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(size) AS BIGINT) AS n_docs,
+      |  CAST(max(n_splits) AS BIGINT) AS max_splits_per_cluster,
+      |  CAST(count(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+      |    AS n_straddling
+      |FROM per_cluster GROUP BY split ORDER BY split""".stripMargin
+
   /** Multiprobe SRP-LSH (6 tables × 8 query-side probes): each query
     * visits its base bucket plus its 7 lowest-margin neighbouring
     * buckets per table, ~8×ing the candidate pool for the SAME
@@ -1914,6 +1983,7 @@ object TrainingData {
     NamedQuery("e_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     NamedQuery("e_contrastive_batches", contrastiveBatches,
       Some(contrastiveBatchesSql)),
+    NamedQuery("e_cluster_split", clusterSplit, Some(clusterSplitSql)),
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),
