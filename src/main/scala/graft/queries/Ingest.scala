@@ -316,6 +316,56 @@ object Ingest {
       |FROM orders WHERE o_orderpriority <> '5-LOW'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Zero-rewrite schema evolution under the gate: most orders land
+    * under the BIRTH shape, then `ALTER TABLE RENAME COLUMN` +
+    * `DROP COLUMN` evolve the table as pure manifest publishes (the
+    * positional line parser never matches the bytes' embedded keys,
+    * so not one data file is rewritten — the 100 TB contract), then
+    * the remaining orders insert through the NEW shape. The final
+    * aggregate groups over old-shape and new-shape files together
+    * through the renamed name; a rename that lost a file's identity,
+    * stats key, or a row breaks the hash against the raw-table
+    * oracle.
+    */
+  private val renameSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def renameEvolution(spark: SparkSession,
+      dir: String): DataFrame = {
+    renameSeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_rename_seed").toString
+      spark.conf.set("spark.sql.catalog.graftr",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftr.root", root)
+      Tables(spark, d, "orders")
+        .createOrReplaceTempView("raw_orders_rn")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.wh")
+      spark.sql("CREATE TABLE graftr.wh.o (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING)")
+      spark.sql("INSERT INTO graftr.wh.o SELECT o_orderkey, " +
+        "o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM raw_orders_rn WHERE o_orderkey % 5 <> 0")
+      spark.sql(
+        "ALTER TABLE graftr.wh.o RENAME COLUMN o_totalprice TO price")
+      spark.sql("ALTER TABLE graftr.wh.o DROP COLUMN o_orderpriority")
+      spark.sql("INSERT INTO graftr.wh.o SELECT o_orderkey, " +
+        "o_orderstatus, o_totalprice FROM raw_orders_rn " +
+        "WHERE o_orderkey % 5 = 0")
+      root
+    })
+    spark.sql("""SELECT o_orderstatus AS status, count(*) AS n_orders,
+      CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        AS total_cents
+      FROM graftr.wh.o GROUP BY 1 ORDER BY 1""")
+  }
+
+  private val renameEvolutionSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** STRING-key file skipping through the declared surface: a sink
     * seeded with 64-char sha256 "block hashes" (the reference's
     * `block.hash` / `transaction_id` p_keys are exactly this shape,
@@ -460,6 +510,8 @@ object Ingest {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
+    NamedQuery("q_rename_evolution", renameEvolution,
+      Some(renameEvolutionSql)),
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),
     NamedQuery("q_dune_watermark", duneWatermark, Some(duneWatermarkSql)),
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),

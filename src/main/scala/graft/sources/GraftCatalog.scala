@@ -161,28 +161,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * renames/drops/retypes would silently corrupt the positional line
     * format and are refused.
     */
+  /** Schema evolution, each change one manifest publish and ZERO data
+    * rewrites: ADD COLUMN appends a nullable field (pre-evolution
+    * files read null); RENAME COLUMN rewrites the recorded DDLs/stats
+    * keys in the new manifest (the positional line parser never
+    * matches the bytes' embedded keys, so the data is untouched and
+    * prior versions time-travel to the old name); DROP COLUMN removes
+    * the field from the TABLE schema only (files keep their recorded
+    * shape for the parser; the reader prunes the field). Re-adding or
+    * renaming onto a dropped name whose bytes still live is rejected
+    * until a full cluster() rewrite frees it.
+    */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirFor(ident)
-    val m = GraftSink.latestManifest(spark, dir)
-      .getOrElse(throw new NoSuchTableException(ident))
-    val prev = StructType.fromDDL(m.schemaDdl)
-    val added = changes.map {
+    if (GraftSink.latestManifest(spark, dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
-        org.apache.spark.sql.types.StructField(a.fieldNames().head,
-          a.dataType(), nullable = true)
+        GraftSink.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField(a.fieldNames().head,
+            a.dataType(), nullable = true)))
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        GraftSink.renameColumn(spark, dir, r.fieldNames().head,
+          r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        GraftSink.dropColumn(spark, dir, d.fieldNames().head)
       case other => sys.error(
         s"graftsink: unsupported ALTER TABLE change $other " +
-          "(only top-level ADD COLUMN)")
+          "(top-level ADD/RENAME/DROP COLUMN)")
     }
-    added.foreach(f => require(!prev.fieldNames.contains(f.name),
-      s"column ${f.name} already exists"))
-    val evolved = StructType(prev.fields ++ added)
-    GraftSink.checkSupported(evolved)
-    val conf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    GraftSink.publishSchemaChange(spark, conf, dir, evolved.toDDL)
-    new GraftSinkTable(evolved, dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    new GraftSinkTable(StructType.fromDDL(m.schemaDdl), dir)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

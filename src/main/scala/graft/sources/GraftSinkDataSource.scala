@@ -812,6 +812,16 @@ object GraftSink {
       val prev = if (truncate) None else latest
       val tableDdl = prev.fold(schemaDdl)(m =>
         evolvedDdl(m.schemaDdl, schemaDdl, evolve))
+      // evolution can only add GENUINELY new names: a column dropped
+      // earlier whose bytes still live in a file would be resurrected
+      // by the by-name reconciliation (the same gate guards catalog
+      // ADD COLUMN)
+      if (evolve) prev.foreach { pm =>
+        val before = StructType.fromDDL(pm.schemaDdl).fieldNames.toSet
+        val fresh = StructType.fromDDL(tableDdl).fieldNames.toSeq
+          .filterNot(before)
+        if (fresh.nonEmpty) assertNotHaunted(pm, fresh)
+      }
       // row-level rewrite: the scanned files leave the manifest, their
       // replacement rows arrive as newFiles; untouched files carry.
       // CONFLICT GATE: every file this rewrite scanned must still be
@@ -860,30 +870,151 @@ object GraftSink {
   def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] =
     latestManifest(spark, dir).map(_.version)
 
-  /** Publish a schema-only change (ALTER TABLE ADD COLUMN): a new
-    * version with the head's file set under the new DDL. Re-reads the
-    * head on every collision retry so a concurrent append's files
-    * survive (the publish discipline).
+  /** Schema-change publish that may also rewrite the CARRIED file
+    * entries (recorded per-file DDLs, stats keys). `change` recomputes
+    * from a fresh head on every collision retry, so a concurrent
+    * append's files receive the same treatment.
     */
-  private[sources] def publishSchemaChange(spark: SparkSession,
-      conf: SerializableConfiguration, dir: String, newDdl: String,
-      maxRetries: Int = 20): Int = {
+  private def publishSchemaRewrite(spark: SparkSession,
+      conf: SerializableConfiguration, dir: String)(
+      change: Manifest => (String, Seq[ManifestFile])): Int = {
     var attempt = 0
     var floor = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(
         sys.error(s"graftsink: no committed manifest at $dir"))
-      val version = math.max(head.version + 1, floor) // same-source numbering
+      val (ddl, files) = change(head)
+      val version = math.max(head.version + 1, floor)
       try {
-        writeManifest(conf, dir, version, newDdl, head.files)
+        writeManifest(conf, dir, version, ddl, files)
         return version
       } catch { case e: ManifestCollisionException =>
-        attempt += 1; if (attempt > maxRetries) throw e
+        attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
       }
     }
     -1 // unreachable
   }
+
+  /** RENAME COLUMN without touching a byte of data. The line parser
+    * identifies fields POSITIONALLY by each file's recorded schema
+    * (the embedded JSON keys are skipped, never matched — see
+    * GraftSinkReader.parse), so renaming the recorded DDLs in the
+    * manifest — table schema, every file entry holding the column,
+    * and the per-file stats keys — IS the rename: O(manifest), data
+    * files immutable, bounds skipping and metadata aggregates keep
+    * working under the new name, and prior versions still time-travel
+    * to the old one. Rejected when `to` already exists in the table
+    * OR in any live file's recorded schema: a same-named column
+    * DROPPED earlier whose bytes still live would be silently
+    * resurrected into the renamed column (rewrite via a full
+    * cluster() first — fresh files carry only current columns).
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+      from: String, to: String): Int = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    publishSchemaRewrite(spark, conf, dir) { head =>
+      val table = StructType.fromDDL(head.schemaDdl)
+      require(table.fieldNames.contains(from),
+        s"graftsink: no column $from to rename")
+      require(!table.fieldNames.contains(to),
+        s"graftsink: rename target $to already exists")
+      val haunted = head.files.count(f =>
+        f.schemaDdl != head.schemaDdl &&
+          StructType.fromDDL(f.schemaDdl).fieldNames.contains(to))
+      require(haunted == 0,
+        s"graftsink: rename target $to is still recorded in $haunted " +
+          "live file(s) (a dropped column's bytes); run a full " +
+          "cluster() rewrite first")
+      def ren(ddl: String): String = {
+        val st = StructType.fromDDL(ddl)
+        StructType(st.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).toDDL
+      }
+      (ren(head.schemaDdl), head.files.map { f =>
+        if (!StructType.fromDDL(f.schemaDdl).fieldNames.contains(from)) f
+        else f.copy(schemaDdl = ren(f.schemaDdl),
+          statsJson = renameStatsKey(f.statsJson, from, to))
+      })
+    }
+  }
+
+  /** DROP COLUMN as a metadata-only publish: the column leaves the
+    * TABLE schema only. Files keep their recorded shape — the
+    * positional parser needs it to walk the bytes — and the reader
+    * prunes the field like any unselected column. Re-ADDING a name
+    * whose bytes still live in any file is rejected (here, by the
+    * append-evolution gate, and by the catalog) until a full
+    * cluster() rewrite lays fresh files without it.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    publishSchemaRewrite(spark, conf, dir) { head =>
+      val table = StructType.fromDDL(head.schemaDdl)
+      require(table.fieldNames.contains(name),
+        s"graftsink: no column $name to drop")
+      require(table.fields.length > 1,
+        "graftsink: cannot drop the table's last column")
+      (StructType(table.fields.filterNot(_.name == name)).toDDL,
+        head.files)
+    }
+  }
+
+  /** ADD COLUMN(s) as a schema-only publish, guarded against
+    * resurrection: a name whose bytes still live in some file's
+    * recorded schema (dropped earlier, never rewritten) would have
+    * its old values silently read back into the "new" column by the
+    * by-name reconciliation.
+    */
+  def addColumns(spark: SparkSession, dir: String,
+      added: Seq[StructField]): Int = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    publishSchemaRewrite(spark, conf, dir) { head =>
+      val table = StructType.fromDDL(head.schemaDdl)
+      added.foreach { f =>
+        require(!table.fieldNames.contains(f.name),
+          s"column ${f.name} already exists")
+        assertNotHaunted(head, Seq(f.name))
+      }
+      val evolved = StructType(table.fields ++
+        added.map(_.copy(nullable = true)))
+      checkSupported(evolved)
+      (evolved.toDDL, head.files)
+    }
+  }
+
+  /** Fails when any of `names` still lives in a file's recorded
+    * schema. Only files whose shape differs from the table's are
+    * parsed (same-shaped files can't hold a non-table column).
+    */
+  private def assertNotHaunted(head: Manifest, names: Seq[String]): Unit = {
+    val haunted = names.filter(n => head.files.exists(f =>
+      f.schemaDdl != head.schemaDdl &&
+        StructType.fromDDL(f.schemaDdl).fieldNames.contains(n)))
+    if (haunted.nonEmpty) sys.error(
+      s"graftsink: column(s) ${haunted.mkString(", ")} were dropped " +
+        "but their bytes still live in existing files — a re-add " +
+        "would resurrect the old values; run a full cluster() " +
+        "rewrite first")
+  }
+
+  private def renameStatsKey(statsJson: String, from: String,
+      to: String): String =
+    if (statsJson.isEmpty) statsJson
+    else {
+      import scala.jdk.CollectionConverters._
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(statsJson)
+      node.properties().asScala.map { e =>
+        val k = if (e.getKey == from) to else e.getKey
+        val arr = (0 until e.getValue.size).map(i =>
+          graft.Json.quote(e.getValue.get(i).asText))
+        s"${graft.Json.quote(k)}:[${arr.mkString(",")}]"
+      }.mkString("{", ",", "}")
+    }
 
   final case class CompactStats(groupsMerged: Int, filesBefore: Int,
       filesAfter: Int)

@@ -407,4 +407,91 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("RENAME COLUMN is a manifest-only publish: data bytes " +
+    "untouched, bounds skip under the new name, history keeps the old") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
+    val dir = s"$root/rn/t"
+    // seed key-banded files through the path API so bounds are tight
+    spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graftsink").mode("overwrite").save(dir)
+    val bytesBefore = {
+      val d = new java.io.File(s"$dir/data")
+      d.listFiles().map(f => f.getName -> f.length()).toMap
+    }
+    spark.sql("ALTER TABLE graft.rn.t RENAME COLUMN k TO key")  // v1
+    // schema + data through the new name
+    assert(spark.sql("SELECT * FROM graft.rn.t").columns.toSeq
+      === Seq("key", "v"))
+    assert(spark.sql("SELECT sum(key) FROM graft.rn.t").as[Long].head()
+      === (0L until 8000L).sum)
+    // not one data byte moved
+    val bytesAfter = {
+      val d = new java.io.File(s"$dir/data")
+      d.listFiles().map(f => f.getName -> f.length()).toMap
+    }
+    assert(bytesAfter === bytesBefore, "rename must not rewrite data")
+    // file skipping rides the RENAMED stats keys: a narrow probe on
+    // `key` opens ~1 of the 8 band files
+    val before = GraftSink.readersCreated.get()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.rn.t WHERE key >= 100 AND key < 200")
+      .as[Long].head() === 100L)
+    assert(GraftSink.readersCreated.get() - before <= 2L,
+      "bounds must prune under the renamed key")
+    // metadata MAX under the new name, zero file opens
+    val b2 = GraftSink.readersCreated.get()
+    assert(spark.sql("SELECT max(key) FROM graft.rn.t")
+      .as[Long].head() === 7999L)
+    assert(GraftSink.readersCreated.get() === b2)
+    // history: the pre-rename version still reads the OLD name
+    assert(spark.sql("SELECT * FROM graft.rn.t VERSION AS OF 0")
+      .columns.toSeq === Seq("k", "v"))
+    // appends under the new shape coexist with old-named files
+    spark.sql("INSERT INTO graft.rn.t VALUES (9000, 1.5)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.rn.t WHERE key = 9000")
+      .as[Long].head() === 1L)
+  }
+
+  test("DROP COLUMN hides the field without rewriting files; the " +
+    "name stays haunted until a full rewrite frees it") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dc")
+    spark.sql("CREATE TABLE graft.dc.t (k BIGINT, junk STRING, " +
+      "v DOUBLE)")
+    spark.sql("INSERT INTO graft.dc.t VALUES (1, 'x', 0.5), " +
+      "(2, 'y', 1.5)")
+    spark.sql("ALTER TABLE graft.dc.t DROP COLUMN junk")
+    assert(spark.sql("SELECT * FROM graft.dc.t").columns.toSeq
+      === Seq("k", "v"))
+    assert(spark.sql("SELECT k, v FROM graft.dc.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+      === Seq((1L, 0.5), (2L, 1.5)))
+    // post-drop appends write the narrow shape
+    spark.sql("INSERT INTO graft.dc.t VALUES (3, 2.5)")
+    assert(spark.sql("SELECT count(*) FROM graft.dc.t")
+      .as[Long].head() === 3L)
+    // re-ADD of the dropped name: rejected while its bytes live
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dc.t ADD COLUMN junk STRING")
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // RENAME onto the haunted name: same refusal
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dc.t RENAME COLUMN v TO junk")
+    }
+    assert(e2.getMessage.contains("cluster"), e2.getMessage)
+    // a full rewrite lays fresh files without the column...
+    GraftSink.cluster(spark, s"$root/dc/t", Seq("k"))
+    // ...freeing the name: the re-added column reads null everywhere,
+    // never the old 'x'/'y' bytes
+    spark.sql("ALTER TABLE graft.dc.t ADD COLUMN junk STRING")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.dc.t WHERE junk IS NOT NULL")
+      .as[Long].head() === 0L)
+  }
 }
