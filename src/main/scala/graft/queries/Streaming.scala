@@ -23,6 +23,15 @@ object Streaming {
       |FROM orders WHERE o_orderstatus IN ('F', 'P')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The rate-limited backfill must deliver the FULL table exactly
+    * once, however many bounded batches the cap split it into.
+    */
+  private val sinkBackfillSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch twin of the streamed-into-sink aggregate: the final sink
     * table under complete mode must BE the full-events aggregate —
     * an epoch replay or a stale version surviving would break it.
@@ -376,6 +385,8 @@ object Streaming {
       Some(txPublishSql)),
     NamedQuery("st_sink_tail", Streams.sinkTailSummary,
       Some(sinkTailSql)),
+    NamedQuery("st_sink_backfill", Streams.sinkBackfillSummary,
+      Some(sinkBackfillSql)),
     NamedQuery("st_sink_pipe", Streams.sinkPipeSummary,
       Some(sinkPipeSql)),
     NamedQuery("st_dedup_events", Streams.dedupeViaStream, Some(dedupSql)),

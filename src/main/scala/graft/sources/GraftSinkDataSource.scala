@@ -1474,7 +1474,9 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
     new GraftSinkScanBuilder(tableSchema, path,
       Option(options.get("version")).map(_.toInt).orElse(pinnedVersion),
       Option(options.get("changesFrom")).map(_.toInt),
-      options.getInt("startingVersion", 0))
+      options.getInt("startingVersion", 0),
+      rateLimit = (options.getInt("maxFilesPerTrigger", -1),
+        options.getLong("maxRowsPerTrigger", -1L)))
 
   /** SQL `DELETE FROM ... WHERE`: copy-on-write — the surviving rows
     * rewrite as a fresh overwrite version through the normal commit
@@ -1910,7 +1912,8 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     version: Option[Int], changesFrom: Option[Int],
     startingVersion: Int,
     groupScan: Option[java.util.concurrent.atomic
-      .AtomicReference[Set[String]]] = None) extends ScanBuilder
+      .AtomicReference[Set[String]]] = None,
+    rateLimit: (Int, Long) = (-1, -1L)) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2161,7 +2164,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       new GraftSinkMetaAggScan(path, aggSchema, values)
     case None =>
       new GraftSinkScan(schema, required, path, version, changesFrom,
-        startingVersion, pruning, groupScan, limit)
+        startingVersion, pruning, groupScan, limit, rateLimit)
   }
 }
 
@@ -2217,7 +2220,8 @@ private class GraftSinkScan(fullSchema: StructType,
     version: Option[Int], changesFrom: Option[Int],
     startingVersion: Int, pruning: Array[Filter] = Array.empty,
     groupScan: Option[java.util.concurrent.atomic
-      .AtomicReference[Set[String]]] = None, limit: Int = -1)
+      .AtomicReference[Set[String]]] = None, limit: Int = -1,
+    rateLimit: (Int, Long) = (-1, -1L))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -2255,7 +2259,8 @@ private class GraftSinkScan(fullSchema: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new GraftSinkMicroBatchStream(scanSchema, path, startingVersion, conf)
+    new GraftSinkMicroBatchStream(scanSchema, path, startingVersion,
+      conf, rateLimit._1, rateLimit._2)
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
@@ -2338,37 +2343,156 @@ private case class GraftFilePartition(file: String, fileSchemaDdl: String)
   */
 private class GraftSinkMicroBatchStream(required: StructType,
     path: String, startingVersion: Int,
-    conf: SerializableConfiguration) extends MicroBatchStream {
+    conf: SerializableConfiguration,
+    maxFilesPerTrigger: Int = -1, maxRowsPerTrigger: Long = -1L)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+    .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles,
+    ReadMaxRows}
   private def spark = SparkSession.active
 
+  // Trigger.AvailableNow: the run's fixed endpoint, captured once at
+  // start — batches respect the read limit but never pass this head,
+  // so the query drains-and-terminates deterministically even while
+  // writers keep committing
+  @volatile private var availableNowCap: Option[GraftStreamOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      GraftStreamOffset(GraftSink.latestCompleteVersion(spark, path)
+        .getOrElse(startingVersion - 1), -1, snap = false))
+
   override def initialOffset(): Offset =
-    GraftVersionOffset(startingVersion - 1)
+    GraftStreamOffset(startingVersion - 1, -1, snap = false)
 
-  override def latestOffset(): Offset =
-    GraftVersionOffset(GraftSink.latestCompleteVersion(spark, path)
-      .getOrElse(startingVersion - 1))
+  /** Legacy entry point — Spark drives admission-control sources
+    * through `latestOffset(start, limit)`; kept for completeness as
+    * the unbounded head.
+    */
+  override def latestOffset(): Offset = reportLatestOffset()
 
-  override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toInt)
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(GraftSink.latestCompleteVersion(spark, path)
+      .getOrElse(startingVersion - 1), -1, snap = false)
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger` / `maxRowsPerTrigger`):
+    * without it, the first trigger of a stream over a big table is
+    * the ENTIRE snapshot in one micro-batch — at 100 TB that is one
+    * unschedulable job and an hours-long commit the checkpoint can't
+    * subdivide. Offsets therefore address INTO a version's stable
+    * file list ((version, fileIdx) — `v:idx`, plus `:s` while the
+    * initial snapshot is being drained), so the backfill proceeds as
+    * bounded batches, each committed exactly-once, rows admitted
+    * file-whole (at least one file per trigger, the Delta
+    * discipline). Plain `v` offsets remain the steady-state/legacy
+    * form — old checkpoints resume unchanged.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = Seq(
+      if (maxFilesPerTrigger > 0)
+        Some(ReadLimit.maxFiles(maxFilesPerTrigger)) else None,
+      if (maxRowsPerTrigger > 0)
+        Some(ReadLimit.maxRows(maxRowsPerTrigger)) else None).flatten
+    if (lims.isEmpty) ReadLimit.allAvailable()
+    else if (lims.size == 1) lims.head
+    else ReadLimit.compositeLimit(lims.toArray)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    var maxF = Long.MaxValue
+    var maxR = Long.MaxValue
+    def digest(l: ReadLimit): Unit = l match {
+      case f: ReadMaxFiles => maxF = f.maxFiles().toLong
+      case r: ReadMaxRows => maxR = r.maxRows()
+      case c: CompositeReadLimit => c.getReadLimits.foreach(digest)
+      case _: ReadAllAvailable => ()
+      case _ => ()
+    }
+    digest(limit)
+    walk(pos(start), availableNowCap, maxF, maxR)._1
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim.split(":")
+    if (t.length == 1) GraftStreamOffset(t(0).toInt, -1, snap = false)
+    else GraftStreamOffset(t(0).toInt, t(1).toInt,
+      snap = t.length > 2 && t(2) == "s")
+  }
+
+  private def pos(o: Offset) = o.asInstanceOf[GraftStreamOffset]
+
+  /** The one segment walker behind both offset selection and
+    * partition planning, so the two always agree on file identity and
+    * order. Segments are: the initial snapshot's manifest file list
+    * (only for startingVersion 0, pinned at the version the first
+    * trigger observed — manifests are immutable, so the `idx` cursor
+    * is stable across restarts), then each version's log-walked delta
+    * (`GraftSink.addedFiles` one version at a time: exactly-once
+    * across compaction/overwrite, loud refusal across a vacuumed
+    * window). Budget admits file-whole with at least one file per
+    * call; `cap` bounds a planning walk at the chosen end offset.
+    */
+  private def walk(start: GraftStreamOffset,
+      cap: Option[GraftStreamOffset], maxFiles: Long, maxRows: Long)
+      : (GraftStreamOffset, Seq[GraftSink.ManifestFile]) = {
+    val head = cap.map(_.v)
+      .orElse(GraftSink.latestCompleteVersion(spark, path))
+      .getOrElse(start.v)
+    val out = Seq.newBuilder[GraftSink.ManifestFile]
+    var nF = 0L
+    var nR = 0L
+    var cur = start
+    var walking = true
+    while (walking) {
+      // resolve the active segment: resume a partial one, open the
+      // initial snapshot, advance to the next version's delta, or stop
+      val seg =
+        if (cur.idx >= 0) Some((cur.v, cur.snap, cur.idx))
+        else if (cur.v >= head) None
+        else if (cur.v == startingVersion - 1 && startingVersion == 0)
+          Some((head, true, 0))
+        else Some((cur.v + 1, false, 0))
+      seg match {
+        case None => walking = false
+        case Some((v, snap, from)) =>
+          val list =
+            if (snap) GraftSink.manifestAt(spark, path, Some(v))
+              .toSeq.flatMap(_.files)
+            else GraftSink.addedFiles(spark, path, v - 1, v)
+          var i = from
+          var stopped = false
+          while (i < list.size && !stopped) {
+            if (cap.exists(c => c.v == v && c.idx >= 0 && i >= c.idx))
+              stopped = true
+            else if ((nF >= maxFiles || nR >= maxRows) && nF > 0)
+              stopped = true
+            else {
+              out += list(i)
+              nF += 1
+              nR += math.max(list(i).rows, 0L)
+              i += 1
+            }
+          }
+          if (stopped) {
+            cur = GraftStreamOffset(v, i, snap)
+            walking = false
+          } else {
+            cur = GraftStreamOffset(v, -1, snap = false)
+            if (nF >= maxFiles || nR >= maxRows) walking = false
+          }
+      }
+    }
+    (cur, out.result())
+  }
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftVersionOffset].v
-    val e = end.asInstanceOf[GraftVersionOffset].v
-    if (e <= s || e < 0) return Array.empty
-    // initial batch (nothing consumed) = the SNAPSHOT as of the first
-    // trigger — rewrite files included, their replaced originals are
-    // gone from this manifest; every later batch is the log-walked
-    // per-version delta (see GraftSink.addedFiles: exactly-once across
-    // compaction and overwrite, loud refusal across a vacuumed window
-    // — a silent diff there could replay or lose rows)
-    val files =
-      if (s < 0) GraftSink.manifestAt(spark, path, Some(e))
-        .toSeq.flatMap(_.files)
-      else GraftSink.addedFiles(spark, path, s, e)
-    files.map(f => GraftFilePartition(s"$path/data/${f.name}",
-      f.schemaDdl): InputPartition).toArray
-  }
+      end: Offset): Array[InputPartition] =
+    walk(pos(start), Some(pos(end)), Long.MaxValue, Long.MaxValue)._2
+      .map(f => GraftFilePartition(s"$path/data/${f.name}",
+        f.schemaDdl): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(required, conf)
@@ -2377,8 +2501,18 @@ private class GraftSinkMicroBatchStream(required: StructType,
   override def stop(): Unit = ()
 }
 
-private case class GraftVersionOffset(v: Int) extends Offset {
-  override def json: String = v.toString
+/** `v` = version fully consumed (the legacy/steady-state form — old
+  * checkpoints parse and resume unchanged); `v:idx` = idx files of
+  * version v's delta consumed; `v:idx:s` = idx files of the initial
+  * SNAPSHOT at version v consumed (admission-controlled backfill in
+  * progress).
+  */
+private case class GraftStreamOffset(v: Int, idx: Int, snap: Boolean)
+    extends Offset {
+  override def json: String =
+    if (idx < 0) v.toString
+    else if (snap) s"$v:$idx:s"
+    else s"$v:$idx"
 }
 
 private class GraftSinkReaderFactory(required: StructType,

@@ -1146,6 +1146,44 @@ object Streams {
       .orderBy("status")
   }
 
+  /** Rate-limited BACKFILL through the streaming tail
+    * (SupportsAdmissionControl + SupportsTriggerAvailableNow on the
+    * sink's micro-batch source): without admission control, the first
+    * trigger over a big table is the ENTIRE snapshot as one
+    * micro-batch — at 100 TB one unschedulable job whose commit the
+    * checkpoint cannot subdivide. `maxFilesPerTrigger` makes offsets
+    * address INTO the snapshot's stable file list ((version, fileIdx)),
+    * so the backfill drains as bounded exactly-once batches and an
+    * AvailableNow run still terminates at the head it observed at
+    * start. The require() pins the law (the 8-file snapshot MUST
+    * split into >= 4 batches under cap 2); the oracle pins that the
+    * chunked drain delivered every row exactly once.
+    */
+  def sinkBackfillSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_backfill").toString
+    val sink = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("graftsink").mode("overwrite").save(sink)
+    val q = spark.readStream.format("graftsink")
+      .option("startingVersion", 0)
+      .option("maxFilesPerTrigger", 2).load(sink)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val bounded = q.recentProgress.count(_.numInputRows > 0)
+    require(bounded >= 4, "admission control must split the 8-file " +
+      s"snapshot into >= 4 bounded batches, got $bounded")
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("total_cents"))
+      .orderBy("status")
+  }
+
   /** Streamed write INTO the engine's own sink via the full V2
     * streaming-write protocol (GraftStreamingWrite — no foreachBatch):
     * the per-type running aggregate lands in a graftsink table under

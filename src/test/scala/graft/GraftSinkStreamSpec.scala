@@ -198,4 +198,67 @@ class GraftSinkStreamSpec extends SparkSpec {
         === Set(2L), "v0's file was consumed as part of neither batch")
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger drains the initial snapshot as BOUNDED " +
+    "batches — every row exactly once, no batch over the cap") {
+    val dir = tmpDir("sink_stream_admit") + "/t"
+    // one version whose snapshot holds 6 single-row files
+    spark.range(0, 6).select(col("id").as("k"))
+      .repartitionByRange(6, col("k"))
+      .write.format("graftsink").mode("overwrite").save(dir)
+    assert(GraftSink.latestManifest(spark, dir).get.files.size === 6)
+    val name = freshName
+    val q = spark.readStream.format("graftsink")
+      .option("startingVersion", 0)
+      .option("maxFilesPerTrigger", 2).load(dir)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).select("k").as[Long].collect().sorted
+      === (0L until 6L).toSeq, "backfill must deliver exactly once")
+    val sq = q.asInstanceOf[org.apache.spark.sql.streaming
+      .StreamingQuery]
+    val batchRows = sq.recentProgress.map(_.numInputRows)
+      .filter(_ > 0)
+    assert(batchRows.length >= 3,
+      s"6 files / cap 2 needs >= 3 batches, got ${batchRows.toSeq}")
+    assert(batchRows.forall(_ <= 2),
+      s"no batch may exceed the 2-file cap: ${batchRows.toSeq}")
+  }
+
+  test("admission control across restarts and appends: partial " +
+    "snapshot offsets resume; legacy un-limited checkpoints upgrade") {
+    val dir = tmpDir("sink_stream_admit2") + "/t"
+    val out = tmpDir("sink_stream_admit2_out")
+    val ckpt = s"$out/ckpt"
+    def runOnce(maxFiles: Option[Int]): Unit = {
+      val r = spark.readStream.format("graftsink")
+        .option("startingVersion", 0)
+      val q = maxFiles.fold(r)(m => r.option("maxFilesPerTrigger", m))
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.range(0, 5).select(col("id").as("k"))
+      .repartitionByRange(5, col("k"))
+      .write.format("graftsink").mode("overwrite").save(dir)  // v0
+    // legacy first: no rate limit — plain `v` offsets in the log
+    runOnce(None)
+    // appends, then a LIMITED resume over the same checkpoint: the
+    // old offsets parse and only the new files drain, capped
+    Seq(100L, 101L, 102L).toDF("k").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)     // v1
+    Seq(103L).toDF("k").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)     // v2
+    runOnce(Some(1))
+    // idempotent tail: nothing new, nothing added
+    runOnce(Some(1))
+    val got = spark.read.parquet(s"$out/data").select("k").as[Long]
+      .collect().sorted
+    assert(got.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L, 102L,
+      103L), s"exactly once across limited restarts, got $got")
+  }
 }
