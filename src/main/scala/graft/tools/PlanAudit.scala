@@ -90,7 +90,10 @@ object PlanAudit {
     "q_sql_catalog" -> "TableCatalog SQL surface: the aggregate reads a catalog-resolved graftsink table whose content was built by SQL INSERT + copy-on-write DELETE; the scan is the same manifest-listed file scan as the path API",
     "q_dim_lookup" -> "fact-to-SCD2 lookup: LEFT equi join on the key with the validity interval as residual — hash/SMJ, never a range-only nested loop (PlanSpec-gated)",
     "ev_pattern_match" -> "sequence-pattern tape: ONE user-keyed sort-aggregate builds the per-user initials string, the regex counts matches inside the projection, the histogram fold is value-bounded",
-    "d_ngram_novelty" -> "n-gram novelty: gram first-occurrence fold + join-back share the gram key (two shuffles, the decontamination shape); the per-doc score is one more keyed fold")
+    "d_ngram_novelty" -> "n-gram novelty: gram first-occurrence fold + join-back share the gram key (two shuffles, the decontamination shape); the per-doc score is one more keyed fold",
+    "e_cluster_split" -> "cluster-aware split: the persisted cluster relation joins doc-sized, the salted-md5 split is a pure projection (no window), and the leakage audit is two cluster-keyed partial+final aggregates",
+    "q_sink_nan" -> "NaN-aware bounds probe: the range predicate on the NaN-poisoned cluster column surfaces as PushedFilters; finite-bounded band files prune, the [lo, NaN] band survives (indeterminate = may-match) so every NaN row arrives",
+    "q_rename_evolution" -> "zero-rewrite evolution read: one manifest-listed scan spans birth-shape and post-rename file generations — each file parses under its own recorded DDL, reconciled by the RENAMED name; no per-generation union in the plan")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.queries.Tables.configure(SparkSession.builder()
