@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Proc
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -120,13 +120,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF v` — the pinned manifest supplies both schema and
-    * file set, so time travel across schema changes reads old data
-    * under its own shape.
+  /** `VERSION AS OF n` (a number) or `VERSION AS OF 'tag'` (a named
+    * pin created by `CALL system.tag` — vacuum-exempt, so the pinned
+    * training snapshot stays reproducible until untagged). The pinned
+    * manifest supplies both schema and file set, so time travel
+    * across schema changes reads old data under its own shape.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident)
-    val v = version.toInt
+    val v = try GraftSink.resolveVersion(spark, dir, version)
+    catch { case _: Throwable => throw new NoSuchTableException(ident) }
     val m = try GraftSink.manifestAt(spark, dir, Some(v))
     catch { case _: Throwable => None }
     m match {
@@ -222,10 +225,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "compact") => new GraftCompactProcedure(this)
       case (Seq("system"), "cluster") => new GraftClusterProcedure(this)
       case (Seq("system"), "restore") => new GraftRestoreProcedure(this)
+      case (Seq("system"), "tag")     => new GraftTagProcedure(this)
+      case (Seq("system"), "untag")   => new GraftUntagProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
-          "system.cluster, system.restore)")
+          "system.cluster, system.restore, system.tag, system.untag)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -234,7 +239,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Array(Identifier.of(Array("system"), "vacuum"),
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "cluster"),
-        Identifier.of(Array("system"), "restore"))
+        Identifier.of(Array("system"), "restore"),
+        Identifier.of(Array("system"), "tag"),
+        Identifier.of(Array("system"), "untag"))
     else Array.empty
 
   /** A procedure's dotted `'ns.t'` argument → the table directory;
@@ -441,7 +448,7 @@ private class GraftMetaTable(kind: String, dir: String,
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
-  import org.apache.spark.sql.types.{BooleanType, TimestampType}
+  import org.apache.spark.sql.types.TimestampType
 
   override def name(): String = s"graftsink:$dir#$kind"
   override def schema(): StructType = kind match {
@@ -492,6 +499,62 @@ private class GraftMetaTable(kind: String, dir: String,
   * list as the new head (no copy, no delete; the skipped-over history
   * stays travelable). Returns the new head version.
   */
+/** `CALL <cat>.system.tag(table => 'ns.t', name => 'run-2026-08',
+  * version => v)` — a named, vacuum-exempt version pin
+  * ([[GraftSink.tag]]); version defaults to the head. Read it back
+  * with `VERSION AS OF 'run-2026-08'`. The reproducible-training-run
+  * contract: the tagged corpus snapshot outlives retention until
+  * `system.untag` releases it.
+  */
+private class GraftTagProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a graftsink version under a vacuum-exempt name"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("-1").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val v = input.getInt(2)
+    val pinned = GraftSink.tag(catalog.session, dir,
+      input.getUTF8String(1).toString,
+      if (v < 0) None else Some(v))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("pinned_version", IntegerType, nullable = false))),
+      Seq[Any](input.getUTF8String(1).toString, pinned))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.untag(table => 'ns.t', name => '…')` — drop a
+  * tag; the version re-enters normal retention at the next vacuum.
+  */
+private class GraftUntagProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "untag"
+  override def description(): String = "drop a graftsink version tag"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val existed = GraftSink.untag(catalog.session, dir,
+      input.getUTF8String(1).toString)
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("existed", BooleanType, nullable = false))),
+      Seq[Any](existed))).iterator()
+  }
+}
+
 private class GraftRestoreProcedure(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {
   override def name(): String = "restore"

@@ -1380,6 +1380,67 @@ object GraftSink {
     * file. The latest version is never expirable (`keepVersions`
     * min 1).
     */
+  // ---- TAGS: named, GC-protected version pins ----
+
+  /** Pin `version` (default: the head) under an immutable name. A tag
+    * makes a snapshot REPRODUCIBLE: vacuum keeps a tagged version's
+    * manifest and files alive regardless of `keepVersions`, so "the
+    * exact corpus training run X saw" stays readable as
+    * `VERSION AS OF 'name'` until the tag is dropped. Names are
+    * exclusive-create (re-point by untag + tag) and must not look
+    * like a number — numeric strings resolve as raw versions.
+    */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Int] = None): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '-' || c == '_' || c == '.'),
+      s"graftsink: tag name '$name' may use letters/digits/-_. only")
+    require(name.toIntOption.isEmpty,
+      s"graftsink: tag name '$name' would shadow a numeric version")
+    val v = version.orElse(latestCompleteVersion(spark, dir)).getOrElse(
+      sys.error(s"graftsink: nothing to tag at $dir"))
+    manifestAt(spark, dir, Some(v)) // loud if vacuumed/torn: a tag may
+                                    // only pin a COMPLETE snapshot
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, "_tags"))
+    val p = new Path(dir, s"_tags/$name")
+    val out =
+      try f.create(p, false)
+      catch { case _: java.io.IOException =>
+        sys.error(s"graftsink: tag $name already exists at $dir " +
+          "(untag first to re-point)")
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** All tags as name → pinned version (unparseable entries skipped). */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir, "_tags")
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).flatMap { st =>
+      val in = f.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      text.toIntOption.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Drop a tag; the pinned version re-enters normal retention on the
+    * next vacuum. Returns whether the tag existed.
+    */
+  def untag(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).delete(new Path(dir, s"_tags/$name"), false)
+
+  /** `VERSION AS OF` argument → version: a number resolves directly,
+    * anything else as a tag (loud when unknown).
+    */
+  def resolveVersion(spark: SparkSession, dir: String,
+      spec: String): Int =
+    spec.toIntOption.getOrElse(tags(spark, dir).getOrElse(spec,
+      sys.error(s"graftsink: no tag '$spec' at $dir")))
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       graceMs: Long = 3600000L): VacuumStats = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
@@ -1390,7 +1451,13 @@ object GraftSink {
       catch { case _: java.io.FileNotFoundException => false }
     val complete = fsVersionsDesc(spark, dir)
       .filter(v => manifestIsComplete(spark, dir, v))
-    val (live, expired) = complete.splitAt(keepVersions)
+    // tagged versions are GC-EXEMPT: a tag is a promise that the
+    // snapshot stays reproducible — its manifest survives expiry and
+    // its files count as referenced
+    val pinned = tags(spark, dir).values.toSet
+    val (liveByCount, beyond) = complete.splitAt(keepVersions)
+    val live = liveByCount ++ beyond.filter(pinned)
+    val expired = beyond.filterNot(pinned)
     // a "torn" manifest older than the grace window is a crashed
     // publish; a YOUNG one may be a rename racing this very listing
     val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)

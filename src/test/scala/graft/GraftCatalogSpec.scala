@@ -408,6 +408,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("tags: a named pin reads back as VERSION AS OF 'name', " +
+    "survives vacuum, and re-enters retention when untagged") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tg")
+    spark.sql("CREATE TABLE graft.tg.t (k BIGINT)")              // v0
+    spark.sql("INSERT INTO graft.tg.t VALUES (1), (2)")          // v1
+    // pin the corpus a "training run" saw
+    val pinned = spark.sql(
+      "CALL graft.system.tag(table => 'tg.t', name => 'run-a')")
+      .collect().head
+    assert(pinned.getString(0) === "run-a" && pinned.getInt(1) === 1)
+    // history moves on
+    spark.sql("INSERT INTO graft.tg.t VALUES (3)")               // v2
+    spark.sql("INSERT OVERWRITE graft.tg.t VALUES (9)")          // v3
+    spark.sql("INSERT INTO graft.tg.t VALUES (10)")              // v4
+    // the tag reads the pinned snapshot by NAME
+    assert(spark.sql("SELECT k FROM graft.tg.t VERSION AS OF 'run-a'")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // vacuum keep 2 would expire v1 — but the tag exempts it (v2
+    // goes; its rows were overwritten away, nothing references them)
+    spark.sql("CALL graft.system.vacuum(table => 'tg.t', " +
+      "keep_versions => 2, grace_ms => 0)")
+    assert(spark.sql("SELECT k FROM graft.tg.t VERSION AS OF 'run-a'")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "a tagged snapshot must survive retention")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tg.t VERSION AS OF 2").collect()
+    }
+    // duplicate tag names are rejected; unknown tags read loudly
+    intercept[Exception] {
+      spark.sql(
+        "CALL graft.system.tag(table => 'tg.t', name => 'run-a')")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tg.t VERSION AS OF 'nope'")
+        .collect()
+    }
+    // untag releases the pin: the next vacuum expires v1 for real
+    assert(spark.sql(
+      "CALL graft.system.untag(table => 'tg.t', name => 'run-a')")
+      .collect().head.getBoolean(0))
+    spark.sql("CALL graft.system.vacuum(table => 'tg.t', " +
+      "keep_versions => 2, grace_ms => 0)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tg.t VERSION AS OF 'run-a'")
+        .collect()
+    }
+    // the live table was never disturbed
+    assert(spark.sql("SELECT k FROM graft.tg.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(9L, 10L))
+  }
+
   test("RENAME COLUMN is a manifest-only publish: data bytes " +
     "untouched, bounds skip under the new name, history keeps the old") {
     root
