@@ -92,7 +92,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (observability without any side channel: what files, what
         // bounds, what versions, all driver-side metadata)
         val kind = ident.name().toLowerCase
-        if ((kind == "files" || kind == "history") &&
+        if ((kind == "files" || kind == "history" || kind == "tags") &&
           ident.namespace().nonEmpty) {
           val parent = Identifier.of(ident.namespace().init,
             ident.namespace().last)
@@ -458,6 +458,9 @@ private class GraftMetaTable(kind: String, dir: String,
       StructField("bytes", LongType, nullable = false),
       StructField("rewrite", BooleanType, nullable = false),
       StructField("stats", StringType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
     case _ => StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("files", IntegerType, nullable = false),
@@ -474,6 +477,11 @@ private class GraftMetaTable(kind: String, dir: String,
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = schema()
         override def rows(): Array[InternalRow] = kind match {
+          case "tags" =>
+            GraftSink.tags(spark, dir).toSeq.sortBy(_._1).map {
+              case (n, v) => new GenericInternalRow(Array[Any](
+                UTF8String.fromString(n), v)): InternalRow
+            }.toArray
           case "files" =>
             GraftSink.latestManifest(spark, dir).toSeq
               .flatMap(_.files).map { f =>

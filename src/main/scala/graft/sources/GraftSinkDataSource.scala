@@ -72,7 +72,8 @@ class GraftSinkDataSource extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val version = Option(options.get("version")).map(_.toInt)
+    val version = Option(options.get("version"))
+      .map(GraftSink.resolveVersion(spark, root(options), _))
     GraftSink.manifestAt(spark, root(options), version)
       .map(m => StructType.fromDDL(m.schemaDdl))
       .getOrElse(sys.error(
@@ -1539,7 +1540,10 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(tableSchema, path,
-      Option(options.get("version")).map(_.toInt).orElse(pinnedVersion),
+      // a number pins a raw version; anything else resolves as a TAG
+      Option(options.get("version"))
+        .map(GraftSink.resolveVersion(SparkSession.active, path, _))
+        .orElse(pinnedVersion),
       Option(options.get("changesFrom")).map(_.toInt),
       options.getInt("startingVersion", 0),
       rateLimit = (options.getInt("maxFilesPerTrigger", -1),

@@ -461,6 +461,21 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(9L, 10L))
   }
 
+  test("tags through the path API and the .tags metadata table") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tg2")
+    spark.sql("CREATE TABLE graft.tg2.t (k BIGINT)")            // v0
+    spark.sql("INSERT INTO graft.tg2.t VALUES (5)")             // v1
+    GraftSink.tag(spark, s"$root/tg2/t", "snap", Some(1))
+    spark.sql("INSERT INTO graft.tg2.t VALUES (6)")             // v2
+    // path-based read resolves the tag through the version option
+    assert(spark.read.format("graftsink").option("version", "snap")
+      .load(s"$root/tg2/t").as[Long].collect().toSeq === Seq(5L))
+    // the .tags metadata table lists the pin
+    assert(spark.sql("SELECT name, version FROM graft.tg2.t.tags")
+      .as[(String, Int)].collect().toSeq === Seq(("snap", 1)))
+  }
+
   test("RENAME COLUMN is a manifest-only publish: data bytes " +
     "untouched, bounds skip under the new name, history keeps the old") {
     root
