@@ -101,6 +101,105 @@ class GraftSinkModelSpec extends SparkSpec {
     }
   }
 
+  test("random histories with column renames and tags: evolution is " +
+    "zero-rewrite, history reads old names, tags survive vacuum") {
+    val eOpGen: Gen[(Int, List[(Long, String)], Long)] = for {
+      kind <- Gen.frequency(5 -> 0, 2 -> 1, 2 -> 2, 2 -> 3, 2 -> 4,
+        2 -> 5)
+      n <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 40L)
+        s <- Gen.alphaLowerStr.map(_.take(4))
+      } yield (k, s))
+      arg <- Gen.choose(0L, 40L)
+    } yield (kind, rows, arg)
+    val names = Vector("s", "s2") // the rename toggle
+    for (trial <- 1 to 4) {
+      val dir = tmpDir("sink_model_evo") + "/t"
+      var model = Vector.empty[(Long, String)]
+      var cur = 0 // index into names
+      // version -> (rows, value-column name at that version)
+      val history =
+        collection.mutable.Map.empty[Int, (Vector[(Long, String)], Int)]
+      var tagged = Map.empty[String, Int]
+      def started = GraftSink.latestVersion(spark, dir).isDefined
+      def read(v: Option[Int] = None): (Seq[(Long, String)], Seq[String]) = {
+        val base = spark.read.format("graftsink")
+        val df = v.fold(base)(x => base.option("version", x)).load(dir)
+        (df.toDF("k", "v").as[(Long, String)].collect().toSeq,
+          df.columns.toSeq)
+      }
+      Gen.listOfN(14, eOpGen)
+        .pureApply(Gen.Parameters.default, Seed(8600L + trial))
+        .foreach { case (kind, rows, arg) =>
+          kind match {
+            case 0 =>
+              rows.toDF("k", names(cur)).write.format("graftsink")
+                .mode("append").save(dir)
+              model = model ++ rows
+            case 1 => if (started) { // rename toggle: zero-rewrite
+              GraftSink.renameColumn(spark, dir, names(cur),
+                names(1 - cur))
+              cur = 1 - cur
+            }
+            case 2 => if (started) GraftSink.compact(spark, dir)
+            case 3 => if (started) {
+              val expired = GraftSink.vacuum(spark, dir,
+                keepVersions = 2).expiredVersions
+              expired.foreach(history.remove)
+              // every tag's pinned version must have SURVIVED
+              tagged.foreach { case (n, v) =>
+                assert(GraftSink.manifestAt(spark, dir, Some(v))
+                  .isDefined, s"trial $trial: tagged v$v vacuumed away")
+              }
+            }
+            case 4 => if (started) {
+              val (rows0, _) = read()
+              rows0.filterNot(_._1 == arg)
+                .toDF("k", names(cur)).write.format("graftsink")
+                .mode("overwrite").save(dir)
+              model = model.filterNot(_._1 == arg)
+            }
+            case 5 => if (started) { // tag the head once per version
+              val v = GraftSink.latestVersion(spark, dir).get
+              if (!tagged.values.exists(_ == v)) {
+                GraftSink.tag(spark, dir, s"t$v")
+                tagged += (s"t$v" -> v)
+              }
+            }
+          }
+          if (started) {
+            history(GraftSink.latestVersion(spark, dir).get) =
+              (model, cur)
+            val (rows1, cols) = read()
+            assert(cols === Seq("k", names(cur)),
+              s"trial $trial: live schema must carry the current name")
+            assert(rows1.sorted == model.sorted,
+              s"trial $trial after op $kind: table != model")
+          }
+        }
+      // every surviving recorded version time-travels to its rows AND
+      // its name-at-that-version (pinned manifests keep old DDLs)
+      history.foreach { case (v, (state, nameIdx)) =>
+        val (rows2, cols) = read(Some(v))
+        assert(cols === Seq("k", names(nameIdx)),
+          s"trial $trial: v$v must read under its own column name")
+        assert(rows2.sorted == state.sorted,
+          s"trial $trial: version $v lost its snapshot")
+      }
+      // tags resolve by NAME to their recorded state
+      tagged.foreach { case (n, v) =>
+        history.get(v).foreach { case (state, _) =>
+          val got = spark.read.format("graftsink").option("version", n)
+            .load(dir).toDF("k", "v").as[(Long, String)]
+            .collect().toSeq
+          assert(got.sorted == state.sorted,
+            s"trial $trial: tag $n diverged from v$v")
+        }
+      }
+    }
+  }
+
   test("random histories with NaN-bearing doubles: file skipping, " +
     "bound merging, and metadata MIN/MAX stay exact at every step") {
     val nanGen: Gen[Double] = Gen.frequency(
