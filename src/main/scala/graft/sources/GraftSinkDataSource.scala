@@ -1547,7 +1547,8 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
       Option(options.get("changesFrom")).map(_.toInt),
       options.getInt("startingVersion", 0),
       rateLimit = (options.getInt("maxFilesPerTrigger", -1),
-        options.getLong("maxRowsPerTrigger", -1L)))
+        options.getLong("maxRowsPerTrigger", -1L),
+        options.getLong("maxBytesPerTrigger", -1L)))
 
   /** SQL `DELETE FROM ... WHERE`: copy-on-write — the surviving rows
     * rewrite as a fresh overwrite version through the normal commit
@@ -1984,7 +1985,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     startingVersion: Int,
     groupScan: Option[java.util.concurrent.atomic
       .AtomicReference[Set[String]]] = None,
-    rateLimit: (Int, Long) = (-1, -1L)) extends ScanBuilder
+    rateLimit: (Int, Long, Long) = (-1, -1L, -1L)) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2292,7 +2293,7 @@ private class GraftSinkScan(fullSchema: StructType,
     startingVersion: Int, pruning: Array[Filter] = Array.empty,
     groupScan: Option[java.util.concurrent.atomic
       .AtomicReference[Set[String]]] = None, limit: Int = -1,
-    rateLimit: (Int, Long) = (-1, -1L))
+    rateLimit: (Int, Long, Long) = (-1, -1L, -1L))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -2331,7 +2332,7 @@ private class GraftSinkScan(fullSchema: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new GraftSinkMicroBatchStream(scanSchema, path, startingVersion,
-      conf, rateLimit._1, rateLimit._2)
+      conf, rateLimit._1, rateLimit._2, rateLimit._3)
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
@@ -2415,7 +2416,8 @@ private case class GraftFilePartition(file: String, fileSchemaDdl: String)
 private class GraftSinkMicroBatchStream(required: StructType,
     path: String, startingVersion: Int,
     conf: SerializableConfiguration,
-    maxFilesPerTrigger: Int = -1, maxRowsPerTrigger: Long = -1L)
+    maxFilesPerTrigger: Int = -1, maxRowsPerTrigger: Long = -1L,
+    maxBytesPerTrigger: Long = -1L)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
     .SupportsAdmissionControl
@@ -2483,7 +2485,11 @@ private class GraftSinkMicroBatchStream(required: StructType,
       case _ => ()
     }
     digest(limit)
-    walk(pos(start), availableNowCap, maxF, maxR)._1
+    // bytes have no ReadLimit form: the option applies directly as a
+    // third budget (manifests record exact per-file bytes)
+    val maxB =
+      if (maxBytesPerTrigger > 0) maxBytesPerTrigger else Long.MaxValue
+    walk(pos(start), availableNowCap, maxF, maxR, maxB)._1
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -2507,7 +2513,8 @@ private class GraftSinkMicroBatchStream(required: StructType,
     * call; `cap` bounds a planning walk at the chosen end offset.
     */
   private def walk(start: GraftStreamOffset,
-      cap: Option[GraftStreamOffset], maxFiles: Long, maxRows: Long)
+      cap: Option[GraftStreamOffset], maxFiles: Long, maxRows: Long,
+      maxBytes: Long = Long.MaxValue)
       : (GraftStreamOffset, Seq[GraftSink.ManifestFile]) = {
     val head = cap.map(_.v)
       .orElse(GraftSink.latestCompleteVersion(spark, path))
@@ -2515,6 +2522,7 @@ private class GraftSinkMicroBatchStream(required: StructType,
     val out = Seq.newBuilder[GraftSink.ManifestFile]
     var nF = 0L
     var nR = 0L
+    var nB = 0L
     var cur = start
     var walking = true
     while (walking) {
@@ -2538,12 +2546,14 @@ private class GraftSinkMicroBatchStream(required: StructType,
           while (i < list.size && !stopped) {
             if (cap.exists(c => c.v == v && c.idx >= 0 && i >= c.idx))
               stopped = true
-            else if ((nF >= maxFiles || nR >= maxRows) && nF > 0)
+            else if ((nF >= maxFiles || nR >= maxRows ||
+                nB >= maxBytes) && nF > 0)
               stopped = true
             else {
               out += list(i)
               nF += 1
               nR += math.max(list(i).rows, 0L)
+              nB += math.max(list(i).bytes, 0L)
               i += 1
             }
           }
@@ -2552,7 +2562,8 @@ private class GraftSinkMicroBatchStream(required: StructType,
             walking = false
           } else {
             cur = GraftStreamOffset(v, -1, snap = false)
-            if (nF >= maxFiles || nR >= maxRows) walking = false
+            if (nF >= maxFiles || nR >= maxRows || nB >= maxBytes)
+              walking = false
           }
       }
     }

@@ -226,6 +226,31 @@ class GraftSinkStreamSpec extends SparkSpec {
       s"no batch may exceed the 2-file cap: ${batchRows.toSeq}")
   }
 
+  test("maxBytesPerTrigger budgets batches by manifest-recorded " +
+    "file bytes") {
+    val dir = tmpDir("sink_stream_bytes") + "/t"
+    spark.range(0, 4).select(col("id").as("k"))
+      .repartitionByRange(4, col("k"))
+      .write.format("graftsink").mode("overwrite").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    assert(m.files.size === 4 && m.files.forall(_.bytes > 0))
+    val name = freshName
+    // budget of ONE file's bytes: each batch admits exactly one file
+    // (at-least-one-per-trigger keeps progress)
+    val q = spark.readStream.format("graftsink")
+      .option("startingVersion", 0)
+      .option("maxBytesPerTrigger", m.files.map(_.bytes).min)
+      .load(dir)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).select("k").as[Long].collect().sorted
+      === (0L until 4L).toSeq)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length === 4,
+      s"a one-file byte budget must make 4 batches: ${batches.toSeq}")
+  }
+
   test("admission control across restarts and appends: partial " +
     "snapshot offsets resume; legacy un-limited checkpoints upgrade") {
     val dir = tmpDir("sink_stream_admit2") + "/t"
