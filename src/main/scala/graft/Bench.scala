@@ -99,9 +99,31 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .map(_.toInt).getOrElse(3).max(1)
     val spread = Seq.newBuilder[(String, (Double, Double, Double))]
+    // Contention canary: a fixed trivial query (one lineitem scan +
+    // filter + agg, no state, warmed below) interleaved every ~20
+    // queries through the batch section. Its OWN cost is constant, so
+    // any drift in its timings is the machine, not the code — round 6
+    // shipped a 1.44×-inflated artifact (uniform ~1.47× across 231
+    // unchanged queries) that a canary trace would have flagged as
+    // contention on the spot. drift = max/min across samples; a run
+    // with drift > 1.3 is annotated "contended": true in both the
+    // detail file and the stdout line so a hot artifact can never
+    // again read as a code regression.
+    val canaryName = "q6_revenue_filter"
+    val canaryFn = SparkEntry.benchQueries.get(canaryName)
+    val canaryTimes = Seq.newBuilder[Double]
+    def runCanary(): Unit = canaryFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count()
+        canaryTimes += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => () }
+    }
+    runCanary(); canaryTimes.clear() // warm: drop the codegen-compile sample
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i % 20 == 0) runCanary()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
@@ -118,6 +140,11 @@ object Bench {
         name -> s(s.size / 2)
       }
     }
+    runCanary() // closing sample so late-section contention is visible
+    val canary = canaryTimes.result()
+    val canaryDrift =
+      if (canary.size >= 2 && canary.min > 0) canary.max / canary.min else 1.0
+    val contended = canaryDrift > 1.3
     val resultsMap = results.toMap
     val total = results.map(_._2).filter(_ >= 0).sum
     // The streaming family is timed once (single-shot, no reps) in its
@@ -215,9 +242,13 @@ object Bench {
     val excludedJson = SparkEntry.benchExclusions
       .map { case (n, why) => Json.quote(n) + ":" + Json.quote(why) }
       .mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"name":"$canaryName","times":[${canary.map(fmt).mkString(",")}],""" +
+        s""""drift":${fmt(canaryDrift)},"contended":$contended}"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"nq":${sortedBatch.size},"reps":$reps,
+         |"canary":$canaryJson,
          |"queries":${obj(sortedBatch)},
          |"spread":$spreadJson,
          |"streaming_total":${fmt(streamTotal)},
@@ -268,7 +299,7 @@ object Bench {
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
       .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -144,21 +144,29 @@ object Analytics {
     * deterministic rather than RNG-drawn; the realized per-group
     * error column is what a user consults before trusting the
     * estimate for a given group size.
+    *
+    * ONE scan: est and exact are conditional aggregates over the same
+    * pass (sum over the bucket-0 rows vs sum over all rows), so the
+    * fact table is read once and the per-row md5 bucket computed once.
+    * At 100 TB the honest AQP pitch is "one scan gives you BOTH the
+    * estimate and its realized error"; two scans would double the I/O
+    * the estimate exists to save auditing.
     */
   private def aqpRevenue(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
-        concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")).as("rk"))
-    val est = li.filter(Curation.hashBucket(col("rk"), "aqp-v1", 10) === 0)
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_sampled"),
-        round(sum(col("rev")) * 10, 2).as("est_revenue"))
-    val exact = li.groupBy("l_returnflag")
-      .agg(round(sum(col("rev")), 2).as("exact_revenue"))
-    est.join(exact, "l_returnflag")
+        (Curation.hashBucket(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")), "aqp-v1", 10) === 0)
+          .as("in_sample"))
+    li.groupBy("l_returnflag")
+      .agg(
+        count(when(col("in_sample"), lit(1))).as("n_sampled"),
+        round(sum(when(col("in_sample"), col("rev"))) * 10, 2)
+          .as("est_revenue"),
+        round(sum(col("rev")), 2).as("exact_revenue"))
       .withColumn("rel_err_pct",
         round((col("est_revenue") / col("exact_revenue") - 1) * 100, 3))
       .orderBy("l_returnflag")
@@ -169,16 +177,18 @@ object Analytics {
       |  SELECT l_returnflag, l_extendedprice * (1 - l_discount) AS rev,
       |    CAST(('0x' || substr(md5('aqp-v1:' || CAST(l_orderkey AS VARCHAR)
       |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
-      |      % 10 AS b
+      |      % 10 = 0 AS in_sample
       |  FROM lineitem),
-      |est AS (SELECT l_returnflag, count(*) AS n_sampled,
-      |    round(sum(rev) * 10, 2) AS est_revenue
-      |  FROM keyed WHERE b = 0 GROUP BY 1),
-      |ex AS (SELECT l_returnflag, round(sum(rev), 2) AS exact_revenue
+      |agg AS (
+      |  SELECT l_returnflag,
+      |    count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+      |    round(sum(CASE WHEN in_sample THEN rev END) * 10, 2)
+      |      AS est_revenue,
+      |    round(sum(rev), 2) AS exact_revenue
       |  FROM keyed GROUP BY 1)
       |SELECT l_returnflag, n_sampled, est_revenue, exact_revenue,
       |  round((est_revenue / exact_revenue - 1) * 100, 3) AS rel_err_pct
-      |FROM est JOIN ex USING (l_returnflag)
+      |FROM agg
       |ORDER BY l_returnflag""".stripMargin
 
   private val tableDiffSql =
