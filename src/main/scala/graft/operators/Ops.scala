@@ -220,18 +220,35 @@ object Ops {
     * partitioned on the watermark column so only touched partitions are
     * rewritten; see [[mergeUpsertPartitioned]] below.
     */
+  /** The merge's RELATION, write-free: dedup the batch per key,
+    * anti-join the target against the batch keys, union. Factored out
+    * so a caller owning its OWN commit protocol (the atomic
+    * data+job-state pipeline publish, [[graft.runner.AtomicPipeline]])
+    * can compose the merged relation into one cross-table transaction
+    * instead of the path-overwrite below.
+    */
+  def mergeUpsertDf(target: Option[DataFrame], updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String = "etl_updated_ts"): DataFrame = {
+    val batch = dedupLatest(updates, keys, versionCol)
+    target match {
+      case None => batch
+      case Some(t) => t
+        .join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch, allowMissingColumns = true)
+    }
+  }
+
   def mergeUpsert(spark: SparkSession, targetPath: String,
       updates: DataFrame, keys: Seq[String],
       versionCol: String = "etl_updated_ts"): Unit = {
-    val batch = dedupLatest(updates, keys, versionCol)
     requireFlatLayout(spark, targetPath, "mergeUpsert")
     if (!ParquetIO.exists(spark, targetPath)) {
-      batch.write.mode("overwrite").parquet(targetPath)
+      mergeUpsertDf(None, updates, keys, versionCol)
+        .write.mode("overwrite").parquet(targetPath)
     } else {
-      val target = spark.read.parquet(targetPath)
-      val merged = target
-        .join(batch.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(batch, allowMissingColumns = true)
+      val merged = mergeUpsertDf(Some(spark.read.parquet(targetPath)),
+        updates, keys, versionCol)
       ParquetIO.overwriteSafe(merged, targetPath)
     }
   }

@@ -38,6 +38,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Transaction {
 
+  /** Test seam: runs immediately before the manifest rename — the
+    * commit point — with every data dir already staged. A spec can
+    * crash a publish HERE to prove a torn (data-landed, manifest-less)
+    * publish is invisible: readers resolve only committed manifests,
+    * so state and data can never disagree. No-op in production.
+    */
+  private[graft] var commitBarrier: () => Unit = () => ()
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -113,6 +121,7 @@ object Transaction {
       "__staging_" + java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(mTmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    commitBarrier()
     val mDest = new Path(dir, s"tx$txId.json")
     if (!fs.rename(mTmp, mDest)) {
       fs.delete(mTmp, false)

@@ -51,12 +51,42 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Order-preserving numeric key for a STRING dimension: the first 7
+    * BYTES of the value's UTF-8 form (NUL-padded, so "b" > "ab" holds
+    * after padding), read as an unsigned 56-bit big-endian integer.
+    * Byte-lexicographic order on equal-length byte prefixes IS UTF-8
+    * order — the same order the manifest's truncated string bounds and
+    * Spark's own string comparisons use — so rank-bucketing this key
+    * rank-buckets the strings. 7 bytes (not 8) keeps the value inside
+    * a signed long; ties beyond the prefix collapse into one bucket,
+    * which only widens a tile, never mis-orders it (the reference's
+    * natural string keys — 64-char block hashes, addresses — separate
+    * in their first bytes). Entirely built-in functions: rpad →
+    * encode → substring → hex → conv, all inside WholeStageCodegen.
+    */
+  private[graft] def stringZKey(c: Column): Column =
+    conv(hex(substring(encode(
+      rpad(coalesce(c, lit("")), 7, "\u0000"), "UTF-8"), 1, 7)),
+      16, 10).cast("long")
+
+  /** One dimension's rank-bucket input: numerics cast to double
+    * (nulls to the lowest corner), strings via [[stringZKey]].
+    */
+  private def zdim(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        stringZKey(col(c)).cast("double")
+      case _ => coalesce(col(c).cast("double"), lit(Double.MinValue))
+    }
+
   /** The z-key column for `cols` of `df`: quantile cut points from one
     * driver stats pass, rank-buckets via codegen'd binary search,
-    * interleaved. Columns must be numeric (cast dates/timestamps to
-    * epoch first — the caller owns representation). Nulls bucket to 0
-    * (lowest curve corner) so they cluster together rather than
-    * scattering.
+    * interleaved. Numeric/date/timestamp columns rank directly;
+    * STRING columns rank via their order-preserving 7-byte UTF-8
+    * prefix key ([[stringZKey]]) — the reference's natural keys
+    * (block hashes, addresses) are strings, so the curve must handle
+    * them first-class. Nulls bucket to 0 (lowest curve corner) so
+    * they cluster together rather than scattering.
     */
   def zkey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     require(cols.nonEmpty, "at least one clustering column")
@@ -66,11 +96,15 @@ object ZOrder {
     // correctness (the stats sketch cost scales with 1/eps, so tying
     // eps to the bucket width keeps the pass cheap at low `bits`)
     val eps = 0.25 / (1 << bits)
-    val bounds = df.stat.approxQuantile(cols.toArray, probes, eps)
-    val buckets = cols.zip(bounds).map { case (c, bs) =>
+    val dims = cols.map(c => zdim(df, c))
+    val tmp = cols.indices.map(i => s"__zq_$i")
+    // quantiles are computed over the DERIVED key columns (strings
+    // have no numeric quantiles) in the same single stats pass
+    val bounds = df.select(dims.zip(tmp).map { case (e, n) => e.as(n) }: _*)
+      .stat.approxQuantile(tmp.toArray, probes, eps)
+    val buckets = dims.zip(bounds).map { case (e, bs) =>
       val ds = bs.distinct.sorted
-      val raw = range_bucket(
-        coalesce(col(c).cast("double"), lit(Double.MinValue)), ds)
+      val raw = range_bucket(e, ds)
       // spread each dimension's rank into the FULL bit-space: a column
       // with few distinct values (so few distinct cut points) would
       // otherwise leave its top bits always zero and the other

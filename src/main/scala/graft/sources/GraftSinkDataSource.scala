@@ -193,14 +193,189 @@ object GraftSink {
     *              share one table, and lets it scan PAST interleaved
     *              batch/maintenance commits. None on legacy manifests.
     */
+  /** Reference to one immutable SEGMENT file under `_segments/` — the
+    * manifest-list shape (Iceberg's manifest/manifest-list split) that
+    * makes an append's metadata O(delta) instead of O(total files):
+    * the version file lists segment NAMES plus a small inline tail;
+    * the per-file entries live in shared, content-addressed-by-UUID
+    * segment files that successive versions reference without
+    * rewriting. `count`/`rows`/`bytes` are the segment's entry count
+    * and summed stats (-1 = some member unknown), recorded so history
+    * and planning can size work without opening the segment.
+    */
+  final case class SegmentRef(name: String, count: Int, rows: Long,
+      bytes: Long)
+
+  /** @param refs   segment references, in commit order (older first);
+    *               `files` = their entries (in order) ++ `inline`.
+    * @param inline file entries carried directly in the version file —
+    *               the small "loose" tail (≤ [[InlineThreshold]]) that
+    *               keeps single-file commits to ONE metadata write.
+    */
   final case class Manifest(version: Int, schemaDdl: String,
       files: Seq[ManifestFile], epoch: Option[Long] = None,
-      epochWriter: Option[String] = None)
+      epochWriter: Option[String] = None,
+      refs: Seq[SegmentRef] = Nil,
+      inline: Seq[ManifestFile] = Nil)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private[sources] def manifestName(v: Int) = f"manifest-v$v%06d"
+
+  // ---- SEGMENTS: immutable per-file-entry lists shared across
+  // versions (the O(delta)-commit machinery; see [[SegmentRef]]) ----
+
+  /** Max loose file entries a version file carries INLINE before they
+    * roll into a segment. Below it a commit is one metadata write
+    * (today's behavior for small tables); above it the entries move to
+    * an immutable segment that later versions reference by name.
+    */
+  private[sources] val InlineThreshold = 32
+
+  /** Version-file line `#seg<TAB>name<TAB>count<TAB>rows<TAB>bytes`. */
+  private[sources] val SegMarker = "#seg"
+
+  /** Segment file: line 1 = the base schema DDL that empty per-line
+    * DDLs refer to (frozen at segment-write time — segments outlive
+    * schema evolutions, so the reference must not float with the
+    * table schema), then one file entry per line in the manifest's
+    * 6-field form, then the `#eof` completeness marker.
+    */
+  private def segmentPath(dir: String, name: String) =
+    new Path(dir, s"_segments/$name")
+
+  /** Parsed segments, cached by (dir, name): segment names are
+    * UUID-random and their content immutable, so a hit can never be
+    * stale. Bounds re-parse work at plan time — resolving a head whose
+    * history is long touches only the segments not seen before.
+    */
+  private val segCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[ManifestFile]](
+          128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[ManifestFile]]): Boolean =
+          size() > 64
+      })
+
+  /** Bench/spec seam: drop the parsed-segment cache so a cold plan
+    * (fresh driver) can be measured honestly.
+    */
+  private[graft] def clearSegmentCache(): Unit = segCache.clear()
+
+  private[sources] def writeSegment(conf: SerializableConfiguration,
+      dir: String, files: Seq[ManifestFile]): SegmentRef = {
+    require(files.nonEmpty, "graftsink: empty segment")
+    val name = "seg-" + java.util.UUID.randomUUID().toString.take(12)
+    val base = files.head.schemaDdl
+    val lines = files.map { mf =>
+      val ddl = if (mf.schemaDdl == base) "" else mf.schemaDdl
+      val flags = if (mf.rewrite) "r" else ""
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
+    }
+    val payload = ((base +: lines) :+ EofMarker).mkString("\n")
+      .getBytes("UTF-8")
+    val f = new Path(dir).getFileSystem(conf.value)
+    val out = f.create(segmentPath(dir, name), false)
+    try out.write(payload) finally out.close()
+    segCache.put(s"$dir/$name", files.toVector)
+    SegmentRef(name, files.size,
+      if (files.exists(_.rows < 0)) -1L else files.map(_.rows).sum,
+      if (files.exists(_.bytes < 0)) -1L else files.map(_.bytes).sum)
+  }
+
+  /** A referenced segment exists and is complete BY CONSTRUCTION (it
+    * is fully written before any manifest names it, and vacuum deletes
+    * manifests before segments) — missing or torn here means vacuumed
+    * history or corruption, and the error must be loud, never a silent
+    * smaller file list.
+    */
+  private[sources] def readSegment(conf: SerializableConfiguration,
+      dir: String, name: String): Seq[ManifestFile] = {
+    val key = s"$dir/$name"
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val f = new Path(dir).getFileSystem(conf.value)
+    val in = f.open(segmentPath(dir, name))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    if (!lines.lastOption.contains(EofMarker)) sys.error(
+      s"graftsink: segment $name at $dir is torn or corrupt")
+    val base = lines.head
+    val files = lines.tail.dropRight(1).map(parseFileLine(_, base)).toVector
+    segCache.put(key, files)
+    files
+  }
+
+  /** One file entry in the shared 6-field line form (`baseDdl`
+    * substitutes for an empty per-line DDL; shorter forms are older
+    * inline manifests).
+    */
+  private def parseFileLine(l: String, baseDdl: String): ManifestFile =
+    l.split("\t", -1) match {
+      case Array(name, ddl, rows, bytes, stats, flags) =>
+        ManifestFile(name, if (ddl.isEmpty) baseDdl else ddl,
+          rows.toLong, bytes.toLong, stats, flags.contains('r'))
+      case Array(name, ddl, rows, bytes, stats) => ManifestFile(name,
+        if (ddl.isEmpty) baseDdl else ddl, rows.toLong, bytes.toLong,
+        stats)
+      case Array(name, ddl, rows, bytes) => ManifestFile(name,
+        if (ddl.isEmpty) baseDdl else ddl, rows.toLong, bytes.toLong)
+      case Array(name, ddl) =>
+        ManifestFile(name, if (ddl.isEmpty) baseDdl else ddl)
+      case Array(name) => ManifestFile(name, baseDdl)
+      case _ => sys.error(s"graftsink: unparseable manifest line '$l'")
+    }
+
+  /** Segment list for the NEXT version: untouched previous segments
+    * carry BY REFERENCE (zero bytes rewritten); a segment containing a
+    * `replace`d file is rewritten minus those entries (O(that
+    * segment)); the loose pool (previous inline entries + `newFiles`)
+    * stays inline below [[InlineThreshold]] or rolls into one new
+    * segment. Appending then restores the GEOMETRIC invariant — each
+    * segment ≥ 2× the entry count of its successor — by merging the
+    * trailing run, which bounds the list at O(log totalFiles) refs
+    * and amortizes to O(log n) entries rewritten per commit. The sum
+    * over a table's whole append history is O(n log n) metadata bytes
+    * instead of the previous carry-everything-forward O(n²).
+    */
+  private[sources] def composeSegments(conf: SerializableConfiguration,
+      dir: String, prev: Option[Manifest], replace: Set[String],
+      newFiles: Seq[ManifestFile])
+      : (Seq[SegmentRef], Seq[ManifestFile]) = {
+    val kept = prev.map(_.refs).getOrElse(Nil).flatMap { r =>
+      val members = readSegment(conf, dir, r.name)
+      if (replace.isEmpty || !members.exists(f => replace(f.name))) Some(r)
+      else {
+        val rem = members.filterNot(f => replace(f.name))
+        if (rem.isEmpty) None else Some(writeSegment(conf, dir, rem))
+      }
+    }
+    val loose = prev.map(_.inline).getOrElse(Nil)
+      .filterNot(f => replace(f.name)) ++ newFiles
+    if (loose.size <= InlineThreshold) (kept, loose)
+    else {
+      var refs = kept.toVector :+ writeSegment(conf, dir, loose)
+      while (refs.length >= 2 &&
+          refs(refs.length - 2).count < 2 * refs.last.count) {
+        val merged = readSegment(conf, dir, refs(refs.length - 2).name) ++
+          readSegment(conf, dir, refs.last.name)
+        refs = refs.dropRight(2) :+ writeSegment(conf, dir, merged)
+      }
+      (refs, Nil)
+    }
+  }
+
+  /** Entry layout for a version whose per-file entries were REWRITTEN
+    * wholesale (column rename re-records every DDL/stats key): one
+    * fresh segment above the inline threshold, plain inline below.
+    */
+  private def freshEntries(conf: SerializableConfiguration, dir: String,
+      files: Seq[ManifestFile]): (Seq[SegmentRef], Seq[ManifestFile]) =
+    if (files.size <= InlineThreshold) (Nil, files)
+    else (Seq(writeSegment(conf, dir, files)), Nil)
 
   /** Field names of the most recent scan's pruned read schema —
     * makes column pruning spec-observable (the DuneDataSource
@@ -579,8 +754,11 @@ object GraftSink {
       val lines = text.split("\n").toSeq.filter(_.nonEmpty)
       if (lines.lastOption.contains(EofMarker)) {
         val tableDdl = lines.head
-        val (epochLines, fileLines) = lines.tail.dropRight(1)
-          .partition(_.startsWith(s"$EpochMarker\t"))
+        val body = lines.tail.dropRight(1)
+        val epochLines = body.filter(_.startsWith(s"$EpochMarker\t"))
+        val segLines = body.filter(_.startsWith(s"$SegMarker\t"))
+        val fileLines = body.filterNot(l =>
+          l.startsWith(s"$EpochMarker\t") || l.startsWith(s"$SegMarker\t"))
         // 2-field legacy `#epoch<TAB>id` or 3-field `#epoch<TAB>id
         // <TAB>queryId` current form
         val epochFields = epochLines.headOption
@@ -588,25 +766,24 @@ object GraftSink {
         val epoch = epochFields.map(_(0).toLong)
         val epochWriter = epochFields.collect {
           case a if a.length > 1 && a(1).nonEmpty => a(1) }
-        Some(Manifest(v, tableDdl, fileLines.map { l =>
-          // 6-field current form name\tddl\trows\tbytes\tstats\tflags
-          // ("" ddl = the table schema; flags "r" = rewrite); shorter
-          // forms are older manifests (-1 / empty = unknown)
+        val refs = segLines.map { l =>
           l.split("\t", -1) match {
-            case Array(name, ddl, rows, bytes, stats, flags) =>
-              ManifestFile(name, if (ddl.isEmpty) tableDdl else ddl,
-                rows.toLong, bytes.toLong, stats, flags.contains('r'))
-            case Array(name, ddl, rows, bytes, stats) => ManifestFile(name,
-              if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong,
-              stats)
-            case Array(name, ddl, rows, bytes) => ManifestFile(name,
-              if (ddl.isEmpty) tableDdl else ddl, rows.toLong, bytes.toLong)
-            case Array(name, ddl) => ManifestFile(name, ddl)
-            case Array(name)      => ManifestFile(name, tableDdl)
-            case other => sys.error(
-              s"graftsink: unparseable manifest line '$l'")
+            case Array(_, name, count, rows, bytes) =>
+              SegmentRef(name, count.toInt, rows.toLong, bytes.toLong)
+            case _ => sys.error(
+              s"graftsink: unparseable segment reference '$l'")
           }
-        }, epoch, epochWriter))
+        }
+        // per-line DDL "" in the VERSION file refers to ITS table
+        // schema (inline entries are rewritten each publish, so the
+        // reference is always current); inside a segment it refers to
+        // the segment's own frozen base line
+        val inline = fileLines.map(parseFileLine(_, tableDdl))
+        val conf = new SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val segFiles = refs.flatMap(r => readSegment(conf, dir, r.name))
+        Some(Manifest(v, tableDdl, segFiles ++ inline, epoch, epochWriter,
+          refs, inline))
       } else None // torn: writer died mid-manifest
     }
     version match {
@@ -673,17 +850,31 @@ object GraftSink {
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
       files: Seq[ManifestFile], epoch: Option[Long] = None,
-      epochWriter: Option[String] = None): Unit = {
+      epochWriter: Option[String] = None): Unit =
+    writeManifest(conf, dir, version, schemaDdl, Nil, files, epoch,
+      epochWriter)
+
+  /** Segmented form: `refs` carry by name, `inline` entries are
+    * written into the version file itself. Commit cost is O(refs +
+    * inline), independent of how many files the referenced segments
+    * hold.
+    */
+  private[sources] def writeManifest(conf: SerializableConfiguration,
+      dir: String, version: Int, schemaDdl: String,
+      refs: Seq[SegmentRef], inline: Seq[ManifestFile],
+      epoch: Option[Long], epochWriter: Option[String]): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
-    val fileLines = files.map { mf =>
+    val segLines = refs.map(r =>
+      s"$SegMarker\t${r.name}\t${r.count}\t${r.rows}\t${r.bytes}")
+    val fileLines = inline.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
       s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
     }
     val header = schemaDdl +: epoch.toSeq.map(e =>
       (s"$EpochMarker\t$e" +: epochWriter.toSeq).mkString("\t"))
-    val payload = ((header ++ fileLines) :+ EofMarker)
+    val payload = ((header ++ segLines ++ fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8")
     // The publish must be EXCLUSIVE and ALL-OR-NOTHING in one
     // primitive. Writing into the final name (even create-exclusive)
@@ -842,8 +1033,11 @@ object GraftSink {
             "commit has since rewritten or removed; re-run the " +
             "operation against the new table state")
       }
-      val carried = prev.map(_.files).getOrElse(Seq.empty)
-        .filterNot(f => replace.exists(_.contains(f.name)))
+      // O(delta) metadata: untouched segments carry by reference;
+      // only segments holding a `replace`d file and the loose pool
+      // (previous inline + newFiles) are (re)written
+      val (refs, inline) = composeSegments(conf, dir, prev,
+        replace.getOrElse(Set.empty), newFiles)
       // version = carry-source version + 1, NEVER a separate listing:
       // reading the head and the version counter in two steps lets a
       // racer number itself PAST a commit it did not carry (observed
@@ -855,7 +1049,7 @@ object GraftSink {
       val version = math.max(latest.map(_.version + 1).getOrElse(0), floor)
       try {
         writeManifest(conf, dir, version, tableDdl,
-          carried ++ newFiles, epoch, epochWriter)
+          refs, inline, epoch, epochWriter)
         return version
       } catch {
         case e: ManifestCollisionException =>
@@ -874,20 +1068,29 @@ object GraftSink {
   /** Schema-change publish that may also rewrite the CARRIED file
     * entries (recorded per-file DDLs, stats keys). `change` recomputes
     * from a fresh head on every collision retry, so a concurrent
-    * append's files receive the same treatment.
+    * append's files receive the same treatment. `change` returning
+    * None for the entry list means "entries untouched" — the publish
+    * carries the head's segments BY REFERENCE (a schema-only ADD/DROP
+    * stays O(manifest list) no matter the file count); Some(files)
+    * re-records every entry (rename rewrites DDLs/stats keys) into
+    * fresh segments.
     */
   private def publishSchemaRewrite(spark: SparkSession,
       conf: SerializableConfiguration, dir: String)(
-      change: Manifest => (String, Seq[ManifestFile])): Int = {
+      change: Manifest => (String, Option[Seq[ManifestFile]])): Int = {
     var attempt = 0
     var floor = 0
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(
         sys.error(s"graftsink: no committed manifest at $dir"))
-      val (ddl, files) = change(head)
+      val (ddl, changed) = change(head)
+      val (refs, inline) = changed match {
+        case None => (head.refs, head.inline)
+        case Some(files) => freshEntries(conf, dir, files)
+      }
       val version = math.max(head.version + 1, floor)
       try {
-        writeManifest(conf, dir, version, ddl, files)
+        writeManifest(conf, dir, version, ddl, refs, inline, None, None)
         return version
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
@@ -933,11 +1136,11 @@ object GraftSink {
         StructType(st.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)).toDDL
       }
-      (ren(head.schemaDdl), head.files.map { f =>
+      (ren(head.schemaDdl), Some(head.files.map { f =>
         if (!StructType.fromDDL(f.schemaDdl).fieldNames.contains(from)) f
         else f.copy(schemaDdl = ren(f.schemaDdl),
           statsJson = renameStatsKey(f.statsJson, from, to))
-      })
+      }))
     }
   }
 
@@ -959,7 +1162,7 @@ object GraftSink {
       require(table.fields.length > 1,
         "graftsink: cannot drop the table's last column")
       (StructType(table.fields.filterNot(_.name == name)).toDDL,
-        head.files)
+        None) // entries untouched: segments carry by reference
     }
   }
 
@@ -983,7 +1186,7 @@ object GraftSink {
       val evolved = StructType(table.fields ++
         added.map(_.copy(nullable = true)))
       checkSupported(evolved)
-      (evolved.toDDL, head.files)
+      (evolved.toDDL, None) // entries untouched: segments carry by ref
     }
   }
 
@@ -1114,12 +1317,17 @@ object GraftSink {
         return compact(spark, dir, targetBytes, smallBytes,
           rewriteRetries - 1)
       }
-      val files = head.files.filterNot(f => compacted(f.name)) ++
-        mergedEntries
+      // segment-aware: only segments holding a compacted member are
+      // rewritten; everything else carries by reference
+      val (refs, inline) = composeSegments(conf, dir, Some(head),
+        compacted, mergedEntries)
+      val filesAfter = head.files.size - compacted.size +
+        mergedEntries.size
       val version = math.max(head.version + 1, floor)
       try {
-        writeManifest(conf, dir, version, head.schemaDdl, files)
-        return CompactStats(groups.size, m.files.size, files.size)
+        writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
+          None, None)
+        return CompactStats(groups.size, m.files.size, filesAfter)
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
@@ -1212,9 +1420,14 @@ object GraftSink {
     *               of them prunes ~box-fraction of the files. A
     *               lexicographic layout (the default) prunes only on
     *               the leading column — a trailing-column probe opens
-    *               every file. Z-order columns must be numeric/date/
-    *               timestamp (rank-bucketed via one approxQuantile
-    *               stats pass, bit-interleaved in codegen).
+    *               every file. Z-order columns may be numeric/date/
+    *               timestamp or STRING (rank-bucketed via one
+    *               approxQuantile stats pass — strings through their
+    *               order-preserving 7-byte UTF-8 prefix key, the same
+    *               truncation discipline as the manifest's string
+    *               bounds — then bit-interleaved in codegen). The
+    *               reference's natural keys (`block.hash`, addresses)
+    *               are strings; they cluster first-class.
     */
   /** @param onlyNew INCREMENTAL maintenance (the LSM discipline):
     *                rewrite only the files a previous cluster pass did
@@ -1245,9 +1458,10 @@ object GraftSink {
     if (zorder) cols.foreach(c => require(
       schema(c).dataType match {
         case LongType | IntegerType | DoubleType | TimestampType |
-             TimestampNTZType | DateType => true
+             TimestampNTZType | DateType | StringType => true
         case _ => false
-      }, s"graftsink: zorder column $c must be numeric/date/timestamp"))
+      }, s"graftsink: zorder column $c must be numeric/date/timestamp/" +
+        "string (strings rank via their UTF-8 prefix key)"))
     val targetFiles =
       if (onlyNew) m.files.filterNot(_.name.startsWith("cluster-"))
       else m.files
@@ -1311,14 +1525,17 @@ object GraftSink {
         return cluster(spark, dir, cols, targetBytes, zorder, zBits,
           onlyNew, rewriteRetries - 1)
       }
-      val files = head.files.filterNot(x => replaced(x.name)) ++ moved
-      val version = math.max(head.version + 1, floor)
       val conf = new SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
+      val (refs, inline) = composeSegments(conf, dir, Some(head),
+        replaced, moved)
+      val filesAfter = head.files.size - replaced.size + moved.size
+      val version = math.max(head.version + 1, floor)
       try {
-        writeManifest(conf, dir, version, head.schemaDdl, files)
+        writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
+          None, None)
         f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
-        return ClusterStats(m.files.size, files.size,
+        return ClusterStats(m.files.size, filesAfter,
           moved.map(_.rows).sum)
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
@@ -1350,7 +1567,10 @@ object GraftSink {
       val next = math.max(latestManifest(spark, dir)
         .map(_.version + 1).getOrElse(0), floor)
       try {
-        writeManifest(conf, dir, next, m.schemaDdl, m.files)
+        // restore is O(manifest list): the pinned version's segments
+        // carry by reference, nothing is re-listed file by file
+        writeManifest(conf, dir, next, m.schemaDdl, m.refs, m.inline,
+          None, None)
         return next
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
@@ -1463,9 +1683,13 @@ object GraftSink {
     // publish; a YOUNG one may be a rename racing this very listing
     val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)
       .filter(v => aged(new Path(dir, manifestName(v))))
-    val keepFiles = live.flatMap(v =>
-      manifestAt(spark, dir, Some(v)).toSeq.flatMap(_.files.map(_.name)))
-      .toSet
+    val liveManifests = live.flatMap(v =>
+      manifestAt(spark, dir, Some(v)).toSeq)
+    val keepFiles = liveManifests.flatMap(_.files.map(_.name)).toSet
+    // segments any surviving manifest references stay; the rest —
+    // expired history's exclusive segments, collision-loser orphans —
+    // age out like data files
+    val keepSegs = liveManifests.flatMap(_.refs.map(_.name)).toSet
     // 1. drop dead manifests (commit point of the expiry)
     (expired ++ torn).foreach(v => f.delete(new Path(dir, manifestName(v)), false))
     // 2. then data files nothing surviving references — aged only: a
@@ -1479,6 +1703,16 @@ object GraftSink {
         .map(_.getPath)
         .filterNot(p => keepFiles(p.getName))
     orphans.foreach(f.delete(_, false))
+    // 2b. unreferenced segment files, same aged-only discipline (a
+    // fresh one may belong to a commit whose manifest hasn't landed)
+    val segRoot = new Path(dir, "_segments")
+    val segOrphans =
+      if (!f.exists(segRoot)) Array.empty[Path]
+      else f.listStatus(segRoot)
+        .filter(_.getModificationTime < cutoff)
+        .map(_.getPath)
+        .filterNot(p => keepSegs(p.getName))
+    segOrphans.foreach(f.delete(_, false))
     // 3. stale staging dirs beyond the in-flight grace window
     val stagingRoot = new Path(dir, "_staging")
     val staleStaging =

@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.GraftSink
+
+/** SCALE.md measurement harness for the MANIFEST METADATA envelope —
+  * the question round 6 left open: what do a commit and a plan cost as
+  * the live-file count climbs to 10⁵ (the 100 TB regime at ~1 GB
+  * files)?
+  *
+  *   sbt "runMain graft.tools.ManifestEnvelope"
+  *
+  * Two designs are measured on the SAME parser/commit code:
+  *
+  *  - SEGMENTED (current): a version file lists O(log n) segment refs
+  *    plus a ≤32-entry inline tail; an append writes its delta (plus
+  *    amortized geometric merges). Commit metadata is O(delta·log n)
+  *    amortized; plan parse is O(n) once, then cached per immutable
+  *    segment.
+  *  - LEGACY inline (pre-round-7): every version file carries every
+  *    live entry. Commit metadata is O(n) per commit — O(n²)
+  *    cumulative — and every plan parses n lines.
+  *
+  * Entries are fabricated (the envelope is about METADATA, not data
+  * bytes); times are medians; bytes are exact file sizes on disk.
+  */
+object ManifestEnvelope {
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def entry(i: Int) = GraftSink.ManifestFile(
+    f"part-$i%07d", "k BIGINT,v DOUBLE,s STRING", rows = 15000L,
+    bytes = 128L * 1024 * 1024,
+    statsJson = s"""{"k":["${i * 15000L}","${(i + 1) * 15000L - 1}","0"]""" +
+      s""","v":["0.0","1.0","0"],"s":["a","zzzz","0"]}""")
+
+  private def dirSize(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .map(java.nio.file.Files.size).sum
+      } finally s.close()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.queries.Tables.configure(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ddl = "k BIGINT,v DOUBLE,s STRING"
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_manifest_env").toString
+    println("| files | commit ms (seg) | commit KB (seg) | cumulative " +
+      "meta MB (seg) | plan ms cold / warm (seg) | legacy manifest KB " +
+      "(= commit KB) | legacy plan ms |")
+    println("|---|---|---|---|---|---|---|")
+    for (n <- Seq(100, 1000, 10000, 100000)) {
+      val dir = s"$work/seg_$n"
+      // build a history in 64-entry commits (each rolls a segment) so
+      // the head reaches n live files with a realistic segment layout
+      var i = 0
+      while (i < n) {
+        val batch = (i until math.min(i + 64, n)).map(entry)
+        GraftSink.publish(spark, conf, dir, ddl, batch, truncate = false)
+        i += 64
+      }
+      val segPath = java.nio.file.Paths.get(dir, "_segments")
+      // cumulative metadata actually written: all version files + all
+      // segments still on disk (nothing vacuumed) — the O(n log n) vs
+      // O(n²) story in bytes
+      def metaBytes: Long =
+        dirSize(java.nio.file.Paths.get(dir)) + dirSize(segPath)
+      // one single-file append at head: time + metadata delta
+      val before = metaBytes
+      val t0 = System.nanoTime()
+      GraftSink.publish(spark, conf, dir, ddl, Seq(entry(n)),
+        truncate = false)
+      val commitMs = (System.nanoTime() - t0) / 1e6
+      val commitKb = (metaBytes - before) / 1024.0
+      val cumMb = metaBytes / 1024.0 / 1024.0
+      // plan = resolve the head manifest (all file entries + bounds)
+      GraftSink.clearSegmentCache()
+      val coldMs = {
+        val t = System.nanoTime()
+        val m = GraftSink.latestManifest(spark, dir).get
+        require(m.files.size == n + 1)
+        (System.nanoTime() - t) / 1e6
+      }
+      val warmMs = median((1 to 5).map { _ =>
+        val t = System.nanoTime()
+        GraftSink.latestManifest(spark, dir).get.files.size
+        (System.nanoTime() - t) / 1e6
+      }.map(identity))
+      // LEGACY twin: one carry-everything version file, by hand in
+      // the inline form the parser still accepts
+      val legacyDir = s"$work/legacy_$n"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(legacyDir))
+      val lines = (ddl +: (0 until n).map { j =>
+        val e = entry(j)
+        s"${e.name}\t\t${e.rows}\t${e.bytes}\t${e.statsJson}\t"
+      }) :+ "#eof"
+      val lp = java.nio.file.Paths.get(legacyDir, "manifest-v000000")
+      java.nio.file.Files.write(lp,
+        lines.mkString("\n").getBytes("UTF-8"))
+      val legacyKb = java.nio.file.Files.size(lp) / 1024.0
+      val legacyMs = median((1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val m = GraftSink.latestManifest(spark, legacyDir).get
+        require(m.files.size == n)
+        (System.nanoTime() - t) / 1e6
+      }.map(identity))
+      println(f"| $n%,d | $commitMs%.1f | $commitKb%.1f | $cumMb%.1f | " +
+        f"$coldMs%.1f / $warmMs%.1f | $legacyKb%.1f | $legacyMs%.1f |")
+    }
+    println(s"(work dir: $work)")
+    spark.stop()
+  }
+}

@@ -195,4 +195,79 @@ class PipelineSpec extends SparkSpec {
       s"$base/warehouse")
     assert(pipe.run(Seq(spec)).isEmpty)
   }
+
+  test("atomic (data + job-state) publish: a crash at the commit " +
+      "point can never leave state and table contents disagreeing") {
+    import graft.operators.Transaction
+    import graft.runner.AtomicPipeline
+    val base = tmpDir("atomic")
+    val fixtures = s"$base/fixtures"
+    Files.createDirectories(Paths.get(fixtures))
+    val spec = BitcoinWarehouse.pricesUsd
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"date": "2025-01-01", "price": 95000.0}""",
+      """{"date": "2025-01-02", "price": 96000.0}"""))
+    val root = s"$base/tx"
+    val pipe = new AtomicPipeline(spark, new FixtureSource(fixtures), root)
+    pipe.seed(Seq(EtlJob(spec.jobName, spec.queryId, spec.targetTable,
+      spec.pKeys.mkString(","), None, 1, None, None, None, None)))
+
+    // baseline: one job = one atomic commit of (table, done-state)
+    val r1 = pipe.runJob(spec)
+    assert(r1.error.isEmpty && r1.rows === 2L)
+    def status(): Int = pipe.state
+      .filter($"job_name" === spec.jobName).head.getAs[Int]("status")
+    def tableRows(): Seq[(String, Double)] =
+      Transaction.read(spark, root, spec.targetTable)
+        .select("date", "price_in_dollar").as[(String, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(status() === EtlJob.Done)
+    val before = tableRows()
+    assert(before.map(_._1) === Seq("2025-01-01", "2025-01-02"))
+
+    // incremental delta staged; CRASH injected at the commit point of
+    // the (data + state) publish — data dirs staged, manifest absent
+    writeFixture(fixtures, spec.queryId, Seq(
+      """{"date": "2025-01-02", "price": 1.0}""",
+      """{"date": "2025-01-03", "price": 97000.0}"""))
+    var calls = 0
+    Transaction.commitBarrier = () => {
+      calls += 1
+      // call 1 = the running marker; call 2 = the atomic data+state
+      // commit — the exact window the non-atomic runner tears in
+      if (calls == 2) sys.error("injected crash at the commit point")
+    }
+    val crashed =
+      try pipe.runJob(spec)
+      finally Transaction.commitBarrier = () => ()
+    // runner-level recovery view: the failure record committed ALONE,
+    // the data never did — (failed, old contents) is a truthful pair
+    assert(crashed.error.exists(_.contains("injected crash")))
+    assert(status() === EtlJob.Failed)
+    assert(tableRows() === before,
+      "a crashed commit must leave the table at its previous contents")
+
+    // raw process-death view (no recovery code runs): the same torn
+    // publish, observed directly — BOTH tables still read old
+    Transaction.commitBarrier =
+      () => sys.error("injected crash at the commit point")
+    intercept[RuntimeException] {
+      Transaction.publish(spark, root, Map(
+        spec.targetTable -> Transaction.read(spark, root, spec.targetTable)
+          .limit(1),
+        pipe.StateTable -> pipe.state))
+    }
+    Transaction.commitBarrier = () => ()
+    assert(tableRows() === before)
+    assert(status() === EtlJob.Failed)
+
+    // recovery: a plain re-run flips data and state TOGETHER; the
+    // watermark keeps the stale 01-02 repeat out, like the non-atomic
+    // pipeline
+    val r2 = pipe.runJob(spec)
+    assert(r2.error.isEmpty && r2.rows === 3L)
+    assert(status() === EtlJob.Done)
+    assert(tableRows() === Seq(("2025-01-01", 95000.0),
+      ("2025-01-02", 96000.0), ("2025-01-03", 97000.0)))
+  }
 }
