@@ -59,7 +59,8 @@ object Bench {
         "d_incr_dedup", "d_incr_minhash", "q_incr_agg",
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
-        "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_sql_catalog",
+        "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_sink_segments",
+        "q_sql_catalog",
         "q_delete_where",
         "q_hll_merge", "q_hll_sliding",
         "q_bitmap_merge",
@@ -142,8 +143,17 @@ object Bench {
     }
     runCanary() // closing sample so late-section contention is visible
     val canary = canaryTimes.result()
+    // drift = max/MEDIAN: contention makes samples SLOWER than
+    // typical; a lucky fast sample (warm cache late in the run) must
+    // not read as contention, which max/min would report. The median
+    // itself is recorded as a machine-speed unit — cross-round totals
+    // divide by it to separate "code got slower" from "box got slower"
+    // (round 6's artifact confusion).
+    val canaryMedian =
+      if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
     val canaryDrift =
-      if (canary.size >= 2 && canary.min > 0) canary.max / canary.min else 1.0
+      if (canary.size >= 2 && canaryMedian > 0) canary.max / canaryMedian
+      else 1.0
     val contended = canaryDrift > 1.3
     val resultsMap = results.toMap
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -244,7 +254,8 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryJson =
       s"""{"name":"$canaryName","times":[${canary.map(fmt).mkString(",")}],""" +
-        s""""drift":${fmt(canaryDrift)},"contended":$contended}"""
+        s""""median":${fmt(canaryMedian)},"drift":${fmt(canaryDrift)},""" +
+        s""""contended":$contended}"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"nq":${sortedBatch.size},"reps":$reps,
@@ -299,7 +310,7 @@ object Bench {
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
       .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${sortedBatch.size},"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

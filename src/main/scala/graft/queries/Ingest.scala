@@ -208,6 +208,58 @@ object Ingest {
       p
     })
 
+  /** Segment-level pruning end-to-end (round 7's manifest-list
+    * layer): the seed lands as TWO segments with disjoint key ranges —
+    * a 70-file low band then a 34-file high band (34 ≥ 70/2, so the
+    * geometric merge keeps them separate) — and the declared probe
+    * targets the top sixth of the keyspace, so a cold driver resolves
+    * ONLY the high segment's entry list before per-file skipping even
+    * starts (counter-gated in GraftSinkSpec; here the VALUES are
+    * oracle-checked against the raw orders table). At 10⁵ files this
+    * is the difference between parsing the whole manifest per
+    * selective query and parsing the one matching segment.
+    */
+  private val segSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededSegmentedSink(spark: SparkSession,
+      dir: String): String =
+    segSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sink_seg_seed").toString + "/orders"
+      val o = Tables(spark, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val mx = o.agg(max("o_orderkey")).head.getLong(0)
+      val cut = mx * 2 / 3
+      o.filter(col("o_orderkey") <= cut)
+        .repartitionByRange(70, col("o_orderkey"))
+        .write.format("graftsink").mode("overwrite").save(p)
+      o.filter(col("o_orderkey") > cut)
+        .repartitionByRange(34, col("o_orderkey"))
+        .write.format("graftsink").mode("append").save(p)
+      p
+    })
+
+  private def sinkSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = seededSegmentedSink(spark, dir)
+    val mx = Tables(spark, dir, "orders")
+      .agg(max("o_orderkey")).head.getLong(0)
+    spark.read.format("graftsink").load(p)
+      .filter(col("o_orderkey") > lit(mx * 5 / 6))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"))
+      .orderBy("status")
+  }
+
+  private val sinkSegmentsSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) * 5 / 6 FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def sinkSkip(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graftsink").load(seededSkipSink(spark, dir))
       .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 2000L)
@@ -517,6 +569,7 @@ object Ingest {
     NamedQuery("q_dsv2_sink", dsv2Sink, Some(dsv2SinkSql)),
     NamedQuery("q_sink_changes", sinkChanges, Some(sinkChangesSql)),
     NamedQuery("q_sink_skip", sinkSkip, Some(sinkSkipSql)),
+    NamedQuery("q_sink_segments", sinkSegments, Some(sinkSegmentsSql)),
     NamedQuery("q_sink_nan", sinkNan, Some(sinkNanSql)),
     NamedQuery("q_sink_skip_str", sinkSkipStr, Some(sinkSkipStrSql)),
     NamedQuery("q_sink_grouped_max", sinkGroupedMax,

@@ -92,7 +92,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (observability without any side channel: what files, what
         // bounds, what versions, all driver-side metadata)
         val kind = ident.name().toLowerCase
-        if ((kind == "files" || kind == "history" || kind == "tags") &&
+        if ((kind == "files" || kind == "history" || kind == "tags" ||
+          kind == "segments") &&
           ident.namespace().nonEmpty) {
           val parent = Identifier.of(ident.namespace().init,
             ident.namespace().last)
@@ -461,6 +462,12 @@ private class GraftMetaTable(kind: String, dir: String,
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "segments" => StructType(Seq(
+      StructField("segment", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("bounds", StringType, nullable = false)))
     case _ => StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("files", IntegerType, nullable = false),
@@ -481,6 +488,22 @@ private class GraftMetaTable(kind: String, dir: String,
             GraftSink.tags(spark, dir).toSeq.sortBy(_._1).map {
               case (n, v) => new GenericInternalRow(Array[Any](
                 UTF8String.fromString(n), v)): InternalRow
+            }.toArray
+          case "segments" =>
+            // the manifest-list layer itself: one row per segment ref
+            // (+ one synthetic "(inline)" row for the loose tail), all
+            // without resolving a single segment file
+            GraftSink.latestManifest(spark, dir).toSeq.flatMap { m =>
+              m.refs.map(r => new GenericInternalRow(Array[Any](
+                UTF8String.fromString(r.name), r.count, r.rows,
+                r.bytes, UTF8String.fromString(r.statsJson)))
+                : InternalRow) ++
+                (if (m.inline.isEmpty) Nil
+                else Seq(new GenericInternalRow(Array[Any](
+                  UTF8String.fromString("(inline)"), m.inline.size,
+                  m.inline.map(_.rows).filter(_ >= 0).sum,
+                  m.inline.map(_.bytes).filter(_ >= 0).sum,
+                  UTF8String.fromString(""))): InternalRow))
             }.toArray
           case "files" =>
             GraftSink.latestManifest(spark, dir).toSeq

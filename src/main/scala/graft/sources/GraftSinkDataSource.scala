@@ -203,20 +203,85 @@ object GraftSink {
     * and summed stats (-1 = some member unknown), recorded so history
     * and planning can size work without opening the segment.
     */
+  /** @param statsJson interval UNION of the member files' column
+    *               bounds (same rendering as a file entry's stats) —
+    *               the Iceberg manifest-list-summary idea: a selective
+    *               predicate that excludes the union excludes every
+    *               member, so the scan skips the WHOLE segment without
+    *               reading it. Empty = unknown (legacy ref), always
+    *               kept.
+    */
   final case class SegmentRef(name: String, count: Int, rows: Long,
-      bytes: Long)
+      bytes: Long, statsJson: String = "")
 
   /** @param refs   segment references, in commit order (older first);
     *               `files` = their entries (in order) ++ `inline`.
     * @param inline file entries carried directly in the version file —
     *               the small "loose" tail (≤ [[InlineThreshold]]) that
     *               keeps single-file commits to ONE metadata write.
+    * @param resolver segment name → entries, bound at parse time.
+    *               `files` resolves LAZILY through it: parsing a
+    *               manifest costs O(its own lines), and callers that
+    *               never touch the file list — the epoch replay
+    *               guard's restart walk (up to 256 versions),
+    *               completeness probes, `versionAtTimestamp` — never
+    *               pay a segment read. Callers that do (scan planning,
+    *               publish carry logic) hit the immutable-segment
+    *               cache.
     */
   final case class Manifest(version: Int, schemaDdl: String,
-      files: Seq[ManifestFile], epoch: Option[Long] = None,
+      epoch: Option[Long] = None,
       epochWriter: Option[String] = None,
       refs: Seq[SegmentRef] = Nil,
-      inline: Seq[ManifestFile] = Nil)
+      inline: Seq[ManifestFile] = Nil,
+      private val resolver: String => Seq[ManifestFile] =
+        _ => Seq.empty) {
+    lazy val files: Seq[ManifestFile] =
+      refs.flatMap(r => resolver(r.name)) ++ inline
+
+    /** The file entries with whole segments PRUNED at the ref level:
+      * a segment whose union bounds can't match the pushed filters is
+      * never resolved (never read on a cold driver) — plan metadata
+      * cost is O(matching segments), not O(table files). `_file`
+      * predicates pass (they address files, not segments), and the
+      * per-file skip downstream re-applies every filter, so this is
+      * purely an additional over-approximate cut.
+      */
+    private[sources] def filesPruned(filters: Seq[Filter])
+        : Seq[ManifestFile] =
+      if (filters.isEmpty) files
+      else refs.filter { r =>
+        r.statsJson.isEmpty || {
+          val pseudo = ManifestFile(r.name, schemaDdl, r.rows, r.bytes,
+            r.statsJson)
+          filters.forall(f => segMayMatch(pseudo, f))
+        }
+      }.flatMap(r => resolver(r.name)) ++ inline
+
+    /** Entry count without resolving segments (ref counts + inline). */
+    def fileCount: Int = refs.map(_.count).sum + inline.size
+
+    /** Exact total rows from ref sums + inline, or None when any
+      * member is unknown (legacy stat-less entries) — callers fall
+      * back to resolving `files`.
+      */
+    def rowCount: Option[Long] =
+      if (refs.exists(_.rows < 0) || inline.exists(_.rows < 0)) None
+      else Some(refs.map(_.rows).sum + inline.map(_.rows).sum)
+  }
+
+  /** [[mayMatch]] lifted to a segment's union bounds: `_file`
+    * equality/IN address individual FILES, which a segment-level test
+    * must never exclude (the pseudo-entry's name is the segment's).
+    */
+  private def segMayMatch(pseudo: ManifestFile, filter: Filter): Boolean =
+    filter match {
+      case EqualTo("_file", _) => true
+      case In("_file", _) => true
+      case And(l, r) => segMayMatch(pseudo, l) && segMayMatch(pseudo, r)
+      case Or(l, r) => segMayMatch(pseudo, l) || segMayMatch(pseudo, r)
+      case other => mayMatch(pseudo, other)
+    }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,8 +347,15 @@ object GraftSink {
     segCache.put(s"$dir/$name", files.toVector)
     SegmentRef(name, files.size,
       if (files.exists(_.rows < 0)) -1L else files.map(_.rows).sum,
-      if (files.exists(_.bytes < 0)) -1L else files.map(_.bytes).sum)
+      if (files.exists(_.bytes < 0)) -1L else files.map(_.bytes).sum,
+      unionStats(files))
   }
+
+  /** Cache-MISS segment reads since JVM start — segment-level pruning
+    * is spec-observable as this counter not moving for skipped
+    * segments (the readersCreated discipline, one level up).
+    */
+  val segmentReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A referenced segment exists and is complete BY CONSTRUCTION (it
     * is fully written before any manifest names it, and vacuum deletes
@@ -296,6 +368,7 @@ object GraftSink {
     val key = s"$dir/$name"
     val hit = segCache.get(key)
     if (hit != null) return hit
+    segmentReads.incrementAndGet()
     val f = new Path(dir).getFileSystem(conf.value)
     val in = f.open(segmentPath(dir, name))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -597,12 +670,18 @@ object GraftSink {
     * describe the same relation.
     */
   private[sources] def scanFiles(spark: SparkSession, dir: String,
-      version: Option[Int], changesFrom: Option[Int]): Seq[ManifestFile] = {
+      version: Option[Int], changesFrom: Option[Int],
+      filters: Seq[Filter] = Nil): Seq[ManifestFile] = {
     val m = manifestAt(spark, dir, version)
       .getOrElse(sys.error(s"graftsink: no committed manifest at $dir" +
         version.fold("")(v => s" (version $v)")))
     changesFrom match {
-      case None => m.files
+      // snapshot reads prune whole SEGMENTS on their union bounds
+      // before resolving them (plan metadata = O(matching segments));
+      // the change-feed log walk needs each version's full entry list
+      // for the name diff, so it resolves as before (per-file skipping
+      // still applies downstream)
+      case None => m.filesPruned(filters)
       case Some(base) => addedFiles(spark, dir, base, m.version)
     }
   }
@@ -768,6 +847,9 @@ object GraftSink {
           case a if a.length > 1 && a(1).nonEmpty => a(1) }
         val refs = segLines.map { l =>
           l.split("\t", -1) match {
+            case Array(_, name, count, rows, bytes, stats) =>
+              SegmentRef(name, count.toInt, rows.toLong, bytes.toLong,
+                stats)
             case Array(_, name, count, rows, bytes) =>
               SegmentRef(name, count.toInt, rows.toLong, bytes.toLong)
             case _ => sys.error(
@@ -781,9 +863,8 @@ object GraftSink {
         val inline = fileLines.map(parseFileLine(_, tableDdl))
         val conf = new SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
-        val segFiles = refs.flatMap(r => readSegment(conf, dir, r.name))
-        Some(Manifest(v, tableDdl, segFiles ++ inline, epoch, epochWriter,
-          refs, inline))
+        Some(Manifest(v, tableDdl, epoch, epochWriter, refs, inline,
+          resolver = name => readSegment(conf, dir, name)))
       } else None // torn: writer died mid-manifest
     }
     version match {
@@ -824,8 +905,12 @@ object GraftSink {
       catch { case _: java.io.FileNotFoundException => -1L }
       (try manifestAt(spark, dir, Some(v)) catch
         { case _: Throwable => None })
-        .map(m => (v, m.files.size,
-          m.files.map(_.rows).filter(_ >= 0).sum, m.epoch, mod))
+        .map(m => (v, m.fileCount,
+          // ref sums serve the common case without resolving a single
+          // segment; legacy stat-less entries fall back to the files
+          m.rowCount.getOrElse(
+            m.files.map(_.rows).filter(_ >= 0).sum),
+          m.epoch, mod))
     }
   }
 
@@ -866,7 +951,8 @@ object GraftSink {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
     val segLines = refs.map(r =>
-      s"$SegMarker\t${r.name}\t${r.count}\t${r.rows}\t${r.bytes}")
+      s"$SegMarker\t${r.name}\t${r.count}\t${r.rows}\t${r.bytes}\t" +
+        r.statsJson)
     val fileLines = inline.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
@@ -2460,7 +2546,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   }
 
   private lazy val files = GraftSink.scanFiles(SparkSession.active, path,
-    version, changesFrom)
+    version, changesFrom, pruning.toSeq)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (metaAgg.isEmpty) required = requiredSchema
@@ -2579,11 +2665,12 @@ private class GraftSinkScan(fullSchema: StructType,
     * content (its files are all new), matching snapshot semantics.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftSink.scanFiles(SparkSession.active, path, version,
-      changesFrom)
+    // segment-level prune first (whole refs skipped unresolved), then
     // manifest-bounds file skipping: a file survives only if EVERY
     // pruned predicate can match its recorded [lo, hi] interval —
     // then the runtime group filter (matched _file names) if present
+    val files = GraftSink.scanFiles(SparkSession.active, path, version,
+      changesFrom, pruning.toSeq)
     val kept = files.filter(f =>
       pruning.forall(p => GraftSink.mayMatch(f, p)) &&
         runtimeFiles.forall(_.contains(f.name)))
@@ -2611,8 +2698,15 @@ private class GraftSinkScan(fullSchema: StructType,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
+    // V2 statistics are reported POST-pushdown: the pruned file set
+    // (segment- then file-level) is what the scan will actually read,
+    // and its exact rows/bytes are what broadcast sizing should see —
+    // a selective probe on a clustered table reports one file's size,
+    // not the table's
     val files = scala.util.Try(GraftSink.scanFiles(SparkSession.active,
-      path, version, changesFrom)).getOrElse(Seq.empty)
+      path, version, changesFrom, pruning.toSeq)
+      .filter(f => pruning.forall(p => GraftSink.mayMatch(f, p))))
+      .getOrElse(Seq.empty)
     val known = files.nonEmpty && files.forall(f =>
       f.rows >= 0L && f.bytes >= 0L)
     new org.apache.spark.sql.connector.read.Statistics {

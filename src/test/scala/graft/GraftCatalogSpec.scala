@@ -333,6 +333,17 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().forall(!_.isNullAt(0)))
     assert(GraftSink.readersCreated.get() === before,
       "metadata tables must not open data files")
+    // .segments exposes the manifest-list layer itself WITHOUT
+    // resolving a single segment: counts/rows come off the ref lines
+    // (the 2-insert table is all-inline, so one "(inline)" row)
+    GraftSink.clearSegmentCache()
+    val segBefore = GraftSink.segmentReads.get()
+    val segs = spark.sql(
+      "SELECT segment, files, rows FROM graft.meta.t.segments").collect()
+    assert(segs.map(_.getLong(2)).sum === 3L)
+    assert(segs.map(_.getInt(1)).sum >= 2)
+    assert(GraftSink.segmentReads.get() === segBefore,
+      ".segments must serve from ref lines, never resolve segments")
     // a metadata suffix on a MISSING table still fails loudly
     intercept[Exception] {
       spark.sql("SELECT * FROM graft.meta.nope.files").collect()

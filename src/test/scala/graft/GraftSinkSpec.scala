@@ -1271,6 +1271,34 @@ class GraftSinkSpec extends SparkSpec {
       === n.toLong)
   }
 
+  test("segment-level pruning: a selective probe resolves ONLY the " +
+      "segments whose union bounds can match — cold-driver plan " +
+      "metadata is O(matching segments)") {
+    val dir = freshDir
+    val conf = hconf
+    (0 until 200).foreach { i =>
+      GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+        Seq(fakeEntry(i)), truncate = false)
+    }
+    val head = GraftSink.latestManifest(spark, dir).get
+    assert(head.refs.size >= 2, "test needs several segments")
+    assert(head.refs.forall(_.statsJson.nonEmpty),
+      "segment refs must carry union bounds")
+    // cold driver: a single-key metadata-served COUNT resolves at most
+    // ONE segment (entries are disjoint single-point ranges, so only
+    // one union interval can contain the probe)
+    GraftSink.clearSegmentCache()
+    val before = GraftSink.segmentReads.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter($"k" === 5L).count() === 1L)
+    val reads = GraftSink.segmentReads.get() - before
+    assert(reads <= 1L, s"resolved $reads segments for a 1-key probe")
+    // an unfiltered COUNT still resolves the full list and sees
+    // every entry
+    GraftSink.clearSegmentCache()
+    assert(spark.read.format("graftsink").load(dir).count() === 200L)
+  }
+
   test("replace rewrites ONLY the segments holding replaced entries; " +
       "untouched segments carry by reference") {
     val dir = freshDir
