@@ -19,6 +19,8 @@ object PlanAudit {
     "q_dune_watermark" -> "DSv2 complete aggregate pushdown: MAX/COUNT probes emit one row from the scan, no aggregate exec above",
     "q_sink_grouped_max" -> "grouped metadata aggregate on the lakehouse sink: per-status MAX/COUNT fold from manifest rows (GraftSinkMetaAggScan), zero data files opened",
     "q_sink_skip_str" -> "truncated string bounds: a hash-prefix probe prunes to its band files; PushedFilters shows the claimed shapes",
+    "q_sink_segments" -> "segment-level pruning: a top-of-keyspace probe resolves only the matching segment's entry list before per-file skipping (round-7 manifest-list layer)",
+    "q_aqp_revenue" -> "AQP in ONE scan: est and exact are conditional aggregates over the same lineitem pass (round 7 fix of the double-scan plan), the md5 sample bucket computed once",
     "q_exists_subquery" -> "correlated EXISTS decorrelated to a left-semi join",
     "q_correlated_avg" -> "correlated scalar subquery decorrelated to aggregate-then-join",
     "ev_asof_click" -> "as-of join as union + running last(): one hash shuffle, no range join",

@@ -41,6 +41,18 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
   }
 
+  test("q_aqp_revenue: est and exact fold in ONE lineitem scan " +
+      "(conditional aggregation, no self-join)") {
+    val p = formatted(q("q_aqp_revenue"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem"))
+    assert(scans === 1,
+      s"AQP must pay one fact scan for estimate AND audit, saw $scans")
+    // the sample-bucket md5 is computed once, inside the single pass
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join: the est/exact combine is conditional aggregation")
+  }
+
   test("q3: dimension join broadcasts; top-k is TakeOrderedAndProject") {
     val p = plan(q("q3_segment_topk"))
     assert(p.contains("BroadcastHashJoin"))
