@@ -258,6 +258,12 @@ object GraftSink {
         }
       }.flatMap(r => resolver(r.name)) ++ inline
 
+    /** One segment's entries through this manifest's resolver (the
+      * change-feed ref diff resolves only CHANGED segments).
+      */
+    private[sources] def resolve(name: String): Seq[ManifestFile] =
+      resolver(name)
+
     /** Entry count without resolving segments (ref counts + inline). */
     def fileCount: Int = refs.map(_.count).sum + inline.size
 
@@ -631,19 +637,41 @@ object GraftSink {
     */
   private[sources] def addedFiles(spark: SparkSession, dir: String,
       fromExclusive: Int, toInclusive: Int): Seq[ManifestFile] = {
-    var prevNames =
-      if (fromExclusive < 0) Set.empty[String]
-      else readManifestOrRefuse(spark, dir, fromExclusive)
-        .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
     val out = Seq.newBuilder[ManifestFile]
     val seen = collection.mutable.Set.empty[String]
+    // REF-LEVEL diff (round 7): segments are immutable and carried by
+    // NAME, so a ref present in both versions can contain no new
+    // files — only segments that APPEARED (new appends, merge
+    // products, replace rewrites) and, to subtract their
+    // carried-forward members, segments that DISAPPEARED (merge/
+    // rewrite inputs) are resolved, plus both inline tails. Per
+    // version the walk costs O(changed segments) = O(delta +
+    // amortized merge), never O(table files) — the property that
+    // keeps the streaming tail's DRIVER cost flat on a 10⁵-file
+    // table. Soundness: an appeared segment's non-new members came
+    // either from disappeared segments (merge inputs) or the
+    // previous inline tail — both are in `oldNames`; a same-named
+    // ref's members are bit-identical by immutability.
+    var prev: Option[Manifest] =
+      if (fromExclusive < 0) None
+      else readManifestOrRefuse(spark, dir, fromExclusive)
     for (v <- (fromExclusive.max(-1) + 1) to toInclusive) {
       readManifestOrRefuse(spark, dir, v).foreach { m =>
-        m.files.foreach { f =>
-          if (!prevNames(f.name) && !f.rewrite && seen.add(f.name))
-            out += f
-        }
-        prevNames = m.files.map(_.name).toSet
+        val prevRefNames = prev.fold(Set.empty[String])(
+          _.refs.map(_.name).toSet)
+        val curRefNames = m.refs.map(_.name).toSet
+        val appeared = m.refs.filterNot(r => prevRefNames(r.name))
+        val disappeared = prev.fold(Seq.empty[SegmentRef])(
+          _.refs.filterNot(r => curRefNames(r.name)))
+        val oldNames = disappeared
+          .flatMap(r => prev.get.resolve(r.name)).map(_.name).toSet ++
+          prev.fold(Seq.empty[String])(_.inline.map(_.name))
+        (appeared.flatMap(r => m.resolve(r.name)) ++ m.inline)
+          .foreach { f =>
+            if (!oldNames(f.name) && !f.rewrite && seen.add(f.name))
+              out += f
+          }
+        prev = Some(m)
       }
     }
     out.result()

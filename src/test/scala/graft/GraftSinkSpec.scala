@@ -1299,6 +1299,30 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 200L)
   }
 
+  test("change-feed ref diff: an inline-tail append diffs with ZERO " +
+      "segment reads — per-trigger driver cost is O(changed " +
+      "segments), not O(table files)") {
+    val dir = freshDir
+    val conf = hconf
+    // 200 commits = 6 full 33-commit roll cycles + 2 inline entries,
+    // so the NEXT commit grows the inline tail without rolling a
+    // segment — the steady-state appended-trigger shape
+    (0 until 200).foreach { i =>
+      GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+        Seq(fakeEntry(i)), truncate = false)
+    }
+    val base = GraftSink.latestManifest(spark, dir).get.version
+    GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+      Seq(fakeEntry(9000)), truncate = false)
+    GraftSink.clearSegmentCache()
+    val before = GraftSink.segmentReads.get()
+    // metadata-served COUNT over the delta: 1 added entry of 1 row
+    assert(spark.read.format("graftsink")
+      .option("changesFrom", base).load(dir).count() === 1L)
+    assert(GraftSink.segmentReads.get() - before === 0L,
+      "an inline-only append must diff without resolving any segment")
+  }
+
   test("replace rewrites ONLY the segments holding replaced entries; " +
       "untouched segments carry by reference") {
     val dir = freshDir
