@@ -2462,12 +2462,42 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     */
   private def planMetaAgg(agg: Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    // fold over the FILTER-PRUNED file set: claimed file-exact filters
-    // are enforced here (pruning IS the row filter for them); when any
-    // residual filter survives, Spark never pushes the aggregation, so
-    // this path only sees filters that prune exactly
-    val scanned = files.filter(f =>
-      pruning.forall(GraftSink.mayMatch(f, _)))
+    // REF-LEVEL fast path first (round 7): for an unfiltered,
+    // ungrouped snapshot aggregate — the A1/A2 watermark COUNT/MAX
+    // probes — the segment refs' own (rows, union-bounds, summed
+    // nulls) ARE the fold inputs: per-file bounds are exact, so their
+    // interval union is the exact segment min/max and the null sums
+    // are exact. The probe answers from O(refs + inline) without
+    // resolving a single segment — at 10⁵ files, from a handful of
+    // ref lines. Falls back to the per-file fold (which itself may
+    // decline to the row scan) whenever a ref lacks stats or a
+    // COUNT(col) column is absent from a union (ambiguous at segment
+    // granularity: SOME member may still hold values).
+    val segFast =
+      if (pruning.isEmpty && changesFrom.isEmpty &&
+        agg.groupByExpressions.isEmpty)
+        GraftSink.manifestAt(SparkSession.active, path, version)
+          .filter(_.refs.nonEmpty)
+          .map(m => m.refs.map(r => GraftSink.ManifestFile(
+            r.name, m.schemaDdl, r.rows, r.bytes, r.statsJson)) ++
+            m.inline)
+      else None
+    segFast.flatMap(foldMetaAgg(agg, _, segLevel = true))
+      .orElse {
+        val scanned = files.filter(f =>
+          pruning.forall(GraftSink.mayMatch(f, _)))
+        foldMetaAgg(agg, scanned, segLevel = false)
+      }
+  }
+
+  /** The metadata fold over `scanned` entries — real files, or
+    * segment refs posing as entries (`segLevel`, where an ABSENT
+    * stats column must decline COUNT(col) instead of reading as
+    * provably-all-null).
+    */
+  private def foldMetaAgg(agg: Aggregation,
+      scanned: Seq[GraftSink.ManifestFile], segLevel: Boolean)
+      : Option[(StructType, Seq[Seq[Any]])] = {
     if (scanned.isEmpty && agg.groupByExpressions.nonEmpty) return None
     if (scanned.exists(f => f.rows < 0L || f.statsJson.isEmpty))
       return None
@@ -2532,7 +2562,11 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
           (f.bounds.contains(col), f.nullCounts.get(col)) match {
             case (true, Some(n)) => Some(f.rows - n)
             case (true, None) => None
-            case (false, _) => if (isString) None else Some(0L)
+            // a segment-level union drops a column when ANY member
+            // lacks it, so absence is ambiguous there — only a real
+            // FILE's absence proves all-null
+            case (false, _) =>
+              if (isString || segLevel) None else Some(0L)
           }
         }
         if (perFile.exists(_.isEmpty) || !types.contains(col)) None

@@ -59,9 +59,10 @@ object ManifestEnvelope {
     val work = java.nio.file.Files
       .createTempDirectory("graft_manifest_env").toString
     println("| files | commit ms (seg) | commit KB (seg) | cumulative " +
-      "meta MB (seg) | plan ms cold / warm (seg) | legacy manifest KB " +
-      "(= commit KB) | legacy plan ms |")
-    println("|---|---|---|---|---|---|---|")
+      "meta MB (seg) | plan ms cold / warm (seg) | probe ms cold | " +
+      "tail-diff ms cold | legacy manifest KB (= commit KB) | legacy " +
+      "plan ms |")
+    println("|---|---|---|---|---|---|---|---|---|")
     for (n <- Seq(100, 1000, 10000, 100000)) {
       val dir = s"$work/seg_$n"
       // build a history in 64-entry commits (each rolls a segment) so
@@ -99,6 +100,31 @@ object ManifestEnvelope {
         GraftSink.latestManifest(spark, dir).get.files.size
         (System.nanoTime() - t) / 1e6
       }.map(identity))
+      // the A1 watermark probe (ungrouped metadata MAX): answered
+      // from segment-ref union bounds — cold cost must stay O(refs),
+      // independent of n
+      GraftSink.clearSegmentCache()
+      val probeMs = {
+        val t = System.nanoTime()
+        val mx = spark.read.format("graftsink").load(dir)
+          .agg(org.apache.spark.sql.functions.max("k")).head().getLong(0)
+        require(mx == (n + 1) * 15000L - 1, s"probe answered $mx")
+        (System.nanoTime() - t) / 1e6
+      }
+      // the streaming-tail diff (ref-level log walk): cold cost of
+      // consuming one inline append against an n-file base
+      GraftSink.clearSegmentCache()
+      val tailMs = {
+        val head = GraftSink.latestManifest(spark, dir).get.version
+        GraftSink.publish(spark, conf, dir, ddl, Seq(entry(n + 1)),
+          truncate = false)
+        GraftSink.clearSegmentCache()
+        val t = System.nanoTime()
+        val c = spark.read.format("graftsink")
+          .option("changesFrom", head).load(dir).count()
+        require(c == 15000L, s"tail diff saw $c rows")
+        (System.nanoTime() - t) / 1e6
+      }
       // LEGACY twin: one carry-everything version file, by hand in
       // the inline form the parser still accepts
       val legacyDir = s"$work/legacy_$n"
@@ -119,7 +145,8 @@ object ManifestEnvelope {
         (System.nanoTime() - t) / 1e6
       }.map(identity))
       println(f"| $n%,d | $commitMs%.1f | $commitKb%.1f | $cumMb%.1f | " +
-        f"$coldMs%.1f / $warmMs%.1f | $legacyKb%.1f | $legacyMs%.1f |")
+        f"$coldMs%.1f / $warmMs%.1f | $probeMs%.1f | $tailMs%.1f | " +
+        f"$legacyKb%.1f | $legacyMs%.1f |")
     }
     println(s"(work dir: $work)")
     spark.stop()

@@ -1299,6 +1299,29 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 200L)
   }
 
+  test("ungrouped metadata aggregates answer from SEGMENT REFS: the " +
+      "watermark probe costs O(refs), zero segments resolved, zero " +
+      "data files opened") {
+    val dir = freshDir
+    val conf = hconf
+    (0 until 200).foreach { i =>
+      GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+        Seq(fakeEntry(i)), truncate = false)
+    }
+    GraftSink.clearSegmentCache()
+    val segBefore = GraftSink.segmentReads.get()
+    val rdrBefore = GraftSink.readersCreated.get()
+    val row = spark.read.format("graftsink").load(dir)
+      .agg(count(lit(1)), min("k"), max("k"), count("k")).head()
+    assert(row.getLong(0) === 200L)
+    assert(row.getLong(1) === 0L && row.getLong(2) === 199L)
+    assert(row.getLong(3) === 200L) // union null sums: 200 - 0
+    assert(GraftSink.segmentReads.get() === segBefore,
+      "the ref-level fold must not resolve any segment")
+    assert(GraftSink.readersCreated.get() === rdrBefore,
+      "metadata aggregates must not open data files")
+  }
+
   test("change-feed ref diff: an inline-tail append diffs with ZERO " +
       "segment reads — per-trigger driver cost is O(changed " +
       "segments), not O(table files)") {
