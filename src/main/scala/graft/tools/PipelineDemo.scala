@@ -85,6 +85,38 @@ object PipelineDemo {
 
     println("== final etl_job control table:")
     meta.all.orderBy("job_name").show(false)
+
+    // ---- the ATOMIC runner: (data + job-state) as ONE commit ----
+    println("== atomic round: crash injected AT the commit point — " +
+      "state and table must stay consistent")
+    import graft.operators.Transaction
+    import graft.runner.AtomicPipeline
+    fix(5816212L,
+      """{"date":"2025-01-01", "price":95000.0}""",
+      """{"date":"2025-01-02", "price":96000.0}""")
+    val apipe = new AtomicPipeline(spark, new FixtureSource(fixtures),
+      s"$base/tx")
+    val pspec = BitcoinWarehouse.pricesUsd
+    apipe.seed(Seq(EtlJob(pspec.jobName, pspec.queryId, pspec.targetTable,
+      pspec.pKeys.mkString(","), None, 1, None, None, None, None)))
+    println(s"   baseline: ${apipe.runJob(pspec)}")
+    fix(5816212L, """{"date":"2025-01-03", "price":97000.0}""")
+    var calls = 0
+    Transaction.commitBarrier = () => {
+      calls += 1
+      if (calls == 2) sys.error("injected crash at the commit point")
+    }
+    val crashed = try apipe.runJob(pspec)
+    finally Transaction.commitBarrier = () => ()
+    println(s"   crashed run: $crashed")
+    println("   post-crash: table rows = " +
+      Transaction.read(spark, s"$base/tx", pspec.targetTable).count() +
+      " (unchanged), state:")
+    apipe.state.select("job_name", "status", "error_message").show(false)
+    println(s"   recovery re-run: ${apipe.runJob(pspec)}")
+    println("   recovered table:")
+    Transaction.read(spark, s"$base/tx", pspec.targetTable)
+      .orderBy("date").show(false)
     spark.stop()
   }
 }
