@@ -89,6 +89,19 @@ class GraftSinkModelSpec extends SparkSpec {
             == model.size.toLong)
           assert(GraftSink.readersCreated.get() == before,
             s"trial $trial: COUNT opened data files")
+          // 2b. segment-layer invariants under composition: the
+          // manifest-list's ref counts + inline tail account for
+          // exactly the resolved entry list, every ref resolves, and
+          // the list stays log-bounded after ANY op mix (the strict
+          // geometric ladder is restored at each roll; replaces may
+          // shrink a middle rung in between, never add rungs)
+          val m = GraftSink.latestManifest(spark, dir).get
+          assert(m.fileCount == m.files.size,
+            s"trial $trial: ref counts disagree with resolved entries")
+          assert(m.inline.size <= 32,
+            s"trial $trial: inline tail ${m.inline.size} over threshold")
+          assert(m.refs.size <= 10,
+            s"trial $trial: segment list grew to ${m.refs.size}")
         }
       }
       // 3. every surviving recorded version time-travels to its state
