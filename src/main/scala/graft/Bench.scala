@@ -292,7 +292,8 @@ object Bench {
       "q_merge_upsert", "q_incr_agg", "q_delete_where", "q_dune_source",
       "q_tx_read", "q_mor_delete", "q_ivm_join", "q_recursive_cte",
       "q_bucket_prune",
-      "q_dpp", "q_zorder_skip", "q_partition_prune", "q_hll_merge",
+      "q_dpp", "q_zorder_skip", "q_sink_segments", "q_partition_prune",
+      "q_hll_merge",
       "q_moments_merge", "q_aqp_revenue", "q_summary_rewrite",
       "q_quantile_merge",
       // dedup family

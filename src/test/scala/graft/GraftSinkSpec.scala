@@ -894,6 +894,28 @@ class GraftSinkSpec extends SparkSpec {
     val sizes = (0 to head).map(v =>
       GraftSink.manifestAt(spark, dir, Some(v)).get.files.size)
     assert(sizes === (1 to 20), s"file counts must grow by one: $sizes")
+    // segment hygiene after the race: collision-losing attempts may
+    // have written segments their retry re-wrote — orphans. Vacuum to
+    // the head alone collects every segment no survivor references,
+    // and the table still reads exactly
+    GraftSink.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val headRefs = GraftSink.latestManifest(spark, dir).get
+      .refs.map(_.name).toSet
+    val segDir = java.nio.file.Paths.get(dir, "_segments")
+    if (java.nio.file.Files.exists(segDir)) {
+      val onDisk = {
+        val s = java.nio.file.Files.list(segDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(_.startsWith(".")).toSet
+        } finally s.close()
+      }
+      assert(onDisk === headRefs,
+        s"orphan segments survive vacuum: ${onDisk -- headRefs}")
+    }
+    assert(spark.read.format("graftsink").load(dir)
+      .select("k").as[Long].collect().toSet === expect)
   }
 
   test("maintenance races appends: compaction and clustering replace " +
