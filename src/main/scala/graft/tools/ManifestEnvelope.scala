@@ -149,6 +149,47 @@ object ManifestEnvelope {
         f"$legacyKb%.1f | $legacyMs%.1f |")
     }
     println(s"(work dir: $work)")
+
+    // ---- the OTHER metadata axis: version-file count. Every commit
+    // leaves one version file; head resolution lists the table dir, so
+    // an un-vacuumed month of minutely commits pays O(commits) LIST.
+    // Retention is the designed bound — measure the knee and the fix.
+    println()
+    println("| commits (live manifests) | head-resolve ms | commit ms |")
+    println("|---|---|---|")
+    val dir2 = s"$work/versions"
+    var committed = 0
+    for (n <- Seq(1000, 5000)) {
+      while (committed < n) {
+        GraftSink.publish(spark, conf, dir2, ddl,
+          Seq(entry(committed)), truncate = false)
+        committed += 1
+      }
+      def headMs = median((1 to 5).map { _ =>
+        val t = System.nanoTime()
+        GraftSink.latestCompleteVersion(spark, dir2)
+        (System.nanoTime() - t) / 1e6
+      }.map(identity))
+      def commitMs = {
+        val t = System.nanoTime()
+        GraftSink.publish(spark, conf, dir2, ddl,
+          Seq(entry(committed)), truncate = false)
+        committed += 1
+        (System.nanoTime() - t) / 1e6
+      }
+      println(f"| $n un-vacuumed | $headMs%.1f | $commitMs%.1f |")
+    }
+    GraftSink.vacuum(spark, dir2, keepVersions = 16, graceMs = 0L)
+    val afterHead = median((1 to 5).map { _ =>
+      val t = System.nanoTime()
+      GraftSink.latestCompleteVersion(spark, dir2)
+      (System.nanoTime() - t) / 1e6
+    }.map(identity))
+    val t0 = System.nanoTime()
+    GraftSink.publish(spark, conf, dir2, ddl, Seq(entry(committed)),
+      truncate = false)
+    println(f"| after vacuum(keep 16) | $afterHead%.1f | " +
+      f"${(System.nanoTime() - t0) / 1e6}%.1f |")
     spark.stop()
   }
 }
