@@ -69,15 +69,27 @@ object ZOrder {
       rpad(coalesce(c, lit("")), 7, "\u0000"), "UTF-8"), 1, 7)),
       16, 10).cast("long")
 
-  /** One dimension's rank-bucket input: numerics cast to double
-    * (nulls to the lowest corner), strings via [[stringZKey]].
+  /** One dimension's RAW numeric key, nulls preserved: the quantile
+    * stats pass must see nulls as nulls (the sketch ignores them) — a
+    * null-heavy column coalesced BEFORE the stats pass would collapse
+    * a proportional share of its cut points onto the sentinel and
+    * halve the curve resolution for the real values.
     */
-  private def zdim(df: DataFrame, c: String): Column =
+  private def zdimRaw(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        stringZKey(col(c)).cast("double")
-      case _ => coalesce(col(c).cast("double"), lit(Double.MinValue))
+        // stringZKey coalesces null -> "" internally; route nulls
+        // around it so they stay null for the sketch
+        when(col(c).isNull, lit(null).cast("double"))
+          .otherwise(stringZKey(col(c)).cast("double"))
+      case _ => col(c).cast("double")
     }
+
+  /** The same dimension as the bucket INPUT: nulls to the lowest
+    * curve corner so they cluster rather than scatter.
+    */
+  private def zdim(df: DataFrame, c: String): Column =
+    coalesce(zdimRaw(df, c), lit(Double.MinValue))
 
   /** The z-key column for `cols` of `df`: quantile cut points from one
     * driver stats pass, rank-buckets via codegen'd binary search,
@@ -98,9 +110,11 @@ object ZOrder {
     val eps = 0.25 / (1 << bits)
     val dims = cols.map(c => zdim(df, c))
     val tmp = cols.indices.map(i => s"__zq_$i")
-    // quantiles are computed over the DERIVED key columns (strings
-    // have no numeric quantiles) in the same single stats pass
-    val bounds = df.select(dims.zip(tmp).map { case (e, n) => e.as(n) }: _*)
+    // quantiles are computed over the RAW derived keys (strings have
+    // no numeric quantiles; nulls stay null so the sketch ignores
+    // them) in one stats pass — only the bucket input coalesces
+    val raws = cols.map(c => zdimRaw(df, c))
+    val bounds = df.select(raws.zip(tmp).map { case (e, n) => e.as(n) }: _*)
       .stat.approxQuantile(tmp.toArray, probes, eps)
     val buckets = dims.zip(bounds).map { case (e, bs) =>
       val ds = bs.distinct.sorted

@@ -119,11 +119,17 @@ class AtomicPipeline(spark: SparkSession, source: Source, root: String) {
       // THE commit: data and job state flip in one manifest rename
       Transaction.publish(spark, root, Map(table -> merged,
         StateTable -> done))
-      JobResult(spec.jobName,
-        Transaction.read(spark, root, table).count(), doFull, None)
+      (table, doFull)
     }
     attempt match {
-      case Success(r) => r
+      case Success((table, doFull)) =>
+        // the verification count runs AFTER the commit point, outside
+        // the failure branch: a post-commit read error must surface to
+        // the caller, never publish status=Failed over data that DID
+        // land (the (failed, new-data) pair this class exists to
+        // make impossible)
+        JobResult(spec.jobName,
+          Transaction.read(spark, root, table).count(), doFull, None)
       case Failure(e) =>
         // error isolation: the failure record commits alone — the data
         // never did, so (failed, old data) is the truthful pair

@@ -424,14 +424,19 @@ object GraftSink {
       dir: String, prev: Option[Manifest], replace: Set[String],
       newFiles: Seq[ManifestFile])
       : (Seq[SegmentRef], Seq[ManifestFile]) = {
-    val kept = prev.map(_.refs).getOrElse(Nil).flatMap { r =>
-      val members = readSegment(conf, dir, r.name)
-      if (replace.isEmpty || !members.exists(f => replace(f.name))) Some(r)
-      else {
-        val rem = members.filterNot(f => replace(f.name))
-        if (rem.isEmpty) None else Some(writeSegment(conf, dir, rem))
+    // pure appends (the overwhelming cadence) must not read a single
+    // segment: refs carry by name untouched — a cold writer's commit
+    // is O(delta), not O(total files) re-parsed through the cache
+    val kept =
+      if (replace.isEmpty) prev.map(_.refs).getOrElse(Nil)
+      else prev.map(_.refs).getOrElse(Nil).flatMap { r =>
+        val members = readSegment(conf, dir, r.name)
+        if (!members.exists(f => replace(f.name))) Some(r)
+        else {
+          val rem = members.filterNot(f => replace(f.name))
+          if (rem.isEmpty) None else Some(writeSegment(conf, dir, rem))
+        }
       }
-    }
     val loose = prev.map(_.inline).getOrElse(Nil)
       .filterNot(f => replace(f.name)) ++ newFiles
     if (loose.size <= InlineThreshold) (kept, loose)
@@ -2476,7 +2481,7 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     val segFast =
       if (pruning.isEmpty && changesFrom.isEmpty &&
         agg.groupByExpressions.isEmpty)
-        GraftSink.manifestAt(SparkSession.active, path, version)
+        manifestOpt
           .filter(_.refs.nonEmpty)
           .map(m => m.refs.map(r => GraftSink.ManifestFile(
             r.name, m.schemaDdl, r.rows, r.bytes, r.statsJson)) ++
@@ -2577,23 +2582,30 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
               fs.map(byName).foldLeft(0L)(_ + _): Any))
         }
       }
+      // at segment level, a union that DROPPED the column (any member
+      // lacked it — evolution-born mixes merged into one segment) is
+      // ambiguous: skipping that pseudo-entry would silently understate
+      // the min/max, so the whole fast path declines and the per-file
+      // fold (where absence provably means all-null) answers instead
       case m: Min => colNameOf(m.column).flatMap(c =>
         if (types.get(c).exists {
           case LongType | IntegerType | DoubleType | TimestampType |
                TimestampNTZType | DateType => true
           case _ => false
-        }) Some((StructField(s"min($c)", types(c)),
-          (fs: Seq[GraftSink.ManifestFile]) =>
-            bound(fs, c, _._1, lo).orNull))
+        } && !(segLevel && scanned.exists(!_.bounds.contains(c))))
+          Some((StructField(s"min($c)", types(c)),
+            (fs: Seq[GraftSink.ManifestFile]) =>
+              bound(fs, c, _._1, lo).orNull))
         else None)
       case m: Max => colNameOf(m.column).flatMap(c =>
         if (types.get(c).exists {
           case LongType | IntegerType | DoubleType | TimestampType |
                TimestampNTZType | DateType => true
           case _ => false
-        }) Some((StructField(s"max($c)", types(c)),
-          (fs: Seq[GraftSink.ManifestFile]) =>
-            bound(fs, c, _._2, hi).orNull))
+        } && !(segLevel && scanned.exists(!_.bounds.contains(c))))
+          Some((StructField(s"max($c)", types(c)),
+            (fs: Seq[GraftSink.ManifestFile]) =>
+              bound(fs, c, _._2, hi).orNull))
         else None)
       case _ => None
     }
@@ -2607,8 +2619,23 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     }
   }
 
-  private lazy val files = GraftSink.scanFiles(SparkSession.active, path,
-    version, changesFrom, pruning.toSeq)
+  /** Head manifest resolved ONCE per builder: the ref-level aggregate
+    * fast path, its per-file fallback, and the scan's file list all
+    * derive from the same parse — no repeated directory listings.
+    */
+  private lazy val manifestOpt =
+    GraftSink.manifestAt(SparkSession.active, path, version)
+
+  private lazy val files: Seq[GraftSink.ManifestFile] = {
+    val m = manifestOpt.getOrElse(sys.error(
+      s"graftsink: no committed manifest at $path" +
+        version.fold("")(v => s" (version $v)")))
+    changesFrom match {
+      case None => m.filesPruned(pruning.toSeq)
+      case Some(base) =>
+        GraftSink.addedFiles(SparkSession.active, path, base, m.version)
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (metaAgg.isEmpty) required = requiredSchema

@@ -47,6 +47,11 @@ object StreamingDecade {
     // the bench's streaming state-partition rightsizing (see Bench):
     // state at these scales fits few partitions; identical results
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // recentProgress is a ring buffer (default 100): a bigger-SF
+    // backfill runs hundreds of capped batches, and an undercounted
+    // denominator would inflate per-batch cost — the exact metric
+    // this harness exists to compare across scales
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val out = Seq.newBuilder[(String, Double, String)]
 
     def drainParquet(df: DataFrame, outPath: String, ckpt: String): Unit = {

@@ -1344,6 +1344,37 @@ class GraftSinkSpec extends SparkSpec {
       "metadata aggregates must not open data files")
   }
 
+  test("segment-level MIN/MAX declines when a union DROPPED the " +
+      "column (mixed evolution segment): the per-file fold answers, " +
+      "never a silent understatement") {
+    val dir = freshDir
+    val conf = hconf
+    val ddl = "k BIGINT,v BIGINT"
+    // entries 0..49 carry v stats (max lives HERE, at v=1049); 50..99
+    // lack v entirely (all-null files). Merged segments mix the two,
+    // so their unions drop v — a fold that silently skipped those
+    // pseudo-entries would answer NULL for max(v)
+    (0 until 100).foreach { i =>
+      val stats =
+        if (i < 50)
+          s"""{"k":["$i","$i","0"],"v":["${1000 + i}","${1000 + i}","0"]}"""
+        else s"""{"k":["$i","$i","0"]}"""
+      GraftSink.publish(spark, conf, dir, ddl,
+        Seq(GraftSink.ManifestFile(f"fake-$i%05d", ddl, 1L, 100L, stats)),
+        truncate = false)
+    }
+    val head = GraftSink.latestManifest(spark, dir).get
+    assert(head.refs.nonEmpty)
+    val before = GraftSink.readersCreated.get()
+    val row = spark.read.format("graftsink").load(dir)
+      .agg(max("v"), min("v"), count(lit(1))).head()
+    assert(row.getLong(0) === 1049L, "max(v) silently understated")
+    assert(row.getLong(1) === 1000L)
+    assert(row.getLong(2) === 100L)
+    assert(GraftSink.readersCreated.get() === before,
+      "the per-file FOLD must still answer from metadata")
+  }
+
   test("change-feed ref diff: an inline-tail append diffs with ZERO " +
       "segment reads — per-trigger driver cost is O(changed " +
       "segments), not O(table files)") {

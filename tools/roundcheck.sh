@@ -67,16 +67,20 @@ summary["tests"] = {
     "failed": int(m[-1][1]) if m else None,
 }
 
-# verify + tolerance
-tol = {}
+# verify + tolerance. A missing/unreadable tolerance file after a
+# clean verify run is a HARD failure, not a vacuous 0==0 pass — the
+# silent-divergence mode this gate exists to prevent.
+tol = None
 try:
     tol = json.load(open(f"{out}/verify/tolerance_check.json"))
 except Exception:
     pass
 summary["verify"] = {
     "rc": verify_rc,
-    "tolerance_total": len(tol),
-    "tolerance_pass": sum(1 for v in tol.values() if v.get("pass")),
+    "tolerance_file": tol is not None,
+    "tolerance_total": len(tol) if tol else 0,
+    "tolerance_pass": sum(1 for v in tol.values() if v.get("pass"))
+        if tol else 0,
 }
 
 # oracle compare: oracle_check's epilogue "== N/M queries match"
@@ -113,6 +117,7 @@ except Exception as e:
 hard_fail = (
     test_rc != 0 or verify_rc != 0 or oracle_rc > 0 or bench_rc != 0
     or (summary["tests"]["failed"] or 0) > 0
+    or (verify_rc == 0 and not summary["verify"]["tolerance_file"])
     or summary["verify"]["tolerance_pass"]
         != summary["verify"]["tolerance_total"]
     or (summary["oracle"].get("match") is not None
