@@ -79,7 +79,9 @@ object ManifestEnvelope {
       // O(n²) story in bytes
       def metaBytes: Long =
         dirSize(java.nio.file.Paths.get(dir)) + dirSize(segPath)
-      // one single-file append at head: time + metadata delta
+      // one single-file append at head, COLD (a fresh writer JVM):
+      // a pure append must read zero segments, so cold == warm
+      GraftSink.clearSegmentCache()
       val before = metaBytes
       val t0 = System.nanoTime()
       GraftSink.publish(spark, conf, dir, ddl, Seq(entry(n)),
