@@ -365,6 +365,15 @@ object ToleranceCheck {
         "probe of the PERSISTED cell-partitioned IVF index, top-5 " +
           "overlap with exact cosine top-5 (same contract as e_ivf_topk)")
     }
+    check("st_ivf_maint") {
+      val r = recall(topkSet(res("st_ivf_maint")),
+        topkSet(res("e_ann_topk")))
+      Check("recall_vs_brute_force", r, 0.45, r >= 0.45,
+        "probe of the STREAM-MAINTAINED IVF index (per-micro-batch " +
+          "frozen-centroid assignment appended cell-partitioned), " +
+          "same recall contract as the batch-built index — " +
+          "incremental maintenance lost no vectors")
+    }
     // k-NN graph over the whole corpus: recall vs the exact
     // brute-force graph (oracle-checked e_knn_exact). Same cell-probe
     // contract as e_ivf_topk, measured across ALL nodes instead of the

@@ -163,6 +163,33 @@ object Similarity {
     IvfIndex(assigned, centroids, nCells)
   }
 
+  /** Assign a batch of embeddings to FROZEN centroids — the streaming
+    * maintenance path: a production ANN index retrains its coarse
+    * quantizer rarely (a batch job), while arrivals are assigned and
+    * appended continuously. One broadcast of the tiny centroid table,
+    * codegen'd zip_with/aggregate distance, row_number argmin (ties to
+    * the lowest cell, matching the fit's ordering); output shape
+    * matches [[IvfIndex.assigned]], so appends land straight into the
+    * cell-partitioned index and probes see new vectors immediately.
+    * Per-batch cost is O(batch × nCells) — never touches the index.
+    */
+  def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame = {
+    val dist2 = aggregate(
+      zip_with(col("b_normed"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    batch
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
+        l2normed(col("embedding")).as("b_normed"))
+      .crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("c_emb"), col("cell"), dist2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("corpus_id")
+          .orderBy(col("d2").asc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select("corpus_id", "c_emb", "cell")
+  }
+
   def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     // rank cells per query by squared euclidean distance of the

@@ -1248,6 +1248,63 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** STREAMING maintenance of the ANN index — the embedding-side twin
+    * of `st_posting_maint`, and the shape a continuous-ingest training
+    * pipeline actually runs: the coarse quantizer is a rare batch job
+    * (its centroids FREEZE between retrains), while arriving
+    * embeddings are assigned per micro-batch against the broadcast
+    * centroid table ([[Similarity.assignToCells]] — O(batch × nCells),
+    * the index itself never read) and APPENDED into the
+    * cell-partitioned index, which stays probe-able mid-build (a
+    * partitioned append only adds files under touched cell dirs).
+    * After AvailableNow drains the staged corpus (4 source files →
+    * 4 maintenance batches), the SAME probe as `e_ivf_persisted` runs
+    * against the stream-built index; recall vs the exact brute-force
+    * top-k is tolerance-pinned, proving incremental maintenance lost
+    * no vectors and probes see everything that streamed through. At
+    * 100 TB this replaces recurring full-corpus re-indexing with
+    * per-batch appends whose cost tracks batch size; cell-dir
+    * fragmentation is `Ops.compactPartitions`' existing problem.
+    */
+  private val streamedIvfSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfMaintViaStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val centroids =
+      Similarity.ivfLoad(spark, seededIvfIndex(spark, dir)).centroids
+    val path = streamedIvfSeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st_ivf").toString
+      val src = s"$root/src"; val idx = s"$root/assigned"
+      val ckpt = s"$root/ckpt"
+      embs(spark, d).select(col("vec_id").as("id"), col("embedding"))
+        .repartition(4).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.assignToCells(batch, centroids)
+            .write.mode("append").partitionBy("cell").parquet(idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      idx
+    })
+    val q5 = embs(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 5)
+    Similarity.ivfProbe(
+      Similarity.IvfIndex(spark.read.parquet(path), centroids,
+        centroids.count().toInt),
+      q5, k = 5, nProbe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   /** k-NN GRAPH construction — top-5 neighbours for EVERY corpus
     * vector, the input relation SemDeDup-style clustering, curation,
     * and graph algorithms (PageRank/components over near-dup edges)
@@ -1987,6 +2044,7 @@ object TrainingData {
     NamedQuery("e_lsh_topk", lshTopK, None),
     NamedQuery("e_ivf_topk", ivfTopK, None),
     NamedQuery("e_ivf_persisted", ivfPersisted, None),
+    NamedQuery("st_ivf_maint", ivfMaintViaStream, None),
     NamedQuery("e_knn_exact", knnExact, Some(knnExactSql)),
     NamedQuery("e_knn_graph", knnGraph, None),
     NamedQuery("e_label_stats", labelStats, Some(labelStatsSql)),

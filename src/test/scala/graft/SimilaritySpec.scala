@@ -179,6 +179,30 @@ class SimilaritySpec extends SparkSpec {
     assert(fromDisk.sameElements(inMem))
   }
 
+  test("assignToCells against frozen centroids reproduces the fit's " +
+      "own assignment — streamed appends land in the same cells a " +
+      "batch rebuild would choose") {
+    val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val fitted = Similarity.ivfFit(all, nCells = 8, cache = false)
+    val streamed = Similarity.assignToCells(all, fitted.centroids)
+      .select(col("corpus_id"), col("cell").as("s_cell"))
+    val both = fitted.assigned.join(streamed, "corpus_id")
+    assert(both.count() === all.count())
+    assert(both.filter(col("cell") =!= col("s_cell")).count() === 0L,
+      "incremental assignment diverged from the quantizer's own")
+    // and a probe over the re-assigned index equals the fit's probe
+    val q = all.filter(col("id") < 5)
+    val viaFit = Similarity.ivfProbe(fitted, q, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    val viaAssign = Similarity.ivfProbe(Similarity.IvfIndex(
+      Similarity.assignToCells(all, fitted.centroids),
+      fitted.centroids, 8), q, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(viaAssign.sameElements(viaFit))
+  }
+
   test("sq8TopK with rerank >= |corpus| equals brute force exactly") {
     val all = graft.queries.Tables(spark, "/root/testdata/sf0.001",
         "embeddings")
