@@ -142,19 +142,6 @@ object Bench {
       }
     }
     runCanary() // closing sample so late-section contention is visible
-    val canary = canaryTimes.result()
-    // drift = max/MEDIAN: contention makes samples SLOWER than
-    // typical; a lucky fast sample (warm cache late in the run) must
-    // not read as contention, which max/min would report. The median
-    // itself is recorded as a machine-speed unit — cross-round totals
-    // divide by it to separate "code got slower" from "box got slower"
-    // (round 6's artifact confusion).
-    val canaryMedian =
-      if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
-    val canaryDrift =
-      if (canary.size >= 2 && canaryMedian > 0) canary.max / canaryMedian
-      else 1.0
-    val contended = canaryDrift > 1.3
     val resultsMap = results.toMap
     val total = results.map(_._2).filter(_ >= 0).sum
     // The streaming family is timed once (single-shot, no reps) in its
@@ -220,6 +207,21 @@ object Bench {
     val streaming = (serialTimes ++ pooledTimes).sortBy(_._1)
     val streamWall = (System.nanoTime() - stWall0) / 1e9
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    runCanary() // bracket the streaming section too: its wall time has
+                // no reps, so the canary is its only contention signal
+    val canary = canaryTimes.result()
+    // drift = max/MEDIAN: contention makes samples SLOWER than
+    // typical; a lucky fast sample (warm cache late in the run) must
+    // not read as contention, which max/min would report. The median
+    // itself is recorded as a machine-speed unit — cross-round totals
+    // divide by it to separate "code got slower" from "box got slower"
+    // (round 6's artifact confusion).
+    val canaryMedian =
+      if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
+    val canaryDrift =
+      if (canary.size >= 2 && canaryMedian > 0) canary.max / canaryMedian
+      else 1.0
+    val contended = canaryDrift > 1.3
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def obj(kvs: Seq[(String, Double)]): String =
