@@ -168,10 +168,14 @@ object Similarity {
     * quantizer rarely (a batch job), while arrivals are assigned and
     * appended continuously. One broadcast of the tiny centroid table,
     * codegen'd zip_with/aggregate distance, row_number argmin (ties to
-    * the lowest cell, matching the fit's ordering); output shape
-    * matches [[IvfIndex.assigned]], so appends land straight into the
-    * cell-partitioned index and probes see new vectors immediately.
-    * Per-batch cost is O(batch × nCells) — never touches the index.
+    * the lowest cell); output shape matches [[IvfIndex.assigned]], so
+    * appends land straight into the cell-partitioned index and probes
+    * see new vectors immediately. Per-batch cost is O(batch × nCells)
+    * — never touches the index. Assignment agrees with the quantizer's
+    * own except on exact-distance NEAR-TIES, where MLlib's
+    * fastSquaredDistance shortcut may round the other way — harmless
+    * for ANN (either cell is equally probe-able; the spec law is
+    * tie-tolerant).
     */
   def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame = {
     val dist2 = aggregate(

@@ -118,6 +118,11 @@ object ZOrder {
       .stat.approxQuantile(tmp.toArray, probes, eps)
     val buckets = dims.zip(bounds).map { case (e, bs) =>
       val ds = bs.distinct.sorted
+      // an all-null/NaN dimension has NO cut points (the sketch saw
+      // nothing): it contributes one constant bucket — the whole
+      // column sits at the curve corner, same as the nulls themselves
+      if (ds.isEmpty) lit(0)
+      else {
       val raw = range_bucket(e, ds)
       // spread each dimension's rank into the FULL bit-space: a column
       // with few distinct values (so few distinct cut points) would
@@ -125,6 +130,7 @@ object ZOrder {
       // dimensions' top bits would dominate the curve — degrading the
       // layout to a plain sort on the wide column
       (raw.cast("long") * (1L << bits) / (ds.length + 1)).cast("int")
+      }
     }
     interleave(buckets, bits)
   }

@@ -708,16 +708,26 @@ object GraftSink {
     val m = manifestAt(spark, dir, version)
       .getOrElse(sys.error(s"graftsink: no committed manifest at $dir" +
         version.fold("")(v => s" (version $v)")))
+    scanFilesOf(spark, dir, m, changesFrom, filters)
+  }
+
+  /** The same file-set resolution from a PRE-RESOLVED manifest — the
+    * scan builder reuses its one parse for the aggregate fast path,
+    * its fallback, and the file list (one definition, so the builder's
+    * set can never silently diverge from the executed scan's).
+    */
+  private[sources] def scanFilesOf(spark: SparkSession, dir: String,
+      m: Manifest, changesFrom: Option[Int],
+      filters: Seq[Filter]): Seq[ManifestFile] =
     changesFrom match {
       // snapshot reads prune whole SEGMENTS on their union bounds
       // before resolving them (plan metadata = O(matching segments));
-      // the change-feed log walk needs each version's full entry list
-      // for the name diff, so it resolves as before (per-file skipping
-      // still applies downstream)
+      // the change-feed log walk diffs at ref level per version and
+      // needs no snapshot pruning (per-file skipping applies
+      // downstream)
       case None => m.filesPruned(filters)
       case Some(base) => addedFiles(spark, dir, base, m.version)
     }
-  }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
@@ -2626,16 +2636,12 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
   private lazy val manifestOpt =
     GraftSink.manifestAt(SparkSession.active, path, version)
 
-  private lazy val files: Seq[GraftSink.ManifestFile] = {
-    val m = manifestOpt.getOrElse(sys.error(
-      s"graftsink: no committed manifest at $path" +
-        version.fold("")(v => s" (version $v)")))
-    changesFrom match {
-      case None => m.filesPruned(pruning.toSeq)
-      case Some(base) =>
-        GraftSink.addedFiles(SparkSession.active, path, base, m.version)
-    }
-  }
+  private lazy val files: Seq[GraftSink.ManifestFile] =
+    GraftSink.scanFilesOf(SparkSession.active, path,
+      manifestOpt.getOrElse(sys.error(
+        s"graftsink: no committed manifest at $path" +
+          version.fold("")(v => s" (version $v)"))),
+      changesFrom, pruning.toSeq)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (metaAgg.isEmpty) required = requiredSchema

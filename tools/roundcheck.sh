@@ -117,7 +117,9 @@ except Exception as e:
 hard_fail = (
     test_rc != 0 or verify_rc != 0 or oracle_rc > 0 or bench_rc != 0
     or (summary["tests"]["failed"] or 0) > 0
-    or (verify_rc == 0 and not summary["verify"]["tolerance_file"])
+    # a clean verify must have produced a NON-EMPTY tolerance set;
+    # missing file and empty {} both mean no check actually ran
+    or (verify_rc == 0 and summary["verify"]["tolerance_total"] == 0)
     or summary["verify"]["tolerance_pass"]
         != summary["verify"]["tolerance_total"]
     or (summary["oracle"].get("match") is not None
