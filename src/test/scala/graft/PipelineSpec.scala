@@ -196,6 +196,55 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.run(Seq(spec)).isEmpty)
   }
 
+  test("the FIVE-table warehouse runs atomically end-to-end: every " +
+      "job's (data, done-state) pair commits as one transaction, and " +
+      "every table of the same tx id reads consistently") {
+    import graft.operators.Transaction
+    import graft.runner.AtomicPipeline
+    val base = tmpDir("atomic5")
+    val fixtures = s"$base/fixtures"
+    Files.createDirectories(Paths.get(fixtures))
+    writeFixture(fixtures, 2177353L, Seq(
+      """{"address":"bc1qa", "tx_id":"t1", "value":0.5}"""))
+    writeFixture(fixtures, 2177447L, Seq(
+      """{"address":"bc1qc", "tx_id":"t1", "value":0.49}"""))
+    writeFixture(fixtures, 5816212L, Seq(
+      """{"date":"2025-01-01", "price":95000.0}"""))
+    writeFixture(fixtures, 2177280L, Seq(
+      """{"block_time":"2025-01-01T00:01:00", "fee":0.01, "id":"t1", """ +
+        """"input_value":0.5, "output_value":0.49}"""))
+    writeFixture(fixtures, 2177266L, Seq(
+      """{"coinbase":"cb", "difficulty":1.0, "hash":"h1", "height":1, """ +
+        """"mint_reward":3.125, "nonce":42, "previous_block_hash":"h0", """ +
+        """"size":100, "total_fees":0.01, "total_reward":3.135, """ +
+        """"transaction_count":1, "weight":400}"""))
+    val specs = BitcoinWarehouse.all
+    val root = s"$base/tx"
+    val pipe = new AtomicPipeline(spark, new FixtureSource(fixtures), root)
+    pipe.seed(specs.map(s => EtlJob(s.jobName, s.queryId, s.targetTable,
+      s.pKeys.mkString(","), None, 1, None, None, None, None)))
+    val results = pipe.run(specs)
+    assert(results.size === 5)
+    assert(results.forall(_.error.isEmpty), results.mkString("; "))
+    assert(results.forall(_.rows === 1L))
+    // all five jobs read Done in the control table
+    val statuses = pipe.state.select("job_name", "status")
+      .as[(String, Option[Int])].collect().toMap
+    assert(specs.forall(s => statuses(s.jobName).contains(EtlJob.Done)))
+    // snapshot consistency: at the LATEST committed tx, every table
+    // the manifest lists resolves, and each job's data/state pair
+    // belongs to the same tx by construction (one publish each)
+    val last = Transaction.committedTxs(spark, root).last
+    val m = Transaction.manifest(spark, root, last)
+    specs.foreach { s =>
+      assert(m.contains(s.targetTable), s"${s.targetTable} not in tx")
+      assert(Transaction.read(spark, root, s.targetTable).count() === 1L)
+    }
+    // the derived UPPER transform still lands through the atomic path
+    assert(Transaction.read(spark, root, "bitcoin.input")
+      .select("dimension_attribute_name").as[String].head() === "BC1QA")
+  }
+
   test("atomic (data + job-state) publish: a crash at the commit " +
       "point can never leave state and table contents disagreeing") {
     import graft.operators.Transaction
