@@ -304,6 +304,17 @@ object GraftSink {
     */
   private[sources] val InlineThreshold = 32
 
+  /** Max entries one segment may grow to under geometric merging
+    * (Iceberg's target-manifest-size idea). Uncapped, the oldest
+    * segment absorbs most of the table and a selective scan that
+    * matches it pays O(table) to resolve it; capped, the list is
+    * O(n/cap + log cap) refs — ~20 at 10⁵ files — and ANY matching
+    * segment costs at most `cap` entry parses. Write amplification
+    * also settles: an entry merges O(log cap) times, then its segment
+    * never merges again.
+    */
+  private[sources] val MaxSegmentEntries = 8192
+
   /** Version-file line `#seg<TAB>name<TAB>count<TAB>rows<TAB>bytes`. */
   private[sources] val SegMarker = "#seg"
 
@@ -443,7 +454,9 @@ object GraftSink {
     else {
       var refs = kept.toVector :+ writeSegment(conf, dir, loose)
       while (refs.length >= 2 &&
-          refs(refs.length - 2).count < 2 * refs.last.count) {
+          refs(refs.length - 2).count < 2 * refs.last.count &&
+          refs(refs.length - 2).count + refs.last.count
+            <= MaxSegmentEntries) {
         val merged = readSegment(conf, dir, refs(refs.length - 2).name) ++
           readSegment(conf, dir, refs.last.name)
         refs = refs.dropRight(2) :+ writeSegment(conf, dir, merged)
@@ -485,6 +498,10 @@ object GraftSink {
     * deterministically instead of racing threads. No-op in production.
     */
   private[graft] var maintenanceBarrier: () => Unit = () => ()
+
+  /** [[cmpOpt]] for the scan builder's range-exactness classifier. */
+  private[sources] def cmpBound(a: Any, b: Any): Option[Int] =
+    cmpOpt(a, b)
 
   /** Exact comparison in the bound's own domain; None = incomparable
     * (type mismatch, e.g. a timestamp filter against long-micros
@@ -2415,9 +2432,49 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
       files.nonEmpty && files.forall(mf =>
         mf.bounds.get(c).exists(b => b._1 == b._2) &&
           mf.nullCounts.get(c).contains(0L))
+    // RANGE exactness: a comparison is all-or-nothing at file
+    // granularity when NO scanned file's [lo, hi] straddles the probe
+    // value — every file either matches entirely (then its null count
+    // must be recorded ZERO: null rows fail any comparison, so an
+    // all-match file may hold none) or not at all. This is the
+    // incremental loop's `WHERE ts >= watermark` over a time-banded
+    // layout answered from manifest rows. Sound under TRUNCATED string
+    // bounds: lo under-approximates and hi over-approximates, so an
+    // "all match" / "none match" verdict from recorded bounds implies
+    // the same verdict on true values; borderline files classify as
+    // straddling and decline. NaN/incomparable bounds decline
+    // (cmpBound None).
+    def rangeExact(c: String,
+        verdict: ((Any, Any)) => Option[Boolean]): Boolean =
+      files.nonEmpty && files.forall { mf =>
+        mf.bounds.get(c) match {
+          case Some(b) => verdict(b) match {
+            case Some(true) => mf.nullCounts.get(c).contains(0L)
+            case Some(false) => true // no row matches; nulls irrelevant
+            case None => false       // straddles or incomparable
+          }
+          case None => false
+        }
+      }
     f match {
       case EqualTo(c, _) => clusteredOn(c)
       case In(c, _) => clusteredOn(c)
+      case GreaterThan(c, v) => rangeExact(c, { case (lo, hi) =>
+        if (GraftSink.cmpBound(lo, v).exists(_ > 0)) Some(true)
+        else if (GraftSink.cmpBound(hi, v).exists(_ <= 0)) Some(false)
+        else None })
+      case GreaterThanOrEqual(c, v) => rangeExact(c, { case (lo, hi) =>
+        if (GraftSink.cmpBound(lo, v).exists(_ >= 0)) Some(true)
+        else if (GraftSink.cmpBound(hi, v).exists(_ < 0)) Some(false)
+        else None })
+      case LessThan(c, v) => rangeExact(c, { case (lo, hi) =>
+        if (GraftSink.cmpBound(hi, v).exists(_ < 0)) Some(true)
+        else if (GraftSink.cmpBound(lo, v).exists(_ >= 0)) Some(false)
+        else None })
+      case LessThanOrEqual(c, v) => rangeExact(c, { case (lo, hi) =>
+        if (GraftSink.cmpBound(hi, v).exists(_ <= 0)) Some(true)
+        else if (GraftSink.cmpBound(lo, v).exists(_ > 0)) Some(false)
+        else None })
       // the IsNotNull Spark pairs with every equality: with a
       // recorded zero null count in every file it matches ALL rows —
       // trivially all-or-nothing

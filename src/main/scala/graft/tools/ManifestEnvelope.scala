@@ -60,9 +60,9 @@ object ManifestEnvelope {
       .createTempDirectory("graft_manifest_env").toString
     println("| files | commit ms (seg) | commit KB (seg) | cumulative " +
       "meta MB (seg) | plan ms cold / warm (seg) | probe ms cold | " +
-      "tail-diff ms cold | legacy manifest KB (= commit KB) | legacy " +
-      "plan ms |")
-    println("|---|---|---|---|---|---|---|---|---|")
+      "pruned-count ms cold (segs read) | tail-diff ms cold | legacy " +
+      "manifest KB (= commit KB) | legacy plan ms |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     for (n <- Seq(100, 1000, 10000, 100000)) {
       val dir = s"$work/seg_$n"
       // build a history in 64-entry commits (each rolls a segment) so
@@ -113,6 +113,23 @@ object ManifestEnvelope {
         require(mx == (n + 1) * 15000L - 1, s"probe answered $mx")
         (System.nanoTime() - t) / 1e6
       }
+      // a SELECTIVE file-exact range count (one file's exact bounds):
+      // segment-level pruning must resolve only the segment holding
+      // that file — cold plan metadata O(matching segment), and the
+      // count answers from its stats without data files
+      GraftSink.clearSegmentCache()
+      val segReads0 = GraftSink.segmentReads.get()
+      val prunedMs = {
+        val loQ = 7L * 15000L
+        val t = System.nanoTime()
+        val c = spark.read.format("graftsink").load(dir)
+          .filter(org.apache.spark.sql.functions.col("k") >= loQ &&
+            org.apache.spark.sql.functions.col("k") <= loQ + 14999L)
+          .count()
+        require(c == 15000L, s"pruned count saw $c")
+        (System.nanoTime() - t) / 1e6
+      }
+      val prunedSegs = GraftSink.segmentReads.get() - segReads0
       // the streaming-tail diff (ref-level log walk): cold cost of
       // consuming one inline append against an n-file base
       GraftSink.clearSegmentCache()
@@ -147,7 +164,8 @@ object ManifestEnvelope {
         (System.nanoTime() - t) / 1e6
       }.map(identity))
       println(f"| $n%,d | $commitMs%.1f | $commitKb%.1f | $cumMb%.1f | " +
-        f"$coldMs%.1f / $warmMs%.1f | $probeMs%.1f | $tailMs%.1f | " +
+        f"$coldMs%.1f / $warmMs%.1f | $probeMs%.1f | " +
+        f"$prunedMs%.1f ($prunedSegs) | $tailMs%.1f | " +
         f"$legacyKb%.1f | $legacyMs%.1f |")
     }
     println(s"(work dir: $work)")

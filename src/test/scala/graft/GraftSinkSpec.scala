@@ -1344,6 +1344,46 @@ class GraftSinkSpec extends SparkSpec {
       "metadata aggregates must not open data files")
   }
 
+  test("RANGE-exact metadata aggregates: a file-boundary-aligned " +
+      "COUNT/MAX answers from the manifest with zero readers; a " +
+      "straddling range falls back to the row scan, values exact") {
+    val dir = freshDir
+    spark.range(8000)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graftsink").mode("append").save(dir)
+    val m = GraftSink.latestManifest(spark, dir).get
+    // pick a middle file's exact recorded interval
+    val f3 = m.files.sortBy(_.bounds("k")._1.asInstanceOf[Long])
+      .apply(3)
+    val (lo, hi) = (f3.bounds("k")._1.asInstanceOf[Long],
+      f3.bounds("k")._2.asInstanceOf[Long])
+    val before = GraftSink.readersCreated.get()
+    val row = spark.read.format("graftsink").load(dir)
+      .filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)), max("k"), min("k")).head()
+    assert(row.getLong(0) === f3.rows)
+    assert(row.getLong(1) === hi && row.getLong(2) === lo)
+    assert(GraftSink.readersCreated.get() === before,
+      "a boundary-aligned range must answer from manifest rows")
+    // the incremental-loop shape: open-ended watermark >= a boundary
+    val b2 = GraftSink.readersCreated.get()
+    val n2 = spark.read.format("graftsink").load(dir)
+      .filter(col("k") >= lo).count()
+    assert(n2 === 8000L - m.files.map(f =>
+      (f.bounds("k")._1.asInstanceOf[Long], f.rows))
+      .filter(_._1 < lo).map(_._2).sum)
+    assert(GraftSink.readersCreated.get() === b2)
+    // a STRADDLING range is never claimed: the row scan answers, and
+    // the answer is exact
+    val b3 = GraftSink.readersCreated.get()
+    val n3 = spark.read.format("graftsink").load(dir)
+      .filter(col("k") >= lo + 1 && col("k") <= hi).count()
+    assert(n3 === f3.rows - 1)
+    assert(GraftSink.readersCreated.get() > b3,
+      "a straddling range must take the row scan")
+  }
+
   test("segment-level MIN/MAX declines when a union DROPPED the " +
       "column (mixed evolution segment): the per-file fold answers, " +
       "never a silent understatement") {
