@@ -423,13 +423,19 @@ object GraftSink {
     * carry BY REFERENCE (zero bytes rewritten); a segment containing a
     * `replace`d file is rewritten minus those entries (O(that
     * segment)); the loose pool (previous inline entries + `newFiles`)
-    * stays inline below [[InlineThreshold]] or rolls into one new
-    * segment. Appending then restores the GEOMETRIC invariant — each
-    * segment ≥ 2× the entry count of its successor — by merging the
-    * trailing run, which bounds the list at O(log totalFiles) refs
-    * and amortizes to O(log n) entries rewritten per commit. The sum
-    * over a table's whole append history is O(n log n) metadata bytes
-    * instead of the previous carry-everything-forward O(n²).
+    * stays inline below [[InlineThreshold]] or rolls into new
+    * segment(s) of at most [[MaxSegmentEntries]] each. Appending then
+    * merges the trailing run while each merge keeps 2× dominance AND
+    * stays under the cap — a CAPPED-geometric ladder: below the cap
+    * the list is O(log n) refs with each segment ≥ 2× its successor;
+    * past it, full ~cap-sized segments accumulate and the list is
+    * O(n/cap + log cap) refs (~20 at 10⁵ files). Amortized entries
+    * rewritten per commit: O(log cap) — an entry merges at most
+    * log₂(cap) times and then its segment never merges again, so
+    * cumulative metadata over an append history is O(n log cap), and
+    * a selective scan's matching segment costs at most `cap` entry
+    * parses to resolve. (A legacy over-cap segment from before the
+    * cap splits only when a rewrite touches it.)
     */
   private[sources] def composeSegments(conf: SerializableConfiguration,
       dir: String, prev: Option[Manifest], replace: Set[String],
@@ -452,7 +458,10 @@ object GraftSink {
       .filterNot(f => replace(f.name)) ++ newFiles
     if (loose.size <= InlineThreshold) (kept, loose)
     else {
-      var refs = kept.toVector :+ writeSegment(conf, dir, loose)
+      // an over-cap loose pool (bulk initial commit) rolls into
+      // several capped segments, never one table-sized one
+      var refs = kept.toVector ++ loose.grouped(MaxSegmentEntries)
+        .map(writeSegment(conf, dir, _))
       while (refs.length >= 2 &&
           refs(refs.length - 2).count < 2 * refs.last.count &&
           refs(refs.length - 2).count + refs.last.count
@@ -466,13 +475,16 @@ object GraftSink {
   }
 
   /** Entry layout for a version whose per-file entries were REWRITTEN
-    * wholesale (column rename re-records every DDL/stats key): one
-    * fresh segment above the inline threshold, plain inline below.
+    * wholesale (column rename re-records every DDL/stats key): fresh
+    * CAPPED segments above the inline threshold (a 10⁵-file rename
+    * must not produce one table-sized segment that every later
+    * selective scan pays O(table) to resolve), plain inline below.
     */
   private def freshEntries(conf: SerializableConfiguration, dir: String,
       files: Seq[ManifestFile]): (Seq[SegmentRef], Seq[ManifestFile]) =
     if (files.size <= InlineThreshold) (Nil, files)
-    else (Seq(writeSegment(conf, dir, files)), Nil)
+    else (files.grouped(MaxSegmentEntries)
+      .map(writeSegment(conf, dir, _)).toSeq, Nil)
 
   /** Field names of the most recent scan's pruned read schema —
     * makes column pruning spec-observable (the DuneDataSource
@@ -499,15 +511,13 @@ object GraftSink {
     */
   private[graft] var maintenanceBarrier: () => Unit = () => ()
 
-  /** [[cmpOpt]] for the scan builder's range-exactness classifier. */
-  private[sources] def cmpBound(a: Any, b: Any): Option[Int] =
-    cmpOpt(a, b)
-
   /** Exact comparison in the bound's own domain; None = incomparable
     * (type mismatch, e.g. a timestamp filter against long-micros
-    * bounds) — callers must treat None as "may match".
+    * bounds) — callers must treat None as "may match". Shared by the
+    * advisory skip ([[mayMatch]]) and the scan builder's
+    * range-exactness classifier.
     */
-  private def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[sources] def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)   => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Int)    => Some(java.lang.Long.compare(x, y.toLong))
     case (x: Int, y: Long)    => Some(java.lang.Long.compare(x.toLong, y))
@@ -519,7 +529,12 @@ object GraftSink {
     // None = "may match", never an unsound skip.
     case (x: Double, y: Double) =>
       if (x.isNaN || y.isNaN) None
-      else Some(java.lang.Double.compare(x, y))
+      // + 0.0 collapses the signed zeros: Spark's comparisons treat
+      // -0.0 == 0.0, while Double.compare orders -0.0 below 0.0 —
+      // under raw compare a file whose bound is -0.0 could be
+      // "proven" outside a >= 0.0 probe that Spark says every row
+      // matches (an unsound skip, and an unsound exactness claim)
+      else Some(java.lang.Double.compare(x + 0.0, y + 0.0))
     // V1 Filter values surface string literals as java.lang.String.
     // Compared in UTF-8 BYTE order (= code-point order) — the order
     // Spark's UTF8String evaluates string predicates in. Plain
@@ -2457,23 +2472,26 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
         }
       }
     f match {
-      case EqualTo(c, _) => clusteredOn(c)
-      case In(c, _) => clusteredOn(c)
+      case EqualTo(c, v) => v != null && clusteredOn(c)
+      // a NULL in the IN list evaluates to null (not false) per row
+      // while the file classifier can't see it — never claim, Spark
+      // re-applies the residual
+      case In(c, vs) => !vs.contains(null) && clusteredOn(c)
       case GreaterThan(c, v) => rangeExact(c, { case (lo, hi) =>
-        if (GraftSink.cmpBound(lo, v).exists(_ > 0)) Some(true)
-        else if (GraftSink.cmpBound(hi, v).exists(_ <= 0)) Some(false)
+        if (GraftSink.cmpOpt(lo, v).exists(_ > 0)) Some(true)
+        else if (GraftSink.cmpOpt(hi, v).exists(_ <= 0)) Some(false)
         else None })
       case GreaterThanOrEqual(c, v) => rangeExact(c, { case (lo, hi) =>
-        if (GraftSink.cmpBound(lo, v).exists(_ >= 0)) Some(true)
-        else if (GraftSink.cmpBound(hi, v).exists(_ < 0)) Some(false)
+        if (GraftSink.cmpOpt(lo, v).exists(_ >= 0)) Some(true)
+        else if (GraftSink.cmpOpt(hi, v).exists(_ < 0)) Some(false)
         else None })
       case LessThan(c, v) => rangeExact(c, { case (lo, hi) =>
-        if (GraftSink.cmpBound(hi, v).exists(_ < 0)) Some(true)
-        else if (GraftSink.cmpBound(lo, v).exists(_ >= 0)) Some(false)
+        if (GraftSink.cmpOpt(hi, v).exists(_ < 0)) Some(true)
+        else if (GraftSink.cmpOpt(lo, v).exists(_ >= 0)) Some(false)
         else None })
       case LessThanOrEqual(c, v) => rangeExact(c, { case (lo, hi) =>
-        if (GraftSink.cmpBound(hi, v).exists(_ <= 0)) Some(true)
-        else if (GraftSink.cmpBound(lo, v).exists(_ > 0)) Some(false)
+        if (GraftSink.cmpOpt(hi, v).exists(_ <= 0)) Some(true)
+        else if (GraftSink.cmpOpt(lo, v).exists(_ > 0)) Some(false)
         else None })
       // the IsNotNull Spark pairs with every equality: with a
       // recorded zero null count in every file it matches ALL rows —
@@ -2707,7 +2725,14 @@ private class GraftSinkScanBuilder(schema: StructType, path: String,
     case Some((aggSchema, values)) =>
       new GraftSinkMetaAggScan(path, aggSchema, values)
     case None =>
-      new GraftSinkScan(schema, required, path, version, changesFrom,
+      // execution scans the SAME manifest the builder proved its
+      // filter claims against: pin the planned version, so a commit
+      // landing between pushdown and planInputPartitions (or between
+      // two collects of one plan) can never add a file the claimed
+      // filters were not classified over — claimed-exact filters stay
+      // row-exact, and a plan is a stable snapshot
+      new GraftSinkScan(schema, required, path,
+        manifestOpt.map(_.version).orElse(version), changesFrom,
         startingVersion, pruning, groupScan, limit, rateLimit)
   }
 }
