@@ -58,6 +58,24 @@ object MergeOnRead {
     n
   }
 
+  /** Append an EXPLICIT tombstone batch — the CDC-APPLY shape: the
+    * doomed keys arrive in the feed itself, so unlike [[deleteWhere]]
+    * no current-view scan is needed. Cost is O(keys): one small
+    * append, zero base reads — the delete half of a change-stream
+    * apply stays per-trigger-bounded however large the replica grows
+    * (the StreamingDecade `cdc_apply` pair measures this against the
+    * copy-on-write apply's O(replica) rewrite). NOTE tombstones mask
+    * the key EVERYWHERE in the base, including rows appended later —
+    * an upsert of a tombstoned key needs compaction first (or the
+    * graftsink MERGE path, which rewrites at file granularity).
+    */
+  def deleteKeys(spark: SparkSession, root: String,
+      keys: DataFrame): Unit = {
+    val dest = s"${deletesDir(root)}/d" +
+      java.util.UUID.randomUUID().toString.take(8)
+    keys.distinct().write.mode("errorifexists").parquet(dest)
+  }
+
   /** The live view: base rows minus tombstoned keys. One LEFT ANTI
     * join; Catalyst broadcasts the tombstone side while it is small
     * (the usual case between compactions).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -642,13 +642,14 @@ object Similarity {
     * sample selection (pure top-k hands back near-duplicates; MMR
     * spends the slots on coverage).
     *
-    * Everything after the shortlist is RESULT-SIZED: candidates are
-    * |queries|×topN, the pairwise sim relation |queries|×topN², and
-    * each greedy step is a window + two joins over those, checkpointed
-    * (the pagerank discipline — tiny relations, k scheduling barriers,
-    * no exponential lineage re-execution). At 100 TB only the
-    * shortlist source changes (swap [[bruteForceTopK]] for the
-    * persisted IVF probe); the greedy never sees corpus-sized data.
+    * Everything after the shortlist is RESULT-SIZED: each query's
+    * <= topN candidates are grouped into ONE array row and the whole
+    * k-step greedy runs as higher-order array expressions inside a
+    * single plan — one shuffle, one job, no per-step scheduling
+    * barriers (the k-round join/checkpoint shape this replaced spent
+    * ~10 fixed-cost jobs on 60 rows). At 100 TB only the shortlist
+    * source changes (swap [[bruteForceTopK]] for the persisted IVF
+    * probe); the greedy never sees corpus-sized data.
     *
     * Exactness discipline: rel and sim are the codegen'd cosine
     * rounded at 1e-4 (the parity anchor every ANN oracle uses); the
@@ -660,50 +661,72 @@ object Similarity {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, topN: Int = 20,
       k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    // Single-plan greedy (round-8 rewrite): the old shape ran the k-step
+    // greedy as k driver-scheduled rounds — window + two joins +
+    // localCheckpoint PER STEP, 10+ jobs whose fixed scheduling cost
+    // dominated the (tiny, result-sized) data work — 3.0 s for 3
+    // queries x 20 candidates. The shortlist is BOUNDED (<= topN rows
+    // per query), so the whole greedy fits in one row: group each
+    // query's shortlist into an array<struct> and run selection as
+    // higher-order array expressions (aggregate = argmax, filter =
+    // drop picked, transform = fold the new pairwise sim into ms).
+    // One shuffle (the groupBy), one job, zero checkpoints. At 100 TB
+    // only the shortlist source changes (swap [[bruteForceTopK]] for
+    // the persisted IVF probe); per-query state is still <= topN
+    // structs — the greedy never sees corpus-sized data.
+    //
+    // Exactness is bit-identical to the join-based shape: rel and sim
+    // are the codegen'd cosine rounded at 1e-4, the greedy score is
+    // `lam * rel - oml * ms` in that fixed operand order, ties break
+    // on id ascending, and `1.0 - lambda` is computed in doubles HERE
+    // (an oracle must interpolate `(1.0 - lambda).toString`, e.g.
+    // 0.30000000000000004 for λ=0.7, never the decimal it "should"
+    // be). The argmax fold is order-independent (strict > / tie on
+    // unique id), so collect_list's nondeterministic order cannot
+    // change the result.
+    val lam = lit(lambda)
+    val oml = lit(1.0 - lambda)
     val emb = corpus.select(col("id"), col("embedding"))
     val cand = bruteForceTopK(corpus, queries, topN)
       .select(col("query_id"), col("corpus_id").as("id"),
         col("cosine").as("rel"))
       .join(emb, "id")
-      .localCheckpoint()
-    val ce = cand.select(col("query_id"), col("id"), col("embedding"))
-    val sims = ce.select(col("query_id"), col("id").as("id_a"),
-        col("embedding").as("e_a"))
-      .join(ce.select(col("query_id"), col("id").as("id_b"),
-        col("embedding").as("e_b")), "query_id")
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("query_id").as("sq"), col("id_a"), col("id_b"),
-        round(cosine_sim(col("e_a"), col("e_b")), 4).as("sim"))
-      .localCheckpoint()
-    val lam = lit(lambda)
-    val oml = lit(1.0 - lambda)
-    var state = cand.select(col("query_id"), col("id"), col("rel"),
-      lit(0.0).as("ms")).localCheckpoint()
-    var picks: DataFrame = null
+    def score(x: Column): Column =
+      lam * x.getField("rel") - oml * x.getField("ms")
+    // argmax by (score desc, id asc); null on an empty state (only
+    // reachable when topN < k), dropped before the final explode
+    def pickExpr(arr: Column): Column =
+      aggregate(arr, get(arr, lit(0)), (acc, x) =>
+        when(score(x) > score(acc)
+          || (score(x) === score(acc)
+            && x.getField("id") < acc.getField("id")), x)
+          .otherwise(acc))
+    var df = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("id"), col("rel"),
+        col("embedding").as("emb"), lit(0.0).as("ms"))).as("state0"))
     for (t <- 1 to k) {
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("id"))
-      val pick = state
-        .withColumn("score", lam * col("rel") - oml * col("ms"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("id"), col("rel"), col("score"),
-          lit(t.toLong).as("sel_rank"))
-        .localCheckpoint()
-      picks = if (picks == null) pick else picks.unionByName(pick)
-      if (t < k) state = state
-        .join(pick.select(col("query_id"), col("id").as("picked")),
-          "query_id")
-        .filter(col("id") =!= col("picked"))
-        .join(sims, col("sq") === col("query_id")
-          && col("id_a") === col("id") && col("id_b") === col("picked"))
-        .select(col("query_id"), col("id"), col("rel"),
-          greatest(col("ms"), col("sim")).as("ms"))
-        .localCheckpoint()
+      df = df.withColumn(s"pick$t", pickExpr(col(s"state${t - 1}")))
+      val p = col(s"pick$t")
+      if (t < k) df = df.withColumn(s"state$t",
+        transform(
+          filter(col(s"state${t - 1}"),
+            x => x.getField("id") =!= p.getField("id")),
+          x => struct(x.getField("id").as("id"),
+            x.getField("rel").as("rel"),
+            x.getField("emb").as("emb"),
+            greatest(x.getField("ms"),
+              round(cosine_sim(x.getField("emb"), p.getField("emb")), 4))
+              .as("ms"))))
     }
-    picks
-      .select(col("query_id"), col("sel_rank"), col("id").as("doc_id"),
-        col("rel"), col("score"))
+    val picksArr = filter(array((1 to k).map(t => col(s"pick$t")): _*),
+      p => p.isNotNull)
+    df.select(col("query_id"), posexplode(picksArr))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("bigint").as("sel_rank"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("rel").as("rel"),
+        (lam * col("col").getField("rel")
+          - oml * col("col").getField("ms")).as("score"))
       .orderBy("query_id", "sel_rank")
   }
 }

@@ -58,7 +58,15 @@ object ZOrder {
     * order — the same order the manifest's truncated string bounds and
     * Spark's own string comparisons use — so rank-bucketing this key
     * rank-buckets the strings. 7 bytes (not 8) keeps the value inside
-    * a signed long; ties beyond the prefix collapse into one bucket,
+    * a signed long — but the EFFECTIVE prefix is ~6.6 bytes (53 bits):
+    * [[zdimRaw]] immediately casts the key to double for the quantile
+    * sketch ([[RangeBucket]] and `approxQuantile` are double-typed),
+    * and a double's mantissa holds 53 bits, so keys differing only in
+    * the low ~3 bits of the 7th byte round to the same double. The
+    * rounding is MONOTONE (long→double never inverts order), so the
+    * collapse only merges adjacent keys into one bucket — exactly the
+    * tie-widening the next sentence describes, never a mis-order.
+    * Ties beyond the prefix collapse into one bucket,
     * which only widens a tile, never mis-orders it (the reference's
     * natural string keys — 64-char block hashes, addresses — separate
     * in their first bytes). Entirely built-in functions: rpad →

@@ -26,6 +26,17 @@ case class JobResult(jobName: String, rows: Long, fullRefresh: Boolean,
   *  - incremental decision tree: missing target or no watermark value ⇒
   *    full refresh (reference `__main__.py:102-115`)
   *  - any failure: record and continue with the next job.
+  *
+  * LEGACY FALLBACK — prefer [[AtomicPipeline]]. This runner writes the
+  * target table and the `etl_job` status row as TWO separate writes
+  * (plain Parquet then JobStateStore overwrite), so a crash between
+  * them leaves the reference's torn window: data landed, state says
+  * running. That is acceptable only for single-writer smoke runs where
+  * nothing reads the control table concurrently (and is why this class
+  * survives: it needs no transaction root, just a directory).
+  * [[AtomicPipeline]] runs the SAME plans and commits (data +
+  * job-state) in one manifest rename — use it for anything an operator
+  * or a second reader will ever look at.
   */
 class Pipeline(spark: SparkSession, source: Source, meta: JobStateStore,
     warehouseDir: String) {

@@ -331,20 +331,56 @@ object GraftSink {
     * UUID-random and their content immutable, so a hit can never be
     * stale. Bounds re-parse work at plan time — resolving a head whose
     * history is long touches only the segments not seen before.
+    *
+    * Sized by TOTAL CACHED FILE ENTRIES, not map size: segments range
+    * from 33 entries (just over the inline threshold) to 8192 (the
+    * cap), so a fixed entry-count-of-maps bound would let 64 full
+    * segments pin ~0.5M parsed entries while a multi-table session
+    * (the bench touches dozens of sinks) evicts a big table's
+    * segments after 64 SMALL ones from its neighbors. The 65536-entry
+    * budget (~8 full segments or ~2000 small ones, tens of MB at
+    * worst) is shared LRU across tables; eviction drops whole
+    * segments, oldest-accessed first.
     */
-  private val segCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Seq[ManifestFile]](
-          128, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[ManifestFile]]): Boolean =
-          size() > 64
-      })
+  private val SegCacheEntryBudget = 65536
+  private object segCache {
+    private var entries = 0L
+    private val map = new java.util.LinkedHashMap[String,
+      Seq[ManifestFile]](128, 0.75f, true)
+    def get(key: String): Seq[ManifestFile] =
+      synchronized(map.get(key))
+    def put(key: String, v: Seq[ManifestFile]): Unit = synchronized {
+      val prev = map.put(key, v)
+      entries += v.size - (if (prev == null) 0 else prev.size)
+      val it = map.entrySet().iterator()
+      while (entries > SegCacheEntryBudget && map.size() > 1
+          && it.hasNext) {
+        entries -= it.next().getValue.size
+        it.remove()
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); entries = 0L }
+  }
 
   /** Bench/spec seam: drop the parsed-segment cache so a cold plan
     * (fresh driver) can be measured honestly.
     */
-  private[graft] def clearSegmentCache(): Unit = segCache.clear()
+  private[graft] def clearSegmentCache(): Unit =
+    { segCache.clear(); bloomCache.clear() }
+
+  /** Spec seams: on-disk version list (complete manifests only,
+    * ascending) and a disk-backed segment resolve — the race spec
+    * audits exactly what SURVIVES vacuum, so it must walk the
+    * filesystem truth, not any in-memory view.
+    */
+  private[graft] def versionsOnDisk(spark: SparkSession,
+      dir: String): Seq[Int] =
+    fsVersionsDesc(spark, dir).reverse
+      .filter(v => try manifestAt(spark, dir, Some(v)).isDefined
+        catch { case _: Throwable => false })
+  private[graft] def readSegmentForSpec(conf: SerializableConfiguration,
+      dir: String, name: String): Seq[ManifestFile] =
+    readSegment(conf, dir, name)
 
   private[sources] def writeSegment(conf: SerializableConfiguration,
       dir: String, files: Seq[ManifestFile]): SegmentRef = {
@@ -361,12 +397,107 @@ object GraftSink {
     val f = new Path(dir).getFileSystem(conf.value)
     val out = f.create(segmentPath(dir, name), false)
     try out.write(payload) finally out.close()
+    writeSegmentBloom(conf, dir, name, files.map(_.name))
     segCache.put(s"$dir/$name", files.toVector)
     SegmentRef(name, files.size,
       if (files.exists(_.rows < 0)) -1L else files.map(_.rows).sum,
       if (files.exists(_.bytes < 0)) -1L else files.map(_.bytes).sum,
       unionStats(files))
   }
+
+  // ---- per-segment member-name BLOOM sidecars: the replace path's
+  // skip index. A DELETE/compact/cluster on a cold driver must not
+  // parse EVERY segment to find the one holding its replaced files —
+  // at 10⁶ files that is ~130 full segment reads for a one-segment
+  // edit. The sidecar (`_segments/<name>.bloom`, ~10 bits/member,
+  // k=7 → <1% false positives) is written once with its immutable
+  // segment and answers "can this segment contain any of these
+  // names?" from ~10 KB instead of a full parse; a false positive or
+  // a missing sidecar (legacy segment) just falls back to the exact
+  // read. The sidecar is NOT in the version file, so commit metadata
+  // stays O(delta); vacuum collects it with its segment. ----
+
+  private[sources] val BloomHashes = 7
+
+  private def bloomPath(dir: String, name: String) =
+    new Path(dir, s"_segments/$name.bloom")
+
+  /** Bit positions of `s` in an m-bit filter: double hashing from two
+    * murmur3 seeds (Kirsch–Mitzenmacher), the standard k-from-2 trick.
+    */
+  private def bloomBits(s: String, m: Int): Seq[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (0 until BloomHashes).map(i =>
+      math.floorMod(h1.toLong + i.toLong * h2.toLong, m.toLong).toInt)
+  }
+
+  private def writeSegmentBloom(conf: SerializableConfiguration,
+      dir: String, name: String, members: Seq[String]): Unit = {
+    val m = (((10L * members.size) + 63) / 64 * 64).toInt max 64
+    val words = new Array[Long](m / 64)
+    for (s <- members; b <- bloomBits(s, m))
+      words(b >> 6) |= 1L << (b & 63)
+    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bytes.putLong)
+    val payload = (s"gbloom\tk=$BloomHashes\tm=$m\n" +
+      java.util.Base64.getEncoder.encodeToString(bytes.array()))
+      .getBytes("UTF-8")
+    val f = new Path(dir).getFileSystem(conf.value)
+    val out = f.create(bloomPath(dir, name), false)
+    try out.write(payload) finally out.close()
+    bloomCache.put(s"$dir/$name", Some((m, words)))
+  }
+
+  /** Parsed bloom sidecars, cached like segments (immutable content,
+    * random names). `Some(None)` is NOT cached: a missing sidecar may
+    * be a legacy segment forever (cheap to re-miss) and caching
+    * absence would wrongly survive a later backfill.
+    */
+  private val bloomCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[(Int, Array[Long])]](
+          128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[(Int, Array[Long])]])
+            : Boolean = size() > 4096
+      })
+
+  private def readSegmentBloom(conf: SerializableConfiguration,
+      dir: String, name: String): Option[(Int, Array[Long])] = {
+    val key = s"$dir/$name"
+    val hit = bloomCache.get(key)
+    if (hit != null) return hit
+    val parsed = try {
+      val f = new Path(dir).getFileSystem(conf.value)
+      val in = f.open(bloomPath(dir, name))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val Array(header, body) = text.split("\n", 2)
+      val fields = header.split("\t")
+      require(fields(0) == "gbloom" && fields(1) == s"k=$BloomHashes")
+      val m = fields(2).stripPrefix("m=").toInt
+      val bb = java.nio.ByteBuffer.wrap(
+        java.util.Base64.getDecoder.decode(body.trim))
+      val words = Array.fill(m / 64)(bb.getLong)
+      Some((m, words))
+    } catch { case _: Throwable => None } // legacy/corrupt: exact read
+    if (parsed.isDefined) bloomCache.put(key, parsed)
+    parsed
+  }
+
+  /** Conservative membership: false ONLY when the sidecar proves no
+    * replace name is in the segment; true on any possible hit or when
+    * no sidecar exists (the caller then does the exact read).
+    */
+  private[sources] def segmentMightContainAny(
+      conf: SerializableConfiguration, dir: String, name: String,
+      names: Set[String]): Boolean =
+    readSegmentBloom(conf, dir, name) match {
+      case None => true
+      case Some((m, words)) => names.exists(s =>
+        bloomBits(s, m).forall(b => (words(b >> 6) & (1L << (b & 63))) != 0))
+    }
 
   /** Cache-MISS segment reads since JVM start — segment-level pruning
     * is spec-observable as this counter not moving for skipped
@@ -440,23 +571,38 @@ object GraftSink {
   private[sources] def composeSegments(conf: SerializableConfiguration,
       dir: String, prev: Option[Manifest], replace: Set[String],
       newFiles: Seq[ManifestFile])
-      : (Seq[SegmentRef], Seq[ManifestFile]) = {
+      : (Seq[SegmentRef], Seq[ManifestFile], Set[String]) = {
+    // `found` = the replace names actually present (segments + inline):
+    // the caller's rewrite-conflict gate compares it to the requested
+    // set, so conflict detection needs NO extra segment resolution —
+    // blooms keep even the gated replace path O(delta)
+    val found = Set.newBuilder[String]
     // pure appends (the overwhelming cadence) must not read a single
     // segment: refs carry by name untouched — a cold writer's commit
-    // is O(delta), not O(total files) re-parsed through the cache
+    // is O(delta), not O(total files) re-parsed through the cache.
+    // The REPLACE path is O(delta) too: each ref's bloom sidecar
+    // ([[segmentMightContainAny]], ~10 KB) rules it out before any
+    // full segment parse, so a one-segment DELETE on a cold driver
+    // reads ~#refs sidecars + the touched segment, not O(table).
     val kept =
       if (replace.isEmpty) prev.map(_.refs).getOrElse(Nil)
       else prev.map(_.refs).getOrElse(Nil).flatMap { r =>
-        val members = readSegment(conf, dir, r.name)
-        if (!members.exists(f => replace(f.name))) Some(r)
+        if (!segmentMightContainAny(conf, dir, r.name, replace)) Some(r)
         else {
-          val rem = members.filterNot(f => replace(f.name))
-          if (rem.isEmpty) None else Some(writeSegment(conf, dir, rem))
+          val members = readSegment(conf, dir, r.name)
+          val hit = members.filter(f => replace(f.name))
+          if (hit.isEmpty) Some(r)
+          else {
+            found ++= hit.map(_.name)
+            val rem = members.filterNot(f => replace(f.name))
+            if (rem.isEmpty) None else Some(writeSegment(conf, dir, rem))
+          }
         }
       }
-    val loose = prev.map(_.inline).getOrElse(Nil)
-      .filterNot(f => replace(f.name)) ++ newFiles
-    if (loose.size <= InlineThreshold) (kept, loose)
+    val prevInline = prev.map(_.inline).getOrElse(Nil)
+    found ++= prevInline.map(_.name).filter(replace)
+    val loose = prevInline.filterNot(f => replace(f.name)) ++ newFiles
+    if (loose.size <= InlineThreshold) (kept, loose, found.result())
     else {
       // an over-cap loose pool (bulk initial commit) rolls into
       // several capped segments, never one table-sized one
@@ -470,7 +616,7 @@ object GraftSink {
           readSegment(conf, dir, refs.last.name)
         refs = refs.dropRight(2) :+ writeSegment(conf, dir, merged)
       }
-      (refs, Nil)
+      (refs, Nil, found.result())
     }
   }
 
@@ -837,6 +983,64 @@ object GraftSink {
     None
   }
 
+  /** VERSION-FLOOR markers — the anti-zombie half of the commit
+    * protocol. Vacuum VACATES manifest names (it deletes expired
+    * version files), and an exclusive-create into a vacated name
+    * SUCCEEDS: a writer that resolved the head, spent a while
+    * composing segments, and linked its manifest only after vacuum
+    * expired that very version number would "win" a version BELOW the
+    * real head — a zombie commit no reader ever resolves (latest
+    * takes the max), silently losing the write (caught by the
+    * round-8 racing-writers spec: two publishes both returned v35).
+    *
+    * The floor closes the hole exactly:
+    *  - vacuum, BEFORE deleting any manifest, exclusive-creates
+    *    `_floor-v%06d` with value = (max doomed version + 1) — the
+    *    name IS the value, so the marker is atomic and needs no read;
+    *  - a publisher, AFTER its exclusive-create succeeds at `v`,
+    *    lists the floor markers; `v < floor` proves the name was
+    *    vacated (vacuum wrote the floor before vacating), so the
+    *    publisher deletes its own zombie and retries from the fresh
+    *    head. Nothing can have built on the zombie: resolution always
+    *    takes the MAX version, and the zombie sits below the live
+    *    window by construction.
+    *  - a GENUINE head claim can never trip the check: with
+    *    keepVersions >= 1, floor <= (some past head) - keep + 1 <=
+    *    current head < claimed head+1.
+    * Cost: one extra directory listing per SUCCESSFUL commit, zero
+    * reads (the value rides in the file name). Concurrent vacuums
+    * both exclusive-create markers; the max of all markers governs,
+    * so a loser's lower marker only under-protects names the winner
+    * already covered.
+    */
+  private[sources] def floorMarkerName(v: Int) = f"_floor-v$v%06d"
+
+  private[sources] def floorOnDisk(f: FileSystem, dir: String): Int = {
+    val p = new Path(dir)
+    try f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_floor-v"))
+      .map(_.stripPrefix("_floor-v").toInt)
+      .foldLeft(0)(math.max)
+    catch { case _: java.io.FileNotFoundException => 0 }
+  }
+
+  /** Post-link zombie gate shared by EVERY commit loop (publish,
+    * schema rewrite, compact, cluster, restore): None = the commit
+    * stands; Some(floor) = the claimed version sits below the vacuum
+    * floor (its name had been vacated mid-compose), the zombie
+    * manifest has been deleted here, and the caller must treat the
+    * attempt as a collision and retry from a fresh head.
+    */
+  private def zombieFloor(spark: SparkSession, dir: String,
+      version: Int): Option[Int] = {
+    val fl = floorOnDisk(fs(spark, dir), dir)
+    if (version >= fl) None
+    else {
+      fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
+      Some(fl)
+    }
+  }
+
   /** Collision handling shared by every publish retry loop: a
     * collision with a COMPLETE manifest needs only a head re-read (the
     * next iteration carries it); a collision with a TORN one is a
@@ -1183,10 +1387,24 @@ object GraftSink {
       // would duplicate (or resurrect) that file's rows — the classic
       // rewrite-vs-rewrite conflict; the losing writer must abort
       // (Delta's ConcurrentDeleteReadException discipline), not merge.
+      // O(delta) metadata: untouched segments carry by reference;
+      // only segments holding a `replace`d file and the loose pool
+      // (previous inline + newFiles) are (re)written
+      val (refs, inline, foundReplace) = composeSegments(conf, dir, prev,
+        replace.getOrElse(Set.empty), newFiles)
+      // row-level rewrite CONFLICT GATE, fed by the compose itself:
+      // every file this rewrite scanned must still be listed at the
+      // head. If a concurrent compact/cluster/DELETE replaced one,
+      // carrying ITS replacement alongside our newFiles would
+      // duplicate (or resurrect) that file's rows — the classic
+      // rewrite-vs-rewrite conflict; the losing writer must abort
+      // (Delta's ConcurrentDeleteReadException discipline), not merge.
+      // composeSegments reports exactly which names it found (blooms
+      // have no false negatives, so a live name is always found), so
+      // the gate costs no extra segment resolution; segments a doomed
+      // attempt already wrote are vacuum-collectable orphans.
       replace.foreach { r =>
-        val names = prev.map(_.files.map(_.name).toSet)
-          .getOrElse(Set.empty[String])
-        val gone = r.diff(names)
+        val gone = r.diff(foundReplace)
         if (gone.nonEmpty) throw new ConcurrentRewriteException(
           s"graftsink: row-level rewrite at $dir scanned file(s) " +
             s"${gone.toSeq.sorted.take(3).mkString(", ")}" +
@@ -1194,11 +1412,6 @@ object GraftSink {
             "commit has since rewritten or removed; re-run the " +
             "operation against the new table state")
       }
-      // O(delta) metadata: untouched segments carry by reference;
-      // only segments holding a `replace`d file and the loose pool
-      // (previous inline + newFiles) are (re)written
-      val (refs, inline) = composeSegments(conf, dir, prev,
-        replace.getOrElse(Set.empty), newFiles)
       // version = carry-source version + 1, NEVER a separate listing:
       // reading the head and the version counter in two steps lets a
       // racer number itself PAST a commit it did not carry (observed
@@ -1211,7 +1424,23 @@ object GraftSink {
       try {
         writeManifest(conf, dir, version, tableDdl,
           refs, inline, epoch, epochWriter)
-        return version
+        // zombie gate: if vacuum vacated this version number while we
+        // were composing (slow segment merges, stale head), our link
+        // landed BELOW the real head and no reader will ever resolve
+        // it — delete it and retry from the fresh head (see the
+        // floor-marker contract above). The floor listing happens
+        // AFTER the link on purpose: a pre-link check would race the
+        // very vacuum it guards against.
+        zombieFloor(spark, dir, version) match {
+          case None => return version
+          case Some(fl) =>
+            attempt += 1
+            if (attempt > maxRetries)
+              throw new ManifestCollisionException(version,
+                new java.io.IOException(
+                  s"claimed v$version below vacuum floor $fl"))
+            floor = math.max(floor, fl)
+        }
       } catch {
         case e: ManifestCollisionException =>
           attempt += 1
@@ -1252,7 +1481,16 @@ object GraftSink {
       val version = math.max(head.version + 1, floor)
       try {
         writeManifest(conf, dir, version, ddl, refs, inline, None, None)
-        return version
+        zombieFloor(spark, dir, version) match { // anti-recycling gate
+          case None => return version
+          case Some(fl) =>
+            attempt += 1
+            if (attempt > 20)
+              throw new ManifestCollisionException(version,
+                new java.io.IOException(
+                  s"claimed v$version below vacuum floor $fl"))
+            floor = math.max(floor, fl)
+        }
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
@@ -1480,7 +1718,7 @@ object GraftSink {
       }
       // segment-aware: only segments holding a compacted member are
       // rewritten; everything else carries by reference
-      val (refs, inline) = composeSegments(conf, dir, Some(head),
+      val (refs, inline, _) = composeSegments(conf, dir, Some(head),
         compacted, mergedEntries)
       val filesAfter = head.files.size - compacted.size +
         mergedEntries.size
@@ -1488,7 +1726,17 @@ object GraftSink {
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
           None, None)
-        return CompactStats(groups.size, m.files.size, filesAfter)
+        zombieFloor(spark, dir, version) match { // anti-recycling gate
+          case None =>
+            return CompactStats(groups.size, m.files.size, filesAfter)
+          case Some(fl) =>
+            attempt += 1
+            if (attempt > 20)
+              throw new ManifestCollisionException(version,
+                new java.io.IOException(
+                  s"claimed v$version below vacuum floor $fl"))
+            floor = math.max(floor, fl)
+        }
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
@@ -1688,16 +1936,26 @@ object GraftSink {
       }
       val conf = new SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
-      val (refs, inline) = composeSegments(conf, dir, Some(head),
+      val (refs, inline, _) = composeSegments(conf, dir, Some(head),
         replaced, moved)
       val filesAfter = head.files.size - replaced.size + moved.size
       val version = math.max(head.version + 1, floor)
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
           None, None)
-        f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
-        return ClusterStats(m.files.size, filesAfter,
-          moved.map(_.rows).sum)
+        zombieFloor(spark, dir, version) match { // anti-recycling gate
+          case None =>
+            f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
+            return ClusterStats(m.files.size, filesAfter,
+              moved.map(_.rows).sum)
+          case Some(fl) =>
+            attempt += 1
+            if (attempt > 20)
+              throw new ManifestCollisionException(version,
+                new java.io.IOException(
+                  s"claimed v$version below vacuum floor $fl"))
+            floor = math.max(floor, fl)
+        }
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
@@ -1732,7 +1990,16 @@ object GraftSink {
         // carry by reference, nothing is re-listed file by file
         writeManifest(conf, dir, next, m.schemaDdl, m.refs, m.inline,
           None, None)
-        return next
+        zombieFloor(spark, dir, next) match { // anti-recycling gate
+          case None => return next
+          case Some(fl) =>
+            attempt += 1
+            if (attempt > 20)
+              throw new ManifestCollisionException(next,
+                new java.io.IOException(
+                  s"claimed v$next below vacuum floor $fl"))
+            floor = math.max(floor, fl)
+        }
       } catch { case e: ManifestCollisionException =>
         attempt += 1; if (attempt > 20) throw e
         floor = math.max(floor, collisionFloor(spark, dir, e))
@@ -1851,8 +2118,35 @@ object GraftSink {
     // expired history's exclusive segments, collision-loser orphans —
     // age out like data files
     val keepSegs = liveManifests.flatMap(_.refs.map(_.name)).toSet
-    // 1. drop dead manifests (commit point of the expiry)
-    (expired ++ torn).foreach(v => f.delete(new Path(dir, manifestName(v)), false))
+    // 1. drop dead manifests (commit point of the expiry) — but FIRST
+    // publish the version floor: deleting a manifest VACATES its name,
+    // and a slow concurrent committer holding a stale head could
+    // exclusive-create into the vacated number, "winning" a version
+    // below the real head that no reader ever resolves (a zombie
+    // commit = a silently lost write). The floor marker must be
+    // durable BEFORE any name is vacated so the committer's post-link
+    // check can always convict the zombie (floor-marker contract at
+    // [[floorMarkerName]]).
+    val doomed = expired ++ torn
+    if (doomed.nonEmpty) {
+      val newFloor = doomed.max + 1
+      if (newFloor > floorOnDisk(f, dir)) {
+        try f.create(new Path(dir, floorMarkerName(newFloor)), false)
+          .close()
+        catch { case _: java.io.IOException => () } // raced: theirs is fine
+      }
+    }
+    doomed.foreach(v => f.delete(new Path(dir, manifestName(v)), false))
+    // retire superseded floor markers (keep the max; the value rides
+    // in the NAME, so stale lower markers are only listing noise)
+    val floors =
+      try f.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("_floor-v"))
+        .map(_.stripPrefix("_floor-v").toInt)
+      catch { case _: java.io.FileNotFoundException => Array.empty[Int] }
+    if (floors.nonEmpty)
+      floors.filter(_ < floors.max).foreach(v =>
+        f.delete(new Path(dir, floorMarkerName(v)), false))
     // 2. then data files nothing surviving references — aged only: a
     // fresh unreferenced file may belong to a commit that renamed it
     // into data/ but hasn't published its manifest yet
@@ -1865,14 +2159,17 @@ object GraftSink {
         .filterNot(p => keepFiles(p.getName))
     orphans.foreach(f.delete(_, false))
     // 2b. unreferenced segment files, same aged-only discipline (a
-    // fresh one may belong to a commit whose manifest hasn't landed)
+    // fresh one may belong to a commit whose manifest hasn't landed).
+    // A `.bloom` sidecar lives and dies with its segment: the suffix
+    // strip keeps a LIVE segment's sidecar (it is never referenced by
+    // name itself) and collects a dead segment's alongside it.
     val segRoot = new Path(dir, "_segments")
     val segOrphans =
       if (!f.exists(segRoot)) Array.empty[Path]
       else f.listStatus(segRoot)
         .filter(_.getModificationTime < cutoff)
         .map(_.getPath)
-        .filterNot(p => keepSegs(p.getName))
+        .filterNot(p => keepSegs(p.getName.stripSuffix(".bloom")))
     segOrphans.foreach(f.delete(_, false))
     // 3. stale staging dirs beyond the in-flight grace window
     val stagingRoot = new Path(dir, "_staging")

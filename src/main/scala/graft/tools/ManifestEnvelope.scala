@@ -63,7 +63,12 @@ object ManifestEnvelope {
       "pruned-count ms cold (segs read) | tail-diff ms cold | legacy " +
       "manifest KB (= commit KB) | legacy plan ms |")
     println("|---|---|---|---|---|---|---|---|---|---|")
-    for (n <- Seq(100, 1000, 10000, 100000)) {
+    // optional arg: comma-separated live-file sizes (the round-8 10⁶
+    // decade runs as `runMain graft.tools.ManifestEnvelope 1000000`
+    // on its own — the build loop is ~15k commits)
+    val sizes = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(100, 1000, 10000, 100000))
+    for (n <- sizes) {
       val dir = s"$work/seg_$n"
       // build a history in 64-entry commits (each rolls a segment) so
       // the head reaches n live files with a realistic segment layout
@@ -174,6 +179,7 @@ object ManifestEnvelope {
     // leaves one version file; head resolution lists the table dir, so
     // an un-vacuumed month of minutely commits pays O(commits) LIST.
     // Retention is the designed bound — measure the knee and the fix.
+    if (args.nonEmpty) { spark.stop(); return }
     println()
     println("| commits (live manifests) | head-resolve ms | commit ms |")
     println("|---|---|---|")

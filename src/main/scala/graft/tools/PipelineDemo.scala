@@ -4,15 +4,28 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.meta.JobStateStore
 import graft.model.{BitcoinWarehouse, EtlJob}
-import graft.runner.Pipeline
+import graft.operators.Transaction
+import graft.runner.{AtomicPipeline, Pipeline}
 import graft.sources.FixtureSource
 
 /** Smoke entry: runs the full metadata-driven pipeline over synthesized
   * bitcoin-shaped fixtures — full refresh, then an incremental delta,
-  * then a round with one broken job to show per-job error isolation.
+  * then a round with one broken job to show per-job error isolation,
+  * then a crash injected AT the commit point to show the atomic
+  * (data + job-state) publish.
   * `sbt "runMain graft.tools.PipelineDemo [workDir] [options]"`
+  *
+  * THE runner is [[graft.runner.AtomicPipeline]]: every round below
+  * runs on it, and each job's merged table and its done-state row
+  * flip in ONE manifest rename — no observable (new data, stale
+  * state) or (done state, old data) pair exists at any crash point.
+  * The plain-Parquet [[graft.runner.Pipeline]] appears only in the
+  * clearly-labelled legacy round at the end: it writes the target
+  * table and the `etl_job` row as two separate writes (the
+  * reference's torn window), which is acceptable ONLY for
+  * single-writer smoke runs where nothing reads the control table
+  * concurrently. New call sites should use AtomicPipeline.
   *
   * Options mirror the reference CLI (`arguments.py:1-41`): when any of
   * `--select job...` / `--full-refresh` / `--incremental-value v` is
@@ -54,14 +67,13 @@ object PipelineDemo {
     fix(2177266L,
       """{"coinbase":"cb", "difficulty":1.0, "hash":"h1", "height":1, "mint_reward":3.125, "nonce":42, "previous_block_hash":"h0", "size":100, "total_fees":0.01, "total_reward":3.135, "transaction_count":1, "weight":400}""")
 
-    val meta = new JobStateStore(spark, s"$base/etl_job")
-    meta.seed(specs.map(s => EtlJob(s.jobName, s.queryId, s.targetTable,
-      s.pKeys.mkString(","), None, 1, None, None, None, None)))
-    val pipe = new Pipeline(spark, new FixtureSource(fixtures), meta,
+    val pipe = new AtomicPipeline(spark, new FixtureSource(fixtures),
       s"$base/warehouse")
+    pipe.seed(specs.map(s => EtlJob(s.jobName, s.queryId, s.targetTable,
+      s.pKeys.mkString(","), None, 1, None, None, None, None)))
 
     println(s"== work dir: $base")
-    println("== round 1: initial sync (all full refresh)")
+    println("== round 1: initial sync (all full refresh, atomic commits)")
     pipe.run(specs).foreach(r => println(s"   $r"))
 
     println("== round 2: incremental — prices delta (1 new date, 1 stale)")
@@ -70,7 +82,8 @@ object PipelineDemo {
       """{"date":"2025-01-03", "price":97000.0}""")
     pipe.run(Seq(BitcoinWarehouse.pricesUsd)).foreach(r => println(s"   $r"))
     println("   bitcoin.price_usd contents:")
-    spark.read.parquet(pipe.targetPath(BitcoinWarehouse.pricesUsd))
+    Transaction.read(spark, s"$base/warehouse",
+        BitcoinWarehouse.pricesUsd.targetTable)
       .orderBy("date").show(false)
 
     println("== round 3: broken job (fixture deleted) + healthy job")
@@ -84,39 +97,50 @@ object PipelineDemo {
     }
 
     println("== final etl_job control table:")
-    meta.all.orderBy("job_name").show(false)
+    pipe.state.orderBy("job_name").show(false)
 
-    // ---- the ATOMIC runner: (data + job-state) as ONE commit ----
+    // ---- crash injection: the atomicity the runner exists for ----
     println("== atomic round: crash injected AT the commit point — " +
       "state and table must stay consistent")
-    import graft.operators.Transaction
-    import graft.runner.AtomicPipeline
     fix(5816212L,
       """{"date":"2025-01-01", "price":95000.0}""",
       """{"date":"2025-01-02", "price":96000.0}""")
-    val apipe = new AtomicPipeline(spark, new FixtureSource(fixtures),
-      s"$base/tx")
     val pspec = BitcoinWarehouse.pricesUsd
-    apipe.seed(Seq(EtlJob(pspec.jobName, pspec.queryId, pspec.targetTable,
-      pspec.pKeys.mkString(","), None, 1, None, None, None, None)))
-    println(s"   baseline: ${apipe.runJob(pspec)}")
+    println(s"   baseline: ${pipe.runJob(pspec)}")
     fix(5816212L, """{"date":"2025-01-03", "price":97000.0}""")
     var calls = 0
     Transaction.commitBarrier = () => {
       calls += 1
       if (calls == 2) sys.error("injected crash at the commit point")
     }
-    val crashed = try apipe.runJob(pspec)
+    val crashed = try pipe.runJob(pspec)
     finally Transaction.commitBarrier = () => ()
     println(s"   crashed run: $crashed")
     println("   post-crash: table rows = " +
-      Transaction.read(spark, s"$base/tx", pspec.targetTable).count() +
-      " (unchanged), state:")
-    apipe.state.select("job_name", "status", "error_message").show(false)
-    println(s"   recovery re-run: ${apipe.runJob(pspec)}")
+      Transaction.read(spark, s"$base/warehouse", pspec.targetTable)
+        .count() + " (unchanged), state:")
+    pipe.state.select("job_name", "status", "error_message").show(false)
+    println(s"   recovery re-run: ${pipe.runJob(pspec)}")
     println("   recovered table:")
-    Transaction.read(spark, s"$base/tx", pspec.targetTable)
+    Transaction.read(spark, s"$base/warehouse", pspec.targetTable)
       .orderBy("date").show(false)
+
+    // ---- legacy fallback: plain-Parquet Pipeline (single-writer
+    // smoke ONLY — target table and etl_job row are two separate
+    // writes, so a crash between them leaves the reference's torn
+    // window; kept for environments without the transaction root) ----
+    println("== legacy round: plain-Parquet Pipeline (non-atomic " +
+      "fallback; single-writer smoke only)")
+    fix(5816212L,
+      """{"date":"2025-01-01", "price":95000.0}""",
+      """{"date":"2025-01-02", "price":96000.0}""")
+    val legacyMeta = new graft.meta.JobStateStore(spark, s"$base/legacy_etl")
+    legacyMeta.seed(Seq(EtlJob(pspec.jobName, pspec.queryId,
+      pspec.targetTable, pspec.pKeys.mkString(","), None, 1, None, None,
+      None, None)))
+    val legacy = new Pipeline(spark, new FixtureSource(fixtures),
+      legacyMeta, s"$base/legacy_warehouse")
+    legacy.run(Seq(pspec)).foreach(r => println(s"   $r"))
     spark.stop()
   }
 }

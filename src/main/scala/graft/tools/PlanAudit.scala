@@ -77,7 +77,7 @@ object PlanAudit {
     "q_ivm_join" -> "join-view delta maintenance: the three delta terms each broadcast their small side onto a single base scan per table; the recomputed twin in the same plan is the audit, not the maintenance path",
     "q_bucket_prune" -> "bucketed point lookup: SelectedBucketsCount shows only the IN-list keys' hash buckets open — layout-as-index, no shuffle",
     "d_hybrid_rrf" -> "hybrid RRF retrieval: each leg is a bounded top-20 (BM25 rides the pruned posting index, cosine broadcasts one query vector), rank windows run over the 20 limited rows, fusion is a result-sized full-outer join",
-    "e_mmr_rerank" -> "MMR diversification: shortlist + pairwise-sim relations checkpoint once (queries x topN rows), each greedy step is a window + two joins over those — nothing after the shortlist is corpus-sized",
+    "e_mmr_rerank" -> "MMR diversification: each query's <= topN shortlist groups into one array row and the whole k-step greedy runs as higher-order array expressions in a single plan — one shuffle, one job, nothing after the shortlist is corpus-sized",
     "ev_ewma" -> "exact EWMA: the fact folds once into (type, day) cents, the 20-day support is a bounded range self-join of that calendar-sized relation, the Q20 fixed-point fold stays BIGINT end to end",
     "q_patch_coalesce" -> "sparse-patch coalescing: per-version conflict fold then latest-non-null-per-column via max_by FILTER — two partial+final aggregates on the same key, no window sort",
     "e_contrastive_batches" -> "contrastive batch shaping: the dup-cluster relation takes one cluster-keyed window (rank + modular stagger), then two bounded aggregates — nothing corpus-quadratic after the pair stage",

@@ -187,6 +187,118 @@ object StreamingDecade {
         "O(delta): chained dedup->window state, 2k-event trigger"))
     }
 
+    // ---- ivf_maint: stream-maintained ANN index, fixed delta ----
+    // round-7 left st_ivf_maint out of the decade; the claim has TWO
+    // halves: per-trigger cost is O(delta) (frozen-centroid assign +
+    // one cell-partitioned append, never an index rebuild), AND the
+    // incrementally-maintained index loses no recall as the corpus
+    // grows 10× (assignment is the same math batch or streamed).
+    {
+      import graft.operators.Similarity
+      val root = Files.createTempDirectory("graft_sd_ivf").toString
+      val src = s"$root/src"; val idx = s"$root/assigned"
+      val ckpt = s"$root/ck"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+      // frozen centroids: fit once on the corpus, untimed (the
+      // steady-state regime — refits are scheduled maintenance)
+      val centroids = Similarity.ivfFit(emb, nCells = 16).centroids
+        .cache()
+      centroids.count()
+      emb.repartition(4).write.parquet(src) // untimed corpus staging
+      val schema = spark.read.parquet(src).schema
+      def drainAssign(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Similarity.assignToCells(batch, centroids)
+              .write.mode("append").partitionBy("cell").parquet(idx)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainAssign() // untimed: builds the full-sf index + stream state
+      val times = (1 to 3).map { i =>
+        emb.limit(2000).withColumn("id",
+          col("id") + lit(3000000000L * i))
+          .coalesce(1).write.mode("append").parquet(src)
+        val t0 = System.nanoTime()
+        drainAssign()
+        (System.nanoTime() - t0) / 1e9
+      }
+      out += (("st_ivf_maint_fixed_delta", median(times),
+        "O(delta): 2k vectors assigned+appended vs a full-sf index"))
+      // recall half: probe the STREAM-MAINTAINED index (original ids
+      // only — the synthetic delta ids have no brute-force twin)
+      val q5 = emb.filter(col("id") < 5)
+      val index = Similarity.IvfIndex(
+        spark.read.parquet(idx).filter(col("id") < 3000000000L),
+        centroids, 16)
+      val approx = Similarity.ivfProbe(index, q5, k = 5, nProbe = 6)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(emb, q5, k = 5)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      out += ((s"st_ivf_maint_recall", recall,
+        "recall@5 of the maintained index vs brute force AT THIS SF " +
+          "(flat across the decade = incremental maintenance loses " +
+          "no vectors)"))
+    }
+
+    // ---- cdc_apply: per-trigger cost of following a change feed ----
+    // st_cdc_apply (the oracle-gated query) applies each batch with
+    // deleteMatching + append over PLAIN PARQUET: one anti join over
+    // the replica and a full staged rewrite — per-trigger cost is
+    // honestly O(replica), the copy-on-write smoke-scale shape. The
+    // decade pair measures that growth AND the O(delta) alternative
+    // the engine carries for 100 TB: the delete half as a
+    // MergeOnRead.deleteKeys tombstone append (no base read at all;
+    // upserts at scale ride the graftsink MERGE file-granular path).
+    {
+      import graft.operators.{MergeOnRead, Ops}
+      val root = Files.createTempDirectory("graft_sd_cdc").toString
+      val o = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      // fixed 2k-row feed batch: ~half deletes, half upserts
+      val feed = o.limit(2000)
+        .withColumn("op", when(col("o_orderkey") % 2 === 0, "D")
+          .otherwise("U"))
+        .withColumn("new_price", col("o_totalprice") * 2).cache()
+      feed.count()
+      // COW apply (the st_cdc_apply shape): anti join + full rewrite
+      val tgt = s"$root/cow"
+      Ops.fullRefresh(o, tgt) // untimed replica seed
+      val cowTimes = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Ops.deleteMatching(spark, tgt, feed.select("o_orderkey"),
+          "o_orderkey")
+        feed.filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("new_price").as("o_totalprice"))
+          .write.mode("append").parquet(tgt)
+        (System.nanoTime() - t0) / 1e9
+      }
+      out += (("st_cdc_apply_cow_per_batch", median(cowTimes),
+        "honest O(replica): each apply batch anti-joins AND rewrites " +
+          "the whole replica — grows with the decade"))
+      // MOR delete half: tombstone append, zero base reads
+      val mroot = s"$root/mor"
+      MergeOnRead.init(o, mroot) // untimed
+      val morTimes = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        MergeOnRead.deleteKeys(spark, mroot,
+          feed.filter(col("op") === "D").select("o_orderkey"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      out += (("st_cdc_apply_mor_delete_per_batch", median(morTimes),
+        "O(keys): the same delete batch as a tombstone append — " +
+          "flat across the decade"))
+      feed.unpersist()
+    }
+
     println(s"| path | seconds ($sfDir) | claim |")
     println("|---|---|---|")
     out.result().foreach { case (n, t, c) =>

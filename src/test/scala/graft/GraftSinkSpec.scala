@@ -911,8 +911,13 @@ class GraftSinkSpec extends SparkSpec {
             .filterNot(_.startsWith(".")).toSet
         } finally s.close()
       }
-      assert(onDisk === headRefs,
-        s"orphan segments survive vacuum: ${onDisk -- headRefs}")
+      // .bloom sidecars live and die with their segment
+      val (blooms, segs) = onDisk.partition(_.endsWith(".bloom"))
+      assert(segs === headRefs,
+        s"orphan segments survive vacuum: ${segs -- headRefs}")
+      assert(blooms.map(_.stripSuffix(".bloom")).subsetOf(headRefs),
+        s"orphan bloom sidecars survive vacuum: " +
+          s"${blooms.map(_.stripSuffix(".bloom")) -- headRefs}")
     }
     assert(spark.read.format("graftsink").load(dir)
       .select("k").as[Long].collect().toSet === expect)
@@ -1469,6 +1474,175 @@ class GraftSinkSpec extends SparkSpec {
     assert(!after.refs.exists(_.name == victimSeg.name))
   }
 
+  test("cold-driver replace resolves ONLY the touched segment: bloom " +
+      "sidecars rule untouched segments out without a read") {
+    val dir = freshDir
+    val conf = hconf
+    // 100 single-entry commits leave the ladder at [66, 33] + inline —
+    // two segments (150 would have merged into one)
+    (0 until 100).foreach { i =>
+      GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+        Seq(fakeEntry(i)), truncate = false)
+    }
+    val before = GraftSink.latestManifest(spark, dir).get
+    assert(before.refs.size >= 2, "test needs at least two segments")
+    // every segment carries its sidecar on disk
+    before.refs.foreach { r =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir, "_segments", s"${r.name}.bloom")),
+        s"segment ${r.name} missing its bloom sidecar")
+    }
+    // victim from the FIRST (largest, merged) segment — the worst
+    // case for a skip-less implementation, which would parse it last
+    val victim = before.files.head.name
+    GraftSink.clearSegmentCache() // cold driver: nothing parsed
+    val reads0 = GraftSink.segmentReads.get()
+    GraftSink.publish(spark, conf, dir, "k BIGINT,s STRING",
+      Seq(fakeEntry(9999)), truncate = false,
+      replace = Some(Set(victim)))
+    val reads = GraftSink.segmentReads.get() - reads0
+    // exactly the victim's segment is parsed (deterministic names +
+    // <1% bloom FP rate; an FP would read one extra segment and fail
+    // this exact bound loudly — tighten the sidecar, don't widen this)
+    assert(reads === 1L,
+      s"cold replace parsed $reads segments; blooms must rule out " +
+        s"all but the victim's (refs: ${before.refs.size})")
+    val after = GraftSink.latestManifest(spark, dir).get
+    assert(!after.files.exists(_.name === victim))
+    assert(after.files.size === before.files.size)
+  }
+
+  test("segment layer under racing writers + geometric merges + " +
+      "vacuum: surviving manifests all resolve, ref counts exact, no " +
+      "referenced segment collected") {
+    // round-7 segmentation changed what vacuum and the merge ladder
+    // race over (capped composeSegments merges rewrite trailing
+    // segments while vacuum collects expired history), so the writer
+    // race is re-proven at the final form: 4 writer threads x 50+ ops
+    // (appends + replaces, both driving composeSegments rollovers and
+    // merges) with a vacuum thread interleaved throughout. graceMs
+    // (1500 ms) exceeds any in-flight commit here by orders of
+    // magnitude — the documented safety contract — while the
+    // keepVersions=4 window lets vacuum genuinely collect most of the
+    // ~200-version history DURING the race.
+    val dir = freshDir
+    val conf = hconf
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val replaced =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val replacerAdded =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // forensic trail: every publish's claimed version, printed when
+    // the content assertion fails (burials show as version gaps)
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def guard(r: => Unit): Runnable = new Runnable {
+      // record, don't rethrow: the asserts below report ALL failures
+      // (a rethrow would surface as an opaque ExecutionException)
+      override def run(): Unit =
+        try r catch { case e: Throwable => failures.add(e) }
+    }
+    // 3 appender threads x 50 single-entry commits: enough rollovers
+    // to drive the capped-geometric merge ladder repeatedly
+    val appenders = (0 until 3).map { t =>
+      pool.submit(guard {
+        (0 until 50).foreach { i =>
+          val v = GraftSink.publish(spark, conf, dir,
+            "k BIGINT,s STRING", Seq(fakeEntry(t * 1000 + i)),
+            truncate = false,
+            maxRetries = 500) // 4 racing writers: collision storms
+          published.add(f"v$v add fake-${t * 1000 + i}%05d")
+        }
+      })
+    }
+    // replacer: 15 rounds, each picks a live file from the CURRENT
+    // head and swaps it for a fresh entry — segment rewrites racing
+    // the appenders' merges
+    val replacer = pool.submit(guard {
+      (0 until 15).foreach { j =>
+        Thread.sleep(30)
+        GraftSink.latestManifest(spark, dir).foreach { head =>
+          head.files.map(_.name)
+            .find(n => !replaced.contains(n)).foreach { victim =>
+            val v = GraftSink.publish(spark, conf, dir,
+              "k BIGINT,s STRING", Seq(fakeEntry(5000 + j)),
+              truncate = false,
+              replace = Some(Set(victim)), maxRetries = 500)
+            published.add(f"v$v replace $victim with fake-${5000 + j}%05d")
+            replaced.add(victim)
+            replacerAdded.add(f"fake-${5000 + j}%05d")
+          }
+        }
+      }
+    })
+    // vacuum thread: interleaved collection until the writers finish
+    val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacThread = pool.submit(guard {
+      while (!stop.get()) {
+        GraftSink.vacuum(spark, dir, keepVersions = 4, graceMs = 1500L)
+        vacuums.incrementAndGet()
+        Thread.sleep(50)
+      }
+    })
+    (appenders :+ replacer).foreach(_.get())
+    stop.set(true)
+    vacThread.get()
+    pool.shutdown()
+    assert(failures.isEmpty,
+      s"racing op failed: ${Option(failures.peek()).map(_.toString)}")
+    assert(vacuums.get() >= 3, "vacuum must actually interleave")
+    // final sweep with zero grace collects everything collectable
+    GraftSink.vacuum(spark, dir, keepVersions = 4, graceMs = 0L)
+    GraftSink.clearSegmentCache() // resolve from DISK, not memory —
+    // a collected-but-cached segment must not mask the loss
+    // every SURVIVING complete manifest resolves fully (vacuum never
+    // collected a segment a surviving manifest references), with
+    // exact ref bookkeeping
+    val survivors = GraftSink.versionsOnDisk(spark, dir)
+    assert(survivors.nonEmpty)
+    survivors.foreach { v =>
+      val m = GraftSink.manifestAt(spark, dir, Some(v)).getOrElse(
+        fail(s"surviving manifest v$v failed to resolve"))
+      assert(m.refs.map(_.count).sum + m.inline.size === m.files.size,
+        s"v$v ref counts disagree with the resolved file list")
+      m.refs.foreach { r =>
+        val members = GraftSink.readSegmentForSpec(conf, dir, r.name)
+        assert(members.size === r.count,
+          s"v$v segment ${r.name}: ref says ${r.count}, " +
+            s"segment holds ${members.size}")
+        assert(members.map(_.rows).sum === r.rows,
+          s"v$v segment ${r.name}: row count drifted")
+      }
+    }
+    // content exactness at the head: all 150 appended + 15 replacer
+    // entries, minus the replaced victims
+    val head = GraftSink.latestManifest(spark, dir).get
+    import scala.jdk.CollectionConverters._
+    val expect = ((for (t <- 0 until 3; i <- 0 until 50)
+      yield f"fake-${t * 1000 + i}%05d") ++ replacerAdded.asScala)
+      .toSet -- replaced.asScala
+    // forensic chain dump: per surviving version, the delta vs its
+    // predecessor — a buried commit shows as a successor whose delta
+    // silently reverts the victim's
+    val chain = survivors.flatMap { v =>
+      GraftSink.manifestAt(spark, dir, Some(v)).map(m =>
+        v -> m.files.map(_.name).toSet)
+    }
+    val chainDump = chain.sliding(2).collect {
+      case Seq((v1, s1), (v2, s2)) =>
+        f"v$v2: +${(s2 -- s1).mkString(",")} -${(s1 -- s2).mkString(",")}"
+    }.mkString("\n")
+    withClue(published.asScala.toSeq.sortBy(l =>
+        l.drop(1).takeWhile(_.isDigit).toInt).mkString("\n", "\n", "\n")
+        + "\nchain:\n" + chainDump + "\n") {
+      assert(head.files.map(_.name).toSet === expect,
+        s"lost: ${expect -- head.files.map(_.name).toSet}; phantom: " +
+          s"${head.files.map(_.name).toSet -- expect}")
+    }
+  }
+
   test("data round trip across the segment boundary: appends, time " +
       "travel, and bounds skipping are unchanged by segmentation") {
     val dir = freshDir
@@ -1514,9 +1688,13 @@ class GraftSinkSpec extends SparkSpec {
       .IteratorHasAsScala(after).asScala.map(_.getFileName.toString)
       .filterNot(_.startsWith(".")).toSet // hadoop .crc sidecars
     // exactly the head's segments survive (merge/retry leftovers and
-    // expired history's exclusive segments are gone)
-    assert(remaining === headRefs,
-      s"kept $remaining vs referenced $headRefs (of $beforeCount)")
+    // expired history's exclusive segments are gone); each live
+    // segment keeps its .bloom sidecar, dead segments lose theirs
+    val (remBlooms, remSegs) = remaining.partition(_.endsWith(".bloom"))
+    assert(remSegs === headRefs,
+      s"kept $remSegs vs referenced $headRefs (of $beforeCount)")
+    assert(remBlooms.map(_.stripSuffix(".bloom")) === headRefs,
+      s"bloom sidecars out of step: $remBlooms vs $headRefs")
     assert(GraftSink.latestManifest(spark, dir).get.files.size === 100)
   }
 }

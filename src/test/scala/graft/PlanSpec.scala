@@ -527,4 +527,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("LeftOuter"),
       s"expected a left outer equi join:\n$p")
   }
+
+  test("q_recursive_cte: engine-iterative UnionLoop whose frontier " +
+      "SHRINKS — the total walk-row budget is an enforced contract, " +
+      "not an assumption") {
+    // The 100× story for WITH RECURSIVE rests on the frontier (rows
+    // still walking) shrinking every iteration: total rows through
+    // the loop = Σ_k (⌊log₂ k⌋ + 1) ≈ n·log₂(maxKey), never n².
+    // Tables.configure sets the 50M session guard for sf1 headroom;
+    // this gate pins the per-QUERY contract by running the walk under
+    // the EXACT analytic budget for this dataset — any future edit
+    // that makes the frontier grow (re-emitting finished rows, losing
+    // the cur>1 cutoff) exceeds the budget and trips the engine's own
+    // recursion row limit, failing here loudly.
+    import spark.implicits._
+    val keys = graft.queries.Tables(spark, sf, "orders")
+      .select($"o_orderkey").as[Long].collect()
+    // rows ever emitted by the recursion for key k: the anchor row
+    // plus one per halving step until cur reaches 1 — i.e. k's bit
+    // length, except key 0 which stops at its anchor (1 row, not 0)
+    val budget = keys.map(k =>
+      math.max(1L, 64L - java.lang.Long.numberOfLeadingZeros(k))).sum
+    val prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    try {
+      // +1: UnionLoopExec raises at accumulated == limit BEFORE the
+      // final empty iteration proves exhaustion, so the limit must
+      // strictly exceed the total. One row of slack against a
+      // frontier-growth regression that would add >= |orders| rows.
+      spark.conf.set("spark.sql.cteRecursionRowLimit",
+        (budget + 1).toString)
+      val df = q("q_recursive_cte")
+      val rows = df.collect() // would throw past the budget
+      // sanity: per-depth counts sum back to the keys that CAN reach
+      // the root (every walk from k >= 1 finishes exactly once; key 0
+      // halves to itself and stops at its anchor without ever hitting
+      // cur = 1)
+      assert(rows.map(_.getAs[Long]("n_orders")).sum
+        === keys.count(_ >= 1L))
+      assert(plan(df).contains("UnionLoop"),
+        "recursive CTE must plan as the engine-iterative UnionLoop")
+    } finally spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+  }
 }

@@ -46,10 +46,38 @@ else
 fi
 
 echo "[roundcheck] 4/4 graft.Bench $SF_BENCH"
-SPARK_GRAFT_SF_DIR="$SF_BENCH" \
-  SPARK_GRAFT_BENCH_DETAIL="$OUT/bench_detail.json" \
-  sbt -batch "runMain graft.Bench" >"$OUT/bench.log" 2>&1
-BENCH_RC=$?
+# The bench is only evidence when it ran on the contract's core count
+# AND the contention canary stayed quiet — round 7 shipped a 4-CPU,
+# contended artifact as the round number. Retry the bench section
+# alone (with backoff) until a quiet 32-CPU run lands or attempts run
+# out; a still-contended final attempt is kept but annotated, and the
+# gate below downgrades to PASS_CONTENDED.
+BENCH_RETRIES=${BENCH_RETRIES:-4}
+BENCH_BACKOFF=${BENCH_BACKOFF:-60}
+BENCH_RC=1
+for attempt in $(seq 1 "$BENCH_RETRIES"); do
+  echo "[roundcheck]   bench attempt $attempt/$BENCH_RETRIES"
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" \
+    SPARK_GRAFT_BENCH_DETAIL="$OUT/bench_detail.json" \
+    sbt -batch "runMain graft.Bench" >"$OUT/bench.log" 2>&1
+  BENCH_RC=$?
+  QUIET=$(python3 - "$OUT/bench_detail.json" <<'PYEOF'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+    cpus = int(d.get("cpus", 0))
+    c = d.get("canary") or {}
+    ok = (cpus >= 32 and c.get("available", True)
+          and float(c.get("drift", 99)) <= 1.3)
+    print("quiet" if ok else f"noisy cpus={cpus} drift={c.get('drift')}")
+except Exception as e:
+    print(f"noisy parse_error={e}")
+PYEOF
+)
+  echo "[roundcheck]   bench attempt $attempt: $QUIET (rc=$BENCH_RC)"
+  if [ "$BENCH_RC" -eq 0 ] && [ "$QUIET" = "quiet" ]; then break; fi
+  [ "$attempt" -lt "$BENCH_RETRIES" ] && sleep "$BENCH_BACKOFF"
+done
 
 python3 - "$OUT" "$TEST_RC" "$VERIFY_RC" "$ORACLE_RC" "$BENCH_RC" <<'EOF'
 import json, re, sys
@@ -105,12 +133,20 @@ try:
         b = json.loads(bl[-1])
         summary["bench"].update(
             total_sec=b.get("value"), nq=b.get("nq"),
+            cpus=b.get("cpus"),
             canary_drift=b.get("canary_drift"),
             contended=b.get("contended"),
             streaming_total=b.get("streaming_total"),
             failed=b.get("failed"))
     d = json.load(open(f"{out}/bench_detail.json"))
     summary["bench"]["canary"] = d.get("canary")
+    summary["bench"]["cpus"] = d.get("cpus")
+    summary["bench"]["host_cpus"] = d.get("host_cpus")
+    # a run on fewer cores than the 32 the round contract specifies is
+    # never clean evidence, whatever its canary says
+    if (d.get("cpus") or 0) < 32:
+        summary["bench"]["contended"] = True
+        summary["bench"]["undersized"] = True
 except Exception as e:
     summary["bench"]["parse_error"] = str(e)
 
