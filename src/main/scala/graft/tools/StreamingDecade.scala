@@ -234,7 +234,7 @@ object StreamingDecade {
       // only — the synthetic delta ids have no brute-force twin)
       val q5 = emb.filter(col("id") < 5)
       val index = Similarity.IvfIndex(
-        spark.read.parquet(idx).filter(col("id") < 3000000000L),
+        spark.read.parquet(idx).filter(col("corpus_id") < 3000000000L),
         centroids, 16)
       val approx = Similarity.ivfProbe(index, q5, k = 5, nProbe = 6)
         .select("query_id", "corpus_id").collect()
