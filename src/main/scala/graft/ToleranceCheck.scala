@@ -335,25 +335,28 @@ object ToleranceCheck {
     check("e_semdedup_pairs") {
       val semRecall = recall(pairSet(res("e_semdedup_pairs")),
         pairSet(res("e_neardup_pairs")))
-      Check("recall_vs_exact_neardup", semRecall, 0.75, semRecall >= 0.75,
+      Check("recall_vs_exact_neardup", semRecall, 0.78, semRecall >= 0.78,
         "fraction of exact cosine>=0.4 pairs recovered by IVF-cell " +
-          "blocking (8 spherical k-means cells, soft-assigned to the " +
-          "2 nearest; hard assignment measured 0.42, soft 0.92)")
+          "blocking (8 spherical k-means++ cells, soft-assigned to " +
+          "the 2 nearest; measured 0.8475 bit-stable, bound 0.07 below)")
     }
 
     // LSH / IVF top-k recall vs the brute-force exact twin.
     //
-    // Bound discipline (round 8): every ANN bound is MEASURED MINUS A
-    // SMALL MARGIN (<= 0.1), not a loose floor — a bound of 0.45
-    // against a measured 0.8 would let a 40-point recall regression
-    // ship green. Tightening immediately caught that the "bit-stable"
-    // r5-r7 recalls were luck, not law: KMeans random-init sampled by
-    // ROUND-ROBIN partition placement, so a fresh JVM could re-deal
-    // the fit (observed 0.80 -> 0.56 across identical binaries).
-    // Ops.spreadNarrow now hash-partitions on row content, making
-    // every fit a pure function of the data; measured recalls are
-    // bit-identical across JVMs (3-run verified): ivf family 0.68,
-    // knn_graph 0.7392, semdedup 0.8136, lsh 0.84. Bounds sit
+    // Bound discipline (round 8, re-derived round 9): every ANN bound
+    // is MEASURED MINUS A SMALL MARGIN (<= 0.1), not a loose floor — a
+    // bound of 0.45 against a measured 0.8 would let a 40-point recall
+    // regression ship green. Round 8's tightening caught that the
+    // "bit-stable" r5-r7 recalls were luck (KMeans random-init sampled
+    // by partition placement; 0.80 -> 0.56 across identical binaries),
+    // but its fix pinned the PLACEMENT coin and froze a poor codebook
+    // (ivf family 0.80 -> 0.64). Round 9 removed the coin: quantizer
+    // fits are deterministic k-means++ over a content-keyed bounded
+    // sample (Kernels.kmeansFit via ivfFit), so fits are pure
+    // functions of the data by ALGORITHM, independent of partition
+    // layout and executor count. Measured recalls are bit-identical
+    // across 3 fresh JVMs at 16/16/24 cores: ivf family 0.80,
+    // knn_graph 0.7308, semdedup 0.8475, lsh 0.84. Bounds sit
     // 0.05-0.09 below those. If a future intentional parameter change
     // (nProbe, tables, bands) moves a measured value, re-derive the
     // bound as measured-0.05 in the same commit — never widen it to
@@ -368,23 +371,24 @@ object ToleranceCheck {
     check("e_ivf_topk") {
       val ivfRecall = recall(topkSet(res("e_ivf_topk")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", ivfRecall, 0.6, ivfRecall >= 0.6,
-        "IVF 6-of-16-cell probing, top-5 overlap with exact cosine " +
-          "top-5 (this synthetic corpus has weak cluster structure — " +
-          "random embeddings — so recall tracks the probed fraction; " +
-          "nProbe is the recall/cost dial, 8 cells measured 0.88)")
+      Check("recall_vs_brute_force", ivfRecall, 0.75, ivfRecall >= 0.75,
+        "IVF 6-of-16-cell probing (k-means++ quantizer), top-5 " +
+          "overlap with exact cosine top-5 (this synthetic corpus " +
+          "has weak cluster structure — random embeddings — so " +
+          "recall tracks the probed fraction; measured 0.80 " +
+          "bit-stable, bound 0.05 below)")
     }
     check("e_ivf_persisted") {
       val pRecall = recall(topkSet(res("e_ivf_persisted")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", pRecall, 0.6, pRecall >= 0.6,
+      Check("recall_vs_brute_force", pRecall, 0.75, pRecall >= 0.75,
         "probe of the PERSISTED cell-partitioned IVF index, top-5 " +
           "overlap with exact cosine top-5 (same contract as e_ivf_topk)")
     }
     check("st_ivf_maint") {
       val r = recall(topkSet(res("st_ivf_maint")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", r, 0.6, r >= 0.6,
+      Check("recall_vs_brute_force", r, 0.75, r >= 0.75,
         "probe of the STREAM-MAINTAINED IVF index (per-micro-batch " +
           "frozen-centroid assignment appended cell-partitioned), " +
           "same recall contract as the batch-built index — " +
@@ -397,14 +401,14 @@ object ToleranceCheck {
     check("e_knn_graph") {
       val r = recall(topkSet(res("e_knn_graph")),
         topkSet(res("e_knn_exact")))
-      Check("recall_vs_exact_graph", r, 0.65, r >= 0.65,
+      Check("recall_vs_exact_graph", r, 0.68, r >= 0.68,
         "IVF-probed top-5 neighbour graph (6-of-16 cells, persisted " +
           "index) vs the exact brute-force k-NN graph, all nodes")
     }
     check("e_ivfpq_topk") {
       val r = recall(topkSet(res("e_ivfpq_topk")),
         topkSet(res("e_ann_topk")))
-      Check("recall_vs_brute_force", r, 0.6, r >= 0.6,
+      Check("recall_vs_brute_force", r, 0.75, r >= 0.75,
         "IVF-PQ composed index (6-of-16 cells, 16-byte codes, " +
           "rerank=100): recall is bounded by the cell pruning — it " +
           "must track e_ivf_topk's at the same nProbe, the PQ stage " +

@@ -283,6 +283,37 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int,
     copy(child = c)
 }
 
+/** Nearest-centroid cell id (spec in Kernels.ivfCell): array<float> →
+  * int in [0, k). The IVF coarse quantizer's ASSIGNMENT step as a pure
+  * codegen'd projection — the fitted centroids ride as a codegen
+  * reference object, so assigning a 100 TB corpus is a single
+  * shuffle-free scan (no window argmin, no centroid join).
+  */
+case class IvfCell(child: Expression, centroids: Array[Float], k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 256, "need 0 < k <= 256")
+  require(centroids.length % k == 0, "centroid length must be k*dim")
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "ivf_cell"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.ivfCell(v.asInstanceOf[ArrayData], centroids, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[]")
+    defineCodeGen(ctx, ev, c => s"${K.name}.ivfCell($c, $ref, $k)")
+  }
+  // value equality over the centroid array (see RangeBucket)
+  override def equals(o: Any): Boolean = o match {
+    case IvfCell(c, b, ok) => c == child && ok == k &&
+      java.util.Arrays.equals(b, centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (31 * child.hashCode() + java.util.Arrays.hashCode(centroids)) * 31 + k
+  override protected def withNewChildInternal(c: Expression): IvfCell =
+    copy(child = c)
+}
+
 /** Query-side ADC distance table (spec in Kernels.pqAdcTable):
   * array<float> → m·k squared-subdistance floats, computed once per
   * query row; [[PqAdc]] then scores any corpus code in m lookups.

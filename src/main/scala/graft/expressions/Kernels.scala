@@ -640,6 +640,161 @@ object Kernels {
     cb
   }
 
+  /** Driver-side spherical k-means with DETERMINISTIC k-means++
+    * seeding (Arthur & Vassilvitskii, SODA 2007): D²-weighted center
+    * selection via a seeded RNG walking the caller's hash-ordered
+    * sample, then Lloyd iterations with deterministic empty-cluster
+    * reseeding (ties break to the lowest row index everywhere).
+    * Every step is a pure function of (samples-in-order, k, iters,
+    * seed), so fits are bit-stable across JVMs, partition layouts,
+    * and executor counts — determinism comes from the ALGORITHM, not
+    * from pinning shuffle placement. (Round 8 pinned the placement
+    * coin instead and the deterministic random draw landed a poor
+    * codebook: the IVF family's recall fell 0.80 → 0.64. k-means++
+    * removes the coin AND spreads the seeds, recovering the recall
+    * while keeping the 3-run bit-stability the tightened tolerance
+    * bounds rely on.)
+    *
+    * Samples are L2-normalized internally (spherical k-means — the
+    * quantizer metric must match cosine scoring; see ivfFit's
+    * l2normed note). Returns k·dim flat floats, row-major, the same
+    * layout [[pqEncode]] consumes with m=1.
+    */
+  def kmeansFit(samples: Array[Array[Float]], k: Int, iters: Int,
+      seed: Long): Array[Float] = {
+    val n = samples.length
+    require(n >= k, s"need at least k=$k sample vectors, got $n")
+    val dim = samples(0).length
+    val normed = samples.map { s =>
+      var ss = 0.0
+      var i = 0
+      while (i < s.length) { ss += s(i).toDouble * s(i).toDouble; i += 1 }
+      if (ss == 0.0) s
+      else { val inv = (1.0 / math.sqrt(ss)).toFloat; s.map(_ * inv) }
+    }
+    val cb = new Array[Float](k * dim)
+    val rnd = new java.util.Random(seed)
+    // --- k-means++ seeding: first center uniform, each next center
+    // D²-weighted by squared distance to the nearest chosen center.
+    // d2 is updated incrementally (one pass per new center), and the
+    // cumulative-weight walk visits rows in sample order — both fix
+    // the float summation order, so seeding is bit-stable.
+    val d2 = new Array[Double](n)
+    java.util.Arrays.fill(d2, Double.MaxValue)
+    var chosen = rnd.nextInt(n)
+    System.arraycopy(normed(chosen), 0, cb, 0, dim)
+    var c = 1
+    while (c < k) {
+      val prev = (c - 1) * dim
+      var total = 0.0
+      var r = 0
+      while (r < n) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) {
+          val diff = normed(r)(j).toDouble - cb(prev + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < d2(r)) d2(r) = d
+        total += d2(r)
+        r += 1
+      }
+      if (total <= 0.0) {
+        // all residual mass zero (duplicate-heavy sample): fall back
+        // to a deterministic stride so centers stay distinct rows
+        chosen = (chosen + 1 + c) % n
+      } else {
+        val target = rnd.nextDouble() * total
+        var cum = 0.0
+        chosen = n - 1
+        r = 0
+        var found = false
+        while (r < n && !found) {
+          cum += d2(r)
+          if (cum >= target) { chosen = r; found = true }
+          r += 1
+        }
+      }
+      System.arraycopy(normed(chosen), 0, cb, c * dim, dim)
+      c += 1
+    }
+    // --- Lloyd iterations (same deterministic update/reseed
+    // discipline as pqTrain's subspace loop)
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var r = 0
+      while (r < n) {
+        val v = normed(r)
+        var bestC = 0
+        var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val diff = v(j) - cb(cc * dim + j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; bestC = cc }
+          cc += 1
+        }
+        assign(r) = bestC
+        r += 1
+      }
+      val sums = new Array[Double](k * dim)
+      val counts = new Array[Int](k)
+      r = 0
+      while (r < n) {
+        val cc = assign(r)
+        counts(cc) += 1
+        var j = 0
+        while (j < dim) { sums(cc * dim + j) += normed(r)(j); j += 1 }
+        r += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) == 0) {
+          var farR = 0
+          var farD = -1.0
+          r = 0
+          while (r < n) {
+            val a = assign(r)
+            var d = 0.0
+            var j = 0
+            while (j < dim) {
+              val diff = normed(r)(j) - cb(a * dim + j)
+              d += diff * diff
+              j += 1
+            }
+            if (d > farD) { farD = d; farR = r }
+            r += 1
+          }
+          System.arraycopy(normed(farR), 0, cb, cc * dim, dim)
+        } else {
+          var j = 0
+          while (j < dim) {
+            cb(cc * dim + j) = (sums(cc * dim + j) / counts(cc)).toFloat
+            j += 1
+          }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** Nearest-centroid cell id over the full (normalized) vector —
+    * [[pqEncode]] with a single subspace, widened past byte range so
+    * quantizers may have up to 256 cells. Ties break to the lowest
+    * cell, matching the probe side's (d2 asc, cell asc) ordering.
+    */
+  def ivfCell(v: ArrayData, cb: Array[Float], k: Int): Int =
+    pqEncode(v, cb, 1, k)(0) & 0xff
+
   /** PQ-encode a vector: per subspace, the index of the nearest
     * codebook centroid (squared L2 in normalized space; ties break to
     * the lowest index). Returns `m` bytes — with m=16 on a 64-dim

@@ -51,6 +51,8 @@ object GraftFunctions {
     call_function("sq8_cosine", l, r)
   def pq_encode(c: Column, codebooks: Array[Float], m: Int, k: Int): Column =
     call_function("pq_encode", c, lit(codebooks), lit(m), lit(k))
+  def ivf_cell(c: Column, centroids: Array[Float], k: Int): Column =
+    call_function("ivf_cell", c, lit(centroids), lit(k))
   def pq_adc_table(c: Column, codebooks: Array[Float], m: Int,
       k: Int): Column =
     call_function("pq_adc_table", c, lit(codebooks), lit(m), lit(k))
@@ -114,6 +116,11 @@ object GraftFunctions {
           .toFloatArray(),
         es(2).eval(null).asInstanceOf[Number].intValue(),
         es(3).eval(null).asInstanceOf[Number].intValue())),
+      "ivf_cell" -> (es => IvfCell(es.head,
+        es(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray(),
+        es(2).eval(null).asInstanceOf[Number].intValue())),
       "pq_adc_table" -> (es => PqAdcTable(es.head,
         es(1).eval(null)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

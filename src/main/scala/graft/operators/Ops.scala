@@ -631,18 +631,20 @@ object Ops {
     val target = spark.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions * 2 < target)
-      // DETERMINISTIC spread: hash-partition on row CONTENT, never
-      // round-robin. RoundRobinPartitioning places rows by input-split
-      // order and task scheduling, so two JVMs can spread the same
-      // table differently — harmless for the scoring passes (their
-      // results are placement-invariant) but it silently reseeded
-      // every k-means fit downstream (KMeans random-init samples per
-      // partition): the IVF family's recall swung 0.80 → 0.56 between
-      // identical binaries the moment the tolerance bounds were
-      // tightened enough to see it (round 8). Content-hash placement
-      // is a pure function of the data — fits are now reproducible
-      // across environments, which is what lets recall bounds sit
-      // 0.05 from measured instead of 0.35.
+      // Spread by hashing row CONTENT, never round-robin.
+      // RoundRobinPartitioning places rows by input-split order and
+      // task scheduling, so two JVMs can spread the same table
+      // differently. Note the limit of the guarantee: this pins each
+      // row's PARTITION, not the intra-partition arrival ORDER
+      // (shuffle block fetch order varies), so nothing downstream may
+      // depend on iteration order. Since round 9 nothing does: every
+      // quantizer fit samples by content key (TakeOrdered on
+      // xxhash64(id) — ivfFit/pqFit) and clusters with a
+      // deterministic driver kernel, so fits are pure functions of
+      // the data regardless of placement, and the scoring passes'
+      // results are placement-invariant by construction. Content-hash
+      // placement is kept because it is no costlier than round-robin
+      // and keeps spread plans stable for PLANS.lock fingerprints.
       df.repartition(target, xxhash64(df.columns.map(col): _*))
         .where(rand(0x5bead) + lit(1d) > 0d)
     else df

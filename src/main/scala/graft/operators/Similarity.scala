@@ -99,7 +99,8 @@ object Similarity {
     * |corpus| — the classic ANN trade; `nProbe == nCells` degenerates
     * to exact brute force (the spec asserts that equality).
     *
-    * Composition: `ml.clustering.KMeans` for the quantizer,
+    * Composition: a deterministic driver-fitted k-means++ quantizer
+    * over a content-keyed bounded sample (see [[ivfFit]]),
     * `zip_with`+`aggregate` for the squared-distance cell ranking (pure
     * codegen'd builtins), [[graft.functions.TopK]]'s bounded aggregator
     * for the final per-query k — no window sort anywhere.
@@ -136,30 +137,55 @@ object Similarity {
     *               contract; callers own [[IvfIndex.release]]). Pass
     *               false for one-shot fit+probe compositions, which
     *               would otherwise leak the cached RDD.
+    *
+    * Fit protocol (deterministic by ALGORITHM, round 9):
+    *  1. a bounded CONTENT-KEYED training sample — the `sampleN`
+    *     rows with the smallest `xxhash64(id)` (TakeOrdered: one
+    *     O(n log sampleN) scan, no full sort, no shuffle). Keying the
+    *     sample on row content makes it a pure function of the DATA —
+    *     independent of partition layout, split planning, task
+    *     scheduling, and executor count. (Round 8 instead pinned the
+    *     shuffle placement that MLlib's random init sampled through;
+    *     that made fits reproducible but froze a POOR codebook —
+    *     recall fell 0.80 → 0.64.)
+    *  2. driver-side spherical k-means with deterministic k-means++
+    *     seeding over that sample ([[graft.expressions.Kernels
+    *     .kmeansFit]]) — the standard IVF contract: a coarse
+    *     quantizer converges on ~256·nCells training vectors no
+    *     matter the corpus size (FAISS trains IVF on a bounded sample
+    *     at any scale), so at 100 TB this step is unchanged.
+    *  3. one shuffle-free assignment scan: the fitted centroids ride
+    *     into tasks as a codegen reference object and each row's cell
+    *     is a pure projection ([[graft.functions.GraftFunctions
+    *     .ivf_cell]]) — no window argmin, no centroid join, no MLlib
+    *     model object.
     */
   def ivfFit(corpus: DataFrame, nCells: Int = 16,
       seed: Long = 42L, cache: Boolean = true): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = Ops.spreadNarrow(corpus)
-      .select(col("id"), col("embedding"),
-        array_to_vector(l2normed(col("embedding"))).as("fv"))
-    // a coarse quantizer needs rough cells, not convergence — cap the
-    // iterations and use random init (k-means|| costs extra full passes
-    // to place starting centroids a quantizer doesn't need)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(featured)
-    val raw = model.transform(featured)
+    import graft.functions.GraftFunctions.ivf_cell
+    val sampleN = math.max(nCells * 256, 2048)
+    val sample = corpus
+      .select(col("embedding").cast("array<float>").as("e"),
+        xxhash64(col("id")).as("hk"))
+      .orderBy("hk")
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val flat = graft.expressions.Kernels.kmeansFit(
+      sample, nCells, iters = 12, seed = seed)
+    val dim = sample(0).length
+    val raw = Ops.spreadNarrow(corpus)
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
-        col("cell"))
+        ivf_cell(col("embedding").cast("array<float>"), flat, nCells)
+          .as("cell"))
     val assigned = if (cache)
       raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else raw
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val centroids = flat.grouped(dim).zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toDouble)) }
+      .toSeq.toDF("cell", "centroid")
     IvfIndex(assigned, centroids, nCells)
   }
 
@@ -310,8 +336,14 @@ object Similarity {
     */
   def pqFit(corpus: DataFrame, m: Int = 16, k: Int = 16,
       sampleN: Int = 4096, iters: Int = 12, seed: Long = 42L): PqCodebooks = {
+    // content-keyed bounded sample (same discipline as ivfFit): a bare
+    // limit() takes whichever splits schedule first, so the codebooks
+    // would vary with partition layout; TakeOrdered on xxhash64(id)
+    // makes them a pure function of the data
     val sample = corpus
-      .select(col("embedding").cast("array<float>").as("e"))
+      .select(col("embedding").cast("array<float>").as("e"),
+        xxhash64(col("id")).as("hk"))
+      .orderBy("hk")
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](0).toArray)

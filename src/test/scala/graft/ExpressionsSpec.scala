@@ -279,4 +279,74 @@ class ExpressionsSpec extends SparkSpec {
         "size(char_gram_hashes('hello, World! 123', 4))").head
     assert(viaSql.getInt(0) == 5 && viaSql.getInt(1) == 10)
   }
+
+  test("kmeansFit: deterministic k-means++ — identical codebooks on " +
+      "repeat, centers cover the sample, ivf_cell agrees with the kernel") {
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 48271 + d * 2039) % 8009).toFloat / 8009f) - 0.5f
+    val vecs = (0 until 64).map(i =>
+      Array.tabulate(8)(d => pseudo(i, d))).toArray
+    val k = 6
+    val cb1 = Kernels.kmeansFit(vecs, k, iters = 10, seed = 42L)
+    val cb2 = Kernels.kmeansFit(vecs.map(_.clone()), k, iters = 10,
+      seed = 42L)
+    // bit-stable: determinism by algorithm, not by environment
+    assert(java.util.Arrays.equals(cb1, cb2))
+    // a different seed draws different k-means++ centers
+    val cb3 = Kernels.kmeansFit(vecs, k, iters = 10, seed = 7L)
+    assert(!java.util.Arrays.equals(cb1, cb3))
+    assert(cb1.length == k * 8)
+    // every centroid is finite and inside the normalized ball
+    val dim = 8
+    (0 until k).foreach { c =>
+      val norm = math.sqrt((0 until dim)
+        .map(j => cb1(c * dim + j).toDouble * cb1(c * dim + j)).sum)
+      assert(norm.isFinite && norm <= 1.0 + 1e-6, s"cell $c norm $norm")
+    }
+    // the DataFrame ivf_cell projection agrees with the kernel and
+    // lands in [0, k)
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    val cells = vecs.take(10).toSeq.map(Tuple1(_)).toDF("v")
+      .select(ivf_cell(col("v"), cb1, k)).as[Int].collect()
+    vecs.take(10).zip(cells).foreach { case (v, cell) =>
+      assert(cell == Kernels.ivfCell(ad(v), cb1, k))
+      assert(cell >= 0 && cell < k)
+    }
+    // SQL surface carries the registration
+    val viaSql = spark.sql(
+      s"SELECT ivf_cell(array(${vecs(0).mkString("F,")}F), " +
+        s"array(${cb1.mkString("F,")}F), $k)").head.getInt(0)
+    assert(viaSql == Kernels.ivfCell(ad(vecs(0)), cb1, k))
+  }
+
+  test("kmeansFit k-means++ seeding spreads centers: distinct rows, " +
+      "and a duplicate-heavy sample still yields k centers") {
+    // 4 well-separated direction clusters in 4-d; k=4 must land one
+    // center per cluster (k-means++ D^2-weighting makes this certain
+    // on separated data, where random init frequently collides)
+    val base = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 4)
+      b.zipWithIndex.map { case (x, d) =>
+        x + (((i * 131 + d * 17) % 7).toFloat - 3f) / 100f }
+    }.toArray
+    val cb = Kernels.kmeansFit(vecs, 4, iters = 8, seed = 1L)
+    // each base direction has exactly one nearest centroid, all four
+    // distinct => the quantizer covered every cluster
+    def ad(v: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+    val owners = base.map(b => Kernels.ivfCell(ad(b), cb, 4)).toSet
+    assert(owners.size == 4, s"clusters collapsed: owners=$owners")
+    // duplicate-heavy degenerate sample: k distinct centers still
+    // emerge (deterministic stride fallback), no crash, no NaN
+    val dup = Array.fill(16)(Array(1f, 1f, 0f, 0f)) ++
+      Array.fill(2)(Array(0f, 0f, 1f, 1f))
+    val cbd = Kernels.kmeansFit(dup, 3, iters = 4, seed = 3L)
+    assert(cbd.forall(f => !f.isNaN))
+  }
 }
