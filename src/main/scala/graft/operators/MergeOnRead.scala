@@ -92,6 +92,102 @@ object MergeOnRead {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Sequence-aware apply — the full merge-on-read CDC consumer
+  // (equality deletes with sequence numbers, the Iceberg v2 design):
+  // plain tombstones above mask a key EVERYWHERE, so an upsert
+  // (delete old + append new in one batch) is inexpressible; stamping
+  // every appended row and tombstone with its apply SEQUENCE makes it
+  // one rule — a tombstone at seq s masks rows with __seq < s, never
+  // the row its own batch appends at s. Per batch the apply cost is
+  // one O(keys) tombstone append plus one O(rows) data append, ZERO
+  // base reads (StreamsSpec gates that with an input-records counter);
+  // the read view pays one broadcast join against the small tombstone
+  // relation until [[compactSeq]] folds everything back to a plain
+  // scan. Batch dirs are NAMED BY SEQUENCE and written with overwrite,
+  // so a checkpoint replay of a batch rewrites the same content —
+  // apply is idempotent by construction, matching the copy-on-write
+  // twin's replay law.
+  //
+  // Layout (beside the plain-tombstone dirs):
+  // {{{
+  // root/data/...parquet      immutable base rows (implicit __seq 0)
+  // root/updates/u<seq>/      appended rows, stamped __seq
+  // root/deletes/t<seq>/      (key, __seq) equality tombstones
+  // }}}
+
+  private def updatesDir(root: String) = s"$root/updates"
+
+  /** Append one apply batch's I/U rows at sequence `seq` (seq ≥ 1;
+    * base rows sit at 0). O(rows), zero base reads, replay-idempotent
+    * (the seq-named dir is overwritten with identical content).
+    */
+  def appendRowsAt(spark: SparkSession, root: String, rows: DataFrame,
+      seq: Long): Unit = {
+    require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    rows.withColumn("__seq", lit(seq))
+      .write.mode("overwrite").parquet(s"${updatesDir(root)}/u$seq")
+  }
+
+  /** Append one apply batch's equality tombstones at sequence `seq`:
+    * masks every version of each key BELOW `seq` (the batch's own
+    * [[appendRowsAt]] rows survive). O(keys), zero base reads,
+    * replay-idempotent.
+    */
+  def deleteKeysAt(spark: SparkSession, root: String, keys: DataFrame,
+      seq: Long): Unit = {
+    require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    keys.distinct().withColumn("__seq", lit(seq))
+      .write.mode("overwrite").parquet(s"${deletesDir(root)}/t$seq")
+  }
+
+  /** The sequence-aware live view: base (seq 0) ∪ appended versions,
+    * minus every row masked by a later tombstone of its key. One left
+    * join against max-tombstone-seq per key — Catalyst broadcasts
+    * that side while it is small (the usual case between
+    * compactions) and falls back to a shuffle join when a long
+    * uncompacted tombstone history outgrows the threshold, so the
+    * view never force-broadcasts itself into an OOM. A key's
+    * surviving versions then reduce to the latest (each upsert
+    * tombstones its predecessors, so at most the rows of one seq
+    * survive per key — no window needed).
+    */
+  def readCurrentSeq(spark: SparkSession, root: String,
+      keyCol: String): DataFrame = {
+    val base = spark.read.parquet(dataDir(root))
+      .withColumn("__seq", lit(0L))
+    val up = new Path(updatesDir(root))
+    val all = if (fsOf(spark, up).exists(up))
+      base.unionByName(
+        spark.read.parquet(s"${updatesDir(root)}/u*")
+          .withColumn("__seq", col("__seq").cast("long")))
+    else base
+    val del = new Path(deletesDir(root))
+    val view = if (!fsOf(spark, del).exists(del)) all
+    else {
+      val tomb = spark.read.parquet(s"${deletesDir(root)}/t*")
+        .groupBy(keyCol).agg(max("__seq").as("__tseq"))
+      all.join(tomb, Seq(keyCol), "left")
+        .filter(col("__tseq").isNull || col("__seq") >= col("__tseq"))
+        .drop("__tseq")
+    }
+    view.drop("__seq")
+  }
+
+  /** Fold appended versions and tombstones into a new base: one
+    * staged rewrite of the sequence-aware view, then the side dirs
+    * drop and reads are a plain scan again — the periodic batch job
+    * that bounds read-side join cost at 100 TB.
+    */
+  def compactSeq(spark: SparkSession, root: String, keyCol: String): Unit = {
+    ParquetIO.overwriteSafe(readCurrentSeq(spark, root, keyCol),
+      dataDir(root))
+    val fs = fsOf(spark, new Path(root))
+    fs.delete(new Path(updatesDir(root)), true)
+    fs.delete(new Path(deletesDir(root)), true)
+    ()
+  }
+
   /** Fold every tombstone into the base: one staged rewrite of the
     * current view, then the tombstone dirs drop. After compaction the
     * read path is a plain scan again. Returns the number of tombstone

@@ -1447,8 +1447,16 @@ object Relational {
     * gate is the strongest available: after the stream drains, the
     * replica's ROWS must equal the post-change state recomputed by the
     * oracle from the raw table — a replica following the feed
-    * converges to the source, byte-for-byte. At 100 TB each apply
-    * batch costs one anti join + one append, tracking feed volume.
+    * converges to the source, byte-for-byte.
+    *
+    * SCALE NOTE — this apply shape is copy-on-write: `deleteMatching`
+    * is an anti join plus a full staged rewrite, honestly O(replica)
+    * per batch. It is kept gated as the simple single-writer baseline;
+    * the shape the 100 TB rule prescribes is [[cdcApplyMorQ]]
+    * (`st_cdc_apply_mor`, same oracle): merge-on-read tombstones,
+    * O(batch) per trigger, zero base reads — the StreamingDecade pair
+    * measures the two against each other and StreamsSpec gates the
+    * zero-base-read property with an input-records counter.
     */
   private def cdcApplyQ(spark: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcapply_" +
@@ -1480,6 +1488,58 @@ object Relational {
       .start()
     q.awaitTermination()
     spark.read.parquet(tgt)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Streaming CDC APPLY, merge-on-read — the 100 TB shape of
+    * [[cdcApplyQ]] under the SAME replica≡recomputed-state oracle.
+    * Each micro-batch applies with [[graft.operators.MergeOnRead]]'s
+    * sequence-aware tombstones: D and U keys append an equality
+    * tombstone at the batch sequence (masking every older version of
+    * the key), I and U rows append stamped with that sequence — two
+    * O(batch) appends, ZERO base reads per trigger (gated with an
+    * input-records counter in StreamsSpec; the copy-on-write twin
+    * pays an O(replica) anti-join + rewrite per batch). The final
+    * read resolves base ∪ appends minus masked versions with one
+    * broadcast join against the tiny max-seq-per-key tombstone
+    * relation. Batch dirs are sequence-named and overwritten, so
+    * checkpoint replay of a batch is idempotent, same as the COW
+    * twin's law.
+    */
+  private def cdcApplyMorQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val (feedDir, tgt) = (s"$base/feed", s"$base/target")
+    val mor = graft.operators.MergeOnRead
+    mor.init(
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_totalprice"), tgt)
+    cdcFeedQ(spark, dir).repartition(4).write.parquet(feedDir)
+    val feed = spark.readStream
+      .schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+    val q = feed.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val seq = batchId + 1 // base rows sit at seq 0
+        mor.deleteKeysAt(spark, tgt,
+          b.filter(col("op") =!= "I").select("o_orderkey"), seq)
+        mor.appendRowsAt(spark, tgt,
+          b.filter(col("op") =!= "D")
+            .select(col("o_orderkey"), col("new_price").as("o_totalprice")),
+          seq)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    mor.readCurrentSeq(spark, tgt, "o_orderkey")
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -2311,5 +2371,6 @@ object Relational {
     NamedQuery("q_column_crypto", columnCrypto, Some(columnCryptoSql)),
     NamedQuery("q_cdc_feed", cdcFeedQ, Some(cdcFeedSql)),
     NamedQuery("st_cdc_apply", cdcApplyQ, Some(cdcApplySql)),
+    NamedQuery("st_cdc_apply_mor", cdcApplyMorQ, Some(cdcApplySql)),
     NamedQuery("q_zorder_skip", zorderSkip, Some(zorderSkipSql)))
 }

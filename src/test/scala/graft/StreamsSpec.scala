@@ -723,6 +723,73 @@ class StreamsSpec extends SparkSpec {
     assert(after.size > firstFiles.size, "run 2 appended no files")
   }
 
+  test("merge-on-read CDC apply: replica converges to the recomputed " +
+      "state, apply batches read ZERO base bytes, replay is idempotent") {
+    val mor = graft.operators.MergeOnRead
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_mor").toString
+    // base replica: 300 keys at version v0
+    val base = (1 to 300).map(k => (k.toLong, k * 10.0)).toDF("k", "v")
+    mor.init(base, root)
+    // three key-disjoint apply batches (I/U/D), driven as in-memory
+    // rows — LocalTableScan, so the ONLY file bytes the apply could
+    // read are base bytes, which is exactly what the gate forbids
+    val batches = Seq(
+      // seq 1: delete 1..50, upsert 51..80 (v*100), insert 301..320
+      (Seq.tabulate(50)(i => i + 1L) ++ (51L to 80L),            // tombstones
+        (51L to 80L).map(k => (k, k * 100.0)) ++
+          (301L to 320L).map(k => (k, k * 1.0))),                // appends
+      // seq 2: delete 81..100, upsert 301..310 (late re-update of a
+      // seq-1 insert — the sequence rule must keep ONLY the new row)
+      ((81L to 100L) ++ (301L to 310L),
+        (301L to 310L).map(k => (k, k * 2.0))),
+      // seq 3: delete 51..60 (keys upserted at seq 1 — tombstone must
+      // mask the seq-1 version too)
+      ((51L to 60L), Seq.empty[(Long, Double)]))
+    def fileBytesRead(): Long =
+      org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+        .get("file").getLong("bytesRead")
+    val before = fileBytesRead()
+    batches.zipWithIndex.foreach { case ((dels, ups), i) =>
+      val seq = i + 1L
+      mor.deleteKeysAt(spark, root, dels.toDF("k"), seq)
+      if (ups.nonEmpty) mor.appendRowsAt(spark, root, ups.toDF("k", "v"), seq)
+    }
+    val applyBytes = fileBytesRead() - before
+    // the 100 TB law this query exists to prove: apply cost tracks the
+    // BATCH, never the replica — no base file is opened at all (the
+    // copy-on-write twin's anti-join + rewrite reads the whole base
+    // every batch)
+    assert(applyBytes == 0L,
+      s"apply batches read $applyBytes file bytes; merge-on-read " +
+        "apply must not touch the base")
+    // convergence: view == recomputed expected state
+    def viewMap(): Map[Long, Double] =
+      mor.readCurrentSeq(spark, root, "k").as[(Long, Double)]
+        .collect().toMap
+    val expected =
+      ((101L to 300L).map(k => (k, k * 10.0)) ++      // untouched base
+        (61L to 80L).map(k => (k, k * 100.0)) ++       // seq-1 upserts minus seq-3 deletes
+        (311L to 320L).map(k => (k, k * 1.0)) ++       // seq-1 inserts not re-updated
+        (301L to 310L).map(k => (k, k * 2.0))).toMap   // seq-2 re-updates win
+    assert(viewMap() == expected)
+    // replay idempotence: re-applying batch 2 (checkpoint recovery)
+    // overwrites the same seq-named dirs with identical content
+    mor.deleteKeysAt(spark, root,
+      ((81L to 100L) ++ (301L to 310L)).toDF("k"), 2L)
+    mor.appendRowsAt(spark, root,
+      (301L to 310L).map(k => (k, k * 2.0)).toDF("k", "v"), 2L)
+    assert(viewMap() == expected, "batch replay changed the view")
+    // compaction folds to a plain scan and preserves the view exactly
+    mor.compactSeq(spark, root, "k")
+    assert(viewMap() == expected, "compaction changed the view")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/deletes")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/updates")),
+      "compaction must clear the side dirs")
+  }
+
   private def listParquet(dirPath: String): Map[String, (Long, Long)] = {
     val d = new java.io.File(dirPath)
     d.listFiles().filter(_.getName.endsWith(".parquet"))
