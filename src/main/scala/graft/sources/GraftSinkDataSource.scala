@@ -397,7 +397,15 @@ object GraftSink {
     val f = new Path(dir).getFileSystem(conf.value)
     val out = f.create(segmentPath(dir, name), false)
     try out.write(payload) finally out.close()
-    writeSegmentBloom(conf, dir, name, files.map(_.name))
+    // the sidecar is a pure OPTIMIZATION with an exact-read fallback
+    // (a missing bloom just means the replace path parses this
+    // segment) — an IO failure writing it must degrade to the legacy
+    // no-bloom path, never fail the segment commit itself
+    try writeSegmentBloom(conf, dir, name, files.map(_.name))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"graftsink: bloom sidecar write failed for " +
+        s"$name (exact-read fallback applies): ${e.getMessage}")
+    }
     segCache.put(s"$dir/$name", files.toVector)
     SegmentRef(name, files.size,
       if (files.exists(_.rows < 0)) -1L else files.map(_.rows).sum,
@@ -2128,8 +2136,25 @@ object GraftSink {
     // check can always convict the zombie (floor-marker contract at
     // [[floorMarkerName]]).
     val doomed = expired ++ torn
-    if (doomed.nonEmpty) {
-      val newFloor = doomed.max + 1
+    // The floor convicts ZOMBIES — commits that land BELOW the live
+    // head, where resolution (max complete version) never sees them.
+    // Derive it ONLY from doomed versions below the live complete
+    // head: a torn manifest ABOVE the head (a crashed publish at
+    // head+1) vacates without raising the floor, because the next
+    // exclusive-create at head+1 is a GENUINE head claim — a committer
+    // that read the current head and is linking the successor. Folding
+    // such torn names into the floor would set it to head+2 and make
+    // zombieFloor convict (self-delete) that legitimate commit: a
+    // reader between link and delete would see the head go backward,
+    // and the convicted writer's retry would re-commit the same
+    // newFiles a concurrent winner may have carried forward —
+    // duplicated rows. (Expired versions are always below the head by
+    // construction — keepVersions >= 1 retains it — so this filter
+    // only ever excludes torn-above-head names.)
+    val liveHead = complete.headOption.getOrElse(-1)
+    val floorable = doomed.filter(_ < liveHead)
+    if (floorable.nonEmpty) {
+      val newFloor = floorable.max + 1
       if (newFloor > floorOnDisk(f, dir)) {
         try f.create(new Path(dir, floorMarkerName(newFloor)), false)
           .close()

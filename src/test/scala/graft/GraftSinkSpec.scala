@@ -192,6 +192,44 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 2)
   }
 
+  test("vacuum of a torn manifest ABOVE the live head vacates the name " +
+      "without raising the floor; the next genuine head claim survives") {
+    val dir = freshDir
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, "x")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir)
+    }
+    assert(GraftSink.latestVersion(spark, dir) === Some(2))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed publish AT head+1: torn manifest v3, aged past grace
+    val torn = new org.apache.hadoop.fs.Path(dir, "manifest-v000003")
+    val o = fs.create(torn, false)
+    o.write("k BIGINT,s STRING\nsome-file".getBytes("UTF-8"))
+    o.close()
+    Thread.sleep(30)
+    GraftSink.vacuum(spark, dir, keepVersions = 2, graceMs = 1L)
+    // the torn name is vacated...
+    assert(!fs.exists(torn), "vacuum must collect the aged torn manifest")
+    // ...but the floor derives only from doomed versions BELOW the
+    // live head (v0 expired -> floor 1). Folding the torn v3 in would
+    // set floor = 4 and the genuine successor's claim of v3 would be
+    // self-convicted as a zombie — retrying forever against an
+    // unchanged head (the regression ADVICE r8 flagged)
+    val floorMax = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_floor-v"))
+      .map(_.stripPrefix("_floor-v").toInt).foldLeft(0)(math.max)
+    assert(floorMax <= 2,
+      s"floor $floorMax rose past the live head; a genuine head+1 " +
+        "claim would convict itself")
+    // the next commit claims v3 — the vacated torn name — and stands
+    Seq((4L, "y")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(3),
+      "the genuine head claim into the vacated name must survive")
+    assert(spark.read.format("graftsink").load(dir).count() === 4)
+  }
+
   test("evolveSchema append: new columns land, old files read as null " +
     "for them, shared columns keep their type") {
     val dir = freshDir
@@ -1501,9 +1539,14 @@ class GraftSinkSpec extends SparkSpec {
       Seq(fakeEntry(9999)), truncate = false,
       replace = Some(Set(victim)))
     val reads = GraftSink.segmentReads.get() - reads0
-    // exactly the victim's segment is parsed (deterministic names +
-    // <1% bloom FP rate; an FP would read one extra segment and fail
-    // this exact bound loudly — tighten the sidecar, don't widen this)
+    // exactly the victim's segment is parsed. This exact bound is NOT
+    // flaky: blooms hash MEMBER names only (bloomBits over
+    // ManifestFile.name — segment UUIDs never enter a sidecar), and
+    // every member here is a fixed fakeEntry "fake-%05d" string, so
+    // the probe's FP outcome is a pure function of this test's
+    // constant name set (same bits every run). A failure therefore
+    // means the skip logic changed, never hash luck — tighten the
+    // sidecar, don't widen this.
     assert(reads === 1L,
       s"cold replace parsed $reads segments; blooms must rule out " +
         s"all but the victim's (refs: ${before.refs.size})")
