@@ -3,6 +3,8 @@ package graft.plans
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expressions.Kernels
@@ -18,19 +20,30 @@ import graft.expressions.Kernels
   * preserved — Catalyst's `sameResult` normalization) hits the same
   * entry.
   *
-  * Key = FNV-1a 64 of (canonicalized analyzed plan, result schema).
-  * Canonicalization normalizes expression IDs and alias names, so two
-  * builds of "the same" DataFrame from different code paths collide
-  * onto one entry (ResultCacheSpec gates this); plans that differ in
-  * any literal, column, or operator hash apart.
+  * Key = FNV-1a 64 of (canonicalized analyzed plan, result schema,
+  * data-snapshot salt). Canonicalization normalizes expression IDs and
+  * alias names, so two builds of "the same" DataFrame from different
+  * code paths collide onto one entry (ResultCacheSpec gates this);
+  * plans that differ in any literal, column, or operator hash apart.
   *
-  * STALENESS CONTRACT (the part every result cache must state): the
-  * fingerprint covers the plan, not the data underneath it. A mutable
-  * table invalidates by scoping `root` — compose with
-  * [[graft.operators.Ops.snapshotWrite]]'s version numbers
-  * (`root/v=N/`) or any load watermark, so a new snapshot starts an
-  * empty cache level and old entries age out with their snapshot. The
-  * testdata tables are immutable per sf dir, the simple case.
+  * STALENESS CONTRACT (the part every result cache must state —
+  * ENFORCED in the key since round 9, not just documented): the
+  * fingerprint includes a salt per scanned base relation —
+  *  - a graftsink scan salts with the table's HEAD VERSION (its
+  *    `VERSION AS OF` pin when time-traveling, the live head
+  *    otherwise), so publishing v(k+1) retires every entry computed
+  *    over v(k) by construction: the old entry's key can never be
+  *    derived again;
+  *  - a plain file scan (parquet/csv/json) salts with a hash of its
+  *    resolved input-file listing — any append, overwrite, or compact
+  *    changes the part-file name set (Spark part files are
+  *    uuid-named), which changes the key. The listing is already
+  *    materialized in the plan's file index; no extra namenode round
+  *    trips are paid.
+  * Immutable inputs (the testdata sf dirs) salt to a constant, so
+  * cross-session reuse still works there. Scoping `root` per snapshot
+  * remains available for coarse-grained eviction, but correctness no
+  * longer depends on callers remembering to do it.
   *
   * Concurrency: the materialization is last-writer-wins over a
   * deterministic result — two racing sessions write the same bytes,
@@ -39,19 +52,67 @@ import graft.expressions.Kernels
   */
 object ResultCache {
 
-  /** Stable 64-bit fingerprint of the query's semantics: the OPTIMIZED
-    * canonicalized plan, so Catalyst's normalizations (trivial-alias
-    * collapse, constant folding, predicate simplification) fold
-    * syntactic variants onto one key before hashing — strictly more
-    * collisions (= more hits) than the analyzed plan, still never
-    * across genuinely different results (optimization is
-    * deterministic and result-preserving).
+  private def fnv(s: String): String =
+    java.lang.Long.toHexString(Kernels.fnv1a64(UTF8String.fromString(s)))
+
+  /** One salt line per scanned base relation (sorted for plan-walk
+    * order independence) — the data-version half of the cache key.
+    */
+  private def snapshotSalt(df: DataFrame): String = {
+    val spark = df.sparkSession
+    def graftSalt(r: DataSourceV2Relation): String = {
+      val name = r.table.name()
+      val dir = name.stripPrefix("graftsink:").takeWhile(_ != '@')
+      // a version pin rides either in the table name (catalog
+      // `VERSION AS OF`) or in the read option — both are immutable
+      // snapshots, so the PIN is the salt and the key never moves
+      // with the head (historical dashboards keep hitting). A tag is
+      // resolved (retagging must move the key); only an unpinned read
+      // salts with the live head.
+      val pinned: Option[Int] =
+        if (name.contains("@v"))
+          name.dropWhile(_ != '@').stripPrefix("@v").toIntOption
+        else Option(r.options.get("version")).map(
+          graft.sources.GraftSink.resolveVersion(spark, dir, _))
+      pinned match {
+        case Some(v) => s"graftsink:$dir@v$v"
+        case None =>
+          val head = graft.sources.GraftSink.latestVersion(spark, dir)
+            .getOrElse(-1)
+          s"$name#head=$head"
+      }
+    }
+    val salts = df.queryExecution.optimizedPlan.collect {
+      // V2ScanRelationPushDown has usually already converted the
+      // relation by optimization time; match both shapes
+      case r: DataSourceV2ScanRelation
+          if r.relation.table.name().startsWith("graftsink:") =>
+        graftSalt(r.relation)
+      case r: DataSourceV2Relation
+          if r.table.name().startsWith("graftsink:") =>
+        graftSalt(r)
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        val h = l.relation.asInstanceOf[HadoopFsRelation]
+        val files = h.location.inputFiles.sorted
+        s"files#${files.length}#${fnv(files.mkString("\n"))}"
+    }
+    salts.sorted.mkString("\n")
+  }
+
+  /** Stable 64-bit fingerprint of the query's semantics AND its data
+    * snapshot: the OPTIMIZED canonicalized plan — Catalyst's
+    * normalizations (trivial-alias collapse, constant folding,
+    * predicate simplification) fold syntactic variants onto one key
+    * before hashing, strictly more collisions (= more hits) than the
+    * analyzed plan, still never across genuinely different results —
+    * plus [[snapshotSalt]], so a mutated base table can never serve a
+    * stale entry.
     */
   def fingerprint(df: DataFrame): String = {
     val plan = df.queryExecution.optimizedPlan.canonicalized
-    val key = plan.toString + "\n" + df.schema.catalogString
-    java.lang.Long.toHexString(
-      Kernels.fnv1a64(UTF8String.fromString(key)))
+    val key = plan.toString + "\n" + df.schema.catalogString +
+      "\n" + snapshotSalt(df)
+    fnv(key)
   }
 
   /** The result of `df`, served from `root` when a completed entry

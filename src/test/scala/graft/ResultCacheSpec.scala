@@ -53,4 +53,60 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.fingerprint(a) != ResultCache.fingerprint(b))
     assert(ResultCache.fingerprint(a) != ResultCache.fingerprint(c))
   }
+
+  test("STALENESS: appending to a plain parquet base retires the " +
+      "entry — the pre-update fingerprint can never serve again") {
+    val root = tmpDir("rc_root3")
+    val t = tmpDir("rc_mut") + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .write.parquet(t)
+    def q = spark.read.parquet(t)
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+    val fp1 = ResultCache.fingerprint(q)
+    val (r1, hit1) = ResultCache.cached(q, root)
+    assert(!hit1 && r1.head.getLong(0) == 100L)
+    // mutate the base: append 50 rows (new part files)
+    (101 to 150).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .write.mode("append").parquet(t)
+    val q2 = q // rebuilt: fresh file listing
+    assert(ResultCache.fingerprint(q2) != fp1,
+      "file-listing salt must move the key when the data moves")
+    val (r2, hit2) = ResultCache.cached(q2, root)
+    assert(!hit2, "a mutated base must MISS, never serve the old rows")
+    assert(r2.head.getLong(0) == 150L)
+    // and the new snapshot caches normally
+    val (_, hit3) = ResultCache.cached(q2, root)
+    assert(hit3)
+  }
+
+  test("STALENESS: publishing graftsink v(k+1) retires entries " +
+      "computed over v(k); time-travel pins stay version-stable") {
+    val root = tmpDir("rc_root4")
+    val t = tmpDir("rc_gs") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    def q = spark.read.format("graftsink").load(t)
+      .agg(count(lit(1)).as("n"))
+    val fp1 = ResultCache.fingerprint(q)
+    val (r1, hit1) = ResultCache.cached(q, root)
+    assert(!hit1 && r1.head.getLong(0) == 2L)
+    // publish v1
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    val q2 = q
+    assert(ResultCache.fingerprint(q2) != fp1,
+      "head-version salt must move the key on publish")
+    val (r2, hit2) = ResultCache.cached(q2, root)
+    assert(!hit2 && r2.head.getLong(0) == 3L)
+    // a VERSION AS OF pin is immutable: same fingerprint before and
+    // after further publishes — historical dashboards keep hitting
+    def pinned = spark.read.format("graftsink")
+      .option("version", 0).load(t)
+      .agg(count(lit(1)).as("n"))
+    val pfp = ResultCache.fingerprint(pinned)
+    Seq((4L, "d")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    assert(ResultCache.fingerprint(pinned) == pfp,
+      "a pinned snapshot's key must not move with the head")
+  }
 }
