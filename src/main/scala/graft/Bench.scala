@@ -88,172 +88,215 @@ object Bench {
         catch { case _: Throwable => () }
     // A failed query must be visible as a failure, not a fast timing:
     // record -1 for it and list it under "failed".
-    val failed = Seq.newBuilder[String]
+    //
+    // RETRY-UNTIL-QUIET (round 9): the whole measured body — batch
+    // reps, streaming wall, canary — is one `attempt()`; a contended
+    // attempt (canary drift > 1.3 or no canary signal) re-runs up to
+    // SPARK_GRAFT_BENCH_ATTEMPTS (default 3) times INSIDE this one
+    // invocation, so a direct `runMain graft.Bench` (what the round
+    // driver executes) ships a quiet artifact whenever the box allows
+    // one — previously only tools/roundcheck.sh retried, and BENCH_r08
+    // landed self-flagged contended (drift 1.677). The LAST attempt is
+    // kept and still annotated honestly if every attempt was noisy.
+    //
+    // EPOCH-CALIBRATION PROBES (round 9): two fixed deterministic
+    // workloads timed per attempt and written to the detail artifact —
+    //  - probe_jvm: a single-thread 200M-step FNV-1a fold, pure
+    //    CPU/JIT speed, no Spark, no allocation;
+    //  - probe_shuffle: one tiny fixed shuffle job (2^20 rows,
+    //    repartition 32, groupBy mod 997), the engine's fixed
+    //    machinery cost.
+    // Their cross-round ratios separate "machine epoch changed" from
+    // "code got slower": roundcheck divides per-query ratios by the
+    // probe ratio before applying the 2x rule (rounds 7-8 each spent a
+    // verdict cycle adjudicating a uniform fleet-wide 1.56x that was
+    // the box, not the build).
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .map(_.toInt).getOrElse(3).max(1)
     // optional comma-separated name filter for focused local timing
     // (the round bench never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // name-sorted execution: Map iteration order shifts whenever the
-    // query set changes, which silently reshuffles which queries absorb
-    // GC/codegen-cache pressure — sorted order keeps per-query numbers
-    // comparable across rounds
-    //
-    // Median-of-N per query: single-shot totals on this shared host
-    // swing 117-200 s across identical binaries under contention, which
-    // makes round-over-round comparisons noise. Each batch query runs
-    // REPS times back-to-back and reports the MEDIAN; min/max go to the
-    // detail file as "spread". Every query's own work is re-done per
-    // rep (one-time seeds are warmed/memoized above), so the median is
-    // a like-for-like steady-state number.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .map(_.toInt).getOrElse(3).max(1)
-    val spread = Seq.newBuilder[(String, (Double, Double, Double))]
-    // Contention canary: a fixed trivial query (one lineitem scan +
-    // filter + agg, no state, warmed below) interleaved every ~20
-    // queries through the batch section. Its OWN cost is constant, so
-    // any drift in its timings is the machine, not the code — round 6
-    // shipped a 1.44×-inflated artifact (uniform ~1.47× across 231
-    // unchanged queries) that a canary trace would have flagged as
-    // contention on the spot. drift = max/min across samples; a run
-    // with drift > 1.3 is annotated "contended": true in both the
-    // detail file and the stdout line so a hot artifact can never
-    // again read as a code regression.
-    val canaryName = "q6_revenue_filter"
-    val canaryFn = SparkEntry.benchQueries.get(canaryName)
-    val canaryTimes = Seq.newBuilder[Double]
-    // Canary failures must be VISIBLE: swallowing them silently would
-    // leave canaryTimes empty, drift would read 1.0/contended=false,
-    // and a run with zero contention signal would pass as trustworthy
-    // — the exact blind spot the canary exists to close. Failed
-    // samples are counted, and an empty sample set reports
-    // canary_unavailable (treated as contended downstream).
-    var canaryFailures = 0
-    // Each SAMPLE is a median-of-3: the canary query runs ~0.2 s, so a
-    // single GC pause or codegen-cache miss inflates one run 1.5× on a
-    // perfectly quiet box (measured samples 0.12–0.29 s around a 0.19 s
-    // median), which is indistinguishable from contention under a
-    // single-shot max/median gate. Real contention (round 7: 14×)
-    // inflates all three back-to-back runs; a one-off spike cannot
-    // survive its own median. Keeps the 1.3 drift gate meaningful.
-    def runCanary(): Unit = canaryFn.foreach { fn =>
-      val runs = (1 to 3).flatMap { _ =>
+
+    def probeJvm(): Double = {
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9) }
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < 200000000) { h = (h ^ (i & 0xff)) * 0x100000001b3L; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (h == 42L) System.err.println("") // defeat dead-code elim
+        dt
+      }
+      runs.sorted.apply(1)
+    }
+    def probeShuffle(): Double = {
+      import org.apache.spark.sql.functions.col
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1L << 20).toDF("id")
+          .repartition(32, col("id"))
+          .groupBy(col("id") % 997).count().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1)
+    }
+
+    case class AttemptResult(
+        results: Seq[(String, Double)],
+        spread: Seq[(String, (Double, Double, Double))],
+        streaming: Seq[(String, Double)],
+        streamWall: Double,
+        failed: Seq[String],
+        canary: Seq[Double],
+        canaryFailures: Int,
+        pJvm: Double,
+        pShuffle: Double) {
+      val canaryMedian: Double =
+        if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
+      val canaryAvailable: Boolean = canary.size >= 2 && canaryMedian > 0
+      val canaryDrift: Double =
+        if (canaryAvailable) canary.max / canaryMedian else 1.0
+      // no usable canary samples -> the run has NO contention signal;
+      // that is "cannot be trusted", not "not contended"
+      val contended: Boolean = !canaryAvailable || canaryDrift > 1.3
+    }
+
+    def attempt(): AttemptResult = {
+      val failed = Seq.newBuilder[String]
+      val spread = Seq.newBuilder[(String, (Double, Double, Double))]
+      // Contention canary: a fixed trivial query (one lineitem scan +
+      // filter + agg, no state, warmed below) interleaved every ~20
+      // queries through the batch section. Its OWN cost is constant,
+      // so any drift in its timings is the machine, not the code.
+      // drift = max/median across samples; a run with drift > 1.3 is
+      // annotated "contended". Each SAMPLE is a median-of-3: a single
+      // GC pause inflates one run 1.5x on a quiet box, which must not
+      // read as contention; real contention inflates all three.
+      val canaryName = "q6_revenue_filter"
+      val canaryFn = SparkEntry.benchQueries.get(canaryName)
+      val canaryTimes = Seq.newBuilder[Double]
+      var canaryFailures = 0
+      def runCanary(): Unit = canaryFn.foreach { fn =>
+        val runs = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            canaryFailures += 1
+            System.err.println(s"[bench] canary FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        if (runs.nonEmpty) canaryTimes += runs.sorted.apply(runs.size / 2)
+      }
+      runCanary(); canaryTimes.clear() // warm: drop the codegen sample
+      val pJvm = probeJvm()
+      val pShuffle = probeShuffle()
+      // name-sorted execution: Map iteration order shifts whenever the
+      // query set changes, which silently reshuffles which queries
+      // absorb GC/codegen-cache pressure — sorted order keeps
+      // per-query numbers comparable across rounds.
+      //
+      // Median-of-N per query: single-shot totals on this shared host
+      // swing 117-200 s across identical binaries under contention.
+      // Each batch query runs REPS times back-to-back and reports the
+      // MEDIAN; min/max go to the detail file as "spread".
+      val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .zipWithIndex
+        .map { case ((name, fn), i) =>
+        if (i % 20 == 0) runCanary()
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        if (times.isEmpty) { failed += name; name -> -1.0 }
+        else {
+          val s = times.sorted
+          spread += name -> (s.head, s(s.size / 2), s.last)
+          name -> s(s.size / 2)
+        }
+      }
+      runCanary() // closing sample so late-section contention shows
+      // The streaming family is timed once (single-shot, no reps) in
+      // its own section, excluded from the scale total: each number is
+      // dominated by fixed per-query engine startup + checkpoint I/O
+      // (~4-8 s regardless of sf — the data computation is already
+      // benched by the batch twins). State-partition rightsizing: a
+      // Trigger.AvailableNow run materializes one state-store instance
+      // and a checkpoint tree PER shuffle partition; 8 partitions
+      // yield bit-identical results with a smaller fixed floor. Batch
+      // queries keep the full `cpus` parallelism (set AFTER batch).
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      if (only.forall(_.exists(_.startsWith("st_"))))
+        try SparkEntry.queries("st_tumbling_hourly")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      // The streaming section runs CONCURRENTLY (pool of 4): the fixed
+      // per-query floor is precisely the cost a real deployment
+      // amortizes by running pipelines side by side on one session;
+      // every query owns UUID-scoped checkpoints, sinks, temp views.
+      // The two transformWithState queries flip the SESSION
+      // state-store provider (set/restore), so they run serially
+      // first — a racing restore could leak RocksDB onto a neighbor.
+      def timeOne(name: String): (String, Double) = {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          canaryFailures += 1
-          System.err.println(s"[bench] canary FAILED: ${e.getMessage}")
-          None
-        }
-      }
-      if (runs.nonEmpty) canaryTimes += runs.sorted.apply(runs.size / 2)
-    }
-    runCanary(); canaryTimes.clear() // warm: drop the codegen-compile sample
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .zipWithIndex
-      .map { case ((name, fn), i) =>
-      if (i % 20 == 0) runCanary()
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
+          failed.synchronized { failed += name }; false
         }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      if (times.isEmpty) { failed += name; name -> -1.0 }
-      else {
-        val s = times.sorted
-        spread += name -> (s.head, s(s.size / 2), s.last)
-        name -> s(s.size / 2)
-      }
+      val stNames = SparkEntry.queries.keys.filter(_.startsWith("st_"))
+        .filter(n => only.forall(_.contains(n))).toSeq.sorted
+      val confMutating = Set("st_tws_bootstrap", "st_tws_running")
+      val stWall0 = System.nanoTime()
+      val serialTimes = stNames.filter(confMutating).map(timeOne)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val pooledTimes = stNames.filterNot(confMutating)
+        .map(n => pool.submit(new java.util.concurrent.Callable[(String, Double)] {
+          override def call(): (String, Double) = timeOne(n)
+        }))
+        .map(_.get())
+      pool.shutdown()
+      val streaming = (serialTimes ++ pooledTimes).sortBy(_._1)
+      val streamWall = (System.nanoTime() - stWall0) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      runCanary() // bracket the streaming section too: its wall time
+                  // has no reps, so the canary is its only signal
+      AttemptResult(results, spread.result(), streaming, streamWall,
+        failed.result(), canaryTimes.result(), canaryFailures,
+        pJvm, pShuffle)
     }
-    runCanary() // closing sample so late-section contention is visible
+
+    var a = attempt()
+    var attempts = 1
+    while (a.contended && attempts < maxAttempts) {
+      System.err.println(s"[bench] attempt $attempts contended " +
+        f"(drift ${a.canaryDrift}%.3f) — retrying (${maxAttempts - attempts} left)")
+      Thread.sleep(15000)
+      a = attempt()
+      attempts += 1
+    }
+
+    val results = a.results
     val resultsMap = results.toMap
     val total = results.map(_._2).filter(_ >= 0).sum
-    // The streaming family is timed once (single-shot, no reps) in its
-    // own section, excluded from the scale total: each number is
-    // dominated by fixed per-query engine startup + checkpoint I/O
-    // (~4-8 s regardless of sf — the data computation is already
-    // benched by the batch twins, see SparkEntry.benchQueries).
-    // Repeating it would triple the wall-clock of the least
-    // data-sensitive family for no extra signal. Recorded so the fixed
-    // cost is visible, not mixed into the throughput metric.
-    // State-partition rightsizing for the streaming section: a
-    // Trigger.AvailableNow run materializes one state-store instance
-    // AND a per-microbatch checkpoint file tree PER shuffle partition
-    // (×4 store families for a stream-stream join). At 32 partitions
-    // that is pure fixed I/O — the state at bench scale fits one
-    // partition many times over, and hash partitioning on the same
-    // keys at 8 yields bit-identical results. Semantics unchanged;
-    // only the per-query floor shrinks. Batch queries keep the full
-    // `cpus` parallelism (this is set AFTER the batch section).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // untimed streaming warm-up, same policy as the batch warm-up:
-    // the FIRST streaming query in a JVM pays the streaming engine's
-    // one-time spin-up (microbatch executor threads, state-store
-    // provider init, streaming-specific codegen) on top of its own
-    // work — engine spin-up isn't data throughput
-    if (only.forall(_.exists(_.startsWith("st_"))))
-      try SparkEntry.queries("st_tumbling_hourly")(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    // The streaming section runs CONCURRENTLY (pool of 4): each
-    // query's wall time is dominated by fixed per-query engine
-    // startup + checkpoint I/O, which is precisely the cost a real
-    // deployment amortizes by running its pipelines side by side on
-    // one session — Structured Streaming is built for N concurrent
-    // queries, and every query here owns UUID-scoped checkpoints,
-    // sinks, and temp views. `streaming_total` is the section's WALL
-    // time (what the fixed floor actually costs); the per-query times
-    // and their serial sum go to the detail artifact. The two
-    // transformWithState queries flip the SESSION state-store
-    // provider (set/restore), so they run serially first — a racing
-    // restore could leak RocksDB onto a neighbor's plan.
-    def timeOne(name: String): (String, Double) = {
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed.synchronized { failed += name }; false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val stNames = SparkEntry.queries.keys.filter(_.startsWith("st_"))
-      .filter(n => only.forall(_.contains(n))).toSeq.sorted
-    val confMutating = Set("st_tws_bootstrap", "st_tws_running")
-    val stWall0 = System.nanoTime()
-    val serialTimes = stNames.filter(confMutating).map(timeOne)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val pooledTimes = stNames.filterNot(confMutating)
-      .map(n => pool.submit(new java.util.concurrent.Callable[(String, Double)] {
-        override def call(): (String, Double) = timeOne(n)
-      }))
-      .map(_.get())
-    pool.shutdown()
-    val streaming = (serialTimes ++ pooledTimes).sortBy(_._1)
-    val streamWall = (System.nanoTime() - stWall0) / 1e9
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    runCanary() // bracket the streaming section too: its wall time has
-                // no reps, so the canary is its only contention signal
-    val canary = canaryTimes.result()
-    // drift = max/MEDIAN: contention makes samples SLOWER than
-    // typical; a lucky fast sample (warm cache late in the run) must
-    // not read as contention, which max/min would report. The median
-    // itself is recorded as a machine-speed unit — cross-round totals
-    // divide by it to separate "code got slower" from "box got slower"
-    // (round 6's artifact confusion).
-    val canaryMedian =
-      if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
-    val canaryAvailable = canary.size >= 2 && canaryMedian > 0
-    val canaryDrift =
-      if (canaryAvailable) canary.max / canaryMedian else 1.0
-    // no usable canary samples -> the run has NO contention signal;
-    // that is "cannot be trusted", not "not contended"
-    val contended = !canaryAvailable || canaryDrift > 1.3
-    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val streaming = a.streaming
+    val canary = a.canary
+    val canaryMedian = a.canaryMedian
+    val canaryDrift = a.canaryDrift
+    val contended = a.contended
+    val failedJson = a.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -262,21 +305,17 @@ object Bench {
     // Full per-query detail goes to a committed file; the stdout line
     // must stay SMALL. The harness that records BENCH_r{N}.json keeps
     // only the last ~2000 characters of output, and the sbt epilogue
-    // ("[success] Total time: ...") eats ~80 of those — a JSON line
-    // carrying all ~150 per-query times (~4 KB) is truncated past
-    // recovery, which is exactly what happened to rounds 1-3
-    // (parsed:null). So: detail file with everything, plus one compact
-    // line whose "queries" map holds a fixed headline subset (one per
-    // operator family, most diagnostic first) trimmed to a hard char
-    // budget so line + epilogue always fit the capture window.
+    // eats ~80 of those — a JSON line carrying all per-query times
+    // would be truncated past recovery (rounds 1-3: parsed:null). So:
+    // detail file with everything, plus one compact line whose
+    // "queries" map holds a fixed headline subset trimmed to a hard
+    // char budget.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     val sortedBatch = results
-    // wall of the concurrent section (the headline); serial sum kept
-    // in the detail so per-query floors stay visible
-    val streamTotal = streamWall
+    val streamTotal = a.streamWall
     val streamSum = streaming.map(_._2).filter(_ >= 0).sum
-    val spreadJson = spread.result()
+    val spreadJson = a.spread
       .map { case (k, (mn, md, mx)) =>
         "\"" + k + "\":[" + fmt(mn) + "," + fmt(md) + "," + fmt(mx) + "]" }
       .mkString("{", ",", "}")
@@ -286,13 +325,17 @@ object Bench {
       .map { case (n, why) => Json.quote(n) + ":" + Json.quote(why) }
       .mkString("{", ",", "}")
     val canaryJson =
-      s"""{"name":"$canaryName","times":[${canary.map(fmt).mkString(",")}],""" +
+      s"""{"name":"q6_revenue_filter","times":[${canary.map(fmt).mkString(",")}],""" +
         s""""median":${fmt(canaryMedian)},"drift":${fmt(canaryDrift)},""" +
-        s""""failed_samples":$canaryFailures,""" +
-        s""""available":$canaryAvailable,"contended":$contended}"""
+        s""""failed_samples":${a.canaryFailures},""" +
+        s""""available":${a.canaryAvailable},"contended":$contended}"""
+    val probeJson =
+      s"""{"jvm":${fmt(a.pJvm)},"shuffle":${fmt(a.pShuffle)}}"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"host_cpus":$hostCpus,"nq":${sortedBatch.size},"reps":$reps,
+         |"attempts":$attempts,"max_attempts":$maxAttempts,
+         |"probe":$probeJson,
          |"canary":$canaryJson,
          |"queries":${obj(sortedBatch)},
          |"spread":$spreadJson,
@@ -345,7 +388,7 @@ object Bench {
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
       .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"attempts":$attempts,"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)
