@@ -1069,7 +1069,7 @@ object Analytics {
     * label relations checkpointed per round (the pagerank discipline).
     * Output is the community-size histogram, entity-sized.
     */
-  private val lpaRounds = 4
+  private[graft] val lpaRounds = 4
 
   private def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     // REPEAT co-occurrence only (pair multiplicity >= 2): incidental
