@@ -178,6 +178,14 @@ object MergeOnRead {
     * staged rewrite of the sequence-aware view, then the side dirs
     * drop and reads are a plain scan again — the periodic batch job
     * that bounds read-side join cost at 100 TB.
+    *
+    * HORIZON DISCIPLINE: compact only sequences at or below the
+    * consuming stream's COMMITTED checkpoint. Replay of a batch is
+    * idempotent because its seq-named dirs are overwritten with the
+    * same content — but compaction deletes those dirs, so a replay of
+    * a PRE-compaction batch would re-apply it to the folded base
+    * (duplicated appends, resurrected tombstones). The model-based
+    * spec walks exactly this boundary.
     */
   def compactSeq(spark: SparkSession, root: String, keyCol: String): Unit = {
     ParquetIO.overwriteSafe(readCurrentSeq(spark, root, keyCol),

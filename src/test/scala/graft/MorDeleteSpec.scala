@@ -86,4 +86,88 @@ class MorDeleteSpec extends SparkSpec {
     // compacting again is a no-op
     assert(MergeOnRead.compact(spark, root, "k") == 0)
   }
+
+  test("model property: random sequence-aware op interleavings " +
+      "(append / tombstone / upsert / replay / compact) equal an " +
+      "in-memory model at every step") {
+    // Model: rows = multiset of (key, value, seq); tombs = key -> max
+    // tombstone seq. View keeps a row iff no tombstone of its key sits
+    // STRICTLY above its seq (a batch's own appends at the tombstone's
+    // seq survive). compactSeq folds the view to seq 0 and clears
+    // tombs. The on-disk implementation must match this model after
+    // EVERY operation, across seeded random interleavings — the same
+    // discipline GraftSinkModelSpec applies to the sink.
+    for (seed <- Seq(11L, 42L, 1337L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = tmpDir(s"graft_mor_model_$seed")
+      var rows = (1L to 40L).map(k => (k, k * 1.0, 0L))
+      var tombs = Map.empty[Long, Long]
+      MergeOnRead.init(rows.map { case (k, v, _) => (k, v) }
+        .toDF("k", "v"), root)
+      def modelView: Map[(Long, Double), Int] = rows
+        .filter { case (k, _, s) => tombs.get(k).forall(s >= _) }
+        .map { case (k, v, _) => (k, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      def diskView: Map[(Long, Double), Int] =
+        MergeOnRead.readCurrentSeq(spark, root, "k")
+          .as[(Long, Double)].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      var seq = 0L
+      var lastBatch: Option[(Seq[Long], Seq[(Long, Double)], Long)] = None
+      for (step <- 1 to 10) {
+        rnd.nextInt(5) match {
+          case 0 => // pure delete batch
+            seq += 1
+            val dels = (1 to 1 + rnd.nextInt(4))
+              .map(_ => 1L + rnd.nextInt(45)).distinct
+            MergeOnRead.deleteKeysAt(spark, root, dels.toDF("k"), seq)
+            tombs ++= dels.map(_ -> seq)
+            lastBatch = Some((dels, Seq.empty, seq))
+          case 1 => // pure insert batch (possibly duplicating a key —
+            // legal MOR semantics: both versions stay visible)
+            seq += 1
+            val ins = (1 to 1 + rnd.nextInt(3))
+              .map(_ => (40L + rnd.nextInt(20), rnd.nextInt(100) * 1.0))
+              .distinctBy(_._1)
+            MergeOnRead.appendRowsAt(spark, root, ins.toDF("k", "v"), seq)
+            rows ++= ins.map { case (k, v) => (k, v, seq) }
+            lastBatch = Some((Seq.empty, ins, seq))
+          case 2 => // upsert batch: tombstone + append at one seq
+            seq += 1
+            val ups = (1 to 1 + rnd.nextInt(4))
+              .map(_ => (1L + rnd.nextInt(50), rnd.nextInt(100) * 1.0))
+              .distinctBy(_._1)
+            MergeOnRead.deleteKeysAt(spark, root,
+              ups.map(_._1).toDF("k"), seq)
+            MergeOnRead.appendRowsAt(spark, root, ups.toDF("k", "v"), seq)
+            tombs ++= ups.map(_._1 -> seq)
+            rows ++= ups.map { case (k, v) => (k, v, seq) }
+            lastBatch = Some((ups.map(_._1), ups, seq))
+          case 3 => // checkpoint REPLAY of the last batch: the SAME
+            // writes into the same seq-named dirs — view unchanged
+            lastBatch.foreach { case (dels, ups, s) =>
+              if (dels.nonEmpty)
+                MergeOnRead.deleteKeysAt(spark, root, dels.toDF("k"), s)
+              if (ups.nonEmpty)
+                MergeOnRead.appendRowsAt(spark, root,
+                  ups.toDF("k", "v"), s)
+            }
+          case 4 =>
+            MergeOnRead.compactSeq(spark, root, "k")
+            rows = rows
+              .filter { case (k, _, s) => tombs.get(k).forall(s >= _) }
+              .map { case (k, v, _) => (k, v, 0L) }
+            tombs = Map.empty
+            // compaction folds batch dirs away: replaying a
+            // PRE-compaction batch afterwards would re-apply it (the
+            // documented horizon discipline — compact only below the
+            // stream's committed checkpoint), so the walk stops
+            // offering that replay
+            lastBatch = None
+        }
+        assert(diskView == modelView,
+          s"seed=$seed step=$step: disk view diverged from model")
+      }
+    }
+  }
 }
