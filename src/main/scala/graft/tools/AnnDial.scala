@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the IVF recall/cost dial with the round-9 k-means++
+  * quantizer: one fit, then probes at nProbe ∈ {2,4,6,8,12,16} of 16
+  * cells against the exact brute-force top-5 — the table SCALE.md
+  * cites so the "nProbe is the recall/cost dial" claim carries current
+  * numbers (the pre-round-9 "8 cells measured 0.88" figure described
+  * the retired MLlib random-init quantizer). Probed fraction is the
+  * actual fraction of corpus rows scored, not nProbe/nCells (cells are
+  * not perfectly balanced).
+  *
+  * `sbt "runMain graft.tools.AnnDial [sfDir]"`
+  */
+object AnnDial {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.queries.Tables.configure(SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors() min 32}]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.orderBy("id").limit(5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = graft.operators.Similarity.ivfFit(emb, nCells = 16)
+    val cellSizes = index.assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cellSizes.values.sum.toDouble
+    val nQ = queries.count().toDouble
+    println("| nProbe (of 16) | recall@5 | corpus fraction scored |")
+    println("|---|---|---|")
+    for (nProbe <- Seq(2, 4, 6, 8, 12, 16)) {
+      val got = graft.operators.Similarity
+        .ivfProbe(index, queries, k = 5, nProbe = nProbe)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      // ACTUAL scored fraction: rows entering the scoring join (each
+      // query's probed cells' mass) over |corpus| x |queries|
+      val dist2 = aggregate(
+        zip_with(col("q_normed"), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      // same spherical normalization as ivfProbe's query side — the
+      // ranking must match the probe's to count the right cells
+      val d = col("embedding").cast("array<double>")
+      val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+      val probedMass = queries
+        .select(col("id").as("query_id"),
+          transform(d, x => coalesce(x / nullif(norm, lit(0.0)),
+            lit(0.0))).as("q_normed"))
+        .crossJoin(broadcast(index.centroids))
+        .select(col("query_id"), col("cell"), dist2.as("d2"))
+        .withColumn("cell_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
+        .filter(col("cell_rank") <= nProbe)
+        .collect().map(r => cellSizes(r.getInt(1))).sum.toDouble
+      val frac = probedMass / (total * nQ)
+      println(f"| $nProbe | $recall%.2f | ${frac * 100}%.1f%% |")
+    }
+    index.release()
+    spark.stop()
+  }
+}
