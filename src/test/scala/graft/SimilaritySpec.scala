@@ -191,9 +191,11 @@ class SimilaritySpec extends SparkSpec {
     val both = fitted.assigned.join(streamed, "corpus_id")
     assert(both.count() === all.count())
     // tie-tolerant law: a mismatch is legal ONLY where the two cells'
-    // exact squared distances are a near-tie (MLlib's
-    // fastSquaredDistance shortcut may round ~1e-13 the other way);
-    // any mismatch with a real margin is a genuine divergence
+    // exact squared distances are a near-tie (the fit assigns through
+    // ivf_cell's float accumulation, assignToCells through zip_with
+    // doubles — rounding may break an exact-distance near-tie the
+    // other way); any mismatch with a real margin is a genuine
+    // divergence. On this fixed fixture the outcome is deterministic.
     val cents = fitted.centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val mismatched = both.filter(col("cell") =!= col("s_cell"))
