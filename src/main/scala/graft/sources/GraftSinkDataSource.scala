@@ -1043,7 +1043,20 @@ object GraftSink {
       version: Int): Option[Int] = {
     val fl = floorOnDisk(fs(spark, dir), dir)
     if (version >= fl) None
-    else {
+    else if (!fsVersionsDesc(spark, dir)
+        .exists(v => v > version && manifestIsComplete(spark, dir, v))) {
+      // DEFENSE IN DEPTH (round 9): a TRUE zombie is never the max —
+      // it claimed a vacated name BELOW the live head, so a complete
+      // manifest above it always exists. If none does, this commit IS
+      // the head regardless of what a floor marker says (a floor bug,
+      // a crafted marker, or a marker orphaned by manual surgery must
+      // not convict the only live head and strand the table); let it
+      // stand. The vacuum-side floor derivation (doomed below the
+      // live head only) makes this branch unreachable in normal
+      // operation — it exists so a single bad marker can never brick
+      // a table.
+      None
+    } else {
       fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
       Some(fl)
     }

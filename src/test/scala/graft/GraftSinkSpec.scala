@@ -230,6 +230,30 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 4)
   }
 
+  test("a bogus floor marker above the head cannot brick the table: " +
+      "a head claim with no complete manifest above it stands") {
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(0))
+    // a corrupt/orphaned marker far above the live head (manual
+    // surgery, a floor bug, a crafted file) — every subsequent claim
+    // sits below it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_floor-v000005"),
+      false).close()
+    // a TRUE zombie is never the max: with no complete manifest above
+    // the claimed v1, the commit is the head and must stand — the old
+    // behavior self-deleted and retried v1 against an unchanged head
+    // forever
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestVersion(spark, dir) === Some(1),
+      "the genuine head claim below a bogus floor must survive")
+    assert(spark.read.format("graftsink").load(dir).count() === 2)
+  }
+
   test("evolveSchema append: new columns land, old files read as null " +
     "for them, shared columns keep their type") {
     val dir = freshDir
