@@ -38,6 +38,14 @@ import org.apache.spark.sql.execution.SparkPlan
   * are excluded: their builder runs the stream and returns a final
   * read whose plan is just the sink scan — the streamed computation's
   * shape is gated by their batch twins, which ARE locked.
+  *
+  * Scope note: fingerprints are taken at sf0.001 (the fixture scale),
+  * so a SIZE-dependent strategy flip at larger SFs (a broadcast
+  * crossing the threshold) is invisible here by design — that class
+  * of property belongs to the PlanSpec gates, which assert the
+  * intended strategy explicitly for the queries where it matters.
+  * The lock's job is catching UNINTENDED shape drift from code or
+  * optimizer-rule changes, which manifests at every scale.
   */
 object PlanLock {
 
