@@ -77,12 +77,26 @@ object ResultCache {
       pinned match {
         case Some(v) => s"graftsink:$dir@v$v"
         case None =>
-          val head = graft.sources.GraftSink.latestVersion(spark, dir)
-            .getOrElse(-1)
+          // the latest COMPLETE version (read resolution), never the
+          // max manifest NAME: a crashed publish leaves a torn v(k+1)
+          // whose name a later genuine commit legitimately reclaims —
+          // salting by name would give the pre-reclaim entry (computed
+          // over v(k)'s data, since readers skip torn manifests) the
+          // same key as the post-reclaim query
+          val head = graft.sources.GraftSink.latestManifest(spark, dir)
+            .map(_.version).getOrElse(-1)
           s"$name#head=$head"
       }
     }
-    val salts = df.queryExecution.optimizedPlan.collect {
+    // walk the main tree AND every subquery plan: a mutable table
+    // referenced only through a scalar/IN subquery must salt too, or
+    // mutating it would serve the stale entry (plan.collect does not
+    // descend into PlanExpression sub-plans)
+    val plans = {
+      val root = df.queryExecution.optimizedPlan
+      root +: root.subqueriesAll
+    }
+    val salts = plans.flatMap(_.collect {
       // V2ScanRelationPushDown has usually already converted the
       // relation by optimization time; match both shapes
       case r: DataSourceV2ScanRelation
@@ -95,7 +109,7 @@ object ResultCache {
         val h = l.relation.asInstanceOf[HadoopFsRelation]
         val files = h.location.inputFiles.sorted
         s"files#${files.length}#${fnv(files.mkString("\n"))}"
-    }
+    })
     salts.sorted.mkString("\n")
   }
 

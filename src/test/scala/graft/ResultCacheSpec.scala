@@ -79,6 +79,36 @@ class ResultCacheSpec extends SparkSpec {
     assert(hit3)
   }
 
+  test("STALENESS: a table referenced ONLY through a scalar subquery " +
+      "salts too — mutating it retires the entry") {
+    val root = tmpDir("rc_root5")
+    val t1 = tmpDir("rc_sq") + "/t1"
+    val t2 = tmpDir("rc_sq") + "/t2"
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.parquet(t1)
+    (1 to 10).map(i => (i.toLong, 50.0)).toDF("id", "cutoff")
+      .write.parquet(t2)
+    def q = {
+      spark.read.parquet(t1).createOrReplaceTempView("rc_sq_t1")
+      spark.read.parquet(t2).createOrReplaceTempView("rc_sq_t2")
+      spark.sql("SELECT count(*) AS n FROM rc_sq_t1 " +
+        "WHERE v < (SELECT max(cutoff) FROM rc_sq_t2)")
+    }
+    val fp1 = ResultCache.fingerprint(q)
+    val (r1, hit1) = ResultCache.cached(q, root)
+    assert(!hit1 && r1.head.getLong(0) == 49L)
+    // mutate ONLY the subquery's table: the outer plan text is
+    // unchanged, so without subquery salting this would HIT the stale
+    // entry (plan.collect never descends into PlanExpression sub-plans)
+    Seq((11L, 80.0)).toDF("id", "cutoff")
+      .write.mode("append").parquet(t2)
+    val q2 = q
+    assert(ResultCache.fingerprint(q2) != fp1,
+      "a subquery-only base table must salt the key")
+    val (r2, hit2) = ResultCache.cached(q2, root)
+    assert(!hit2 && r2.head.getLong(0) == 79L)
+  }
+
   test("STALENESS: publishing graftsink v(k+1) retires entries " +
       "computed over v(k); time-travel pins stay version-stable") {
     val root = tmpDir("rc_root4")
