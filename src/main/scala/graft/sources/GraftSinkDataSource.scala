@@ -1043,22 +1043,30 @@ object GraftSink {
       version: Int): Option[Int] = {
     val fl = floorOnDisk(fs(spark, dir), dir)
     if (version >= fl) None
-    else if (!fsVersionsDesc(spark, dir)
-        .exists(v => v > version && manifestIsComplete(spark, dir, v))) {
+    else {
       // DEFENSE IN DEPTH (round 9): a TRUE zombie is never the max —
-      // it claimed a vacated name BELOW the live head, so a complete
-      // manifest above it always exists. If none does, this commit IS
-      // the head regardless of what a floor marker says (a floor bug,
-      // a crafted marker, or a marker orphaned by manual surgery must
-      // not convict the only live head and strand the table); let it
-      // stand. The vacuum-side floor derivation (doomed below the
-      // live head only) makes this branch unreachable in normal
-      // operation — it exists so a single bad marker can never brick
-      // a table.
-      None
-    } else {
-      fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
-      Some(fl)
+      // it claimed a vacated name BELOW the live head, so a COMPLETE
+      // manifest above it always exists. If read RESOLUTION (which
+      // skips torn manifests) finds nothing above the claimed
+      // version, this commit IS the resolvable head regardless of
+      // what a floor marker says — a corrupt/orphaned/crafted marker
+      // must not convict the only live head and strand the table in
+      // a claim-convict-retry loop. The check must be POSITIVE
+      // evidence: any failure resolving the head (transient IO, a
+      // racing swap) falls through to conviction — the old, safe
+      // behavior — because standing on an unverified "nothing above
+      // me" would silently ack a real zombie (a lost write), which is
+      // strictly worse than one redundant retry. The vacuum-side
+      // floor derivation keeps this branch unreachable in normal
+      // operation.
+      val provablyHead =
+        try latestManifest(spark, dir).exists(_.version <= version)
+        catch { case _: Throwable => false }
+      if (provablyHead) None
+      else {
+        fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
+        Some(fl)
+      }
     }
   }
 
