@@ -188,6 +188,7 @@ object MergeOnRead {
     * spec walks exactly this boundary.
     */
   def compactSeq(spark: SparkSession, root: String, keyCol: String): Unit = {
+    requireSingleMode(spark, root, seqMode = true)
     ParquetIO.overwriteSafe(readCurrentSeq(spark, root, keyCol),
       dataDir(root))
     val fs = fsOf(spark, new Path(root))
@@ -196,12 +197,41 @@ object MergeOnRead {
     ()
   }
 
+  /** The two tombstone flavors share `root/deletes` but are read by
+    * DIFFERENT view/compaction paths (plain: `d*` dirs, no versions;
+    * sequence-aware: `t*` dirs + `updates/`). Compacting one mode on a
+    * root that carries the other's batches would fold a view that
+    * ignores them and then DELETE them — silently resurrecting
+    * deleted rows (or duplicating masked versions). A mixed root is a
+    * caller bug; fail loudly before any destructive step.
+    */
+  private def requireSingleMode(spark: SparkSession, root: String,
+      seqMode: Boolean): Unit = {
+    val del = new Path(deletesDir(root))
+    val fs = fsOf(spark, del)
+    val foreign =
+      (if (fs.exists(del))
+        fs.listStatus(del).map(_.getPath.getName)
+          .filter(n => if (seqMode) n.startsWith("d") else n.startsWith("t"))
+          .toSeq
+      else Seq.empty) ++
+        (if (!seqMode && fs.exists(new Path(updatesDir(root))))
+          Seq("updates/") else Seq.empty)
+    require(foreign.isEmpty,
+      s"merge-on-read root $root mixes tombstone modes: compacting " +
+        s"the ${if (seqMode) "sequence-aware" else "plain"} view would " +
+        s"destroy unapplied ${foreign.take(3).mkString(", ")}" +
+        (if (foreign.size > 3) s" (+${foreign.size - 3} more)" else "") +
+        " — use one mode per table")
+  }
+
   /** Fold every tombstone into the base: one staged rewrite of the
     * current view, then the tombstone dirs drop. After compaction the
     * read path is a plain scan again. Returns the number of tombstone
     * batches folded.
     */
   def compact(spark: SparkSession, root: String, keyCol: String): Int = {
+    requireSingleMode(spark, root, seqMode = false)
     val del = new Path(deletesDir(root))
     val fs = fsOf(spark, del)
     if (!fs.exists(del)) return 0

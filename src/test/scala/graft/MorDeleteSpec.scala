@@ -87,6 +87,33 @@ class MorDeleteSpec extends SparkSpec {
     assert(MergeOnRead.compact(spark, root, "k") == 0)
   }
 
+  test("mixed tombstone modes on one root refuse to compact (either " +
+      "direction) — compacting would destroy the other mode's batches") {
+    import org.apache.spark.sql.functions.col
+    // one root carrying BOTH tombstone kinds (the plain batch first —
+    // deleteWhere's current-view read predates the seq batch): both
+    // compaction entry points must refuse rather than silently destroy
+    // the mode they never applied
+    val r1 = tmpDir("graft_mor_mixed1")
+    MergeOnRead.init(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r1)
+    assert(MergeOnRead.deleteWhere(spark, r1, "k", col("k") === 1L) == 1)
+    MergeOnRead.deleteKeysAt(spark, r1, Seq(2L).toDF("k"), 1L)
+    val e1 = intercept[IllegalArgumentException] {
+      MergeOnRead.compact(spark, r1, "k")
+    }
+    assert(e1.getMessage.contains("mixes tombstone modes"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeOnRead.compactSeq(spark, r1, "k")
+    }
+    assert(e2.getMessage.contains("mixes tombstone modes"))
+    // single-mode roots still compact fine
+    val r3 = tmpDir("graft_mor_mixed3")
+    MergeOnRead.init(Seq((1L, "a")).toDF("k", "v"), r3)
+    MergeOnRead.deleteKeysAt(spark, r3, Seq(1L).toDF("k"), 1L)
+    MergeOnRead.compactSeq(spark, r3, "k")
+    assert(MergeOnRead.readCurrentSeq(spark, r3, "k").count() == 0)
+  }
+
   test("model property: random sequence-aware op interleavings " +
       "(append / tombstone / upsert / replay / compact) equal an " +
       "in-memory model at every step") {
