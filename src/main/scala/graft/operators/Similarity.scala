@@ -171,12 +171,17 @@ object Similarity {
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfFit: empty corpus — nothing to quantize")
+    // a corpus smaller than the requested cell count quantizes at its
+    // own size (one row per cell is the finest meaningful quantizer) —
+    // the graceful-degradation contract small filtered corpora rely on
+    val effCells = math.min(nCells, sample.length)
     val flat = graft.expressions.Kernels.kmeansFit(
-      sample, nCells, iters = 12, seed = seed)
+      sample, effCells, iters = 12, seed = seed)
     val dim = sample(0).length
     val raw = Ops.spreadNarrow(corpus)
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
-        ivf_cell(col("embedding").cast("array<float>"), flat, nCells)
+        ivf_cell(col("embedding").cast("array<float>"), flat, effCells)
           .as("cell"))
     val assigned = if (cache)
       raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,7 +191,7 @@ object Similarity {
     val centroids = flat.grouped(dim).zipWithIndex
       .map { case (v, i) => (i, v.map(_.toDouble)) }
       .toSeq.toDF("cell", "centroid")
-    IvfIndex(assigned, centroids, nCells)
+    IvfIndex(assigned, centroids, effCells)
   }
 
   /** Assign a batch of embeddings to FROZEN centroids — the streaming
@@ -220,24 +225,42 @@ object Similarity {
       .select("corpus_id", "c_emb", "cell")
   }
 
-  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
-    // rank cells per query by squared euclidean distance of the
-    // NORMALIZED query to the (normalized-space) centroid — zip_with +
-    // aggregate keeps this inside whole-stage codegen
+  /** Per-query nearest-cell ranking — THE probe-side cell selection
+    * shared by [[ivfProbe]], [[ivfPqProbe]], and the diagnostics that
+    * must count exactly what probes scan ([[graft.tools.AnnDial]]):
+    * rank cells by squared euclidean distance of the NORMALIZED query
+    * to the (normalized-space) centroid (zip_with + aggregate, inside
+    * whole-stage codegen), keep the `nProbe` nearest, ties to the
+    * lowest cell. `carry` columns (the query payload each caller needs
+    * downstream — raw embedding, ADC table) ride through the ranking
+    * so no join-back is ever paid. One definition means the dial's
+    * probed-fraction accounting can never desynchronize from the real
+    * probe path.
+    */
+  private[graft] def probeCells(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, carry: (String, Column)*): DataFrame = {
     val dist2 = aggregate(
       zip_with(col("q_normed"), col("centroid"),
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    val probes = queries
-      .select(col("id").as("query_id"), col("embedding").as("q_emb"),
-        l2normed(col("embedding")).as("q_normed"))
-      .crossJoin(broadcast(index.centroids))
-      .select(col("query_id"), col("q_emb"), col("cell"), dist2.as("d2"))
+    val payload = carry.map { case (n, c) => c.as(n) }
+    val names = carry.map { case (n, _) => col(n) }
+    queries
+      .select(col("id").as("query_id") +:
+        l2normed(col("embedding")).as("q_normed") +: payload: _*)
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id") +: col("cell") +: dist2.as("d2") +:
+        names: _*)
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
       .filter(col("cell_rank") <= nProbe)
-      .select("query_id", "q_emb", "cell")
+      .select(col("query_id") +: col("cell") +: names: _*)
+  }
+
+  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val probes = probeCells(queries, index.centroids, nProbe,
+      "q_emb" -> col("embedding"))
     val scored = probes.join(index.assigned, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -485,21 +508,9 @@ object Similarity {
   def ivfPqProbe(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nProbe: Int = 6, rerank: Int = 100): DataFrame = {
     import graft.functions.GraftFunctions.{pq_adc, pq_adc_table}
-    val dist2 = aggregate(
-      zip_with(col("q_normed"), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val probes = queries
-      .select(col("id").as("query_id"),
-        l2normed(col("embedding")).as("q_normed"),
-        pq_adc_table(col("embedding"), index.cb.flat, index.cb.m,
-          index.cb.k).as("qtab"))
-      .crossJoin(broadcast(index.centroids))
-      .select(col("query_id"), col("qtab"), col("cell"), dist2.as("d2"))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
-      .filter(col("cell_rank") <= nProbe)
-      .select("query_id", "qtab", "cell")
+    val probes = probeCells(queries, index.centroids, nProbe,
+      "qtab" -> pq_adc_table(col("embedding"), index.cb.flat,
+        index.cb.m, index.cb.k))
     val coarse = probes.join(index.assigned, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),

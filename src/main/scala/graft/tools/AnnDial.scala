@@ -43,26 +43,13 @@ object AnnDial {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = got.intersect(exact).size.toDouble / exact.size
       // ACTUAL scored fraction: rows entering the scoring join (each
-      // query's probed cells' mass) over |corpus| x |queries|
-      val dist2 = aggregate(
-        zip_with(col("q_normed"), col("centroid"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      // same spherical normalization as ivfProbe's query side — the
-      // ranking must match the probe's to count the right cells
-      val d = col("embedding").cast("array<double>")
-      val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-      val probedMass = queries
-        .select(col("id").as("query_id"),
-          transform(d, x => coalesce(x / nullif(norm, lit(0.0)),
-            lit(0.0))).as("q_normed"))
-        .crossJoin(broadcast(index.centroids))
-        .select(col("query_id"), col("cell"), dist2.as("d2"))
-        .withColumn("cell_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
-        .filter(col("cell_rank") <= nProbe)
-        .collect().map(r => cellSizes(r.getInt(1))).sum.toDouble
+      // query's probed cells' mass) over |corpus| x |queries| — counted
+      // through the SAME probeCells ranking the probe path uses, so
+      // this column can never desynchronize from what probes scan
+      val probedMass = graft.operators.Similarity
+        .probeCells(queries, index.centroids, nProbe)
+        .select("cell").collect()
+        .map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum.toDouble
       val frac = probedMass / (total * nQ)
       println(f"| $nProbe | $recall%.2f | ${frac * 100}%.1f%% |")
     }
