@@ -173,6 +173,13 @@ try:
     summary["bench"]["host_cpus"] = d.get("host_cpus")
     summary["bench"]["attempts"] = d.get("attempts")
     summary["bench"]["probe"] = d.get("probe")
+    # a run on fewer cores than the 32 the round contract specifies is
+    # never clean evidence, whatever its canary says. (Stamped BEFORE
+    # the epoch block: an error reading the committed prior detail
+    # must never skip this check.)
+    if (d.get("cpus") or 0) < 32:
+        summary["bench"]["contended"] = True
+        summary["bench"]["undersized"] = True
     # EPOCH-NORMALIZED regression check: per-query ratios vs the
     # committed prior-round detail, divided by the deterministic-probe
     # ratio (geometric mean of the jvm and shuffle probes) so a
@@ -204,11 +211,11 @@ try:
                 "skipped": "prior bench_detail.json has no probe fields"}
     except FileNotFoundError:
         summary["epoch"] = {"skipped": "no committed prior bench_detail.json"}
-    # a run on fewer cores than the 32 the round contract specifies is
-    # never clean evidence, whatever its canary says
-    if (d.get("cpus") or 0) < 32:
-        summary["bench"]["contended"] = True
-        summary["bench"]["undersized"] = True
+    except Exception as e:
+        # a corrupt/unparseable committed prior (JSONDecodeError is a
+        # ValueError, not FileNotFoundError) skips the epoch compare
+        # loudly instead of escaping to the outer handler
+        summary["epoch"] = {"skipped": f"prior detail unreadable: {e}"}
 except Exception as e:
     summary["bench"]["parse_error"] = str(e)
 
