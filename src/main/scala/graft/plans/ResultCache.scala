@@ -77,14 +77,16 @@ object ResultCache {
       pinned match {
         case Some(v) => s"graftsink:$dir@v$v"
         case None =>
-          // the latest COMPLETE version (read resolution), never the
-          // max manifest NAME: a crashed publish leaves a torn v(k+1)
-          // whose name a later genuine commit legitimately reclaims —
-          // salting by name would give the pre-reclaim entry (computed
-          // over v(k)'s data, since readers skip torn manifests) the
-          // same key as the post-reclaim query
-          val head = graft.sources.GraftSink.latestManifest(spark, dir)
-            .map(_.version).getOrElse(-1)
+          // the latest COMPLETE version (read resolution's rule),
+          // never the max manifest NAME: a crashed publish leaves a
+          // torn v(k+1) whose name a later genuine commit legitimately
+          // reclaims — salting by name would give the pre-reclaim
+          // entry (computed over v(k)'s data, since readers skip torn
+          // manifests) the same key as the post-reclaim query. The
+          // tail-check primitive reads bytes proportional to the probe,
+          // not the manifest (no parse)
+          val head = graft.sources.GraftSink
+            .latestCompleteVersion(spark, dir).getOrElse(-1)
           s"$name#head=$head"
       }
     }

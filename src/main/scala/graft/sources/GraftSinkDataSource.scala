@@ -925,6 +925,7 @@ object GraftSink {
       .sorted.lastOption
   }
 
+
   /** Terminator line: a manifest is COMPLETE only when it ends with
     * this marker. A writer that dies mid-manifest leaves a detectable
     * torn file instead of a silently truncated file list.
@@ -1045,23 +1046,28 @@ object GraftSink {
     if (version >= fl) None
     else {
       // DEFENSE IN DEPTH (round 9): a TRUE zombie is never the max —
-      // it claimed a vacated name BELOW the live head, so a COMPLETE
-      // manifest above it always exists. If read RESOLUTION (which
-      // skips torn manifests) finds nothing above the claimed
-      // version, this commit IS the resolvable head regardless of
-      // what a floor marker says — a corrupt/orphaned/crafted marker
-      // must not convict the only live head and strand the table in
-      // a claim-convict-retry loop. The check must be POSITIVE
-      // evidence: any failure resolving the head (transient IO, a
-      // racing swap) falls through to conviction — the old, safe
-      // behavior — because standing on an unverified "nothing above
-      // me" would silently ack a real zombie (a lost write), which is
-      // strictly worse than one redundant retry. The vacuum-side
-      // floor derivation keeps this branch unreachable in normal
-      // operation.
+      // it claimed a vacated name BELOW the live head, so a manifest
+      // NAME above it always exists. If the directory listing shows
+      // no manifest name above the claimed version, this commit IS
+      // the head regardless of what a floor marker says — a
+      // corrupt/orphaned/crafted marker must not convict the only
+      // live head and strand the table in a claim-convict-retry loop.
+      // The check is the raw NAME listing, deliberately NOT head
+      // resolution: resolution skips a transiently-unreadable head as
+      // torn and could walk down to the zombie's own complete
+      // manifest, "proving" it is the head and silently acking a lost
+      // write. Names cannot lie that way — a real head's name is
+      // listed even when its bytes are momentarily unreadable. Torn
+      // names above also convict (conservative; the retry loop steps
+      // over corpses via collisionFloor and terminates at a claim
+      // above every listed name). Any listing failure falls through
+      // to conviction — the old, safe behavior (NonFatal only: an OOM
+      // or interrupt must propagate, not convert into a retry). The
+      // vacuum-side floor derivation keeps this branch unreachable in
+      // normal operation.
       val provablyHead =
-        try latestManifest(spark, dir).exists(_.version <= version)
-        catch { case _: Throwable => false }
+        try fsVersionsDesc(spark, dir).forall(_ <= version)
+        catch { case scala.util.control.NonFatal(_) => false }
       if (provablyHead) None
       else {
         fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
@@ -1480,9 +1486,32 @@ object GraftSink {
     -1 // unreachable
   }
 
-  /** Newest version with a COMPLETE manifest (torn tails skipped). */
-  def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] =
-    latestManifest(spark, dir).map(_.version)
+  /** Newest version with a COMPLETE manifest (torn tails skipped)
+    * WITHOUT parsing any manifest: per candidate name, read only the
+    * final bytes and check the `#eof` terminator. The cheap primitive
+    * for callers that need the version NUMBER, not the file list
+    * (ResultCache's snapshot salt) — [[latestVersion]] is wrong for
+    * them (it counts torn names, so a crashed publish would alias two
+    * snapshots onto one salt), and resolution-by-parse would read a
+    * legacy inline manifest (~100 MB at 10⁶ entries) for one int.
+    */
+  def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    def endsWithEof(v: Int): Boolean =
+      try {
+        val p = new Path(dir, manifestName(v))
+        val len = f.getFileStatus(p).getLen
+        val tail = math.min(len, 64L).toInt
+        val in = f.open(p)
+        try {
+          in.seek(len - tail)
+          val buf = new Array[Byte](tail)
+          in.readFully(buf)
+          new String(buf, "UTF-8").trim.endsWith(EofMarker)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    fsVersionsDesc(spark, dir).find(endsWithEof)
+  }
 
   /** Schema-change publish that may also rewrite the CARRIED file
     * entries (recorded per-file DDLs, stats keys). `change` recomputes
