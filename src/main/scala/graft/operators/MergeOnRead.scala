@@ -47,6 +47,7 @@ object MergeOnRead {
     */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
       predicate: Column): Long = {
+    requireSingleMode(spark, root, seqMode = false)
     val victims = readCurrent(spark, root, keyCol)
       .filter(predicate).select(keyCol).distinct()
     val n = victims.count()
@@ -71,6 +72,7 @@ object MergeOnRead {
     */
   def deleteKeys(spark: SparkSession, root: String,
       keys: DataFrame): Unit = {
+    requireSingleMode(spark, root, seqMode = false)
     val dest = s"${deletesDir(root)}/d" +
       java.util.UUID.randomUUID().toString.take(8)
     keys.distinct().write.mode("errorifexists").parquet(dest)
@@ -82,6 +84,7 @@ object MergeOnRead {
     */
   def readCurrent(spark: SparkSession, root: String,
       keyCol: String): DataFrame = {
+    requireSingleMode(spark, root, seqMode = false)
     val base = spark.read.parquet(dataDir(root))
     val del = new Path(deletesDir(root))
     if (!fsOf(spark, del).exists(del)) base
@@ -125,6 +128,7 @@ object MergeOnRead {
   def appendRowsAt(spark: SparkSession, root: String, rows: DataFrame,
       seq: Long): Unit = {
     require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    requireSingleMode(spark, root, seqMode = true)
     rows.withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${updatesDir(root)}/u$seq")
   }
@@ -137,6 +141,7 @@ object MergeOnRead {
   def deleteKeysAt(spark: SparkSession, root: String, keys: DataFrame,
       seq: Long): Unit = {
     require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    requireSingleMode(spark, root, seqMode = true)
     keys.distinct().withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${deletesDir(root)}/t$seq")
   }
@@ -154,6 +159,7 @@ object MergeOnRead {
     */
   def readCurrentSeq(spark: SparkSession, root: String,
       keyCol: String): DataFrame = {
+    requireSingleMode(spark, root, seqMode = true)
     val base = spark.read.parquet(dataDir(root))
       .withColumn("__seq", lit(0L))
     val up = new Path(updatesDir(root))
@@ -199,11 +205,15 @@ object MergeOnRead {
 
   /** The two tombstone flavors share `root/deletes` but are read by
     * DIFFERENT view/compaction paths (plain: `d*` dirs, no versions;
-    * sequence-aware: `t*` dirs + `updates/`). Compacting one mode on a
-    * root that carries the other's batches would fold a view that
-    * ignores them and then DELETE them — silently resurrecting
-    * deleted rows (or duplicating masked versions). A mixed root is a
-    * caller bug; fail loudly before any destructive step.
+    * sequence-aware: `t*` dirs + `updates/`). A mixed root is wrong
+    * long before compaction destroys anything: each mode's VIEW
+    * silently ignores the other's tombstones (wrong query results
+    * with no error), and compacting would then delete the unapplied
+    * batches — resurrecting deleted rows. So EVERY entry point
+    * (writes, reads, compactions) checks the root is single-mode and
+    * fails loudly at the point the mix would first be introduced or
+    * consumed. Cost: one directory listing per call, beside IO that
+    * already lists or writes the same directory.
     */
   private def requireSingleMode(spark: SparkSession, root: String,
       seqMode: Boolean): Unit = {
@@ -218,9 +228,9 @@ object MergeOnRead {
         (if (!seqMode && fs.exists(new Path(updatesDir(root))))
           Seq("updates/") else Seq.empty)
     require(foreign.isEmpty,
-      s"merge-on-read root $root mixes tombstone modes: compacting " +
-        s"the ${if (seqMode) "sequence-aware" else "plain"} view would " +
-        s"destroy unapplied ${foreign.take(3).mkString(", ")}" +
+      s"merge-on-read root $root mixes tombstone modes: the " +
+        s"${if (seqMode) "sequence-aware" else "plain"} path would " +
+        s"ignore/destroy ${foreign.take(3).mkString(", ")}" +
         (if (foreign.size > 3) s" (+${foreign.size - 3} more)" else "") +
         " — use one mode per table")
   }

@@ -87,25 +87,34 @@ class MorDeleteSpec extends SparkSpec {
     assert(MergeOnRead.compact(spark, root, "k") == 0)
   }
 
-  test("mixed tombstone modes on one root refuse to compact (either " +
-      "direction) — compacting would destroy the other mode's batches") {
+  test("mixed tombstone modes refuse at EVERY entry point: writes " +
+      "reject introducing the mix, reads and compactions reject " +
+      "consuming one planted out-of-band") {
     import org.apache.spark.sql.functions.col
-    // one root carrying BOTH tombstone kinds (the plain batch first —
-    // deleteWhere's current-view read predates the seq batch): both
-    // compaction entry points must refuse rather than silently destroy
-    // the mode they never applied
+    def mixError(body: => Any): Unit =
+      assert(intercept[IllegalArgumentException](body)
+        .getMessage.contains("mixes tombstone modes"))
+    // write-time: the mix is refused where it would be INTRODUCED
     val r1 = tmpDir("graft_mor_mixed1")
     MergeOnRead.init(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r1)
     assert(MergeOnRead.deleteWhere(spark, r1, "k", col("k") === 1L) == 1)
-    MergeOnRead.deleteKeysAt(spark, r1, Seq(2L).toDF("k"), 1L)
-    val e1 = intercept[IllegalArgumentException] {
-      MergeOnRead.compact(spark, r1, "k")
-    }
-    assert(e1.getMessage.contains("mixes tombstone modes"))
-    val e2 = intercept[IllegalArgumentException] {
-      MergeOnRead.compactSeq(spark, r1, "k")
-    }
-    assert(e2.getMessage.contains("mixes tombstone modes"))
+    mixError(MergeOnRead.deleteKeysAt(spark, r1, Seq(2L).toDF("k"), 1L))
+    mixError(MergeOnRead.appendRowsAt(spark, r1,
+      Seq((3L, "c")).toDF("k", "v"), 1L))
+    val r2 = tmpDir("graft_mor_mixed2")
+    MergeOnRead.init(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r2)
+    MergeOnRead.deleteKeysAt(spark, r2, Seq(1L).toDF("k"), 1L)
+    mixError(MergeOnRead.deleteWhere(spark, r2, "k", col("k") === 2L))
+    mixError(MergeOnRead.deleteKeys(spark, r2, Seq(2L).toDF("k")))
+    // a mix planted OUT OF BAND (simulating a rogue writer bypassing
+    // the API) is refused by reads and both compactions — the view
+    // must never silently ignore the other mode's tombstones, and
+    // compaction must never destroy them
+    Seq(9L).toDF("k").write.parquet(s"$r2/deletes/d_rogue")
+    mixError(MergeOnRead.readCurrent(spark, r2, "k"))
+    mixError(MergeOnRead.readCurrentSeq(spark, r2, "k"))
+    mixError(MergeOnRead.compact(spark, r2, "k"))
+    mixError(MergeOnRead.compactSeq(spark, r2, "k"))
     // single-mode roots still compact fine
     val r3 = tmpDir("graft_mor_mixed3")
     MergeOnRead.init(Seq((1L, "a")).toDF("k", "v"), r3)
