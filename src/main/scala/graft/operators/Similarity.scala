@@ -202,28 +202,18 @@ object Similarity {
     * the lowest cell); output shape matches [[IvfIndex.assigned]], so
     * appends land straight into the cell-partitioned index and probes
     * see new vectors immediately. Per-batch cost is O(batch × nCells)
-    * — never touches the index. Assignment agrees with the quantizer's
-    * own except on exact-distance NEAR-TIES, where MLlib's
-    * fastSquaredDistance shortcut may round the other way — harmless
+    * — never touches the index. Assignment agrees with [[ivfFit]]'s
+    * own except on exact-distance NEAR-TIES (the fit assigns through
+    * `ivf_cell`'s float accumulation, this path through zip_with
+    * doubles — rounding may break a near-tie the other way), harmless
     * for ANN (either cell is equally probe-able; the spec law is
-    * tie-tolerant).
+    * tie-tolerant). The ranking itself IS [[probeCells]] at nProbe=1 —
+    * one definition, so the streamed assignment can never diverge
+    * structurally from the probe side.
     */
-  def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame = {
-    val dist2 = aggregate(
-      zip_with(col("b_normed"), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    batch
-      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"),
-        l2normed(col("embedding")).as("b_normed"))
-      .crossJoin(broadcast(centroids))
-      .select(col("corpus_id"), col("c_emb"), col("cell"), dist2.as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("corpus_id")
-          .orderBy(col("d2").asc, col("cell"))))
-      .filter(col("rn") === 1)
-      .select("corpus_id", "c_emb", "cell")
-  }
+  def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame =
+    probeCells(batch, centroids, nProbe = 1, "c_emb" -> col("embedding"))
+      .select(col("query_id").as("corpus_id"), col("c_emb"), col("cell"))
 
   /** Per-query nearest-cell ranking — THE probe-side cell selection
     * shared by [[ivfProbe]], [[ivfPqProbe]], and the diagnostics that

@@ -189,7 +189,10 @@ try:
     try:
         prior = json.load(open("bench_detail.json"))
         pp, cp = prior.get("probe") or {}, d.get("probe") or {}
-        if pp.get("jvm") and pp.get("shuffle") and cp.get("jvm"):
+        probes_ok = all(
+            isinstance(x.get(k), (int, float)) and x.get(k) > 0
+            for x in (pp, cp) for k in ("jvm", "shuffle"))
+        if probes_ok:
             probe_ratio = ((cp["jvm"] / pp["jvm"])
                            * (cp["shuffle"] / pp["shuffle"])) ** 0.5
             pq, cq = prior.get("queries") or {}, d.get("queries") or {}
@@ -208,14 +211,16 @@ try:
             }
         else:
             summary["epoch"] = {
-                "skipped": "prior bench_detail.json has no probe fields"}
+                "skipped": "probe fields missing/non-positive in prior "
+                           "or current bench_detail.json"}
     except FileNotFoundError:
         summary["epoch"] = {"skipped": "no committed prior bench_detail.json"}
     except Exception as e:
-        # a corrupt/unparseable committed prior (JSONDecodeError is a
-        # ValueError, not FileNotFoundError) skips the epoch compare
-        # loudly instead of escaping to the outer handler
-        summary["epoch"] = {"skipped": f"prior detail unreadable: {e}"}
+        # any failure of the compare itself (corrupt prior JSON, a
+        # malformed field in either detail) skips the epoch step
+        # LOUDLY instead of escaping to the outer handler — and names
+        # the error, not a guessed culprit
+        summary["epoch"] = {"skipped": f"epoch compare failed: {e}"}
 except Exception as e:
     summary["bench"]["parse_error"] = str(e)
 
