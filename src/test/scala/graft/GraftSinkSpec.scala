@@ -230,6 +230,39 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graftsink").load(dir).count() === 4)
   }
 
+  test("latestCompleteVersion: the tail check skips torn names, finds " +
+      "the newest #eof-terminated manifest, and never parses") {
+    val dir = freshDir
+    (1 to 2).foreach { i =>
+      Seq((i.toLong, "x")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir)
+    }
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a torn v2 (no #eof): name-counting latestVersion sees it, the
+    // completeness probe must not
+    val torn = new org.apache.hadoop.fs.Path(dir, "manifest-v000002")
+    val o = fs.create(torn, false)
+    o.write("k BIGINT,s STRING\nsome-file".getBytes("UTF-8"))
+    o.close()
+    assert(GraftSink.latestVersion(spark, dir) === Some(2))
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(1),
+      "a torn name must not salt/resolve as the head")
+    // a manifest SHORTER than the probe window (an empty-ish torn
+    // stub) must not crash the tail seek
+    val stub = new org.apache.hadoop.fs.Path(dir, "manifest-v000003")
+    val o2 = fs.create(stub, false)
+    o2.write("x".getBytes("UTF-8"))
+    o2.close()
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(1))
+    // a new genuine commit steps over the corpses and becomes both
+    // the name max and the complete max
+    Seq((3L, "y")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(4))
+  }
+
   test("a bogus floor marker above the head cannot brick the table: " +
       "a head claim with no complete manifest above it stands") {
     val dir = freshDir
