@@ -47,7 +47,7 @@ object MergeOnRead {
     */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
       predicate: Column): Long = {
-    requireSingleMode(spark, root, seqMode = false)
+    // mode guard runs inside readCurrent (the first data access)
     val victims = readCurrent(spark, root, keyCol)
       .filter(predicate).select(keyCol).distinct()
     val n = victims.count()
@@ -194,7 +194,8 @@ object MergeOnRead {
     * spec walks exactly this boundary.
     */
   def compactSeq(spark: SparkSession, root: String, keyCol: String): Unit = {
-    requireSingleMode(spark, root, seqMode = true)
+    // mode guard runs inside readCurrentSeq, which is evaluated
+    // (and throws) before any destructive step below
     ParquetIO.overwriteSafe(readCurrentSeq(spark, root, keyCol),
       dataDir(root))
     val fs = fsOf(spark, new Path(root))
@@ -241,7 +242,8 @@ object MergeOnRead {
     * batches folded.
     */
   def compact(spark: SparkSession, root: String, keyCol: String): Int = {
-    requireSingleMode(spark, root, seqMode = false)
+    // mode guard runs inside readCurrent below, before the rewrite;
+    // the early no-tombstone return touches nothing
     val del = new Path(deletesDir(root))
     val fs = fsOf(spark, del)
     if (!fs.exists(del)) return 0

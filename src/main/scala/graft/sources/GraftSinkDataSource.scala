@@ -1065,9 +1065,16 @@ object GraftSink {
       // or interrupt must propagate, not convert into a retry). The
       // vacuum-side floor derivation keeps this branch unreachable in
       // normal operation.
+      // the listing must POSITIVELY contain our own claim: an empty
+      // or claim-less listing (a racing vacuum, a transiently-false
+      // exists on the table dir) is absence of evidence, and forall
+      // on it would be vacuously true — standing on that would ack a
+      // commit whose manifest may already be gone
       val provablyHead =
-        try fsVersionsDesc(spark, dir).forall(_ <= version)
-        catch { case scala.util.control.NonFatal(_) => false }
+        try {
+          val names = fsVersionsDesc(spark, dir)
+          names.contains(version) && names.forall(_ <= version)
+        } catch { case scala.util.control.NonFatal(_) => false }
       if (provablyHead) None
       else {
         fs(spark, dir).delete(new Path(dir, manifestName(version)), false)
@@ -1497,8 +1504,14 @@ object GraftSink {
     */
   def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
-    def endsWithEof(v: Int): Boolean =
-      try {
+    // completeness = the final LINE equals the marker, exactly the
+    // resolver's rule (lines.lastOption.contains) — a suffix match
+    // would accept a torn line that merely ENDS in #eof and alias the
+    // salt/offset onto a version readers reject. The window is 64
+    // bytes: a real terminator line always fits, and a window-cut
+    // fragment of a longer line can never EQUAL the 4-byte marker.
+    def tailIsEof(v: Int): Boolean = {
+      def attempt(): Boolean = {
         val p = new Path(dir, manifestName(v))
         val len = f.getFileStatus(p).getLen
         val tail = math.min(len, 64L).toInt
@@ -1507,10 +1520,24 @@ object GraftSink {
           in.seek(len - tail)
           val buf = new Array[Byte](tail)
           in.readFully(buf)
-          new String(buf, "UTF-8").trim.endsWith(EofMarker)
+          new String(buf, "UTF-8").split('\n').last.trim == EofMarker
         } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => false }
-    fsVersionsDesc(spark, dir).find(endsWithEof)
+      }
+      // same one-retry discipline as manifestAt's readBytes: a file
+      // caught MID-PUBLISH reads as transient garbage (LocalFileSystem
+      // races the .crc sidecar); without the retry one hiccup resolves
+      // the head a version low — a stale ResultCache salt, a streaming
+      // offset below the live head
+      try attempt()
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case scala.util.control.NonFatal(_) =>
+          Thread.sleep(50)
+          try attempt()
+          catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+    fsVersionsDesc(spark, dir).find(tailIsEof)
   }
 
   /** Schema-change publish that may also rewrite the CARRIED file
