@@ -193,19 +193,42 @@ try:
             isinstance(x.get(k), (int, float)) and x.get(k) > 0
             for x in (pp, cp) for k in ("jvm", "shuffle"))
         if probes_ok:
-            probe_ratio = ((cp["jvm"] / pp["jvm"])
-                           * (cp["shuffle"] / pp["shuffle"])) ** 0.5
+            # machine-speed signal = geometric mean of the jvm probe,
+            # the shuffle probe, AND the canary median ratio when both
+            # details carry one: the canary median (15 samples of
+            # median-of-3 through the whole run) is far stabler than
+            # the once-per-attempt shuffle probe, whose solo swings
+            # (0.42-0.62 s across quiet runs) inflated normalized
+            # ratios ~1.3x and flagged four pure-noise rows in the
+            # round-9 closing gate.
+            sig = [cp["jvm"] / pp["jvm"], cp["shuffle"] / pp["shuffle"]]
+            pc = ((prior.get("canary") or {}).get("median") or 0,
+                  (d.get("canary") or {}).get("median") or 0)
+            if pc[0] > 0 and pc[1] > 0:
+                sig.append(pc[1] / pc[0])
+            probe_ratio = 1.0
+            for r in sig:
+                probe_ratio *= r
+            probe_ratio **= 1.0 / len(sig)
             pq, cq = prior.get("queries") or {}, d.get("queries") or {}
+            ps, cs = prior.get("spread") or {}, d.get("spread") or {}
             over = {}
             for name, prev in pq.items():
                 cur = cq.get(name)
                 if not prev or not cur or prev <= 0 or cur <= 0:
                     continue
                 norm = (cur / prev) / probe_ratio
-                if norm > 2.0 and cur - prev > 0.2:  # ignore sub-noise rows
+                # a real shift must clear the other run's rep spread:
+                # current MIN above prior MAX (both details carry
+                # [min, median, max] per query) — medians that swap
+                # places inside overlapping spreads are rep noise
+                p_max = (ps.get(name) or [0, 0, prev])[2]
+                c_min = (cs.get(name) or [cur, 0, 0])[0]
+                if norm > 2.0 and cur - prev > 0.2 and c_min > p_max:
                     over[name] = round(norm, 2)
             summary["epoch"] = {
                 "probe_ratio": round(probe_ratio, 3),
+                "signals": len(sig),
                 "normalized_over_2x": over,
                 "count": len(over),
             }
