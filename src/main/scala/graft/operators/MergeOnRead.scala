@@ -36,9 +36,23 @@ object MergeOnRead {
   private def dataDir(root: String) = s"$root/data"
   private def deletesDir(root: String) = s"$root/deletes"
 
+  /** `__seq` is RESERVED for the sequence-aware path: base rows are
+    * implicitly stamped 0 and appended rows get the apply sequence, so
+    * a user column of that name would be silently overwritten on write
+    * and dropped by [[readCurrentSeq]] — corrupted round trips with no
+    * error. Same fail-loud discipline as [[requireSingleMode]]: reject
+    * at the entry point where the collision is introduced.
+    */
+  private def requireNoSeqColumn(df: DataFrame, op: String): Unit =
+    require(!df.columns.contains("__seq"),
+      s"merge-on-read $op: column name '__seq' is reserved for apply " +
+        "sequence stamping — rename it before writing")
+
   /** Create the table from `df`. */
-  def init(df: DataFrame, root: String): Unit =
+  def init(df: DataFrame, root: String): Unit = {
+    requireNoSeqColumn(df, "init")
     df.write.mode("overwrite").parquet(dataDir(root))
+  }
 
   /** Append a tombstone batch: the keys of CURRENT rows matching
     * `predicate`. Returns the number of keys tombstoned. Base data is
@@ -128,6 +142,7 @@ object MergeOnRead {
   def appendRowsAt(spark: SparkSession, root: String, rows: DataFrame,
       seq: Long): Unit = {
     require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    requireNoSeqColumn(rows, "appendRowsAt")
     requireSingleMode(spark, root, seqMode = true)
     rows.withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${updatesDir(root)}/u$seq")
@@ -141,6 +156,7 @@ object MergeOnRead {
   def deleteKeysAt(spark: SparkSession, root: String, keys: DataFrame,
       seq: Long): Unit = {
     require(seq >= 1, s"seq must be >= 1 (base is 0), got $seq")
+    requireNoSeqColumn(keys, "deleteKeysAt")
     requireSingleMode(spark, root, seqMode = true)
     keys.distinct().withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${deletesDir(root)}/t$seq")

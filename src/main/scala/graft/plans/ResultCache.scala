@@ -3,6 +3,8 @@ package graft.plans
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, LogicalPlan, OneRowRelation, Range}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,23 +59,43 @@ object ResultCache {
 
   /** One salt line per scanned base relation (sorted for plan-walk
     * order independence) — the data-version half of the cache key.
+    *
+    * FAIL-CLOSED LEAF POLICY: every leaf the walk reaches is either
+    * (a) a graftsink scan — salted with its version pin or live head,
+    * (b) a file scan — salted with its resolved file listing,
+    * (c) plan-embedded data (LocalRelation/Range/OneRowRelation) —
+    *     salted with its contents/parameters (the canonicalized plan
+    *     string does NOT print LocalRelation rows, so two literal
+    *     frames with the same schema would otherwise collide),
+    * (d) a Spark-cached relation (InMemoryRelation) — descended into
+    *     the CACHED QUERY's logical plan, so the underlying tables
+    *     still move the key (note Spark's own cache keeps serving the
+    *     at-cache-time data; that staleness is the user's explicit
+    *     `.cache()` contract, not this cache's), or
+    * (e) anything else (JDBC, a foreign V2 connector, an RDD scan) —
+    *     salted with a UNIQUENESS token: we cannot observe its data
+    *     version, so the entry can never be served again. A permanent
+    *     miss is the only answer that keeps the staleness contract
+    *     ENFORCED rather than silently waived for unknown sources.
     */
   private def snapshotSalt(df: DataFrame): String = {
     val spark = df.sparkSession
     def graftSalt(r: DataSourceV2Relation): String = {
-      val name = r.table.name()
-      val dir = name.stripPrefix("graftsink:").takeWhile(_ != '@')
-      // a version pin rides either in the table name (catalog
+      // dir/pin come from the Table OBJECT (never parsed out of the
+      // display name: a path containing '@' would truncate to a
+      // nonexistent dir whose head probe is a constant -1, freezing
+      // the key of a mutable table — ADVICE r9)
+      val (dir, namePin) =
+        graft.sources.GraftSink.tableDirAndPin(r.table).get
+      // a version pin rides either in the table object (catalog
       // `VERSION AS OF`) or in the read option — both are immutable
       // snapshots, so the PIN is the salt and the key never moves
       // with the head (historical dashboards keep hitting). A tag is
       // resolved (retagging must move the key); only an unpinned read
       // salts with the live head.
-      val pinned: Option[Int] =
-        if (name.contains("@v"))
-          name.dropWhile(_ != '@').stripPrefix("@v").toIntOption
-        else Option(r.options.get("version")).map(
-          graft.sources.GraftSink.resolveVersion(spark, dir, _))
+      val pinned: Option[Int] = namePin.orElse(
+        Option(r.options.get("version")).map(
+          graft.sources.GraftSink.resolveVersion(spark, dir, _)))
       pinned match {
         case Some(v) => s"graftsink:$dir@v$v"
         case None =>
@@ -87,31 +109,46 @@ object ResultCache {
           // not the manifest (no parse)
           val head = graft.sources.GraftSink
             .latestCompleteVersion(spark, dir).getOrElse(-1)
-          s"$name#head=$head"
+          s"graftsink:$dir#head=$head"
       }
     }
+    def saltsOf(plan: LogicalPlan): Seq[String] = plan.collect {
+      // V2ScanRelationPushDown has usually already converted the
+      // relation by optimization time; match both shapes
+      case r: DataSourceV2ScanRelation
+          if graft.sources.GraftSink.tableDirAndPin(r.relation.table)
+            .isDefined =>
+        Seq(graftSalt(r.relation))
+      case r: DataSourceV2Relation
+          if graft.sources.GraftSink.tableDirAndPin(r.table).isDefined =>
+        Seq(graftSalt(r))
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        val h = l.relation.asInstanceOf[HadoopFsRelation]
+        val files = h.location.inputFiles.sorted
+        Seq(s"files#${files.length}#${fnv(files.mkString("\n"))}")
+      // descend into the cached query's plan (case d): its own leaves
+      // salt recursively, including its subquery plans
+      case imr: InMemoryRelation =>
+        val inner = imr.cacheBuilder.logicalPlan
+        (inner +: inner.subqueriesAll).flatMap(saltsOf)
+      // plan-embedded data (case c): contents are the "version"
+      case lr: LocalRelation =>
+        Seq(s"local#${lr.output.size}#" +
+          fnv(lr.data.map(_.toString).mkString("\n")))
+      case r: Range =>
+        Seq(s"range#${r.start}#${r.end}#${r.step}")
+      case _: OneRowRelation => Seq("onerow")
+      // unknown leaf (case e): fail closed with a per-call token
+      case leaf: LeafNode =>
+        Seq(s"opaque#${leaf.nodeName}#" +
+          java.util.UUID.randomUUID().toString)
+    }.flatten
     // walk the main tree AND every subquery plan: a mutable table
     // referenced only through a scalar/IN subquery must salt too, or
     // mutating it would serve the stale entry (plan.collect does not
     // descend into PlanExpression sub-plans)
-    val plans = {
-      val root = df.queryExecution.optimizedPlan
-      root +: root.subqueriesAll
-    }
-    val salts = plans.flatMap(_.collect {
-      // V2ScanRelationPushDown has usually already converted the
-      // relation by optimization time; match both shapes
-      case r: DataSourceV2ScanRelation
-          if r.relation.table.name().startsWith("graftsink:") =>
-        graftSalt(r.relation)
-      case r: DataSourceV2Relation
-          if r.table.name().startsWith("graftsink:") =>
-        graftSalt(r)
-      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
-        val h = l.relation.asInstanceOf[HadoopFsRelation]
-        val files = h.location.inputFiles.sorted
-        s"files#${files.length}#${fnv(files.mkString("\n"))}"
-    })
+    val root = df.queryExecution.optimizedPlan
+    val salts = (root +: root.subqueriesAll).flatMap(saltsOf)
     salts.sorted.mkString("\n")
   }
 

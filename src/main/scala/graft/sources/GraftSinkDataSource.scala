@@ -1504,10 +1504,14 @@ object GraftSink {
     */
   def latestCompleteVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
-    // completeness = the final LINE equals the marker, exactly the
-    // resolver's rule (lines.lastOption.contains) — a suffix match
-    // would accept a torn line that merely ENDS in #eof and alias the
-    // salt/offset onto a version readers reject. The window is 64
+    // completeness = the last NON-EMPTY line equals the marker — the
+    // resolver's EXACT normalization (read(): split('\n'),
+    // filter(_.nonEmpty), lastOption.contains), byte for byte. No
+    // trim: a manifest ending "#eof " or "#eof\r" (CRLF/external
+    // tooling) is torn to the resolver, so a trimming tail check
+    // would point the ResultCache salt or a streaming offset at a
+    // version readers skip. A suffix match would be wrong the other
+    // way (a torn line merely ENDING in #eof). The window is 64
     // bytes: a real terminator line always fits, and a window-cut
     // fragment of a longer line can never EQUAL the 4-byte marker.
     def tailIsEof(v: Int): Boolean = {
@@ -1520,7 +1524,8 @@ object GraftSink {
           in.seek(len - tail)
           val buf = new Array[Byte](tail)
           in.readFully(buf)
-          new String(buf, "UTF-8").split('\n').last.trim == EofMarker
+          new String(buf, "UTF-8").split('\n').toSeq
+            .filter(_.nonEmpty).lastOption.contains(EofMarker)
         } finally in.close()
       }
       // same one-retry discipline as manifestAt's readBytes: a file
@@ -2175,6 +2180,20 @@ object GraftSink {
     spec.toIntOption.getOrElse(tags(spark, dir).getOrElse(spec,
       sys.error(s"graftsink: no tag '$spec' at $dir")))
 
+  /** (table directory, `VERSION AS OF` pin) of a graftsink `Table`
+    * object, None for any other connector. The STRUCTURED accessor for
+    * callers that key on the snapshot (ResultCache's salt): parsing
+    * the display name (`graftsink:<dir>[@v<n>]`) is ambiguous when the
+    * directory itself contains '@' — a path like `.../user@host/tbl`
+    * would truncate to a nonexistent dir whose head probe returns a
+    * CONSTANT -1, silently freezing the cache key of a mutable table.
+    */
+  def tableDirAndPin(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(String, Option[Int])] = t match {
+    case g: GraftSinkTable => Some((g.tableDir, g.tablePin))
+    case _ => None
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       graceMs: Long = 3600000L): VacuumStats = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
@@ -2323,6 +2342,11 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
     Array(GraftFileMetadataColumn)
   override def name(): String = s"graftsink:$path" +
     pinnedVersion.fold("")(v => s"@v$v")
+  // structured (dir, pin) for snapshot-keyed callers — see
+  // GraftSink.tableDirAndPin: the display name is not parseable when
+  // the path contains '@'
+  private[graft] def tableDir: String = path
+  private[graft] def tablePin: Option[Int] = pinnedVersion
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object GraphDecade {
   def main(args: Array[String]): Unit = {
-    val sf01 = "/root/testdata/sf0.1"
-    val sf1 = "/tmp/sf1"
+    val sf01 = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val sf1 = args.drop(1).headOption.getOrElse("/tmp/sf1")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sf1/lineitem.parquet")))
       ScaleUp.main(Array(sf01, sf1, "10"))

@@ -103,7 +103,8 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val sf = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_PLANLOCK_SF", "/root/testdata/sf0.001"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.PlanAudit` at sf0.001 (4 shuffle\n")

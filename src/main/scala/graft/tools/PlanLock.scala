@@ -109,7 +109,13 @@ object PlanLock {
       .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    // fixture dir is env-parameterized like roundcheck.sh's scales
+    // (ADVICE r9: a hardcoded path makes the committed gate fail as
+    // PLANDIFF_RC=2 on any machine without this exact layout). The
+    // fingerprints are size-independent (see scaladoc), so any
+    // same-schema fixture dir reproduces the committed lock.
+    val sf = args.drop(1).headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_PLANLOCK_SF", "/root/testdata/sf0.001"))
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("st_")) // see scaladoc: batch twins gate
       .map { case (name, fn) =>

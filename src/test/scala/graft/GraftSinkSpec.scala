@@ -263,6 +263,38 @@ class GraftSinkSpec extends SparkSpec {
     assert(GraftSink.latestCompleteVersion(spark, dir) === Some(4))
   }
 
+  test("tail check applies the resolver's EXACT terminator rule: " +
+      "'#eof ' / '#eof\\r' is torn to BOTH, a trailing newline is " +
+      "complete to both") {
+    // ADVICE r9: the tail check trimmed the last line while the
+    // resolver compares untrimmed — a manifest rewritten by external
+    // tooling (CRLF, trailing blank) read complete to the tail check
+    // yet torn to the resolver, pointing the ResultCache salt or a
+    // streaming offset at a version readers skip.
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeV1(tail: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest-v000001")
+      fs.delete(p, false)
+      val o = fs.create(p, true)
+      o.write(s"k BIGINT,s STRING\nsome-file\n#eof$tail".getBytes("UTF-8"))
+      o.close()
+    }
+    writeV1(" ") // trailing space: torn to the resolver -> torn here
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(0),
+      "'#eof ' must NOT resolve as complete (the resolver rejects it)")
+    writeV1("\r") // CRLF re-write: same
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(0),
+      "'#eof\\r' must NOT resolve as complete")
+    writeV1("\n") // a trailing NEWLINE is complete to the resolver
+                  // (empty lines are filtered) — tail check must agree
+    assert(GraftSink.latestCompleteVersion(spark, dir) === Some(1),
+      "'#eof\\n' IS complete to the resolver and must be here too")
+  }
+
   test("a bogus floor marker above the head cannot brick the table: " +
       "a head claim with no complete manifest above it stands") {
     val dir = freshDir

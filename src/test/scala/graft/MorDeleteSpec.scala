@@ -87,6 +87,34 @@ class MorDeleteSpec extends SparkSpec {
     assert(MergeOnRead.compact(spark, root, "k") == 0)
   }
 
+  test("'__seq' is reserved: init/appendRowsAt/deleteKeysAt reject a " +
+      "frame that already carries the column instead of silently " +
+      "overwriting it") {
+    // ADVICE r9: withColumn would overwrite the user's __seq and
+    // readCurrentSeq would drop it — corrupted round trips, no error
+    val root = tmpDir("graft_mor_seqcol")
+    val withSeq = Seq((1, "a", 9L)).toDF("k", "v", "__seq")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeOnRead.init(withSeq, root)
+    }
+    assert(e1.getMessage.contains("__seq"))
+    MergeOnRead.init(Seq((1, "a")).toDF("k", "v"), root)
+    val e2 = intercept[IllegalArgumentException] {
+      MergeOnRead.appendRowsAt(spark, root, withSeq, seq = 1L)
+    }
+    assert(e2.getMessage.contains("__seq"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeOnRead.deleteKeysAt(spark, root,
+        Seq((1, 9L)).toDF("k", "__seq"), seq = 1L)
+    }
+    assert(e3.getMessage.contains("__seq"))
+    // the guards fired BEFORE any write: the root is still clean for
+    // normal sequence-aware use
+    MergeOnRead.appendRowsAt(spark, root,
+      Seq((2, "b")).toDF("k", "v"), seq = 1L)
+    assert(MergeOnRead.readCurrentSeq(spark, root, "k").count() == 2)
+  }
+
   test("mixed tombstone modes refuse at EVERY entry point: writes " +
       "reject introducing the mix, reads and compactions reject " +
       "consuming one planted out-of-band") {

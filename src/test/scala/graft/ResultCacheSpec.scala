@@ -139,4 +139,80 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.fingerprint(pinned) == pfp,
       "a pinned snapshot's key must not move with the head")
   }
+
+  test("STALENESS: a graftsink table whose PATH contains '@' still " +
+      "salts by live head — publishing moves the key") {
+    // ADVICE r9 (medium): the salt used to parse dir/pin out of the
+    // DISPLAY NAME, truncating at the first '@' — a path like
+    // .../user@host/t probed a nonexistent dir, head = constant -1,
+    // so publishes never moved the key and stale entries served
+    // silently. dir/pin now come from the Table object.
+    val t = tmpDir("rc_at") + "/user@host/t"
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    def q = spark.read.format("graftsink").load(t)
+      .agg(count(lit(1)).as("n"))
+    val fp1 = ResultCache.fingerprint(q)
+    assert(ResultCache.fingerprint(q) == fp1,
+      "same head -> stable fingerprint (the real dir was probed)")
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    assert(ResultCache.fingerprint(q) != fp1,
+      "publishing to an '@'-path table must move the key")
+    // and a version pin on the same path stays stable across publishes
+    def pinned = spark.read.format("graftsink")
+      .option("version", 0).load(t).agg(count(lit(1)).as("n"))
+    val pfp = ResultCache.fingerprint(pinned)
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    assert(ResultCache.fingerprint(pinned) == pfp)
+  }
+
+  test("STALENESS: a Spark-cached (InMemoryRelation) scan of a " +
+      "mutable table salts THROUGH the cache — publish moves the key") {
+    val t = tmpDir("rc_imr") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(t)
+    val cached = spark.read.format("graftsink").load(t).cache()
+    try {
+      cached.count() // materialize the cache
+      def q = cached.agg(count(lit(1)).as("n"))
+      // the optimized plan is now an InMemoryRelation leaf; the salt
+      // must descend into the cached query's plan and find the
+      // unpinned graftsink scan (head salt)
+      val fp1 = ResultCache.fingerprint(q)
+      assert(ResultCache.fingerprint(q) == fp1,
+        "same head -> stable fingerprint (no spurious uniqueness)")
+      Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(t)
+      assert(ResultCache.fingerprint(q) != fp1,
+        "publish must move the key even behind .cache() — the entry " +
+          "computed over v0 can never serve a post-publish query")
+    } finally { cached.unpersist(); () }
+  }
+
+  test("fail-closed: an unversionable leaf (RDD scan) never produces " +
+      "a stable key — permanent miss instead of silent staleness") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L), Row(2L)))
+    val df = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id", LongType))))
+    val q = df.agg(count(lit(1)).as("n"))
+    assert(ResultCache.fingerprint(q) != ResultCache.fingerprint(q),
+      "an opaque leaf must salt with a uniqueness token per call")
+  }
+
+  test("plan-embedded literal data is part of the key: two local " +
+      "frames with the same schema but different rows hash apart") {
+    // LocalRelation's rows are NOT printed in the canonicalized plan
+    // string, so without a data salt `Seq(1)` and `Seq(2)` would
+    // collide onto one entry and serve each other's results
+    val a = Seq(1L).toDF("x").agg(sum("x").as("s"))
+    val b = Seq(2L).toDF("x").agg(sum("x").as("s"))
+    assert(ResultCache.fingerprint(a) != ResultCache.fingerprint(b))
+    // while the SAME rows stay stable (cache still works for literals)
+    val a2 = Seq(1L).toDF("x").agg(sum("x").as("s"))
+    assert(ResultCache.fingerprint(a) == ResultCache.fingerprint(a2))
+  }
 }

@@ -21,6 +21,7 @@ set -u
 cd "$(dirname "$0")/.."
 SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+SF_PLANLOCK=${SF_PLANLOCK:-/root/testdata/sf0.001}
 OUT=${OUT:-/tmp/graft_roundcheck_$$}
 mkdir -p "$OUT"
 echo "[roundcheck] scratch: $OUT"
@@ -51,7 +52,8 @@ echo "[roundcheck] 3b/4 PLANS.lock diff gate"
 # strategy flipping) outside the PlanSpec-gated subset is a HARD FAIL
 # unless the regenerated lock was committed with the change (see
 # graft.tools.PlanLock scaladoc for the intentional-change walkthrough).
-sbt -batch "runMain graft.tools.PlanLock $OUT/PLANS.lock.new" \
+SPARK_GRAFT_PLANLOCK_SF="$SF_PLANLOCK" \
+  sbt -batch "runMain graft.tools.PlanLock $OUT/PLANS.lock.new" \
   >"$OUT/planlock.log" 2>&1
 PLANLOCK_RC=$?
 if [ $PLANLOCK_RC -eq 0 ] && [ -f PLANS.lock ]; then
