@@ -111,8 +111,26 @@ object Bench {
     // probe ratio before applying the 2x rule (rounds 7-8 each spent a
     // verdict cycle adjudicating a uniform fleet-wide 1.56x that was
     // the box, not the build).
+    // Round 10: attempts default 4 with GROWING backoff (30/60/120 s)
+    // instead of 3x15 s — rounds 8 and 9 showed three back-to-back
+    // attempts under sustained box load all fail together; spacing the
+    // retries across a ~4-minute window gives a load spike time to
+    // pass. The KEPT attempt is the one with the LOWEST canary drift
+    // (previously: the last), so a quiet middle attempt is never
+    // discarded for a noisy final one.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
-      .map(_.toInt).getOrElse(3).max(1)
+      .map(_.toInt).getOrElse(4).max(1)
+    // The COMMITTED prior-round detail, read BEFORE anything can
+    // clobber it: the driver's default detail path IS the committed
+    // file, so this must happen first. Used by the epoch
+    // self-adjudication block below.
+    val priorDetail: Option[com.fasterxml.jackson.databind.JsonNode] =
+      try {
+        val f = new java.io.File("bench_detail.json")
+        if (f.isFile)
+          Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
+        else None
+      } catch { case _: Throwable => None }
     // optional comma-separated name filter for focused local timing
     // (the round bench never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -280,13 +298,21 @@ object Bench {
 
     var a = attempt()
     var attempts = 1
+    // quieter = usable canary with lower drift; no canary sorts last
+    def noise(x: AttemptResult): Double =
+      if (x.canaryAvailable) x.canaryDrift else Double.MaxValue
+    var best = a
     while (a.contended && attempts < maxAttempts) {
+      val backoff = math.min(120000L, 30000L << (attempts - 1))
       System.err.println(s"[bench] attempt $attempts contended " +
-        f"(drift ${a.canaryDrift}%.3f) — retrying (${maxAttempts - attempts} left)")
-      Thread.sleep(15000)
+        f"(drift ${a.canaryDrift}%.3f) — backing off ${backoff / 1000}%d s " +
+        s"(${maxAttempts - attempts} retries left)")
+      Thread.sleep(backoff)
       a = attempt()
       attempts += 1
+      if (noise(a) < noise(best)) best = a
     }
+    a = best
 
     val results = a.results
     val resultsMap = results.toMap
@@ -301,6 +327,111 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+
+    // EPOCH SELF-ADJUDICATION (round 10, judge ask #1): per-query
+    // ratios vs the COMMITTED prior detail, divided by the
+    // deterministic-probe geomean — the exact rule
+    // tools/roundcheck.sh applies — embedded IN THE ARTIFACT so a
+    // still-contended driver run self-adjudicates (round 9's
+    // q_mor_delete read 2.39x in the contended artifact while every
+    // quiet run was in-band; adjudicating that cost a verdict cycle).
+    // Any row that survives the spread-overlap noise filter at
+    // normalized > 2x gets an IDLE RE-MEASURE — a 20 s pause, then
+    // median-of-5 — recorded in the block, so "it was in-run load"
+    // is machine-checkable in the artifact itself rather than argued
+    // in a commit message (round 9's q_merge_upsert_part).
+    var normFlagged = 0
+    var normConfirmed = 0
+    val epochJson: String = priorDetail match {
+      case None => "{\"skipped\":\"no committed prior bench_detail.json\"}"
+      case Some(p) =>
+        try {
+          def num(path: String): Option[Double] = {
+            val n = p.at(path)
+            if (n.isNumber) Some(n.asDouble) else None
+          }
+          val sig = Seq.newBuilder[Double]
+          for (pj <- num("/probe/jvm") if pj > 0 && a.pJvm > 0)
+            sig += a.pJvm / pj
+          for (ps <- num("/probe/shuffle") if ps > 0 && a.pShuffle > 0)
+            sig += a.pShuffle / ps
+          for (pc <- num("/canary/median") if pc > 0 && a.canaryMedian > 0)
+            sig += a.canaryMedian / pc
+          val sigs = sig.result()
+          if (sigs.size < 2)
+            "{\"skipped\":\"prior probe/canary fields missing\"}"
+          else {
+            val probeRatio = math.pow(sigs.product, 1.0 / sigs.size)
+            val pq = p.get("queries")
+            val psp = p.get("spread")
+            val curSpread = a.spread.toMap
+            val normalized = Seq.newBuilder[(String, Double)]
+            val flagged = Seq.newBuilder[(String, Double, Double)]
+            results.foreach { case (name, cur) =>
+              val prevN = if (pq != null) pq.get(name) else null
+              if (cur > 0 && prevN != null && prevN.isNumber &&
+                  prevN.asDouble > 0) {
+                val prev = prevN.asDouble
+                val norm = (cur / prev) / probeRatio
+                normalized += name -> norm
+                // same noise filter as roundcheck: a real shift must
+                // clear the other run's rep spread
+                val pMaxN =
+                  if (psp != null && psp.get(name) != null &&
+                      psp.get(name).size() == 3) psp.get(name).get(2)
+                  else null
+                val pMax =
+                  if (pMaxN != null && pMaxN.isNumber) pMaxN.asDouble
+                  else prev
+                val cMin = curSpread.get(name).map(_._1).getOrElse(cur)
+                if (norm > 2.0 && cur - prev > 0.2 && cMin > pMax)
+                  flagged += ((name, norm, prev))
+              }
+            }
+            val flags = flagged.result()
+            normFlagged = flags.size
+            // idle re-measure of the flagged rows (bounded at 8: more
+            // than that flagged together IS an epoch/contention event,
+            // which the probe_ratio already describes)
+            val remeasured = flags.take(8).map { case (name, _, prev) =>
+              Thread.sleep(20000)
+              val fn = SparkEntry.benchQueries(name)
+              val times = (1 to 5).flatMap { _ =>
+                val t0 = System.nanoTime()
+                try { fn(spark, sfDir).count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+                catch { case _: Throwable => None }
+              }
+              val med =
+                if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+              val renorm =
+                if (med > 0) (med / prev) / probeRatio else -1.0
+              if (renorm > 2.0 || renorm < 0) normConfirmed += 1
+              (name, med, renorm)
+            }
+            val normJson = normalized.result()
+              .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+              .mkString("{", ",", "}")
+            val flagJson = flags
+              .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+              .mkString("{", ",", "}")
+            val remJson = remeasured
+              .map { case (k, med, rn) =>
+                "\"" + k + "\":{\"idle_median_sec\":" + fmt(med) +
+                  ",\"normalized\":" + fmt(rn) + "}" }
+              .mkString("{", ",", "}")
+            s"""{"prior":"committed bench_detail.json",
+               |"probe_ratio":${fmt(probeRatio)},"signals":${sigs.size},
+               |"over_2x":$flagJson,"over_2x_count":$normFlagged,
+               |"idle_remeasure":$remJson,
+               |"confirmed_after_remeasure":$normConfirmed,
+               |"normalized":$normJson}""".stripMargin
+          }
+        } catch { case e: Throwable =>
+          "{\"skipped\":" + Json.quote(
+            s"epoch embed failed: ${e.getMessage}") + "}"
+        }
+    }
 
     // Full per-query detail goes to a committed file; the stdout line
     // must stay SMALL. The harness that records BENCH_r{N}.json keeps
@@ -337,6 +468,7 @@ object Bench {
          |"attempts":$attempts,"max_attempts":$maxAttempts,
          |"probe":$probeJson,
          |"canary":$canaryJson,
+         |"epoch_vs_prior":$epochJson,
          |"queries":${obj(sortedBatch)},
          |"spread":$spreadJson,
          |"streaming_total":${fmt(streamTotal)},
@@ -388,7 +520,7 @@ object Bench {
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
       .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"attempts":$attempts,"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"attempts":$attempts,"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"norm_flags":$normFlagged,"norm_confirmed":$normConfirmed,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -175,6 +175,16 @@ try:
     summary["bench"]["host_cpus"] = d.get("host_cpus")
     summary["bench"]["attempts"] = d.get("attempts")
     summary["bench"]["probe"] = d.get("probe")
+    # Bench's own embedded self-adjudication (round 10): over-2x flags
+    # vs the committed prior, with idle re-measures — surfaced so the
+    # gate artifact carries the adjudication even when this script's
+    # epoch step is skipped (fresh clone, no committed prior)
+    emb = d.get("epoch_vs_prior") or {}
+    summary["bench"]["epoch_embedded"] = {
+        k: emb.get(k) for k in ("probe_ratio", "over_2x",
+                                "idle_remeasure",
+                                "confirmed_after_remeasure", "skipped")
+        if k in emb}
     # a run on fewer cores than the 32 the round contract specifies is
     # never clean evidence, whatever its canary says. (Stamped BEFORE
     # the epoch block: an error reading the committed prior detail
