@@ -415,6 +415,51 @@ object ToleranceCheck {
           "losing essentially nothing")
     }
 
+    // The recall/nProbe dial as GATED rows (round 10): the SCALE.md
+    // dial table is tool-emitted prose (tools.AnnDial); a quantizer
+    // change that FLATTENS the dial — a degenerate fit putting most of
+    // the corpus in one cell makes recall stop rising with probed
+    // cells while still passing the fixed-point bounds above — would
+    // ship green without these. Two laws, measured bit-stable at
+    // sf0.01 (recall@5 = 0.48 / 0.80 / 1.00 at nProbe 2/6/16, gaps
+    // 0.32 and 0.20; bound 0.1 sits half below the smaller gap):
+    // recall must RISE at each dial step, and the FULL probe must
+    // reproduce brute force exactly — nProbe=nCells scores the whole
+    // corpus with exact cosine, so any loss means the index dropped
+    // or mis-assigned vectors.
+    if (sfDir.nonEmpty) {
+      lazy val dial: Map[Int, Double] = {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val queries = emb.orderBy("id").limit(5)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(emb, queries, k = 5)
+          .select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val index = graft.operators.Similarity.ivfFit(emb, nCells = 16)
+        try Seq(2, 6, 16).map { nProbe =>
+          val got = graft.operators.Similarity
+            .ivfProbe(index, queries, k = 5, nProbe = nProbe)
+            .select("query_id", "corpus_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          nProbe -> recall(got, exact)
+        }.toMap
+        finally index.release()
+      }
+      check("e_ivf_dial_monotone") {
+        val gap = math.min(dial(6) - dial(2), dial(16) - dial(6))
+        Check("min_recall_gain_per_dial_step", gap, 0.1, gap >= 0.1,
+          f"recall@5 vs brute force must rise with nProbe " +
+            f"(2: ${dial(2)}%.2f, 6: ${dial(6)}%.2f, 16: ${dial(16)}%.2f); " +
+            "a flat dial means the quantizer degenerated")
+      }
+      check("e_ivf_dial_full_probe") {
+        Check("recall_at_full_probe", dial(16), 1.0, dial(16) >= 1.0,
+          "nProbe=16/16 scores the whole corpus with exact cosine — " +
+            "identity with brute-force top-5 is the construction law")
+      }
+    }
+
     // centroid features are means of L1-normalized histograms: each
     // media type's 16 weights must sum to 1 (up to 6-dp rounding)
     check("mm_feature_centroids") {
