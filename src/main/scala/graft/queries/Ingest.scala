@@ -483,10 +483,23 @@ object Ingest {
     groupedMaxSeeds.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_sink_grouped_seed").toString + "/o"
-      Tables(spark, d, "orders")
+      // one single-status partition per distinct status, built by
+      // explicit filter+coalesce branches — NOT repartitionByRange:
+      // range sampling is seeded off the global RDD id, so the file
+      // layout (and with it the plan-time metadata-agg claim, hence
+      // the PLANS.lock fingerprint) flipped between otherwise
+      // identical runs. The union of coalesced branches gives exactly
+      // one file per status deterministically, which also makes the
+      // "zero file opens" claim hold by construction instead of by
+      // sampling luck. Statuses are read from the data (3 values,
+      // bounded driver collect), not hardcoded.
+      val o = Tables(spark, d, "orders")
         .select(col("o_orderstatus"), col("o_orderkey"),
           col("o_totalprice"))
-        .repartitionByRange(3, col("o_orderstatus"))
+      val statuses = o.select(col("o_orderstatus")).distinct()
+        .orderBy("o_orderstatus").collect().map(_.getString(0))
+      statuses.map(s => o.filter(col("o_orderstatus") === s).coalesce(1))
+        .reduce(_.unionAll(_))
         .write.format("graftsink").mode("overwrite").save(p)
       p
     })

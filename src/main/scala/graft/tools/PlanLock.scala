@@ -35,9 +35,11 @@ import org.apache.spark.sql.execution.SparkPlan
   * excludes expression IDs, file paths, statistics, and partition
   * counts (session-dependent), so two identical builds on different
   * machines produce byte-identical locks. Streaming (`st_*`) queries
-  * are excluded: their builder runs the stream and returns a final
-  * read whose plan is just the sink scan — the streamed computation's
-  * shape is gated by their batch twins, which ARE locked.
+  * are excluded HERE: their builder runs the stream and returns a
+  * final read whose plan is just the sink scan — their RUNTIME
+  * stateful plans (state-store chains, watermark placement) are
+  * locked separately by [[StreamPlanLock]] into `STREAMPLANS.lock`,
+  * and their data shape by the batch twins, which ARE locked.
   *
   * Scope note: fingerprints are taken at sf0.001 (the fixture scale),
   * so a SIZE-dependent strategy flip at larger SFs (a broadcast
@@ -65,6 +67,26 @@ object PlanLock {
         s"[${j.joinType}]"
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         s"[grp=${a.groupingExpressions.size},agg=${a.aggregateExpressions.size}]"
+      // stateful streaming operators (StreamPlanLock's runtime plans;
+      // never present in batch plans): the discriminants are exactly
+      // the silent-regression surfaces the lock exists to freeze — a
+      // lost/retimed watermark, a flipped output mode, a timeout
+      // change, a state-join type flip
+      case w: org.apache.spark.sql.execution.streaming.operators.stateful
+          .EventTimeWatermarkExec =>
+        s"[delayMs=${w.delayMs}]"
+      case s: org.apache.spark.sql.execution.streaming.operators.stateful
+          .StateStoreSaveExec =>
+        s"[${s.outputMode.map(_.toString).getOrElse("?")}]"
+      case s: org.apache.spark.sql.execution.streaming.operators.stateful
+          .SessionWindowStateStoreSaveExec =>
+        s"[${s.outputMode.map(_.toString).getOrElse("?")}]"
+      case f: org.apache.spark.sql.execution.streaming.operators.stateful
+          .flatmapgroupswithstate.FlatMapGroupsWithStateExec =>
+        s"[${f.outputMode},${f.timeoutConf}]"
+      case j: org.apache.spark.sql.execution.streaming.operators.stateful
+          .join.StreamingSymmetricHashJoinExec =>
+        s"[${j.joinType}]"
       case _ => ""
     }
     // subquery expressions in the PRE-AQE plan may still hold LOGICAL

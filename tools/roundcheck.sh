@@ -64,6 +64,24 @@ else
   PLANDIFF_RC=2
 fi
 
+echo "[roundcheck] 3c/4 STREAMPLANS.lock diff gate"
+# Same contract as PLANS.lock, for the RUNTIME stateful streaming
+# plans (state-store chains, watermark placement/delay, output modes,
+# stream-stream join types) — see graft.tools.StreamPlanLock.
+SPARK_GRAFT_PLANLOCK_SF="$SF_PLANLOCK" \
+  sbt -batch "runMain graft.tools.StreamPlanLock $OUT/STREAMPLANS.lock.new" \
+  >"$OUT/streamplanlock.log" 2>&1
+SPLANLOCK_RC=$?
+if [ $SPLANLOCK_RC -eq 0 ] && [ -f STREAMPLANS.lock ]; then
+  diff STREAMPLANS.lock "$OUT/STREAMPLANS.lock.new" \
+    >"$OUT/streamplanlock.diff" 2>&1
+  SPLANDIFF_RC=$?
+else
+  echo "streamplanlock run failed or no committed STREAMPLANS.lock" \
+    >"$OUT/streamplanlock.diff"
+  SPLANDIFF_RC=2
+fi
+
 echo "[roundcheck] 4/4 graft.Bench $SF_BENCH"
 # The bench is only evidence when it ran on the contract's core count
 # AND the contention canary stayed quiet — round 7 shipped a 4-CPU,
@@ -99,10 +117,10 @@ PYEOF
   [ "$attempt" -lt "$BENCH_RETRIES" ] && sleep "$BENCH_BACKOFF"
 done
 
-python3 - "$OUT" "$TEST_RC" "$VERIFY_RC" "$ORACLE_RC" "$BENCH_RC" "$PLANDIFF_RC" <<'EOF'
+python3 - "$OUT" "$TEST_RC" "$VERIFY_RC" "$ORACLE_RC" "$BENCH_RC" "$PLANDIFF_RC" "$SPLANDIFF_RC" <<'EOF'
 import json, re, sys
-out, test_rc, verify_rc, oracle_rc, bench_rc, plandiff_rc = (
-    sys.argv[1], *map(int, sys.argv[2:7]))
+out, test_rc, verify_rc, oracle_rc, bench_rc, plandiff_rc, splandiff_rc = (
+    sys.argv[1], *map(int, sys.argv[2:8]))
 
 summary = {"gate": None}
 
@@ -144,14 +162,23 @@ try:
 except Exception:
     pass
 
-# plan-fingerprint lock: any drift vs the committed PLANS.lock is a
-# hard failure (intentional changes commit the regenerated lock)
+# plan-fingerprint locks: any drift vs the committed PLANS.lock /
+# STREAMPLANS.lock is a hard failure (intentional changes commit the
+# regenerated lock)
 summary["plans"] = {"rc": plandiff_rc}
 try:
     dtxt = open(f"{out}/planlock.diff", errors="replace").read()
     changed = [l[2:].split("\t")[0] for l in dtxt.splitlines()
                if l.startswith(("< ", "> ")) and "\t" in l]
     summary["plans"]["changed"] = sorted(set(changed))
+except Exception:
+    pass
+summary["stream_plans"] = {"rc": splandiff_rc}
+try:
+    dtxt = open(f"{out}/streamplanlock.diff", errors="replace").read()
+    changed = [l[2:].split("\t")[0] for l in dtxt.splitlines()
+               if l.startswith(("< ", "> ")) and "\t" in l]
+    summary["stream_plans"]["changed"] = sorted(set(changed))
 except Exception:
     pass
 
@@ -261,7 +288,7 @@ except Exception as e:
 
 hard_fail = (
     test_rc != 0 or verify_rc != 0 or oracle_rc > 0 or bench_rc != 0
-    or plandiff_rc != 0
+    or plandiff_rc != 0 or splandiff_rc != 0
     or (summary["tests"]["failed"] or 0) > 0
     # a clean verify must have produced a NON-EMPTY tolerance set;
     # missing file and empty {} both mean no check actually ran
