@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * case), and a periodic [[compact]] folds tombstones into a single
   * rewrite, amortizing N deletes into one table pass.
   *
+  * Both claims are MEASURED (tools.MorDecade → SCALE.md round-10
+  * decade): the anti join broadcasts at 3 MB of tombstones and flips
+  * to a full-base SortMergeJoin past `autoBroadcastJoinThreshold`
+  * (30 MB at 10× — reads degrade ~15× over the plain scan until
+  * compaction), which yields the compaction-cadence rule: compact
+  * before accumulated tombstone bytes approach the broadcast
+  * threshold (~150 k sha-256 keys / ~1.3 M bigint keys at the 10 MB
+  * default). The amortization row pins N=100 tombstone batches + one
+  * compact at 2.0× cheaper than 100 copy-on-write deletes on a table
+  * only 150 k rows deep, with the gap growing linearly in table size.
+  *
   * Layout:
   * {{{
   * root/data/...parquet        immutable base rows
