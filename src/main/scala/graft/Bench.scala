@@ -68,6 +68,7 @@ object Bench {
         "q_schema_evolution", "q_csv_source", "q_orc_source",
         "q_json_source",
         "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_sink_segments",
+        "q_sink_clone", // warm builds seed + export; timed run reads the clone
         "q_sql_catalog",
         "q_delete_where",
         "q_hll_merge", "q_hll_sliding",

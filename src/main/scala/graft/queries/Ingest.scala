@@ -504,6 +504,54 @@ object Ingest {
       p
     })
 
+  /** SNAPSHOT EXPORT under the oracle gate: orders seed a graftsink
+    * table, [[graft.sources.GraftSink.cloneSnapshot]] exports its head
+    * into a brand-new table (distributed byte copy + one
+    * stats-carrying manifest publish, zero recompute), and THEN the
+    * source is poisoned with extra rows — the declared query reads the
+    * CLONE, so the oracle (computed from raw orders) proves the export
+    * is the pinned snapshot, bit-exact and fully decoupled from the
+    * source's later life. At 100 TB this is "ship training run X's
+    * exact corpus to another team" as an embarrassingly parallel copy;
+    * CloneSpec pins the carried-metadata laws (bounds skipping and
+    * metadata-served COUNT work at the clone with zero readers).
+    */
+  private val cloneSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededClone(spark: SparkSession, dir: String): String =
+    cloneSeeds.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sink_clone_seed").toString
+      val src = s"$base/src"
+      val dst = s"$base/clone"
+      Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("graftsink").mode("overwrite").save(src)
+      graft.sources.GraftSink.cloneSnapshot(spark, src, dst)
+      // poison the SOURCE after the export: any leak into the clone
+      // breaks the oracle row/sum/max equality
+      Tables(spark, d, "orders")
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), (col("o_totalprice") * 10).as("o_totalprice"))
+        .limit(1000)
+        .write.format("graftsink").mode("append").save(src)
+      dst
+    })
+
+  private def sinkClone(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededClone(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  private val sinkCloneSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   private def sinkGroupedMax(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graftsink").load(seededGroupedSink(spark, dir))
       .groupBy(col("o_orderstatus").as("status"))
@@ -587,5 +635,6 @@ object Ingest {
     NamedQuery("q_sink_skip_str", sinkSkipStr, Some(sinkSkipStrSql)),
     NamedQuery("q_sink_grouped_max", sinkGroupedMax,
       Some(sinkGroupedMaxSql)),
+    NamedQuery("q_sink_clone", sinkClone, Some(sinkCloneSql)),
     NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

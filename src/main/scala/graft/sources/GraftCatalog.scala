@@ -226,12 +226,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "compact") => new GraftCompactProcedure(this)
       case (Seq("system"), "cluster") => new GraftClusterProcedure(this)
       case (Seq("system"), "restore") => new GraftRestoreProcedure(this)
+      case (Seq("system"), "clone")   => new GraftCloneProcedure(this)
       case (Seq("system"), "tag")     => new GraftTagProcedure(this)
       case (Seq("system"), "untag")   => new GraftUntagProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
-          "system.cluster, system.restore, system.tag, system.untag)")
+          "system.cluster, system.restore, system.clone, system.tag, " +
+          "system.untag)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -241,6 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "cluster"),
         Identifier.of(Array("system"), "restore"),
+        Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "tag"),
         Identifier.of(Array("system"), "untag"))
     else Array.empty
@@ -253,6 +256,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(parts.init, parts.last)
     val dir = dirFor(ident)
     if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
+    dir
+  }
+
+  /** A procedure's dotted `'ns.t'` argument → the directory a NEW
+    * table would occupy; refuses an already-existing table (clone
+    * creates tables, never merges into one). The table self-registers
+    * by existence once its first manifest publishes — the same
+    * dir-mapped discovery `listTables`/`loadTable` use.
+    */
+  private[sources] def tableDirForCreate(dotted: String): String = {
+    val parts = dotted.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    val dir = dirFor(ident)
+    if (isTableDir(new Path(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
     dir
   }
 
@@ -583,6 +602,38 @@ private class GraftUntagProcedure(catalog: GraftCatalog)
       StructType(Seq(
         StructField("existed", BooleanType, nullable = false))),
       Seq[Any](existed))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.clone(source => 'ns.t', target => 'ns.t2'
+  * [, version => k])` — snapshot export as a SQL procedure: deep
+  * clone of one source version (default: head) into a brand-new
+  * catalog table via [[GraftSink.cloneSnapshot]] (distributed byte
+  * copy + one stats-carrying manifest publish, zero recompute). The
+  * target registers by existence like every dir-mapped table.
+  */
+private class GraftCloneProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "deep-clone one version of a graftsink table into a new table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("target", StringType).build(),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("-1").build()) // -1 = the source head
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val dst = catalog.tableDirForCreate(input.getUTF8String(1).toString)
+    val v = input.getInt(2)
+    val files = GraftSink.cloneSnapshot(catalog.session, src, dst,
+      if (v < 0) None else Some(v))
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("cloned_files", IntegerType, nullable = false))),
+      Seq[Any](files))).iterator()
   }
 }
 

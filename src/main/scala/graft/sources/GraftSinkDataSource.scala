@@ -2098,6 +2098,60 @@ object GraftSink {
     -1 // unreachable
   }
 
+  /** SNAPSHOT EXPORT — deep clone of one table VERSION into a fresh
+    * table directory. Data files copy byte-for-byte through a
+    * DISTRIBUTED copy job (one Spark task per file — at 100 TB the
+    * copy runs cluster-wide, never a driver loop), then ONE manifest
+    * publishes at `dst` carrying the SAME per-file schema DDLs,
+    * row/byte counts, and column-bounds stats — zero recompute, zero
+    * parquet parses: the clone skips, prunes, and serves metadata
+    * aggregates exactly like the source version did (CloneSpec pins
+    * bounds equality and the zero-reader COUNT). This is the
+    * reproducible-corpus export: "ship training run X's exact
+    * snapshot to another team/bucket" as an O(files) metadata publish
+    * plus an embarrassingly parallel byte copy.
+    *
+    * The clone is INDEPENDENT by design. A by-reference (shallow)
+    * clone is deliberately NOT offered: readers resolve file names
+    * table-relative (`dir/data/<name>`), and a shallow clone's
+    * correctness would hang off the source's vacuum cadence — the
+    * documented Delta shallow-clone hazard where vacuuming the source
+    * breaks every clone. Source-side vacuum, DML, or deletion after
+    * the clone cannot affect it (spec-gated).
+    *
+    * `version` None = the source head. The destination must not
+    * already hold a table (clone creates tables, never merges).
+    * Returns the number of files exported.
+    */
+  def cloneSnapshot(spark: SparkSession, src: String, dst: String,
+      version: Option[Int] = None): Int = {
+    val m = (try manifestAt(spark, src, version)
+    catch { case scala.util.control.NonFatal(_) => None }).getOrElse(
+      sys.error(s"graftsink: nothing to clone at $src" +
+        version.fold("")(v => s" v$v") + " — no complete manifest"))
+    require(latestVersion(spark, dst).isEmpty,
+      s"graftsink: clone destination $dst already holds a table")
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files = m.files
+    if (files.nonEmpty) {
+      val names = files.map(_.name)
+      spark.sparkContext
+        .parallelize(names, math.min(names.size, 64).max(1))
+        .foreach { name =>
+          val from = new Path(s"$src/data/$name")
+          val to = new Path(s"$dst/data/$name")
+          val sf = from.getFileSystem(conf.value)
+          val df = to.getFileSystem(conf.value)
+          org.apache.hadoop.fs.FileUtil.copy(sf, from, df, to,
+            false, true, conf.value)
+          ()
+        }
+    }
+    publish(spark, conf, dst, m.schemaDdl, files, truncate = false)
+    files.size
+  }
+
   final case class VacuumStats(expiredVersions: Seq[Int],
       deletedDataFiles: Int, deletedStagingDirs: Int)
 

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftSink
+
+/** Snapshot-export laws ([[GraftSink.cloneSnapshot]] + the
+  * `CALL system.clone` procedure): a clone is the pinned version's
+  * exact rows, carries the source's per-file metadata VERBATIM (so
+  * skipping and metadata aggregates work at the clone with zero
+  * recompute), and is fully independent of the source's later life —
+  * appends, vacuum, even deletion of the source directory.
+  */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String) = tmpDir(s"graft_clone_$tag") + "/t"
+
+  test("clone at a pinned version is row-exact; later source appends " +
+      "never leak into it") {
+    val src = freshDir("pin")
+    val dst = freshDir("pin_dst")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src) // v0
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src) // v1
+    val n = GraftSink.cloneSnapshot(spark, src, dst, Some(0))
+    assert(n == 1, "v0 holds one file")
+    assert(spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // source keeps moving; the clone does not
+    Seq((4L, "d")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    assert(spark.read.format("graftsink").load(dst).count() == 2L)
+    // head clone (version omitted) takes the CURRENT source head
+    val dst2 = freshDir("head_dst")
+    GraftSink.cloneSnapshot(spark, src, dst2)
+    assert(spark.read.format("graftsink").load(dst2).count() == 4L)
+  }
+
+  test("per-file metadata carries VERBATIM: bounds/rows/bytes equal " +
+      "the source's, metadata-served COUNT and bounds skipping work " +
+      "at the clone with zero readers and zero recompute") {
+    val src = freshDir("meta")
+    val dst = freshDir("meta_dst")
+    // two key-disjoint files -> distinct bounds worth pruning on
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    Seq((100L, 30.0), (200L, 40.0)).toDF("k", "v").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, dst)
+    val sm = GraftSink.latestManifest(spark, src).get
+    val dm = GraftSink.latestManifest(spark, dst).get
+    def meta(m: GraftSink.Manifest) = m.files
+      .map(f => (f.name, f.rows, f.bytes, f.statsJson, f.schemaDdl))
+      .sortBy(_._1)
+    assert(meta(dm) == meta(sm),
+      "clone must carry names, counts, and stats byte-for-byte")
+    // metadata-served COUNT: zero readers created
+    val before = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dst).count() == 4L)
+    assert(GraftSink.readersCreated.get() == before,
+      "COUNT(*) at the clone must answer from the manifest")
+    // bounds skipping: a probe inside only the second file's range
+    // opens exactly one reader
+    assert(spark.read.format("graftsink").load(dst)
+      .filter(col("k") === 100L).count() == 1L)
+    assert(GraftSink.readersCreated.get() == before + 1,
+      "the k-disjoint first file must be pruned by carried bounds")
+  }
+
+  test("independence: vacuuming and then DELETING the source leaves " +
+      "the clone fully readable (no by-reference coupling)") {
+    val src = freshDir("indep")
+    val dst = freshDir("indep_dst")
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(src)
+    }
+    GraftSink.cloneSnapshot(spark, src, dst, Some(1)) // an OLD version
+    // expire the cloned version at the source, then remove the source
+    GraftSink.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    val fs = new Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(src), true)
+    assert(spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("clone refuses an occupied destination and a missing source " +
+      "version") {
+    val src = freshDir("guard")
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    intercept[IllegalArgumentException] {
+      GraftSink.cloneSnapshot(spark, src, src) // dst == src: occupied
+    }
+    val e = intercept[RuntimeException] {
+      GraftSink.cloneSnapshot(spark, src, freshDir("guard_dst"), Some(9))
+    }
+    assert(e.getMessage.contains("clone"))
+  }
+
+  test("CALL system.clone exports through SQL; the target registers " +
+      "by existence and reads via the catalog") {
+    val r = tmpDir("graft_clone_cat")
+    spark.conf.set("spark.sql.catalog.gclone", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclone.root", r)
+    spark.sql("CREATE NAMESPACE gclone.m")
+    spark.sql("CREATE TABLE gclone.m.src (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gclone.m.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gclone.m.src VALUES (3, 'c')")
+    val row = spark.sql(
+      "CALL gclone.system.clone(source => 'm.src', target => 'm.dst')")
+      .collect().head
+    assert(row.getInt(0) >= 1)
+    assert(spark.sql("SELECT k FROM gclone.m.dst ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // pinned-version clone through SQL; source keeps its own life
+    spark.sql("CALL gclone.system.clone(source => 'm.src', " +
+      "target => 'm.dst_v1', version => 1)")
+    assert(spark.sql("SELECT count(*) FROM gclone.m.dst_v1")
+      .head.getLong(0) == 2L)
+    // an existing target refuses
+    intercept[Exception] {
+      spark.sql("CALL gclone.system.clone(source => 'm.src', " +
+        "target => 'm.dst')").collect()
+    }
+  }
+}
