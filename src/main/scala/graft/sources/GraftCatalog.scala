@@ -227,6 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "cluster") => new GraftClusterProcedure(this)
       case (Seq("system"), "restore") => new GraftRestoreProcedure(this)
       case (Seq("system"), "clone")   => new GraftCloneProcedure(this)
+      case (Seq("system"), "clone_sync") =>
+        new GraftCloneSyncProcedure(this)
       case (Seq("system"), "tag")     => new GraftTagProcedure(this)
       case (Seq("system"), "untag")   => new GraftUntagProcedure(this)
       case _ => sys.error(
@@ -244,6 +246,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "cluster"),
         Identifier.of(Array("system"), "restore"),
         Identifier.of(Array("system"), "clone"),
+        Identifier.of(Array("system"), "clone_sync"),
         Identifier.of(Array("system"), "tag"),
         Identifier.of(Array("system"), "untag"))
     else Array.empty
@@ -634,6 +637,32 @@ private class GraftCloneProcedure(catalog: GraftCatalog)
       StructType(Seq(
         StructField("cloned_files", IntegerType, nullable = false))),
       Seq[Any](files))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.clone_sync(source => 'ns.t', target => 'ns.t2')`
+  * — incremental replication: copy only the file delta since the last
+  * clone/sync and republish the target head as the source snapshot
+  * ([[GraftSink.cloneSync]]).
+  */
+private class GraftCloneSyncProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "clone_sync"
+  override def description(): String =
+    "incrementally re-sync a cloned graftsink table to the source head"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("target", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val dst = catalog.tableDirOrFail(input.getUTF8String(1).toString)
+    val copied = GraftSink.cloneSync(catalog.session, src, dst)
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("copied_files", IntegerType, nullable = false))),
+      Seq[Any](copied))).iterator()
   }
 }
 

@@ -2152,6 +2152,50 @@ object GraftSink {
     files.size
   }
 
+  /** INCREMENTAL REPLICATION — re-sync an existing clone to the
+    * source's CURRENT head: copies ONLY the file delta (entries whose
+    * (name, bytes, stats) triple is absent from the destination head —
+    * the name+size rule replication tools use, strengthened by the
+    * recorded stats; a same-name-different-bytes entry re-copies with
+    * overwrite), then publishes ONE manifest at the destination whose
+    * head equals the source snapshot exactly. Per sync the cost is
+    * O(changed files) copy + O(manifest) publish however large the
+    * table — the cross-region/DR pattern: an append syncs as its
+    * delta, a compaction syncs as its merged outputs, an untouched
+    * source syncs as ZERO copies (idempotent, CloneSpec-gated). Files
+    * the source dropped leave the destination HEAD immediately and
+    * stay on its disk only until the destination's own vacuum
+    * collects them. The destination must already be a table (created
+    * by [[cloneSnapshot]]). Returns the number of files copied.
+    */
+  def cloneSync(spark: SparkSession, src: String, dst: String): Int = {
+    val m = latestManifest(spark, src).getOrElse(
+      sys.error(s"graftsink: nothing to sync from $src — no manifest"))
+    val have = latestManifest(spark, dst).getOrElse(
+      sys.error(s"graftsink: sync destination $dst is not a table — " +
+        "cloneSnapshot first")).files
+      .map(f => (f.name, f.bytes, f.statsJson)).toSet
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val delta = m.files.filterNot(f => have((f.name, f.bytes, f.statsJson)))
+    if (delta.nonEmpty) {
+      val names = delta.map(_.name)
+      spark.sparkContext
+        .parallelize(names, math.min(names.size, 64).max(1))
+        .foreach { name =>
+          val from = new Path(s"$src/data/$name")
+          val to = new Path(s"$dst/data/$name")
+          val sf = from.getFileSystem(conf.value)
+          val df = to.getFileSystem(conf.value)
+          org.apache.hadoop.fs.FileUtil.copy(sf, from, df, to,
+            false, true, conf.value)
+          ()
+        }
+    }
+    publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true)
+    delta.size
+  }
+
   final case class VacuumStats(expiredVersions: Seq[Int],
       deletedDataFiles: Int, deletedStagingDirs: Int)
 

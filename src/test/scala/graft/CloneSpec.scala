@@ -102,6 +102,45 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage.contains("clone"))
   }
 
+  test("cloneSync copies ONLY the delta: appends sync as their files, " +
+      "an untouched source syncs as zero, compaction syncs as its " +
+      "merged outputs — head always equals the source snapshot") {
+    val src = freshDir("sync")
+    val dst = freshDir("sync_dst")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, dst)
+    // idempotent: nothing changed, nothing copies
+    assert(GraftSink.cloneSync(spark, src, dst) == 0)
+    // two appends -> exactly two files sync
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    Seq((4L, "d")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    assert(GraftSink.cloneSync(spark, src, dst) == 2)
+    def keys(dir: String): Seq[Long] =
+      spark.read.format("graftsink").load(dir)
+        .select("k").as[Long].collect().sorted.toSeq
+    assert(keys(dst) == Seq(1L, 2L, 3L, 4L))
+    // compaction at the source: the sync copies the MERGED outputs
+    // and the dropped originals leave the destination head
+    GraftSink.compact(spark, src, smallBytes = 1L << 20)
+    val copied = GraftSink.cloneSync(spark, src, dst)
+    assert(copied >= 1, "merged compaction outputs must sync")
+    assert(keys(dst) == Seq(1L, 2L, 3L, 4L))
+    assert(GraftSink.latestManifest(spark, dst).get.files
+      .map(f => (f.name, f.bytes, f.statsJson)).toSet
+      == GraftSink.latestManifest(spark, src).get.files
+      .map(f => (f.name, f.bytes, f.statsJson)).toSet,
+      "destination head must equal the source snapshot entry-for-entry")
+    // and again idempotent
+    assert(GraftSink.cloneSync(spark, src, dst) == 0)
+    // a non-table destination refuses before any copy
+    intercept[RuntimeException] {
+      GraftSink.cloneSync(spark, src, freshDir("sync_fresh"))
+    }
+  }
+
   test("CALL system.clone exports through SQL; the target registers " +
       "by existence and reads via the catalog") {
     val r = tmpDir("graft_clone_cat")
@@ -127,5 +166,12 @@ class CloneSpec extends SparkSpec {
       spark.sql("CALL gclone.system.clone(source => 'm.src', " +
         "target => 'm.dst')").collect()
     }
+    // incremental sync through SQL: one more insert, one file copies
+    spark.sql("INSERT INTO gclone.m.src VALUES (4, 'd')")
+    val synced = spark.sql("CALL gclone.system.clone_sync(" +
+      "source => 'm.src', target => 'm.dst')").collect().head
+    assert(synced.getInt(0) == 1)
+    assert(spark.sql("SELECT k FROM gclone.m.dst ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
   }
 }
