@@ -220,6 +220,32 @@ object LakehouseDecade {
       GraftSink.vacuum(spark, sink, keepVersions = 3, graceMs = 0L)
     }
 
+    // ---- clone_sync: incremental replication with a FIXED delta —
+    // the O(changed files) claim: each rep appends one fixed 2000-row
+    // file at the source and syncs; the copy is the delta file plus
+    // one manifest publish, so the time should stay ~flat while the
+    // table (and its file count) grows 10×. (A fresh cloneSnapshot
+    // seeds the replica untimed — that one IS O(table).)
+    {
+      val replica = s"$work/sink/replica"
+      GraftSink.cloneSnapshot(spark, sink, replica)
+      val delta = orders.limit(2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 2).as("o_totalprice"))
+        .coalesce(1).cache()
+      delta.count()
+      val times = (1 to 3).map { _ =>
+        delta.write.format("graftsink").mode("append").save(sink)
+        val t0 = System.nanoTime()
+        val copied = GraftSink.cloneSync(spark, sink, replica)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(copied == 1, s"fixed delta must sync as one file, got $copied")
+        dt
+      }
+      delta.unpersist()
+      out += "clone_sync" -> times.sorted.apply(1)
+    }
+
     val rows = out.result()
     println(rows.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString(s"""{"sf":"$sfDir","rows":$nRows,"files":$nFiles,""",

@@ -135,6 +135,15 @@ class CloneSpec extends SparkSpec {
       "destination head must equal the source snapshot entry-for-entry")
     // and again idempotent
     assert(GraftSink.cloneSync(spark, src, dst) == 0)
+    // schema evolution rides the sync: ADD COLUMN at the source is a
+    // zero-copy manifest publish, and the next sync carries the
+    // evolved DDL without copying any data file
+    import org.apache.spark.sql.types.{LongType, StructField}
+    GraftSink.addColumns(spark, src, Seq(StructField("extra", LongType)))
+    assert(GraftSink.cloneSync(spark, src, dst) == 0,
+      "a schema-only change must sync with zero file copies")
+    assert(spark.read.format("graftsink").load(dst)
+      .columns.toSeq == Seq("k", "s", "extra"))
     // a non-table destination refuses before any copy
     intercept[RuntimeException] {
       GraftSink.cloneSync(spark, src, freshDir("sync_fresh"))
