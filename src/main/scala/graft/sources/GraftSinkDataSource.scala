@@ -2640,16 +2640,28 @@ private object GraftCommit {
     val staging = new Path(path, s"_staging/$writeId")
     val dataDir = new Path(path, "data")
     f.mkdirs(dataDir)
+    // GLOBALLY UNIQUE final names: the task-local name (part-<p>-<t>)
+    // repeats across Spark APPLICATIONS (taskId restarts at 0 per app)
+    // and across crash-REPLAYED streaming epochs (fresh instance =
+    // fresh writeId, same task names). Renaming onto an existing name
+    // silently OVERWRITES on POSIX local filesystems (File.renameTo
+    // replaces the inode — a second application's append corrupting a
+    // file other manifests reference) and FAILS the commit on
+    // HDFS-contract ones (a replayed epoch would crash-loop here,
+    // before the publish-level epoch dedupe could no-op it). The
+    // writeId prefix makes every final name single-writer-owned —
+    // the same discipline compact-/cluster- outputs already follow.
     val committed = messages.collect { case m: GraftCommitMessage
         if m.rows > 0 =>
-      GraftSink.ManifestFile(m.stagedFile, schema.toDDL, m.rows, m.bytes,
-        m.statsJson) }
-    committed.foreach { mf =>
-      if (!f.rename(new Path(staging, mf.name), new Path(dataDir, mf.name)))
-        sys.error(s"graftsink: staging->data rename failed for ${mf.name}")
+      m.stagedFile ->
+        GraftSink.ManifestFile(s"w${writeId.take(8)}-${m.stagedFile}",
+          schema.toDDL, m.rows, m.bytes, m.statsJson) }
+    committed.foreach { case (staged, mf) =>
+      if (!f.rename(new Path(staging, staged), new Path(dataDir, mf.name)))
+        sys.error(s"graftsink: staging->data rename failed for $staged")
     }
     GraftSink.publish(SparkSession.active, conf, path, schema.toDDL,
-      committed.toSeq, truncate, evolve, epoch, replace,
+      committed.map(_._2).toSeq, truncate, evolve, epoch, replace,
       epochWriter = epochWriter, replayScan = replayScan)
     f.delete(staging, true)
   }

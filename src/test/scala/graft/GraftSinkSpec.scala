@@ -263,6 +263,28 @@ class GraftSinkSpec extends SparkSpec {
     assert(GraftSink.latestCompleteVersion(spark, dir) === Some(4))
   }
 
+  test("final data-file names are single-writer-owned: every commit's " +
+      "files carry its own writeId prefix, so task-local names can " +
+      "never collide across applications or replayed epochs") {
+    // task-local names (part-<p>-<taskId>) repeat across Spark
+    // APPLICATIONS (taskId restarts per app) and across crash-replayed
+    // streaming epochs (fresh writeId, same task names); a rename onto
+    // an existing name silently overwrites on POSIX local filesystems
+    // and fails the commit on HDFS-contract ones. The w<id8>- prefix
+    // is the ownership mechanism — same discipline as compact-/cluster-
+    // output names.
+    val dir = freshDir
+    Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir)
+    val names = GraftSink.latestManifest(spark, dir).get.files.map(_.name)
+    assert(names.forall(_.matches("w[0-9a-f]{8}-part-\\d+-\\d+")),
+      s"unexpected name shape: $names")
+    assert(names.map(_.take(9)).distinct.size == 2,
+      s"each commit must carry its own writer prefix: $names")
+  }
+
   test("tail check applies the resolver's EXACT terminator rule: " +
       "'#eof ' / '#eof\\r' is torn to BOTH, a trailing newline is " +
       "complete to both") {
