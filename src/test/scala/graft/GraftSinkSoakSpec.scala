@@ -171,7 +171,28 @@ class GraftSinkSoakSpec extends SparkSpec {
             violations.add(s"reader: ${e.getClass.getSimpleName}: ${e.getMessage}") }
           Thread.sleep(40)
         }
-      }, "soak-reader")
+      }, "soak-reader"),
+      // live replication: cloneSync races the whole protocol; each
+      // synced replica head must itself be a committed snapshot (a
+      // union of whole batches, no duplicates) — replication under
+      // concurrent commits copies a CONSISTENT version, never a blend
+      new Thread(() => {
+        val replica = tmpDir("graft_soak_replica") + "/r"
+        val seeded =
+          try { GraftSink.cloneSnapshot(spark, dir, replica); true }
+          catch { case e: Throwable =>
+            violations.add(s"clone seed: ${e.getMessage}"); false }
+        while (seeded && running) {
+          try {
+            GraftSink.cloneSync(spark, dir, replica)
+            val keys = spark.read.format("graftsink").load(replica)
+              .select("k").as[Long].collect().toSeq
+            readerCheck(keys, "replica sync")
+          } catch { case e: Throwable =>
+            violations.add(s"sync: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+          Thread.sleep(180)
+        }
+      }, "soak-sync")
     )
     threads.foreach(_.start())
     // quiesce once both committers and the epoch thread finish
