@@ -545,6 +545,51 @@ object Ingest {
           .as("total_cents"),
         max(col("o_orderkey")).as("max_key"))
 
+  /** INCREMENTAL REPLICATION under the oracle gate: half of orders
+    * seed the source, [[graft.sources.GraftSink.cloneSnapshot]]
+    * exports that half, the OTHER half appends to the source, and
+    * [[graft.sources.GraftSink.cloneSync]] re-syncs — copying only the
+    * delta files. The declared query reads the REPLICA; the oracle
+    * aggregates ALL of raw orders, so any row the sync dropped,
+    * duplicated, or blended across versions breaks the equality.
+    * CloneSpec holds the per-op laws (delta counts, idempotence,
+    * schema carry, model-walk equivalence); this is the end-to-end
+    * driver-gated form.
+    */
+  private val cloneSyncSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededCloneSync(spark: SparkSession, dir: String): String =
+    cloneSyncSeeds.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sink_clonesync_seed").toString
+      val src = s"$base/src"
+      val dst = s"$base/replica"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graftsink").mode("overwrite").save(src)
+      graft.sources.GraftSink.cloneSnapshot(spark, src, dst)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.format("graftsink").mode("append").save(src)
+      graft.sources.GraftSink.cloneSync(spark, src, dst)
+      dst
+    })
+
+  private def sinkCloneSync(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededCloneSync(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  // same oracle as q_sink_clone: the replica must equal ALL of orders
+  private val sinkCloneSyncSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   private val sinkCloneSql =
     """SELECT count(*) AS n_rows,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -636,5 +681,6 @@ object Ingest {
     NamedQuery("q_sink_grouped_max", sinkGroupedMax,
       Some(sinkGroupedMaxSql)),
     NamedQuery("q_sink_clone", sinkClone, Some(sinkCloneSql)),
+    NamedQuery("q_sink_clone_sync", sinkCloneSync, Some(sinkCloneSyncSql)),
     NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

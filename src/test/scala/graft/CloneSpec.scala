@@ -150,6 +150,60 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("model property: under random source op sequences (append / " +
+      "compact / delete-where / restore / add-column), every sync " +
+      "leaves the replica row- and schema-identical to the source") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val src = freshDir("model")
+    val dst = freshDir("model_dst")
+    Seq((0L, "seed")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, dst)
+    var nextKey = 1L
+    var extraAdded = false
+    // deterministic pseudo-random walk, seeded — reproducible verdicts
+    val rnd = new scala.util.Random(0xC10E5EEDL)
+    def content(dir: String): (Seq[String], Set[Seq[Any]]) = {
+      val df = spark.read.format("graftsink").load(dir)
+      (df.columns.toSeq,
+        df.collect().map(_.toSeq).toSet)
+    }
+    for (step <- 1 to 14) {
+      rnd.nextInt(10) match {
+        case r if r <= 4 => // append 1-3 rows (the common op)
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextKey += 1; (nextKey, s"v$step")
+          }
+          if (extraAdded)
+            rows.map { case (k, s) => (k, s, k * 10) }
+              .toDF("k", "s", "extra").write.format("graftsink")
+              .mode("append").save(src)
+          else rows.toDF("k", "s").write.format("graftsink")
+            .mode("append").save(src)
+        case 5 | 6 =>
+          GraftSink.compact(spark, src, smallBytes = 1L << 20); ()
+        case 7 => // truncate-overwrite: the full-refresh shape (also
+                  // resets any evolved schema to the written frame's)
+          nextKey += 1
+          Seq((nextKey, s"fr$step")).toDF("k", "s")
+            .write.format("graftsink").mode("overwrite").save(src)
+          extraAdded = false
+        case 8 => // roll back one version (never below the seed)
+          val v = GraftSink.latestCompleteVersion(spark, src).getOrElse(0)
+          if (v >= 1) { GraftSink.restore(spark, src, v - 1); () }
+        case 9 =>
+          if (!extraAdded) {
+            GraftSink.addColumns(spark, src,
+              Seq(StructField("extra", LongType)))
+            extraAdded = true
+          }
+      }
+      GraftSink.cloneSync(spark, src, dst)
+      assert(content(dst) == content(src),
+        s"replica diverged after step $step")
+    }
+  }
+
   test("CALL system.clone exports through SQL; the target registers " +
       "by existence and reads via the catalog") {
     val r = tmpDir("graft_clone_cat")
