@@ -353,7 +353,19 @@ object Streaming {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Batch twin of the per-trigger replicated table: the replica must
+    * hold exactly the full order slice — a sync that dropped a batch,
+    * copied one twice, or blended two source versions breaks it.
+    */
+  private val cloneSyncStSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("st_clone_sync", Streams.cloneSyncViaStream,
+      Some(cloneSyncStSql)),
     NamedQuery("st_dlq", Streams.dlqViaStream, Some(dlqSql)),
     NamedQuery("st_summary_maint", Streams.summaryMaintViaStream,
       Some(summaryMaintSql)),

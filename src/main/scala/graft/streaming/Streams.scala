@@ -497,6 +497,55 @@ object Streams {
     (out, src, ckpt)
   }
 
+  /** CONTINUOUS REPLICATION: each micro-batch appends to the PRIMARY
+    * graftsink table and re-syncs a REPLICA inside the same
+    * foreachBatch — [[graft.sources.GraftSink.cloneSync]] copies only
+    * that batch's file(s) per trigger (O(delta), never the table),
+    * the DR pattern run at ingest cadence instead of nightly.
+    * `maxFilesPerTrigger` forces several micro-batches, so the
+    * replica passes through several sync rounds; the declared result
+    * reads the REPLICA, and the oracle aggregates the raw slice — a
+    * sync that dropped, duplicated, or blended versions breaks it.
+    * (Batch-side laws — delta counts, idempotence, model-walk
+    * equivalence, racing the full maintenance protocol — live in
+    * CloneSpec and the soak; this is the streaming composition.)
+    */
+  def cloneSyncViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_st_clonesync").toString
+    val src = s"$root/src"
+    val primary = s"$root/primary"
+    val replica = s"$root/replica"
+    val ckpt = s"$root/ckpt"
+    val orders = graft.queries.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.repartition(6).write.parquet(src)
+    // primary exists empty from birth (v0 manifest, zero files), so
+    // the replica can seed before any data streams
+    orders.limit(0).write.format("graftsink").mode("overwrite").save(primary)
+    graft.sources.GraftSink.cloneSnapshot(spark, primary, replica)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        batch.toDF().write.format("graftsink").mode("append").save(primary)
+        graft.sources.GraftSink.cloneSync(sp, primary, replica)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graftsink").load(replica)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"))
+      .orderBy("status")
+  }
+
   def runAvailableNow(df: DataFrame, outPath: String,
       checkpoint: String): Unit = {
     val q = df.writeStream
