@@ -78,8 +78,13 @@ object ResultCache {
     *     miss is the only answer that keeps the staleness contract
     *     ENFORCED rather than silently waived for unknown sources.
     */
-  private def snapshotSalt(df: DataFrame): String = {
+  private def snapshotSalt(df: DataFrame): (String, Boolean) = {
     val spark = df.sparkSession
+    // set by the case-e leaf fallback below: a key containing a
+    // per-call uniqueness token can never be SERVED again, which
+    // cached() must know — persisting such a result is pure disk
+    // growth with zero possible hits
+    var opaque = false
     def graftSalt(r: DataSourceV2Relation): String = {
       // dir/pin come from the Table OBJECT (never parsed out of the
       // display name: a path containing '@' would truncate to a
@@ -140,6 +145,7 @@ object ResultCache {
       case _: OneRowRelation => Seq("onerow")
       // unknown leaf (case e): fail closed with a per-call token
       case leaf: LeafNode =>
+        opaque = true
         Seq(s"opaque#${leaf.nodeName}#" +
           java.util.UUID.randomUUID().toString)
     }.flatten
@@ -149,7 +155,7 @@ object ResultCache {
     // descend into PlanExpression sub-plans)
     val root = df.queryExecution.optimizedPlan
     val salts = (root +: root.subqueriesAll).flatMap(saltsOf)
-    salts.sorted.mkString("\n")
+    (salts.sorted.mkString("\n"), opaque)
   }
 
   /** Stable 64-bit fingerprint of the query's semantics AND its data
@@ -161,19 +167,31 @@ object ResultCache {
     * plus [[snapshotSalt]], so a mutated base table can never serve a
     * stale entry.
     */
-  def fingerprint(df: DataFrame): String = {
+  def fingerprint(df: DataFrame): String = fingerprintOpaque(df)._1
+
+  /** [[fingerprint]] plus whether the key contains a per-call opaque
+    * token (case-e leaf) and is therefore never reusable.
+    */
+  private def fingerprintOpaque(df: DataFrame): (String, Boolean) = {
     val plan = df.queryExecution.optimizedPlan.canonicalized
-    val key = plan.toString + "\n" + df.schema.catalogString +
-      "\n" + snapshotSalt(df)
-    fnv(key)
+    val (salt, opaque) = snapshotSalt(df)
+    val key = plan.toString + "\n" + df.schema.catalogString + "\n" + salt
+    (fnv(key), opaque)
   }
 
   /** The result of `df`, served from `root` when a completed entry
     * exists, materialized there first when not. Returns (result, hit).
+    *
+    * A plan with an opaque leaf (case e) fingerprints with a per-call
+    * token, so its entry could never be served — cached() then returns
+    * `df` un-materialized instead of growing the cache root with
+    * write-only parquet on every call. Still reported as a miss.
     */
   def cached(df: DataFrame, root: String): (DataFrame, Boolean) = {
     val spark = df.sparkSession
-    val path = s"$root/${fingerprint(df)}"
+    val (fp, opaque) = fingerprintOpaque(df)
+    if (opaque) return (df, false)
+    val path = s"$root/$fp"
     val hit = Files.exists(Paths.get(
       path.stripPrefix("file:"), "_SUCCESS"))
     if (!hit) df.write.mode("overwrite").parquet(path)

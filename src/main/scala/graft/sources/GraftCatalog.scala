@@ -234,8 +234,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
-          "system.cluster, system.restore, system.clone, system.tag, " +
-          "system.untag)")
+          "system.cluster, system.restore, system.clone, " +
+          "system.clone_sync, system.tag, system.untag)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -640,10 +640,12 @@ private class GraftCloneProcedure(catalog: GraftCatalog)
   }
 }
 
-/** `CALL <cat>.system.clone_sync(source => 'ns.t', target => 'ns.t2')`
-  * — incremental replication: copy only the file delta since the last
-  * clone/sync and republish the target head as the source snapshot
-  * ([[GraftSink.cloneSync]]).
+/** `CALL <cat>.system.clone_sync(source => 'ns.t', target => 'ns.t2'
+  * [, version => k])` — incremental replication: copy only the file
+  * delta since the last clone/sync and republish the target head as
+  * the source snapshot — the head by default, or a pinned source
+  * version (re-sync a DR replica to an exact historical snapshot).
+  * Source tags carry over ([[GraftSink.cloneSync]]).
   */
 private class GraftCloneSyncProcedure(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {
@@ -654,11 +656,15 @@ private class GraftCloneSyncProcedure(catalog: GraftCatalog)
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("source", StringType).build(),
-    ProcedureParameter.in("target", StringType).build())
+    ProcedureParameter.in("target", StringType).build(),
+    ProcedureParameter.in("version", IntegerType)
+      .defaultValue("-1").build()) // -1 = the source head
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val src = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val dst = catalog.tableDirOrFail(input.getUTF8String(1).toString)
-    val copied = GraftSink.cloneSync(catalog.session, src, dst)
+    val v = input.getInt(2)
+    val copied = GraftSink.cloneSync(catalog.session, src, dst,
+      if (v < 0) None else Some(v))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("copied_files", IntegerType, nullable = false))),

@@ -201,6 +201,19 @@ class ResultCacheSpec extends SparkSpec {
     val q = df.agg(count(lit(1)).as("n"))
     assert(ResultCache.fingerprint(q) != ResultCache.fingerprint(q),
       "an opaque leaf must salt with a uniqueness token per call")
+    // and cached() must NOT materialize a write-only entry for it:
+    // the key can never be served, so persisting is pure disk growth
+    // (ADVICE r10) — result still correct, reported as a miss
+    val root = tmpDir("rc_opaque")
+    val (r1, hit1) = ResultCache.cached(q, root)
+    val (r2, hit2) = ResultCache.cached(q, root)
+    assert(!hit1 && !hit2, "opaque plans are permanent misses")
+    assert(r1.collect().head.getLong(0) == 2L
+      && r2.collect().head.getLong(0) == 2L)
+    val entries = new java.io.File(root.stripPrefix("file:")).list()
+    assert(entries == null || entries.isEmpty,
+      s"opaque plan must not persist cache entries, found: " +
+        s"${Option(entries).toSeq.flatten.mkString(",")}")
   }
 
   test("plan-embedded literal data is part of the key: two local " +
