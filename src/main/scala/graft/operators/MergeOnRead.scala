@@ -263,6 +263,56 @@ object MergeOnRead {
         " — use one mode per table")
   }
 
+  /** THE MEASURED CADENCE RULE, AS CODE (round-10 MorDecade,
+    * SCALE.md): the read-side anti join broadcasts the tombstone
+    * relation while it is small and flips to a full-base
+    * SortMergeJoin once accumulated tombstone bytes outgrow
+    * `spark.sql.autoBroadcastJoinThreshold` — reads then degrade
+    * ~15× until someone compacts. Round 10 derived the rule
+    * ("compact before tombstone bytes approach the broadcast
+    * threshold") but nothing enforced it; at 100 TB a
+    * right-to-be-forgotten backlog would silently flip EVERY reader
+    * to a full-base shuffle. This is the enforcement: called between
+    * apply triggers (the `st_cdc_apply_mor` loop does), it measures
+    * the backlog with one directory summary (O(tombstone files), no
+    * data read) and folds it back into the base only when the
+    * MEASURED flip point nears — default fire point 3/4 of the
+    * session's broadcast threshold, override for a custom cadence.
+    * Detects the root's tombstone mode itself (plain `d*` vs
+    * sequence-aware `t*`/`updates`); the compaction it triggers runs
+    * the mode's own guarded path. Returns whether it compacted.
+    *
+    * HORIZON NOTE (sequence-aware roots): call this BEFORE applying
+    * the next batch, not after — at that point every on-disk sequence
+    * belongs to a committed trigger, so the fold never destroys a
+    * batch dir a checkpoint replay might re-apply (the
+    * [[compactSeq]] horizon discipline).
+    */
+  def autoCompact(spark: SparkSession, root: String, keyCol: String,
+      thresholdBytes: Long = -1L): Boolean = {
+    val del = new Path(deletesDir(root))
+    val fs = fsOf(spark, del)
+    if (!fs.exists(del)) return false
+    val backlog = fs.getContentSummary(del).getLength
+    val thr =
+      if (thresholdBytes > 0) thresholdBytes
+      else {
+        val b = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(spark.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        // threshold -1 = broadcast disabled: every tombstone join
+        // already shuffles, but unbounded backlog still bloats every
+        // read — fall back to the 10MB default's cadence
+        (if (b > 0) b else 10L << 20) * 3 / 4
+      }
+    if (backlog < thr) return false
+    val seqMode = fs.exists(new Path(updatesDir(root))) ||
+      fs.listStatus(del).exists(_.getPath.getName.startsWith("t"))
+    if (seqMode) compactSeq(spark, root, keyCol)
+    else { compact(spark, root, keyCol); () }
+    true
+  }
+
   /** Fold every tombstone into the base: one staged rewrite of the
     * current view, then the tombstone dirs drop. After compaction the
     * read path is a plain scan again. Returns the number of tombstone

@@ -865,6 +865,78 @@ class StreamsSpec extends SparkSpec {
     assert(view.filter(col("k") >= 100000L).count() === 100L)
   }
 
+  test("autoCompact bounds the MOR read path across 50 delete " +
+      "triggers with no manual compact: backlog stays under the " +
+      "threshold, reads stay flat") {
+    // the round-10 cadence rule as an enforced loop: 50 streamed
+    // delete triggers, each foreachBatch calling autoCompact FIRST
+    // (the st_cdc_apply_mor wiring) with a deliberately small
+    // threshold so the flip point is reached many times at spec
+    // scale. Without autoCompact the tombstone relation grows
+    // monotonically for 50 triggers and every read joins against all
+    // of it; with it, the backlog (and so the read-side join input)
+    // is bounded by threshold + one batch, forever.
+    val mor = graft.operators.MergeOnRead
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mor_autocompact").toString
+    val (feedDir, tgt, ckpt) = (s"$root/feed", s"$root/target",
+      s"$root/ckpt")
+    mor.init(spark.range(10000L)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v")), tgt)
+    // 50 key-disjoint delete batches: trigger i kills [i*100,(i+1)*100)
+    (0 until 50).foreach { i =>
+      (i * 100L until (i + 1) * 100L).map(k => (k, "D"))
+        .toDF("k", "op").coalesce(1).write.parquet(f"$feedDir/b$i%02d")
+    }
+    val thresholdBytes = 16L << 10 // ~8-10 tombstone files
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$feedDir/b00").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/b*")
+    val q = feed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (mor.autoCompact(spark, tgt, "k", thresholdBytes))
+          compactions.incrementAndGet()
+        mor.deleteKeysAt(spark, tgt, b.select("k"), batchId + 1)
+        val t0 = System.nanoTime()
+        mor.readCurrentSeq(spark, tgt, "k").count()
+        readTimes.synchronized { readTimes += (System.nanoTime() - t0) / 1e9 }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(readTimes.size == 50, s"expected 50 triggers, saw ${readTimes.size}")
+    assert(compactions.get() >= 2,
+      s"the small threshold must fire autoCompact repeatedly across " +
+        s"50 triggers (fired ${compactions.get()} times)")
+    // BOUNDED BACKLOG — the structural guarantee behind flat read
+    // latency: whatever the trigger count, on-disk tombstones never
+    // exceed threshold + the batches since the last fire check
+    val delDir = new java.io.File(s"$tgt/deletes")
+    val backlog = Option(delDir.listFiles()).toSeq.flatten
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .map(_.length).sum
+    assert(backlog < thresholdBytes * 3,
+      s"tombstone backlog $backlog must stay bounded near the " +
+        s"$thresholdBytes threshold — autoCompact is not holding the line")
+    // FLAT LATENCY: late reads must not degrade vs early ones. Wide
+    // noise margin (4x on medians of 10) — without compaction the
+    // join side grows 50x, with it the bound is structural.
+    val (early, late) = (readTimes.take(10).sorted, readTimes.takeRight(10).sorted)
+    val (me, ml) = (early(early.size / 2), late(late.size / 2))
+    assert(ml <= me * 4 + 0.25,
+      f"read latency grew early=$me%.3fs late=$ml%.3fs across 50 " +
+        "delete triggers — the cadence rule is not bounding the read path")
+    // convergence: 50 x 100 deleted keys leave exactly the top half
+    val view = mor.readCurrentSeq(spark, tgt, "k")
+    assert(view.count() == 5000L)
+    assert(view.agg(min("k")).head.getLong(0) == 5000L)
+  }
+
   private def listParquet(dirPath: String): Map[String, (Long, Long)] = {
     val d = new java.io.File(dirPath)
     d.listFiles().filter(_.getName.endsWith(".parquet"))
