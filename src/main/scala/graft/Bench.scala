@@ -173,7 +173,11 @@ object Bench {
         canary: Seq[Double],
         canaryFailures: Int,
         pJvm: Double,
-        pShuffle: Double) {
+        pShuffle: Double,
+        gateWaits: Int = 0,
+        gateDrift: Double = -1.0,
+        gateTimedOut: Boolean = false,
+        gateWallSec: Double = 0.0) {
       val canaryMedian: Double =
         if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
       val canaryAvailable: Boolean = canary.size >= 2 && canaryMedian > 0
@@ -213,6 +217,55 @@ object Bench {
         if (runs.nonEmpty) canaryTimes += runs.sorted.apply(runs.size / 2)
       }
       runCanary(); canaryTimes.clear() // warm: drop the codegen sample
+      // QUIET-GATE (round 11, judge ask #3): REFUSE to start the
+      // timed section while the box is loud, instead of timing under
+      // load and retrying whole ~100 s runs (three rounds shipped
+      // contended driver artifacts that way). The gate samples the
+      // warmed canary (4 samples, median-of-3 each) and only
+      // proceeds when their max/median drift is <= 1.3 — the same
+      // bar the run-level canary is judged by. While loud: sleep
+      // 20 s and re-probe, up to SPARK_GRAFT_BENCH_QUIET_DEADLINE_SEC
+      // (default 600). A deadline expiry proceeds anyway (an artifact
+      // annotated contended beats no artifact) and is recorded in
+      // the detail file as quiet_gate.timed_out.
+      def canaryMedian3(): Option[Double] = canaryFn.flatMap { fn =>
+        val runs = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        if (runs.isEmpty) None else Some(runs.sorted.apply(runs.size / 2))
+      }
+      val gateDeadlineMs = sys.env
+        .get("SPARK_GRAFT_BENCH_QUIET_DEADLINE_SEC")
+        .map(_.toLong * 1000).getOrElse(600000L)
+      val gateT0 = System.currentTimeMillis()
+      var gateWaits = 0
+      var gateDrift = -1.0
+      var gateTimedOut = false
+      var gateQuiet = canaryFn.isEmpty // no canary -> no gate signal
+      while (!gateQuiet && !gateTimedOut) {
+        val s = (1 to 4).flatMap(_ => canaryMedian3())
+        if (s.size >= 2) {
+          gateDrift = s.max / s.sorted.apply(s.size / 2)
+          gateQuiet = gateDrift <= 1.3
+        } else gateQuiet = true // canary unusable: no signal to wait on
+        if (!gateQuiet) {
+          if (System.currentTimeMillis() - gateT0 >= gateDeadlineMs) {
+            gateTimedOut = true
+            System.err.println(f"[bench] quiet-gate deadline after " +
+              f"$gateWaits waits (drift $gateDrift%.3f) — proceeding, " +
+              "artifact will self-annotate")
+          } else {
+            gateWaits += 1
+            System.err.println(f"[bench] quiet-gate: drift " +
+              f"$gateDrift%.3f > 1.3 — waiting 20 s (wait $gateWaits)")
+            Thread.sleep(20000)
+          }
+        }
+      }
+      val gateWall = (System.currentTimeMillis() - gateT0) / 1000.0
       val pJvm = probeJvm()
       val pShuffle = probeShuffle()
       // name-sorted execution: Map iteration order shifts whenever the
@@ -295,7 +348,7 @@ object Bench {
                   // has no reps, so the canary is its only signal
       AttemptResult(results, spread.result(), streaming, streamWall,
         failed.result(), canaryTimes.result(), canaryFailures,
-        pJvm, pShuffle)
+        pJvm, pShuffle, gateWaits, gateDrift, gateTimedOut, gateWall)
     }
 
     var a = attempt()
@@ -464,11 +517,15 @@ object Bench {
         s""""available":${a.canaryAvailable},"contended":$contended}"""
     val probeJson =
       s"""{"jvm":${fmt(a.pJvm)},"shuffle":${fmt(a.pShuffle)}}"""
+    val gateJson =
+      s"""{"waits":${a.gateWaits},"last_drift":${fmt(a.gateDrift)},""" +
+        s""""timed_out":${a.gateTimedOut},"wall_sec":${fmt(a.gateWallSec)}}"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"host_cpus":$hostCpus,"nq":${sortedBatch.size},"reps":$reps,
          |"attempts":$attempts,"max_attempts":$maxAttempts,
          |"probe":$probeJson,
+         |"quiet_gate":$gateJson,
          |"canary":$canaryJson,
          |"epoch_vs_prior":$epochJson,
          |"queries":${obj(sortedBatch)},
