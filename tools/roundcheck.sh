@@ -117,10 +117,23 @@ PYEOF
   [ "$attempt" -lt "$BENCH_RETRIES" ] && sleep "$BENCH_BACKOFF"
 done
 
-python3 - "$OUT" "$TEST_RC" "$VERIFY_RC" "$ORACLE_RC" "$BENCH_RC" "$PLANDIFF_RC" "$SPLANDIFF_RC" <<'EOF'
+echo "[roundcheck] 4b/4 bench-coverage gate"
+# Machine-check the bench exclusion list (round 11): every declared
+# batch query must be benched or excluded, every concrete exclusion
+# must name a benched scale twin, every declared st_ query must appear
+# in the bench streaming section. The script selftests its own
+# negative fixtures first — a gate that can't catch a violation is a
+# failed gate.
+python3 tools/bench_coverage_check.py --selftest \
+  >"$OUT/benchcov.log" 2>&1 \
+  && python3 tools/bench_coverage_check.py \
+       "$OUT/bench_detail.json" "$OUT/verify" >>"$OUT/benchcov.log" 2>&1
+BENCHCOV_RC=$?
+
+python3 - "$OUT" "$TEST_RC" "$VERIFY_RC" "$ORACLE_RC" "$BENCH_RC" "$PLANDIFF_RC" "$SPLANDIFF_RC" "$BENCHCOV_RC" <<'EOF'
 import json, re, sys
-out, test_rc, verify_rc, oracle_rc, bench_rc, plandiff_rc, splandiff_rc = (
-    sys.argv[1], *map(int, sys.argv[2:8]))
+out, test_rc, verify_rc, oracle_rc, bench_rc, plandiff_rc, splandiff_rc, \
+    benchcov_rc = (sys.argv[1], *map(int, sys.argv[2:9]))
 
 summary = {"gate": None}
 
@@ -286,9 +299,27 @@ try:
 except Exception as e:
     summary["bench"]["parse_error"] = str(e)
 
+# bench-coverage gate (round 11): exclusion list vs declared/benched
+summary["bench_coverage"] = {"rc": benchcov_rc}
+try:
+    ctxt = open(f"{out}/benchcov.log", errors="replace").read()
+    cm = re.search(
+        r"== bench coverage: (\d+) declared, (\d+) benched, (\d+) violations",
+        ctxt)
+    if cm:
+        summary["bench_coverage"].update(
+            declared=int(cm.group(1)), benched=int(cm.group(2)),
+            violations=int(cm.group(3)))
+    bad = [l for l in ctxt.splitlines()
+           if l and not l.startswith(("==", "SELFTEST"))]
+    if bad:
+        summary["bench_coverage"]["detail"] = bad[:10]
+except Exception:
+    pass
+
 hard_fail = (
     test_rc != 0 or verify_rc != 0 or oracle_rc > 0 or bench_rc != 0
-    or plandiff_rc != 0 or splandiff_rc != 0
+    or plandiff_rc != 0 or splandiff_rc != 0 or benchcov_rc != 0
     or (summary["tests"]["failed"] or 0) > 0
     # a clean verify must have produced a NON-EMPTY tolerance set;
     # missing file and empty {} both mean no check actually ran
