@@ -270,18 +270,21 @@ class GraftSinkSpec extends SparkSpec {
     // APPLICATIONS (taskId restarts per app) and across crash-replayed
     // streaming epochs (fresh writeId, same task names); a rename onto
     // an existing name silently overwrites on POSIX local filesystems
-    // and fails the commit on HDFS-contract ones. The w<id8>- prefix
+    // and fails the commit on HDFS-contract ones. The w<uuid>- prefix
     // is the ownership mechanism — same discipline as compact-/cluster-
-    // output names.
+    // output names. The FULL 36-char UUID is required (ADVICE r10): a
+    // truncated 32-bit prefix birthday-collides at ~100k distinct
+    // writers of one table, reproducing the exact overwrite hazard.
     val dir = freshDir
     Seq((1L, "a")).toDF("k", "s").write.format("graftsink")
       .mode("append").save(dir)
     Seq((2L, "b")).toDF("k", "s").write.format("graftsink")
       .mode("append").save(dir)
     val names = GraftSink.latestManifest(spark, dir).get.files.map(_.name)
-    assert(names.forall(_.matches("w[0-9a-f]{8}-part-\\d+-\\d+")),
+    val uuid = "[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}"
+    assert(names.forall(_.matches(s"w$uuid-part-\\d+-\\d+")),
       s"unexpected name shape: $names")
-    assert(names.map(_.take(9)).distinct.size == 2,
+    assert(names.map(_.take(37)).distinct.size == 2,
       s"each commit must carry its own writer prefix: $names")
   }
 
