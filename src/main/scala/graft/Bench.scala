@@ -70,6 +70,7 @@ object Bench {
         "q_dune_source", "q_dsv2_sink", "q_sink_skip", "q_sink_segments",
         "q_sink_clone", // warm builds seed + export; timed run reads the clone
         "q_sink_clone_sync", // warm builds seed + sync; timed reads the replica
+        "q_sink_fsck", // warm builds seed + integrity probe; timed reads back
         "q_sql_catalog",
         "q_delete_where",
         "q_hll_merge", "q_hll_sliding",

@@ -597,6 +597,59 @@ object Ingest {
       |  max(o_orderkey) AS max_key
       |FROM orders""".stripMargin
 
+  /** INTEGRITY PROBE under the oracle gate: orders seed a sink table,
+    * a compaction gives it multi-version history, a stray
+    * crashed-writer-shaped file lands in data/, and
+    * [[graft.sources.GraftSink.fsck]] must report EXACTLY
+    * clean-with-one-orphan — a false positive on healthy history, a
+    * missed orphan, or a miscounted reference fails the seed before
+    * the oracle compare runs. The declared result then reads the
+    * table back against the raw-orders oracle, so fsck's read-only
+    * contract is gated too: a probe that mutated anything would break
+    * the row equality.
+    */
+  private val fsckSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededFsck(spark: SparkSession, dir: String): String =
+    fsckSeeds.computeIfAbsent(dir, { d =>
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_sink_fsck_seed").toString + "/t"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graftsink").mode("overwrite").save(src)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.format("graftsink").mode("append").save(src)
+      graft.sources.GraftSink.compact(spark, src, smallBytes = 1L << 30)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(src, "data/wdeadbeef-stray"), false)
+      try out.write("junk".getBytes("UTF-8")) finally out.close()
+      val r = graft.sources.GraftSink.fsck(spark, src)
+      require(r.clean, s"fsck flagged a healthy table: $r")
+      require(r.unreferencedDataFiles == 1,
+        s"fsck must count exactly the planted orphan: $r")
+      require(r.filesChecked > 0 && r.versionsChecked >= 3,
+        s"fsck must walk the full surviving history: $r")
+      src
+    })
+
+  private def sinkFsck(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededFsck(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  // the probed table holds ALL of orders (both halves, compacted)
+  private val sinkFsckSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   private def sinkGroupedMax(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graftsink").load(seededGroupedSink(spark, dir))
       .groupBy(col("o_orderstatus").as("status"))
@@ -682,5 +735,6 @@ object Ingest {
       Some(sinkGroupedMaxSql)),
     NamedQuery("q_sink_clone", sinkClone, Some(sinkCloneSql)),
     NamedQuery("q_sink_clone_sync", sinkCloneSync, Some(sinkCloneSyncSql)),
+    NamedQuery("q_sink_fsck", sinkFsck, Some(sinkFsckSql)),
     NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

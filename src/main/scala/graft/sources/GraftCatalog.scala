@@ -231,11 +231,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new GraftCloneSyncProcedure(this)
       case (Seq("system"), "tag")     => new GraftTagProcedure(this)
       case (Seq("system"), "untag")   => new GraftUntagProcedure(this)
+      case (Seq("system"), "fsck")    => new GraftFsckProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
           "system.cluster, system.restore, system.clone, " +
-          "system.clone_sync, system.tag, system.untag)")
+          "system.clone_sync, system.tag, system.untag, system.fsck)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -248,7 +249,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "clone_sync"),
         Identifier.of(Array("system"), "tag"),
-        Identifier.of(Array("system"), "untag"))
+        Identifier.of(Array("system"), "untag"),
+        Identifier.of(Array("system"), "fsck"))
     else Array.empty
 
   /** A procedure's dotted `'ns.t'` argument → the table directory;
@@ -637,6 +639,49 @@ private class GraftCloneProcedure(catalog: GraftCatalog)
       StructType(Seq(
         StructField("cloned_files", IntegerType, nullable = false))),
       Seq[Any](files))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.fsck(table => 'ns.t')` — read-only integrity
+  * probe ([[GraftSink.fsck]]): every surviving manifest must resolve
+  * and every referenced data file must exist at its recorded size
+  * (distributed check, O(damage) returned); unreferenced debris is
+  * counted separately because vacuum, not fsck, owns its lifecycle.
+  * One row of counts plus a detail sample naming what to look at.
+  */
+private class GraftFsckProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "fsck"
+  override def description(): String =
+    "verify manifest/data-file integrity of a graftsink table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val r = GraftSink.fsck(catalog.session, dir)
+    val detail = (r.missingFiles.take(3).map("missing: " + _) ++
+      r.sizeMismatches.take(3) ++
+      r.unreadableVersions.take(3).map(v => s"unreadable: v$v"))
+      .mkString("; ")
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("clean", BooleanType, nullable = false),
+        StructField("versions_checked", IntegerType, nullable = false),
+        StructField("files_checked", IntegerType, nullable = false),
+        StructField("missing_files", IntegerType, nullable = false),
+        StructField("size_mismatches", IntegerType, nullable = false),
+        StructField("unreadable_versions", IntegerType, nullable = false),
+        StructField("unreferenced_data_files", IntegerType,
+          nullable = false),
+        StructField("unreferenced_segments", IntegerType,
+          nullable = false),
+        StructField("detail", StringType, nullable = false))),
+      Seq[Any](r.clean, r.versionsChecked, r.filesChecked,
+        r.missingFiles.size, r.sizeMismatches.size,
+        r.unreadableVersions.size, r.unreferencedDataFiles,
+        r.unreferencedSegments, detail))).iterator()
   }
 }
 

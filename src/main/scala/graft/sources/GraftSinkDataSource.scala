@@ -2121,6 +2121,9 @@ object GraftSink {
     *
     * `version` None = the source head. The destination must not
     * already hold a table (clone creates tables, never merges).
+    * Source tags whose content matches the cloned snapshot carry over
+    * at birth (`syncTags`, the [[cloneSync]] contract), so a clone of
+    * a tagged corpus version is GC-protected from its first vacuum.
     * Returns the number of files exported.
     */
   /** Slice count for the distributed clone byte-copy: one file per
@@ -2136,7 +2139,7 @@ object GraftSink {
       math.max(64, spark.sparkContext.defaultParallelism * 2)).max(1)
 
   def cloneSnapshot(spark: SparkSession, src: String, dst: String,
-      version: Option[Int] = None): Int = {
+      version: Option[Int] = None, syncTags: Boolean = true): Int = {
     // manifestAt errors PROPAGATE: a transient IO failure, a
     // permission error, or a corrupt manifest must stay
     // distinguishable from a genuinely empty source — "nothing to
@@ -2164,6 +2167,11 @@ object GraftSink {
         }
     }
     publish(spark, conf, dst, m.schemaDdl, files, truncate = false)
+    // tag carry at birth (same contract as cloneSync's, see there):
+    // a source tag pinning exactly the cloned snapshot transfers, so
+    // a clone taken AT a tagged corpus version is GC-protected on the
+    // clone from its first vacuum onward
+    if (syncTags) carryTags(spark, src, dst)
     files.size
   }
 
@@ -2487,6 +2495,95 @@ object GraftSink {
       v: Int): Boolean =
     try manifestAt(spark, dir, Some(v)).isDefined
     catch { case _: Throwable => false }
+
+  final case class FsckReport(
+      versionsChecked: Int,
+      unreadableVersions: Seq[Int],
+      filesChecked: Int,
+      missingFiles: Seq[String],
+      sizeMismatches: Seq[String],
+      unreferencedDataFiles: Int,
+      unreferencedSegments: Int) {
+    /** No corruption. Unreferenced files are NOT corruption — they are
+      * pre-vacuum leftovers (expired history, collision losers,
+      * not-yet-published commits) the vacuum lifecycle owns.
+      */
+    def clean: Boolean = unreadableVersions.isEmpty &&
+      missingFiles.isEmpty && sizeMismatches.isEmpty
+  }
+
+  /** TABLE INTEGRITY PROBE (`CALL system.fsck`) — the operational
+    * check every table format ships: does every surviving manifest
+    * still resolve, does every referenced data file exist AT ITS
+    * RECORDED SIZE, and how much unreferenced debris awaits vacuum?
+    * Detects external damage the protocol itself can't prevent — a
+    * bucket lifecycle rule deleting "cold" objects a manifest still
+    * references, a partial restore from backup, manual rm — BEFORE a
+    * reader trips on it mid-query, and distinguishes it from benign
+    * pre-vacuum orphans (which are NOT corruption; [[vacuum]] owns
+    * their lifecycle).
+    *
+    * Scale: manifest resolution is the same O(versions) driver
+    * metadata walk vacuum performs (manifest envelope decade-pinned
+    * to 10^6-10^7 entries); the existence+size check fans out
+    * cluster-wide via [[copySlices]] — one `getFileStatus` per
+    * referenced file, only violations return to the driver, so the
+    * collect is O(damage), not O(files). Read-only: fsck never
+    * repairs (a missing referenced file has no safe automatic fix —
+    * restore the object or restore/expire the version; the report
+    * names what to look at).
+    */
+  def fsck(spark: SparkSession, dir: String): FsckReport = {
+    val f = fs(spark, dir)
+    val complete = fsVersionsDesc(spark, dir)
+      .filter(v => manifestIsComplete(spark, dir, v))
+    val referenced = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val liveSegs = scala.collection.mutable.Set.empty[String]
+    val unreadable = Seq.newBuilder[Int]
+    complete.foreach { v =>
+      // complete-then-vanished (a racing vacuum expired it between
+      // the two reads) counts as unreadable only if it is still
+      // listed; a clean expiry is not damage — re-running fsck on a
+      // quiesced table is the operator's disambiguation
+      try manifestAt(spark, dir, Some(v)).foreach { m =>
+        m.refs.foreach(r => liveSegs += r.name)
+        m.files.foreach(mf =>
+          if (!referenced.contains(mf.name)) referenced(mf.name) = mf.bytes)
+      } catch { case scala.util.control.NonFatal(_) => unreadable += v }
+    }
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = referenced.toSeq
+    val bad: Seq[(String, String)] =
+      if (entries.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(entries, copySlices(spark, entries.size))
+        .flatMap { case (name, bytes) =>
+          val p = new Path(s"$dir/data/$name")
+          try {
+            val st = p.getFileSystem(conf.value).getFileStatus(p)
+            if (bytes > 0 && st.getLen != bytes)
+              Some(name -> s"size ${st.getLen} != manifest $bytes")
+            else None
+          } catch { case _: java.io.FileNotFoundException =>
+            Some(name -> "missing")
+          }
+        }.collect().toSeq
+    val missing = bad.collect { case (n, "missing") => n }
+    val mismatch = bad.collect { case (n, d) if d != "missing" => s"$n ($d)" }
+    val dataDir = new Path(dir, "data")
+    val orphans =
+      if (!f.exists(dataDir)) 0
+      else f.listStatus(dataDir)
+        .count(st => !referenced.contains(st.getPath.getName))
+    val segRoot = new Path(dir, "_segments")
+    val segOrphans =
+      if (!f.exists(segRoot)) 0
+      else f.listStatus(segRoot).count(st =>
+        !liveSegs(st.getPath.getName.stripSuffix(".bloom")))
+    FsckReport(complete.size, unreadable.result(), entries.size,
+      missing, mismatch, orphans, segOrphans)
+  }
 
   private[sources] def checkSupported(schema: StructType): Unit =
     schema.fields.foreach { fld =>

@@ -267,6 +267,16 @@ class CloneSpec extends SparkSpec {
     GraftSink.cloneSync(spark, src, dst)
     assert(keys(dst, Some("corpus-x")) == Seq(1L, 2L, 3L),
       "a source re-point (untag+tag) must re-point the replica too")
+    // tag carry AT BIRTH: a clone taken at a tagged version is
+    // GC-protected from its first vacuum — the fresh clone holds only
+    // the cloned snapshot, so only the content-matching tag carries
+    val dst2 = freshDir("pinsync_dst2")
+    GraftSink.cloneSnapshot(spark, src, dst2, Some(2))
+    assert(GraftSink.tags(spark, dst2).contains("corpus-x"),
+      "a clone of the tagged version must carry the tag at birth")
+    assert(!GraftSink.tags(spark, dst2).contains("never-synced"),
+      "tags of other versions' content cannot pin a snapshot the " +
+        "clone does not hold")
   }
 
   test("CALL system.clone exports through SQL; the target registers " +

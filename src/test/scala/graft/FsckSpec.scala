@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftSink
+
+/** Integrity-probe laws ([[GraftSink.fsck]] + `CALL system.fsck`):
+  * a healthy table (including one with compaction history and tags)
+  * reports clean; external damage the protocol cannot prevent —
+  * deletion or truncation of a manifest-referenced object — is
+  * detected and NAMED; benign pre-vacuum debris is counted as
+  * unreferenced, never as corruption; and fsck itself never mutates
+  * anything (read-only by contract).
+  */
+class FsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String) = tmpDir(s"graft_fsck_$tag") + "/t"
+
+  test("healthy table with history, compaction, and tags is clean; " +
+      "fsck checks every surviving version's references") {
+    val dir = freshDir("ok")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").coalesce(1)
+        .write.format("graftsink").mode("append").save(dir)
+    }
+    GraftSink.compact(spark, dir, smallBytes = 1L << 20)
+    GraftSink.tag(spark, dir, "pin", Some(1))
+    val r = GraftSink.fsck(spark, dir)
+    assert(r.clean, s"healthy table flagged: $r")
+    assert(r.versionsChecked >= 5, s"all surviving versions checked: $r")
+    // history references the pre-compaction files AND the compacted
+    // output, so more files than the head's are checked
+    assert(r.filesChecked >= 5, s"historical references checked: $r")
+    assert(r.missingFiles.isEmpty && r.sizeMismatches.isEmpty)
+  }
+
+  test("a deleted referenced object is MISSING (named), a truncated " +
+      "one is a SIZE MISMATCH — external damage detected before a " +
+      "reader trips on it") {
+    val dir = freshDir("damage")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    val files = GraftSink.latestManifest(spark, dir).get.files
+    assert(files.size == 2)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // damage 1: the bucket-lifecycle shape — object deleted
+    fs.delete(new Path(dir, s"data/${files.head.name}"), false)
+    // damage 2: partial restore — object exists at the wrong size
+    val victim2 = new Path(dir, s"data/${files(1).name}")
+    val o = fs.create(victim2, true)
+    try o.write("short".getBytes("UTF-8")) finally o.close()
+    val r = GraftSink.fsck(spark, dir)
+    assert(!r.clean)
+    assert(r.missingFiles == Seq(files.head.name),
+      s"missing object must be named: $r")
+    assert(r.sizeMismatches.size == 1
+      && r.sizeMismatches.head.startsWith(files(1).name),
+      s"truncated object must be named with both sizes: $r")
+  }
+
+  test("pre-vacuum debris is unreferenced, NOT corruption; fsck " +
+      "mutates nothing") {
+    val dir = freshDir("orphan")
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a foreign/abandoned object in data/ (crashed writer shape)
+    val stray = new Path(dir, "data/wdeadbeef-stray")
+    val o = fs.create(stray, false)
+    try o.write("junk".getBytes("UTF-8")) finally o.close()
+    val r = GraftSink.fsck(spark, dir)
+    assert(r.clean, s"an orphan must not read as corruption: $r")
+    assert(r.unreferencedDataFiles == 1)
+    assert(fs.exists(stray), "fsck is read-only: the orphan survives " +
+      "until vacuum's grace-aged collection")
+    // and the table still reads exactly
+    assert(spark.read.format("graftsink").load(dir).count() == 1L)
+  }
+
+  test("CALL system.fsck reports through SQL: clean row for a healthy " +
+      "table, counts + detail after damage") {
+    val r = tmpDir("graft_fsck_cat")
+    spark.conf.set("spark.sql.catalog.gfsck", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfsck.root", r)
+    spark.sql("CREATE NAMESPACE gfsck.m")
+    spark.sql("CREATE TABLE gfsck.m.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gfsck.m.t VALUES (1, 'a'), (2, 'b')")
+    val ok = spark.sql("CALL gfsck.system.fsck(table => 'm.t')")
+      .collect().head
+    assert(ok.getBoolean(0), s"healthy: $ok")
+    assert(ok.getInt(2) >= 1) // files_checked
+    // damage: delete the one referenced file
+    val dir = s"$r/m/t"
+    val name = GraftSink.latestManifest(spark, dir).get.files.head.name
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(dir, s"data/$name"), false)
+    val bad = spark.sql("CALL gfsck.system.fsck(table => 'm.t')")
+      .collect().head
+    assert(!bad.getBoolean(0))
+    assert(bad.getInt(3) == 1, s"missing_files: $bad")
+    assert(bad.getString(8).contains(name), s"detail names it: $bad")
+  }
+}
