@@ -703,13 +703,15 @@ private class GraftCloneSyncProcedure(catalog: GraftCatalog)
     ProcedureParameter.in("source", StringType).build(),
     ProcedureParameter.in("target", StringType).build(),
     ProcedureParameter.in("version", IntegerType)
-      .defaultValue("-1").build()) // -1 = the source head
+      .defaultValue("-1").build(), // -1 = the source head
+    ProcedureParameter.in("force", BooleanType)
+      .defaultValue("false").build()) // discard diverged local head
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val src = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val dst = catalog.tableDirOrFail(input.getUTF8String(1).toString)
     val v = input.getInt(2)
     val copied = GraftSink.cloneSync(catalog.session, src, dst,
-      if (v < 0) None else Some(v))
+      if (v < 0) None else Some(v), force = input.getBoolean(3))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("copied_files", IntegerType, nullable = false))),

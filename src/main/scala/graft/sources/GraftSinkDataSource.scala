@@ -2126,6 +2126,22 @@ object GraftSink {
     * a tagged corpus version is GC-protected from its first vacuum.
     * Returns the number of files exported.
     */
+  /** The epoch-writer identity replication stamps on every manifest
+    * it publishes at a replica ([[cloneSnapshot]], [[cloneSync]]).
+    * REPLICATION OWNS THE REPLICA HEAD: a sync publishes
+    * `truncate = true` with the source's file set, so any local
+    * commit at the replica (an accidental append, a well-meant
+    * replica-side compact) would be silently dropped from the head by
+    * the next sync with no error anywhere. The marker makes that
+    * detectable in O(1): cloneSync refuses when the replica head was
+    * not published by replication, unless `force = true` acknowledges
+    * the local state is disposable. Epoch values are
+    * `head version + 1` — strictly above every prior sync's epoch, so
+    * the publish-level epoch dedupe never mistakes a pinned re-sync
+    * to an OLDER source version for a replayed commit.
+    */
+  private val ReplicaWriter = "graft-replica-sync"
+
   /** Slice count for the distributed clone byte-copy: one file per
     * task up to the CLUSTER's width (`defaultParallelism * 2` so
     * uneven file sizes rebalance), floored at 64 so a small-cluster
@@ -2166,7 +2182,8 @@ object GraftSink {
           ()
         }
     }
-    publish(spark, conf, dst, m.schemaDdl, files, truncate = false)
+    publish(spark, conf, dst, m.schemaDdl, files, truncate = false,
+      epoch = Some(1L), epochWriter = Some(ReplicaWriter))
     // tag carry at birth (same contract as cloneSync's, see there):
     // a source tag pinning exactly the cloned snapshot transfers, so
     // a clone taken AT a tagged corpus version is GC-protected on the
@@ -2203,15 +2220,36 @@ object GraftSink {
     * re-point (untag + tag) re-points the replica too. A tag pinning
     * content the replica never synced is skipped — the replica cannot
     * pin bytes it does not hold.
+    *
+    * DIVERGENCE GUARD (`force`, default off): replication owns the
+    * replica head ([[ReplicaWriter]]) — if anything else published
+    * the current head (a local append, a replica-side compact), this
+    * sync's truncate-publish would silently drop that local state
+    * from the head, so the sync REFUSES with a loud error instead.
+    * `force = true` proceeds and discards the local head state (it
+    * remains in replica history until the replica's vacuum).
     */
   def cloneSync(spark: SparkSession, src: String, dst: String,
-      version: Option[Int] = None, syncTags: Boolean = true): Int = {
+      version: Option[Int] = None, syncTags: Boolean = true,
+      force: Boolean = false): Int = {
     val m = manifestAt(spark, src, version).getOrElse(
       sys.error(s"graftsink: nothing to sync from $src" +
         version.fold("")(v => s" v$v") + " — no complete manifest"))
-    val have = latestManifest(spark, dst).getOrElse(
+    val dstHead = latestManifest(spark, dst).getOrElse(
       sys.error(s"graftsink: sync destination $dst is not a table — " +
-        "cloneSnapshot first")).files
+        "cloneSnapshot first"))
+    // DIVERGENCE GUARD (see [[ReplicaWriter]]): a head replication
+    // did not publish means local commits landed at the replica since
+    // the last sync — this truncate-publish would silently drop them
+    // from the head. Refuse loudly; `force` acknowledges the local
+    // state is disposable (it stays in replica history until vacuum).
+    if (!force && !dstHead.epochWriter.contains(ReplicaWriter))
+      sys.error(s"graftsink: replica $dst head v${dstHead.version} was " +
+        "not published by replication — local writes or replica-side " +
+        "maintenance would be silently clobbered by this sync. " +
+        "Re-point writers at the source (replication owns the replica " +
+        "head), or pass force=true to discard the local head state")
+    val have = dstHead.files
       .map(f => (f.name, f.bytes, f.statsJson)).toSet
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -2230,7 +2268,16 @@ object GraftSink {
           ()
         }
     }
-    publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true)
+    // strictly above the head's replication epoch (the publish-level
+    // dedupe skips any epoch <= the frontier — a same-value epoch
+    // would silently no-op this sync); version+1 floors the force
+    // path, where the head carries no replication epoch
+    val nextEpoch = math.max(dstHead.version.toLong,
+      if (dstHead.epochWriter.contains(ReplicaWriter))
+        dstHead.epoch.getOrElse(0L)
+      else 0L) + 1L
+    publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true,
+      epoch = Some(nextEpoch), epochWriter = Some(ReplicaWriter))
     if (syncTags) carryTags(spark, src, dst)
     delta.size
   }
@@ -2275,11 +2322,17 @@ object GraftSink {
         dstVersions.find(v => dstSet(v).contains(w)) match {
           case None => () // replica never held this snapshot
           case Some(dv) =>
+            // a racing carrier (two syncs of the same pair) computes
+            // the SAME content-matched target, so losing the
+            // exclusive-create is benign — never fail the sync for it
+            def tagQuiet(): Unit =
+              try { tag(spark, dst, name, Some(dv)); () }
+              catch { case scala.util.control.NonFatal(_) => () }
             dstTags.get(name) match {
               case Some(cur) if cur == dv => () // already carried
               case Some(_) => // source re-pointed: follow it
-                untag(spark, dst, name); tag(spark, dst, name, Some(dv))
-              case None => tag(spark, dst, name, Some(dv))
+                untag(spark, dst, name); tagQuiet()
+              case None => tagQuiet()
             }
         }
       }

@@ -279,6 +279,47 @@ class CloneSpec extends SparkSpec {
         "clone does not hold")
   }
 
+  test("replication OWNS the replica head: a local write (or " +
+      "replica-side compact) makes the next sync refuse instead of " +
+      "silently clobbering it; force=true discards the local state") {
+    val src = freshDir("own")
+    val dst = freshDir("own_dst")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, dst)
+    // clean replica: syncs freely
+    Seq((3L, "c")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    assert(GraftSink.cloneSync(spark, src, dst) == 1)
+    // an accidental LOCAL append at the replica — without the guard
+    // the next sync's truncate-publish drops it with no error anywhere
+    Seq((99L, "local")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dst)
+    val e = intercept[RuntimeException] {
+      GraftSink.cloneSync(spark, src, dst)
+    }
+    assert(e.getMessage.contains("not published by replication"))
+    // the local row is still at the replica head (nothing clobbered)
+    assert(spark.read.format("graftsink").load(dst)
+      .filter(col("k") === 99L).count() == 1L)
+    // force acknowledges the local state is disposable: the replica
+    // re-converges to the source exactly
+    GraftSink.cloneSync(spark, src, dst, force = true)
+    assert(spark.read.format("graftsink").load(dst)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // and ownership is re-established: the next clean sync proceeds
+    Seq((4L, "d")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(src)
+    assert(GraftSink.cloneSync(spark, src, dst) == 1)
+    // replica-side maintenance is divergence too: a local compact
+    // rewrites file names the source never had — next sync would
+    // re-copy everything over it, so it must refuse the same way
+    GraftSink.compact(spark, dst, smallBytes = 1L << 30)
+    intercept[RuntimeException] { GraftSink.cloneSync(spark, src, dst) }
+    GraftSink.cloneSync(spark, src, dst, force = true)
+    assert(spark.read.format("graftsink").load(dst).count() == 4L)
+  }
+
   test("CALL system.clone exports through SQL; the target registers " +
       "by existence and reads via the catalog") {
     val r = tmpDir("graft_clone_cat")
