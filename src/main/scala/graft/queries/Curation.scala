@@ -629,6 +629,70 @@ object Curation {
       |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
       |FROM orders GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** DUP-CLUSTER-SAFE split — the third leakage axis beside the hash
+    * split (identity, `d_split_assign`) and the temporal split (time,
+    * `d_temporal_split`): duplicate documents must land in ONE split,
+    * or eval rows sit verbatim in training and the benchmark measures
+    * memorization. Each document keys by its normalized word-set (the
+    * `d_dedup_exact` key); the split is assigned to the group
+    * REPRESENTATIVE (min doc_id) and inherited by every member, so no
+    * duplicate pair can straddle a boundary BY CONSTRUCTION — and the
+    * result still carries a `LEAKED` audit row (groups spanning
+    * splits, 0) because the pipeline gates on evidence, not
+    * construction. Cost vs the free per-doc hash split: one key-group
+    * shuffle + one key join — the price of the guarantee. At 100 TB
+    * the join key drops to the 8-byte fingerprint
+    * (`d_dedup_fingerprint`'s trade); the text key here keeps the
+    * DuckDB oracle byte-exact. The NEAR-dup variant of the same shape
+    * (embedding-cluster rep assigns, members inherit) is
+    * `e_cluster_split` — together they close both duplicate grains.
+    */
+  private def splitDedupSafe(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .withColumn("k", graft.operators.Dedup.wordSetKey(col("text")))
+    val reps = keyed.groupBy("k").agg(min("doc_id").as("rep"))
+    val assigned = keyed.join(reps, "k")
+      .withColumn("split", Cur.splitAssign(col("rep"), "dds-v1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val perSplit = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("k")).as("n_groups"))
+    val leaked = assigned.groupBy("k")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("LEAKED").as("split"), col("n_docs"),
+        lit(0L).as("n_groups"))
+    perSplit.unionByName(leaked).orderBy("split")
+  }
+
+  private val splitDedupSafeSql =
+    """WITH kd AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(trim(text)), '\s+'))), ' ') AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT k AS rk,
+      |    CAST(('0x' || substr(md5('dds-v1:' ||
+      |      CAST(min(doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      |  FROM kd GROUP BY 1),
+      |a AS (
+      |  SELECT kd.doc_id, kd.k,
+      |    CASE WHEN b < 80 THEN 'train'
+      |         WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM kd JOIN r ON kd.k = r.rk)
+      |SELECT split, count(*) AS n_docs,
+      |  count(DISTINCT k) AS n_groups
+      |FROM a GROUP BY 1
+      |UNION ALL
+      |SELECT 'LEAKED' AS split, count(*) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_groups
+      |FROM (SELECT k FROM a GROUP BY k
+      |      HAVING count(DISTINCT split) > 1)
+      |ORDER BY split""".stripMargin
+
   /** PII scrubbing — the redaction pass every released corpus runs:
     * emails, phone numbers, and IPv4 addresses replaced with typed
     * placeholder tokens, per-pattern counts kept for the release
@@ -701,6 +765,8 @@ object Curation {
     NamedQuery("d_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     NamedQuery("d_pii_scrub", piiScrub, Some(piiScrubSql)),
     NamedQuery("d_temporal_split", temporalSplit, Some(temporalSplitSql)),
+    NamedQuery("d_split_dedup_safe", splitDedupSafe,
+      Some(splitDedupSafeSql)),
     NamedQuery("d_weighted_sample", weightedSample,
       Some(weightedSampleSql)),
     NamedQuery("d_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
