@@ -94,6 +94,31 @@ object CloneDecade {
         GraftSink.latestManifest(spark, src).get.files.map(_.name).toSet
       println(f"| $before | $deltaFiles | $wall%.2f | $copied | $ok |")
     }
+
+    println()
+    println("## fsck scaling: existence+size fan-out, O(damage) collect")
+    println("| files checked | fsck wall s | violations returned | " +
+      "after damaging 3 | ")
+    println("|---|---|---|---|")
+    // the 16/100/1000-file tables from the clone section, re-probed:
+    // wall must track file count sub-linearly (cluster fan-out), and
+    // the driver-side collect must stay at the DAMAGE size, not the
+    // table size
+    for (files <- Seq(16, 100, 1000)) {
+      val src = s"$work/src_$files"
+      val w1 = time { assert(GraftSink.fsck(spark, src).clean) }
+      val m = GraftSink.latestManifest(spark, src).get
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      m.files.take(3).foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(src, s"data/${f.name}"), false))
+      var viol = -1
+      val w2 = time {
+        val r = GraftSink.fsck(spark, src)
+        viol = r.missingFiles.size
+      }
+      println(f"| $files | $w1%.2f | $viol | $w2%.2f |")
+    }
     spark.stop()
   }
 }
