@@ -368,11 +368,14 @@ private class GraftVacuumProcedure(catalog: GraftCatalog)
     ProcedureParameter.in("keep_versions", IntegerType)
       .defaultValue("2").build(),
     ProcedureParameter.in("grace_ms", LongType)
-      .defaultValue("3600000").build())
+      .defaultValue("3600000").build(),
+    ProcedureParameter.in("retain_ms", LongType)
+      .defaultValue("-1").build()) // -1 = count-based retention only
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val stats = GraftSink.vacuum(catalog.session, dir,
-      keepVersions = input.getInt(1), graceMs = input.getLong(2))
+      keepVersions = input.getInt(1), graceMs = input.getLong(2),
+      retainMs = input.getLong(3))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("expired_versions", StringType, nullable = false),

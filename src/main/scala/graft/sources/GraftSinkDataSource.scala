@@ -2435,8 +2435,17 @@ object GraftSink {
     case _ => None
   }
 
+  /** `retainMs` adds TIME-BASED retention (the production-default
+    * policy: "keep a week of history for TIMESTAMP AS OF, whatever
+    * the commit rate"): every complete version COMMITTED within the
+    * window survives on top of the newest-`keepVersions` count floor,
+    * so the time-travel horizon is a wall-clock guarantee instead of
+    * a commit-rate-dependent accident (100 commits/hour vs 1/day give
+    * the same `keepVersions` wildly different windows). −1 (default)
+    * = count-based only, the prior behavior exactly.
+    */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
-      graceMs: Long = 3600000L): VacuumStats = {
+      graceMs: Long = 3600000L, retainMs: Long = -1L): VacuumStats = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
     val f = fs(spark, dir)
     val cutoff = System.currentTimeMillis() - graceMs
@@ -2449,9 +2458,21 @@ object GraftSink {
     // snapshot stays reproducible — its manifest survives expiry and
     // its files count as referenced
     val pinned = tags(spark, dir).values.toSet
+    // time window: committed-at = the manifest's mtime (the commit
+    // point is the manifest landing; `history` reports the same
+    // field, and TIMESTAMP AS OF resolves by it — one clock for the
+    // whole time-travel story). A vanished manifest reads as outside
+    // the window (it is being expired concurrently).
+    val retainCutoff =
+      if (retainMs < 0) Long.MaxValue
+      else System.currentTimeMillis() - retainMs
+    def inWindow(v: Int): Boolean = retainMs >= 0 &&
+      (try f.getFileStatus(new Path(dir, manifestName(v)))
+        .getModificationTime >= retainCutoff
+      catch { case _: java.io.FileNotFoundException => false })
     val (liveByCount, beyond) = complete.splitAt(keepVersions)
-    val live = liveByCount ++ beyond.filter(pinned)
-    val expired = beyond.filterNot(pinned)
+    val live = liveByCount ++ beyond.filter(v => pinned(v) || inWindow(v))
+    val expired = beyond.filterNot(v => pinned(v) || inWindow(v))
     // a "torn" manifest older than the grace window is a crashed
     // publish; a YOUNG one may be a rename racing this very listing
     val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)

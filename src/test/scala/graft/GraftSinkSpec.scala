@@ -709,6 +709,53 @@ class GraftSinkSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: time-based retention (retainMs) keeps every version " +
+      "committed inside the window on top of the count floor — the " +
+      "wall-clock TIMESTAMP AS OF guarantee") {
+    val dir = freshDir
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir) // v0..v4
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age v0..v1 far outside the window; v2..v4 stay fresh
+    val old = System.currentTimeMillis() - 10L * 3600 * 1000
+    (0 to 1).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir,
+        f"manifest-v$v%06d"), old, -1)
+    }
+    // count floor 1 + a 5h window: v2..v4 survive BY TIME (a pure
+    // keepVersions=1 vacuum would expire v0..v3)
+    val stats = GraftSink.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 0L, retainMs = 5L * 3600 * 1000)
+    assert(stats.expiredVersions === Seq(1, 0),
+      s"only the out-of-window versions expire: $stats")
+    (2 to 4).foreach { v =>
+      assert(spark.read.format("graftsink").option("version", v)
+        .load(dir).count() === (v + 1).toLong, s"v$v must stay readable")
+    }
+    intercept[Exception] {
+      spark.read.format("graftsink").option("version", 0).load(dir).count()
+    }
+    // a TAG still trumps the window: tag v2, age it out, vacuum again
+    GraftSink.tag(spark, dir, "keep", Some(2))
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000002"),
+      old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000003"),
+      old, -1)
+    val s2 = GraftSink.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 0L, retainMs = 5L * 3600 * 1000)
+    assert(s2.expiredVersions === Seq(3),
+      s"the tagged aged version survives, the untagged one expires: $s2")
+    assert(spark.read.format("graftsink").option("version", "keep")
+      .load(dir).count() === 3L)
+    // default retainMs (-1) = count-based only, prior behavior
+    // exactly: v2 is tagged and v4 is the head — nothing to expire
+    val s3 = GraftSink.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(s3.expiredVersions.isEmpty, s"tag + head survive: $s3")
+  }
+
   test("vacuum: stale staging dirs die after the grace window, " +
     "in-flight ones survive it") {
     val dir = freshDir
