@@ -299,6 +299,15 @@ class GraftSinkSoakSpec extends SparkSpec {
     // all 16 batches exist SOMEWHERE in surviving history or were
     // legally erased by the restore — but none may appear torn
     // (readerCheck above already asserted per-version atomicity)
+    // INTEGRITY AT QUIESCE: however the appends, rewrites, vacuums,
+    // restore, epoch replays, and syncs interleaved, no surviving
+    // manifest on EITHER side may reference a missing or wrong-sized
+    // object (unreferenced pre-vacuum debris is legal; damage is not)
+    for ((side, d) <- Seq("source" -> dir, "replica" -> replica)
+        if side == "source" || replicaReady.get()) {
+      val r = GraftSink.fsck(spark, d)
+      assert(r.clean, s"$side fsck after the soak: $r")
+    }
     val all = violations.toArray(Array.empty[String])
     assert(all.isEmpty, s"soak violations:\n${all.take(20).mkString("\n")}")
   }
