@@ -2319,20 +2319,22 @@ object GraftSink {
             s"v$sv but its manifest is unreadable (${e.getMessage}) — " +
             "not carried"); None }
       want.foreach { w =>
-        dstVersions.find(v => dstSet(v).contains(w)) match {
-          case None => () // replica never held this snapshot
-          case Some(dv) =>
-            // a racing carrier (two syncs of the same pair) computes
-            // the SAME content-matched target, so losing the
-            // exclusive-create is benign — never fail the sync for it
-            def tagQuiet(): Unit =
-              try { tag(spark, dst, name, Some(dv)); () }
-              catch { case scala.util.control.NonFatal(_) => () }
-            dstTags.get(name) match {
-              case Some(cur) if cur == dv => () // already carried
-              case Some(_) => // source re-pointed: follow it
-                untag(spark, dst, name); tagQuiet()
-              case None => tagQuiet()
+        // STEADY-STATE SHORT CIRCUIT: a tag already carried with the
+        // right content costs ONE manifest read per sync (the common
+        // case — every sync after the carry), never a version walk
+        dstTags.get(name) match {
+          case Some(cur) if dstSet(cur).contains(w) => ()
+          case existing =>
+            dstVersions.find(v => dstSet(v).contains(w)) match {
+              case None => () // replica never held this snapshot
+              case Some(dv) =>
+                // a racing carrier (two syncs of the same pair)
+                // computes the SAME content-matched target, so losing
+                // the exclusive-create is benign — never fail the
+                // sync for it
+                if (existing.isDefined) untag(spark, dst, name)
+                try { tag(spark, dst, name, Some(dv)); () }
+                catch { case scala.util.control.NonFatal(_) => () }
             }
         }
       }
