@@ -213,21 +213,58 @@ object MergeOnRead {
     * that bounds read-side join cost at 100 TB.
     *
     * HORIZON DISCIPLINE: compact only sequences at or below the
-    * consuming stream's COMMITTED checkpoint. Replay of a batch is
-    * idempotent because its seq-named dirs are overwritten with the
-    * same content — but compaction deletes those dirs, so a replay of
-    * a PRE-compaction batch would re-apply it to the folded base
-    * (duplicated appends, resurrected tombstones). The model-based
-    * spec walks exactly this boundary.
+    * consuming stream's COMMITTED checkpoint — `horizonSeq` IS that
+    * boundary, enforced in code, not by caller convention. Replay of
+    * a batch is idempotent because its seq-named dirs are overwritten
+    * with the same content — but compaction deletes those dirs, so a
+    * fold that swallowed a NOT-yet-checkpointed batch's dirs would
+    * see the replay re-apply it on top of the folded base: insert-only
+    * rows (no tombstone of their own) land twice, once at seq 0 in
+    * the base and once at the re-applied seq. Dirs at seq >
+    * `horizonSeq` therefore survive the fold untouched; the partial
+    * fold is exact because a surviving tombstone at seq s masks
+    * `__seq < s` and every folded row re-enters the base at seq 0 < s,
+    * while a folded tombstone (seq ≤ horizon) can never have masked a
+    * surviving row (those all sit at seq > horizon ≥ its seq). The
+    * default folds everything — correct only on a quiesced root.
     */
-  def compactSeq(spark: SparkSession, root: String, keyCol: String): Unit = {
-    // mode guard runs inside readCurrentSeq, which is evaluated
-    // (and throws) before any destructive step below
-    ParquetIO.overwriteSafe(readCurrentSeq(spark, root, keyCol),
-      dataDir(root))
+  def compactSeq(spark: SparkSession, root: String, keyCol: String,
+      horizonSeq: Long = Long.MaxValue): Unit = {
+    requireSingleMode(spark, root, seqMode = true)
     val fs = fsOf(spark, new Path(root))
-    fs.delete(new Path(updatesDir(root)), true)
-    fs.delete(new Path(deletesDir(root)), true)
+    def seqDirs(dir: String, prefix: String): Seq[(Long, Path)] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .flatMap(d => d.getName.stripPrefix(prefix).toLongOption
+          .filter(_ => d.getName.startsWith(prefix)).map(_ -> d))
+    }
+    val (upIn, upOut) = seqDirs(updatesDir(root), "u")
+      .partition(_._1 <= horizonSeq)
+    val (tIn, tOut) = seqDirs(deletesDir(root), "t")
+      .partition(_._1 <= horizonSeq)
+    if (upIn.isEmpty && tIn.isEmpty) return
+    val base = spark.read.parquet(dataDir(root))
+      .withColumn("__seq", lit(0L))
+    val all = if (upIn.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(upIn.map(_._2.toString): _*)
+        .withColumn("__seq", col("__seq").cast("long")))
+    val view = if (tIn.isEmpty) all
+    else {
+      val tomb = spark.read.parquet(tIn.map(_._2.toString): _*)
+        .groupBy(keyCol).agg(max("__seq").as("__tseq"))
+      all.join(tomb, Seq(keyCol), "left")
+        .filter(col("__tseq").isNull || col("__seq") >= col("__tseq"))
+        .drop("__tseq")
+    }
+    ParquetIO.overwriteSafe(view.drop("__seq"), dataDir(root))
+    // delete ONLY the folded dirs; anything past the horizon (an
+    // uncommitted trigger's rewrite-idempotent dirs) stays for its
+    // replay to overwrite
+    (upIn ++ tIn).foreach { case (_, d) => fs.delete(d, true) }
+    if (upOut.isEmpty) fs.delete(new Path(updatesDir(root)), true)
+    if (tOut.isEmpty) fs.delete(new Path(deletesDir(root)), true)
     ()
   }
 
@@ -282,14 +319,22 @@ object MergeOnRead {
     * sequence-aware `t*`/`updates`); the compaction it triggers runs
     * the mode's own guarded path. Returns whether it compacted.
     *
-    * HORIZON NOTE (sequence-aware roots): call this BEFORE applying
-    * the next batch, not after — at that point every on-disk sequence
-    * belongs to a committed trigger, so the fold never destroys a
-    * batch dir a checkpoint replay might re-apply (the
-    * [[compactSeq]] horizon discipline).
+    * HORIZON (sequence-aware roots): pass `horizonSeq` = the highest
+    * COMMITTED sequence — from a foreachBatch loop applying at
+    * `seq = batchId + 1`, that is `batchId` (batches below the
+    * replaying one are checkpointed; the current one is not). The
+    * fold then provably skips a crashed attempt's already-on-disk
+    * t/u dirs at the replaying batch's own seq: calling "before
+    * applying the next batch" is NOT enough on crash-replay — the
+    * crashed attempt wrote its dirs, the checkpoint never committed,
+    * and an unbounded fold would swallow them so the replay's
+    * rewrite duplicates every insert-only row (no tombstone guards
+    * an 'I' op). The default folds everything — only safe on a
+    * quiesced root with no consumer to replay.
     */
   def autoCompact(spark: SparkSession, root: String, keyCol: String,
-      thresholdBytes: Long = -1L): Boolean = {
+      thresholdBytes: Long = -1L,
+      horizonSeq: Long = Long.MaxValue): Boolean = {
     val del = new Path(deletesDir(root))
     val fs = fsOf(spark, del)
     if (!fs.exists(del)) return false
@@ -308,7 +353,7 @@ object MergeOnRead {
     if (backlog < thr) return false
     val seqMode = fs.exists(new Path(updatesDir(root))) ||
       fs.listStatus(del).exists(_.getPath.getName.startsWith("t"))
-    if (seqMode) compactSeq(spark, root, keyCol)
+    if (seqMode) compactSeq(spark, root, keyCol, horizonSeq)
     else { compact(spark, root, keyCol); () }
     true
   }

@@ -1526,13 +1526,15 @@ object Relational {
       .parquet(feedDir)
     val q = feed.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        // cadence enforcement BEFORE the new batch lands: every
-        // on-disk sequence is then a committed trigger, so the fold
-        // respects the compactSeq horizon discipline; fires only when
-        // the tombstone backlog nears the measured broadcast->shuffle
-        // flip (never at this sf — the StreamsSpec 50-trigger case
-        // drives it with a small threshold)
-        mor.autoCompact(spark, tgt, "o_orderkey")
+        // cadence enforcement BEFORE the new batch lands, with the
+        // committed horizon (= batchId: this batch applies at
+        // batchId + 1 and is NOT yet checkpointed — on crash-replay
+        // its t/u dirs may already sit on disk, and folding them
+        // would duplicate the replay's insert-only rows); fires only
+        // when the tombstone backlog nears the measured
+        // broadcast->shuffle flip (never at this sf — the StreamsSpec
+        // 50-trigger case drives it with a small threshold)
+        mor.autoCompact(spark, tgt, "o_orderkey", horizonSeq = batchId)
         val seq = batchId + 1 // base rows sit at seq 0
         mor.deleteKeysAt(spark, tgt,
           b.filter(col("op") =!= "I").select("o_orderkey"), seq)

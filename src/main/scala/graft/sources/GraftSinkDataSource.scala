@@ -2098,34 +2098,6 @@ object GraftSink {
     -1 // unreachable
   }
 
-  /** SNAPSHOT EXPORT — deep clone of one table VERSION into a fresh
-    * table directory. Data files copy byte-for-byte through a
-    * DISTRIBUTED copy job (one Spark task per file — at 100 TB the
-    * copy runs cluster-wide, never a driver loop), then ONE manifest
-    * publishes at `dst` carrying the SAME per-file schema DDLs,
-    * row/byte counts, and column-bounds stats — zero recompute, zero
-    * parquet parses: the clone skips, prunes, and serves metadata
-    * aggregates exactly like the source version did (CloneSpec pins
-    * bounds equality and the zero-reader COUNT). This is the
-    * reproducible-corpus export: "ship training run X's exact
-    * snapshot to another team/bucket" as an O(files) metadata publish
-    * plus an embarrassingly parallel byte copy.
-    *
-    * The clone is INDEPENDENT by design. A by-reference (shallow)
-    * clone is deliberately NOT offered: readers resolve file names
-    * table-relative (`dir/data/<name>`), and a shallow clone's
-    * correctness would hang off the source's vacuum cadence — the
-    * documented Delta shallow-clone hazard where vacuuming the source
-    * breaks every clone. Source-side vacuum, DML, or deletion after
-    * the clone cannot affect it (spec-gated).
-    *
-    * `version` None = the source head. The destination must not
-    * already hold a table (clone creates tables, never merges).
-    * Source tags whose content matches the cloned snapshot carry over
-    * at birth (`syncTags`, the [[cloneSync]] contract), so a clone of
-    * a tagged corpus version is GC-protected from its first vacuum.
-    * Returns the number of files exported.
-    */
   /** The epoch-writer identity replication stamps on every manifest
     * it publishes at a replica ([[cloneSnapshot]], [[cloneSync]]).
     * REPLICATION OWNS THE REPLICA HEAD: a sync publishes
@@ -2154,6 +2126,34 @@ object GraftSink {
     math.min(nFiles,
       math.max(64, spark.sparkContext.defaultParallelism * 2)).max(1)
 
+  /** SNAPSHOT EXPORT — deep clone of one table VERSION into a fresh
+    * table directory. Data files copy byte-for-byte through a
+    * DISTRIBUTED copy job (one Spark task per file — at 100 TB the
+    * copy runs cluster-wide, never a driver loop), then ONE manifest
+    * publishes at `dst` carrying the SAME per-file schema DDLs,
+    * row/byte counts, and column-bounds stats — zero recompute, zero
+    * parquet parses: the clone skips, prunes, and serves metadata
+    * aggregates exactly like the source version did (CloneSpec pins
+    * bounds equality and the zero-reader COUNT). This is the
+    * reproducible-corpus export: "ship training run X's exact
+    * snapshot to another team/bucket" as an O(files) metadata publish
+    * plus an embarrassingly parallel byte copy.
+    *
+    * The clone is INDEPENDENT by design. A by-reference (shallow)
+    * clone is deliberately NOT offered: readers resolve file names
+    * table-relative (`dir/data/<name>`), and a shallow clone's
+    * correctness would hang off the source's vacuum cadence — the
+    * documented Delta shallow-clone hazard where vacuuming the source
+    * breaks every clone. Source-side vacuum, DML, or deletion after
+    * the clone cannot affect it (spec-gated).
+    *
+    * `version` None = the source head. The destination must not
+    * already hold a table (clone creates tables, never merges).
+    * Source tags whose content matches the cloned snapshot carry over
+    * at birth (`syncTags`, the [[cloneSync]] contract), so a clone of
+    * a tagged corpus version is GC-protected from its first vacuum.
+    * Returns the number of files exported.
+    */
   def cloneSnapshot(spark: SparkSession, src: String, dst: String,
       version: Option[Int] = None, syncTags: Boolean = true): Int = {
     // manifestAt errors PROPAGATE: a transient IO failure, a
@@ -2328,13 +2328,38 @@ object GraftSink {
             dstVersions.find(v => dstSet(v).contains(w)) match {
               case None => () // replica never held this snapshot
               case Some(dv) =>
-                // a racing carrier (two syncs of the same pair)
-                // computes the SAME content-matched target, so losing
-                // the exclusive-create is benign — never fail the
-                // sync for it
+                // the re-point is untag-then-tag (non-atomic): a
+                // failure after the untag would silently drop the GC
+                // root at the replica until a later sync re-carries
+                // it — a replica vacuum could then collect a snapshot
+                // the source still tags, the exact hazard carry-over
+                // closes. So ONLY the benign race is swallowed (two
+                // syncs of the same pair compute the SAME
+                // content-matched target, so losing the
+                // exclusive-create leaves the right tag in place);
+                // anything else retries once and then warns loudly,
+                // naming the tag (same discipline as the
+                // unreadable-manifest path above).
                 if (existing.isDefined) untag(spark, dst, name)
-                try { tag(spark, dst, name, Some(dv)); () }
-                catch { case scala.util.control.NonFatal(_) => () }
+                def tryTag(): Option[Throwable] =
+                  try { tag(spark, dst, name, Some(dv)); None }
+                  catch { case scala.util.control.NonFatal(e) => Some(e) }
+                tryTag().foreach { first =>
+                  val racedRight = tags(spark, dst).get(name)
+                    .exists(v => dstSet(v).contains(w))
+                  if (!racedRight) {
+                    untag(spark, dst, name) // clear any stale pin
+                    tryTag().foreach { second =>
+                      System.err.println(s"graftsink: tag '$name' " +
+                        s"could not be carried to $dst after a retry " +
+                        s"(${first.getMessage}; then " +
+                        s"${second.getMessage}) — the replica is " +
+                        "missing this GC root until a later sync " +
+                        "re-carries it; a replica vacuum before then " +
+                        "can collect the tagged snapshot")
+                    }
+                  }
+                }
             }
         }
       }
@@ -2647,16 +2672,22 @@ object GraftSink {
         }.collect().toSeq
     val missing = bad.collect { case (n, "missing") => n }
     val mismatch = bad.collect { case (n, d) if d != "missing" => s"$n ($d)" }
-    val dataDir = new Path(dir, "data")
-    val orphans =
-      if (!f.exists(dataDir)) 0
-      else f.listStatus(dataDir)
-        .count(st => !referenced.contains(st.getPath.getName))
-    val segRoot = new Path(dir, "_segments")
-    val segOrphans =
-      if (!f.exists(segRoot)) 0
-      else f.listStatus(segRoot).count(st =>
-        !liveSegs(st.getPath.getName.stripSuffix(".bloom")))
+    // orphan tallies STREAM the listing (listStatusIterator): the
+    // driver holds one counter, never an O(table files) FileStatus
+    // array — at the 10^6-10^7-entry decade scale the probe's driver
+    // footprint stays O(damage), matching the violations collect
+    def countStreamed(root: Path, orphan: String => Boolean): Int = {
+      if (!f.exists(root)) return 0
+      var n = 0
+      val it = f.listStatusIterator(root)
+      while (it.hasNext)
+        if (orphan(it.next().getPath.getName)) n += 1
+      n
+    }
+    val orphans = countStreamed(new Path(dir, "data"),
+      n => !referenced.contains(n))
+    val segOrphans = countStreamed(new Path(dir, "_segments"),
+      n => !liveSegs(n.stripSuffix(".bloom")))
     FsckReport(complete.size, unreadable.result(), entries.size,
       missing, mismatch, orphans, segOrphans)
   }

@@ -346,7 +346,8 @@ object StreamingDecade {
         .writeStream
         .foreachBatch { (b: DataFrame, batchId: Long) =>
           val t0 = System.nanoTime()
-          MergeOnRead.autoCompact(spark, tgt, "o_orderkey")
+          MergeOnRead.autoCompact(spark, tgt, "o_orderkey",
+            horizonSeq = batchId)
           val seq = batchId + 1
           MergeOnRead.deleteKeysAt(spark, tgt,
             b.filter(col("op") =!= "I").select("o_orderkey"), seq)

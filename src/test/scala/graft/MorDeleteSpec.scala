@@ -234,4 +234,76 @@ class MorDeleteSpec extends SparkSpec {
       }
     }
   }
+
+  test("autoCompact horizon: a crash-replayed batch's on-disk dirs " +
+      "survive the fold, so the replay cannot duplicate insert-only " +
+      "rows") {
+    // The crash window: foreachBatch N+1 wrote its t/u dirs, then the
+    // process died BEFORE the checkpoint committed. On restart the
+    // replayed foreachBatch calls autoCompact FIRST (the
+    // st_cdc_apply_mor wiring) — an unbounded fold would swallow the
+    // crashed attempt's dirs into the base, and the replay's rewrite
+    // would then land its insert-only rows a SECOND time (a 'D'/'U'
+    // op re-writes its own tombstone; an 'I' op has nothing masking
+    // the folded copy). horizonSeq = the replaying batchId keeps the
+    // uncommitted seq out of the fold.
+    def seed(root: String): Unit = {
+      MergeOnRead.init((0L until 10L).map(k => (k, k * 1.0))
+        .toDF("k", "v"), root)
+      // batch 0 (seq 1): COMMITTED upsert of keys 0-4
+      MergeOnRead.deleteKeysAt(spark, root, (0L until 5L).toDF("k"), 1L)
+      MergeOnRead.appendRowsAt(spark, root,
+        (0L until 5L).map(k => (k, k * 10.0)).toDF("k", "v"), 1L)
+      // batch 1 (seq 2): crashed after writing dirs, checkpoint NOT
+      // committed — insert-only keys 100-104 plus one update of key 7
+      MergeOnRead.deleteKeysAt(spark, root, Seq(7L).toDF("k"), 2L)
+      MergeOnRead.appendRowsAt(spark, root,
+        ((100L until 105L).map(k => (k, k * 1.0)) :+ (7L, 70.0))
+          .toDF("k", "v"), 2L)
+    }
+    def replay(root: String): Unit = { // batch 1 re-applies (batchId=1)
+      MergeOnRead.deleteKeysAt(spark, root, Seq(7L).toDF("k"), 2L)
+      MergeOnRead.appendRowsAt(spark, root,
+        ((100L until 105L).map(k => (k, k * 1.0)) :+ (7L, 70.0))
+          .toDF("k", "v"), 2L)
+    }
+    val expected = ((0L until 5L).map(k => (k, k * 10.0)) ++
+      Seq((5L, 5.0), (6L, 6.0), (7L, 70.0), (8L, 8.0), (9L, 9.0)) ++
+      (100L until 105L).map(k => (k, k * 1.0))).sorted
+
+    // guarded path: replay of batch 1 → horizonSeq = batchId = 1
+    val good = tmpDir("graft_mor_horizon_good")
+    seed(good)
+    assert(MergeOnRead.autoCompact(spark, good, "k",
+      thresholdBytes = 1L, horizonSeq = 1L),
+      "the 1-byte threshold must fire the fold")
+    // the uncommitted seq-2 dirs must still be on disk for the replay
+    val fs = new Path(good).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$good/updates/u2")) &&
+      fs.exists(new Path(s"$good/deletes/t2")),
+      "the fold must not swallow the uncommitted seq-2 dirs")
+    assert(!fs.exists(new Path(s"$good/updates/u1")) &&
+      !fs.exists(new Path(s"$good/deletes/t1")),
+      "committed seq-1 dirs fold into the base")
+    replay(good)
+    val got = MergeOnRead.readCurrentSeq(spark, good, "k")
+      .as[(Long, Double)].collect().toSeq.sorted
+    assert(got == expected,
+      s"horizon-guarded replay must be exactly-once, got $got")
+
+    // control: the unbounded fold reproduces the duplication hazard
+    // the horizon exists to close (documents WHY the guard is
+    // load-bearing, not a tautology)
+    val bad = tmpDir("graft_mor_horizon_bad")
+    seed(bad)
+    MergeOnRead.compactSeq(spark, bad, "k") // folds seq 2 too
+    replay(bad)
+    val dupes = MergeOnRead.readCurrentSeq(spark, bad, "k")
+      .filter(col("k") >= 100L).count()
+    assert(dupes == 10L,
+      s"unbounded fold + replay should duplicate the 5 insert-only " +
+        s"rows (saw $dupes of the expected 10) — if this stops " +
+        "failing, the control no longer documents the hazard")
+  }
 }

@@ -897,7 +897,8 @@ class StreamsSpec extends SparkSpec {
       .parquet(s"$feedDir/b*")
     val q = feed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (mor.autoCompact(spark, tgt, "k", thresholdBytes))
+        if (mor.autoCompact(spark, tgt, "k", thresholdBytes,
+            horizonSeq = batchId))
           compactions.incrementAndGet()
         mor.deleteKeysAt(spark, tgt, b.select("k"), batchId + 1)
         val t0 = System.nanoTime()
