@@ -650,6 +650,79 @@ object Ingest {
       |  max(o_orderkey) AS max_key
       |FROM orders""".stripMargin
 
+  /** DEEP INTEGRITY PROBE under the oracle gate: same seed shape as
+    * [[seededFsck]], then SAME-SIZE corruption — one bit flipped in a
+    * pre-compaction file that only HISTORICAL versions reference. The
+    * shallow existence+size probe must stay clean (it cannot see the
+    * damage), `fsck(deep = true)` must re-hash the content
+    * cluster-side and name EXACTLY the flipped file (its recorded
+    * XXH64 no longer matches), and nothing may be declined as
+    * unverified (every writer records a checksum). The declared
+    * result reads the HEAD back against the raw-orders oracle — the
+    * damage sits outside the head's file set, so the read must be
+    * byte-exact, proving deep fsck localizes corruption instead of
+    * poisoning the live table.
+    */
+  private val fsckDeepSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededFsckDeep(spark: SparkSession, dir: String): String =
+    fsckDeepSeeds.computeIfAbsent(dir, { d =>
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_sink_fsckdeep_seed").toString + "/t"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graftsink").mode("overwrite").save(src)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.format("graftsink").mode("append").save(src)
+      graft.sources.GraftSink.compact(spark, src, smallBytes = 1L << 30)
+      val healthy = graft.sources.GraftSink.fsck(spark, src, deep = true)
+      require(healthy.deepVerified,
+        s"healthy table must deep-verify completely: $healthy")
+      // victim: referenced by pre-compaction history only, not the head
+      val headNames = graft.sources.GraftSink
+        .latestManifest(spark, src).get.files.map(_.name).toSet
+      val victim = graft.sources.GraftSink
+        .manifestAt(spark, src, Some(1)).get.files
+        .map(_.name).filterNot(headNames).headOption.getOrElse(
+          sys.error("seed needs a history-only file to corrupt"))
+      val p = new org.apache.hadoop.fs.Path(src, s"data/$victim")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val len = fs.getFileStatus(p).getLen
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+      val out = fs.create(p, true)
+      try out.write(buf) finally out.close()
+      require(fs.getFileStatus(p).getLen == len,
+        "the corruption must keep the recorded size")
+      val shallow = graft.sources.GraftSink.fsck(spark, src)
+      require(shallow.clean,
+        s"the shallow probe cannot see same-size damage: $shallow")
+      val deepR = graft.sources.GraftSink.fsck(spark, src, deep = true)
+      require(!deepR.clean && deepR.checksumMismatches.size == 1 &&
+        deepR.checksumMismatches.head.startsWith(victim) &&
+        deepR.unverifiedFiles == 0,
+        s"deep fsck must name exactly the flipped file: $deepR")
+      src
+    })
+
+  private def sinkFsckDeep(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededFsckDeep(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  // the head holds ALL of orders; the planted damage is history-only
+  private val sinkFsckDeepSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   private def sinkGroupedMax(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graftsink").load(seededGroupedSink(spark, dir))
       .groupBy(col("o_orderstatus").as("status"))
@@ -736,5 +809,6 @@ object Ingest {
     NamedQuery("q_sink_clone", sinkClone, Some(sinkCloneSql)),
     NamedQuery("q_sink_clone_sync", sinkCloneSync, Some(sinkCloneSyncSql)),
     NamedQuery("q_sink_fsck", sinkFsck, Some(sinkFsckSql)),
+    NamedQuery("q_sink_fsck_deep", sinkFsckDeep, Some(sinkFsckDeepSql)),
     NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

@@ -645,12 +645,17 @@ private class GraftCloneProcedure(catalog: GraftCatalog)
   }
 }
 
-/** `CALL <cat>.system.fsck(table => 'ns.t')` — read-only integrity
-  * probe ([[GraftSink.fsck]]): every surviving manifest must resolve
-  * and every referenced data file must exist at its recorded size
-  * (distributed check, O(damage) returned); unreferenced debris is
-  * counted separately because vacuum, not fsck, owns its lifecycle.
-  * One row of counts plus a detail sample naming what to look at.
+/** `CALL <cat>.system.fsck(table => 'ns.t' [, deep => true])` —
+  * read-only integrity probe ([[GraftSink.fsck]]): every surviving
+  * manifest must resolve and every referenced data file must exist at
+  * its recorded size (distributed check, O(damage) returned);
+  * unreferenced debris is counted separately because vacuum, not
+  * fsck, owns its lifecycle. `deep` additionally re-hashes every
+  * referenced file's CONTENT against the manifest's recorded XXH64 —
+  * the probe that catches same-size corruption; entries recorded by
+  * pre-checksum manifests are DECLINED and surfaced in
+  * `unverified_files` (never silently passed). One row of counts plus
+  * a detail sample naming what to look at.
   */
 private class GraftFsckProcedure(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {
@@ -660,13 +665,21 @@ private class GraftFsckProcedure(catalog: GraftCatalog)
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build())
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("deep", BooleanType)
+      .defaultValue("false").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
-    val r = GraftSink.fsck(catalog.session, dir)
+    val deep = input.getBoolean(1)
+    val r = GraftSink.fsck(catalog.session, dir, deep)
     val detail = (r.missingFiles.take(3).map("missing: " + _) ++
       r.sizeMismatches.take(3) ++
-      r.unreadableVersions.take(3).map(v => s"unreadable: v$v"))
+      r.checksumMismatches.take(3) ++
+      r.unreadableVersions.take(3).map(v => s"unreadable: v$v") ++
+      (if (r.unverifiedFiles > 0)
+        Seq(s"${r.unverifiedFiles} file(s) carry no recorded " +
+          "checksum (pre-checksum manifest) — content NOT verified")
+      else Seq.empty))
       .mkString("; ")
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
@@ -675,6 +688,9 @@ private class GraftFsckProcedure(catalog: GraftCatalog)
         StructField("files_checked", IntegerType, nullable = false),
         StructField("missing_files", IntegerType, nullable = false),
         StructField("size_mismatches", IntegerType, nullable = false),
+        StructField("checksum_mismatches", IntegerType,
+          nullable = false),
+        StructField("unverified_files", IntegerType, nullable = false),
         StructField("unreadable_versions", IntegerType, nullable = false),
         StructField("unreferenced_data_files", IntegerType,
           nullable = false),
@@ -683,6 +699,7 @@ private class GraftFsckProcedure(catalog: GraftCatalog)
         StructField("detail", StringType, nullable = false))),
       Seq[Any](r.clean, r.versionsChecked, r.filesChecked,
         r.missingFiles.size, r.sizeMismatches.size,
+        r.checksumMismatches.size, r.unverifiedFiles,
         r.unreadableVersions.size, r.unreferencedDataFiles,
         r.unreferencedSegments, detail))).iterator()
   }

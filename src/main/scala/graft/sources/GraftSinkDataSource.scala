@@ -127,10 +127,19 @@ object GraftSink {
     *                them, change-feed diffs and the streaming tail
     *                EXCLUDE them (their rows were consumed from the
     *                files they replaced).
+    * @param checksum 16-hex-char XXH64 of the file's full content,
+    *                folded stream-wise AS THE WRITER STREAMS the bytes
+    *                (near-free: zero extra reads) — what
+    *                `fsck(deep = true)` re-hashes against, catching
+    *                same-size corruption (bit rot, partial overwrite,
+    *                an object restored from the wrong region) that the
+    *                existence+size probe passes. Empty = recorded by a
+    *                pre-checksum manifest: deep fsck counts such
+    *                entries UNVERIFIED, loudly, never silently clean.
     */
   final case class ManifestFile(name: String, schemaDdl: String,
       rows: Long = -1L, bytes: Long = -1L, statsJson: String = "",
-      rewrite: Boolean = false) {
+      rewrite: Boolean = false, checksum: String = "") {
     /** Typed bounds per column, resolved against the FILE's schema
       * (long-backed fields parse as Long, double as Double). Empty for
       * stat-less files — every predicate keeps them.
@@ -292,6 +301,32 @@ object GraftSink {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Streaming XXH64 (lz4-java, already on Spark's own classpath) —
+    * the per-file content checksum. The streaming form is
+    * chunk-boundary-invariant, so the writer folding row payloads as
+    * it streams and fsck(deep) folding 64 KB read buffers produce the
+    * SAME value for the same bytes.
+    */
+  private[sources] def newXxh64(): net.jpountz.xxhash.StreamingXXHash64 =
+    net.jpountz.xxhash.XXHashFactory.fastestInstance()
+      .newStreamingHash64(0L)
+
+  private[sources] def xxh64Hex(v: Long): String = f"$v%016x"
+
+  /** Chunked whole-file XXH64, executor-side (fsck's deep re-hash and
+    * the compact concat share the fold).
+    */
+  private[sources] def hashFileContent(f: FileSystem, p: Path): String = {
+    val h = newXxh64()
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) h.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    xxh64Hex(h.getValue)
+  }
+
   private[sources] def manifestName(v: Int) = f"manifest-v$v%06d"
 
   // ---- SEGMENTS: immutable per-file-entry lists shared across
@@ -390,7 +425,8 @@ object GraftSink {
     val lines = files.map { mf =>
       val ddl = if (mf.schemaDdl == base) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
-      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t" +
+        s"$flags\t${mf.checksum}"
     }
     val payload = ((base +: lines) :+ EofMarker).mkString("\n")
       .getBytes("UTF-8")
@@ -544,6 +580,9 @@ object GraftSink {
     */
   private def parseFileLine(l: String, baseDdl: String): ManifestFile =
     l.split("\t", -1) match {
+      case Array(name, ddl, rows, bytes, stats, flags, sum) =>
+        ManifestFile(name, if (ddl.isEmpty) baseDdl else ddl,
+          rows.toLong, bytes.toLong, stats, flags.contains('r'), sum)
       case Array(name, ddl, rows, bytes, stats, flags) =>
         ManifestFile(name, if (ddl.isEmpty) baseDdl else ddl,
           rows.toLong, bytes.toLong, stats, flags.contains('r'))
@@ -1277,7 +1316,8 @@ object GraftSink {
     val fileLines = inline.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
-      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t$flags"
+      s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t" +
+        s"$flags\t${mf.checksum}"
     }
     val header = schemaDdl +: epoch.toSeq.map(e =>
       (s"$EpochMarker\t$e" +: epochWriter.toSeq).mkString("\t"))
@@ -1761,22 +1801,28 @@ object GraftSink {
         val name = s"compact-$compactId-$gi"
         val dst = new Path(dir, s"data/$name")
         val f = dst.getFileSystem(conf.value)
+        // checksum folds over the SAME buffers the concat streams —
+        // the merged file's content hash costs no extra read
+        val h = newXxh64()
         val out = f.create(dst, false)
         try group.foreach { mf =>
           val in = f.open(new Path(dir, s"data/${mf.name}"))
           try {
             val buf = new Array[Byte](1 << 16)
             var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); h.update(buf, 0, n) }
+              n = in.read(buf)
+            }
           } finally in.close()
         } finally out.close()
-        (gi, name)
+        (gi, (name, xxh64Hex(h.getValue)))
       }.collect().toMap
 
     val mergedEntries = groups.zipWithIndex.map { case (group, gi) =>
-      ManifestFile(merged(gi), group.head.schemaDdl,
+      ManifestFile(merged(gi)._1, group.head.schemaDdl,
         group.map(_.rows).sum, group.map(_.bytes).sum,
-        unionStats(group), rewrite = true)
+        unionStats(group), rewrite = true, checksum = merged(gi)._2)
     }
     val compacted = Set(groups.flatten.map(_.name): _*)
     maintenanceBarrier()
@@ -2249,11 +2295,15 @@ object GraftSink {
         "maintenance would be silently clobbered by this sync. " +
         "Re-point writers at the source (replication owns the replica " +
         "head), or pass force=true to discard the local head state")
+    // name+size+stats is the classic replication identity rule; the
+    // recorded content checksum strengthens it — a same-name,
+    // same-size entry whose CONTENT hash changed re-copies
     val have = dstHead.files
-      .map(f => (f.name, f.bytes, f.statsJson)).toSet
+      .map(f => (f.name, f.bytes, f.statsJson, f.checksum)).toSet
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val delta = m.files.filterNot(f => have((f.name, f.bytes, f.statsJson)))
+    val delta = m.files.filterNot(f =>
+      have((f.name, f.bytes, f.statsJson, f.checksum)))
     if (delta.nonEmpty) {
       val names = delta.map(_.name)
       spark.sparkContext
@@ -2298,11 +2348,11 @@ object GraftSink {
     // complete replica versions, newest first (a just-synced tag
     // target is the head — found immediately)
     lazy val dstVersions: Seq[Int] = fsVersionsDesc(spark, dst)
-    def fileSet(mf: Manifest): Set[(String, Long, String)] =
-      mf.files.map(f => (f.name, f.bytes, f.statsJson)).toSet
+    def fileSet(mf: Manifest): Set[(String, Long, String, String)] =
+      mf.files.map(f => (f.name, f.bytes, f.statsJson, f.checksum)).toSet
     val dstManifests = scala.collection.mutable.Map
-      .empty[Int, Option[Set[(String, Long, String)]]]
-    def dstSet(v: Int): Option[Set[(String, Long, String)]] =
+      .empty[Int, Option[Set[(String, Long, String, String)]]]
+    def dstSet(v: Int): Option[Set[(String, Long, String, String)]] =
       dstManifests.getOrElseUpdate(v,
         try manifestAt(spark, dst, Some(v)).map(fileSet)
         catch { case scala.util.control.NonFatal(_) => None })
@@ -2597,6 +2647,18 @@ object GraftSink {
     try manifestAt(spark, dir, Some(v)).isDefined
     catch { case _: Throwable => false }
 
+  /** @param deep whether this probe re-hashed file CONTENT (the
+    *              `fsck(deep = true)` pass) — shallow probes verify
+    *              existence + size only.
+    * @param checksumMismatches referenced files whose re-hashed
+    *              content differs from the manifest's recorded XXH64 —
+    *              same-size corruption a shallow probe passes.
+    * @param unverifiedFiles deep only: referenced entries with NO
+    *              recorded checksum (pre-checksum manifests). They are
+    *              DECLINED, loudly, never silently passed: a deep run
+    *              that could not verify everything reports it here,
+    *              and [[deepVerified]] is false.
+    */
   final case class FsckReport(
       versionsChecked: Int,
       unreadableVersions: Seq[Int],
@@ -2604,13 +2666,26 @@ object GraftSink {
       missingFiles: Seq[String],
       sizeMismatches: Seq[String],
       unreferencedDataFiles: Int,
-      unreferencedSegments: Int) {
-    /** No corruption. Unreferenced files are NOT corruption — they are
-      * pre-vacuum leftovers (expired history, collision losers,
-      * not-yet-published commits) the vacuum lifecycle owns.
+      unreferencedSegments: Int,
+      deep: Boolean = false,
+      checksumMismatches: Seq[String] = Nil,
+      unverifiedFiles: Int = 0) {
+    /** No corruption DETECTED. Unreferenced files are NOT corruption —
+      * they are pre-vacuum leftovers (expired history, collision
+      * losers, not-yet-published commits) the vacuum lifecycle owns.
+      * NOTE "clean" is relative to what the probe could check: a
+      * shallow probe never reads content, and a deep probe skips
+      * checksum-less legacy entries (counted in [[unverifiedFiles]]) —
+      * [[deepVerified]] is the every-byte-accounted-for claim.
       */
     def clean: Boolean = unreadableVersions.isEmpty &&
-      missingFiles.isEmpty && sizeMismatches.isEmpty
+      missingFiles.isEmpty && sizeMismatches.isEmpty &&
+      checksumMismatches.isEmpty
+    /** Every referenced byte re-hashed and matched: clean AND the run
+      * was deep AND nothing was declined for lack of a recorded
+      * checksum. The soak's quiesce gate asserts THIS, not `clean`.
+      */
+    def deepVerified: Boolean = clean && deep && unverifiedFiles == 0
   }
 
   /** TABLE INTEGRITY PROBE (`CALL system.fsck`) — the operational
@@ -2633,12 +2708,22 @@ object GraftSink {
     * repairs (a missing referenced file has no safe automatic fix —
     * restore the object or restore/expire the version; the report
     * names what to look at).
+    *
+    * `deep = true` additionally RE-HASHES every referenced file's
+    * content against the manifest's recorded XXH64 — the only probe
+    * that catches same-size corruption. Cost is one cluster-fanned
+    * full read of the referenced bytes (the same fan-out, the same
+    * O(damage) collect); entries recorded by pre-checksum manifests
+    * cannot be content-verified and are counted in
+    * [[FsckReport.unverifiedFiles]] instead of silently passing.
     */
-  def fsck(spark: SparkSession, dir: String): FsckReport = {
+  def fsck(spark: SparkSession, dir: String,
+      deep: Boolean = false): FsckReport = {
     val f = fs(spark, dir)
     val complete = fsVersionsDesc(spark, dir)
       .filter(v => manifestIsComplete(spark, dir, v))
-    val referenced = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val referenced = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, String)]
     val liveSegs = scala.collection.mutable.Set.empty[String]
     val unreadable = Seq.newBuilder[Int]
     complete.foreach { v =>
@@ -2649,29 +2734,40 @@ object GraftSink {
       try manifestAt(spark, dir, Some(v)).foreach { m =>
         m.refs.foreach(r => liveSegs += r.name)
         m.files.foreach(mf =>
-          if (!referenced.contains(mf.name)) referenced(mf.name) = mf.bytes)
+          if (!referenced.contains(mf.name))
+            referenced(mf.name) = (mf.bytes, mf.checksum))
       } catch { case scala.util.control.NonFatal(_) => unreadable += v }
     }
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val entries = referenced.toSeq
-    val bad: Seq[(String, String)] =
+    val bad: Seq[(String, String, String)] = // (name, kind, detail)
       if (entries.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(entries, copySlices(spark, entries.size))
-        .flatMap { case (name, bytes) =>
+        .flatMap { case (name, (bytes, sum)) =>
           val p = new Path(s"$dir/data/$name")
           try {
-            val st = p.getFileSystem(conf.value).getFileStatus(p)
+            val fsx = p.getFileSystem(conf.value)
+            val st = fsx.getFileStatus(p)
             if (bytes > 0 && st.getLen != bytes)
-              Some(name -> s"size ${st.getLen} != manifest $bytes")
-            else None
+              Some((name, "size", s"size ${st.getLen} != manifest $bytes"))
+            else if (deep && sum.nonEmpty) {
+              val actual = hashFileContent(fsx, p)
+              if (actual != sum)
+                Some((name, "checksum",
+                  s"content xxh64 $actual != manifest $sum"))
+              else None
+            } else None
           } catch { case _: java.io.FileNotFoundException =>
-            Some(name -> "missing")
+            Some((name, "missing", "missing"))
           }
         }.collect().toSeq
-    val missing = bad.collect { case (n, "missing") => n }
-    val mismatch = bad.collect { case (n, d) if d != "missing" => s"$n ($d)" }
+    val missing = bad.collect { case (n, "missing", _) => n }
+    val mismatch = bad.collect { case (n, "size", d) => s"$n ($d)" }
+    val badSum = bad.collect { case (n, "checksum", d) => s"$n ($d)" }
+    val unverified =
+      if (deep) entries.count(_._2._2.isEmpty) else 0
     // orphan tallies STREAM the listing (listStatusIterator): the
     // driver holds one counter, never an O(table files) FileStatus
     // array — at the 10^6-10^7-entry decade scale the probe's driver
@@ -2689,7 +2785,7 @@ object GraftSink {
     val segOrphans = countStreamed(new Path(dir, "_segments"),
       n => !liveSegs(n.stripSuffix(".bloom")))
     FsckReport(complete.size, unreadable.result(), entries.size,
-      missing, mismatch, orphans, segOrphans)
+      missing, mismatch, orphans, segOrphans, deep, badSum, unverified)
   }
 
   private[sources] def checkSupported(schema: StructType): Unit =
@@ -2906,7 +3002,8 @@ private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
 }
 
 private case class GraftCommitMessage(stagedFile: String, rows: Long,
-    bytes: Long, statsJson: String) extends WriterCommitMessage
+    bytes: Long, statsJson: String, checksum: String = "")
+    extends WriterCommitMessage
 
 /** The shared commit point: rename only message-named files out of the
   * write's staging dir (stray speculative/retry attempts stay behind
@@ -2947,7 +3044,8 @@ private object GraftCommit {
         if m.rows > 0 =>
       m.stagedFile ->
         GraftSink.ManifestFile(s"w$writeId-${m.stagedFile}",
-          schema.toDDL, m.rows, m.bytes, m.statsJson) }
+          schema.toDDL, m.rows, m.bytes, m.statsJson,
+          checksum = m.checksum) }
     committed.foreach { case (staged, mf) =>
       if (!f.rename(new Path(staging, staged), new Path(dataDir, mf.name)))
         sys.error(s"graftsink: staging->data rename failed for $staged")
@@ -3059,6 +3157,9 @@ private class GraftDataWriter(schema: StructType, path: String,
   private val sb = new java.lang.StringBuilder
   private var rows = 0L
   private var bytes = 0L
+  // content checksum folded AS the bytes stream — recording it is
+  // near-free (no re-read); fsck(deep) re-hashes against it
+  private val contentHash = GraftSink.newXxh64()
   // per-field [lo, hi] for the numeric-internal types (long-backed,
   // int-backed, double) and TRUNCATED string prefixes — nulls skipped
   // but counted exactly; folded into the manifest line at commit so
@@ -3181,13 +3282,15 @@ private class GraftDataWriter(schema: StructType, path: String,
     sb.append('}').append('\n')
     val payload = sb.toString.getBytes("UTF-8")
     out.write(payload)
+    contentHash.update(payload, 0, payload.length)
     rows += 1L
     bytes += payload.length
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCommitMessage(fileName, rows, bytes, statsJson)
+    GraftCommitMessage(fileName, rows, bytes, statsJson,
+      GraftSink.xxh64Hex(contentHash.getValue))
   }
 
   override def abort(): Unit = {

@@ -104,6 +104,80 @@ class FsckSpec extends SparkSpec {
       .collect().head
     assert(!bad.getBoolean(0))
     assert(bad.getInt(3) == 1, s"missing_files: $bad")
-    assert(bad.getString(8).contains(name), s"detail names it: $bad")
+    assert(bad.getString(10).contains(name), s"detail names it: $bad")
+  }
+
+  test("deep fsck catches same-size corruption the shallow probe " +
+      "passes: a flipped byte is found and NAMED by the content " +
+      "re-hash; a healthy table deep-verifies completely") {
+    val dir = freshDir("deepflip")
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "s")
+      .coalesce(1).write.format("graftsink").mode("append").save(dir)
+    val files = GraftSink.latestManifest(spark, dir).get.files
+    assert(files.size == 1)
+    assert(files.head.checksum.length == 16,
+      s"every write records a content checksum: ${files.head}")
+    val healthy = GraftSink.fsck(spark, dir, deep = true)
+    assert(healthy.deepVerified,
+      s"healthy table must deep-verify fully: $healthy")
+    // same-size damage: flip ONE bit in the middle of the file (bit
+    // rot / partial overwrite / wrong-region restore shape)
+    val victim = new Path(dir, s"data/${files.head.name}")
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(victim).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    assert(fs.getFileStatus(victim).getLen == len, "flip kept the size")
+    val shallow = GraftSink.fsck(spark, dir)
+    assert(shallow.clean,
+      s"the existence+size probe cannot see same-size damage: $shallow")
+    val deep = GraftSink.fsck(spark, dir, deep = true)
+    assert(!deep.clean && deep.checksumMismatches.size == 1 &&
+      deep.checksumMismatches.head.startsWith(files.head.name),
+      s"deep fsck must name exactly the flipped file: $deep")
+    assert(deep.missingFiles.isEmpty && deep.sizeMismatches.isEmpty)
+  }
+
+  test("legacy checksum-less manifests DECLINE deep verification " +
+      "loudly: unverified_files counts them, deepVerified is false, " +
+      "CALL's detail says so — never a silent pass") {
+    val r = tmpDir("graft_fsck_legacy")
+    spark.conf.set("spark.sql.catalog.gleg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gleg.root", r)
+    spark.sql("CREATE NAMESPACE gleg.m")
+    spark.sql("CREATE TABLE gleg.m.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gleg.m.t VALUES (1, 'a')")
+    val dir = s"$r/m/t"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a pre-checksum manifest: re-publish the head with the
+    // trailing checksum field stripped from every file line
+    val hv = GraftSink.latestManifest(spark, dir).get.version
+    val head = new Path(dir, f"manifest-v$hv%06d")
+    val in = fs.open(head)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val stripped = lines.map { l =>
+      if (l == lines.head || l.startsWith("#")) l
+      else l.split("\t", -1).dropRight(1).mkString("\t")
+    }
+    val out = fs.create(new Path(dir, f"manifest-v${hv + 1}%06d"), false)
+    try out.write(stripped.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val d = GraftSink.fsck(spark, dir, deep = true)
+    assert(d.clean, s"a missing checksum is not corruption: $d")
+    assert(d.unverifiedFiles == 1 && !d.deepVerified,
+      s"the unverifiable entry must be counted, loudly: $d")
+    val row = spark.sql(
+      "CALL gleg.system.fsck(table => 'm.t', deep => true)")
+      .collect().head
+    assert(row.getInt(6) == 1, s"unverified_files column: $row")
+    assert(row.getString(10).contains("no recorded checksum"),
+      s"detail must say WHY content went unverified: $row")
   }
 }

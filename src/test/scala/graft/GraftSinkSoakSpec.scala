@@ -301,12 +301,15 @@ class GraftSinkSoakSpec extends SparkSpec {
     // (readerCheck above already asserted per-version atomicity)
     // INTEGRITY AT QUIESCE: however the appends, rewrites, vacuums,
     // restore, epoch replays, and syncs interleaved, no surviving
-    // manifest on EITHER side may reference a missing or wrong-sized
-    // object (unreferenced pre-vacuum debris is legal; damage is not)
+    // manifest on EITHER side may reference a missing, wrong-sized,
+    // or wrong-CONTENT object (deep: every referenced byte re-hashes
+    // against the manifest's recorded checksum — every writer in this
+    // soak records one, so nothing may be declined as unverified;
+    // unreferenced pre-vacuum debris is legal, damage is not)
     for ((side, d) <- Seq("source" -> dir, "replica" -> replica)
         if side == "source" || replicaReady.get()) {
-      val r = GraftSink.fsck(spark, d)
-      assert(r.clean, s"$side fsck after the soak: $r")
+      val r = GraftSink.fsck(spark, d, deep = true)
+      assert(r.deepVerified, s"$side deep fsck after the soak: $r")
     }
     val all = violations.toArray(Array.empty[String])
     assert(all.isEmpty, s"soak violations:\n${all.take(20).mkString("\n")}")
