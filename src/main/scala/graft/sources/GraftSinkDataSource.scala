@@ -244,7 +244,8 @@ object GraftSink {
       refs: Seq[SegmentRef] = Nil,
       inline: Seq[ManifestFile] = Nil,
       private val resolver: String => Seq[ManifestFile] =
-        _ => Seq.empty) {
+        _ => Seq.empty,
+      committedAtMs: Option[Long] = None) {
     lazy val files: Seq[ManifestFile] =
       refs.flatMap(r => resolver(r.name)) ++ inline
 
@@ -416,6 +417,27 @@ object GraftSink {
   private[graft] def readSegmentForSpec(conf: SerializableConfiguration,
       dir: String, name: String): Seq[ManifestFile] =
     readSegment(conf, dir, name)
+
+  /** Spec seam: rewrite a manifest's [[CommitTimeMarker]] stamp in
+    * place — how retention/time-travel specs simulate a version that
+    * COMMITTED long ago (back-dating the FS mtime no longer ages a
+    * stamped manifest; that immunity is the point, and has its own
+    * spec).
+    */
+  private[graft] def restampForSpec(spark: SparkSession, dir: String,
+      version: Int, ms: Long): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, manifestName(version))
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val updated = text.split("\n").map(l =>
+      if (l.startsWith(s"$CommitTimeMarker\t"))
+        s"$CommitTimeMarker\t$ms"
+      else l).mkString("\n")
+    val out = f.create(p, true)
+    try out.write(updated.getBytes("UTF-8")) finally out.close()
+  }
 
   private[sources] def writeSegment(conf: SerializableConfiguration,
       dir: String, files: Seq[ManifestFile]): SegmentRef = {
@@ -976,6 +998,20 @@ object GraftSink {
     */
   private[sources] val EpochMarker = "#epoch"
 
+  /** Header line `#commit<TAB>epochMillis` — the commit time, stamped
+    * IN the manifest at publish. `history`, `TIMESTAMP AS OF`, and
+    * vacuum's `retainMs` window all prefer it over the file's FS
+    * mtime: mtime is an artifact of WHERE the bytes currently sit — a
+    * migration, a `FileUtil.copy`, or an object-store lifecycle
+    * transition rewrites it and would silently shift the entire
+    * time-travel history and the retention window. The stamp rides
+    * with the content instead (clone/cloneSync carry it verbatim, so
+    * a replica's history shows the SOURCE's commit times). Legacy
+    * manifests without the line fall back to mtime — the old
+    * behavior exactly.
+    */
+  private[sources] val CommitTimeMarker = "#commit"
+
   /** A concurrent committer claimed this version first — the caller
     * must re-read the latest state and retry at the next version.
     */
@@ -1196,8 +1232,13 @@ object GraftSink {
         val body = lines.tail.dropRight(1)
         val epochLines = body.filter(_.startsWith(s"$EpochMarker\t"))
         val segLines = body.filter(_.startsWith(s"$SegMarker\t"))
+        val commitLines = body.filter(
+          _.startsWith(s"$CommitTimeMarker\t"))
         val fileLines = body.filterNot(l =>
-          l.startsWith(s"$EpochMarker\t") || l.startsWith(s"$SegMarker\t"))
+          l.startsWith(s"$EpochMarker\t") || l.startsWith(s"$SegMarker\t")
+            || l.startsWith(s"$CommitTimeMarker\t"))
+        val committedAt = commitLines.headOption
+          .flatMap(_.stripPrefix(s"$CommitTimeMarker\t").toLongOption)
         // 2-field legacy `#epoch<TAB>id` or 3-field `#epoch<TAB>id
         // <TAB>queryId` current form
         val epochFields = epochLines.headOption
@@ -1224,7 +1265,8 @@ object GraftSink {
         val conf = new SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
         Some(Manifest(v, tableDdl, epoch, epochWriter, refs, inline,
-          resolver = name => readSegment(conf, dir, name)))
+          resolver = name => readSegment(conf, dir, name),
+          committedAtMs = committedAt))
       } else None // torn: writer died mid-manifest
     }
     version match {
@@ -1237,19 +1279,35 @@ object GraftSink {
     }
   }
 
-  /** Newest COMPLETE version committed at or before `tsMs` (manifest
-    * modification time = the publish rename's stamp); None when the
-    * table had no complete version yet.
+  /** Commit time of a COMPLETE version: the manifest's own
+    * [[CommitTimeMarker]] stamp when present, else the file's FS
+    * mtime (legacy manifests) — the ONE clock `history`,
+    * `TIMESTAMP AS OF`, and vacuum's `retainMs` all resolve by, so a
+    * migration that rewrites mtimes cannot shift the time-travel
+    * story of stamped history.
+    */
+  private def commitTimeOf(spark: SparkSession, dir: String,
+      m: Manifest): Long =
+    m.committedAtMs.getOrElse(
+      try fs(spark, dir)
+        .getFileStatus(new Path(dir, manifestName(m.version)))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L })
+
+  /** Newest COMPLETE version committed at or before `tsMs` (the
+    * manifest's own commit stamp; FS mtime only for legacy,
+    * stamp-less manifests); None when the table had no complete
+    * version yet.
     */
   def versionAtTimestamp(spark: SparkSession, dir: String,
       tsMs: Long): Option[Int] = {
-    val f = fs(spark, dir)
     fsVersionsDesc(spark, dir).find { v =>
-      (try f.getFileStatus(new Path(dir, manifestName(v)))
-        .getModificationTime <= tsMs
-      catch { case _: java.io.FileNotFoundException => false }) &&
-        (try manifestAt(spark, dir, Some(v)).isDefined
-        catch { case _: Throwable => false })
+      (try manifestAt(spark, dir, Some(v))
+      catch { case _: Throwable => None })
+        .exists { m =>
+          val t = commitTimeOf(spark, dir, m)
+          t >= 0 && t <= tsMs
+        }
     }
   }
 
@@ -1258,11 +1316,7 @@ object GraftSink {
     */
   def history(spark: SparkSession, dir: String)
       : Seq[(Int, Int, Long, Option[Long], Long)] = {
-    val f = fs(spark, dir)
     fsVersionsDesc(spark, dir).flatMap { v =>
-      val mod = try f.getFileStatus(new Path(dir, manifestName(v)))
-        .getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
       (try manifestAt(spark, dir, Some(v)) catch
         { case _: Throwable => None })
         .map(m => (v, m.fileCount,
@@ -1270,7 +1324,7 @@ object GraftSink {
           // segment; legacy stat-less entries fall back to the files
           m.rowCount.getOrElse(
             m.files.map(_.rows).filter(_ >= 0).sum),
-          m.epoch, mod))
+          m.epoch, commitTimeOf(spark, dir, m)))
     }
   }
 
@@ -1297,17 +1351,21 @@ object GraftSink {
       files: Seq[ManifestFile], epoch: Option[Long] = None,
       epochWriter: Option[String] = None): Unit =
     writeManifest(conf, dir, version, schemaDdl, Nil, files, epoch,
-      epochWriter)
+      epochWriter, None)
 
   /** Segmented form: `refs` carry by name, `inline` entries are
     * written into the version file itself. Commit cost is O(refs +
     * inline), independent of how many files the referenced segments
-    * hold.
+    * hold. `committedAtMs` None stamps NOW (every normal commit);
+    * replication passes the SOURCE's stamp so the replica's
+    * time-travel history shows source commit times
+    * ([[CommitTimeMarker]]).
     */
   private[sources] def writeManifest(conf: SerializableConfiguration,
       dir: String, version: Int, schemaDdl: String,
       refs: Seq[SegmentRef], inline: Seq[ManifestFile],
-      epoch: Option[Long], epochWriter: Option[String]): Unit = {
+      epoch: Option[Long], epochWriter: Option[String],
+      committedAtMs: Option[Long]): Unit = {
     val f = new Path(dir).getFileSystem(conf.value)
     val dst = new Path(dir, manifestName(version))
     val segLines = refs.map(r =>
@@ -1319,8 +1377,10 @@ object GraftSink {
       s"${mf.name}\t$ddl\t${mf.rows}\t${mf.bytes}\t${mf.statsJson}\t" +
         s"$flags\t${mf.checksum}"
     }
-    val header = schemaDdl +: epoch.toSeq.map(e =>
-      (s"$EpochMarker\t$e" +: epochWriter.toSeq).mkString("\t"))
+    val stamp = committedAtMs.getOrElse(System.currentTimeMillis())
+    val header = Seq(schemaDdl, s"$CommitTimeMarker\t$stamp") ++
+      epoch.toSeq.map(e =>
+        (s"$EpochMarker\t$e" +: epochWriter.toSeq).mkString("\t"))
     val payload = ((header ++ segLines ++ fileLines) :+ EofMarker)
       .mkString("\n").getBytes("UTF-8")
     // The publish must be EXCLUSIVE and ALL-OR-NOTHING in one
@@ -1426,7 +1486,8 @@ object GraftSink {
       evolve: Boolean = false, epoch: Option[Long] = None,
       replace: Option[Set[String]] = None,
       maxRetries: Int = 20, epochWriter: Option[String] = None,
-      replayScan: Boolean = false): Int = {
+      replayScan: Boolean = false,
+      committedAtMs: Option[Long] = None): Int = {
     var attempt = 0
     var floor = 0
     while (true) {
@@ -1505,7 +1566,7 @@ object GraftSink {
       val version = math.max(latest.map(_.version + 1).getOrElse(0), floor)
       try {
         writeManifest(conf, dir, version, tableDdl,
-          refs, inline, epoch, epochWriter)
+          refs, inline, epoch, epochWriter, committedAtMs)
         // zombie gate: if vacuum vacated this version number while we
         // were composing (slow segment merges, stale head), our link
         // landed BELOW the real head and no reader will ever resolve
@@ -1610,7 +1671,8 @@ object GraftSink {
       }
       val version = math.max(head.version + 1, floor)
       try {
-        writeManifest(conf, dir, version, ddl, refs, inline, None, None)
+        writeManifest(conf, dir, version, ddl, refs, inline, None, None,
+          None)
         zombieFloor(spark, dir, version) match { // anti-recycling gate
           case None => return version
           case Some(fl) =>
@@ -1861,7 +1923,7 @@ object GraftSink {
       val version = math.max(head.version + 1, floor)
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
-          None, None)
+          None, None, None)
         zombieFloor(spark, dir, version) match { // anti-recycling gate
           case None =>
             return CompactStats(groups.size, m.files.size, filesAfter)
@@ -2078,7 +2140,7 @@ object GraftSink {
       val version = math.max(head.version + 1, floor)
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
-          None, None)
+          None, None, None)
         zombieFloor(spark, dir, version) match { // anti-recycling gate
           case None =>
             f.delete(new Path(s"$dir/_staging/cluster-$clusterId"), true)
@@ -2125,7 +2187,7 @@ object GraftSink {
         // restore is O(manifest list): the pinned version's segments
         // carry by reference, nothing is re-listed file by file
         writeManifest(conf, dir, next, m.schemaDdl, m.refs, m.inline,
-          None, None)
+          None, None, None)
         zombieFloor(spark, dir, next) match { // anti-recycling gate
           case None => return next
           case Some(fl) =>
@@ -2228,8 +2290,12 @@ object GraftSink {
           ()
         }
     }
+    // the source's commit stamp carries VERBATIM: the replica's
+    // time-travel history shows when the SOURCE committed, not when
+    // the copy ran (legacy unstamped sources fall back to stamp-now)
     publish(spark, conf, dst, m.schemaDdl, files, truncate = false,
-      epoch = Some(1L), epochWriter = Some(ReplicaWriter))
+      epoch = Some(1L), epochWriter = Some(ReplicaWriter),
+      committedAtMs = m.committedAtMs)
     // tag carry at birth (same contract as cloneSync's, see there):
     // a source tag pinning exactly the cloned snapshot transfers, so
     // a clone taken AT a tagged corpus version is GC-protected on the
@@ -2327,7 +2393,8 @@ object GraftSink {
         dstHead.epoch.getOrElse(0L)
       else 0L) + 1L
     publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true,
-      epoch = Some(nextEpoch), epochWriter = Some(ReplicaWriter))
+      epoch = Some(nextEpoch), epochWriter = Some(ReplicaWriter),
+      committedAtMs = m.committedAtMs) // source stamp, verbatim
     if (syncTags) carryTags(spark, src, dst)
     delta.size
   }
@@ -2535,18 +2602,19 @@ object GraftSink {
     // snapshot stays reproducible — its manifest survives expiry and
     // its files count as referenced
     val pinned = tags(spark, dir).values.toSet
-    // time window: committed-at = the manifest's mtime (the commit
-    // point is the manifest landing; `history` reports the same
-    // field, and TIMESTAMP AS OF resolves by it — one clock for the
-    // whole time-travel story). A vanished manifest reads as outside
-    // the window (it is being expired concurrently).
+    // time window: committed-at = the manifest's OWN stamp, mtime
+    // only for legacy stamp-less manifests (`history` reports the
+    // same field, and TIMESTAMP AS OF resolves by it — one clock for
+    // the whole time-travel story, immune to mtime-rewriting
+    // migrations). A vanished manifest reads as outside the window
+    // (it is being expired concurrently).
     val retainCutoff =
       if (retainMs < 0) Long.MaxValue
       else System.currentTimeMillis() - retainMs
     def inWindow(v: Int): Boolean = retainMs >= 0 &&
-      (try f.getFileStatus(new Path(dir, manifestName(v)))
-        .getModificationTime >= retainCutoff
-      catch { case _: java.io.FileNotFoundException => false })
+      (try manifestAt(spark, dir, Some(v))
+        .exists(m => commitTimeOf(spark, dir, m) >= retainCutoff)
+      catch { case _: Throwable => false })
     val (liveByCount, beyond) = complete.splitAt(keepVersions)
     val live = liveByCount ++ beyond.filter(v => pinned(v) || inWindow(v))
     val expired = beyond.filterNot(v => pinned(v) || inWindow(v))

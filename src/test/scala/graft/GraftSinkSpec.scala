@@ -717,14 +717,10 @@ class GraftSinkSpec extends SparkSpec {
       Seq((i.toLong, s"r$i")).toDF("k", "s").write.format("graftsink")
         .mode("append").save(dir) // v0..v4
     }
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // age v0..v1 far outside the window; v2..v4 stay fresh
+    // age v0..v1 far outside the window by re-stamping their COMMIT
+    // time (the clock retention actually reads); v2..v4 stay fresh
     val old = System.currentTimeMillis() - 10L * 3600 * 1000
-    (0 to 1).foreach { v =>
-      fs.setTimes(new org.apache.hadoop.fs.Path(dir,
-        f"manifest-v$v%06d"), old, -1)
-    }
+    (0 to 1).foreach(v => GraftSink.restampForSpec(spark, dir, v, old))
     // count floor 1 + a 5h window: v2..v4 survive BY TIME (a pure
     // keepVersions=1 vacuum would expire v0..v3)
     val stats = GraftSink.vacuum(spark, dir, keepVersions = 1,
@@ -740,10 +736,8 @@ class GraftSinkSpec extends SparkSpec {
     }
     // a TAG still trumps the window: tag v2, age it out, vacuum again
     GraftSink.tag(spark, dir, "keep", Some(2))
-    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000002"),
-      old, -1)
-    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000003"),
-      old, -1)
+    GraftSink.restampForSpec(spark, dir, 2, old)
+    GraftSink.restampForSpec(spark, dir, 3, old)
     val s2 = GraftSink.vacuum(spark, dir, keepVersions = 1,
       graceMs = 0L, retainMs = 5L * 3600 * 1000)
     assert(s2.expiredVersions === Seq(3),
@@ -754,6 +748,58 @@ class GraftSinkSpec extends SparkSpec {
     // exactly: v2 is tagged and v4 is the head — nothing to expire
     val s3 = GraftSink.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
     assert(s3.expiredVersions.isEmpty, s"tag + head survive: $s3")
+  }
+
+  test("commit time lives IN the manifest: back-dating FS mtimes " +
+      "moves neither history, TIMESTAMP AS OF, nor the retainMs " +
+      "window; clone/cloneSync carry the stamp verbatim") {
+    val dir = freshDir
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.format("graftsink")
+        .mode("append").save(dir) // v0..v2
+    }
+    val stamps = GraftSink.history(spark, dir).map(h => h._1 -> h._5)
+      .toMap
+    assert(stamps.values.forall(_ > 0))
+    val tsNow = System.currentTimeMillis()
+    assert(GraftSink.versionAtTimestamp(spark, dir, tsNow) === Some(2))
+    // THE MIGRATION SHAPE: something rewrites every manifest's mtime
+    // (FileUtil.copy, an object-store lifecycle transition, rsync
+    // without -t) to deep past AND deep future
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000000"),
+      tsNow - 365L * 24 * 3600 * 1000, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, "manifest-v000001"),
+      tsNow + 365L * 24 * 3600 * 1000, -1)
+    // history reports the STAMPED times, unmoved
+    assert(GraftSink.history(spark, dir).map(h => h._1 -> h._5).toMap
+      === stamps, "history must read the in-manifest stamp, not mtime")
+    // TIMESTAMP AS OF is unmoved (mtime-resolved, the future-dated v1
+    // would vanish from 'now' and the year-old v0 would alias old
+    // reads)
+    assert(GraftSink.versionAtTimestamp(spark, dir, tsNow) === Some(2))
+    assert(GraftSink.versionAtTimestamp(spark, dir,
+      stamps(0) - 1) === None)
+    // the retainMs window is unmoved: a generous window keeps ALL
+    // versions even though two mtimes sit a year outside it
+    val stats = GraftSink.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 3600000L, retainMs = 24L * 3600 * 1000)
+    assert(stats.expiredVersions.isEmpty,
+      s"stamped in-window versions must survive mtime rewrites: $stats")
+    // clone + sync carry the stamp VERBATIM: the replica's history
+    // shows when the SOURCE committed, not when the copy ran
+    val replica = freshDir
+    GraftSink.cloneSnapshot(spark, dir, replica)
+    assert(GraftSink.latestManifest(spark, replica).get.committedAtMs
+      === Some(stamps(2)), "clone must carry the source commit stamp")
+    Seq((4L, "r4")).toDF("k", "s").write.format("graftsink")
+      .mode("append").save(dir) // v3
+    val v3Stamp = GraftSink.history(spark, dir)
+      .find(_._1 == 3).get._5
+    GraftSink.cloneSync(spark, dir, replica)
+    assert(GraftSink.latestManifest(spark, replica).get.committedAtMs
+      === Some(v3Stamp), "sync must carry the source commit stamp")
   }
 
   test("vacuum: stale staging dirs die after the grace window, " +
