@@ -723,6 +723,57 @@ object Ingest {
       |  max(o_orderkey) AS max_key
       |FROM orders""".stripMargin
 
+  /** FAILOVER PROMOTION under the oracle gate: half of orders seed a
+    * source, a replica clones and promotes
+    * ([[graft.sources.GraftSink.promote]]), the OTHER half lands as
+    * post-failover LOCAL writes at the promoted head, and the
+    * resurrected old source's sync must refuse loudly (the fence).
+    * The declared query reads the promoted replica; the oracle
+    * aggregates ALL of raw orders — a promotion that lost a local
+    * write, let the old source clobber the head, or corrupted the
+    * promotion commit breaks the equality.
+    */
+  private val promoteSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededPromote(spark: SparkSession, dir: String): String =
+    promoteSeeds.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sink_promote_seed").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graftsink").mode("overwrite").save(src)
+      graft.sources.GraftSink.cloneSnapshot(spark, src, rep)
+      graft.sources.GraftSink.promote(spark, rep)
+      // post-failover local writes at the promoted head
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.format("graftsink").mode("append").save(rep)
+      // the resurrected old source is fenced off — and must say why
+      val fenced =
+        try { graft.sources.GraftSink.cloneSync(spark, src, rep); None }
+        catch { case e: Exception => Some(e.getMessage) }
+      require(fenced.exists(_.contains("PROMOTED")),
+        s"old-source sync must refuse naming the promotion: $fenced")
+      rep
+    })
+
+  private def sinkPromote(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink").load(seededPromote(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  // the promoted replica holds ALL of orders (cloned half + local half)
+  private val sinkPromoteSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
   private def sinkGroupedMax(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graftsink").load(seededGroupedSink(spark, dir))
       .groupBy(col("o_orderstatus").as("status"))
@@ -810,5 +861,6 @@ object Ingest {
     NamedQuery("q_sink_clone_sync", sinkCloneSync, Some(sinkCloneSyncSql)),
     NamedQuery("q_sink_fsck", sinkFsck, Some(sinkFsckSql)),
     NamedQuery("q_sink_fsck_deep", sinkFsckDeep, Some(sinkFsckDeepSql)),
+    NamedQuery("q_sink_promote", sinkPromote, Some(sinkPromoteSql)),
     NamedQuery("q_sink_zorder", sinkZorder, Some(sinkZorderSql)))
 }

@@ -232,11 +232,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "tag")     => new GraftTagProcedure(this)
       case (Seq("system"), "untag")   => new GraftUntagProcedure(this)
       case (Seq("system"), "fsck")    => new GraftFsckProcedure(this)
+      case (Seq("system"), "promote") => new GraftPromoteProcedure(this)
       case _ => sys.error(
         s"graftsink: no procedure ${ident.namespace().mkString(".")}." +
           s"${ident.name()} (have: system.vacuum, system.compact, " +
           "system.cluster, system.restore, system.clone, " +
-          "system.clone_sync, system.tag, system.untag, system.fsck)")
+          "system.clone_sync, system.tag, system.untag, system.fsck, " +
+          "system.promote)")
     }
 
   override def listProcedures(namespace: Array[String])
@@ -250,7 +252,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "clone_sync"),
         Identifier.of(Array("system"), "tag"),
         Identifier.of(Array("system"), "untag"),
-        Identifier.of(Array("system"), "fsck"))
+        Identifier.of(Array("system"), "fsck"),
+        Identifier.of(Array("system"), "promote"))
     else Array.empty
 
   /** A procedure's dotted `'ns.t'` argument → the table directory;
@@ -736,6 +739,33 @@ private class GraftCloneSyncProcedure(catalog: GraftCatalog)
       StructType(Seq(
         StructField("copied_files", IntegerType, nullable = false))),
       Seq[Any](copied))).iterator()
+  }
+}
+
+/** `CALL <cat>.system.promote(table => 'ns.t')` — DR failover: make a
+  * replica a first-class table ([[GraftSink.promote]]). Clears
+  * replication's head ownership with a promotion commit and drops the
+  * fence marker that makes every later `clone_sync` from the old
+  * source refuse loudly. Local writers may take the head once the
+  * call returns; re-replication requires a fresh `clone` to a new
+  * directory (or an explicit `force => true` sync to re-subjugate).
+  */
+private class GraftPromoteProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "promote"
+  override def description(): String =
+    "promote a graftsink replica to a first-class table (failover)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
+    val v = GraftSink.promote(catalog.session, dir)
+    java.util.List.of[Scan](new GraftProcResultScan(
+      StructType(Seq(
+        StructField("promoted_version", IntegerType, nullable = false))),
+      Seq[Any](v))).iterator()
   }
 }
 

@@ -2222,6 +2222,92 @@ object GraftSink {
     */
   private val ReplicaWriter = "graft-replica-sync"
 
+  /** The epoch-writer identity [[promote]] stamps on the promotion
+    * commit — the head is then provably NOT replication-owned, and
+    * the `_promoted` marker fences the old source's syncs off it.
+    */
+  private val PromotedWriter = "graft-promoted"
+
+  private def promotedMarker(dir: String) = s"$dir/_promoted"
+
+  /** Whether `dir` is a PROMOTED former replica (the `_promoted`
+    * fence marker exists) — [[cloneSync]] refuses such targets.
+    */
+  def isPromoted(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(promotedMarker(dir)))
+
+  /** FAILOVER — `CALL system.promote(table)`: make a replica a
+    * first-class table after source loss. Clears replication's
+    * ownership of the head (a promotion commit stamped
+    * [[PromotedWriter]] — the divergence guard then reads the head as
+    * locally owned) and drops the `_promoted` fence marker, which
+    * makes every future [[cloneSync]] from the old source REFUSE
+    * loudly instead of silently clobbering post-failover writes — the
+    * resurrected-old-source hazard every DR story must close. Local
+    * writers may take the head the moment promote returns.
+    *
+    * FENCING CONTRACT: the marker lands BEFORE the promotion commit,
+    * and cloneSync checks it both at entry and immediately before its
+    * head publish, so a straggler sync in flight across the promotion
+    * refuses no later than its final pre-publish step. The promotion
+    * commit itself retries past any sync that links first (each
+    * retry stacks above; the straggler's NEXT attempt hits the
+    * fence). The one residual is a sync PAUSED between its last fence
+    * check and its manifest link for the whole promotion — the
+    * classic fencing gap of marker-based protocols; quiesce
+    * replication traffic before promoting when that matters.
+    *
+    * Re-replication of a promoted table is deliberately NOT a sync:
+    * take a fresh [[cloneSnapshot]] to a NEW directory (clone refuses
+    * non-empty destinations, so the promoted head can never be
+    * half-merged back into replication). `force = true` on cloneSync
+    * remains the explicit escape hatch — it discards the promoted
+    * head state AND clears the fence, re-subjugating the table.
+    *
+    * Only a replication-owned head may promote (promoting a normal
+    * table is meaningless); promoting twice errors. Returns the
+    * promotion commit's version.
+    */
+  def promote(spark: SparkSession, dir: String): Int = {
+    val head = latestManifest(spark, dir).getOrElse(
+      sys.error(s"graftsink: nothing to promote at $dir — no table"))
+    if (!head.epochWriter.contains(ReplicaWriter))
+      sys.error(s"graftsink: $dir head v${head.version} is not " +
+        "replication-owned — only a replica can be promoted" +
+        (if (isPromoted(spark, dir)) " (already promoted)" else ""))
+    val f = fs(spark, dir)
+    // the fence, exclusive-create: two racing promotes get one winner
+    val marker = new Path(promotedMarker(dir))
+    val out =
+      try f.create(marker, false)
+      catch { case _: java.io.IOException =>
+        sys.error(s"graftsink: $dir is already promoted")
+      }
+    try out.write((s"promotedAtMs=${System.currentTimeMillis()}\n" +
+      s"fromVersion=${head.version}\n").getBytes("UTF-8"))
+    finally out.close()
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // promotion commit: same files, locally-owned stamp. Retry until
+    // OUR stamp is the head — an in-flight sync that links first gets
+    // stacked over, and its successor attempts refuse at the fence.
+    var attempt = 0
+    while (attempt < 20) {
+      val epoch = latestManifest(spark, dir)
+        .map(_.version + 1L).getOrElse(1L)
+      publish(spark, conf, dir, head.schemaDdl, Seq.empty,
+        truncate = false, epoch = Some(epoch),
+        epochWriter = Some(PromotedWriter))
+      val now = latestManifest(spark, dir)
+      if (now.exists(_.epochWriter.contains(PromotedWriter)))
+        return now.get.version
+      attempt += 1
+    }
+    sys.error(s"graftsink: promotion commit at $dir kept losing to " +
+      "concurrent replication publishes — quiesce the old source's " +
+      "sync loop and re-run")
+  }
+
   /** Slice count for the distributed clone byte-copy: one file per
     * task up to the CLUSTER's width (`defaultParallelism * 2` so
     * uneven file sizes rebalance), floored at 64 so a small-cluster
@@ -2344,6 +2430,25 @@ object GraftSink {
   def cloneSync(spark: SparkSession, src: String, dst: String,
       version: Option[Int] = None, syncTags: Boolean = true,
       force: Boolean = false): Int = {
+    // PROMOTION FENCE (see [[promote]]): a promoted replica took
+    // writes after failover — a sync from the resurrected old source
+    // would clobber them. Refuse, naming the state; force re-subjugates
+    // (discards the promoted head state, clears the fence).
+    def fenceCheck(): Unit =
+      if (isPromoted(spark, dst)) sys.error(
+        s"graftsink: replica $dst was PROMOTED — it owns its head " +
+          "now, and a sync from the old source would clobber " +
+          "post-failover writes. Re-replicate with a fresh " +
+          "cloneSnapshot to a NEW directory, or pass force=true to " +
+          "re-subjugate (discards the promoted head state)")
+    if (force) {
+      if (isPromoted(spark, dst)) {
+        fs(spark, dst).delete(new Path(promotedMarker(dst)), false)
+        System.err.println(s"graftsink: force sync re-subjugates " +
+          s"promoted table $dst — its post-promotion head state " +
+          "leaves the head (history until vacuum)")
+      }
+    } else fenceCheck()
     val m = manifestAt(spark, src, version).getOrElse(
       sys.error(s"graftsink: nothing to sync from $src" +
         version.fold("")(v => s" v$v") + " — no complete manifest"))
@@ -2392,6 +2497,10 @@ object GraftSink {
       if (dstHead.epochWriter.contains(ReplicaWriter))
         dstHead.epoch.getOrElse(0L)
       else 0L) + 1L
+    // fence AGAIN at the last step before taking the head: shrinks
+    // the promote-races-an-in-flight-sync window from the whole copy
+    // duration to the link itself (the [[promote]] fencing contract)
+    if (!force) fenceCheck()
     publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true,
       epoch = Some(nextEpoch), epochWriter = Some(ReplicaWriter),
       committedAtMs = m.committedAtMs) // source stamp, verbatim

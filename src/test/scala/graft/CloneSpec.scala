@@ -360,4 +360,74 @@ class CloneSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 2L),
       "version-pinned sync must roll the replica head to source v1")
   }
+
+  test("PROMOTION with fencing: promote frees the replica head for " +
+      "local writers; the old source's sync refuses LOUDLY naming " +
+      "the promoted state; re-replication is a fresh cloneSnapshot; " +
+      "force re-subjugates explicitly") {
+    val src = freshDir("promo_src")
+    val replica = freshDir("promo_rep")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, replica)
+    GraftSink.cloneSync(spark, src, replica) // steady-state: allowed
+    // a normal table cannot promote (nothing replication-owned)
+    val notReplica = intercept[Exception] {
+      GraftSink.promote(spark, src)
+    }
+    assert(notReplica.getMessage.contains("not replication-owned"))
+    // FAILOVER: source lost, promote the replica
+    val pv = GraftSink.promote(spark, replica)
+    assert(GraftSink.isPromoted(spark, replica))
+    assert(GraftSink.latestManifest(spark, replica).get.version == pv)
+    // promoting twice is loud
+    assert(intercept[Exception] { GraftSink.promote(spark, replica) }
+      .getMessage.contains("promoted"))
+    // local writers take the head — post-failover writes land
+    Seq((10L, "post-failover")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(replica)
+    assert(spark.read.format("graftsink").load(replica).count() == 3L)
+    // FENCING: the resurrected old source cannot sync over the
+    // promoted head — refusal must say WHY ("promoted")
+    Seq((3L, "zombie-source")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    val fenced = intercept[Exception] {
+      GraftSink.cloneSync(spark, src, replica)
+    }
+    assert(fenced.getMessage.contains("PROMOTED"),
+      s"the refusal must name the promoted state: ${fenced.getMessage}")
+    // the post-failover write survived the refused sync
+    assert(spark.read.format("graftsink").load(replica)
+      .filter(col("k") === 10L).count() == 1L)
+    // RE-REPLICATION is a fresh snapshot of the promoted table to a
+    // NEW directory (the promoted table is the new source of truth)
+    val replica2 = freshDir("promo_rep2")
+    GraftSink.cloneSnapshot(spark, replica, replica2)
+    assert(spark.read.format("graftsink").load(replica2)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 10L))
+    assert(!GraftSink.isPromoted(spark, replica2),
+      "a fresh clone of a promoted table is a plain replica again")
+    GraftSink.cloneSync(spark, replica, replica2) // replication resumes
+    // FORCE re-subjugation is the explicit escape hatch: discards the
+    // promoted head state, clears the fence, replication owns again
+    val copied = GraftSink.cloneSync(spark, src, replica, force = true)
+    assert(copied >= 0 && !GraftSink.isPromoted(spark, replica))
+    assert(spark.read.format("graftsink").load(replica)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "forced sync re-subjugates to the source's state")
+    GraftSink.cloneSync(spark, src, replica) // normal syncs resume
+    // CALL surface: promote replica2 through SQL
+    val r = tmpDir("graft_clone_promo_cat")
+    spark.conf.set("spark.sql.catalog.gpromo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpromo.root", r)
+    spark.sql("CREATE NAMESPACE gpromo.m")
+    val srcDir = s"$r/m/s"
+    val repDir = s"$r/m/rep"
+    spark.sql("CREATE TABLE gpromo.m.s (k BIGINT)")
+    spark.sql("INSERT INTO gpromo.m.s VALUES (7)")
+    GraftSink.cloneSnapshot(spark, srcDir, repDir)
+    val row = spark.sql("CALL gpromo.system.promote(table => 'm.rep')")
+      .collect().head
+    assert(row.getInt(0) > 0 && GraftSink.isPromoted(spark, repDir))
+  }
 }
