@@ -147,6 +147,111 @@ object Transaction {
     spark.read.parquet(s"$root/$table/t${m(table)}")
   }
 
+  /** Test seam: runs immediately before [[syncTo]]'s manifest rename —
+    * the replica's commit point — with every member table's version
+    * dirs already copied. The race spec holds a sync open HERE while a
+    * replica reader proves it still resolves only the PREVIOUS
+    * transaction's pairs. No-op in production.
+    */
+  private[graft] var syncBarrier: () => Unit = () => ()
+
+  /** TRANSACTION-CONSISTENT REPLICATION — sync a whole transaction to
+    * a DR replica root as ONE atomic step. Per-table replication of a
+    * multi-table commit re-creates exactly the torn state the
+    * transaction layer exists to prevent: a replica serving facts
+    * from tx2 beside a summary from tx1. Here every member table's
+    * pinned version dir copies FIRST (distributed, one task per file;
+    * dirs stage and rename whole, so a crash mid-copy never leaves a
+    * half dir that a retry would skip as present), and the
+    * transaction manifest publishes LAST as the single commit point —
+    * a replica reader resolves only committed manifests, so it sees
+    * all tables at tx N or all at the previous sync, never a blend.
+    *
+    * Incremental by construction: a version dir the replica already
+    * holds is a COMMITTED whole (rename-atomic), so it never
+    * re-copies — syncing tx N after tx N−1 copies only the tables
+    * tx N actually rewrote (carry-forward entries are already
+    * there). Re-syncing an already-synced tx is a no-op. Returns the
+    * number of (table, version) dirs copied.
+    */
+  def syncTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+      tx: Option[Long] = None): Int = {
+    val committed = committedTxs(spark, srcRoot)
+    require(committed.nonEmpty, s"no committed transactions under $srcRoot")
+    val id = tx.getOrElse(committed.last)
+    require(committed.contains(id),
+      s"transaction $id not committed under $srcRoot")
+    val m = manifest(spark, srcRoot, id)
+    val dstP = new Path(dstRoot)
+    val fs = fsOf(spark, dstP)
+    fs.mkdirs(dstP)
+    val already = new Path(commitsDir(dstRoot), s"tx$id.json")
+    if (fs.exists(already)) return 0 // idempotent re-sync
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // (table, version) dirs the replica lacks — each stages under a
+    // sync-scoped dir, files fan out cluster-wide, then ONE rename
+    // per dir makes it whole-or-absent
+    val needed = m.toSeq.sortBy(_._1).filter { case (t, v) =>
+      !fs.exists(new Path(dstRoot, s"$t/t$v")) }
+    if (needed.nonEmpty) {
+      val stagingRoot = new Path(dstRoot,
+        "__staging_sync_" + java.util.UUID.randomUUID().toString.take(8))
+      val files: Seq[(String, String)] = needed.flatMap { case (t, v) =>
+        val from = new Path(srcRoot, s"$t/t$v")
+        val sfs = fsOf(spark, from)
+        sfs.listStatus(from).filter(_.isFile).map(st =>
+          (st.getPath.toString,
+            new Path(stagingRoot, s"$t/t$v/${st.getPath.getName}")
+              .toString))
+      }
+      val slices = math.min(files.size,
+        math.max(64, spark.sparkContext.defaultParallelism * 2)).max(1)
+      spark.sparkContext.parallelize(files, slices)
+        .foreach { case (from, to) =>
+          val f = new Path(from)
+          val d = new Path(to)
+          org.apache.hadoop.fs.FileUtil.copy(
+            f.getFileSystem(conf.value), f,
+            d.getFileSystem(conf.value), d, false, true, conf.value)
+          ()
+        }
+      needed.foreach { case (t, v) =>
+        val dest = new Path(dstRoot, s"$t/t$v")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(new Path(stagingRoot, s"$t/t$v"), dest)) {
+          fs.delete(stagingRoot, true)
+          throw new java.io.IOException(
+            s"syncTo: rename of $t/t$v into $dstRoot failed")
+        }
+      }
+      fs.delete(stagingRoot, true)
+    }
+    // commit point: the tx manifest lands LAST, atomically — the same
+    // staged-rename discipline as publish()
+    val dir = commitsDir(dstRoot)
+    fs.mkdirs(dir)
+    val mTmp = new Path(dir,
+      "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val srcManifest = new Path(commitsDir(srcRoot), s"tx$id.json")
+    val sfs = fsOf(spark, srcManifest)
+    val in = sfs.open(srcManifest)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toByteArray
+    } finally in.close()
+    val out = fs.create(mTmp, false)
+    try out.write(bytes) finally out.close()
+    syncBarrier()
+    if (!fs.rename(mTmp, already)) {
+      fs.delete(mTmp, false)
+      throw new java.io.IOException(
+        s"syncTo: commit rename to $already failed (concurrent sync?)")
+    }
+    needed.size
+  }
+
   private def refsDir(root: String) = new Path(root, "_refs")
 
   /** Pin a human name to a committed transaction (Iceberg "tag"): the

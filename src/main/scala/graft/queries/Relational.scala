@@ -1377,6 +1377,47 @@ object Relational {
       |FROM j
       |ORDER BY tx""".stripMargin
 
+  /** TRANSACTION-CONSISTENT REPLICATION under the oracle gate
+    * ([[graft.operators.Transaction.syncTo]]): the same two-tx
+    * publish as `q_tx_read`, each tx synced WHOLE to a replica root —
+    * the copy counts are gated (tx0 copies both tables, tx1 copies
+    * only the rewritten orders; the carried-forward lineitem version
+    * never re-copies), and the audit join runs AT THE REPLICA for
+    * both transactions under the same DuckDB oracle. A sync that
+    * blended tables across transactions, dropped the carry-forward,
+    * or re-copied what the replica holds breaks the counts or the
+    * join. TransactionSpec holds the racing-reader law (mid-sync
+    * reads resolve only the previous tx's pairs).
+    */
+  private def txReplicaSyncQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_txsync_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val (root, replica) = (s"$base/src", s"$base/replica")
+    val tx = graft.operators.Transaction
+    val orders0 = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val line0 = Tables(spark, dir, "lineitem").select("l_orderkey")
+    tx.publish(spark, root, Map("orders" -> orders0, "lineitem" -> line0))
+    require(tx.syncTo(spark, root, replica, Some(0L)) == 2,
+      "tx0 must copy both member tables to the empty replica")
+    tx.publish(spark, root, Map("orders" ->
+      orders0.withColumn("o_totalprice", col("o_totalprice") * 2)))
+    require(tx.syncTo(spark, root, replica) == 1,
+      "tx1 rewrote only orders — the carried lineitem must not re-copy")
+    def audit(txId: Long): DataFrame =
+      tx.read(spark, replica, "orders", Some(txId))
+        .join(tx.read(spark, replica, "lineitem", Some(txId)),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("order_cents"))
+        .select(lit(txId).as("tx"), col("n_pairs"), col("order_cents"))
+    audit(0).unionByName(audit(1)).orderBy("tx")
+  }
+
   /** Row-level CDC feed — the change stream a downstream consumer
     * (cache, search index, replica) applies to follow this warehouse:
     * classify every key across two table states as I/U/D with before
@@ -2370,6 +2411,7 @@ object Relational {
     NamedQuery("q_cascade_delete", cascadeDeleteQ, Some(cascadeDeleteSql)),
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     NamedQuery("q_tx_read", txReadQ, Some(txReadSql)),
+    NamedQuery("q_tx_replica_sync", txReplicaSyncQ, Some(txReadSql)),
     NamedQuery("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     NamedQuery("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     NamedQuery("q_try_functions", tryFunctions, Some(tryFunctionsSql)),

@@ -150,4 +150,76 @@ class TransactionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("missing"))
   }
+
+  test("syncTo replicates a WHOLE transaction atomically: a replica " +
+      "reader racing the per-table copies resolves only same-tx " +
+      "(facts, summary) pairs — mid-sync it still serves the previous " +
+      "tx; the manifest rename is the only switch point") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    // every tx writes a CONSISTENT pair: facts tagged `tx`, summary =
+    // (tx, count). A reader that ever pairs facts from one tx with a
+    // summary from another is torn — exactly what per-table
+    // replication produces and syncTo must not.
+    def pair(tx: Long, n: Int) = Map(
+      "facts" -> (1 to n).map(i => (i.toLong, tx)).toDF("k", "tx"),
+      "summary" -> Seq((tx, n.toLong)).toDF("tx", "n"))
+    Transaction.publish(spark, src, pair(0L, 3))
+    assert(Transaction.syncTo(spark, src, dst) == 2) // both tables copy
+    def replicaPair(): (Long, Long, Long, Long) = {
+      val f = Transaction.read(spark, dst, "facts")
+        .agg(min("tx"), max("tx"), count(lit(1))).collect().head
+      val s = Transaction.read(spark, dst, "summary").collect().head
+      (f.getLong(0), f.getLong(1), f.getLong(2), s.getLong(0))
+    }
+    assert(replicaPair() == (0L, 0L, 3L, 0L))
+    // tx1 rewrites BOTH tables at the source
+    Transaction.publish(spark, src, pair(1L, 5))
+    // hold the next sync open at its commit point: data dirs for tx1
+    // are fully copied, manifest not yet renamed — the reader races
+    // exactly the window where per-table replication serves a blend
+    val atBarrier = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    Transaction.syncBarrier = () => { atBarrier.countDown(); release.await() }
+    val copied = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try copied.set(Transaction.syncTo(spark, src, dst))
+      catch { case e: Throwable => failure.set(e) }
+    }, "tx-sync")
+    t.start()
+    try {
+      assert(atBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // MID-SYNC: tx1's bytes are all on the replica's disk, but the
+      // reader must still resolve the COMMITTED pair — tx0/tx0
+      for (_ <- 1 to 3) {
+        val (lo, hi, n, s) = replicaPair()
+        assert(lo == 0L && hi == 0L && n == 3L && s == 0L,
+          s"mid-sync read must be the previous tx's pair, got " +
+            s"facts tx in [$lo,$hi] n=$n summary tx=$s")
+      }
+    } finally {
+      release.countDown()
+      Transaction.syncBarrier = () => ()
+      t.join(60000)
+    }
+    assert(failure.get() == null, s"sync failed: ${failure.get()}")
+    assert(copied.get() == 2, "tx1 rewrote both tables -> both copy")
+    // AFTER the manifest rename: the new pair, atomically
+    assert(replicaPair() == (1L, 1L, 5L, 1L))
+    // incremental: tx2 rewrites only facts — summary carries forward
+    // and its version dir must NOT re-copy
+    Transaction.publish(spark, src,
+      Map("facts" -> (1 to 7).map(i => (i.toLong, 2L)).toDF("k", "tx")))
+    assert(Transaction.syncTo(spark, src, dst) == 1,
+      "carry-forward table must not re-copy")
+    val f2 = Transaction.read(spark, dst, "facts")
+      .agg(max("tx"), count(lit(1))).collect().head
+    assert((f2.getLong(0), f2.getLong(1)) == (2L, 7L))
+    // the carried summary still resolves (tx1's version dir serves it)
+    assert(Transaction.read(spark, dst, "summary")
+      .collect().head.getLong(0) == 1L)
+    // idempotent re-sync: nothing to copy, nothing rewritten
+    assert(Transaction.syncTo(spark, src, dst) == 0)
+  }
 }
