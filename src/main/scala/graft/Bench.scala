@@ -79,7 +79,20 @@ object Bench {
         "q_dpp", "q_zorder_skip", "q_bloom_skip",
         // warms the once-per-corpus learned merge table so the timed
         // run measures the encode pass, not rule learning
-        "d_bpe_encode"))
+        "d_bpe_encode",
+        // the r11 d_jaccard_capped rep-variance (spread 1.22/2.44/
+        // 3.85 s in a QUIET run) diagnosed to a deterministic
+        // first-plan cost, not runtime instability: the 3-stage
+        // shingle pipeline's whole-stage codegen compile + AQE
+        // replans cost ~5-8 s ONCE per JVM (measured 9.8 s cold /
+        // 1.7 s steady in a fresh driver), a fixed cost that
+        // amortizes to noise at real data volumes. Warm these two so
+        // the timed reps measure the steady-state candidate join —
+        // the per-corpus cost at scale (SCALE.md pins the numbers).
+        // jaccard warms TWICE: its JIT tail spans ~3 executions
+        // (measured 9.8 / 2.4 / 2.3 / 1.7 s in a fresh driver), so one
+        // warm still leaves the first timed rep ~1.5x hot
+        "d_jaccard_capped", "d_jaccard_capped", "d_simhash_pairs"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its
     // 10 round plans anyway — measured identical either way — so the

@@ -2786,37 +2786,38 @@ object GraftSink {
         f.delete(new Path(dir, floorMarkerName(v)), false))
     // 2. then data files nothing surviving references — aged only: a
     // fresh unreferenced file may belong to a commit that renamed it
-    // into data/ but hasn't published its manifest yet
-    val dataDir = new Path(dir, "data")
-    val orphans =
-      if (!f.exists(dataDir)) Array.empty[Path]
-      else f.listStatus(dataDir)
-        .filter(_.getModificationTime < cutoff)
-        .map(_.getPath)
-        .filterNot(p => keepFiles(p.getName))
-    orphans.foreach(f.delete(_, false))
+    // into data/ but hasn't published its manifest yet. The listing
+    // STREAMS (listStatusIterator) and deletes as it goes: driver
+    // memory stays O(1) however many files the flat dir holds — the
+    // 10^5-10^7 decade (tools.ListingDecade, SCALE.md) pins the wall
+    // cost as pure listing throughput, and GC work is O(orphans)
+    def sweepStreamed(root: Path, recurse: Boolean,
+        doomedHere: Path => Boolean): Int = {
+      if (!f.exists(root)) return 0
+      var n = 0
+      val it = f.listStatusIterator(root)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getModificationTime < cutoff && doomedHere(st.getPath)) {
+          f.delete(st.getPath, recurse)
+          n += 1
+        }
+      }
+      n
+    }
+    val orphans = sweepStreamed(new Path(dir, "data"),
+      recurse = false, p => !keepFiles(p.getName))
     // 2b. unreferenced segment files, same aged-only discipline (a
     // fresh one may belong to a commit whose manifest hasn't landed).
     // A `.bloom` sidecar lives and dies with its segment: the suffix
     // strip keeps a LIVE segment's sidecar (it is never referenced by
     // name itself) and collects a dead segment's alongside it.
-    val segRoot = new Path(dir, "_segments")
-    val segOrphans =
-      if (!f.exists(segRoot)) Array.empty[Path]
-      else f.listStatus(segRoot)
-        .filter(_.getModificationTime < cutoff)
-        .map(_.getPath)
-        .filterNot(p => keepSegs(p.getName.stripSuffix(".bloom")))
-    segOrphans.foreach(f.delete(_, false))
+    sweepStreamed(new Path(dir, "_segments"),
+      recurse = false, p => !keepSegs(p.getName.stripSuffix(".bloom")))
     // 3. stale staging dirs beyond the in-flight grace window
-    val stagingRoot = new Path(dir, "_staging")
-    val staleStaging =
-      if (!f.exists(stagingRoot)) Array.empty[Path]
-      else f.listStatus(stagingRoot)
-        .filter(_.getModificationTime < cutoff)
-        .map(_.getPath)
-    staleStaging.foreach(f.delete(_, true))
-    VacuumStats(expired, orphans.length, staleStaging.length)
+    val staleStaging = sweepStreamed(new Path(dir, "_staging"),
+      recurse = true, _ => true)
+    VacuumStats(expired, orphans, staleStaging)
   }
 
   private def manifestIsComplete(spark: SparkSession, dir: String,
