@@ -215,10 +215,13 @@ class GraftSinkSoakSpec extends SparkSpec {
         var fenced = false
         while (seeded && running && !fenced) {
           try {
+            // NOTE no mid-run "succeeded against promoted" check: the
+            // flag, the fence marker, and a sync's entry check race
+            // by design, so any such check misfires in one direction
+            // or the other. The meaningful fencing invariants are
+            // asserted at quiesce — post-failover batches survive to
+            // the final head, and a fresh sync refuses loudly.
             GraftSink.cloneSync(spark, dir, replica)
-            if (promoted.get())
-              violations.add("sync: succeeded AGAINST a promoted " +
-                "replica — the fence must refuse")
             val keys = spark.read.format("graftsink").load(replica)
               .select("k").as[Long].collect().toSeq
             readerCheck(keys, "replica sync")
@@ -279,8 +282,13 @@ class GraftSinkSoakSpec extends SparkSpec {
         while (!replicaReady.get() && running) Thread.sleep(20)
         Thread.sleep(700 + jitter(8)) // let a few syncs land first
         try {
-          GraftSink.promote(spark, replica)
+          // flag FIRST: the fence marker lands at the START of
+          // promote(), so a racing sync can be refused before
+          // promote() returns — that refusal is already the expected
+          // fencing, not a violation (a failed promote still records
+          // a violation in the catch below)
           promoted.set(true)
+          GraftSink.promote(spark, replica)
           // settle past any sync already beyond its entry fence check
           // (the pre-publish re-check bounds the race to the link)
           Thread.sleep(300)
