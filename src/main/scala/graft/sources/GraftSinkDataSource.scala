@@ -220,8 +220,17 @@ object GraftSink {
     *               reading it. Empty = unknown (legacy ref), always
     *               kept.
     */
+  /** @param checksum 16-hex-char XXH64 of the SEGMENT FILE's bytes,
+    *               recorded when the segment is written (the payload
+    *               is in hand — hashing is free). `fsck(deep)`
+    *               re-hashes against it: a same-size bit flip inside
+    *               a segment silently alters recorded stats/bounds —
+    *               i.e. UNSOUND FILE SKIPPING — which no row-level
+    *               check can catch. Empty = legacy ref (deep fsck
+    *               counts it unverified, loudly).
+    */
   final case class SegmentRef(name: String, count: Int, rows: Long,
-      bytes: Long, statsJson: String = "")
+      bytes: Long, statsJson: String = "", checksum: String = "")
 
   /** @param refs   segment references, in commit order (older first);
     *               `files` = their entries (in order) ++ `inline`.
@@ -452,6 +461,14 @@ object GraftSink {
     }
     val payload = ((base +: lines) :+ EofMarker).mkString("\n")
       .getBytes("UTF-8")
+    // content checksum of the segment FILE, recorded in every ref
+    // that names it (the payload is in hand — hashing costs nothing);
+    // fsck(deep) re-hashes to catch in-place stats/bounds corruption
+    val sum = {
+      val h = newXxh64()
+      h.update(payload, 0, payload.length)
+      xxh64Hex(h.getValue)
+    }
     val f = new Path(dir).getFileSystem(conf.value)
     val out = f.create(segmentPath(dir, name), false)
     try out.write(payload) finally out.close()
@@ -468,7 +485,7 @@ object GraftSink {
     SegmentRef(name, files.size,
       if (files.exists(_.rows < 0)) -1L else files.map(_.rows).sum,
       if (files.exists(_.bytes < 0)) -1L else files.map(_.bytes).sum,
-      unionStats(files))
+      unionStats(files), sum)
   }
 
   // ---- per-segment member-name BLOOM sidecars: the replace path's
@@ -1248,6 +1265,9 @@ object GraftSink {
           case a if a.length > 1 && a(1).nonEmpty => a(1) }
         val refs = segLines.map { l =>
           l.split("\t", -1) match {
+            case Array(_, name, count, rows, bytes, stats, sum) =>
+              SegmentRef(name, count.toInt, rows.toLong, bytes.toLong,
+                stats, sum)
             case Array(_, name, count, rows, bytes, stats) =>
               SegmentRef(name, count.toInt, rows.toLong, bytes.toLong,
                 stats)
@@ -1370,7 +1390,7 @@ object GraftSink {
     val dst = new Path(dir, manifestName(version))
     val segLines = refs.map(r =>
       s"$SegMarker\t${r.name}\t${r.count}\t${r.rows}\t${r.bytes}\t" +
-        r.statsJson)
+        s"${r.statsJson}\t${r.checksum}")
     val fileLines = inline.map { mf =>
       val ddl = if (mf.schemaDdl == schemaDdl) "" else mf.schemaDdl
       val flags = if (mf.rewrite) "r" else ""
@@ -2902,7 +2922,8 @@ object GraftSink {
       .filter(v => manifestIsComplete(spark, dir, v))
     val referenced = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, String)]
-    val liveSegs = scala.collection.mutable.Set.empty[String]
+    val liveSegs = scala.collection.mutable.LinkedHashMap
+      .empty[String, String] // name -> recorded checksum ("" legacy)
     val unreadable = Seq.newBuilder[Int]
     complete.foreach { v =>
       // complete-then-vanished (a racing vacuum expired it between
@@ -2910,7 +2931,11 @@ object GraftSink {
       // listed; a clean expiry is not damage — re-running fsck on a
       // quiesced table is the operator's disambiguation
       try manifestAt(spark, dir, Some(v)).foreach { m =>
-        m.refs.foreach(r => liveSegs += r.name)
+        // a checksummed ref wins over a legacy "" ref to the SAME
+        // immutable segment (older manifests may predate recording)
+        m.refs.foreach(r =>
+          if (r.checksum.nonEmpty || !liveSegs.contains(r.name))
+            liveSegs(r.name) = r.checksum)
         m.files.foreach(mf =>
           if (!referenced.contains(mf.name))
             referenced(mf.name) = (mf.bytes, mf.checksum))
@@ -2918,13 +2943,24 @@ object GraftSink {
     }
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val entries = referenced.toSeq
+    // one cluster-fanned pass over DATA files and (deep only)
+    // SEGMENT files: existence + size always; content re-hash when
+    // deep and a checksum is recorded. Segment refs carry no file
+    // size (their `bytes` sums member DATA bytes), so segments get
+    // existence + content only — and a corrupt segment is worse than
+    // a corrupt data file: its stats drive file skipping, so the
+    // damage is silently wrong ANSWERS, not a read error.
+    val entries: Seq[(String, String, Long, String)] = // kind, name, bytes, sum
+      referenced.toSeq.map { case (n, (b, s)) => ("data", n, b, s) } ++
+        (if (deep) liveSegs.toSeq.map { case (n, s) =>
+          ("segment", n, -1L, s) } else Seq.empty)
     val bad: Seq[(String, String, String)] = // (name, kind, detail)
       if (entries.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(entries, copySlices(spark, entries.size))
-        .flatMap { case (name, (bytes, sum)) =>
-          val p = new Path(s"$dir/data/$name")
+        .flatMap { case (kind, name, bytes, sum) =>
+          val p = if (kind == "data") new Path(s"$dir/data/$name")
+            else new Path(s"$dir/_segments/$name")
           try {
             val fsx = p.getFileSystem(conf.value)
             val st = fsx.getFileStatus(p)
@@ -2934,10 +2970,12 @@ object GraftSink {
               val actual = hashFileContent(fsx, p)
               if (actual != sum)
                 Some((name, "checksum",
-                  s"content xxh64 $actual != manifest $sum"))
+                  s"$kind content xxh64 $actual != manifest $sum"))
               else None
             } else None
           } catch { case _: java.io.FileNotFoundException =>
+            // a missing SEGMENT surfaces through unreadable-manifest
+            // resolution too, but name it here as damage regardless
             Some((name, "missing", "missing"))
           }
         }.collect().toSeq
@@ -2945,7 +2983,7 @@ object GraftSink {
     val mismatch = bad.collect { case (n, "size", d) => s"$n ($d)" }
     val badSum = bad.collect { case (n, "checksum", d) => s"$n ($d)" }
     val unverified =
-      if (deep) entries.count(_._2._2.isEmpty) else 0
+      if (deep) entries.count(e => e._4.isEmpty) else 0
     // orphan tallies STREAM the listing (listStatusIterator): the
     // driver holds one counter, never an O(table files) FileStatus
     // array — at the 10^6-10^7-entry decade scale the probe's driver
@@ -2961,8 +2999,8 @@ object GraftSink {
     val orphans = countStreamed(new Path(dir, "data"),
       n => !referenced.contains(n))
     val segOrphans = countStreamed(new Path(dir, "_segments"),
-      n => !liveSegs(n.stripSuffix(".bloom")))
-    FsckReport(complete.size, unreadable.result(), entries.size,
+      n => !liveSegs.contains(n.stripSuffix(".bloom")))
+    FsckReport(complete.size, unreadable.result(), referenced.size,
       missing, mismatch, orphans, segOrphans, deep, badSum, unverified)
   }
 

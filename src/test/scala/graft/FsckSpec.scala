@@ -142,6 +142,49 @@ class FsckSpec extends SparkSpec {
     assert(deep.missingFiles.isEmpty && deep.sizeMismatches.isEmpty)
   }
 
+  test("deep fsck re-hashes SEGMENT files too: a flipped byte inside " +
+      "a segment — silently corrupt stats/bounds, i.e. unsound file " +
+      "skipping — is caught and named; shallow cannot see it") {
+    val dir = freshDir("segflip")
+    // 40 small files in one commit (200 rows round-robined so every
+    // partition lands non-empty): over the 32-entry inline threshold,
+    // so the manifest rolls them into a segment
+    spark.range(200L).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+      .repartition(40)
+      .write.format("graftsink").mode("append").save(dir)
+    val head = GraftSink.latestManifest(spark, dir).get
+    assert(head.refs.size == 1, s"expected one segment: ${head.refs}")
+    assert(head.refs.head.checksum.length == 16,
+      s"segment refs must record a content checksum: ${head.refs}")
+    assert(GraftSink.fsck(spark, dir, deep = true).deepVerified)
+    // same-size damage INSIDE the segment file
+    val seg = new Path(dir, s"_segments/${head.refs.head.name}")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(seg).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(seg)
+    try in.readFully(buf) finally in.close()
+    // flip an ALPHANUMERIC byte in the segment's FIRST line (the
+    // frozen base DDL): the damage corrupts a recorded VALUE every
+    // reader trusts, while the line structure, the member names, and
+    // the sizes all stay intact — exactly the silent-skipping hazard
+    // this test pins (a flipped tab/newline would be the loud-torn
+    // case instead, and a flipped member NAME would surface as a
+    // missing file even shallow)
+    var i = 0
+    while (!java.lang.Character.isLetterOrDigit(buf(i).toChar)) i += 1
+    buf(i) = (buf(i) ^ 0x01).toByte
+    val out = fs.create(seg, true)
+    try out.write(buf) finally out.close()
+    assert(GraftSink.fsck(spark, dir).clean,
+      "shallow fsck cannot see in-segment corruption")
+    val deep = GraftSink.fsck(spark, dir, deep = true)
+    assert(!deep.clean && deep.checksumMismatches.size == 1 &&
+      deep.checksumMismatches.head.startsWith(head.refs.head.name) &&
+      deep.checksumMismatches.head.contains("segment"),
+      s"deep fsck must name the flipped segment: $deep")
+  }
+
   test("legacy checksum-less manifests DECLINE deep verification " +
       "loudly: unverified_files counts them, deepVerified is false, " +
       "CALL's detail says so — never a silent pass") {
