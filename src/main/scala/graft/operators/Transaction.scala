@@ -186,7 +186,10 @@ object Transaction {
     val fs = fsOf(spark, dstP)
     fs.mkdirs(dstP)
     val already = new Path(commitsDir(dstRoot), s"tx$id.json")
-    if (fs.exists(already)) return 0 // idempotent re-sync
+    if (fs.exists(already)) { // idempotent re-sync: data settled —
+      carryRefs(spark, srcRoot, dstRoot) // but a re-point still carries
+      return 0
+    }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // (table, version) dirs the replica lacks — each stages under a
@@ -219,7 +222,12 @@ object Transaction {
       needed.foreach { case (t, v) =>
         val dest = new Path(dstRoot, s"$t/t$v")
         fs.mkdirs(dest.getParent)
-        if (!fs.rename(new Path(stagingRoot, s"$t/t$v"), dest)) {
+        if (!fs.rename(new Path(stagingRoot, s"$t/t$v"), dest) &&
+            !fs.exists(dest)) {
+          // a racing sync of the same/later tx placing the SAME
+          // immutable (table, version) content loses the rename
+          // benignly — only a rename that leaves the dest ABSENT is
+          // a real failure
           fs.delete(stagingRoot, true)
           throw new java.io.IOException(
             s"syncTo: rename of $t/t$v into $dstRoot failed")
@@ -246,10 +254,47 @@ object Transaction {
     syncBarrier()
     if (!fs.rename(mTmp, already)) {
       fs.delete(mTmp, false)
-      throw new java.io.IOException(
-        s"syncTo: commit rename to $already failed (concurrent sync?)")
+      // two syncs of the same tx write byte-identical manifests, so
+      // losing the commit rename to a racer is success, not conflict
+      if (!fs.exists(already))
+        throw new java.io.IOException(
+          s"syncTo: commit rename to $already failed")
     }
+    carryRefs(spark, srcRoot, dstRoot)
     needed.size
+  }
+
+  /** Replicate source REFS (the vacuum-exempt GC roots) onto the
+    * replica — the same contract as graftsink's tag carry-over:
+    * without it a REPLICA [[vacuum]] can drop a transaction the
+    * source still pins, silently breaking "the corpus run X trained
+    * on stays reproducible at the DR site". txIds ARE comparable
+    * across the two roots (syncTo copies manifests verbatim), so a
+    * ref carries whenever the replica has that tx committed; a ref
+    * pinning a tx the replica never synced is skipped (it cannot pin
+    * what it does not hold). Re-points follow the source (tag() is
+    * an atomic rename); carry failures warn loudly naming the ref.
+    */
+  private def carryRefs(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Unit = {
+    val srcRefDir = refsDir(srcRoot)
+    val sfs = fsOf(spark, srcRefDir)
+    if (!sfs.exists(srcRefDir)) return
+    val dstTxs = committedTxs(spark, dstRoot).toSet
+    sfs.listStatus(srcRefDir).map(_.getPath.getName)
+      .filterNot(_.startsWith("__")).foreach { name =>
+        try {
+          val tx = refTx(spark, srcRoot, name)
+          if (dstTxs(tx) &&
+              (try refTx(spark, dstRoot, name) != tx
+              catch { case _: IllegalArgumentException => true }))
+            tag(spark, dstRoot, name, tx)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"transaction: ref '$name' could not be " +
+            s"carried to $dstRoot (${e.getMessage}) — the replica is " +
+            "missing this GC root until a later sync re-carries it")
+        }
+      }
   }
 
   private def refsDir(root: String) = new Path(root, "_refs")

@@ -222,4 +222,51 @@ class TransactionSpec extends SparkSpec {
     // idempotent re-sync: nothing to copy, nothing rewritten
     assert(Transaction.syncTo(spark, src, dst) == 0)
   }
+
+  test("syncTo carries source REFS: the replica's vacuum keeps what " +
+      "the source pins, re-points follow, unsynced pins are skipped") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map("a" -> Seq((1, 0)).toDF("k", "tx")))
+    Transaction.tag(spark, src, "release", 0L)
+    assert(Transaction.syncTo(spark, src, dst) == 1)
+    assert(Transaction.refTx(spark, dst, "release") == 0L,
+      "the GC root must carry with the sync")
+    // pile on txs, vacuum the REPLICA aggressively: the carried ref
+    // must keep tx0 readable there (the reproducible-corpus contract)
+    (1 to 3).foreach { i =>
+      Transaction.publish(spark, src,
+        Map("a" -> Seq((i, i)).toDF("k", "tx")))
+      Transaction.syncTo(spark, src, dst)
+    }
+    Transaction.vacuum(spark, dst, keep = 1)
+    assert(Transaction.readRef(spark, dst, "a", "release")
+      .collect().head.getInt(1) == 0,
+      "replica vacuum dropped the source-pinned transaction")
+    // source re-points the ref to tx2 — which the replica's OWN
+    // vacuum just dropped (keep=1 kept tx3 + the pinned tx0), so the
+    // carry must SKIP it (a replica cannot pin what it doesn't hold,
+    // and tagging an uncommitted tx is rejected)…
+    Transaction.tag(spark, src, "release", 2L)
+    assert(Transaction.syncTo(spark, src, dst) == 0) // idempotent sync
+    assert(Transaction.refTx(spark, dst, "release") == 0L,
+      "an unsatisfiable re-point must not clobber the existing pin")
+    // …and a pinned re-sync of tx2 restores the snapshot AND carries
+    // the re-point with it
+    assert(Transaction.syncTo(spark, src, dst, Some(2L)) == 1,
+      "the replica vacuum dropped a/t2, so the pinned re-sync re-copies it")
+    assert(Transaction.refTx(spark, dst, "release") == 2L,
+      "the re-point follows once the replica holds the pinned tx")
+    // a ref pinning a tx the replica never synced is skipped, loudly
+    // but non-fatally (sync itself succeeds)
+    val src2 = freshRoot()
+    val dst2 = freshRoot()
+    Transaction.publish(spark, src2, Map("a" -> Seq(1).toDF("k"))) // tx0
+    Transaction.publish(spark, src2, Map("a" -> Seq(2).toDF("k"))) // tx1
+    Transaction.tag(spark, src2, "old", 0L)
+    assert(Transaction.syncTo(spark, src2, dst2, Some(1L)) == 1)
+    intercept[IllegalArgumentException] {
+      Transaction.refTx(spark, dst2, "old") // tx0 never synced: no pin
+    }
+  }
 }
