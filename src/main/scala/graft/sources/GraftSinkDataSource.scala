@@ -2267,15 +2267,17 @@ object GraftSink {
     * writers may take the head the moment promote returns.
     *
     * FENCING CONTRACT: the marker lands BEFORE the promotion commit,
-    * and cloneSync checks it both at entry and immediately before its
-    * head publish, so a straggler sync in flight across the promotion
-    * refuses no later than its final pre-publish step. The promotion
-    * commit itself retries past any sync that links first (each
-    * retry stacks above; the straggler's NEXT attempt hits the
-    * fence). The one residual is a sync PAUSED between its last fence
-    * check and its manifest link for the whole promotion — the
-    * classic fencing gap of marker-based protocols; quiesce
-    * replication traffic before promoting when that matters.
+    * and cloneSync checks it at entry, immediately before its head
+    * publish, and — the commit-time conviction — immediately AFTER
+    * its manifest link: a sync PAUSED between its last advisory check
+    * and its link for the whole promotion (the classic gap of
+    * marker-based protocols) finds the fence after linking, retracts
+    * its own head while it is provably still the head and
+    * replication-stamped, and fails naming the promotion — it can
+    * never silently ack (CloneSpec holds exactly this window open
+    * with the syncPublishBarrier seam). The promotion commit itself
+    * retries past any sync that links first (each retry stacks above;
+    * the straggler's NEXT attempt hits the fence).
     *
     * Re-replication of a promoted table is deliberately NOT a sync:
     * take a fresh [[cloneSnapshot]] to a NEW directory (clone refuses
@@ -2521,12 +2523,55 @@ object GraftSink {
     // the promote-races-an-in-flight-sync window from the whole copy
     // duration to the link itself (the [[promote]] fencing contract)
     if (!force) fenceCheck()
-    publish(spark, conf, dst, m.schemaDdl, m.files, truncate = true,
-      epoch = Some(nextEpoch), epochWriter = Some(ReplicaWriter),
+    syncPublishBarrier()
+    val published = publish(spark, conf, dst, m.schemaDdl, m.files,
+      truncate = true, epoch = Some(nextEpoch),
+      epochWriter = Some(ReplicaWriter),
       committedAtMs = m.committedAtMs) // source stamp, verbatim
+    // COMMIT-TIME CONVICTION — the residual the two advisory checks
+    // leave open is a sync PAUSED between its last fence check and
+    // its manifest link while the whole promotion (and possibly a
+    // post-failover local write) completes. Re-check AFTER the link
+    // (the zombieFloor discipline): if the fence landed, this sync's
+    // head must not stand. Retract it when it is still provably the
+    // head (the same raw NAME-listing test zombie conviction uses —
+    // nothing can have built on it, resolution returns to the prior
+    // head); if something already stacked above, the version stays in
+    // history (deleting it would tear the chain) and the stacker
+    // carried this file set knowingly. Either way the sync FAILS
+    // loudly naming the promotion — it can never silently ack.
+    if (!force && isPromoted(spark, dst)) {
+      val f = fs(spark, dst)
+      // retraction preconditions: our version is still the MAX listed
+      // name (nothing built on it) AND the manifest there is
+      // replication-stamped (publish's epoch dedupe can return an
+      // EXISTING head's number — never delete a promotion commit or a
+      // local write by mistake; a replication-stamped head under a
+      // fence must go regardless of which racing sync linked it)
+      val stillHead =
+        (try fsVersionsDesc(spark, dst).headOption.contains(published)
+        catch { case scala.util.control.NonFatal(_) => false }) &&
+          (try manifestAt(spark, dst, Some(published))
+            .exists(_.epochWriter.contains(ReplicaWriter))
+          catch { case scala.util.control.NonFatal(_) => false })
+      if (stillHead)
+        f.delete(new Path(dst, manifestName(published)), false)
+      sys.error(s"graftsink: replica $dst was PROMOTED while this " +
+        s"sync was in flight — the sync's head v$published was " +
+        (if (stillHead) "retracted" else
+          "already built upon and stays in history") +
+        "; the promoted table owns its head (fresh cloneSnapshot to " +
+        "re-replicate, or force=true to re-subjugate)")
+    }
     if (syncTags) carryTags(spark, src, dst)
     delta.size
   }
+
+  /** Test seam: runs between cloneSync's final fence check and its
+    * head publish — the exact paused-straggler window the
+    * commit-time conviction above closes. No-op in production.
+    */
+  private[graft] var syncPublishBarrier: () => Unit = () => ()
 
   /** Replicate source tags onto the destination (see [[cloneSync]]).
     * Versions are NOT comparable across the two tables (each side

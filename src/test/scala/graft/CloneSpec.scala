@@ -430,4 +430,49 @@ class CloneSpec extends SparkSpec {
       .collect().head
     assert(row.getInt(0) > 0 && GraftSink.isPromoted(spark, repDir))
   }
+
+  test("COMMIT-TIME fencing: a sync paused past its last fence check " +
+      "while the promotion AND a post-failover write complete is " +
+      "convicted after its own link — the local write survives, the " +
+      "sync fails naming the promotion") {
+    val src = freshDir("fence_src")
+    val replica = freshDir("fence_rep")
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, replica)
+    Seq((2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    // hold a sync open in the EXACT residual window: after its final
+    // pre-publish fence check, before its manifest link
+    val atBarrier = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    GraftSink.syncPublishBarrier =
+      () => { atBarrier.countDown(); release.await() }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try GraftSink.cloneSync(spark, src, replica)
+      catch { case e: Throwable => failure.set(e) }
+    }, "paused-straggler-sync")
+    t.start()
+    try {
+      assert(atBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      GraftSink.syncPublishBarrier = () => () // promote's publish must
+                                              // not hit the seam
+      // the whole failover happens while the straggler is paused
+      GraftSink.promote(spark, replica)
+      Seq((10L, "post-failover")).toDF("k", "s").coalesce(1)
+        .write.format("graftsink").mode("append").save(replica)
+    } finally {
+      release.countDown()
+      t.join(60000)
+    }
+    val e = failure.get()
+    assert(e != null && e.getMessage.contains("PROMOTED"),
+      s"the straggler must be convicted, naming the promotion: $e")
+    // the post-failover write survived the straggler's retracted head
+    val keys = spark.read.format("graftsink").load(replica)
+      .select("k").as[Long].collect().toSet
+    assert(keys == Set(1L, 10L),
+      s"promoted head must show the local write, not the sync: $keys")
+  }
 }
