@@ -2342,6 +2342,53 @@ object GraftSink {
     math.min(nFiles,
       math.max(64, spark.sparkContext.defaultParallelism * 2)).max(1)
 
+  /** Executor-side VERIFIED byte copy for replication: streams
+    * src→dst folding XXH64 over the same buffers, and when the
+    * manifest being replicated records a checksum, a mismatch FAILS
+    * the copy loudly — replication must never propagate silent
+    * source-side corruption (bit rot the source's own deep fsck
+    * hasn't run yet would otherwise arrive at the DR site stamped as
+    * healthy). Verification is free: the copy already touches every
+    * byte. The copy stages beside the destination and renames, so a
+    * crashed task never leaves a half-file under the final name
+    * (losing the rename to a racing copy of the same immutable file
+    * is benign when the destination exists).
+    */
+  private[sources] def copyVerified(conf: org.apache.hadoop.conf
+      .Configuration, from: Path, to: Path, expect: String): Unit = {
+    val sf = from.getFileSystem(conf)
+    val df = to.getFileSystem(conf)
+    val h = newXxh64()
+    df.mkdirs(to.getParent)
+    val tmp = new Path(to.getParent, s".${to.getName}.inflight")
+    val in = sf.open(from)
+    try {
+      val out = df.create(tmp, true)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) { out.write(buf, 0, n); h.update(buf, 0, n) }
+          n = in.read(buf)
+        }
+      } finally out.close()
+    } finally in.close()
+    val actual = xxh64Hex(h.getValue)
+    if (expect.nonEmpty && actual != expect) {
+      df.delete(tmp, false)
+      sys.error(s"graftsink: replication copy of $from reads xxh64 " +
+        s"$actual but the manifest records $expect — refusing to " +
+        "propagate corruption (deep-fsck and restore the source " +
+        "object first)")
+    }
+    if (df.exists(to)) df.delete(to, false) // re-copy: overwrite
+    if (!df.rename(tmp, to)) {
+      df.delete(tmp, false)
+      if (!df.exists(to))
+        sys.error(s"graftsink: replication copy rename to $to failed")
+    }
+  }
+
   /** SNAPSHOT EXPORT — deep clone of one table VERSION into a fresh
     * table directory. Data files copy byte-for-byte through a
     * DISTRIBUTED copy job (one Spark task per file — at 100 TB the
@@ -2385,17 +2432,12 @@ object GraftSink {
       spark.sparkContext.hadoopConfiguration)
     val files = m.files
     if (files.nonEmpty) {
-      val names = files.map(_.name)
+      val jobs = files.map(f => (f.name, f.checksum))
       spark.sparkContext
-        .parallelize(names, copySlices(spark, names.size))
-        .foreach { name =>
-          val from = new Path(s"$src/data/$name")
-          val to = new Path(s"$dst/data/$name")
-          val sf = from.getFileSystem(conf.value)
-          val df = to.getFileSystem(conf.value)
-          org.apache.hadoop.fs.FileUtil.copy(sf, from, df, to,
-            false, true, conf.value)
-          ()
+        .parallelize(jobs, copySlices(spark, jobs.size))
+        .foreach { case (name, sum) =>
+          copyVerified(conf.value, new Path(s"$src/data/$name"),
+            new Path(s"$dst/data/$name"), sum)
         }
     }
     // the source's commit stamp carries VERBATIM: the replica's
@@ -2498,17 +2540,12 @@ object GraftSink {
     val delta = m.files.filterNot(f =>
       have((f.name, f.bytes, f.statsJson, f.checksum)))
     if (delta.nonEmpty) {
-      val names = delta.map(_.name)
+      val jobs = delta.map(f => (f.name, f.checksum))
       spark.sparkContext
-        .parallelize(names, copySlices(spark, names.size))
-        .foreach { name =>
-          val from = new Path(s"$src/data/$name")
-          val to = new Path(s"$dst/data/$name")
-          val sf = from.getFileSystem(conf.value)
-          val df = to.getFileSystem(conf.value)
-          org.apache.hadoop.fs.FileUtil.copy(sf, from, df, to,
-            false, true, conf.value)
-          ()
+        .parallelize(jobs, copySlices(spark, jobs.size))
+        .foreach { case (name, sum) =>
+          copyVerified(conf.value, new Path(s"$src/data/$name"),
+            new Path(s"$dst/data/$name"), sum)
         }
     }
     // strictly above the head's replication epoch (the publish-level

@@ -431,6 +431,40 @@ class CloneSpec extends SparkSpec {
     assert(row.getInt(0) > 0 && GraftSink.isPromoted(spark, repDir))
   }
 
+  test("replication REFUSES to propagate corruption: a source data " +
+      "file whose bytes no longer match its recorded checksum fails " +
+      "the copy loudly; the replica is never created half-poisoned") {
+    val src = freshDir("poison_src")
+    val dst = freshDir("poison_dst")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    // same-size bit flip at the source AFTER the manifest recorded
+    // the checksum (bit rot the source's own deep fsck hasn't seen)
+    val name = GraftSink.latestManifest(spark, src).get.files.head.name
+    val victim = new Path(src, s"data/$name")
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(victim).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    var i = len / 2
+    while (!java.lang.Character.isLetterOrDigit(buf(i).toChar)) i += 1
+    buf(i) = (buf(i) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    val e = intercept[Exception] {
+      GraftSink.cloneSnapshot(spark, src, dst)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("refusing to propagate")),
+      s"the copy must refuse, naming the mismatch: ${chain(e)}")
+    // the destination never became a table (no manifest published)
+    assert(GraftSink.latestManifest(spark, dst).isEmpty,
+      "a failed clone must not leave a readable half-replica")
+  }
+
   test("COMMIT-TIME fencing: a sync paused past its last fence check " +
       "while the promotion AND a post-failover write complete is " +
       "convicted after its own link — the local write survives, the " +
