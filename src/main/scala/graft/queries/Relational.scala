@@ -1418,6 +1418,86 @@ object Relational {
     audit(0).unionByName(audit(1)).orderBy("tx")
   }
 
+  /** TRANSACTION-ROOT INTEGRITY PROBE under the oracle gate
+    * ([[graft.operators.Transaction.fsck]]): the two-tx publish of
+    * `q_tx_read`, then the probe must (a) deep-verify the healthy
+    * root (every committed member's every byte re-hashed against its
+    * `_checksums` sidecar), (b) tally planted GC debris — an
+    * uncommitted version dir and a stale staging dir — WITHOUT
+    * flagging it as damage, (c) catch a planted same-size byte flip
+    * in a committed member that the shallow probe provably cannot
+    * see, naming exactly the flipped file, and (d) deep-verify again
+    * once the byte is restored. The declared result then audits the
+    * head transaction's cross-table join under the DuckDB oracle, so
+    * fsck's read-only contract is gated too — a probe that mutated
+    * anything breaks the row equality.
+    */
+  private def txFsckQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_txfsck_" +
+      java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val tx = graft.operators.Transaction
+    val orders0 = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val line0 = Tables(spark, dir, "lineitem").select("l_orderkey")
+    tx.publish(spark, root, Map("orders" -> orders0, "lineitem" -> line0))
+    tx.publish(spark, root, Map("orders" ->
+      orders0.withColumn("o_totalprice", col("o_totalprice") * 2)))
+    val healthy = tx.fsck(spark, root, deep = true)
+    require(healthy.deepVerified && healthy.txsChecked == 2 &&
+      healthy.membersChecked == 3,
+      s"healthy tx root must deep-verify: $healthy")
+    // planted GC debris: clean, tallied — never flagged as damage
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "orders/t99"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "__staging_planted"))
+    val debris = tx.fsck(spark, root, deep = true)
+    require(debris.deepVerified && debris.orphanVersionDirs == 1 &&
+      debris.staleStaging == 1, s"debris is not damage: $debris")
+    // same-size flip in a committed member (tx0's orders version —
+    // historical, carried by no newer manifest): the shallow probe
+    // must stay clean, the deep one must name exactly the file
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "orders/t0")).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      .minBy(_.getName.toString)
+    val len = fs.getFileStatus(victim).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    val orig = buf.clone()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    require(tx.fsck(spark, root).clean,
+      "the shallow probe cannot see same-size damage")
+    val deepR = tx.fsck(spark, root, deep = true)
+    require(!deepR.clean && deepR.checksumMismatches.size == 1 &&
+      deepR.checksumMismatches.head.contains(victim.getName),
+      s"deep fsck must name exactly the flipped file: $deepR")
+    val restore = fs.create(victim, true)
+    try restore.write(orig) finally restore.close()
+    require(tx.fsck(spark, root, deep = true).deepVerified,
+      "restoring the byte must deep-verify again")
+    // declared result: the head tx's cross-table audit (fsck is
+    // read-only — any mutation breaks this equality)
+    tx.read(spark, root, "orders", Some(1L))
+      .join(tx.read(spark, root, "lineitem", Some(1L)),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("order_cents"))
+  }
+
+  private val txFsckSql =
+    """SELECT count(*) AS n_pairs,
+      |  CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+      |    AS order_cents
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+      .stripMargin
+
   /** Row-level CDC feed — the change stream a downstream consumer
     * (cache, search index, replica) applies to follow this warehouse:
     * classify every key across two table states as I/U/D with before
@@ -2412,6 +2492,7 @@ object Relational {
     NamedQuery("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     NamedQuery("q_tx_read", txReadQ, Some(txReadSql)),
     NamedQuery("q_tx_replica_sync", txReplicaSyncQ, Some(txReadSql)),
+    NamedQuery("q_tx_fsck", txFsckQ, Some(txFsckSql)),
     NamedQuery("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     NamedQuery("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     NamedQuery("q_try_functions", tryFunctions, Some(tryFunctionsSql)),

@@ -317,16 +317,16 @@ object GraftSink {
     * it streams and fsck(deep) folding 64 KB read buffers produce the
     * SAME value for the same bytes.
     */
-  private[sources] def newXxh64(): net.jpountz.xxhash.StreamingXXHash64 =
+  private[graft] def newXxh64(): net.jpountz.xxhash.StreamingXXHash64 =
     net.jpountz.xxhash.XXHashFactory.fastestInstance()
       .newStreamingHash64(0L)
 
-  private[sources] def xxh64Hex(v: Long): String = f"$v%016x"
+  private[graft] def xxh64Hex(v: Long): String = f"$v%016x"
 
   /** Chunked whole-file XXH64, executor-side (fsck's deep re-hash and
     * the compact concat share the fold).
     */
-  private[sources] def hashFileContent(f: FileSystem, p: Path): String = {
+  private[graft] def hashFileContent(f: FileSystem, p: Path): String = {
     val h = newXxh64()
     val in = f.open(p)
     try {

@@ -57,10 +57,13 @@ class GraftSinkSoakSpec extends SparkSpec {
   for (seed <- 1 to 3)
     test(s"soak (seed $seed): append x2 / compact+cluster / vacuum / " +
         "restore / epoch publish / cloneSync + REPLICA vacuum + " +
-        "REPLICA reader race live readers — dense versions, atomic " +
-        "snapshots, no duplication, no lost commit" +
-        (if (seed == 3) "; replica PROMOTES mid-run (failover under " +
-          "load: sync fenced loudly, local writes survive)" else "")) {
+        "REPLICA reader race live readers, PLUS a tx-root publish/" +
+        "syncTo/reader race — dense versions, atomic snapshots, no " +
+        "duplication, no lost commit, deep fsck clean on all four " +
+        "roots at quiesce" +
+        (if (seed == 3) "; sink replica AND tx replica PROMOTE " +
+          "mid-run (failover under load: syncs fenced loudly, local " +
+          "writes survive)" else "")) {
       runSoak(seed)
     }
 
@@ -95,6 +98,100 @@ class GraftSinkSoakSpec extends SparkSpec {
     val promoted = new java.util.concurrent.atomic.AtomicBoolean(false)
     // key families the post-failover local writer lands at the replica
     val localBatches = Seq(300L, 301L)
+
+    // ---- TRANSACTION-layer soak (round 13): a multi-table tx source
+    // publishing consistent (facts, summary) pairs, a syncTo
+    // replication loop, and a replica reader asserting cross-table
+    // consistency — all racing; seed 3 PROMOTES the tx replica mid-run
+    // and takes a local transaction at it (tx-root failover under
+    // load). Quiesce asserts Transaction.fsck(deep).deepVerified on
+    // BOTH roots and, for seed 3, that the resurrected old source's
+    // sync refuses naming the promotion.
+    val txSrc = tmpDir(s"graft_soak_txsrc_s$seed") + "/x"
+    val txRep = tmpDir(s"graft_soak_txrep_s$seed") + "/x"
+    val TxCount = 4
+    val txPublished = new AtomicLong(0)
+    val txPromoted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def txPair(id: Long, n: Int) = Map(
+      "facts" -> (1 to n).map(i => (i.toLong, id)).toDF("k", "tx")
+        .coalesce(1),
+      "summary" -> Seq((id, n.toLong)).toDF("tx", "n").coalesce(1))
+    val txThreads = Seq(
+      new Thread(() => {
+        for (i <- 0 until TxCount) {
+          try {
+            graft.operators.Transaction.publish(spark, txSrc,
+              txPair(i.toLong, i + 3))
+            txPublished.incrementAndGet()
+          } catch { case e: Throwable =>
+            violations.add(s"tx publish $i: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+          Thread.sleep(100 + jitter(9))
+        }
+      }, "soak-tx-publish"),
+      new Thread(() => {
+        var fenced = false
+        while (running && !fenced) {
+          if (txPublished.get() > 0)
+            try { graft.operators.Transaction.syncTo(spark, txSrc, txRep); () }
+            catch {
+              case e: Throwable if txPromoted.get() &&
+                  e.getMessage != null &&
+                  (e.getMessage.contains("PROMOTED") ||
+                    // a straggler racing the post-failover local
+                    // publish surfaces as the id-collision / history-
+                    // divergence refusal instead — same fence, same
+                    // loud stop
+                    e.getMessage.contains("promoted root")) =>
+                fenced = true // tx-root fencing did its job
+              case e: Throwable =>
+                violations.add(s"tx sync: ${e.getClass.getSimpleName}: " +
+                  s"${e.getMessage}")
+            }
+          Thread.sleep(160 + jitter(10))
+        }
+      }, "soak-tx-sync"),
+      new Thread(() => {
+        val tx = graft.operators.Transaction
+        while (running) {
+          try {
+            tx.committedTxs(spark, txRep).lastOption.foreach { last =>
+              val n = tx.read(spark, txRep, "facts", Some(last)).count()
+              val s = tx.read(spark, txRep, "summary", Some(last))
+                .select("n").as[Long].head()
+              if (n != s)
+                violations.add(s"tx replica TORN at tx $last: " +
+                  s"facts=$n summary=$s")
+            }
+          } catch {
+            // a commit-time conviction retracting a just-linked sync
+            // (seed 3's promotion window) can vanish the id between
+            // the listing and the read — benign, by design
+            case e: Throwable if txPromoted.get() => ()
+            case e: Throwable =>
+              violations.add(s"tx replica reader: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          Thread.sleep(70 + jitter(11))
+        }
+      }, "soak-tx-reader")
+    ) ++ (if (seed != 3) Seq.empty else Seq(
+      new Thread(() => {
+        val tx = graft.operators.Transaction
+        while (running &&
+          (txPublished.get() < 2 ||
+            tx.committedTxs(spark, txRep).isEmpty)) Thread.sleep(30)
+        if (running)
+          try {
+            txPromoted.set(true) // flag FIRST (same contract as `promoted`)
+            tx.promote(spark, txRep)
+            Thread.sleep(200)
+            // post-failover LOCAL transaction at the promoted tx root
+            tx.publish(spark, txRep, txPair(99L, 7))
+          } catch { case e: Throwable =>
+            violations.add(s"tx promote: ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}") }
+      }, "soak-tx-promote")))
 
     def readerCheck(keys: Seq[Long], where: String): Unit = {
       val dup = keys.groupBy(identity).filter(_._2.size > 1).keys
@@ -270,7 +367,7 @@ class GraftSinkSoakSpec extends SparkSpec {
           Thread.sleep(45 + jitter(7))
         }
       }, "soak-replica-reader")
-    ) ++ (if (seed != 3) Seq.empty else Seq(
+    ) ++ txThreads ++ (if (seed != 3) Seq.empty else Seq(
       // FAILOVER MID-RUN (seed 3): once replication is in steady
       // state, promote the replica while syncs, replica vacuums, and
       // replica readers all race it, then take local writes at the
@@ -364,6 +461,41 @@ class GraftSinkSoakSpec extends SparkSpec {
         if side == "source" || replicaReady.get()) {
       val r = GraftSink.fsck(spark, d, deep = true)
       assert(r.deepVerified, s"$side deep fsck after the soak: $r")
+    }
+    // TX-ROOT INTEGRITY AT QUIESCE (round 13): bring the replica
+    // current (a quiesce sync, skipped when promoted — it would be
+    // fenced, which seed 3 asserts below), then every committed tx
+    // manifest on EITHER root must resolve to members whose every
+    // byte re-hashes against its sidecar — deepVerified, the strong
+    // claim, on source AND replica
+    {
+      val tx = graft.operators.Transaction
+      if (!txPromoted.get() &&
+          tx.committedTxs(spark, txSrc).nonEmpty &&
+          tx.committedTxs(spark, txRep).nonEmpty)
+        tx.syncTo(spark, txSrc, txRep)
+      for ((side, root) <- Seq("tx source" -> txSrc, "tx replica" -> txRep)
+          if tx.committedTxs(spark, root).nonEmpty) {
+        val r = tx.fsck(spark, root, deep = true)
+        assert(r.deepVerified, s"$side deep fsck after the soak: $r")
+      }
+      // seed 3 tx failover invariants: the promotion held under load
+      if (seed == 3 && txPromoted.get() &&
+          tx.committedTxs(spark, txRep).nonEmpty) {
+        assert(tx.isPromoted(spark, txRep))
+        // the post-failover local transaction is the replica's head
+        val last = tx.committedTxs(spark, txRep).last
+        assert(tx.read(spark, txRep, "facts", Some(last))
+          .select("tx").as[Long].head() == 99L,
+          "post-failover local tx lost from the promoted tx root")
+        // a resurrected old source stays fenced off at quiesce too
+        val fencedE = intercept[Exception] {
+          tx.syncTo(spark, txSrc, txRep)
+        }
+        assert(fencedE.getMessage.contains("PROMOTED"),
+          s"quiesce tx sync must refuse, naming the promoted state: " +
+            s"${fencedE.getMessage}")
+      }
     }
     // seed 3 failover invariants: the promotion held under load
     if (seed == 3 && replicaReady.get() && promoted.get()) {

@@ -223,6 +223,222 @@ class TransactionSpec extends SparkSpec {
     assert(Transaction.syncTo(spark, src, dst) == 0)
   }
 
+  // ---- content integrity (round 13): sidecars, verified sync ------
+
+  private def flipByte(path: org.apache.hadoop.fs.Path): Unit = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(path).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(path)
+    try in.readFully(buf) finally in.close()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(path, true)
+    try out.write(buf) finally out.close()
+    assert(fs.getFileStatus(path).getLen == len,
+      "the corruption must keep the recorded size")
+  }
+
+  private def fsOf(root: String) = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def firstDataFile(root: String, table: String,
+      v: Long): Path = {
+    val dir = new Path(root, s"$table/t$v")
+    val fs = fsOf(root)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .minBy(_.getName.toString)
+  }
+
+  test("syncTo verifies every copied byte against the _checksums " +
+      "sidecar: a flipped source byte REFUSES loudly instead of " +
+      "propagating; the replica never commits the torn tx") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map(
+      "a" -> (1 to 50).map(i => (i, s"v$i")).toDF("k", "v"),
+      "b" -> Seq((1, 10)).toDF("k", "n")))
+    // same-size corruption in a data file AFTER publish recorded its
+    // checksum — exactly what bit rot / a wrong-region restore does
+    flipByte(firstDataFile(src, "a", 0L))
+    val e = intercept[Exception] {
+      Transaction.syncTo(spark, src, dst)
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("refusing to propagate corruption") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("refusing to propagate corruption")),
+      s"sync must refuse naming the corruption, got: $e")
+    // the commit point never ran: the replica holds NO committed tx
+    assert(Transaction.committedTxs(spark, dst).isEmpty,
+      "a refused sync must not commit a manifest")
+  }
+
+  test("legacy sidecar-less version dirs sync UNVERIFIED with a loud " +
+      "count, never silently as verified; a re-published table " +
+      "regains full verification") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, "x")).toDF("k", "v")))
+    // simulate a legacy publish: drop the sidecar
+    val fs = fsOf(src)
+    fs.delete(new Path(src, "a/t0/_checksums"), false)
+    assert(Transaction.syncTo(spark, src, dst) == 1)
+    assert(Transaction.lastSyncUnverified > 0,
+      "sidecar-less files must be counted unverified, loudly")
+    assert(Transaction.read(spark, dst, "a")
+      .as[(Int, String)].head() == ((1, "x")))
+    // the next (sidecar-bearing) tx syncs fully verified again
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((2, "y")).toDF("k", "v")))
+    assert(Transaction.syncTo(spark, src, dst) == 1)
+    assert(Transaction.lastSyncUnverified == 0)
+  }
+
+  // ---- failover: promote + fencing (round 13) ----------------------
+
+  test("failover sequence: promote -> local tx OK -> old-source " +
+      "syncTo refused naming the promotion -> force re-subjugates, " +
+      "discarding the divergent local history") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 0L)).toDF("k", "tx")))
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 1L)).toDF("k", "tx")))
+    Transaction.syncTo(spark, src, dst)
+    Transaction.promote(spark, dst)
+    // promoting twice errors
+    val twice = intercept[Exception] { Transaction.promote(spark, dst) }
+    assert(twice.getMessage.contains("already promoted"))
+    // post-failover LOCAL transaction at the promoted root
+    val localTx = Transaction.publish(spark, dst, Map(
+      "a" -> Seq((1, 99L)).toDF("k", "tx")))
+    assert(localTx == 2L, "local txIds continue above synced history")
+    assert(Transaction.read(spark, dst, "a")
+      .collect().head.getLong(1) == 99L)
+    // the resurrected old source keeps publishing, then tries to sync
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 2L)).toDF("k", "tx")))
+    val fenced = intercept[Exception] {
+      Transaction.syncTo(spark, src, dst)
+    }
+    assert(fenced.getMessage.contains("PROMOTED"),
+      s"old-source sync must refuse naming the promotion: $fenced")
+    // the local commit survived the refused sync
+    assert(Transaction.read(spark, dst, "a")
+      .collect().head.getLong(1) == 99L)
+    // force = the explicit discard-and-resubjugate escape: the fence
+    // clears, the divergent local tx leaves the commit set, and the
+    // replica follows the source again — byte-verified
+    assert(Transaction.syncTo(spark, src, dst, force = true) >= 1)
+    assert(!Transaction.isPromoted(spark, dst))
+    assert(Transaction.committedTxs(spark, dst).max == 2L)
+    assert(Transaction.read(spark, dst, "a")
+      .collect().head.getLong(1) == 2L,
+      "after force the replica must serve the SOURCE's tx2, not the " +
+        "discarded local one")
+    // ...and normal syncs work again
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 3L)).toDF("k", "tx")))
+    assert(Transaction.syncTo(spark, src, dst) == 1)
+  }
+
+  test("commit-time conviction: a sync paused between its last fence " +
+      "check and its manifest rename for the WHOLE promotion retracts " +
+      "its own commit, burns the vacated txId with a floor marker, " +
+      "and fails naming the promotion — never a silent ack") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map("a" -> Seq((1, 0L)).toDF("k", "tx")))
+    Transaction.syncTo(spark, src, dst)
+    Transaction.publish(spark, src, Map("a" -> Seq((1, 1L)).toDF("k", "tx")))
+    val atBarrier = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    Transaction.syncBarrier = () => { atBarrier.countDown(); release.await() }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try { Transaction.syncTo(spark, src, dst); () }
+      catch { case e: Throwable => failure.set(e) }
+    }, "tx-convict-sync")
+    t.start()
+    try {
+      assert(atBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // the WHOLE promotion completes inside the straggler's window
+      Transaction.promote(spark, dst)
+    } finally {
+      release.countDown()
+      Transaction.syncBarrier = () => ()
+      t.join(60000)
+    }
+    val e = failure.get()
+    assert(e != null && e.getMessage.contains("PROMOTED") &&
+      e.getMessage.contains("retracted"),
+      s"the straggler must convict itself naming the promotion: $e")
+    // its commit was retracted: the replica still serves tx0
+    assert(Transaction.committedTxs(spark, dst) == Seq(0L))
+    assert(Transaction.read(spark, dst, "a")
+      .collect().head.getLong(1) == 0L)
+    // the vacated id is BURNED: the next local publish at the
+    // promoted root claims a fresh number, so no reader that resolved
+    // the retracted tx1 in the race window can conflate it with
+    // different later content at the same id
+    val next = Transaction.publish(spark, dst, Map(
+      "a" -> Seq((1, 50L)).toDF("k", "tx")))
+    assert(next == 2L,
+      s"txId 1 was vacated by the conviction and must never be " +
+        s"re-minted, got $next")
+  }
+
+  // ---- tx-root fsck (round 13) --------------------------------------
+
+  test("fsck walks committed members: healthy root deep-verifies; " +
+      "orphans and stale staging tally as GC debris, not damage; a " +
+      "vanished member dir and a same-size byte flip are named") {
+    val root = freshRoot()
+    Transaction.publish(spark, root, Map(
+      "a" -> (1 to 40).map(i => (i, s"v$i")).toDF("k", "v"),
+      "b" -> Seq((1, 10)).toDF("k", "n")))
+    Transaction.publish(spark, root, Map(
+      "a" -> (1 to 40).map(i => (i, s"w$i")).toDF("k", "v")))
+    val healthy = Transaction.fsck(spark, root, deep = true)
+    assert(healthy.deepVerified && healthy.txsChecked == 2 &&
+      healthy.membersChecked == 3 && healthy.filesChecked > 0,
+      s"healthy root must deep-verify: $healthy")
+    // GC debris: an uncommitted version dir + a stale staging dir —
+    // clean, tallied
+    val fs = fsOf(root)
+    fs.mkdirs(new Path(root, "a/t99"))
+    fs.mkdirs(new Path(root, "__staging_deadbeef"))
+    val debris = Transaction.fsck(spark, root, deep = true)
+    assert(debris.deepVerified && debris.orphanVersionDirs == 1 &&
+      debris.staleStaging == 1, s"debris is not damage: $debris")
+    // same-size flip in a member referenced by committed history:
+    // shallow stays clean (it cannot see content), deep names it
+    val victim = firstDataFile(root, "a", 0L)
+    flipByte(victim)
+    val shallow = Transaction.fsck(spark, root)
+    assert(shallow.clean, s"shallow cannot see same-size damage: $shallow")
+    val deep = Transaction.fsck(spark, root, deep = true)
+    assert(!deep.clean && deep.checksumMismatches.size == 1 &&
+      deep.checksumMismatches.head.contains(victim.getName) &&
+      deep.unverifiedMembers == 0,
+      s"deep fsck must name exactly the flipped file: $deep")
+    // a vanished member dir is MISSING (damage), not an orphan
+    fs.delete(new Path(root, "b/t0"), true)
+    val gone = Transaction.fsck(spark, root)
+    assert(gone.missingMembers == Seq("b/t0"), s"$gone")
+    // a sidecar-less legacy member is DECLINED loudly, never verified
+    val root2 = freshRoot()
+    Transaction.publish(spark, root2, Map("a" -> Seq(1).toDF("k")))
+    fsOf(root2).delete(new Path(root2, "a/t0/_checksums"), false)
+    val legacy = Transaction.fsck(spark, root2, deep = true)
+    assert(legacy.clean && !legacy.deepVerified &&
+      legacy.unverifiedMembers == 1,
+      s"legacy members count unverified, loudly: $legacy")
+  }
+
   test("syncTo carries source REFS: the replica's vacuum keeps what " +
       "the source pins, re-points follow, unsynced pins are skipped") {
     val src = freshRoot()
