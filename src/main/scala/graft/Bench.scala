@@ -92,7 +92,14 @@ object Bench {
         // jaccard warms TWICE: its JIT tail spans ~3 executions
         // (measured 9.8 / 2.4 / 2.3 / 1.7 s in a fresh driver), so one
         // warm still leaves the first timed rep ~1.5x hot
-        "d_jaccard_capped", "d_jaccard_capped", "d_simhash_pairs"))
+        "d_jaccard_capped", "d_jaccard_capped", "d_simhash_pairs",
+        // r12 flagged d_minhash_capped 1.84->2.21 s raw on a contended
+        // driver run (locked plan, zero normalized flags): its banded
+        // candidate join is the same multi-stage codegen+JIT family as
+        // the diagnosed jaccard tail, so it joins the double-warm list
+        // (judge ask r12 #7) — the timed reps then measure the
+        // steady-state candidate join, the per-corpus cost at scale
+        "d_minhash_capped", "d_minhash_capped"))
     // (g_pagerank is deliberately NOT warmed: with 100+ other queries
     // between warm-up and its timed run, the codegen cache evicts its
     // 10 round plans anyway — measured identical either way — so the
@@ -191,7 +198,9 @@ object Bench {
         gateWaits: Int = 0,
         gateDrift: Double = -1.0,
         gateTimedOut: Boolean = false,
-        gateWallSec: Double = 0.0) {
+        gateWallSec: Double = 0.0,
+        abandoned: Boolean = false,
+        abandonedAfter: Int = 0) {
       val canaryMedian: Double =
         if (canary.isEmpty) 0.0 else canary.sorted.apply(canary.size / 2)
       val canaryAvailable: Boolean = canary.size >= 2 && canaryMedian > 0
@@ -202,7 +211,19 @@ object Bench {
       val contended: Boolean = !canaryAvailable || canaryDrift > 1.3
     }
 
-    def attempt(): AttemptResult = {
+    // MID-RUN RE-ARM (round 13, judge ask #6): the r12 driver run
+    // passed the pre-probe quiet gate and STILL shipped contended —
+    // the load arrived after the gate, and the canary data that
+    // proved it was only scored at the end of a fully-paid ~100 s
+    // pass. The canary samples are interleaved through the batch
+    // section anyway, so score them AS THEY LAND: when the mid-run
+    // drift already exceeds the bound and retries remain, ABANDON the
+    // attempt immediately (recorded in the artifact) instead of
+    // finishing a run whose numbers are already known untrustworthy.
+    // The final attempt never abandons — an annotated-contended
+    // artifact beats no artifact.
+    case class AbandonedRun(after: Int) extends RuntimeException
+    def attempt(canAbandon: Boolean): AttemptResult = {
       val failed = Seq.newBuilder[String]
       val spread = Seq.newBuilder[(String, (Double, Double, Double))]
       // Contention canary: a fixed trivial query (one lineitem scan +
@@ -291,11 +312,24 @@ object Bench {
       // swing 117-200 s across identical binaries under contention.
       // Each batch query runs REPS times back-to-back and reports the
       // MEDIAN; min/max go to the detail file as "spread".
-      val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      def midDrift(): Double = {
+        val t = canaryTimes.result()
+        if (t.size < 3 || t.exists(_ <= 0)) 0.0
+        else t.max / t.sorted.apply(t.size / 2)
+      }
+      val results = try SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .zipWithIndex
         .map { case ((name, fn), i) =>
-        if (i % 20 == 0) runCanary()
+        if (i % 20 == 0) {
+          runCanary()
+          val d = midDrift()
+          if (canAbandon && d > 1.3) {
+            System.err.println(f"[bench] mid-run canary drift $d%.3f " +
+              f"> 1.3 after $i queries — abandoning this attempt early")
+            throw AbandonedRun(i)
+          }
+        }
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count()
@@ -311,6 +345,11 @@ object Bench {
           spread += name -> (s.head, s(s.size / 2), s.last)
           name -> s(s.size / 2)
         }
+      } catch { case AbandonedRun(after) =>
+        return AttemptResult(Seq.empty, Seq.empty, Seq.empty, 0.0,
+          Seq.empty, canaryTimes.result(), canaryFailures, pJvm,
+          pShuffle, gateWaits, gateDrift, gateTimedOut, gateWall,
+          abandoned = true, abandonedAfter = after)
       }
       runCanary() // closing sample so late-section contention shows
       // The streaming family is timed once (single-shot, no reps) in
@@ -365,20 +404,27 @@ object Bench {
         pJvm, pShuffle, gateWaits, gateDrift, gateTimedOut, gateWall)
     }
 
-    var a = attempt()
     var attempts = 1
-    // quieter = usable canary with lower drift; no canary sorts last
+    var abandonedAttempts = 0
+    var a = attempt(canAbandon = attempts < maxAttempts)
+    // quieter = usable canary with lower drift; no canary sorts last;
+    // an abandoned attempt has no results and must never be kept
     def noise(x: AttemptResult): Double =
-      if (x.canaryAvailable) x.canaryDrift else Double.MaxValue
+      if (x.abandoned) Double.MaxValue
+      else if (x.canaryAvailable) x.canaryDrift else Double.MaxValue
     var best = a
+    if (a.abandoned) abandonedAttempts += 1
     while (a.contended && attempts < maxAttempts) {
       val backoff = math.min(120000L, 30000L << (attempts - 1))
-      System.err.println(s"[bench] attempt $attempts contended " +
+      System.err.println(s"[bench] attempt $attempts " +
+        (if (a.abandoned) s"ABANDONED mid-run after ${a.abandonedAfter} " +
+          "queries " else "contended ") +
         f"(drift ${a.canaryDrift}%.3f) — backing off ${backoff / 1000}%d s " +
         s"(${maxAttempts - attempts} retries left)")
       Thread.sleep(backoff)
-      a = attempt()
       attempts += 1
+      a = attempt(canAbandon = attempts < maxAttempts)
+      if (a.abandoned) abandonedAttempts += 1
       if (noise(a) < noise(best)) best = a
     }
     a = best
@@ -538,6 +584,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"cpus":$cpus,"host_cpus":$hostCpus,"nq":${sortedBatch.size},"reps":$reps,
          |"attempts":$attempts,"max_attempts":$maxAttempts,
+         |"abandoned_attempts":$abandonedAttempts,
          |"probe":$probeJson,
          |"quiet_gate":$gateJson,
          |"canary":$canaryJson,
@@ -593,7 +640,7 @@ object Bench {
       "g_triangles", "mm_decode_stats", "mm_patch_grid")
       .filter(resultsMap.contains)
     def line(kept: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"attempts":$attempts,"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"norm_flags":$normFlagged,"norm_confirmed":$normConfirmed,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"nq":${sortedBatch.size},"attempts":$attempts,"abandoned":$abandonedAttempts,"canary_median":${fmt(canaryMedian)},"canary_drift":${fmt(canaryDrift)},"contended":$contended,"norm_flags":$normFlagged,"norm_confirmed":$normConfirmed,"queries":${obj(kept.map(k => k -> resultsMap(k)))},"streaming_total":${fmt(streamTotal)},"failed":$failedJson,"detail":"$detailPath"}"""
     // hard budget: capture window 2000 minus sbt epilogue + newline slack
     var kept = headline
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

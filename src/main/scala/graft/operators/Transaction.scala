@@ -705,12 +705,43 @@ object Transaction {
     * dropped txIds. The reachability walk is the law that makes this
     * safe: a version dir carried forward by a NEWER kept manifest
     * survives even when the transaction that wrote it is dropped.
+    *
+    * Also sweeps CRASHED-WRITER DEBRIS beyond `graceMs` (the same
+    * aged-only contract the sink vacuum runs under — a YOUNG staging
+    * dir may belong to a publish/sync in flight right now): stale
+    * `__staging*` dirs at the root and under `_commits/`, and
+    * superseded floor markers (the max governs; lower ones are
+    * listing noise). Without this, every crashed publish leaks a
+    * whole staged table copy forever — [[fsck]] counts them, vacuum
+    * owns them.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      graceMs: Long = 3600000L): Seq[Long] = {
     require(keep >= 1, "vacuum: keep must be >= 1")
     val committed = committedTxs(spark, root)
     val refDir = refsDir(root)
     val fs = fsOf(spark, refDir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    // stale staging + superseded floors sweep EVEN when no tx expires
+    def sweepStaging(dir: Path): Unit = {
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith("__staging") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+    sweepStaging(new Path(root))
+    sweepStaging(commitsDir(root))
+    val cd = commitsDir(root)
+    if (fs.exists(cd)) {
+      val floors = fs.listStatus(cd).map(_.getPath.getName)
+        .filter(_.startsWith("__floor_tx"))
+        .map(_.stripPrefix("__floor_tx").toLong)
+      if (floors.nonEmpty)
+        floors.filter(_ < floors.max).foreach(v =>
+          fs.delete(new Path(cd, s"__floor_tx$v"), false))
+    }
     val pinned: Set[Long] =
       if (!fs.exists(refDir)) Set.empty
       else fs.listStatus(refDir).map(_.getPath.getName).toSeq

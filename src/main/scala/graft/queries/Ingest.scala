@@ -368,6 +368,57 @@ object Ingest {
       |FROM orders WHERE o_orderpriority <> '5-LOW'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** COLUMN STATISTICS under the oracle gate: orders seed a catalog
+    * graftsink table across several files, and the `.stats` metadata
+    * table — the same merged per-file NDV-sketch + null-count feed
+    * the scan reports to CBO (CboSpec proves the join reorder) — must
+    * equal DuckDB's `count(DISTINCT …)` EXACTLY for low-cardinality
+    * columns: their per-file sketches stay in the sparse-exact regime
+    * and sparse merges are set union, so the table-level number is
+    * not an estimate. The seed also requires `ndv_exact` to say so.
+    */
+  private val colstatsSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sinkColstats(spark: SparkSession, dir: String): DataFrame = {
+    colstatsSeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_colstats_seed").toString
+      spark.conf.set("spark.sql.catalog.graftcs",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftcs.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcs.wh")
+      Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .repartition(4) // several files -> a real sketch MERGE
+        .write.format("graftsink").mode("overwrite")
+        .save(s"$root/wh/orders")
+      val exact = spark.sql("SELECT `column`, ndv_exact FROM " +
+        "graftcs.wh.orders.stats WHERE `column` IN " +
+        "('o_orderstatus', 'o_orderpriority')").collect()
+      require(exact.length == 2 && exact.forall(_.getBoolean(1)),
+        s"low-cardinality columns must merge sparse-EXACT: " +
+          s"${exact.mkString(", ")}")
+      root
+    })
+    spark.sql("""SELECT `column` AS col_name, ndv, null_count
+      FROM graftcs.wh.orders.stats
+      WHERE `column` IN ('o_orderstatus', 'o_orderpriority')
+      ORDER BY col_name""")
+  }
+
+  private val sinkColstatsSql =
+    """SELECT 'o_orderpriority' AS col_name,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+      |  CAST(count(*) - count(o_orderpriority) AS BIGINT) AS null_count
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus',
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |  CAST(count(*) - count(o_orderstatus) AS BIGINT)
+      |FROM orders
+      |ORDER BY col_name""".stripMargin
+
   /** Zero-rewrite schema evolution under the gate: most orders land
     * under the BIRTH shape, then `ALTER TABLE RENAME COLUMN` +
     * `DROP COLUMN` evolve the table as pure manifest publishes (the
@@ -845,6 +896,7 @@ object Ingest {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
+    NamedQuery("q_sink_colstats", sinkColstats, Some(sinkColstatsSql)),
     NamedQuery("q_rename_evolution", renameEvolution,
       Some(renameEvolutionSql)),
     NamedQuery("q_dune_source", duneSource, Some(duneSourceSql)),

@@ -93,7 +93,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // bounds, what versions, all driver-side metadata)
         val kind = ident.name().toLowerCase
         if ((kind == "files" || kind == "history" || kind == "tags" ||
-          kind == "segments") &&
+          kind == "segments" || kind == "stats") &&
           ident.namespace().nonEmpty) {
           val parent = Identifier.of(ident.namespace().init,
             ident.namespace().last)
@@ -498,6 +498,18 @@ private class GraftMetaTable(kind: String, dir: String,
       StructField("rows", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("bounds", StringType, nullable = false)))
+    case "stats" => StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      // merged from the per-file NDV sketches (exact when every file
+      // stayed in the sparse-exact regime and the union fits it;
+      // ~13% HLL estimate otherwise); -1 = unknown (legacy files)
+      StructField("ndv", LongType, nullable = false),
+      StructField("ndv_exact", BooleanType, nullable = false),
+      StructField("null_count", LongType, nullable = false),
+      // interval-union bounds in the manifest's internal rendering
+      // (string bounds may be truncated/incremented prefixes)
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true)))
     case _ => StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("files", IntegerType, nullable = false),
@@ -534,6 +546,27 @@ private class GraftMetaTable(kind: String, dir: String,
                   m.inline.map(_.rows).filter(_ >= 0).sum,
                   m.inline.map(_.bytes).filter(_ >= 0).sum,
                   UTF8String.fromString(""))): InternalRow))
+            }.toArray
+          case "stats" =>
+            // the CBO feed made visible: per column, the table-level
+            // NDV/null-count merge the scan reports, plus the
+            // interval-union bounds — all driver-side metadata
+            GraftSink.latestManifest(spark, dir).toSeq.flatMap { m =>
+              val files = m.files
+              val cols = StructType.fromDDL(m.schemaDdl).fieldNames.toSeq
+              val merged = GraftSink.mergedColumnStats(files, cols)
+              val union = GraftSink.ManifestFile("(union)", m.schemaDdl,
+                statsJson = GraftSink.unionStats(files))
+              cols.map { c =>
+                val (ndv, exact, nulls) =
+                  merged.getOrElse(c, (-1L, false, -1L))
+                val b = union.bounds.get(c)
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(c), ndv, exact, nulls,
+                  b.map(x => UTF8String.fromString(x._1.toString)).orNull,
+                  b.map(x => UTF8String.fromString(x._2.toString)).orNull))
+                  : InternalRow
+              }
             }.toArray
           case "files" =>
             GraftSink.latestManifest(spark, dir).toSeq
@@ -670,11 +703,18 @@ private class GraftFsckProcedure(catalog: GraftCatalog)
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("deep", BooleanType)
+      .defaultValue("false").build(),
+    // the scheduled-cadence form of a deep pass: re-hash only entries
+    // first referenced AFTER the persisted deep-verification
+    // watermark — O(new data); a FULL drill (since_verified => false)
+    // remains the catch-everything check
+    ProcedureParameter.in("since_verified", BooleanType)
       .defaultValue("false").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
     val deep = input.getBoolean(1)
-    val r = GraftSink.fsck(catalog.session, dir, deep)
+    val sinceVerified = input.getBoolean(2)
+    val r = GraftSink.fsck(catalog.session, dir, deep, sinceVerified)
     val detail = (r.missingFiles.take(3).map("missing: " + _) ++
       r.sizeMismatches.take(3) ++
       r.checksumMismatches.take(3) ++
@@ -699,12 +739,16 @@ private class GraftFsckProcedure(catalog: GraftCatalog)
           nullable = false),
         StructField("unreferenced_segments", IntegerType,
           nullable = false),
+        StructField("content_hashed", IntegerType, nullable = false),
+        StructField("skipped_verified", IntegerType, nullable = false),
+        StructField("verified_through", IntegerType, nullable = false),
         StructField("detail", StringType, nullable = false))),
       Seq[Any](r.clean, r.versionsChecked, r.filesChecked,
         r.missingFiles.size, r.sizeMismatches.size,
         r.checksumMismatches.size, r.unverifiedFiles,
         r.unreadableVersions.size, r.unreferencedDataFiles,
-        r.unreferencedSegments, detail))).iterator()
+        r.unreferencedSegments, r.contentHashed, r.skippedVerified,
+        r.verifiedThrough, detail))).iterator()
   }
 }
 

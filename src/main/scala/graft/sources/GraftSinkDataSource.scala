@@ -188,6 +188,23 @@ object GraftSink {
           else None
         }.toMap
       }
+
+    /** Per-column NDV sketch encodings (the statsJson 4th element);
+      * a missing entry means UNKNOWN (pre-round-13 manifest), never
+      * zero — plan-time merging then declines the whole column.
+      */
+    lazy val ndvSketches: Map[String, String] =
+      if (statsJson.isEmpty) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(statsJson)
+        node.properties().asScala.flatMap { e =>
+          val arr = e.getValue
+          if (arr.size() >= 4) Some(e.getKey -> arr.get(3).asText)
+          else None
+        }.toMap
+      }
   }
 
   /** @param epoch the streaming epoch that committed this version
@@ -1116,6 +1133,18 @@ object GraftSink {
     */
   private[sources] def floorMarkerName(v: Int) = f"_floor-v$v%06d"
 
+  /** The on-disk floor a FRESH claim should respect, bounded by
+    * plausibility: legitimate markers never exceed headNext + 1
+    * (vacuum floors sit at a vacated-below-head name + 1 <= head;
+    * a retracted-head conviction floor is exactly old-head + 1 =
+    * headNext + 1 after the retraction). Anything higher is a
+    * corrupt/orphaned/crafted marker: ignored at claim time — the
+    * table must not renumber itself around vandalism — and defused
+    * post-link by [[zombieFloor]]'s provablyHead branch.
+    */
+  private def claimFloor(diskFloor: Int, headNext: Int): Int =
+    if (diskFloor <= headNext + 1) diskFloor else 0
+
   private[sources] def floorOnDisk(f: FileSystem, dir: String): Int = {
     val p = new Path(dir)
     try f.listStatus(p).map(_.getPath.getName)
@@ -1307,12 +1336,31 @@ object GraftSink {
     * story of stamped history.
     */
   private def commitTimeOf(spark: SparkSession, dir: String,
-      m: Manifest): Long =
-    m.committedAtMs.getOrElse(
+      m: Manifest): Long = {
+    val t = m.committedAtMs.getOrElse(
       try fs(spark, dir)
         .getFileStatus(new Path(dir, manifestName(m.version)))
         .getModificationTime
       catch { case _: java.io.FileNotFoundException => -1L })
+    // a STAMPED commit time is immutable — cache it so time-travel
+    // resolution (`versionAtTimestamp` walks versions newest-first)
+    // costs one manifest parse per version EVER, not per resolve.
+    // mtime fallbacks are NOT cached (a migration can rewrite them).
+    if (m.committedAtMs.isDefined) {
+      if (commitStampCache.size > 8192) commitStampCache.clear()
+      commitStampCache.put(s"$dir#${m.version}", t)
+    }
+    t
+  }
+
+  /** (dir, version) → the manifest's own commit stamp; populated by
+    * [[commitTimeOf]]. Safe because a COMPLETE manifest's stamp never
+    * changes and vacated version names are never re-minted (the floor
+    * discipline), so a cached entry can only describe the manifest
+    * that was read.
+    */
+  private val commitStampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Newest COMPLETE version committed at or before `tsMs` (the
     * manifest's own commit stamp; FS mtime only for legacy,
@@ -1322,12 +1370,13 @@ object GraftSink {
   def versionAtTimestamp(spark: SparkSession, dir: String,
       tsMs: Long): Option[Int] = {
     fsVersionsDesc(spark, dir).find { v =>
-      (try manifestAt(spark, dir, Some(v))
-      catch { case _: Throwable => None })
-        .exists { m =>
-          val t = commitTimeOf(spark, dir, m)
-          t >= 0 && t <= tsMs
-        }
+      val cached = commitStampCache.get(s"$dir#$v")
+      val t =
+        if (cached != null) cached.longValue()
+        else (try manifestAt(spark, dir, Some(v))
+        catch { case _: Throwable => None })
+          .map(m => commitTimeOf(spark, dir, m)).getOrElse(-1L)
+      t >= 0 && t <= tsMs
     }
   }
 
@@ -1510,6 +1559,14 @@ object GraftSink {
       committedAtMs: Option[Long] = None): Int = {
     var attempt = 0
     var floor = 0
+    // claims must start ABOVE any PLAUSIBLY-burned number: vacuum
+    // floors convict zombies post-link, but a RETRACTED HEAD's number
+    // (cloneSync's commit-time conviction) has nothing above it, so
+    // the provablyHead defense would let a re-mint stand — skipping
+    // burned names at claim time closes that recycle. Read once per
+    // op; claimFloor() ignores implausible (corrupt/crafted) markers,
+    // keeping the bogus-marker immunity the provablyHead branch pins.
+    val diskFloor = floorOnDisk(fs(spark, dir), dir)
     while (true) {
       val latest = latestManifest(spark, dir)
       // streaming exactly-once: a recovery-replayed epoch finds its id
@@ -1583,7 +1640,9 @@ object GraftSink {
       // file). Deriving the number from the carried manifest makes a
       // missed commit a guaranteed COLLISION, which the retry re-reads.
       // `latest` (not `prev`): a truncate still stacks on the head.
-      val version = math.max(latest.map(_.version + 1).getOrElse(0), floor)
+      val headNext = latest.map(_.version + 1).getOrElse(0)
+      val version = math.max(headNext,
+        math.max(floor, claimFloor(diskFloor, headNext)))
       try {
         writeManifest(conf, dir, version, tableDdl,
           refs, inline, epoch, epochWriter, committedAtMs)
@@ -1681,6 +1740,14 @@ object GraftSink {
       change: Manifest => (String, Option[Seq[ManifestFile]])): Int = {
     var attempt = 0
     var floor = 0
+    // claims must start ABOVE any PLAUSIBLY-burned number: vacuum
+    // floors convict zombies post-link, but a RETRACTED HEAD's number
+    // (cloneSync's commit-time conviction) has nothing above it, so
+    // the provablyHead defense would let a re-mint stand — skipping
+    // burned names at claim time closes that recycle. Read once per
+    // op; claimFloor() ignores implausible (corrupt/crafted) markers,
+    // keeping the bogus-marker immunity the provablyHead branch pins.
+    val diskFloor = floorOnDisk(fs(spark, dir), dir)
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(
         sys.error(s"graftsink: no committed manifest at $dir"))
@@ -1689,7 +1756,8 @@ object GraftSink {
         case None => (head.refs, head.inline)
         case Some(files) => freshEntries(conf, dir, files)
       }
-      val version = math.max(head.version + 1, floor)
+      val version = math.max(head.version + 1,
+        math.max(floor, claimFloor(diskFloor, head.version + 1)))
       try {
         writeManifest(conf, dir, version, ddl, refs, inline, None, None,
           None)
@@ -1910,6 +1978,14 @@ object GraftSink {
     maintenanceBarrier()
     var attempt = 0
     var floor = 0
+    // claims must start ABOVE any PLAUSIBLY-burned number: vacuum
+    // floors convict zombies post-link, but a RETRACTED HEAD's number
+    // (cloneSync's commit-time conviction) has nothing above it, so
+    // the provablyHead defense would let a re-mint stand — skipping
+    // burned names at claim time closes that recycle. Read once per
+    // op; claimFloor() ignores implausible (corrupt/crafted) markers,
+    // keeping the bogus-marker immunity the provablyHead branch pins.
+    val diskFloor = floorOnDisk(fs(spark, dir), dir)
     while (true) {
       // re-read on every attempt: a concurrent append between reads
       // must keep its files in the surviving manifest (the publish
@@ -1940,7 +2016,8 @@ object GraftSink {
         compacted, mergedEntries)
       val filesAfter = head.files.size - compacted.size +
         mergedEntries.size
-      val version = math.max(head.version + 1, floor)
+      val version = math.max(head.version + 1,
+        math.max(floor, claimFloor(diskFloor, head.version + 1)))
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
           None, None, None)
@@ -1967,7 +2044,7 @@ object GraftSink {
     * manifest's internal-string form; a column missing stats in ANY
     * member is dropped (its merged interval would be a lie).
     */
-  private def unionStats(group: Seq[ManifestFile]): String = {
+  private[sources] def unionStats(group: Seq[ManifestFile]): String = {
     val all = group.map(_.bounds)
     val shared = all.map(_.keySet).reduce(_ intersect _)
     if (shared.isEmpty) return ""
@@ -2005,9 +2082,49 @@ object GraftSink {
         if (nulls.forall(_.isDefined))
           s",${graft.Json.quote(nulls.flatten.sum.toString)}"
         else ""
+      // NDV sketches union losslessly (sparse = exact set union,
+      // dense = register max), so a compacted file / a segment ref
+      // carries the same table-level NDV its members did; omitted
+      // (unknown) when any member lacks one — same rule as bounds
+      val ndvTail =
+        if (tail.isEmpty) "" // the 4th element requires the 3rd
+        else Ndv.mergeEncoded(group.map(_.ndvSketches.getOrElse(c, "")))
+          .fold("")(e => s",${graft.Json.quote(e)}")
       s"${graft.Json.quote(c)}:[${graft.Json.quote(los.toString)}," +
-        s"${graft.Json.quote(his.toString)}$tail]"
+        s"${graft.Json.quote(his.toString)}$tail$ndvTail]"
     }.mkString("{", ",", "}")
+  }
+
+  /** Table-level (ndv, exact?, nullCount) per column, merged from the
+    * per-file sketches of `files` — the statistics the scan reports
+    * to CBO and the `.stats` metadata table serves. Declines a column
+    * (absent from the result) rather than guess when any stat-bearing
+    * file carries a pre-NDV entry for it; a stat-bearing file with NO
+    * entry for the column holds zero non-null values of it (the
+    * statsJson invariant) and contributes 0 distinct / all-null.
+    * Empty when any file predates statistics entirely.
+    */
+  private[sources] def mergedColumnStats(files: Seq[ManifestFile],
+      cols: Seq[String]): Map[String, (Long, Boolean, Long)] = {
+    if (files.isEmpty || files.exists(f =>
+        f.statsJson.isEmpty || f.rows < 0)) return Map.empty
+    cols.flatMap { c =>
+      val withEntry = files.filter(f =>
+        f.nullCounts.contains(c) || f.bounds.contains(c) ||
+          f.ndvSketches.contains(c))
+      if (withEntry.exists(f => !f.ndvSketches.contains(c) ||
+          !f.nullCounts.contains(c))) None // pre-NDV entry: unknown
+      else {
+        val est =
+          if (withEntry.isEmpty) Some((0L, true))
+          else Ndv.mergeEstimate(withEntry.map(_.ndvSketches(c)))
+        est.map { case (ndv, exact) =>
+          val nulls = files.map(f =>
+            f.nullCounts.getOrElse(c, f.rows)).sum
+          c -> ((ndv, exact, nulls))
+        }
+      }
+    }.toMap
   }
 
   final case class ClusterStats(filesBefore: Int, filesAfter: Int,
@@ -2134,6 +2251,14 @@ object GraftSink {
     maintenanceBarrier()
     var attempt = 0
     var floor = 0
+    // claims must start ABOVE any PLAUSIBLY-burned number: vacuum
+    // floors convict zombies post-link, but a RETRACTED HEAD's number
+    // (cloneSync's commit-time conviction) has nothing above it, so
+    // the provablyHead defense would let a re-mint stand — skipping
+    // burned names at claim time closes that recycle. Read once per
+    // op; claimFloor() ignores implausible (corrupt/crafted) markers,
+    // keeping the bogus-marker immunity the provablyHead branch pins.
+    val diskFloor = floorOnDisk(fs(spark, dir), dir)
     while (true) {
       val head = latestManifest(spark, dir).getOrElse(m)
       // same rewrite-conflict gate as compact(): a replaced source
@@ -2157,7 +2282,8 @@ object GraftSink {
       val (refs, inline, _) = composeSegments(conf, dir, Some(head),
         replaced, moved)
       val filesAfter = head.files.size - replaced.size + moved.size
-      val version = math.max(head.version + 1, floor)
+      val version = math.max(head.version + 1,
+        math.max(floor, claimFloor(diskFloor, head.version + 1)))
       try {
         writeManifest(conf, dir, version, head.schemaDdl, refs, inline,
           None, None, None)
@@ -2200,9 +2326,19 @@ object GraftSink {
       spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var floor = 0
+    // claims must start ABOVE any PLAUSIBLY-burned number: vacuum
+    // floors convict zombies post-link, but a RETRACTED HEAD's number
+    // (cloneSync's commit-time conviction) has nothing above it, so
+    // the provablyHead defense would let a re-mint stand — skipping
+    // burned names at claim time closes that recycle. Read once per
+    // op; claimFloor() ignores implausible (corrupt/crafted) markers,
+    // keeping the bogus-marker immunity the provablyHead branch pins.
+    val diskFloor = floorOnDisk(fs(spark, dir), dir)
     while (true) {
-      val next = math.max(latestManifest(spark, dir)
-        .map(_.version + 1).getOrElse(0), floor)
+      val headNext = latestManifest(spark, dir)
+        .map(_.version + 1).getOrElse(0)
+      val next = math.max(headNext,
+        math.max(floor, claimFloor(diskFloor, headNext)))
       try {
         // restore is O(manifest list): the pinned version's segments
         // carry by reference, nothing is re-listed file by file
@@ -2298,16 +2434,30 @@ object GraftSink {
         "replication-owned — only a replica can be promoted" +
         (if (isPromoted(spark, dir)) " (already promoted)" else ""))
     val f = fs(spark, dir)
-    // the fence, exclusive-create: two racing promotes get one winner
+    // the fence, exclusive-create: two racing promotes get one winner.
+    // RE-RUNNABLE AFTER PARTIAL FAILURE: a marker that already exists
+    // while the head is still replication-stamped (the entry check
+    // above passed) is a promotion that fenced but never landed its
+    // commit — a crash, or the commit exhausting its retries against
+    // a sync storm. Erroring "already promoted" here would WEDGE the
+    // table (fenced, so every sync refuses; un-promotable, so no local
+    // owner) with the error's own advice — quiesce and re-run —
+    // impossible to follow. Instead the re-run RESUMES the promotion
+    // commit; a racing pair of promotes both resuming is idempotent
+    // (two locally-owned stamps stack, both harmless).
     val marker = new Path(promotedMarker(dir))
-    val out =
-      try f.create(marker, false)
-      catch { case _: java.io.IOException =>
-        sys.error(s"graftsink: $dir is already promoted")
-      }
-    try out.write((s"promotedAtMs=${System.currentTimeMillis()}\n" +
-      s"fromVersion=${head.version}\n").getBytes("UTF-8"))
-    finally out.close()
+    val created =
+      try {
+        val out = f.create(marker, false)
+        try out.write((s"promotedAtMs=${System.currentTimeMillis()}\n" +
+          s"fromVersion=${head.version}\n").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!created)
+      System.err.println(s"graftsink: $dir is already fenced but its " +
+        "head is still replication-owned — resuming the interrupted " +
+        "promotion commit")
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // promotion commit: same files, locally-owned stamp. Retry until
@@ -2360,10 +2510,18 @@ object GraftSink {
     val df = to.getFileSystem(conf)
     val h = newXxh64()
     df.mkdirs(to.getParent)
-    val tmp = new Path(to.getParent, s".${to.getName}.inflight")
+    // staging name UNIQUE PER ATTEMPT: a speculative or retried
+    // attempt of the same file must never truncate another attempt's
+    // in-progress tmp out from under its verification (a shared tmp
+    // with overwrite=true let attempt B's create zero attempt A's
+    // bytes while A's hash — folded over what A READ, not what landed
+    // — still passed, publishing an interleaved file under the final
+    // name). Loser tmps are `.`-hidden and aged out by vacuum's sweep.
+    val tmp = new Path(to.getParent, s".${to.getName}.inflight-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val in = sf.open(from)
     try {
-      val out = df.create(tmp, true)
+      val out = df.create(tmp, false)
       try {
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
@@ -2591,8 +2749,20 @@ object GraftSink {
           (try manifestAt(spark, dst, Some(published))
             .exists(_.epochWriter.contains(ReplicaWriter))
           catch { case scala.util.control.NonFatal(_) => false })
-      if (stillHead)
+      if (stillHead) {
+        // burn the vacated number BEFORE vacating it (the vacuum
+        // floor-marker discipline): deleting this manifest lets the
+        // next local commit at the promoted table re-mint `published`
+        // for different content, and a reader or version-keyed cache
+        // that resolved the retracted head in the race window would
+        // conflate the two. With the marker durable first, every
+        // commit loop claims above it (floors are folded into the
+        // initial claim), so the name stays dead.
+        try f.create(new Path(dst, floorMarkerName(published + 1)), false)
+          .close()
+        catch { case _: java.io.IOException => () } // raced: theirs is fine
         f.delete(new Path(dst, manifestName(published)), false)
+      }
       sys.error(s"graftsink: replica $dst was PROMOTED while this " +
         s"sync was in flight — the sync's head v$published was " +
         (if (stillHead) "retracted" else
@@ -2807,8 +2977,18 @@ object GraftSink {
     def aged(p: Path): Boolean =
       try f.getFileStatus(p).getModificationTime < cutoff
       catch { case _: java.io.FileNotFoundException => false }
-    val complete = fsVersionsDesc(spark, dir)
-      .filter(v => manifestIsComplete(spark, dir, v))
+    // ONE manifest read per listed version (ADVICE r12: the old
+    // inWindow re-read a FULL manifest per beyond-retention candidate
+    // on every vacuum — O(versions) extra parses on long histories):
+    // resolve each version once into `resolved`; completeness, the
+    // retention-window stamp, and the live-file walk all consult it.
+    // Memory is the same envelope the live walk already materialized.
+    val listed = fsVersionsDesc(spark, dir)
+    val resolved: Map[Int, Manifest] = listed.flatMap { v =>
+      (try manifestAt(spark, dir, Some(v))
+      catch { case _: Throwable => None }).map(v -> _)
+    }.toMap
+    val complete = listed.filter(resolved.contains)
     // tagged versions are GC-EXEMPT: a tag is a promise that the
     // snapshot stays reproducible — its manifest survives expiry and
     // its files count as referenced
@@ -2823,18 +3003,15 @@ object GraftSink {
       if (retainMs < 0) Long.MaxValue
       else System.currentTimeMillis() - retainMs
     def inWindow(v: Int): Boolean = retainMs >= 0 &&
-      (try manifestAt(spark, dir, Some(v))
-        .exists(m => commitTimeOf(spark, dir, m) >= retainCutoff)
-      catch { case _: Throwable => false })
+      resolved.get(v).exists(m => commitTimeOf(spark, dir, m) >= retainCutoff)
     val (liveByCount, beyond) = complete.splitAt(keepVersions)
     val live = liveByCount ++ beyond.filter(v => pinned(v) || inWindow(v))
     val expired = beyond.filterNot(v => pinned(v) || inWindow(v))
     // a "torn" manifest older than the grace window is a crashed
     // publish; a YOUNG one may be a rename racing this very listing
-    val torn = fsVersionsDesc(spark, dir).filterNot(complete.contains)
+    val torn = listed.filterNot(complete.contains)
       .filter(v => aged(new Path(dir, manifestName(v))))
-    val liveManifests = live.flatMap(v =>
-      manifestAt(spark, dir, Some(v)).toSeq)
+    val liveManifests = live.flatMap(resolved.get)
     val keepFiles = liveManifests.flatMap(_.files.map(_.name)).toSet
     // segments any surviving manifest references stay; the rest —
     // expired history's exclusive segments, collision-loser orphans —
@@ -2939,6 +3116,20 @@ object GraftSink {
     *              that could not verify everything reports it here,
     *              and [[deepVerified]] is false.
     */
+  /** @param contentHashed deep only: entries whose content this run
+    *              actually re-hashed (the incremental pass's work
+    *              list; a full pass hashes every checksummed entry).
+    * @param skippedVerified deep + `sinceVerified` only: entries
+    *              skipped because the persisted verification
+    *              watermark already covers them (first referenced by
+    *              a manifest ≤ the deep-verified-through version) —
+    *              their bytes were re-hashed by an earlier deep pass
+    *              and are immutable since.
+    * @param verifiedThrough the watermark AFTER this run (−1 = none):
+    *              every file first referenced by a complete manifest
+    *              ≤ this version has been content-verified by the
+    *              chain of deep passes.
+    */
   final case class FsckReport(
       versionsChecked: Int,
       unreadableVersions: Seq[Int],
@@ -2949,7 +3140,10 @@ object GraftSink {
       unreferencedSegments: Int,
       deep: Boolean = false,
       checksumMismatches: Seq[String] = Nil,
-      unverifiedFiles: Int = 0) {
+      unverifiedFiles: Int = 0,
+      contentHashed: Int = 0,
+      skippedVerified: Int = 0,
+      verifiedThrough: Int = -1) {
     /** No corruption DETECTED. Unreferenced files are NOT corruption —
       * they are pre-vacuum leftovers (expired history, collision
       * losers, not-yet-published commits) the vacuum lifecycle owns.
@@ -2997,15 +3191,33 @@ object GraftSink {
     * cannot be content-verified and are counted in
     * [[FsckReport.unverifiedFiles]] instead of silently passing.
     */
-  def fsck(spark: SparkSession, dir: String,
-      deep: Boolean = false): FsckReport = {
+  def fsck(spark: SparkSession, dir: String, deep: Boolean = false,
+      sinceVerified: Boolean = false): FsckReport = {
     val f = fs(spark, dir)
     val complete = fsVersionsDesc(spark, dir)
       .filter(v => manifestIsComplete(spark, dir, v))
+    // INCREMENTAL DEEP VERIFICATION (`sinceVerified`): a full deep
+    // pass is a whole-table read — right for a DR drill, unaffordable
+    // as cadence (SCALE.md prices it in fabric-hours at 100 TB). The
+    // persisted watermark ("deep-verified through version k", written
+    // by any deep pass that ends [[FsckReport.deepVerified]]) makes a
+    // SCHEDULED deep pass O(new data): files and segments first
+    // referenced by a complete manifest ≤ k were content-verified by
+    // an earlier pass and are IMMUTABLE-once-committed, so only
+    // entries newer than k re-hash. The chain is inductive — each
+    // clean incremental pass advances k to the head it walked.
+    // Deliberate residual (the same one st_resume accepts for
+    // ingest): bit rot landing in an already-verified file is invisible
+    // to incremental passes and caught by the next FULL drill.
+    val watermark: Int =
+      if (deep && sinceVerified) deepVerifiedThrough(spark, dir)
+      else -1
     val referenced = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, String)]
     val liveSegs = scala.collection.mutable.LinkedHashMap
       .empty[String, String] // name -> recorded checksum ("" legacy)
+    val coveredFiles = scala.collection.mutable.Set.empty[String]
+    val coveredSegs = scala.collection.mutable.Set.empty[String]
     val unreadable = Seq.newBuilder[Int]
     complete.foreach { v =>
       // complete-then-vanished (a racing vacuum expired it between
@@ -3015,32 +3227,39 @@ object GraftSink {
       try manifestAt(spark, dir, Some(v)).foreach { m =>
         // a checksummed ref wins over a legacy "" ref to the SAME
         // immutable segment (older manifests may predate recording)
-        m.refs.foreach(r =>
+        m.refs.foreach { r =>
           if (r.checksum.nonEmpty || !liveSegs.contains(r.name))
-            liveSegs(r.name) = r.checksum)
-        m.files.foreach(mf =>
+            liveSegs(r.name) = r.checksum
+          if (v <= watermark) coveredSegs += r.name
+        }
+        m.files.foreach { mf =>
           if (!referenced.contains(mf.name))
-            referenced(mf.name) = (mf.bytes, mf.checksum))
+            referenced(mf.name) = (mf.bytes, mf.checksum)
+          if (v <= watermark) coveredFiles += mf.name
+        }
       } catch { case scala.util.control.NonFatal(_) => unreadable += v }
     }
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // one cluster-fanned pass over DATA files and (deep only)
     // SEGMENT files: existence + size always; content re-hash when
-    // deep and a checksum is recorded. Segment refs carry no file
+    // deep, a checksum is recorded, and the verification watermark
+    // does not already cover the entry. Segment refs carry no file
     // size (their `bytes` sums member DATA bytes), so segments get
     // existence + content only — and a corrupt segment is worse than
     // a corrupt data file: its stats drive file skipping, so the
     // damage is silently wrong ANSWERS, not a read error.
-    val entries: Seq[(String, String, Long, String)] = // kind, name, bytes, sum
-      referenced.toSeq.map { case (n, (b, s)) => ("data", n, b, s) } ++
+    val entries: Seq[(String, String, Long, String, Boolean)] =
+      // (kind, name, bytes, sum, hashContent)
+      referenced.toSeq.map { case (n, (b, s)) =>
+        ("data", n, b, s, deep && !coveredFiles(n)) } ++
         (if (deep) liveSegs.toSeq.map { case (n, s) =>
-          ("segment", n, -1L, s) } else Seq.empty)
+          ("segment", n, -1L, s, !coveredSegs(n)) } else Seq.empty)
     val bad: Seq[(String, String, String)] = // (name, kind, detail)
       if (entries.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(entries, copySlices(spark, entries.size))
-        .flatMap { case (kind, name, bytes, sum) =>
+        .flatMap { case (kind, name, bytes, sum, hashContent) =>
           val p = if (kind == "data") new Path(s"$dir/data/$name")
             else new Path(s"$dir/_segments/$name")
           try {
@@ -3048,7 +3267,7 @@ object GraftSink {
             val st = fsx.getFileStatus(p)
             if (bytes > 0 && st.getLen != bytes)
               Some((name, "size", s"size ${st.getLen} != manifest $bytes"))
-            else if (deep && sum.nonEmpty) {
+            else if (hashContent && sum.nonEmpty) {
               val actual = hashFileContent(fsx, p)
               if (actual != sum)
                 Some((name, "checksum",
@@ -3064,8 +3283,13 @@ object GraftSink {
     val missing = bad.collect { case (n, "missing", _) => n }
     val mismatch = bad.collect { case (n, "size", d) => s"$n ($d)" }
     val badSum = bad.collect { case (n, "checksum", d) => s"$n ($d)" }
+    // unverified = checksum-less entries IN THE WORK LIST: a
+    // watermark-covered entry was verified (a pass that declined
+    // anything never wrote the watermark), never silently passed
     val unverified =
-      if (deep) entries.count(e => e._4.isEmpty) else 0
+      if (deep) entries.count(e => e._5 && e._4.isEmpty) else 0
+    val hashed = entries.count(e => e._5 && e._4.nonEmpty)
+    val skipped = if (deep) entries.count(e => !e._5) else 0
     // orphan tallies STREAM the listing (listStatusIterator): the
     // driver holds one counter, never an O(table files) FileStatus
     // array — at the 10^6-10^7-entry decade scale the probe's driver
@@ -3082,8 +3306,56 @@ object GraftSink {
       n => !referenced.contains(n))
     val segOrphans = countStreamed(new Path(dir, "_segments"),
       n => !liveSegs.contains(n.stripSuffix(".bloom")))
-    FsckReport(complete.size, unreadable.result(), referenced.size,
-      missing, mismatch, orphans, segOrphans, deep, badSum, unverified)
+    val report = FsckReport(complete.size, unreadable.result(),
+      referenced.size, missing, mismatch, orphans, segOrphans, deep,
+      badSum, unverified, hashed, skipped)
+    // a deepVerified pass ADVANCES the watermark to the newest
+    // complete version it walked (full passes establish it,
+    // incremental passes extend it); anything short of deepVerified —
+    // damage found, entries declined unverified — leaves it untouched
+    val advanced =
+      if (report.deepVerified && complete.nonEmpty &&
+          complete.head > watermark) {
+        writeDeepVerifiedThrough(spark, dir, complete.head)
+        complete.head
+      } else math.max(watermark, deepVerifiedThrough(spark, dir))
+    report.copy(verifiedThrough = advanced)
+  }
+
+  /** The persisted deep-verification watermark: `_deep_verified`
+    * holds the version through which a chain of deepVerified passes
+    * has re-hashed every referenced byte (−1 = never). Written
+    * staged + rename; monotone (only [[fsck]] advances it).
+    */
+  private[sources] def deepVerifiedThrough(spark: SparkSession,
+      dir: String): Int = {
+    val p = new Path(dir, "_deep_verified")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) -1
+    else try {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").collectFirst {
+          case l if l.startsWith("version=") =>
+            l.stripPrefix("version=").trim.toInt
+        }.getOrElse(-1)
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+  }
+
+  private def writeDeepVerifiedThrough(spark: SparkSession, dir: String,
+      v: Int): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s"_staging/deep-verified-tmp-" +
+      java.util.UUID.randomUUID().toString.take(12))
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, true)
+    try out.write((s"version=$v\n" +
+      s"atMs=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, "_deep_verified")
+    f.delete(dst, false) // re-stamp: move the name
+    if (!f.rename(tmp, dst)) f.delete(tmp, false) // racing stamp: fine
   }
 
   private[sources] def checkSupported(schema: StructType): Unit =
@@ -3485,6 +3757,11 @@ private class GraftDataWriter(schema: StructType, path: String,
   // a metadata MAX answering NaN IS Spark's max over a NaN-bearing
   // column.
   private val statNaN = new Array[Boolean](schema.length)
+  // per-column NDV sketch (sparse-exact then 64-register HLL, see
+  // [[Ndv]]): folded per row like the bounds, emitted as the
+  // statsJson 4th element, merged at plan time into the DSv2
+  // column statistics CBO's join reorder consumes
+  private val statNdv = Array.fill(schema.length)(new NdvSketch)
   private def trackLong(i: Int, v: Long): Unit = {
     if (!statSeen(i)) { statLo(i) = v; statHi(i) = v; statSeen(i) = true }
     else { if (v < statLo(i)) statLo(i) = v
@@ -3516,10 +3793,15 @@ private class GraftDataWriter(schema: StructType, path: String,
     }
   }
   private def statsJson: String = {
-    def entry(i: Int, lo: String, hi: String) =
+    def entry(i: Int, lo: String, hi: String) = {
+      // 4th element: the NDV sketch (requires the 3rd — older readers
+      // index positionally and tolerate extra elements)
+      val ndv = if (statNdv(i).isEmpty) ""
+        else s",${graft.Json.quote(statNdv(i).encode)}"
       s"${graft.Json.quote(schema(i).name)}:" +
         s"[${graft.Json.quote(lo)},${graft.Json.quote(hi)}," +
-        s"${graft.Json.quote(statNulls(i).toString)}]"
+        s"${graft.Json.quote(statNulls(i).toString)}$ndv]"
+    }
     val parts = (0 until schema.length).flatMap { i =>
       // statNaN without statSeen = an all-NaN file: still emitted
       // (bounds [NaN,NaN]) so "no stats entry ⇒ zero non-null values"
@@ -3563,14 +3845,22 @@ private class GraftDataWriter(schema: StructType, path: String,
       if (row.isNullAt(i)) { statNulls(i) += 1L; sb.append("null") }
       else fld.dataType match {
         case LongType | TimestampType | TimestampNTZType =>
-          val v = row.getLong(i); trackLong(i, v); sb.append(v)
+          val v = row.getLong(i); trackLong(i, v)
+          statNdv(i).add(Ndv.mix64(v))
+          sb.append(v)
         case IntegerType | DateType =>
-          val v = row.getInt(i); trackLong(i, v.toLong); sb.append(v)
+          val v = row.getInt(i); trackLong(i, v.toLong)
+          statNdv(i).add(Ndv.mix64(v.toLong))
+          sb.append(v)
         case DoubleType =>
-          val v = row.getDouble(i); trackDouble(i, v); sb.append(v)
+          val v = row.getDouble(i); trackDouble(i, v)
+          statNdv(i).add(Ndv.mix64(java.lang.Double.doubleToLongBits(v)))
+          sb.append(v)
         case BooleanType => sb.append(row.getBoolean(i))
         case StringType =>
-          val v = row.getUTF8String(i).toString
+          val u = row.getUTF8String(i)
+          statNdv(i).add(Ndv.mix64(graft.expressions.Kernels.fnv1a64(u)))
+          val v = u.toString
           trackString(i, v)
           sb.append(graft.Json.quote(v))
         case dt => sys.error(s"graftsink: unsupported ${dt.sql}")
@@ -4112,6 +4402,37 @@ private class GraftSinkScan(fullSchema: StructType,
       .getOrElse(Seq.empty)
     val known = files.nonEmpty && files.forall(f =>
       f.rows >= 0L && f.bytes >= 0L)
+    // COLUMN statistics (NDV + null count, merged from the per-file
+    // sketches) feed Catalyst's CBO: with them a catalog graftsink
+    // table joins through stats-driven reorder and 1/ndv equality
+    // selectivity exactly like an ANALYZEd parquet table — no scan,
+    // no ANALYZE, O(files × 64 B) driver metadata. Computed ONLY when
+    // CBO is on: the default planner never reads them, so the default
+    // plan path pays nothing (and PLANS.lock shapes cannot move).
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!known ||
+          !SparkSession.active.sessionState.conf.cboEnabled)
+        java.util.Collections.emptyMap()
+      else {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        GraftSink.mergedColumnStats(files, scanSchema.fieldNames.toSeq)
+          .foreach { case (c, (ndv, _, nulls)) =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(math.max(1L, ndv))
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+              })
+          }
+        m
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         if (known) java.util.OptionalLong.of(files.map(_.bytes).sum)
@@ -4119,6 +4440,10 @@ private class GraftSinkScan(fullSchema: StructType,
       override def numRows(): java.util.OptionalLong =
         if (known) java.util.OptionalLong.of(files.map(_.rows).sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

@@ -74,4 +74,83 @@ class CboSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  /** The r12 gap: the spec above proves the reorder over parquet
+    * ANALYZE stats, but catalog graftsink tables reported only
+    * rows/bytes — a recurring 100 TB workload joined through the
+    * catalog lost the reorder. The manifest's per-file NDV sketches
+    * close it: the scan reports merged column statistics (distinct
+    * count + null count) with NO ANALYZE and NO scan, and CBO moves
+    * the selective dim join first.
+    */
+  private def leafOrderSink(plan: LogicalPlan): Seq[String] =
+    plan.collect { case l: LeafNode => l.toString }
+      .map { s =>
+        Seq("fact", "big", "small").find(n => s.contains(s"cbo.$n"))
+          .getOrElse("?")
+      }
+
+  private def bottomJoinSink(plan: LogicalPlan): Set[String] = {
+    val joins = plan.collect { case j: Join => j }
+    val bottom = joins.filter(j =>
+      j.children.forall(c => c.collect { case jj: Join => jj }.isEmpty))
+    bottom.flatMap(j => leafOrderSink(j)).toSet
+  }
+
+  test("graftsink manifest NDV sketches feed CBO: the selective dim " +
+      "join reorders first through the CATALOG, no ANALYZE, no scan") {
+    val confs = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled")
+    val prev = confs.map(k => k -> spark.conf.get(k))
+    val r = tmpDir("graft_cbo_sink")
+    spark.conf.set("spark.sql.catalog.gcbo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcbo.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcbo.cbo")
+    try {
+      (1 to 100000).map(i => (i.toLong % 20000, i.toLong % 200, i.toLong))
+        .toDF("bk", "sk", "payload").coalesce(4)
+        .write.format("graftsink").mode("overwrite").save(s"$r/cbo/fact")
+      (1 to 20000).map(i => (i.toLong, s"big$i"))
+        .toDF("bk", "bname").coalesce(4)
+        .write.format("graftsink").mode("overwrite").save(s"$r/cbo/big")
+      (1 to 200).map(i =>
+        (i.toLong, s"small$i", if (i == 7) "rare" else "common"))
+        .toDF("sk", "sname", "attr").coalesce(2)
+        .write.format("graftsink").mode("overwrite").save(s"$r/cbo/small")
+      def sql = spark.sql(
+        """SELECT f.payload, b.bname, s.sname
+          |FROM gcbo.cbo.fact f
+          |JOIN gcbo.cbo.big b ON f.bk = b.bk
+          |JOIN gcbo.cbo.small s ON f.sk = s.sk
+          |WHERE s.attr = 'rare'""".stripMargin)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val without = bottomJoinSink(sql.queryExecution.optimizedPlan)
+      assert(without == Set("fact", "big"),
+        s"text order expected without CBO, got $without; leaves=" +
+          sql.queryExecution.optimizedPlan.collect {
+            case l: LeafNode => l.toString.take(120) }.mkString(" | "))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = bottomJoinSink(sql.queryExecution.optimizedPlan)
+      assert(withCbo == Set("fact", "small"),
+        s"manifest NDV stats must move the filtered small dim " +
+          s"first, got $withCbo")
+      assert(sql.count() == 500L)
+      // the stats the planner consumed are VISIBLE: `.stats` serves
+      // the merged NDV / null counts as a metadata table, and the
+      // low-cardinality column merged sparse-EXACT
+      val st = spark.sql("SELECT column, ndv, ndv_exact, null_count " +
+        "FROM gcbo.cbo.small.stats ORDER BY column").collect()
+        .map(row => row.getString(0) ->
+          ((row.getLong(1), row.getBoolean(2), row.getLong(3)))).toMap
+      assert(st("attr") == ((2L, true, 0L)), s"$st")
+      assert(st("sk") == ((200L, false, 0L)) ||
+        (st("sk")._1 > 120L && st("sk")._1 < 280L), // HLL band
+        s"sk ndv must be a sane estimate: $st")
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.conf.unset("spark.sql.catalog.gcbo")
+    }
+  }
 }

@@ -465,6 +465,39 @@ class CloneSpec extends SparkSpec {
       "a failed clone must not leave a readable half-replica")
   }
 
+  test("promote() is re-runnable after a partial failure: a fence " +
+      "marker left by a crashed promotion (head still replication-" +
+      "owned) RESUMES the commit instead of wedging the table") {
+    val src = freshDir("resume_src")
+    val replica = freshDir("resume_rep")
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, replica)
+    // simulate the partial failure: the fence landed, the promotion
+    // commit never did (crash, or retries exhausted under a sync
+    // storm) — the state the r12 code wedged: every sync refuses
+    // (fenced) AND promote() errors "already promoted"
+    val fs = new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(replica, "_promoted"), false)
+      .close()
+    assert(GraftSink.isPromoted(spark, replica))
+    // the re-run the error message advises must WORK: it resumes
+    val v = GraftSink.promote(spark, replica)
+    assert(v > 0)
+    // fully promoted now: local writes own the head, the old source
+    // is fenced off, a THIRD promote errors (head no longer
+    // replication-owned — a genuine double-promotion)
+    Seq((2L, "local")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(replica)
+    val fenced = intercept[Exception] {
+      GraftSink.cloneSync(spark, src, replica)
+    }
+    assert(fenced.getMessage.contains("PROMOTED"))
+    val again = intercept[Exception] { GraftSink.promote(spark, replica) }
+    assert(again.getMessage.contains("already promoted"), s"$again")
+  }
+
   test("COMMIT-TIME fencing: a sync paused past its last fence check " +
       "while the promotion AND a post-failover write complete is " +
       "convicted after its own link — the local write survives, the " +
@@ -508,5 +541,20 @@ class CloneSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet
     assert(keys == Set(1L, 10L),
       s"promoted head must show the local write, not the sync: $keys")
+    // the retracted head's NUMBER is burned (r13, ADVICE: the
+    // conviction used to vacate the name with no floor marker): the
+    // next local commit must claim ABOVE it, so a reader or
+    // version-keyed cache that resolved the retracted version in the
+    // race window can never conflate it with different later content
+    // at the same number
+    val headAfter = GraftSink.latestVersion(spark, replica).get
+    Seq((11L, "post2")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(replica)
+    val claimed = GraftSink.latestVersion(spark, replica).get
+    assert(claimed == headAfter + 2,
+      s"the commit after a conviction must SKIP the retracted " +
+        s"v${headAfter + 1}, got v$claimed")
+    assert(GraftSink.manifestAt(spark, replica, None).get
+      .version == claimed)
   }
 }

@@ -104,7 +104,7 @@ class FsckSpec extends SparkSpec {
       .collect().head
     assert(!bad.getBoolean(0))
     assert(bad.getInt(3) == 1, s"missing_files: $bad")
-    assert(bad.getString(10).contains(name), s"detail names it: $bad")
+    assert(bad.getString(13).contains(name), s"detail names it: $bad")
   }
 
   test("deep fsck catches same-size corruption the shallow probe " +
@@ -185,6 +185,86 @@ class FsckSpec extends SparkSpec {
       s"deep fsck must name the flipped segment: $deep")
   }
 
+  test("incremental deep verification (sinceVerified): a chain of " +
+      "deepVerified passes re-hashes only bytes never verified " +
+      "before — O(new data) per cadence — while a planted " +
+      "post-verification flip in an OLD file is still caught by the " +
+      "next FULL drill") {
+    val dir = freshDir("incrdeep")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "s")
+      .coalesce(1).write.format("graftsink").mode("append").save(dir)
+    // FULL deep pass establishes the watermark
+    val full = GraftSink.fsck(spark, dir, deep = true)
+    assert(full.deepVerified && full.contentHashed == 1 &&
+      full.skippedVerified == 0, s"$full")
+    assert(full.verifiedThrough ==
+      GraftSink.latestManifest(spark, dir).get.version,
+      s"deepVerified must persist the watermark: $full")
+    // new data lands; the scheduled incremental pass re-hashes ONLY it
+    Seq((3L, "gamma")).toDF("k", "s")
+      .coalesce(1).write.format("graftsink").mode("append").save(dir)
+    val incr = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(incr.deepVerified && incr.contentHashed == 1 &&
+      incr.skippedVerified == 1,
+      s"incremental must re-hash only the new file: $incr")
+    // the chain advanced: a second incremental pass has NOTHING to hash
+    val again = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(again.deepVerified && again.contentHashed == 0 &&
+      again.skippedVerified == 2,
+      s"a re-run re-hashes only files the first didn't: $again")
+    // the deliberate residual: bit rot in an ALREADY-VERIFIED file is
+    // invisible to the incremental cadence…
+    val oldFile = GraftSink.manifestAt(spark, dir, Some(0)).get
+      .files.head.name
+    val victim = new Path(dir, s"data/$oldFile")
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(victim).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    val blind = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(blind.deepVerified,
+      s"post-verification rot is the incremental pass's documented " +
+        s"blind spot: $blind")
+    // …and caught by the next FULL drill, which ignores the watermark
+    val drill = GraftSink.fsck(spark, dir, deep = true)
+    assert(!drill.clean && drill.checksumMismatches.size == 1 &&
+      drill.checksumMismatches.head.startsWith(oldFile),
+      s"the FULL drill must catch what the cadence can't: $drill")
+    // a failed drill never regresses or advances the watermark chain
+    assert(drill.verifiedThrough == blind.verifiedThrough, s"$drill")
+    // a flip in a NEW file IS caught by the cadence: restore the old
+    // byte, land a fresh commit, corrupt it, incremental names it
+    val restore = fs.create(victim, true)
+    try { buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+      restore.write(buf) } finally restore.close()
+    val preAppend = GraftSink.latestManifest(spark, dir).get
+      .files.map(_.name).toSet
+    Seq((4L, "delta")).toDF("k", "s")
+      .coalesce(1).write.format("graftsink").mode("append").save(dir)
+    val fresh = GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).filterNot(preAppend).head
+    val victim2 = new Path(dir, s"data/$fresh")
+    val len2 = fs.getFileStatus(victim2).getLen
+    val buf2 = new Array[Byte](len2.toInt)
+    val in2 = fs.open(victim2)
+    try in2.readFully(buf2) finally in2.close()
+    buf2(len2.toInt / 2) = (buf2(len2.toInt / 2) ^ 0x01).toByte
+    val out2 = fs.create(victim2, true)
+    try out2.write(buf2) finally out2.close()
+    val caught = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(!caught.clean && caught.checksumMismatches.size == 1 &&
+      caught.checksumMismatches.head.startsWith(fresh),
+      s"the cadence must catch corruption in UNVERIFIED files: $caught")
+  }
+
   test("legacy checksum-less manifests DECLINE deep verification " +
       "loudly: unverified_files counts them, deepVerified is false, " +
       "CALL's detail says so — never a silent pass") {
@@ -220,7 +300,7 @@ class FsckSpec extends SparkSpec {
       "CALL gleg.system.fsck(table => 'm.t', deep => true)")
       .collect().head
     assert(row.getInt(6) == 1, s"unverified_files column: $row")
-    assert(row.getString(10).contains("no recorded checksum"),
+    assert(row.getString(13).contains("no recorded checksum"),
       s"detail must say WHY content went unverified: $row")
   }
 }

@@ -414,6 +414,14 @@ class TransactionSpec extends SparkSpec {
     val debris = Transaction.fsck(spark, root, deep = true)
     assert(debris.deepVerified && debris.orphanVersionDirs == 1 &&
       debris.staleStaging == 1, s"debris is not damage: $debris")
+    // vacuum OWNS the staging debris: beyond the grace window it
+    // sweeps crashed-writer leftovers even when no transaction
+    // expires (the orphan version dir waits for an expiry's
+    // reachability walk — the existing vacuum law)
+    assert(Transaction.vacuum(spark, root, keep = 2, graceMs = 0L).isEmpty)
+    val swept = Transaction.fsck(spark, root, deep = true)
+    assert(swept.deepVerified && swept.staleStaging == 0 &&
+      swept.orphanVersionDirs == 1, s"staging swept, orphan kept: $swept")
     // same-size flip in a member referenced by committed history:
     // shallow stays clean (it cannot see content), deep names it
     val victim = firstDataFile(root, "a", 0L)
