@@ -783,6 +783,15 @@ object Transaction {
     * @param staleStaging `__staging*` leftovers under the root and
     *             `_commits/` — crashed publishes/syncs awaiting GC.
     */
+  /** @param contentHashed deep only: sidecar entries this run
+    *             actually re-hashed (the incremental pass's work
+    *             list; a full pass hashes everything).
+    * @param skippedVerified deep + `sinceVerified` only: entries the
+    *             persisted watermark already covers (first referenced
+    *             by a tx ≤ the deep-verified-through id) — immutable
+    *             since an earlier pass re-hashed them.
+    * @param verifiedThrough the watermark AFTER this run (−1 = none).
+    */
   final case class TxFsckReport(
       txsChecked: Int,
       unreadableTxs: Seq[Long],
@@ -795,7 +804,10 @@ object Transaction {
       unverifiedMembers: Int,
       orphanVersionDirs: Int,
       staleStaging: Int,
-      deep: Boolean) {
+      deep: Boolean,
+      contentHashed: Int = 0,
+      skippedVerified: Int = 0,
+      verifiedThrough: Long = -1L) {
     /** No corruption DETECTED (relative to what the probe could
       * check: a shallow probe never reads content, and sidecar-less
       * legacy members are counted, not verified).
@@ -826,33 +838,48 @@ object Transaction {
     * repairs (restore the member from the source or a backup; the
     * report names what to look at).
     */
-  def fsck(spark: SparkSession, root: String,
-      deep: Boolean = false): TxFsckReport = {
+  def fsck(spark: SparkSession, root: String, deep: Boolean = false,
+      sinceVerified: Boolean = false): TxFsckReport = {
     val committed = committedTxs(spark, root)
+    // incremental deep verification — the sink's `_deep_verified`
+    // watermark chain, at the tx root: members first referenced by a
+    // tx ≤ k were re-hashed by an earlier deepVerified pass and are
+    // immutable, so a scheduled pass re-hashes only newer members
+    // (O(new data) per cadence; the FULL drill catches rot landing in
+    // already-verified bytes)
+    val watermark: Long =
+      if (deep && sinceVerified) deepVerifiedThrough(spark, root)
+      else -1L
     val unreadable = Seq.newBuilder[Long]
     val members = scala.collection.mutable.LinkedHashMap
-      .empty[(String, Long), Unit]
+      .empty[(String, Long), Boolean] // -> covered by the watermark
     committed.foreach { tx =>
-      try manifest(spark, root, tx).foreach(kv => members(kv) = ())
+      try manifest(spark, root, tx).foreach { kv =>
+        if (!members.contains(kv)) members(kv) = tx <= watermark
+        else if (tx <= watermark) members(kv) = true
+      }
       catch { case scala.util.control.NonFatal(_) => unreadable += tx }
     }
     val fs = fsOf(spark, new Path(root))
     val missingMembers = Seq.newBuilder[String]
     var unverifiedMembers = 0
-    // jobs: (member, fileName, bytes, sum) — existence+size always,
-    // content re-hash when deep
-    val jobs = Seq.newBuilder[(String, String, Long, String)]
-    members.keys.foreach { case (t, v) =>
+    // jobs: (member, fileName, bytes, sum, hashContent) —
+    // existence+size always, content re-hash when deep and uncovered
+    val jobs = Seq.newBuilder[(String, String, Long, String, Boolean)]
+    members.foreach { case ((t, v), covered) =>
       val dir = new Path(root, s"$t/t$v")
       if (!fs.exists(dir)) missingMembers += s"$t/t$v"
       else sidecarOf(spark, root, t, v) match {
         case None =>
-          unverifiedMembers += 1
-          System.err.println(s"transaction: fsck cannot verify $t/t$v " +
-            s"under $root — no checksum sidecar (legacy publish); " +
-            "republish to regain content integrity")
+          if (!covered) {
+            unverifiedMembers += 1
+            System.err.println(s"transaction: fsck cannot verify " +
+              s"$t/t$v under $root — no checksum sidecar (legacy " +
+              "publish); republish to regain content integrity")
+          }
         case Some(side) =>
-          side.foreach { case (n, (b, s)) => jobs += ((s"$t/t$v", n, b, s)) }
+          side.foreach { case (n, (b, s)) =>
+            jobs += ((s"$t/t$v", n, b, s, deep && !covered)) }
       }
     }
     val entries = jobs.result()
@@ -864,7 +891,7 @@ object Transaction {
       else spark.sparkContext
         .parallelize(entries, math.min(entries.size,
           math.max(64, spark.sparkContext.defaultParallelism * 2)).max(1))
-        .flatMap { case (member, name, bytes, sum) =>
+        .flatMap { case (member, name, bytes, sum, hashContent) =>
           val p = new Path(s"$rootStr/$member/$name")
           try {
             val fsx = p.getFileSystem(conf.value)
@@ -872,7 +899,7 @@ object Transaction {
             if (st.getLen != bytes)
               Some((s"$member/$name", "size",
                 s"size ${st.getLen} != sidecar $bytes"))
-            else if (deep) {
+            else if (hashContent) {
               val actual = GraftSink.hashFileContent(fsx, p)
               if (actual != sum)
                 Some((s"$member/$name", "checksum",
@@ -908,11 +935,50 @@ object Transaction {
       while (it.hasNext)
         if (it.next().getPath.getName.startsWith("__staging")) staging += 1
     }
-    TxFsckReport(committed.size, unreadable.result(), members.size,
-      missingMembers.result(), entries.size,
+    val report = TxFsckReport(committed.size, unreadable.result(),
+      members.size, missingMembers.result(), entries.size,
       bad.collect { case (n, "missing", _) => n },
       bad.collect { case (n, "size", d) => s"$n ($d)" },
       bad.collect { case (n, "checksum", d) => s"$n ($d)" },
-      unverifiedMembers, orphans, staging, deep)
+      unverifiedMembers, orphans, staging, deep,
+      contentHashed = entries.count(_._5),
+      skippedVerified = if (deep) entries.count(!_._5) else 0)
+    val advanced =
+      if (report.deepVerified && committed.nonEmpty &&
+          committed.last > watermark) {
+        writeDeepVerifiedThrough(spark, root, committed.last)
+        committed.last
+      } else math.max(watermark, deepVerifiedThrough(spark, root))
+    report.copy(verifiedThrough = advanced)
+  }
+
+  /** The persisted deep-verification watermark (`_deep_verified`,
+    * "deep-verified through tx k"): monotone, advanced only by
+    * [[fsck]] passes that end [[TxFsckReport.deepVerified]].
+    */
+  private def deepVerifiedThrough(spark: SparkSession,
+      root: String): Long = {
+    val p = new Path(root, "_deep_verified")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) -1L
+    else try new String(readSmall(spark, p), StandardCharsets.UTF_8)
+      .split("\n").collectFirst {
+        case l if l.startsWith("tx=") => l.stripPrefix("tx=").trim.toLong
+      }.getOrElse(-1L)
+    catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  private def writeDeepVerifiedThrough(spark: SparkSession,
+      root: String, tx: Long): Unit = {
+    val fs = fsOf(spark, new Path(root))
+    val tmp = new Path(root,
+      "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write((s"tx=$tx\natMs=${System.currentTimeMillis()}\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(root, "_deep_verified")
+    fs.delete(dst, false) // re-stamp: move the name
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // raced: fine
   }
 }

@@ -4419,8 +4419,24 @@ private class GraftSinkScan(fullSchema: StructType,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        // table-level min/max from the interval union of the per-file
+        // bounds — range-predicate selectivity (`c <= lit`) then
+        // estimates from real value ranges, not defaults. NUMERIC
+        // internal types only: string bounds are truncated prefixes
+        // (sound for skipping, misleading as point estimates), and
+        // NaN-bearing double unions decline (no finite hi exists).
+        val unionBounds = GraftSink.ManifestFile("(union)",
+          fullSchema.toDDL,
+          statsJson = GraftSink.unionStats(files)).bounds
+        def finite(v: Any): Boolean = v match {
+          case d: Double => !d.isNaN
+          case _: Long | _: Int => true
+          case _ => false
+        }
         GraftSink.mergedColumnStats(files, scanSchema.fieldNames.toSeq)
           .foreach { case (c, (ndv, _, nulls)) =>
+            val b = unionBounds.get(c)
+              .filter(x => finite(x._1) && finite(x._2))
             m.put(org.apache.spark.sql.connector.expressions.Expressions
               .column(c),
               new org.apache.spark.sql.connector.read.colstats
@@ -4429,6 +4445,14 @@ private class GraftSinkScan(fullSchema: StructType,
                   java.util.OptionalLong.of(math.max(1L, ndv))
                 override def nullCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(nulls)
+                override def min(): java.util.Optional[Object] =
+                  b.map(x => java.util.Optional.of(
+                    x._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  b.map(x => java.util.Optional.of(
+                    x._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
               })
           }
         m

@@ -148,6 +148,15 @@ class CboSpec extends SparkSpec {
       assert(st("sk") == ((200L, false, 0L)) ||
         (st("sk")._1 > 120L && st("sk")._1 < 280L), // HLL band
         s"sk ndv must be a sane estimate: $st")
+      // RANGE selectivity: the reported min/max (interval union of
+      // the per-file bounds) let FilterEstimation price `payload <=
+      // 10000` at ~10% of the 100k uniform rows — without them the
+      // estimate cannot leave the default band
+      val est = spark.sql(
+        "SELECT * FROM gcbo.cbo.fact WHERE payload <= 10000")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r > BigInt(2000) && r < BigInt(30000)),
+        s"range estimate must track the manifest bounds, got $est")
     } finally {
       prev.foreach { case (k, v) => spark.conf.set(k, v) }
       spark.conf.unset("spark.sql.catalog.gcbo")

@@ -447,6 +447,40 @@ class TransactionSpec extends SparkSpec {
       s"legacy members count unverified, loudly: $legacy")
   }
 
+  test("incremental deep fsck at the tx root (sinceVerified): the " +
+      "watermark chain re-hashes only members first referenced after " +
+      "the last deepVerified pass; the FULL drill stays the " +
+      "catch-everything check") {
+    val root = freshRoot()
+    Transaction.publish(spark, root, Map(
+      "a" -> (1 to 30).map(i => (i, s"v$i")).toDF("k", "v"),
+      "b" -> Seq((1, 10)).toDF("k", "n")))
+    val full = Transaction.fsck(spark, root, deep = true)
+    assert(full.deepVerified && full.contentHashed > 0 &&
+      full.verifiedThrough == 0L, s"$full")
+    // a new tx rewrites only `a`: the cadence pass re-hashes exactly
+    // a/t1's files, skipping everything tx0 referenced
+    Transaction.publish(spark, root, Map(
+      "a" -> (1 to 30).map(i => (i, s"w$i")).toDF("k", "v")))
+    val incr = Transaction.fsck(spark, root, deep = true,
+      sinceVerified = true)
+    assert(incr.deepVerified && incr.verifiedThrough == 1L &&
+      incr.skippedVerified > 0 && incr.contentHashed > 0 &&
+      incr.contentHashed + incr.skippedVerified == incr.filesChecked,
+      s"cadence pass must re-hash only the new member: $incr")
+    // nothing new: zero re-hashes
+    val again = Transaction.fsck(spark, root, deep = true,
+      sinceVerified = true)
+    assert(again.deepVerified && again.contentHashed == 0, s"$again")
+    // rot in an ALREADY-VERIFIED member is the cadence's documented
+    // blind spot — and the FULL drill's catch
+    flipByte(firstDataFile(root, "a", 0L))
+    assert(Transaction.fsck(spark, root, deep = true,
+      sinceVerified = true).deepVerified)
+    val drill = Transaction.fsck(spark, root, deep = true)
+    assert(!drill.clean && drill.checksumMismatches.size == 1, s"$drill")
+  }
+
   test("syncTo carries source REFS: the replica's vacuum keeps what " +
       "the source pins, re-points follow, unsynced pins are skipped") {
     val src = freshRoot()
