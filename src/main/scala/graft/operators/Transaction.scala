@@ -444,6 +444,9 @@ object Transaction {
       }
     }
     val already = new Path(commitsDir(dstRoot), s"tx$id.json")
+    // the replica's newest committed tx BEFORE this sync — the
+    // watermark-chain anchor for the verified-by-replication stamp
+    val dstPrevLast = committedTxs(spark, dstRoot).lastOption
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // (table, version) dirs the replica lacks (divergent ones were
@@ -568,6 +571,18 @@ object Transaction {
         "; the promoted root owns its transactions (replicate to a " +
         "fresh directory, or force=true to re-subjugate)")
     }
+    // VERIFIED-BY-REPLICATION watermark carry (the sink cloneSync
+    // contract at the tx root): the copied members were end-to-end
+    // verified in flight and everything already present was covered
+    // by the replica's existing watermark (== its pre-sync newest tx,
+    // by induction from the first sync), so the synced tx is
+    // proven-verified without a drill. Declines on a broken chain —
+    // force, legacy unverified files, a lagging watermark, or a
+    // pinned backfill below the replica's newest tx.
+    if (!force && lastSyncUnverified == 0 &&
+        dstPrevLast.forall(_ <= id) &&
+        dstPrevLast.forall(p => deepVerifiedThrough(spark, dstRoot) == p))
+      writeDeepVerifiedThrough(spark, dstRoot, id)
     carryRefs(spark, srcRoot, dstRoot)
     needed.size
   }
@@ -609,6 +624,21 @@ object Transaction {
         s"$actual but the sidecar records $expect — refusing to " +
         "propagate corruption (deep-fsck and restore the source " +
         "object first)")
+    }
+    // true end-to-end: re-hash the LANDED bytes (one extra read of
+    // page-cache-warm data) so a corrupting destination write path
+    // can never produce a replica member its own deep fsck would
+    // fail — the read that lets syncTo feed the replica's
+    // deep-verification watermark
+    if (expect.nonEmpty) {
+      val landed = GraftSink.hashFileContent(df, tmp)
+      if (landed != expect) {
+        df.delete(tmp, false)
+        sys.error(s"transaction: replication copy to $to LANDED with " +
+          s"xxh64 $landed but the sidecar records $expect — the " +
+          "destination storage corrupted the write; retry, and check " +
+          "the destination volume")
+      }
     }
     if (df.exists(to)) df.delete(to, false) // re-copy: overwrite
     if (!df.rename(tmp, to)) {

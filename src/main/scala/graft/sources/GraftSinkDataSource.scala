@@ -2539,6 +2539,24 @@ object GraftSink {
         "propagate corruption (deep-fsck and restore the source " +
         "object first)")
     }
+    // TRUE END-TO-END: the stream hash above proved what was READ;
+    // re-hash the LANDED bytes before publishing the name, so a write
+    // path that corrupted them (torn flush, bad disk, a filesystem
+    // lying about durability) can never produce a replica file whose
+    // recorded checksum its own deep fsck would fail. This is the
+    // read that lets replication FEED the deep-verification watermark
+    // (the replica is proven-verified at birth, no full drill owed) —
+    // one extra read of just-written, page-cache-warm bytes.
+    if (expect.nonEmpty) {
+      val landed = hashFileContent(df, tmp)
+      if (landed != expect) {
+        df.delete(tmp, false)
+        sys.error(s"graftsink: replication copy to $to LANDED with " +
+          s"xxh64 $landed but the manifest records $expect — the " +
+          "destination storage corrupted the write; retry, and check " +
+          "the destination volume")
+      }
+    }
     if (df.exists(to)) df.delete(to, false) // re-copy: overwrite
     if (!df.rename(tmp, to)) {
       df.delete(tmp, false)
@@ -2601,9 +2619,21 @@ object GraftSink {
     // the source's commit stamp carries VERBATIM: the replica's
     // time-travel history shows when the SOURCE committed, not when
     // the copy ran (legacy unstamped sources fall back to stamp-now)
-    publish(spark, conf, dst, m.schemaDdl, files, truncate = false,
-      epoch = Some(1L), epochWriter = Some(ReplicaWriter),
+    val born = publish(spark, conf, dst, m.schemaDdl, files,
+      truncate = false, epoch = Some(1L),
+      epochWriter = Some(ReplicaWriter),
       committedAtMs = m.committedAtMs)
+    // PROVEN-VERIFIED AT BIRTH: every data byte was end-to-end
+    // verified in flight ([[copyVerified]] hashes what it reads AND
+    // what it lands), so the clone starts with the deep-verification
+    // watermark at its head — a DR replica owes no full drill for
+    // bytes replication already proved. Declined when any source
+    // entry lacks a checksum (nothing was proved for it). Segments
+    // composed at the destination carry write-time checksums, the
+    // same trust every local commit's records get; the FULL drill
+    // stays the independent read-back for both.
+    if (files.forall(_.checksum.nonEmpty))
+      writeDeepVerifiedThrough(spark, dst, born)
     // tag carry at birth (same contract as cloneSync's, see there):
     // a source tag pinning exactly the cloned snapshot transfers, so
     // a clone taken AT a tagged corpus version is GC-protected on the
@@ -2770,6 +2800,17 @@ object GraftSink {
         "; the promoted table owns its head (fresh cloneSnapshot to " +
         "re-replicate, or force=true to re-subjugate)")
     }
+    // VERIFIED-BY-REPLICATION watermark carry: the delta was
+    // end-to-end verified in flight and everything carried was
+    // covered by the replica's existing watermark (== the pre-sync
+    // head by induction from the clone's birth stamp), so the synced
+    // head is proven-verified without a drill. The chain DECLINES —
+    // never guesses — when it is broken: a force sync, a checksum-less
+    // source entry, or a watermark that lagged the head (then a drill
+    // or an incremental fsck pass re-establishes it).
+    if (!force && m.files.forall(_.checksum.nonEmpty) &&
+        deepVerifiedThrough(spark, dst) == dstHead.version)
+      writeDeepVerifiedThrough(spark, dst, published)
     if (syncTags) carryTags(spark, src, dst)
     delta.size
   }

@@ -465,6 +465,43 @@ class CloneSpec extends SparkSpec {
       "a failed clone must not leave a readable half-replica")
   }
 
+  test("a replica is PROVEN-VERIFIED at birth and stays so through " +
+      "syncs: replication's end-to-end hashing feeds the deep-" +
+      "verification watermark, so a DR replica never owes a full " +
+      "drill for bytes replication already proved") {
+    val src = freshDir("verified_src")
+    val dst = freshDir("verified_dst")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSnapshot(spark, src, dst)
+    // birth: the incremental deep pass finds NOTHING left to hash
+    val born = GraftSink.fsck(spark, dst, deep = true,
+      sinceVerified = true)
+    assert(born.deepVerified && born.contentHashed == 0 &&
+      born.skippedVerified > 0,
+      s"clone must be proven-verified at birth: $born")
+    // the chain survives a sync: the delta was verified in flight,
+    // the carried files by the birth stamp
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(src)
+    GraftSink.cloneSync(spark, src, dst)
+    val synced = GraftSink.fsck(spark, dst, deep = true,
+      sinceVerified = true)
+    assert(synced.deepVerified && synced.contentHashed == 0,
+      s"the verified-by-replication chain must carry through syncs: " +
+        s"$synced")
+    // the chain DECLINES on force (local state of unknown provenance
+    // may wear the head): the watermark lags, the next incremental
+    // pass re-hashes what the broken link left unproven
+    Seq((99L, "local")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dst)
+    GraftSink.cloneSync(spark, src, dst, force = true)
+    val afterForce = GraftSink.fsck(spark, dst, deep = true,
+      sinceVerified = true)
+    assert(afterForce.deepVerified && afterForce.contentHashed > 0,
+      s"a force sync must not extend the proven chain: $afterForce")
+  }
+
   test("promote() is re-runnable after a partial failure: a fence " +
       "marker left by a crashed promotion (head still replication-" +
       "owned) RESUMES the commit instead of wedging the table") {

@@ -481,6 +481,29 @@ class TransactionSpec extends SparkSpec {
     assert(!drill.clean && drill.checksumMismatches.size == 1, s"$drill")
   }
 
+  test("a tx replica is PROVEN-VERIFIED by replication: syncTo's " +
+      "end-to-end hashing feeds the watermark chain, so the " +
+      "incremental deep fsck on the replica has nothing left to hash") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 0L)).toDF("k", "tx"),
+      "b" -> Seq((1, 10)).toDF("k", "n")))
+    Transaction.syncTo(spark, src, dst)
+    val born = Transaction.fsck(spark, dst, deep = true,
+      sinceVerified = true)
+    assert(born.deepVerified && born.contentHashed == 0 &&
+      born.skippedVerified > 0,
+      s"first sync must leave the replica proven-verified: $born")
+    // chained syncs extend the proof
+    Transaction.publish(spark, src, Map(
+      "a" -> Seq((1, 1L)).toDF("k", "tx")))
+    Transaction.syncTo(spark, src, dst)
+    val synced = Transaction.fsck(spark, dst, deep = true,
+      sinceVerified = true)
+    assert(synced.deepVerified && synced.contentHashed == 0, s"$synced")
+  }
+
   test("syncTo carries source REFS: the replica's vacuum keeps what " +
       "the source pins, re-points follow, unsynced pins are skipped") {
     val src = freshRoot()
