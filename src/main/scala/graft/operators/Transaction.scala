@@ -102,13 +102,41 @@ object Transaction {
     readSmall(spark, p)
   }
 
-  /** The table→version map of transaction `tx`. */
+  private val manifestMemoMax = 4096
+  private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, Long]]()
+
+  /** The table→version map of transaction `tx`. Committed manifests
+    * are immutable, so the parse is memoized — [[fsck]] and [[vacuum]]
+    * walk EVERY committed tx per invocation, and at decade scale
+    * (64 tables × deep history, scheduled cadence) re-reading and
+    * re-parsing each manifest every pass is O(txs) driver I/O for
+    * bytes that cannot have changed. The memo keys on (path, length,
+    * mtime) — one `getFileStatus` instead of a read — so the one
+    * mutation path that DOES replace a manifest file (a force sync
+    * discarding a divergent replica commit, then re-landing the
+    * source's) never serves stale entries. Bounded, droppable.
+    */
   def manifest(spark: SparkSession, root: String,
       tx: Long): Map[String, Long] = {
-    val s = new String(manifestBytes(spark, root, tx),
-      StandardCharsets.UTF_8)
-    "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
+    val p = new Path(commitsDir(root), s"tx$tx.json")
+    val fs = fsOf(spark, p)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        // the require() contract callers (and specs) rely on
+        throw new IllegalArgumentException(
+          s"requirement failed: transaction $tx not committed under $root")
+      }
+    val key = (p.toString, st.getLen, st.getModificationTime)
+    val got = manifestMemo.get(key)
+    if (got != null) return got
+    val s = new String(readSmall(spark, p), StandardCharsets.UTF_8)
+    val parsed = "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    if (manifestMemo.size >= manifestMemoMax) manifestMemo.clear()
+    manifestMemo.put(key, parsed)
+    parsed
   }
 
   /** The `_checksums` sidecar of one member version dir: file name →
@@ -140,13 +168,24 @@ object Transaction {
   private def floorMarker(root: String, tx: Long) =
     new Path(commitsDir(root), s"__floor_tx$tx")
 
-  private def floorOf(spark: SparkSession, root: String): Long = {
+  /** Highest PLAUSIBLE burned txId (the sink's claimFloor
+    * discipline): a floor is only ever burned for a retracted id that
+    * was ≤ the then-newest committed tx, so a marker above
+    * `lastCommitted + 1` is corrupt or crafted — honoring it would
+    * permanently renumber every future publish off one bogus file.
+    * Non-numeric suffixes (`__floor_txabc`) are listing noise, not
+    * law — ignored, never a crash that wedges publish and vacuum.
+    */
+  private def floorOf(spark: SparkSession, root: String,
+      lastCommitted: Long): Long = {
     val dir = commitsDir(root)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) -1L
     else fs.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("__floor_tx") =>
-        n.stripPrefix("__floor_tx").toLong }
+        n.stripPrefix("__floor_tx").toLongOption }
+      .flatten
+      .filter(_ <= lastCommitted + 1L)
       .foldLeft(-1L)(math.max)
   }
 
@@ -161,8 +200,8 @@ object Transaction {
       tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "publish: no tables")
     val committed = committedTxs(spark, root)
-    val txId = math.max(committed.lastOption.getOrElse(-1L),
-      floorOf(spark, root)) + 1L
+    val last = committed.lastOption.getOrElse(-1L)
+    val txId = math.max(last, floorOf(spark, root, last)) + 1L
     val prev = committed.lastOption
       .map(manifest(spark, root, _)).getOrElse(Map.empty[String, Long])
     val rootP = new Path(root)
@@ -311,7 +350,10 @@ object Transaction {
   /** Per-dir count of data files syncTo copied WITHOUT content
     * verification (legacy source dirs lacking [[ChecksumSidecar]]) on
     * the most recent call — reported loudly on stderr as well; the
-    * spec gates the count. Verified syncs leave it 0.
+    * spec gates the count (a TEST SEAM only: the watermark decision
+    * inside [[syncTo]] reads its own call-local count, so two
+    * concurrent syncs in one JVM can never stamp each other's
+    * replicas verified off interleaved global state).
     */
   @volatile private[graft] var lastSyncUnverified: Int = 0
 
@@ -354,6 +396,11 @@ object Transaction {
     */
   def syncTo(spark: SparkSession, srcRoot: String, dstRoot: String,
       tx: Option[Long] = None, force: Boolean = false): Int = {
+    // call-local unverified tally: the watermark decision below must
+    // read THIS sync's count — the JVM-global seam exists for specs,
+    // and two concurrent syncs (even to different roots) interleaving
+    // its reset/increments must not leak verified stamps across calls
+    var syncUnverified = 0
     lastSyncUnverified = 0
     // PROMOTION FENCE at entry (see [[promote]]): a promoted replica
     // took local transactions — a sync from the resurrected old
@@ -478,6 +525,7 @@ object Transaction {
             !n.startsWith("_") && !n.startsWith(".") &&
               !side.exists(_.contains(n)))
           if (unverified > 0) {
+            syncUnverified += unverified
             lastSyncUnverified += unverified
             System.err.println(s"transaction: $t/t$v at $srcRoot has " +
               s"no ${if (side.isEmpty) "checksum sidecar" else
@@ -559,14 +607,25 @@ object Transaction {
       val stillNewest =
         try committedTxs(spark, dstRoot).lastOption.contains(id)
         catch { case scala.util.control.NonFatal(_) => false }
+      var retracted = false
       if (stillNewest) {
+        // floor FIRST (durable before any retraction is visible), then
+        // RE-VERIFY newest immediately before the delete: between the
+        // listing above and here a post-failover local publish can
+        // commit id+1 on top of id, and deleting id then would tear a
+        // hole in committed history (time-travel of id fails while
+        // newer manifests carry its members forward). If anything
+        // stacked, the tx stays in history — the documented branch.
         try fs.create(floorMarker(dstRoot, id), false).close()
         catch { case _: java.io.IOException => () } // raced: theirs is fine
-        fs.delete(already, false)
+        val stillNewestNow =
+          try committedTxs(spark, dstRoot).lastOption.contains(id)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (stillNewestNow) { fs.delete(already, false); retracted = true }
       }
       sys.error(s"transaction: replica root $dstRoot was PROMOTED " +
         s"while this sync was in flight — the sync's tx $id was " +
-        (if (stillNewest) "retracted"
+        (if (retracted) "retracted"
         else "already built upon and stays in history") +
         "; the promoted root owns its transactions (replicate to a " +
         "fresh directory, or force=true to re-subjugate)")
@@ -579,7 +638,7 @@ object Transaction {
     // proven-verified without a drill. Declines on a broken chain —
     // force, legacy unverified files, a lagging watermark, or a
     // pinned backfill below the replica's newest tx.
-    if (!force && lastSyncUnverified == 0 &&
+    if (!force && syncUnverified == 0 &&
         dstPrevLast.forall(_ <= id) &&
         dstPrevLast.forall(p => deepVerifiedThrough(spark, dstRoot) == p))
       writeDeepVerifiedThrough(spark, dstRoot, id)
@@ -765,9 +824,11 @@ object Transaction {
     sweepStaging(commitsDir(root))
     val cd = commitsDir(root)
     if (fs.exists(cd)) {
+      // parse-guarded like floorOf: a corrupt non-numeric marker must
+      // not crash vacuum (it is ignored noise, left for manual GC)
       val floors = fs.listStatus(cd).map(_.getPath.getName)
         .filter(_.startsWith("__floor_tx"))
-        .map(_.stripPrefix("__floor_tx").toLong)
+        .flatMap(n => n.stripPrefix("__floor_tx").toLongOption)
       if (floors.nonEmpty)
         floors.filter(_ < floors.max).foreach(v =>
           fs.delete(new Path(cd, s"__floor_tx$v"), false))
@@ -891,31 +952,68 @@ object Transaction {
       catch { case scala.util.control.NonFatal(_) => unreadable += tx }
     }
     val fs = fsOf(spark, new Path(root))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = root
+    val sidecarName = ChecksumSidecar
+    // MEMBER METADATA PASS, cluster-fanned (one task per member dir:
+    // existence probe + one tiny sidecar read): the per-file checks
+    // below already fan out, and at decade scale (64 tables × deep
+    // history on a scheduled cadence) a driver-sequential sidecar
+    // walk is O(members) blocking round-trips for no reason. Codes:
+    // 0 = member dir missing, 1 = no sidecar (legacy publish),
+    // 2 = sidecar entries follow.
+    val memberSeq = members.toSeq
+    val sides: Seq[(String, Boolean, Int, Seq[(String, Long, String)])] =
+      if (memberSeq.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(memberSeq, math.min(memberSeq.size,
+          math.max(8, spark.sparkContext.defaultParallelism)).max(1))
+        .map { case ((t, v), covered) =>
+          val dir = new Path(rootStr, s"$t/t$v")
+          val f = dir.getFileSystem(conf.value)
+          val member = s"$t/t$v"
+          if (!f.exists(dir)) (member, covered, 0,
+            Seq.empty[(String, Long, String)])
+          else {
+            val sp = new Path(dir, sidecarName)
+            if (!f.exists(sp)) (member, covered, 1,
+              Seq.empty[(String, Long, String)])
+            else {
+              val in = f.open(sp)
+              val bytes = try {
+                val o = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, o, 4096, false)
+                o.toByteArray
+              } finally in.close()
+              val es = new String(bytes, StandardCharsets.UTF_8)
+                .split("\n").toSeq.filter(_.nonEmpty).map { l =>
+                  val a = l.split("\t", -1)
+                  (a(0), a(1).toLong, a(2))
+                }
+              (member, covered, 2, es)
+            }
+          }
+        }.collect().toSeq
     val missingMembers = Seq.newBuilder[String]
     var unverifiedMembers = 0
     // jobs: (member, fileName, bytes, sum, hashContent) —
     // existence+size always, content re-hash when deep and uncovered
     val jobs = Seq.newBuilder[(String, String, Long, String, Boolean)]
-    members.foreach { case ((t, v), covered) =>
-      val dir = new Path(root, s"$t/t$v")
-      if (!fs.exists(dir)) missingMembers += s"$t/t$v"
-      else sidecarOf(spark, root, t, v) match {
-        case None =>
-          if (!covered) {
-            unverifiedMembers += 1
-            System.err.println(s"transaction: fsck cannot verify " +
-              s"$t/t$v under $root — no checksum sidecar (legacy " +
-              "publish); republish to regain content integrity")
-          }
-        case Some(side) =>
-          side.foreach { case (n, (b, s)) =>
-            jobs += ((s"$t/t$v", n, b, s, deep && !covered)) }
-      }
+    sides.foreach {
+      case (member, _, 0, _) => missingMembers += member
+      case (member, covered, 1, _) =>
+        if (!covered) {
+          unverifiedMembers += 1
+          System.err.println(s"transaction: fsck cannot verify " +
+            s"$member under $root — no checksum sidecar (legacy " +
+            "publish); republish to regain content integrity")
+        }
+      case (member, covered, _, es) =>
+        es.foreach { case (n, b, s) =>
+          jobs += ((member, n, b, s, deep && !covered)) }
     }
     val entries = jobs.result()
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val rootStr = root
     val bad: Seq[(String, String, String)] = // (member/file, kind, detail)
       if (entries.isEmpty) Seq.empty
       else spark.sparkContext

@@ -550,4 +550,100 @@ class TransactionSpec extends SparkSpec {
       Transaction.refTx(spark, dst2, "old") // tx0 never synced: no pin
     }
   }
+
+  test("vacuum vs the verified watermark: dropping the txs whose " +
+      "manifests EVIDENCED a verified pass only loses coverage — a " +
+      "later sinceVerified pass re-hashes, it never skips a file " +
+      "whose verifying evidence was vacuumed") {
+    val root = freshRoot()
+    // tx0 writes a+b; tx1..tx2 rewrite only a (b carries forward at
+    // version 0 — its ONLY reference below the watermark is tx0's)
+    Transaction.publish(spark, root, Map(
+      "a" -> Seq((1, 0)).toDF("k", "n"), "b" -> Seq(10).toDF("m")))
+    Transaction.publish(spark, root, Map("a" -> Seq((1, 1)).toDF("k", "n")))
+    val full = Transaction.fsck(spark, root, deep = true)
+    assert(full.deepVerified && full.verifiedThrough == 1L, s"$full")
+    Transaction.publish(spark, root, Map("a" -> Seq((1, 2)).toDF("k", "n")))
+    // vacuum drops tx0 — the manifest that FIRST referenced (b, 0)
+    // and anchored its coverage. (b, 0) itself survives: tx1/tx2
+    // carry it forward.
+    assert(Transaction.vacuum(spark, root, keep = 2,
+      graceMs = 0L) == Seq(0L))
+    // the incremental pass after the vacuum: (b, 0) is still covered
+    // through SURVIVING tx1 <= watermark (sound — the verifying pass
+    // hashed it and its bytes are immutable), and tx2's new (a, 2)
+    // re-hashes. Nothing is skipped without a surviving tx <= k
+    // referencing it.
+    val incr = Transaction.fsck(spark, root, deep = true,
+      sinceVerified = true)
+    assert(incr.deepVerified && incr.skippedVerified >= 1, s"$incr")
+    assert(incr.contentHashed >= 1 && incr.verifiedThrough == 2L,
+      s"tx2's members must re-hash and the chain advance: $incr")
+    // LOST-EVIDENCE branch (fresh root, watermark NOT advanced past
+    // the surviving txs): vacuum drops every tx <= watermark while a
+    // newer tx carries their members forward — coverage is lost with
+    // the evidence, so the next sinceVerified pass must RE-HASH
+    // everything rather than trust manifests that no longer exist:
+    // strictly MORE hashing, never an unsound skip.
+    val root2 = freshRoot()
+    Transaction.publish(spark, root2, Map(
+      "a" -> Seq((1, 0)).toDF("k", "n"), "b" -> Seq(10).toDF("m")))
+    Transaction.publish(spark, root2,
+      Map("a" -> Seq((1, 1)).toDF("k", "n")))
+    assert(Transaction.fsck(spark, root2,
+      deep = true).verifiedThrough == 1L)
+    Transaction.publish(spark, root2,
+      Map("a" -> Seq((1, 2)).toDF("k", "n")))
+    assert(Transaction.vacuum(spark, root2, keep = 1,
+      graceMs = 0L) == Seq(0L, 1L))
+    val after = Transaction.fsck(spark, root2, deep = true,
+      sinceVerified = true)
+    assert(after.deepVerified && after.skippedVerified == 0 &&
+      after.contentHashed == after.filesChecked &&
+      after.filesChecked >= 2,
+      s"lost evidence must mean re-hash, never skip: $after")
+    assert(after.verifiedThrough == 2L, s"$after")
+    // and the watermark file itself never dangles unusably: a flip in
+    // any live member is still caught by the next cadence/drill
+    val bDir = new Path(root, "b/t0")
+    val fs = bDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(bDir).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") &&
+        !q.getName.startsWith(".")).minBy(_.getName.toString)
+    val len = fs.getFileStatus(victim).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    val drill = Transaction.fsck(spark, root, deep = true)
+    assert(!drill.clean && drill.checksumMismatches.size == 1 &&
+      drill.checksumMismatches.head.contains(victim.getName),
+      s"post-vacuum damage stays detectable: $drill")
+  }
+
+  test("a bogus far-above __floor_tx marker cannot renumber the " +
+      "root, and a non-numeric one is ignored noise — publish and " +
+      "vacuum survive both (the sink's claimFloor plausibility cap)") {
+    val root = freshRoot()
+    Transaction.publish(spark, root, Map("a" -> Seq(1).toDF("k")))
+    val commits = new Path(root, "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(commits, "__floor_tx999999"), false).close()
+    fs.create(new Path(commits, "__floor_txabc"), false).close()
+    // implausible (>> last+1) and unparseable markers are both ignored
+    assert(Transaction.publish(spark, root,
+      Map("a" -> Seq(2).toDF("k"))) == 1L,
+      "a crafted far-above floor must not renumber the root")
+    // a PLAUSIBLE floor (== last + 1, the retracted-head shape) binds
+    fs.create(new Path(commits, "__floor_tx2"), false).close()
+    assert(Transaction.publish(spark, root,
+      Map("a" -> Seq(3).toDF("k"))) == 3L,
+      "a plausible floor burns its id: the next claim skips it")
+    // vacuum sweeps superseded parseable floors and tolerates the
+    // noise markers without crashing
+    Transaction.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(Transaction.committedTxs(spark, root) == Seq(3L))
+  }
 }
