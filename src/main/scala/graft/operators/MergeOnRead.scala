@@ -29,8 +29,17 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   * root/data/...parquet        immutable base rows
+  * root/data/_checksums        per-file (bytes, XXH64) sidecar
   * root/deletes/d<uuid>/...    one dir per delete batch: key tombstones
+  *                             (each dir carries its own _checksums)
   * }}}
+  *
+  * CONTENT INTEGRITY: every written dir gets a `_checksums` sidecar
+  * (the graftsink/Transaction discipline at this layout), [[fsck]] is
+  * the probe (deep = cluster-fanned content re-hash), and both
+  * compaction paths VERIFY every input byte against the sidecars
+  * before folding — a fold re-lands rows under a fresh sidecar, so an
+  * unverified fold would launder bit rot into "verified" base forever.
   *
   * Deletes are KEYED (equality deletes): a tombstone kills every base
   * row with that key, including keys tombstoned twice (idempotent by
@@ -46,6 +55,239 @@ object MergeOnRead {
 
   private def dataDir(root: String) = s"$root/data"
   private def deletesDir(root: String) = s"$root/deletes"
+
+  // ---- content integrity — the `_checksums` sidecar discipline the
+  // ---- graftsink manifest and the Transaction layer already run
+  // ---- under, at the MOR layout. Base and tombstone dirs are plain
+  // ---- parquet, so without this the declared 100 TB CDC shape
+  // ---- (st_cdc_apply_mor) could rot silently between compactions,
+  // ---- and compaction — which re-writes the fold under fresh bytes —
+  // ---- would launder the damage into a clean-looking base forever.
+
+  private val ChecksumSidecar = "_checksums"
+
+  /** Write one dir's `_checksums` sidecar: a line per payload file,
+    * `name<TAB>bytes<TAB>xxh64`, hashed cluster-fanned (one task per
+    * file). Called right after every dir write; replays overwrite the
+    * dir and re-stamp the sidecar with it. A crash between the data
+    * write and the sidecar leaves the dir sidecar-less = UNVERIFIED —
+    * [[fsck]] and the compaction pre-verify count such dirs LOUDLY,
+    * never silently pass them.
+    */
+  private def writeSidecar(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val payload = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted.toSeq
+    val lines =
+      if (payload.isEmpty) Seq.empty[String]
+      else spark.sparkContext
+        .parallelize(payload.map(n => s"$dir/$n"),
+          math.min(payload.size,
+            math.max(8, spark.sparkContext.defaultParallelism)))
+        .map { s =>
+          val fp = new Path(s)
+          val f = fp.getFileSystem(conf.value)
+          s"${fp.getName}\t${f.getFileStatus(fp).getLen}\t" +
+            graft.sources.GraftSink.hashFileContent(f, fp)
+        }.collect().toSeq.sorted
+    val out = fs.create(new Path(p, ChecksumSidecar), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One dir's sidecar: file name → (bytes, xxh64); None for a legacy
+    * (pre-sidecar / crash-window) dir — callers treat that as
+    * UNVERIFIABLE, loudly.
+    */
+  private def sidecarOf(spark: SparkSession,
+      dir: String): Option[Map[String, (Long, String)]] = {
+    val p = new Path(dir, ChecksumSidecar)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val o = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, o, 4096, false)
+        o.toByteArray
+      } finally in.close()
+      Some(new String(bytes, "UTF-8").split("\n").iterator
+        .filter(_.nonEmpty).map { l =>
+          val a = l.split("\t", -1)
+          a(0) -> ((a(1).toLong, a(2)))
+        }.toMap)
+    }
+  }
+
+  /** VERIFY BEFORE FOLD — the verify-before-retire rule compaction
+    * must run under: the fold reads its inputs through the parquet
+    * parser and re-lands them as a FRESH base with a fresh sidecar,
+    * so corrupt input bytes would be re-blessed as verified forever.
+    * Re-hash every sidecar-listed payload file of `dirs`
+    * cluster-fanned and refuse loudly on any mismatch; sidecar-less
+    * legacy dirs fold with a LOUD unverified count (returned), never
+    * silently.
+    */
+  private def verifyFolding(spark: SparkSession, dirs: Seq[String],
+      op: String): Int = {
+    var unverified = 0
+    val jobs = Seq.newBuilder[(String, Long, String)]
+    dirs.foreach { d =>
+      val p = new Path(d)
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) {
+        val names = fs.listStatus(p).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+        sidecarOf(spark, d) match {
+          case None =>
+            if (names.nonEmpty) {
+              unverified += names.size
+              System.err.println(s"merge-on-read $op: $d has no " +
+                s"checksum sidecar — ${names.size} file(s) fold " +
+                "UNVERIFIED (legacy write or crashed sidecar stamp); " +
+                "re-write the batch or accept existence-only integrity")
+            }
+          case Some(side) => names.foreach { n =>
+            side.get(n) match {
+              case Some((b, sum)) => jobs += ((s"$d/$n", b, sum))
+              case None =>
+                unverified += 1
+                System.err.println(s"merge-on-read $op: $d/$n is not " +
+                  "in the dir's checksum sidecar — folds UNVERIFIED")
+            }
+          }
+        }
+      }
+    }
+    val entries = jobs.result()
+    if (entries.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.parallelize(entries,
+        math.min(entries.size,
+          math.max(8, spark.sparkContext.defaultParallelism)))
+        .foreach { case (path, bytes, sum) =>
+          val fp = new Path(path)
+          val f = fp.getFileSystem(conf.value)
+          val len = f.getFileStatus(fp).getLen
+          if (len != bytes) sys.error(s"merge-on-read $op: $path has " +
+            s"size $len but the sidecar records $bytes — refusing to " +
+            "fold (and re-bless) damaged input; restore it first")
+          val actual = graft.sources.GraftSink.hashFileContent(f, fp)
+          if (actual != sum) sys.error(s"merge-on-read $op: $path " +
+            s"reads xxh64 $actual but the sidecar records $sum — " +
+            "refusing to fold (and re-bless) corrupt input; restore " +
+            "it from a replica or backup first")
+        }
+    }
+    unverified
+  }
+
+  /** @param checksumMismatches files whose re-hashed content no longer
+    *        matches the sidecar (deep only) — the silent-bit-rot catch.
+    * @param unverifiedFiles payload files no sidecar vouches for
+    *        (legacy writes, crash-window dirs) — DECLINED loudly,
+    *        never passed as verified.
+    */
+  final case class MorFsckReport(
+      dirsChecked: Int,
+      filesChecked: Int,
+      missingFiles: Seq[String],
+      sizeMismatches: Seq[String],
+      checksumMismatches: Seq[String],
+      unverifiedFiles: Int,
+      deep: Boolean) {
+    def clean: Boolean = missingFiles.isEmpty &&
+      sizeMismatches.isEmpty && checksumMismatches.isEmpty
+    /** Every payload byte re-hashed and matched. */
+    def deepVerified: Boolean = clean && deep && unverifiedFiles == 0
+  }
+
+  /** MOR-root integrity probe — the [[graft.sources.GraftSink.fsck]]
+    * contract at the tombstone layout: every sidecar-listed file of
+    * the base and every live tombstone/update dir must exist at its
+    * recorded size (`deep = true` additionally re-hashes content
+    * cluster-fanned — the only probe that catches same-size bit rot in
+    * a replica that sits between compactions for days). Violations
+    * collect O(damage); read-only.
+    */
+  def fsck(spark: SparkSession, root: String,
+      deep: Boolean = false): MorFsckReport = {
+    val fs = fsOf(spark, new Path(root))
+    def children(dir: String): Seq[String] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq
+    }
+    val dirs = Seq(dataDir(root)).filter(d =>
+      fs.exists(new Path(d))) ++
+      children(deletesDir(root)) ++ children(updatesDir(root))
+    var unverified = 0
+    val jobs = Seq.newBuilder[(String, Long, String)]
+    dirs.foreach { d =>
+      val p = new Path(d)
+      val names = fs.listStatus(p).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+      sidecarOf(spark, d) match {
+        case None =>
+          if (names.nonEmpty) {
+            unverified += names.size
+            System.err.println(s"merge-on-read fsck: cannot verify " +
+              s"$d — no checksum sidecar (${names.size} file(s)); " +
+              "re-write the batch to regain content integrity")
+          }
+        case Some(side) =>
+          // the sidecar is the reference: a listed file that vanished
+          // is damage; an unlisted extra (crashed task attempt) is
+          // debris the readers never resolve — not counted here
+          side.foreach { case (n, (b, sum)) =>
+            jobs += ((s"$d/$n", b, sum)) }
+      }
+    }
+    val entries = jobs.result()
+    val bad: Seq[(String, String, String)] =
+      if (entries.isEmpty) Seq.empty
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val deepRun = deep
+        spark.sparkContext.parallelize(entries,
+          math.min(entries.size,
+            math.max(8, spark.sparkContext.defaultParallelism)))
+          .flatMap { case (path, bytes, sum) =>
+            val fp = new Path(path)
+            try {
+              val f = fp.getFileSystem(conf.value)
+              val len = f.getFileStatus(fp).getLen
+              if (len != bytes)
+                Some((path, "size", s"size $len != sidecar $bytes"))
+              else if (deepRun) {
+                val actual = graft.sources.GraftSink.hashFileContent(f, fp)
+                if (actual != sum)
+                  Some((path, "checksum",
+                    s"content xxh64 $actual != sidecar $sum"))
+                else None
+              } else None
+            } catch { case _: java.io.FileNotFoundException =>
+              Some((path, "missing", "missing"))
+            }
+          }.collect().toSeq
+      }
+    MorFsckReport(dirs.size, entries.size,
+      bad.collect { case (n, "missing", _) => n },
+      bad.collect { case (n, "size", d) => s"$n ($d)" },
+      bad.collect { case (n, "checksum", d) => s"$n ($d)" },
+      unverified, deep)
+  }
 
   /** `__seq` is RESERVED for the sequence-aware path: base rows are
     * implicitly stamped 0 and appended rows get the apply sequence, so
@@ -63,6 +305,7 @@ object MergeOnRead {
   def init(df: DataFrame, root: String): Unit = {
     requireNoSeqColumn(df, "init")
     df.write.mode("overwrite").parquet(dataDir(root))
+    writeSidecar(df.sparkSession, dataDir(root))
   }
 
   /** Append a tombstone batch: the keys of CURRENT rows matching
@@ -80,6 +323,7 @@ object MergeOnRead {
       val dest = s"${deletesDir(root)}/d" +
         java.util.UUID.randomUUID().toString.take(8)
       victims.write.mode("errorifexists").parquet(dest)
+      writeSidecar(spark, dest)
     }
     n
   }
@@ -101,6 +345,7 @@ object MergeOnRead {
     val dest = s"${deletesDir(root)}/d" +
       java.util.UUID.randomUUID().toString.take(8)
     keys.distinct().write.mode("errorifexists").parquet(dest)
+    writeSidecar(spark, dest)
   }
 
   /** The live view: base rows minus tombstoned keys. One LEFT ANTI
@@ -157,6 +402,7 @@ object MergeOnRead {
     requireSingleMode(spark, root, seqMode = true)
     rows.withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${updatesDir(root)}/u$seq")
+    writeSidecar(spark, s"${updatesDir(root)}/u$seq")
   }
 
   /** Append one apply batch's equality tombstones at sequence `seq`:
@@ -171,6 +417,7 @@ object MergeOnRead {
     requireSingleMode(spark, root, seqMode = true)
     keys.distinct().withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"${deletesDir(root)}/t$seq")
+    writeSidecar(spark, s"${deletesDir(root)}/t$seq")
   }
 
   /** The sequence-aware live view: base (seq 0) ∪ appended versions,
@@ -244,6 +491,12 @@ object MergeOnRead {
     val (tIn, tOut) = seqDirs(deletesDir(root), "t")
       .partition(_._1 <= horizonSeq)
     if (upIn.isEmpty && tIn.isEmpty) return
+    // verify-before-fold: the rewrite re-lands everything under a
+    // fresh sidecar, so prove every folded input byte first or rot is
+    // laundered into a "verified" base (dirs past the horizon are not
+    // folded — their replay overwrites them, nothing to prove here)
+    verifyFolding(spark, dataDir(root) +:
+      (upIn ++ tIn).map(_._2.toString), "compactSeq")
     val base = spark.read.parquet(dataDir(root))
       .withColumn("__seq", lit(0L))
     val all = if (upIn.isEmpty) base
@@ -259,6 +512,10 @@ object MergeOnRead {
         .drop("__tseq")
     }
     ParquetIO.overwriteSafe(view.drop("__seq"), dataDir(root))
+    // the folded base is the new integrity reference — stamp it before
+    // the inputs drop (a crash between the two leaves BOTH the new
+    // sidecar and the old dirs: re-running the fold is idempotent)
+    writeSidecar(spark, dataDir(root))
     // delete ONLY the folded dirs; anything past the horizon (an
     // uncommitted trigger's rewrite-idempotent dirs) stays for its
     // replay to overwrite
@@ -371,7 +628,12 @@ object MergeOnRead {
     if (!fs.exists(del)) return 0
     val batches = fs.listStatus(del).count(_.isDirectory)
     if (batches == 0) return 0
+    // verify-before-fold, then re-stamp the fresh base (see compactSeq)
+    verifyFolding(spark, dataDir(root) +:
+      fs.listStatus(del).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq, "compact")
     ParquetIO.overwriteSafe(readCurrent(spark, root, keyCol), dataDir(root))
+    writeSidecar(spark, dataDir(root))
     fs.delete(del, true)
     batches
   }

@@ -306,4 +306,105 @@ class MorDeleteSpec extends SparkSpec {
         s"rows (saw $dupes of the expected 10) — if this stops " +
         "failing, the control no longer documents the hazard")
   }
+
+  private def flipByte(root: String, p: Path): Array[Byte] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    val orig = buf.clone()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(p, true)
+    try out.write(buf) finally out.close()
+    assert(fs.getFileStatus(p).getLen == len, "flip kept the size")
+    orig
+  }
+
+  private def msgChain(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ msgChain(t.getCause)
+
+  test("MOR content integrity: every write stamps a _checksums " +
+      "sidecar, deep fsck catches a planted same-size flip the " +
+      "shallow probe provably cannot, and compaction REFUSES to fold " +
+      "corrupt input instead of laundering it into a fresh " +
+      "'verified' base") {
+    val root = tmpDir("graft_mor_integrity")
+    MergeOnRead.init(Seq((1, "alpha"), (7, "beta"), (14, "gamma"),
+      (3, "delta")).toDF("k", "v"), root)
+    MergeOnRead.deleteWhere(spark, root, "k", col("k") % 7 === 0)
+    val healthy = MergeOnRead.fsck(spark, root, deep = true)
+    assert(healthy.deepVerified && healthy.dirsChecked == 2 &&
+      healthy.filesChecked >= 2,
+      s"healthy root must deep-verify (base + tombstone dirs): $healthy")
+    // same-size bit rot in a base payload file
+    val p = new Path(s"$root/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(p).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") &&
+        !q.getName.startsWith(".") && fs.getFileStatus(q).getLen > 8)
+      .minBy(_.getName.toString)
+    val orig = flipByte(root, victim)
+    assert(MergeOnRead.fsck(spark, root).clean,
+      "the existence+size probe cannot see same-size damage")
+    val deep = MergeOnRead.fsck(spark, root, deep = true)
+    assert(!deep.clean && deep.checksumMismatches.size == 1 &&
+      deep.checksumMismatches.head.contains(victim.getName),
+      s"deep fsck must name exactly the flipped file: $deep")
+    // the fold must refuse — folding would re-land the damage under a
+    // fresh sidecar and every later probe would attest it as truth
+    val e = intercept[Exception] {
+      MergeOnRead.compact(spark, root, "k")
+    }
+    assert(msgChain(e).exists(m => m.contains(victim.getName) &&
+      m.contains("refusing to fold")),
+      s"compaction must refuse naming the file: ${msgChain(e)}")
+    // nothing was folded: tombstones still on disk, view still served
+    assert(fs.exists(new Path(s"$root/deletes")),
+      "a refused fold must not drop the tombstone dirs")
+    // restore -> fold succeeds and the fresh base deep-verifies
+    val out = fs.create(victim, true)
+    try out.write(orig) finally out.close()
+    assert(MergeOnRead.compact(spark, root, "k") == 1)
+    val after = MergeOnRead.fsck(spark, root, deep = true)
+    assert(after.deepVerified,
+      s"the folded base must be re-stamped and verified: $after")
+    assert(MergeOnRead.readCurrent(spark, root, "k")
+      .orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "alpha"), (3, "delta")))
+  }
+
+  test("sequence-aware fold verifies too: a flip in an UPDATE batch " +
+      "refuses compactSeq; the horizon-surviving dirs it never folds " +
+      "are not even read") {
+    val root = tmpDir("graft_mor_integrity_seq")
+    MergeOnRead.init(Seq((1L, 1.0), (2L, 1.0)).toDF("k", "v"), root)
+    MergeOnRead.appendRowsAt(spark, root,
+      Seq((3L, 2.0)).toDF("k", "v"), 1L)
+    MergeOnRead.deleteKeysAt(spark, root, Seq(2L).toDF("k"), 1L)
+    MergeOnRead.appendRowsAt(spark, root,
+      Seq((4L, 3.0)).toDF("k", "v"), 2L)
+    val up1 = new Path(s"$root/updates/u1")
+    val fs = up1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(up1).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") &&
+        !q.getName.startsWith(".") && fs.getFileStatus(q).getLen > 8)
+      .minBy(_.getName.toString)
+    val orig = flipByte(root, victim)
+    // u2 is PAST the horizon: corrupting it must not block a fold
+    // that never touches it — only folded inputs are verified
+    val e = intercept[Exception] {
+      MergeOnRead.compactSeq(spark, root, "k", horizonSeq = 1L)
+    }
+    assert(msgChain(e).exists(m => m.contains(victim.getName) &&
+      m.contains("refusing to fold")), s"${msgChain(e)}")
+    val out = fs.create(victim, true)
+    try out.write(orig) finally out.close()
+    MergeOnRead.compactSeq(spark, root, "k", horizonSeq = 1L)
+    assert(MergeOnRead.fsck(spark, root, deep = true).deepVerified)
+    assert(MergeOnRead.readCurrentSeq(spark, root, "k")
+      .as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (3L, 2.0), (4L, 3.0)))
+  }
 }
