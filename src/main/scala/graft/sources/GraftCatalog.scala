@@ -445,6 +445,9 @@ private class GraftClusterProcedure(catalog: GraftCatalog)
       .defaultValue("false").build(),
     ProcedureParameter.in("only_new",
       org.apache.spark.sql.types.BooleanType)
+      .defaultValue("false").build(),
+    ProcedureParameter.in("incremental",
+      org.apache.spark.sql.types.BooleanType)
       .defaultValue("false").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = catalog.tableDirOrFail(input.getUTF8String(0).toString)
@@ -452,7 +455,8 @@ private class GraftClusterProcedure(catalog: GraftCatalog)
       .filter(_.nonEmpty).toSeq
     val stats = GraftSink.cluster(catalog.session, dir, cols,
       targetBytes = input.getLong(2), zorder = input.getBoolean(3),
-      onlyNew = input.getBoolean(4))
+      onlyNew = input.getBoolean(4),
+      incremental = input.getBoolean(5))
     java.util.List.of[Scan](new GraftProcResultScan(
       StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),
@@ -550,17 +554,17 @@ private class GraftMetaTable(kind: String, dir: String,
           case "stats" =>
             // the CBO feed made visible: per column, the table-level
             // NDV/null-count merge the scan reports, plus the
-            // interval-union bounds — all driver-side metadata
+            // interval-union bounds — all driver-side metadata,
+            // served from the per-version memo (committed versions
+            // are immutable; the fold runs once per JVM)
             GraftSink.latestManifest(spark, dir).toSeq.flatMap { m =>
-              val files = m.files
               val cols = StructType.fromDDL(m.schemaDdl).fieldNames.toSeq
-              val merged = GraftSink.mergedColumnStats(files, cols)
-              val union = GraftSink.ManifestFile("(union)", m.schemaDdl,
-                statsJson = GraftSink.unionStats(files))
+              val (merged, unionBounds) =
+                GraftSink.versionColumnStats(dir, m)
               cols.map { c =>
                 val (ndv, exact, nulls) =
                   merged.getOrElse(c, (-1L, false, -1L))
-                val b = union.bounds.get(c)
+                val b = unionBounds.get(c)
                 new GenericInternalRow(Array[Any](
                   UTF8String.fromString(c), ndv, exact, nulls,
                   b.map(x => UTF8String.fromString(x._1.toString)).orNull,

@@ -1945,7 +1945,7 @@ object GraftSink {
     val compactId = java.util.UUID.randomUUID().toString.take(8)
     // one task per group: stream-concatenate the group's files into a
     // fresh data file (executor-side IO, driver sees only metadata)
-    val merged = spark.sparkContext
+    val mergedRaw = spark.sparkContext
       .parallelize(groups.zipWithIndex, groups.size.max(1))
       .map { case (group, gi) =>
         val name = s"compact-$compactId-$gi"
@@ -1954,20 +1954,56 @@ object GraftSink {
         // checksum folds over the SAME buffers the concat streams —
         // the merged file's content hash costs no extra read
         val h = newXxh64()
+        var legacy = 0
         val out = f.create(dst, false)
         try group.foreach { mf =>
+          // VERIFY BEFORE RETIRE: a second fold, per SOURCE file, over
+          // the same buffers — free, like the write-side hash. Without
+          // it, compaction LAUNDERS corruption: a bit-rotted member is
+          // concatenated into a fresh file whose new checksum blesses
+          // the corrupt bytes, the honest old checksum leaves the
+          // manifest with the retired file, and from then on
+          // fsck(deep) — including the FULL drill — attests the
+          // corruption as authentic while copyVerified replication
+          // propagates it. Refuse loudly instead; checksum-less legacy
+          // members compact with a LOUD unverified count, never
+          // silently (the copyVerified message discipline).
+          val hf = newXxh64()
           val in = f.open(new Path(dir, s"data/${mf.name}"))
           try {
             val buf = new Array[Byte](1 << 16)
             var n = in.read(buf)
             while (n >= 0) {
-              if (n > 0) { out.write(buf, 0, n); h.update(buf, 0, n) }
+              if (n > 0) {
+                out.write(buf, 0, n); h.update(buf, 0, n)
+                hf.update(buf, 0, n)
+              }
               n = in.read(buf)
             }
           } finally in.close()
+          if (mf.checksum.nonEmpty) {
+            val actual = xxh64Hex(hf.getValue)
+            if (actual != mf.checksum) {
+              out.close()
+              f.delete(dst, false)
+              sys.error(s"graftsink: compaction read ${mf.name} with " +
+                s"xxh64 $actual but the manifest records " +
+                s"${mf.checksum} — refusing to retire (and re-bless) " +
+                "corrupt bytes; deep-fsck and restore the object first")
+            }
+          } else legacy += 1
         } finally out.close()
-        (gi, (name, xxh64Hex(h.getValue)))
-      }.collect().toMap
+        (gi, (name, xxh64Hex(h.getValue), legacy))
+      }.collect()
+    val merged = mergedRaw.map { case (gi, (n, sum, _)) =>
+      gi -> ((n, sum)) }.toMap
+    val legacyCompacted = mergedRaw.map(_._2._3).sum
+    if (legacyCompacted > 0)
+      System.err.println(s"graftsink: compaction at $dir retired " +
+        s"$legacyCompacted checksum-less legacy file(s) UNVERIFIED " +
+        "(pre-checksum manifest) — their bytes fold into checksummed " +
+        "merged files without content proof; deep-fsck cannot vouch " +
+        "for history written before checksums")
 
     val mergedEntries = groups.zipWithIndex.map { case (group, gi) =>
       ManifestFile(merged(gi)._1, group.head.schemaDdl,
@@ -2040,6 +2076,53 @@ object GraftSink {
     CompactStats(0, 0, 0) // unreachable
   }
 
+  /** Min of two recorded bounds of the same internal type. NaN lo =
+    * "member had no finite values" — it never lowers a union's min
+    * (NaN sorts ABOVE all doubles in Spark's order). String bounds
+    * stay (possibly truncated) prefix forms, merged in the same UTF-8
+    * order they were tracked in.
+    */
+  private[sources] def boundLo(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => x.min(y)
+    case (x: Int, y: Int) => x.min(y)
+    case (x: Double, y: Double) =>
+      if (x.isNaN) y else if (y.isNaN) x else x.min(y)
+    case (x: String, y: String) => if (cmpUtf8(x, y) <= 0) x else y
+    case _ => sys.error("graftsink: mixed-type bounds in one group")
+  }
+
+  /** Max of two recorded bounds; any NaN hi dominates (NaN is Spark's
+    * max), and the max of upper bounds (some possibly incremented
+    * string forms) is still an upper bound over the union.
+    */
+  private[sources] def boundHi(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => x.max(y)
+    case (x: Int, y: Int) => x.max(y)
+    case (x: Double, y: Double) =>
+      if (x.isNaN || y.isNaN) Double.NaN else x.max(y)
+    case (x: String, y: String) => if (cmpUtf8(x, y) >= 0) x else y
+    case _ => sys.error("graftsink: mixed-type bounds in one group")
+  }
+
+  /** Whether intervals [aLo, aHi] and [bLo, bHi] (recorded bounds of
+    * one column) intersect. NaN answers true — bounds involving NaN
+    * cannot prove disjointness, and the callers use overlap
+    * conservatively (an overlap=true only costs a rewrite, never
+    * correctness).
+    */
+  private[sources] def boundsOverlap(aLo: Any, aHi: Any, bLo: Any,
+      bHi: Any): Boolean = {
+    def le(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long) => a <= b
+      case (a: Int, b: Int) => a <= b
+      case (a: Double, b: Double) =>
+        a.isNaN || b.isNaN || a <= b
+      case (a: String, b: String) => cmpUtf8(a, b) <= 0
+      case _ => true // mixed/unknown: cannot prove disjoint
+    }
+    le(aLo, bHi) && le(bLo, aHi)
+  }
+
   /** Interval union of a group's column bounds, re-rendered in the
     * manifest's internal-string form; a column missing stats in ANY
     * member is dropped (its merged interval would be a lie).
@@ -2048,33 +2131,9 @@ object GraftSink {
     val all = group.map(_.bounds)
     val shared = all.map(_.keySet).reduce(_ intersect _)
     if (shared.isEmpty) return ""
-    def lo(a: Any, b: Any): Any = (a, b) match {
-      case (x: Long, y: Long) => x.min(y)
-      case (x: Int, y: Int) => x.min(y)
-      // NaN lo = "member had no finite values" — it never lowers the
-      // union's min (NaN sorts ABOVE all doubles in Spark's order)
-      case (x: Double, y: Double) =>
-        if (x.isNaN) y else if (y.isNaN) x else x.min(y)
-      // min of the members' lower bounds is a lower bound; the merged
-      // string bound stays a (possibly truncated) prefix form —
-      // merged in the same UTF-8 order the bounds were tracked in
-      case (x: String, y: String) => if (cmpUtf8(x, y) <= 0) x else y
-      case _ => sys.error("graftsink: mixed-type bounds in one group")
-    }
-    def hi(a: Any, b: Any): Any = (a, b) match {
-      case (x: Long, y: Long) => x.max(y)
-      case (x: Int, y: Int) => x.max(y)
-      // any member's NaN hi dominates the union (NaN is Spark's max)
-      case (x: Double, y: Double) =>
-        if (x.isNaN || y.isNaN) Double.NaN else x.max(y)
-      // max of upper bounds (some possibly already incremented) is
-      // still an upper bound over the union
-      case (x: String, y: String) => if (cmpUtf8(x, y) >= 0) x else y
-      case _ => sys.error("graftsink: mixed-type bounds in one group")
-    }
     shared.toSeq.sorted.map { c =>
-      val los = all.map(_(c)._1).reduce(lo)
-      val his = all.map(_(c)._2).reduce(hi)
+      val los = all.map(_(c)._1).reduce(boundLo)
+      val his = all.map(_(c)._2).reduce(boundHi)
       // null counts sum exactly when EVERY member recorded one;
       // otherwise the merged entry omits it (unknown, never guessed)
       val nulls = group.map(_.nullCounts.get(c))
@@ -2097,34 +2156,133 @@ object GraftSink {
 
   /** Table-level (ndv, exact?, nullCount) per column, merged from the
     * per-file sketches of `files` — the statistics the scan reports
-    * to CBO and the `.stats` metadata table serves. Declines a column
-    * (absent from the result) rather than guess when any stat-bearing
-    * file carries a pre-NDV entry for it; a stat-bearing file with NO
-    * entry for the column holds zero non-null values of it (the
-    * statsJson invariant) and contributes 0 distinct / all-null.
-    * Empty when any file predates statistics entirely.
+    * to CBO and the `.stats` metadata table serves. Answers ONLY for
+    * columns whose type the writer tracks ("no stats entry ⇒ zero
+    * non-null values" holds for exactly those): BooleanType never
+    * emits an entry, so a boolean column here would read as
+    * all-null/ndv-0 even when fully non-null — declined instead. A
+    * STRING entry can also be legitimately dropped for an
+    * un-incrementable upper bound, so string columns decline whenever
+    * any stats-bearing file lacks an entry (the COUNT-pushdown
+    * isString rule); for tracked numeric types, absence proves
+    * all-null and contributes 0 distinct. Declines (absent from the
+    * result) rather than guess when any stat-bearing file carries a
+    * pre-NDV entry; empty when any file predates statistics entirely.
     */
   private[sources] def mergedColumnStats(files: Seq[ManifestFile],
+      schema: StructType,
       cols: Seq[String]): Map[String, (Long, Boolean, Long)] = {
     if (files.isEmpty || files.exists(f =>
         f.statsJson.isEmpty || f.rows < 0)) return Map.empty
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
     cols.flatMap { c =>
-      val withEntry = files.filter(f =>
-        f.nullCounts.contains(c) || f.bounds.contains(c) ||
-          f.ndvSketches.contains(c))
-      if (withEntry.exists(f => !f.ndvSketches.contains(c) ||
-          !f.nullCounts.contains(c))) None // pre-NDV entry: unknown
+      val isString = types.get(c).contains(StringType)
+      val tracked = types.get(c).exists {
+        case LongType | IntegerType | DoubleType | TimestampType |
+             TimestampNTZType | DateType | StringType => true
+        case _ => false
+      }
+      if (!tracked) None
       else {
-        val est =
-          if (withEntry.isEmpty) Some((0L, true))
-          else Ndv.mergeEstimate(withEntry.map(_.ndvSketches(c)))
-        est.map { case (ndv, exact) =>
-          val nulls = files.map(f =>
-            f.nullCounts.getOrElse(c, f.rows)).sum
-          c -> ((ndv, exact, nulls))
+        val withEntry = files.filter(f =>
+          f.nullCounts.contains(c) || f.bounds.contains(c) ||
+            f.ndvSketches.contains(c))
+        if (isString && withEntry.size != files.size) None
+        else if (withEntry.exists(f => !f.ndvSketches.contains(c) ||
+            !f.nullCounts.contains(c))) None // pre-NDV entry: unknown
+        else {
+          val est =
+            if (withEntry.isEmpty) Some((0L, true))
+            else Ndv.mergeEstimate(withEntry.map(_.ndvSketches(c)))
+          est.map { case (ndv, exact) =>
+            val nulls = files.map(f =>
+              f.nullCounts.getOrElse(c, f.rows)).sum
+            c -> ((ndv, exact, nulls))
+          }
         }
       }
     }.toMap
+  }
+
+  /** Interval-union bounds of `files` in decoded form, keyed by
+    * column — the table-level min/max the CBO feed and the `.stats`
+    * metadata table render.
+    */
+  private[sources] def unionBoundsOf(files: Seq[ManifestFile],
+      schemaDdl: String): Map[String, (Any, Any)] =
+    if (files.isEmpty) Map.empty
+    else ManifestFile("(union)", schemaDdl,
+      statsJson = unionStats(files)).bounds
+
+  private val statsMemoMax = 256
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int),
+    (Map[String, (Long, Boolean, Long)], Map[String, (Any, Any)])]()
+
+  /** Plan-time column statistics of one COMMITTED version — the
+    * merged table-level (ndv, exact, nulls) and interval-union bounds
+    * over the manifest's FULL file list, for every column of its
+    * schema — memoized per (table dir, version). A committed
+    * version's stats are immutable, so the decode+merge runs ONCE per
+    * driver JVM and every later CBO-planned scan or `.stats` read of
+    * that version is an O(1) map hit instead of O(files × cols)
+    * base64 decode + sketch merge: at the repo's own 128 MB–1 GB file
+    * discipline 100 TB is 1e5–1e6 manifest entries, and re-merging
+    * them on EVERY plan would tax exactly the recurring workload CBO
+    * stats exist to serve. The memo is a droppable cache (bounded at
+    * [[statsMemoMax]] versions, cleared wholesale when full — new
+    * versions re-fold on first touch).
+    */
+  private[graft] def versionColumnStats(dir: String, m: Manifest)
+      : (Map[String, (Long, Boolean, Long)], Map[String, (Any, Any)]) = {
+    val key = (dir, m.version)
+    val got = statsMemo.get(key)
+    if (got != null) return got
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val v = (mergedColumnStats(m.files, schema,
+      schema.fieldNames.toSeq),
+      unionBoundsOf(m.files, m.schemaDdl))
+    if (statsMemo.size >= statsMemoMax) statsMemo.clear()
+    statsMemo.put(key, v)
+    v
+  }
+
+  /** VERIFY BEFORE RETIRE for Spark-read rewrites ([[cluster]]): the
+    * rewrite parses its input through the scan path, so unlike
+    * [[compact]]'s byte concat there are no raw buffers to fold a
+    * verification hash over for free — corrupt input bytes would parse
+    * into wrong rows and be re-written under a FRESH (honest-looking)
+    * checksum, permanently laundering the damage past fsck(deep), the
+    * `_deep_verified` watermark, and copyVerified replication. So the
+    * files about to be retired are re-hashed FIRST, cluster-fanned,
+    * O(rewritten) — the rewrite reads those same bytes anyway, this
+    * prices one extra sequential pass — and a mismatch refuses loudly.
+    * Checksum-less legacy entries rewrite with a LOUD unverified
+    * count, never silently.
+    */
+  private def verifyRetiring(spark: SparkSession, dir: String,
+      files: Seq[ManifestFile], op: String): Unit = {
+    val checked = files.filter(_.checksum.nonEmpty)
+    val legacy = files.size - checked.size
+    if (legacy > 0)
+      System.err.println(s"graftsink: $op at $dir rewrites $legacy " +
+        "checksum-less legacy file(s) UNVERIFIED (pre-checksum " +
+        "manifest) — their rows re-land under fresh checksums with no " +
+        "content proof for the originals")
+    if (checked.isEmpty) return
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(checked.map(f => (f.name, f.checksum)),
+        copySlices(spark, checked.size))
+      .foreach { case (name, sum) =>
+        val p = new Path(dir, s"data/$name")
+        val actual = hashFileContent(p.getFileSystem(conf.value), p)
+        if (actual != sum) sys.error(s"graftsink: $op would retire " +
+          s"$name whose content reads xxh64 $actual but the manifest " +
+          s"records $sum — refusing to launder corruption into a " +
+          "fresh checksum; deep-fsck and restore the object first")
+      }
   }
 
   final case class ClusterStats(filesBefore: Int, filesAfter: Int,
@@ -2186,11 +2344,36 @@ object GraftSink {
     *                identity filter, so old sorted runs aren't even
     *                opened.
     */
+  /** @param incremental MERGING incremental maintenance — the middle
+    *                ground between `onlyNew` (cheapest, but leaves one
+    *                extra sorted run per pass) and a FULL rewrite
+    *                (one run, O(table) every time): rewrite the
+    *                unsorted tail TOGETHER WITH just the
+    *                previously-clustered files whose recorded bounds
+    *                overlap the tail's key range, leaving every other
+    *                clustered file byte-identical (same name, same
+    *                bytes, vacuum-safe, replica-sync no-op). The table
+    *                stays effectively one clustered run, and the pass
+    *                costs O(tail + overlap) — for the common
+    *                roughly-key-ordered append cadence (time-keyed
+    *                ingest clustered on date) the overlap is the last
+    *                few boundary files, so nightly maintenance tracks
+    *                the day's ingest, not the table. A tail spanning
+    *                the whole key space degrades honestly to the full
+    *                rewrite (every file overlaps). Overlap is judged
+    *                per cluster column from the manifest bounds (a
+    *                file missing bounds for any cluster column is
+    *                conservatively treated as overlapping).
+    */
   def cluster(spark: SparkSession, dir: String, cols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
       zorder: Boolean = false, zBits: Int = 8,
-      onlyNew: Boolean = false, rewriteRetries: Int = 3): ClusterStats = {
+      onlyNew: Boolean = false, rewriteRetries: Int = 3,
+      incremental: Boolean = false): ClusterStats = {
     require(cols.nonEmpty, "cluster needs at least one column")
+    require(!(onlyNew && incremental),
+      "cluster: onlyNew and incremental are alternative tail " +
+        "disciplines — pick one")
     val m = latestManifest(spark, dir).getOrElse(
       sys.error(s"graftsink: nothing to cluster at $dir"))
     if (m.files.isEmpty) return ClusterStats(0, 0, 0L)
@@ -2208,9 +2391,36 @@ object GraftSink {
         "string (strings rank via their UTF-8 prefix key)"))
     val targetFiles =
       if (onlyNew) m.files.filterNot(_.name.startsWith("cluster-"))
-      else m.files
+      else if (incremental) {
+        val (sorted, tail) =
+          m.files.partition(_.name.startsWith("cluster-"))
+        if (tail.isEmpty) Seq.empty
+        else {
+          // the tail's per-column key envelope, from manifest bounds;
+          // a tail file missing bounds for a cluster column makes that
+          // column's envelope unknown -> every sorted file overlaps on
+          // it (conservative, degrades toward the full rewrite)
+          val envelope: Map[String, Option[(Any, Any)]] = cols.map { c =>
+            val bs = tail.map(_.bounds.get(c))
+            c -> (if (bs.exists(_.isEmpty)) None
+            else Some((bs.flatten.map(_._1).reduce(boundLo),
+              bs.flatten.map(_._2).reduce(boundHi))))
+          }.toMap
+          val overlapping = sorted.filter(f => cols.forall { c =>
+            envelope(c).forall { case (tlo, thi) =>
+              f.bounds.get(c).forall { case (flo, fhi) =>
+                boundsOverlap(flo, fhi, tlo, thi) } }
+          })
+          tail ++ overlapping
+        }
+      } else m.files
     if (targetFiles.isEmpty)
       return ClusterStats(m.files.size, m.files.size, 0L)
+    // VERIFY BEFORE RETIRE (see [[verifyRetiring]]): the re-sort reads
+    // these files through the parser and re-lands their rows under
+    // fresh checksums — prove the bytes first, or bit rot is laundered
+    // into "verified" history forever
+    verifyRetiring(spark, dir, targetFiles, "clustering")
     val totalBytes = targetFiles.map(_.bytes).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
@@ -2221,9 +2431,10 @@ object GraftSink {
     val full = spark.read.format("graftsink")
       .option("version", m.version).load(dir)
     val snapshot =
-      if (!onlyNew) full
-      // file-addressed tail read: the _file filter prunes at the
-      // manifest, so prior sorted runs are not opened
+      if (!onlyNew && !incremental) full
+      // file-addressed victim read (onlyNew: the tail; incremental:
+      // tail + overlapping run files): the _file filter prunes at the
+      // manifest, so non-victim sorted files are not opened
       else full.filter(
         col("_file").isin(targetFiles.map(_.name: Any): _*))
         .drop("_file")
@@ -2275,7 +2486,7 @@ object GraftSink {
           s"graftsink: clustering at $dir kept losing to concurrent " +
             "rewrites; re-run when row-level DML traffic quiets")
         return cluster(spark, dir, cols, targetBytes, zorder, zBits,
-          onlyNew, rewriteRetries - 1)
+          onlyNew, rewriteRetries - 1, incremental)
       }
       val conf = new SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
@@ -2316,6 +2527,15 @@ object GraftSink {
     * until retention expires them. A restore across a vacuumed version
     * fails loudly at the manifest read — it can never resurrect a
     * partial file set. Returns the new head version.
+    *
+    * INTEGRITY AUDIT (the verify-before-retire rule [[compact]] /
+    * [[cluster]] enforce): restore is exempt BY CONSTRUCTION — it
+    * reads no data bytes, retires no files, and mints no checksums.
+    * The pinned version's entries (names, sizes, stats, recorded
+    * XXH64s) carry VERBATIM into the new manifest, so a bit-rotted
+    * file restored into the head still wears its honest original
+    * checksum and the next fsck(deep) names it — restore can move the
+    * head onto damage, never launder it.
     */
   def restore(spark: SparkSession, dir: String, version: Int): Int = {
     val m = (try manifestAt(spark, dir, Some(version))
@@ -4447,9 +4667,13 @@ private class GraftSinkScan(fullSchema: StructType,
     // sketches) feed Catalyst's CBO: with them a catalog graftsink
     // table joins through stats-driven reorder and 1/ndv equality
     // selectivity exactly like an ANALYZEd parquet table — no scan,
-    // no ANALYZE, O(files × 64 B) driver metadata. Computed ONLY when
-    // CBO is on: the default planner never reads them, so the default
-    // plan path pays nothing (and PLANS.lock shapes cannot move).
+    // no ANALYZE. Computed ONLY when CBO is on: the default planner
+    // never reads them, so the default plan path pays nothing (and
+    // PLANS.lock shapes cannot move). The unpruned-scan shape (the
+    // recurring-workload common case) serves from the per-version
+    // memo — O(1) after the version's first plan, never O(files) per
+    // query; only a genuinely pruned scan folds its (already-small)
+    // surviving subset.
     val colStats: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
@@ -4466,15 +4690,24 @@ private class GraftSinkScan(fullSchema: StructType,
         // internal types only: string bounds are truncated prefixes
         // (sound for skipping, misleading as point estimates), and
         // NaN-bearing double unions decline (no finite hi exists).
-        val unionBounds = GraftSink.ManifestFile("(union)",
-          fullSchema.toDDL,
-          statsJson = GraftSink.unionStats(files)).bounds
+        val headOpt = scala.util.Try(GraftSink.manifestAt(
+          SparkSession.active, path, version)).toOption.flatten
+        val (mergedAll, unionBounds) = headOpt match {
+          case Some(head) if changesFrom.isEmpty &&
+              files.size == head.files.size =>
+            GraftSink.versionColumnStats(path, head)
+          case _ =>
+            (GraftSink.mergedColumnStats(files, fullSchema,
+              scanSchema.fieldNames.toSeq),
+              GraftSink.unionBoundsOf(files, fullSchema.toDDL))
+        }
         def finite(v: Any): Boolean = v match {
           case d: Double => !d.isNaN
           case _: Long | _: Int => true
           case _ => false
         }
-        GraftSink.mergedColumnStats(files, scanSchema.fieldNames.toSeq)
+        val scanCols = scanSchema.fieldNames.toSet
+        mergedAll.view.filterKeys(scanCols)
           .foreach { case (c, (ndv, _, nulls)) =>
             val b = unionBounds.get(c)
               .filter(x => finite(x._1) && finite(x._2))

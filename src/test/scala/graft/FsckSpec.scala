@@ -303,4 +303,60 @@ class FsckSpec extends SparkSpec {
     assert(row.getString(13).contains("no recorded checksum"),
       s"detail must say WHY content went unverified: $row")
   }
+
+  test("the _deep_verified chain stays SOUND across maintenance: " +
+      "compaction/clustering outputs enter the chain by being " +
+      "RE-HASHED on the next incremental pass (never blindly " +
+      "skipped), and a flip planted in a maintenance output before " +
+      "its first verification is caught by the cadence") {
+    val dir = freshDir("maintchain")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("k", "s").coalesce(1)
+        .write.format("graftsink").mode("append").save(dir)
+    }
+    val full = GraftSink.fsck(spark, dir, deep = true)
+    assert(full.deepVerified && full.contentHashed == 4, s"$full")
+    // compaction folds the four verified files into one NEW file: its
+    // bytes were verified in-stream (verify-before-retire), but the
+    // WATERMARK chain treats it as a new, unverified entry — the
+    // incremental pass must re-hash it, proving maintenance can never
+    // smuggle a file past the chain
+    GraftSink.compact(spark, dir, smallBytes = 1L << 20)
+    val incr = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(incr.deepVerified && incr.contentHashed == 1,
+      s"the compacted output must be re-hashed, not skipped: $incr")
+    // clustering rewrites again; corrupt its output BEFORE any
+    // verified pass covers it — the cadence must name it
+    GraftSink.cluster(spark, dir, Seq("k"))
+    val clustered = GraftSink.latestManifest(spark, dir).get.files
+    assert(clustered.forall(_.name.startsWith("cluster-")))
+    val victim = new Path(dir, s"data/${clustered.head.name}")
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(victim).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(buf) finally in.close()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(victim, true)
+    try out.write(buf) finally out.close()
+    val caught = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(!caught.clean && caught.checksumMismatches.size == 1 &&
+      caught.checksumMismatches.head.startsWith(clustered.head.name),
+      s"pre-verification rot in a maintenance output must be caught " +
+        s"by the cadence: $caught")
+    // the failed pass never advanced the watermark over the damage
+    val restore = fs.create(victim, true)
+    try { buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+      restore.write(buf) } finally restore.close()
+    val healed = GraftSink.fsck(spark, dir, deep = true,
+      sinceVerified = true)
+    assert(healed.deepVerified &&
+      healed.contentHashed >= clustered.size,
+      s"after restore the cadence re-hashes the cluster outputs and " +
+        s"the chain closes over them: $healed")
+    assert(healed.verifiedThrough ==
+      GraftSink.latestManifest(spark, dir).get.version, s"$healed")
+  }
 }

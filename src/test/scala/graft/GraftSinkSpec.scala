@@ -1947,4 +1947,148 @@ class GraftSinkSpec extends SparkSpec {
       s"bloom sidecars out of step: $remBlooms vs $headRefs")
     assert(GraftSink.latestManifest(spark, dir).get.files.size === 100)
   }
+
+  private def flipByteAt(path: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(path).getLen
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(path)
+    try in.readFully(buf) finally in.close()
+    val orig = buf.clone()
+    buf(len.toInt / 2) = (buf(len.toInt / 2) ^ 0x01).toByte
+    val out = fs.create(path, true)
+    try out.write(buf) finally out.close()
+    assert(fs.getFileStatus(path).getLen === len, "flip kept the size")
+    orig
+  }
+
+  private def msgChain(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ msgChain(t.getCause)
+
+  test("compaction VERIFIES what it retires: a bit-rotted group " +
+    "member REFUSES (named) instead of being concatenated under a " +
+    "fresh checksum that would bless the corruption forever; the " +
+    "restored byte compacts, and the chain stays sound") {
+    val dir = freshDir
+    for (i <- 0 until 4)
+      Seq((i.toLong, s"row-$i-payload")).toDF("k", "s").coalesce(1)
+        .write.format("graftsink").mode("append").save(dir)
+    val files = GraftSink.latestManifest(spark, dir).get.files
+    assert(files.size === 4 && files.forall(_.checksum.length == 16))
+    val victim = files.sortBy(_.name).apply(1)
+    val p = new org.apache.hadoop.fs.Path(dir, s"data/${victim.name}")
+    val orig = flipByteAt(p)
+    val e = intercept[Exception] { GraftSink.compact(spark, dir) }
+    assert(msgChain(e).exists(m => m.contains(victim.name) &&
+      m.contains("refusing to retire")),
+      s"compaction must refuse naming the rotted member: ${msgChain(e)}")
+    // nothing retired: the head still lists the original files with
+    // their HONEST checksums, so deep fsck still names the damage —
+    // the laundering path is closed
+    assert(GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet === files.map(_.name).toSet,
+      "a refused compaction must leave the head untouched")
+    val deep = GraftSink.fsck(spark, dir, deep = true)
+    assert(!deep.clean && deep.checksumMismatches.size === 1 &&
+      deep.checksumMismatches.head.startsWith(victim.name),
+      s"the damage must stay visible to deep fsck: $deep")
+    // restore -> the same compaction succeeds, table deep-verifies
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(orig) finally out.close()
+    assert(GraftSink.compact(spark, dir).groupsMerged === 1)
+    assert(GraftSink.fsck(spark, dir, deep = true).deepVerified)
+    assert(spark.read.format("graftsink").load(dir).count() === 4L)
+  }
+
+  test("clustering VERIFIES what it retires: the pre-retire re-hash " +
+    "refuses a bit-rotted input file by name — a re-sort would parse " +
+    "corrupt bytes into wrong rows under fresh checksums") {
+    val dir = freshDir
+    spark.range(300).select(col("id").as("k"),
+      concat(lit("v-"), col("id")).as("s"))
+      .repartition(3)
+      .write.format("graftsink").mode("append").save(dir)
+    val files = GraftSink.latestManifest(spark, dir).get.files
+    val victim = files.sortBy(_.name).head
+    val p = new org.apache.hadoop.fs.Path(dir, s"data/${victim.name}")
+    val orig = flipByteAt(p)
+    val e = intercept[Exception] {
+      GraftSink.cluster(spark, dir, Seq("k"))
+    }
+    assert(msgChain(e).exists(m => m.contains(victim.name) &&
+      m.contains("refusing to launder")),
+      s"clustering must refuse naming the rotted input: ${msgChain(e)}")
+    assert(GraftSink.latestManifest(spark, dir).get.files
+      .map(_.name).toSet === files.map(_.name).toSet,
+      "a refused clustering must leave the head untouched")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(orig) finally out.close()
+    GraftSink.cluster(spark, dir, Seq("k"))
+    assert(GraftSink.fsck(spark, dir, deep = true).deepVerified)
+    assert(spark.read.format("graftsink").load(dir).count() === 300L)
+  }
+
+  test("incremental cluster (bounds overlap): the tail folds into " +
+    "ONLY the clustered files its key range overlaps — every other " +
+    "clustered file survives byte-identical by name, and the pass " +
+    "costs O(tail + overlap), not O(table)") {
+    val dir = freshDir
+    spark.range(4000).select(col("id").as("k"), lit(1L).as("v"))
+      .repartition(4)
+      .write.format("graftsink").mode("append").save(dir)
+    val bytes0 = GraftSink.latestManifest(spark, dir).get
+      .files.map(_.bytes).sum
+    GraftSink.cluster(spark, dir, Seq("k"), targetBytes = bytes0 / 8)
+    val run1 = GraftSink.latestManifest(spark, dir).get.files
+    assert(run1.size >= 6, s"need a multi-file sorted run: ${run1.size}")
+    // the append cadence resumes with a KEY-LOCAL tail (the
+    // time-ordered-ingest shape): 3800..4599 overlaps only the top
+    // of the sorted run
+    spark.range(3800, 4600).select(col("id").as("k"), lit(2L).as("v"))
+      .repartition(2)
+      .write.format("graftsink").mode("append").save(dir)
+    val expectVictims = GraftSink.latestManifest(spark, dir).get.files
+      .filter(f => !f.name.startsWith("cluster-") ||
+        f.bounds("k")._2.asInstanceOf[Long] >= 3800L)
+    val untouched = run1.filterNot(f =>
+      expectVictims.exists(_.name == f.name))
+    assert(untouched.size >= 4 && expectVictims.size >= 3,
+      s"seed must split cleanly: ${untouched.size} untouched, " +
+        s"${expectVictims.size} victims")
+    val before = GraftSink.readersCreated.get()
+    val stats = GraftSink.cluster(spark, dir, Seq("k"),
+      targetBytes = 1L << 20, incremental = true)
+    // only the victims were read and rewritten
+    assert(GraftSink.readersCreated.get() - before ===
+      expectVictims.size.toLong,
+      "non-overlapping clustered files must not even be opened")
+    assert(stats.rows === expectVictims.map(_.rows).sum,
+      s"cost must track tail + overlap: $stats")
+    val after = GraftSink.latestManifest(spark, dir).get.files
+    // untouched files survive BYTE-IDENTICAL: same name (files are
+    // immutable once published) and same recorded checksum
+    untouched.foreach { f =>
+      val still = after.find(_.name == f.name)
+      assert(still.exists(_.checksum == f.checksum),
+        s"${f.name} must survive byte-identical")
+    }
+    // victims are gone from the head (retired by the fold)
+    assert(after.map(_.name).toSet
+      .intersect(expectVictims.map(_.name).toSet).isEmpty,
+      "folded victims must leave the head")
+    // content exact, duplicates where the tail re-added keys
+    assert(spark.read.format("graftsink").load(dir).count() === 4800L)
+    // a point probe in the untouched region opens exactly one file
+    val b2 = GraftSink.readersCreated.get()
+    assert(spark.read.format("graftsink").load(dir)
+      .filter(col("k") === 77L).count() === 1L)
+    assert(GraftSink.readersCreated.get() - b2 === 1L,
+      "the untouched region must stay one-probe-one-file")
+    // with no new tail, the incremental pass is a no-op
+    assert(GraftSink.cluster(spark, dir, Seq("k"),
+      incremental = true).rows === 0L)
+  }
 }
