@@ -71,6 +71,12 @@ object Bench {
         "q_sink_clone", // warm builds seed + export; timed run reads the clone
         "q_sink_clone_sync", // warm builds seed + sync; timed reads the replica
         "q_sink_fsck", // warm builds seed + integrity probe; timed reads back
+        "q_cluster_incr", // warm builds seed + both cluster passes; timed reads
+        "q_mor_fsck", // warm runs the flip/refuse/restore drills; timed reads
+        // warm publishes the two-tx seed (r13 measured 1.70 s with
+        // ~80% of the timed body re-seeding); timed reps then price
+        // the integrity probes alone — 4 fscks + flip/restore + audit
+        "q_tx_fsck",
         "q_sql_catalog",
         "q_delete_where",
         "q_hll_merge", "q_hll_sliding",

@@ -894,7 +894,85 @@ object Ingest {
       |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
       |ORDER BY dim""".stripMargin
 
+  /** INCREMENTAL OPTIMIZE under the oracle gate (round 14 —
+    * [[graft.sources.GraftSink.cluster]] `incremental = true`): a
+    * clustered sink table grows a KEY-LOCAL tail (the time-ordered
+    * ingest shape), and the incremental pass folds the tail into
+    * ONLY the clustered files whose bounds it overlaps. The seed
+    * REQUIRES the survival proof — at least half the pre-existing
+    * sorted run must come through byte-identical (same name, same
+    * recorded checksum) and the rewrite must touch fewer rows than
+    * the table — and the declared query reads the re-clustered table
+    * against the raw-orders oracle, because layout maintenance must
+    * be invisible to results. The tail deliberately OVERLAPS the run
+    * boundary (keys above 9/10 of the seed cut re-land), so the
+    * overlap-merge path itself is row-exact under the gate.
+    */
+  private val clusterIncrSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededClusterIncr(spark: SparkSession,
+      dir: String): String =
+    clusterIncrSeeds.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_cluster_incr_seed").toString + "/o"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val maxK = o.agg(max("o_orderkey")).head().getLong(0)
+      val cut = maxK * 2 / 3
+      o.filter(col("o_orderkey") <= cut)
+        .repartition(5) // scrambled on purpose
+        .write.format("graftsink").mode("overwrite").save(p)
+      val bytes = graft.sources.GraftSink
+        .latestManifest(spark, p).get.files.map(_.bytes).sum
+      graft.sources.GraftSink.cluster(spark, p, Seq("o_orderkey"),
+        targetBytes = math.max(1L, bytes / 12))
+      val run1 = graft.sources.GraftSink
+        .latestManifest(spark, p).get.files
+      // the key-local tail, overlapping the run's top tenth
+      o.filter(col("o_orderkey") > cut - cut / 10)
+        .repartition(2)
+        .write.format("graftsink").mode("append").save(p)
+      val st = graft.sources.GraftSink.cluster(spark, p,
+        Seq("o_orderkey"), targetBytes = math.max(1L, bytes / 12),
+        incremental = true)
+      val after = graft.sources.GraftSink
+        .latestManifest(spark, p).get.files
+      val survivors = run1.filter(f => after.exists(a =>
+        a.name == f.name && a.checksum == f.checksum))
+      require(survivors.size * 2 >= run1.size,
+        s"most of the sorted run must survive byte-identical: " +
+          s"${survivors.size}/${run1.size}")
+      require(st.rows < after.map(_.rows).sum,
+        s"the incremental pass must rewrite less than the table: $st")
+      p
+    })
+
+  private def clusterIncr(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink")
+      .load(seededClusterIncr(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+
+  // the table holds orders <= 2/3·max plus a second copy of the
+  // overlapping tail (> cut − cut/10) — integer division both sides
+  private val clusterIncrSql =
+    """WITH c AS (SELECT (max(o_orderkey) * 2) // 3 AS cut FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders, c
+      |  WHERE o_orderkey <= cut
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM orders, c
+      |  WHERE o_orderkey > cut - cut // 10)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM u""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cluster_incr", clusterIncr, Some(clusterIncrSql)),
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     NamedQuery("q_sink_colstats", sinkColstats, Some(sinkColstatsSql)),
     NamedQuery("q_rename_evolution", renameEvolution,
