@@ -45,9 +45,25 @@ object TxDecade {
       val (f1, wF) = t(tx.fsck(spark, src))
       val (f2, wFD) = t(tx.fsck(spark, src, deep = true))
       require(f1.clean && f2.deepVerified)
+      // DEEP HISTORY + the scheduled cadence (round 14): 8 more
+      // single-table rewrites stack committed txs, then the
+      // incremental pass re-hashes ONLY the 8 new member dirs —
+      // manifest parses are memoized per (path, len, mtime) and the
+      // sidecar reads fan out cluster-wide, so the cadence cost
+      // tracks the NEW data, not table count × history depth
+      (2 to 9).foreach(j =>
+        tx.publish(spark, src, Map("t1" -> table(j.toLong, 2000))))
+      val (i1, wI1) = t(tx.fsck(spark, src, deep = true,
+        sinceVerified = true))
+      require(i1.deepVerified && i1.skippedVerified > 0 &&
+        i1.contentHashed > 0, s"$i1")
+      val (i2, wI2) = t(tx.fsck(spark, src, deep = true,
+        sinceVerified = true))
+      require(i2.deepVerified && i2.contentHashed == 0, s"$i2")
       println(f"$n%6d | $wPubAll%9.2f s | $wSyncAll%7.2f s | " +
         f"$wPub1%8.2f s | $wSync1%6.2f s | $wSync0%7.2f s | " +
-        f"$wF%5.2f s | $wFD%6.2f s")
+        f"$wF%5.2f s | $wFD%6.2f s | incr(8 new) $wI1%5.2f s | " +
+        f"incr(0) $wI2%5.2f s")
     }
     spark.stop()
   }
