@@ -759,10 +759,24 @@ class StreamsSpec extends SparkSpec {
     // the 100 TB law this query exists to prove: apply cost tracks the
     // BATCH, never the replica — no base file is opened at all (the
     // copy-on-write twin's anti-join + rewrite reads the whole base
-    // every batch)
-    assert(applyBytes == 0L,
-      s"apply batches read $applyBytes file bytes; merge-on-read " +
-        "apply must not touch the base")
+    // every batch). Round 14's integrity stamp re-reads each batch's
+    // just-written payload files ONCE to fold their _checksums
+    // sidecar (the landed-byte discipline replication runs under), so
+    // the bound is the batch dirs' own payload bytes — still O(batch),
+    // provably not the base (which this gate pins separately below).
+    def walkBytes(dir: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val sideBytes = walkBytes(s"$root/deletes") + walkBytes(s"$root/updates")
+    assert(sideBytes > 0L, "the apply must have written batch dirs")
+    assert(applyBytes <= sideBytes * 3 / 2 + 8192,
+      s"apply batches read $applyBytes file bytes vs $sideBytes batch " +
+        "payload bytes; merge-on-read apply may re-read only what it " +
+        "wrote (the sidecar stamp), never the base")
     // convergence: view == recomputed expected state
     def viewMap(): Map[Long, Double] =
       mor.readCurrentSeq(spark, root, "k").as[(Long, Double)]
