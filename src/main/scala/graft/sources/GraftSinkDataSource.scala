@@ -892,9 +892,67 @@ object GraftSink {
         case (lo, hi) =>
           ge(hi, p) && incrementLast(p).forall(succ => lt(lo, succ))
       }
+      case org.apache.spark.sql.sources.AlwaysFalse() => false
       case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
       case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
       case _ => true
+    }
+  }
+
+  /** [[mayMatch]]'s dual: does EVERY row of file `f` provably satisfy
+    * `filter`, judged by the manifest's bounds and null counts?
+    * Under-approximate by design — unknown columns/shapes/stats answer
+    * false, never an unsound claim. Null semantics carry the proof
+    * burden: a NULL operand evaluates a comparison/equality/IN to NULL
+    * (not TRUE), so every value-predicate proof additionally requires
+    * the file's recorded null count to be ZERO; [[mayMatch]]'s
+    * no-match direction needs no null knowledge (null rows don't match
+    * either way). String bounds are TRUNCATED (lo under-approximates
+    * the true min, hi over-approximates the true max — the
+    * incremented-prefix discipline), which keeps exactly these
+    * directions sound: `lo > v` still proves every true value > v, and
+    * `hi < v` every true value < v. Equality proofs use the lo == hi
+    * collapse — a truncated/incremented hi can never equal lo, so
+    * lo == hi certifies the file holds exactly that value.
+    *
+    * Together the pair classifies a file three ways for a DELETE
+    * predicate: allMatch → the file drops WHOLE (metadata-only, no
+    * rewrite); !mayMatch → the file carries untouched; otherwise the
+    * file straddles and only a row-level rewrite can split it.
+    */
+  private[graft] def allMatch(f: ManifestFile, filter: Filter): Boolean = {
+    def zeroNulls(c: String) = f.nullCounts.get(c).contains(0L)
+    def eq(a: Any, b: Any) = cmpOpt(a, b).contains(0)
+    filter match {
+      case EqualTo("_file", v) => f.name == v
+      case In("_file", vs) => vs.contains(f.name: Any)
+      case EqualTo(c, v) => v != null && zeroNulls(c) &&
+        f.bounds.get(c).exists { case (lo, hi) =>
+          eq(lo, hi) && eq(lo, v) }
+      // null IN-list elements evaluate the membership to NULL only
+      // when nothing matched; a proven match ignores them
+      case In(c, vs) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (lo, hi) =>
+          eq(lo, hi) && vs.exists(v => v != null && eq(lo, v)) }
+      case GreaterThan(c, v) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (lo, _) =>
+          cmpOpt(lo, v).exists(_ > 0) }
+      case GreaterThanOrEqual(c, v) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (lo, _) =>
+          cmpOpt(lo, v).exists(_ >= 0) }
+      case LessThan(c, v) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (_, hi) =>
+          cmpOpt(hi, v).exists(_ < 0) }
+      case LessThanOrEqual(c, v) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (_, hi) =>
+          cmpOpt(hi, v).exists(_ <= 0) }
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        f.rows > 0 && f.nullCounts.get(c).contains(f.rows)
+      case org.apache.spark.sql.sources.IsNotNull(c) => zeroNulls(c)
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case And(l, r) => allMatch(f, l) && allMatch(f, r)
+      case Or(l, r)  => allMatch(f, l) || allMatch(f, r)
+      case _ => false
     }
   }
 
@@ -2215,8 +2273,15 @@ object GraftSink {
       statsJson = unionStats(files)).bounds
 
   private val statsMemoMax = 256
+  // keyed (dir, version, commit stamp): version alone is NOT an
+  // identity — a table dropped and re-created at the same path
+  // restarts at version 0 in the same driver JVM, and a bare
+  // (dir, version) key would keep serving the DEAD table's stats to
+  // CBO and the `.stats` metadata table. The manifest's committedAtMs
+  // stamp differs across incarnations (−1 for pre-stamp legacy
+  // manifests, which no current writer produces).
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int),
+    (String, Int, Long),
     (Map[String, (Long, Boolean, Long)], Map[String, (Any, Any)])]()
 
   /** Plan-time column statistics of one COMMITTED version — the
@@ -2235,7 +2300,7 @@ object GraftSink {
     */
   private[graft] def versionColumnStats(dir: String, m: Manifest)
       : (Map[String, (Long, Boolean, Long)], Map[String, (Any, Any)]) = {
-    val key = (dir, m.version)
+    val key = (dir, m.version, m.committedAtMs.getOrElse(-1L))
     val got = statsMemo.get(key)
     if (got != null) return got
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -2260,7 +2325,7 @@ object GraftSink {
     * Checksum-less legacy entries rewrite with a LOUD unverified
     * count, never silently.
     */
-  private def verifyRetiring(spark: SparkSession, dir: String,
+  private[sources] def verifyRetiring(spark: SparkSession, dir: String,
       files: Seq[ManifestFile], op: String): Unit = {
     val checked = files.filter(_.checksum.nonEmpty)
     val legacy = files.size - checked.size
@@ -3679,24 +3744,50 @@ private[sources] class GraftSinkTable(tableSchema: StructType,
         options.getLong("maxRowsPerTrigger", -1L),
         options.getLong("maxBytesPerTrigger", -1L)))
 
-  /** SQL `DELETE FROM ... WHERE`: copy-on-write — the surviving rows
-    * rewrite as a fresh overwrite version through the normal commit
-    * path, so the delete is atomic, time-travelable, and bench-exact
-    * like every other write. Accepted only for filter shapes the sink
-    * can translate back to Columns exactly; anything else is rejected
-    * at `canDeleteWhere` and Spark reports it unsupported rather than
-    * half-applying.
+  /** SQL `DELETE FROM ... WHERE` — METADATA-ONLY, never a rewrite:
+    * accepted only when the manifest's bounds + null counts classify
+    * EVERY head file all-or-nothing under the predicate
+    * ([[GraftSink.allMatch]] / [[GraftSink.mayMatch]]) — then the
+    * delete is one manifest publish that drops the all-match files
+    * whole, no data file read or written, O(#files) driver metadata at
+    * any table size (the Iceberg metadata-delete model; prior versions
+    * still time-travel to the rows until vacuumed). A `DELETE WHERE
+    * day < cutoff` on a day-clustered 100 TB table is a metadata edit,
+    * not an O(table) job. Any file the bounds can't classify (a
+    * straddling range, a truncated-string ambiguity, missing stats)
+    * rejects the whole predicate here, and Spark re-plans the delete
+    * as the GROUP-BASED row-level rewrite below — which prunes to the
+    * files that might hold matches and rewrites ONLY those, O(touched)
+    * never O(table). Between them a graftsink DELETE never rewrites an
+    * untouched file.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftSinkTable.toColumn(_).isDefined)
+    GraftSink.latestManifest(SparkSession.active, path).exists(
+      _.files.forall(f => GraftSinkTable.deleteVerdict(f, filters)
+        .isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    val keep = filters.flatMap(GraftSinkTable.toColumn)
-      .foldLeft(lit(true))(_ && _)
-    val survivors = spark.read.format("graftsink").load(path)
-      .filter(!keep || keep.isNull)
-    survivors.write.format("graftsink").mode("overwrite").save(path)
+    val m = GraftSink.latestManifest(spark, path).getOrElse(return)
+    // re-classify against the head AT EXECUTION: a commit between
+    // canDeleteWhere's analysis-time proof and this call can add
+    // files the bounds no longer classify — half-applying would
+    // silently keep rows the predicate doomed, so refuse whole
+    val verdicts = m.files.map(f =>
+      f -> GraftSinkTable.deleteVerdict(f, filters))
+    verdicts.collectFirst { case (f, None) => f }.foreach(f =>
+      throw new GraftSink.ConcurrentRewriteException(
+        s"graftsink: DELETE at $path was accepted metadata-only but " +
+          s"a concurrent commit added ${f.name} whose bounds cannot " +
+          "classify the predicate; re-run the DELETE against the new " +
+          "table state"))
+    val doomed = verdicts.collect { case (f, Some(true)) => f.name }
+    // provably-no-op delete: no version bump, zero file opens
+    if (doomed.isEmpty) return
+    GraftSink.publish(spark,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      path, m.schemaDdl, Nil, truncate = false,
+      replace = Some(doomed.toSet))
   }
 
   /** SQL `UPDATE` and `MERGE INTO` (and DELETEs whose predicates the
@@ -3744,27 +3835,20 @@ private class GraftRowLevelOperation(tableSchema: StructType, path: String,
 }
 
 private[sources] object GraftSinkTable {
-  import org.apache.spark.sql.Column
-
-  /** Exact Filter→Column translation for the delete path; None = the
-    * shape is not supported and the delete must be refused whole.
+  /** Three-way file classification of a DELETE's implicit filter
+    * conjunction, from manifest metadata alone: Some(true) = every
+    * row provably matches (the file drops whole), Some(false) = no
+    * row can match (the file carries untouched), None = unprovable
+    * either way (only a row-level rewrite can split it). Both
+    * directions come from the [[GraftSink.allMatch]]/
+    * [[GraftSink.mayMatch]] pair; an empty conjunction is an
+    * unconditional DELETE — every file drops (a metadata truncate).
     */
-  def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(c, v) => Some(col(c) === lit(v))
-    case GreaterThan(c, v) => Some(col(c) > lit(v))
-    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
-    case LessThan(c, v) => Some(col(c) < lit(v))
-    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
-    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
-    case org.apache.spark.sql.sources.IsNull(c) => Some(col(c).isNull)
-    case org.apache.spark.sql.sources.IsNotNull(c) => Some(col(c).isNotNull)
-    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
-    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
-    case org.apache.spark.sql.sources.Not(x) => toColumn(x).map(!_)
-    case org.apache.spark.sql.sources.AlwaysTrue() => Some(lit(true))
-    case org.apache.spark.sql.sources.AlwaysFalse() => Some(lit(false))
-    case _ => None
-  }
+  def deleteVerdict(f: GraftSink.ManifestFile,
+      filters: Array[Filter]): Option[Boolean] =
+    if (filters.exists(!GraftSink.mayMatch(f, _))) Some(false)
+    else if (filters.forall(GraftSink.allMatch(f, _))) Some(true)
+    else None
 }
 
 private class GraftWriteBuilder(info: LogicalWriteInfo, path: String,
@@ -3877,6 +3961,24 @@ private object GraftCommit {
         GraftSink.ManifestFile(s"w$writeId-${m.stagedFile}",
           schema.toDDL, m.rows, m.bytes, m.statsJson,
           checksum = m.checksum) }
+    // VERIFY BEFORE RETIRE, row-level DML ([[GraftSink.verifyRetiring]]):
+    // an UPDATE/MERGE/group-DELETE read its scanned files through the
+    // parquet decode and is about to retire them — bit-rotted input
+    // would re-land under these fresh (honest-looking) checksums,
+    // laundering the damage past fsck(deep), the `_deep_verified`
+    // watermark, and copyVerified replication, exactly the compact()
+    // hole one layer up. Re-hash the retiring files FIRST (cluster-
+    // fanned, O(touched) — the rewrite read those bytes anyway) and
+    // refuse loudly on mismatch. A name a concurrent rewrite already
+    // replaced is skipped here; publish's conflict gate aborts that
+    // commit regardless.
+    replace.filter(_.nonEmpty).foreach { r =>
+      val spark = SparkSession.active
+      val retiring = GraftSink.latestManifest(spark, path)
+        .map(_.files.filter(mf => r.contains(mf.name)))
+        .getOrElse(Nil)
+      GraftSink.verifyRetiring(spark, path, retiring, "row-level rewrite")
+    }
     committed.foreach { case (staged, mf) =>
       if (!f.rename(new Path(staging, staged), new Path(dataDir, mf.name)))
         sys.error(s"graftsink: staging->data rename failed for $staged")
