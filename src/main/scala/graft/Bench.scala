@@ -72,6 +72,7 @@ object Bench {
         "q_sink_clone_sync", // warm builds seed + sync; timed reads the replica
         "q_sink_fsck", // warm builds seed + integrity probe; timed reads back
         "q_cluster_incr", // warm builds seed + both cluster passes; timed reads
+        "q_meta_delete", // warm builds seed + metadata DELETE; timed reads
         "q_mor_fsck", // warm runs the flip/refuse/restore drills; timed reads
         // warm publishes the two-tx seed (r13 measured 1.70 s with
         // ~80% of the timed body re-seeding); timed reps then price

@@ -908,6 +908,80 @@ object Ingest {
     * boundary (keys above 9/10 of the seed cut re-land), so the
     * overlap-merge path itself is row-exact under the gate.
     */
+  /** Metadata-only DELETE under the oracle gate ([[graft.sources
+    * .GraftSinkTable.deleteVerdict]]): the seed lays orders into four
+    * DETERMINISTIC key bands (filter + coalesce(1) per band — the
+    * layout discipline that keeps plan fingerprints stable, never
+    * repartitionByRange's RDD-id-seeded sampling), then issues a SQL
+    * `DELETE WHERE o_orderkey <= cut` whose predicate every file's
+    * bounds classify all-or-nothing. The seed PROVES the path taken:
+    * zero `readersCreated` across the DELETE (no data file opened),
+    * exactly one version bump, exactly the first band's file gone
+    * from the live manifest with the other three carried BY NAME.
+    * The declared query then reads the table against the raw-orders
+    * oracle with the same integer-arithmetic cut — the O(1) delete
+    * must also be EXACT.
+    */
+  private val metaDeleteSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seededMetaDelete(spark: SparkSession,
+      dir: String): String =
+    metaDeleteSeeds.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_meta_delete_seed").toString
+      spark.conf.set("spark.sql.catalog.graftmd",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftmd.root", root)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmd.wh")
+      spark.sql("CREATE TABLE graftmd.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      val p = s"$root/wh/orders"
+      val o = Tables(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val maxK = o.agg(max("o_orderkey")).head().getLong(0)
+      val cut = maxK / 4
+      Seq(
+        col("o_orderkey") <= cut,
+        col("o_orderkey") > cut && col("o_orderkey") <= 2 * cut,
+        col("o_orderkey") > 2 * cut && col("o_orderkey") <= 3 * cut,
+        col("o_orderkey") > 3 * cut
+      ).foreach(band => o.filter(band).coalesce(1)
+        .write.format("graftsink").mode("append").save(p))
+      val before = graft.sources.GraftSink.latestManifest(spark, p).get
+      require(before.files.size == 4, s"one file per band: $before")
+      val doomed = before.files.minBy(_.bounds("o_orderkey")._1
+        .asInstanceOf[Long]).name
+      val readers = graft.sources.GraftSink.readersCreated.get()
+      spark.sql(
+        s"DELETE FROM graftmd.wh.orders WHERE o_orderkey <= $cut")
+      require(graft.sources.GraftSink.readersCreated.get() == readers,
+        "metadata-only DELETE must open ZERO data files")
+      val after = graft.sources.GraftSink.latestManifest(spark, p).get
+      require(after.version == before.version + 1 &&
+        after.files.map(_.name).toSet ==
+          before.files.map(_.name).toSet - doomed,
+        s"exactly the all-match band drops; the rest carry by name")
+      p
+    })
+
+  private def metaDelete(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graftsink")
+      .load(seededMetaDelete(spark, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("total_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
+  private val metaDeleteSql =
+    """WITH c AS (SELECT max(o_orderkey) // 4 AS cut FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key
+      |FROM orders, c WHERE o_orderkey > cut""".stripMargin
+
   private val clusterIncrSeeds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def seededClusterIncr(spark: SparkSession,
@@ -972,6 +1046,7 @@ object Ingest {
       |FROM u""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_meta_delete", metaDelete, Some(metaDeleteSql)),
     NamedQuery("q_cluster_incr", clusterIncr, Some(clusterIncrSql)),
     NamedQuery("q_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     NamedQuery("q_sink_colstats", sinkColstats, Some(sinkColstatsSql)),

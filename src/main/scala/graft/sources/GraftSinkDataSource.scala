@@ -4794,9 +4794,24 @@ private class GraftSinkScan(fullSchema: StructType,
         // NaN-bearing double unions decline (no finite hi exists).
         val headOpt = scala.util.Try(GraftSink.manifestAt(
           SparkSession.active, path, version)).toOption.flatten
+        // pruned-subset fold budget: a weakly-selective filter at a
+        // 1e5–1e6-file table would otherwise re-fold nearly the whole
+        // manifest on EVERY plan — the same O(files)-per-plan shape
+        // the per-version memo closed for unpruned scans. Past the
+        // budget the scan serves the memoized TABLE-level stats
+        // instead: an over-approximation (table NDV ≥ subset NDV),
+        // which is CBO-sound the same way serving unfiltered relation
+        // stats is, and what file-source relations report anyway. A
+        // genuinely selective prune (≤ budget files) keeps the exact
+        // subset fold.
+        val foldMax = scala.util.Try(SparkSession.active.conf
+          .get("spark.graft.stats.prunedFoldMax", "1024").toInt)
+          .getOrElse(1024)
         val (mergedAll, unionBounds) = headOpt match {
           case Some(head) if changesFrom.isEmpty &&
               files.size == head.files.size =>
+            GraftSink.versionColumnStats(path, head)
+          case Some(head) if files.size > foldMax =>
             GraftSink.versionColumnStats(path, head)
           case _ =>
             (GraftSink.mergedColumnStats(files, fullSchema,

@@ -162,4 +162,42 @@ class CboSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gcbo")
     }
   }
+
+  test("pruned-scan stats fold is BUDGETED: past " +
+      "spark.graft.stats.prunedFoldMax a pruned scan serves the " +
+      "table-level memo (over-approximate, CBO-sound) instead of an " +
+      "O(files)-per-plan subset re-fold") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val dir = tmpDir("graft_cbo_prunefold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // three one-file appends with disjoint k bands: per-file NDV 10
+      // (sparse-exact), table NDV 30
+      Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach { band =>
+        band.map(k => (k, k * 2)).toDF("k", "v").coalesce(1)
+          .write.format("graftsink").mode("append").save(dir)
+      }
+      def ndvOfPrunedScan: Option[BigInt] = {
+        val plan = spark.read.format("graftsink").load(dir)
+          .filter(col("k") <= 10L).queryExecution.optimizedPlan
+        val rel = plan.collectFirst {
+          case r: DataSourceV2ScanRelation => r }.get
+        rel.stats.attributeStats
+          .find(_._1.name == "k").flatMap(_._2.distinctCount)
+      }
+      // within budget: the 1 surviving file folds exactly
+      assert(ndvOfPrunedScan.contains(BigInt(10)),
+        s"selective prune keeps the exact subset fold")
+      // budget 0: every pruned scan serves the per-version table memo
+      spark.conf.set("spark.graft.stats.prunedFoldMax", "0")
+      assert(ndvOfPrunedScan.contains(BigInt(30)),
+        s"past the budget the TABLE-level memo answers — " +
+          "over-approximate, never O(files) per plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.unset("spark.graft.stats.prunedFoldMax")
+    }
+  }
 }
