@@ -949,6 +949,15 @@ object GraftSink {
       case org.apache.spark.sql.sources.IsNull(c) =>
         f.rows > 0 && f.nullCounts.get(c).contains(f.rows)
       case org.apache.spark.sql.sources.IsNotNull(c) => zeroNulls(c)
+      // every value with prefix p lies in [p, incrementLast(p)); both
+      // containment directions survive truncation: recorded lo ≤ true
+      // min, so lo ≥ p proves min ≥ p; recorded hi ≥ true max, so
+      // hi < succ proves max < succ. An un-incrementable p (all
+      // U+10FFFF) has no finite band end — decline.
+      case StringStartsWith(c, p) => zeroNulls(c) &&
+        f.bounds.get(c).exists { case (lo, hi) =>
+          cmpOpt(lo, p).exists(_ >= 0) && incrementLast(p).exists(
+            succ => cmpOpt(hi, succ).exists(_ < 0)) }
       case org.apache.spark.sql.sources.AlwaysTrue() => true
       case And(l, r) => allMatch(f, l) && allMatch(f, r)
       case Or(l, r)  => allMatch(f, l) || allMatch(f, r)

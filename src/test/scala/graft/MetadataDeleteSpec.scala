@@ -150,6 +150,75 @@ class MetadataDeleteSpec extends SparkSpec {
       s"deep fsck still names the flipped file: $deep")
   }
 
+  test("a LIKE-prefix DELETE is metadata-only when the prefix band " +
+      "covers whole files (truncation-sound both directions)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmd.pfx")
+    spark.sql("CREATE TABLE gmd.pfx.t (k BIGINT, s STRING)")
+    val dir = s"$root/pfx/t"
+    (1L to 10L).map(k => (k, s"alpha$k")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    (11L to 20L).map(k => (k, s"beta$k")).toDF("k", "s").coalesce(1)
+      .write.format("graftsink").mode("append").save(dir)
+    val before = GraftSink.latestManifest(spark, dir).get
+    assert(before.files.size == 2)
+    val readers = GraftSink.readersCreated.get()
+    spark.sql("DELETE FROM gmd.pfx.t WHERE s LIKE 'alpha%'")
+    assert(GraftSink.readersCreated.get() === readers,
+      "the prefix band covers one whole file and excludes the other " +
+        "— metadata-only, zero data-file opens")
+    val after = GraftSink.latestManifest(spark, dir).get
+    assert(after.version === before.version + 1 &&
+      after.files.size == 1)
+    assert(spark.sql("SELECT k FROM gmd.pfx.t ORDER BY k")
+      .as[Long].collect().toSeq === (11L to 20L))
+  }
+
+  test("a streaming tail crosses a metadata-delete version cleanly: " +
+      "no re-emit, no crash, later appends still arrive exactly once") {
+    root
+    val dir = seed3("tail")
+    val name = "md_tail_sink"
+    val q = spark.readStream.format("graftsink")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 30L)
+      spark.sql("DELETE FROM gmd.tail.t WHERE k <= 10") // metadata-only
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 30L,
+        "a version that adds no files emits nothing — carried files " +
+          "must not re-emit")
+      (31L to 35L).map(k => (k, s"v$k")).toDF("k", "s").coalesce(1)
+        .write.format("graftsink").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table(name).select("k").as[Long].collect().toSet
+        === (1L to 35L).toSet,
+        "appends after the delete version arrive exactly once")
+    } finally q.stop()
+  }
+
+  test("vacuum reclaims a metadata-deleted file once no surviving " +
+      "version references it; survivors, reads, and fsck stay intact") {
+    root
+    val dir = seed3("vac")
+    val doomedName = fileOfBand(dir, 1L).name
+    spark.sql("DELETE FROM gmd.vac.t WHERE k <= 10")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dir, s"data/$doomedName")),
+      "until vacuum, prior versions still reference the dropped file")
+    GraftSink.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(!fs.exists(new Path(dir, s"data/$doomedName")),
+      "with the pre-delete versions expired, the dropped file is " +
+        "physically reclaimed")
+    assert(spark.sql("SELECT k FROM gmd.vac.t ORDER BY k")
+      .as[Long].collect().toSeq === (11L to 30L))
+    val r = GraftSink.fsck(spark, dir, deep = true)
+    assert(r.deepVerified, s"post-vacuum integrity: $r")
+  }
+
   test("plan-time stats memo is incarnation-aware: DROP + re-create " +
       "at the same path serves the NEW table's stats, not the dead " +
       "incarnation's") {
