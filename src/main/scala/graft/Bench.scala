@@ -80,6 +80,13 @@ object Bench {
         "q_tx_fsck",
         "q_sql_catalog",
         "q_delete_where",
+        // r14 seed/timed splits (OPTIMIZATION_r14.md): warm builds the
+        // memoized seeds — the two-tx source root (replica_sync), the
+        // two-version snapshot root (time_travel), the pristine MOR
+        // base and cascade star copies — so the timed reps price the
+        // sync/read/delete/compact operators, not their input staging
+        "q_tx_replica_sync", "q_time_travel", "q_mor_delete",
+        "q_cascade_delete",
         "q_hll_merge", "q_hll_sliding",
         "q_bitmap_merge",
         "q_moments_merge", "d_posting_search", "d_bm25_topk",
