@@ -1277,7 +1277,17 @@ object Scale {
         col("lo"), col("width"), col("cnt"))
     val anchors = parts.select(col("priority"), col("m").as("am"),
       col("om")).distinct()
+    // one explicit (priority, om) partitioning carries the whole
+    // post-join pipeline (r14, guide §2.4): the 5-key groupBy, both
+    // windows, and the final per-(priority, om) argmin all cluster on
+    // a superset of (priority, om), so they ride this single exchange
+    // — previously the groupBy shuffled on its full key and the
+    // windows re-shuffled on (priority, om), two exchanges for the
+    // same row set. The parallelism ceiling is unchanged: the windows
+    // already force (priority, om) partitioning, and everything here
+    // is bins-table-sized (dims-product × ≤4096), never fact-sized.
     val win = contrib.join(anchors, Seq("priority", "am"))
+      .repartition(col("priority"), col("om"))
       .groupBy("priority", "om", "bin", "lo", "width")
       .agg(sum("cnt").as("cnt3"))
     val wCum = org.apache.spark.sql.expressions.Window
