@@ -87,9 +87,6 @@ object Bench {
         // sync/read/delete/compact operators, not their input staging
         "q_tx_replica_sync", "q_time_travel", "q_mor_delete",
         "q_cascade_delete",
-        // warm builds the memoized train-split bloom sketch (the
-        // long-lived-index contract); timed reps price the eval probe
-        "d_decontaminate_bloom",
         "q_hll_merge", "q_hll_sliding",
         "q_bitmap_merge",
         "q_moments_merge", "d_posting_search", "d_bm25_topk",
