@@ -69,20 +69,22 @@ object Tables {
     .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
-    // r14 (guide §3.1): let AQE rewrite a sort-merge join to a
-    // shuffled-hash join at runtime when EVERY post-shuffle partition
-    // of the build side is under this bound — the size-guarded form of
-    // "prefer hash when the per-partition build fits in memory"
-    // (default 0 = never). Scale-adaptive by construction: the check
-    // is a runtime byte size per partition, so at 100 TB a join whose
-    // partitions outgrow the bound keeps the spill-safe sort-merge
-    // path. Measured on the join-heavy bench set (quiet, focused,
-    // OPTIMIZATION_r14.md): q2 -22%, q9 -19%, q_exists -17%,
-    // q5/q7/q_correlated -12%, nothing outside noise got slower.
-    // Static plans (PLANS.lock) are untouched — the rewrite is
-    // AQE-runtime-only. Shuffle codec stays lz4: zstd was A/B-measured
-    // +10-25% slower at bench scale (CPU-bound shuffles).
-    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+    // r15: spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold is
+    // back at Spark's default (0 = never convert SMJ to SHJ). The r14
+    // `128m` won focused single-query A/Bs (q2 -22%, q9 -19%) but LOST
+    // the full bench at 32 cores — OPTIMIZATION_r15.md's A/B: 128m
+    // 121.9 s vs off 114.5 s (geomean 1.074 across all 257 queries),
+    // and the driver's r14 run showed the same shape at 136 s. The
+    // mechanism is §5 memory discipline: SHJ build maps are per-task
+    // and unspillable, and ~250 queries' worth of conversions in one
+    // shared 8 GB local-mode heap churns the old gen — the tax lands
+    // broadly (the text-kernel family, no joins at all, regressed
+    // worst). On a cluster with per-task heap headroom the 128m bound
+    // IS scale-safe by construction (runtime per-partition byte
+    // check); enable it per deployment with a full-workload A/B, never
+    // here in the shared session builder. Shuffle codec stays lz4:
+    // zstd was A/B-measured +10-25% slower at bench scale (CPU-bound
+    // shuffles).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // recursive CTEs (q_recursive_cte): the default 1M-row guard trips
     // at sf0.1 already (|orders| × log2(maxKey) rows pass through the
