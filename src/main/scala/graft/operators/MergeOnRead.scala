@@ -318,12 +318,23 @@ object MergeOnRead {
     // mode guard runs inside readCurrent (the first data access)
     val victims = readCurrent(spark, root, keyCol)
       .filter(predicate).select(keyCol).distinct()
-    val n = victims.count()
-    if (n > 0) {
-      val dest = s"${deletesDir(root)}/d" +
-        java.util.UUID.randomUUID().toString.take(8)
-      victims.write.mode("errorifexists").parquet(dest)
-      writeSidecar(spark, dest)
+    // ONE pass computes and lands the tombstone batch (r15, guide §1):
+    // the previous count()-then-write ran the current-view scan + anti
+    // join TWICE per delete; the observe metric rides the write job,
+    // so the count is exact and free. An empty batch briefly leaves an
+    // empty dir that is removed before return — a crash inside that
+    // window leaves an empty, maskless tombstone dir the fsck flags as
+    // sidecar-less (the documented crash-window contract).
+    val dest = s"${deletesDir(root)}/d" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val obs = new org.apache.spark.sql.Observation()
+    victims.observe(obs, count(lit(1)).as("n"))
+      .write.mode("errorifexists").parquet(dest)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) writeSidecar(spark, dest)
+    else {
+      val p = new Path(dest)
+      fsOf(spark, p).delete(p, true)
     }
     n
   }
@@ -491,27 +502,27 @@ object MergeOnRead {
     val (tIn, tOut) = seqDirs(deletesDir(root), "t")
       .partition(_._1 <= horizonSeq)
     if (upIn.isEmpty && tIn.isEmpty) return
-    // verify-before-fold: the rewrite re-lands everything under a
-    // fresh sidecar, so prove every folded input byte first or rot is
-    // laundered into a "verified" base (dirs past the horizon are not
-    // folded — their replay overwrites them, nothing to prove here)
-    verifyFolding(spark, dataDir(root) +:
-      (upIn ++ tIn).map(_._2.toString), "compactSeq")
-    val base = spark.read.parquet(dataDir(root))
-      .withColumn("__seq", lit(0L))
-    val all = if (upIn.isEmpty) base
-    else base.unionByName(
-      spark.read.parquet(upIn.map(_._2.toString): _*)
-        .withColumn("__seq", col("__seq").cast("long")))
-    val view = if (tIn.isEmpty) all
-    else {
-      val tomb = spark.read.parquet(tIn.map(_._2.toString): _*)
-        .groupBy(keyCol).agg(max("__seq").as("__tseq"))
-      all.join(tomb, Seq(keyCol), "left")
-        .filter(col("__tseq").isNull || col("__seq") >= col("__tseq"))
-        .drop("__tseq")
-    }
-    ParquetIO.overwriteSafe(view.drop("__seq"), dataDir(root))
+    // verify-before-RETIRE, overlapped with the fold (see [[compact]];
+    // dirs past the horizon are not folded — their replay overwrites
+    // them, nothing to prove there)
+    foldWithVerify(spark, dataDir(root) +:
+      (upIn ++ tIn).map(_._2.toString), "compactSeq", { () =>
+      val base = spark.read.parquet(dataDir(root))
+        .withColumn("__seq", lit(0L))
+      val all = if (upIn.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(upIn.map(_._2.toString): _*)
+          .withColumn("__seq", col("__seq").cast("long")))
+      val view = if (tIn.isEmpty) all
+      else {
+        val tomb = spark.read.parquet(tIn.map(_._2.toString): _*)
+          .groupBy(keyCol).agg(max("__seq").as("__tseq"))
+        all.join(tomb, Seq(keyCol), "left")
+          .filter(col("__tseq").isNull || col("__seq") >= col("__tseq"))
+          .drop("__tseq")
+      }
+      view.drop("__seq")
+    }, dataDir(root))
     // the folded base is the new integrity reference — stamp it before
     // the inputs drop (a crash between the two leaves BOTH the new
     // sidecar and the old dirs: re-running the fold is idempotent)
@@ -628,13 +639,45 @@ object MergeOnRead {
     if (!fs.exists(del)) return 0
     val batches = fs.listStatus(del).count(_.isDirectory)
     if (batches == 0) return 0
-    // verify-before-fold, then re-stamp the fresh base (see compactSeq)
-    verifyFolding(spark, dataDir(root) +:
-      fs.listStatus(del).filter(_.isDirectory)
-        .map(_.getPath.toString).toSeq, "compact")
-    ParquetIO.overwriteSafe(readCurrent(spark, root, keyCol), dataDir(root))
+    // verify-before-RETIRE, overlapped (r15, guide §2.6): the raw-byte
+    // re-hash and the fold's parquet read are independent jobs over
+    // the same immutable inputs, so they run concurrently; the fold's
+    // output stays in STAGING until the verify pass joins clean (the
+    // beforeSwap gate), so corrupt bytes are still never re-blessed —
+    // the law is verify-before-retire, and nothing retires before the
+    // join. A corrupt file may crash the fold read first; the catch
+    // below still surfaces the verify pass's refusal (the actionable
+    // message) ahead of the parquet decode error.
+    foldWithVerify(spark,
+      dataDir(root) +: fs.listStatus(del).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq, "compact",
+      () => readCurrent(spark, root, keyCol), dataDir(root))
     writeSidecar(spark, dataDir(root))
     fs.delete(del, true)
     batches
+  }
+
+  /** Shared fold engine: kick the [[verifyFolding]] re-hash off on a
+    * second thread, stage the fold with [[ParquetIO.overwriteSafe]],
+    * and JOIN the verify before the staged base swaps in. `view` is a
+    * THUNK: corrupt bytes can crash even the parquet footer read while
+    * the view is being CONSTRUCTED, so the whole fold — plan building
+    * included — runs inside the guarded region, and a verify refusal
+    * wins over any concurrent fold-read failure: planted corruption is
+    * always reported as the refusal it is.
+    */
+  private def foldWithVerify(spark: SparkSession, dirs: Seq[String],
+      op: String, view: () => DataFrame, dest: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val verify = Future(verifyFolding(spark, dirs, op))
+    def join(): Unit = { Await.result(verify, Duration.Inf); () }
+    try ParquetIO.overwriteSafe(view(), dest, beforeSwap = () => join())
+    catch {
+      case e: Throwable =>
+        try join() catch { case refusal: Throwable => throw refusal }
+        throw e
+    }
   }
 }

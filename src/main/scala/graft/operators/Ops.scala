@@ -45,7 +45,8 @@ object ParquetIO {
     * target as fresh.
     */
   def overwriteSafe(df: DataFrame, path: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      beforeSwap: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,9 +59,16 @@ object ParquetIO {
     // Write phase: a failure here leaves the target untouched, so the
     // staging dir is redundant — drop it (repeated failed runs must not
     // accumulate orphan __staging_* dirs beside the target).
-    try clustered.write.mode("overwrite")
-      .partitionBy(parts: _*).parquet(tmp.toString)
-    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // `beforeSwap` is the caller's last gate (e.g. a concurrently
+    // running verify pass — MergeOnRead.compact): it runs with the
+    // staged copy complete but NOTHING retired; a throw drops the
+    // staging dir and leaves the target untouched, exactly like a
+    // write failure.
+    try {
+      clustered.write.mode("overwrite")
+        .partitionBy(parts: _*).parquet(tmp.toString)
+      beforeSwap()
+    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
     // Swap phase: the original is renamed ASIDE — never deleted — before
     // the staged copy moves in, so no single failure leaves zero copies.
     // The aside dir is dropped only once the new copy is in place; if
