@@ -636,8 +636,26 @@ object Ops {
     */
   def spreadNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.conf
+    val session = spark.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
+    // r15 (guide §2.2/§2.5; VERDICT r14 ask #5): the spread width is
+    // DATA-PROPORTIONAL, capped at the session width — not the session
+    // constant itself. The kernels this feeds (regex tokenization,
+    // shingling, vector math) are allocation-heavy, and fanning a
+    // KB-scale corpus across every core of a big session maximizes
+    // concurrent allocation/GC pressure for zero coverage gain (the
+    // r14 inverse-scaling cluster: d_unigram_logprob ran 2x SLOWER at
+    // 32 cores than at 8). ~64 KiB of pruned scan input per task keeps
+    // small corpora on proportionally few cores; any real corpus hits
+    // the session cap immediately, so cluster-scale behavior is
+    // unchanged. Unknown/absurd size estimates fall back to the
+    // session width (the pre-r15 behavior).
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perTask = 64L << 10
+    val target =
+      if (!bytes.isValidLong) session
+      else math.min(session.toLong,
+        math.max(4L, (bytes.toLong + perTask - 1) / perTask)).toInt
     if (df.rdd.getNumPartitions * 2 < target)
       // Spread by hashing row CONTENT, never round-robin.
       // RoundRobinPartitioning places rows by input-split order and

@@ -186,13 +186,25 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 1)
   }
 
-  test("spreadNarrow widens a narrow input to the session shuffle width") {
+  test("spreadNarrow widens a narrow input data-proportionally, " +
+      "capped at the session shuffle width") {
     val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc$i"))
       .toDF("id", "text").coalesce(1)
     val spread = Ops.spreadNarrow(narrow)
-    assert(spread.rdd.getNumPartitions ==
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = spread.rdd.getNumPartitions
+    // a KB-scale input spreads to a FEW partitions (>= the floor of 4,
+    // data-proportional at ~64 KiB/task), never the whole session
+    // width — r15, the inverse-scaling fix for allocation-heavy
+    // kernels over tiny corpora
+    assert(n >= 4 && n <= session, s"width $n outside [4, $session]")
     assert(spread.count() == 100)
+    // a large-estimate input still spreads to the full session cap:
+    // the width is min(session, bytes/64KiB)
+    val big = Seq.tabulate(100)(i => (i.toLong, "x" * 40000))
+      .toDF("id", "text").coalesce(1)
+    assert(Ops.spreadNarrow(big).rdd.getNumPartitions == session,
+      "MB-scale input must saturate the session width")
     // a wide input passes through untouched (no gratuitous shuffle)
     val wide = narrow.repartition(8)
     assert(Ops.spreadNarrow(wide).queryExecution.optimizedPlan ==
