@@ -331,30 +331,38 @@ object Ops {
     if (freshTarget) {
       ParquetIO.overwriteSafe(batch, targetPath, Seq(partitionCol))
     } else {
-      // One value per touched partition — bounded and tiny by design
-      // (a delta batch touches recent dates), so collect is safe.
-      val touched = batch
-        .select(col(partitionCol).cast("string")).distinct()
-        .collect().map(_.getString(0))
-      // A NULL partition value would write to __HIVE_DEFAULT_PARTITION__
-      // in staging while the swap loop looked for "<col>=null" — the row
-      // would vanish silently. Fail loudly instead.
-      require(!touched.contains(null),
-        s"mergeUpsertPartitioned: batch contains NULL $partitionCol " +
-          "values; the partition column must be non-null (derive it " +
-          "with a coalesce/default upstream)")
-      val target = spark.read.parquet(targetPath)
-        .filter(col(partitionCol).cast("string").isin(touched.toSeq: _*))
-        // partition-type inference may have widened the hive dir value
-        // (e.g. string date → DateType); pin to the batch's type so the
-        // union below never coerces the whole column
-        .withColumn(partitionCol,
-          col(partitionCol).cast(batch.schema(partitionCol).dataType))
-      val merged = target
-        .join(batch.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(batch, allowMissingColumns = true)
-      stagePartitionSwap(spark, targetPath, clustered(merged), partitionCol,
-        touched.map(v => s"$partitionCol=$v").toSeq)
+      // The deduped batch feeds TWO actions (the touched-partition
+      // collect below and the staged merge write): persist it so the
+      // dedup window's shuffle runs once, not twice (r15, guide §5 —
+      // reuse only pays when recompute costs a shuffle; it does here).
+      // Unpersisted before return on every path.
+      batch.persist()
+      try {
+        // One value per touched partition — bounded and tiny by design
+        // (a delta batch touches recent dates), so collect is safe.
+        val touched = batch
+          .select(col(partitionCol).cast("string")).distinct()
+          .collect().map(_.getString(0))
+        // A NULL partition value would write to __HIVE_DEFAULT_PARTITION__
+        // in staging while the swap loop looked for "<col>=null" — the row
+        // would vanish silently. Fail loudly instead.
+        require(!touched.contains(null),
+          s"mergeUpsertPartitioned: batch contains NULL $partitionCol " +
+            "values; the partition column must be non-null (derive it " +
+            "with a coalesce/default upstream)")
+        val target = spark.read.parquet(targetPath)
+          .filter(col(partitionCol).cast("string").isin(touched.toSeq: _*))
+          // partition-type inference may have widened the hive dir value
+          // (e.g. string date → DateType); pin to the batch's type so the
+          // union below never coerces the whole column
+          .withColumn(partitionCol,
+            col(partitionCol).cast(batch.schema(partitionCol).dataType))
+        val merged = target
+          .join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch, allowMissingColumns = true)
+        stagePartitionSwap(spark, targetPath, clustered(merged), partitionCol,
+          touched.map(v => s"$partitionCol=$v").toSeq)
+      } finally batch.unpersist()
     }
   }
 
