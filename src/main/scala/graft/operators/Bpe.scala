@@ -58,14 +58,19 @@ object Bpe {
     val spark = words.sparkSession
     // per-round localCheckpoint: k rounds of withColumn would build a
     // k-deep lineage re-executing every prior merge per action (the
-    // pagerank discipline, measured there)
+    // pagerank discipline, measured there). LAZY (r15, guide §1.2
+    // per-task work): the very next argmax is a full-shuffle job over
+    // this frame, so it materializes the checkpoint as a side effect —
+    // eager ran a SECOND job per round just to persist, and the final
+    // round's merge apply (which nothing reads) was materialized for
+    // nothing
     // NB Spark's split keeps trailing empties (limit = -1), so the
     // lookahead char-split emits a final '' — filtered, matching the
     // driver twin's per-char split exactly
     var cur = words
       .select(col("n"),
         expr("filter(split(word, '(?!^)'), x -> x <> '')").as("syms"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -81,7 +86,7 @@ object Bpe {
         case Some(Row(l: String, r: String, cnt: Long)) =>
           merges += ((rank, l, r, cnt))
           cur = cur.select(col("n"),
-            applyMerge(l, r).as("syms")).localCheckpoint(true)
+            applyMerge(l, r).as("syms")).localCheckpoint(false)
           rank += 1
         case Some(other) => sys.error(s"unexpected pair row $other")
       }

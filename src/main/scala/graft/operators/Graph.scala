@@ -125,9 +125,13 @@ object Graph {
     */
   def labelPropagation(sym: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LAZY checkpoints (r15, the pagerank rationale): each round's
+    // broadcast build / the final fold fully materializes the previous
+    // label relation, so the eager persist was one extra no-op job per
+    // round; lineage truncation is unchanged
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
@@ -137,7 +141,7 @@ object Graph {
         .orderBy(col("c").desc, col("lab"))
       labels = counted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("node", "lab")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }

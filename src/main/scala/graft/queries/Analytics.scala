@@ -996,12 +996,17 @@ object Analytics {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
     // degree is static: attach it to the edge list ONCE, so each round
     // is a single edge⋈rank join (not edge⋈rank⋈degree)
-    val symD = sym.join(deg, "src").localCheckpoint()
+    // LAZY checkpoints (r15): every frame below is fully materialized
+    // by the NEXT round's join/broadcast-build job anyway, so the
+    // eager persist ran one extra no-op job per round (12 jobs of pure
+    // scheduling overhead on a 10-round loop); lineage truncation is
+    // identical once the first job over each frame runs
+    val symD = sym.join(deg, "src").localCheckpoint(false)
     // one scalar action up front (the maxWatermark discipline) instead
     // of re-broadcasting a 1-row aggregate every round
     val n = deg.count().toDouble
     var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to 10) {
       // rank is node-sized (entity count, not fact rows): broadcast it
       // so the edge list never shuffles — per round the only exchange
@@ -1013,7 +1018,7 @@ object Analytics {
         .agg(sum(col("r") / col("d")).as("contrib"))
         .select(col("dst").as("node"),
           round(lit(0.15 / n) + lit(0.85) * col("contrib"), 9).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // checkpoint EVERY round: the broadcast build materializes its
       // input each round, so any non-checkpointed round would be
       // re-executed by every later round in its stride — a k-round
@@ -1082,7 +1087,7 @@ object Analytics {
       .select("a", "b")
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by round 1 (r15, lazy)
     graft.operators.Graph.labelPropagation(sym, lpaRounds)
       .groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("size"))
