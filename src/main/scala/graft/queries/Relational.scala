@@ -889,9 +889,29 @@ object Relational {
     val wp = new org.apache.hadoop.fs.Path(work)
     val fs = wp.getFileSystem(conf)
     fs.delete(wp, true)
-    org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp, fs, wp,
-      false, true, conf)
+    // a partial/failed copy must fail HERE, loudly, not as a wrong
+    // benchmark result downstream (ADVICE r14)
+    require(org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf),
+      sp, fs, wp, false, true, conf),
+      s"restoreFromPristine: copy $seed -> $work failed")
   }
+
+  /** [[java.util.concurrent.ConcurrentHashMap.computeIfAbsent]] for
+    * the per-(JVM, sf dir) seed memos, revalidating that a CACHED seed
+    * path still exists on every hit (ADVICE r14): a tmp cleaner or
+    * external delete mid-JVM otherwise fails every later rep with an
+    * opaque read error instead of simply reseeding.
+    */
+  private def seedOrRebuild(
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      spark: SparkSession, key: String)(build: String => String): String =
+    memo.compute(key, (k, cached) => {
+      if (cached != null && {
+        val p = new org.apache.hadoop.fs.Path(cached)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }) cached
+      else build(k)
+    })
 
   private val deleteWhereSeeds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -900,13 +920,13 @@ object Relational {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_delete_" +
       java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
         org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
-    val pristine = deleteWhereSeeds.computeIfAbsent(dir, { d =>
+    val pristine = seedOrRebuild(deleteWhereSeeds, spark, dir) { d =>
       val p = s"$base/pristine"
       graft.operators.Ops.fullRefresh(
         Tables(spark, d, "orders")
           .select("o_orderkey", "o_orderpriority", "o_totalprice"), p)
       p
-    })
+    }
     val path = s"$base/work"
     restoreFromPristine(spark, pristine, path)
     graft.operators.Ops.deleteWhere(spark, path,
@@ -954,7 +974,7 @@ object Relational {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cascade_" +
       java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
         org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
-    val pristine = cascadeSeeds.computeIfAbsent(dir, { d =>
+    val pristine = seedOrRebuild(cascadeSeeds, spark, dir) { d =>
       val p = s"$base/pristine"
       graft.operators.Ops.fullRefresh(Tables(spark, d, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal"), s"$p/customer")
@@ -963,7 +983,7 @@ object Relational {
       graft.operators.Ops.fullRefresh(Tables(spark, d, "lineitem")
         .select("l_orderkey", "l_linenumber"), s"$p/lineitem")
       p
-    })
+    }
     val (cPath, oPath, lPath) = (s"$base/work/customer",
       s"$base/work/orders", s"$base/work/lineitem")
     restoreFromPristine(spark, s"$pristine/customer", cPath)
@@ -1042,7 +1062,7 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def timeTravelQ(spark: SparkSession, dir: String): DataFrame = {
-    val root = snapSeeds.computeIfAbsent(dir, { d =>
+    val root = seedOrRebuild(snapSeeds, spark, dir) { d =>
       val r = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
         java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
           org.apache.spark.unsafe.types.UTF8String.fromString(d)))
@@ -1062,7 +1082,7 @@ object Relational {
         .unionByName(batch)
       graft.operators.Ops.snapshotWrite(merged, r)
       r
-    })
+    }
     def audit(v: Int): DataFrame =
       graft.operators.Ops.snapshotRead(spark, root, Some(v))
         .agg(count(lit(1)).as("n_rows"),
@@ -1358,7 +1378,7 @@ object Relational {
       java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
         org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
     val mor = graft.operators.MergeOnRead
-    val pristine = morDeleteSeeds.computeIfAbsent(dir, { d =>
+    val pristine = seedOrRebuild(morDeleteSeeds, spark, dir) { d =>
       val p = s"$base/pristine"
       val pp = new org.apache.hadoop.fs.Path(p)
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1366,7 +1386,7 @@ object Relational {
       mor.init(Tables(spark, d, "orders")
         .select("o_orderkey", "o_totalprice"), p)
       p
-    })
+    }
     val root = s"$base/work"
     restoreFromPristine(spark, pristine, root)
     mor.deleteWhere(spark, root, "o_orderkey", col("o_orderkey") % 7 === 0)
@@ -1416,7 +1436,7 @@ object Relational {
   private val morFsckSeeds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def seededMorFsck(spark: SparkSession, dir: String): String =
-    morFsckSeeds.computeIfAbsent(dir, { d =>
+    seedOrRebuild(morFsckSeeds, spark, dir) { d =>
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_morfsck_" +
         java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
           org.apache.spark.unsafe.types.UTF8String.fromString(d)))
@@ -1470,7 +1490,7 @@ object Relational {
       require(mor.fsck(spark, root, deep = true).deepVerified,
         "the folded base is re-stamped and verified")
       root
-    })
+    }
 
   private def morFsckQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MergeOnRead
@@ -1561,7 +1581,7 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def seededTxSyncSrc(spark: SparkSession, dir: String): String =
-    txSyncSeeds.computeIfAbsent(dir, { d =>
+    seedOrRebuild(txSyncSeeds, spark, dir) { d =>
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_txsync_" +
         java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
           org.apache.spark.unsafe.types.UTF8String.fromString(d)))
@@ -1577,7 +1597,7 @@ object Relational {
       tx.publish(spark, s"$base/src", Map("orders" ->
         orders0.withColumn("o_totalprice", col("o_totalprice") * 2)))
       base
-    })
+    }
 
   private def txReplicaSyncQ(spark: SparkSession, dir: String): DataFrame = {
     val base = seededTxSyncSrc(spark, dir)
@@ -1631,7 +1651,7 @@ object Relational {
   private val txFsckSeeds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def seededTxFsck(spark: SparkSession, dir: String): String =
-    txFsckSeeds.computeIfAbsent(dir, { d =>
+    seedOrRebuild(txFsckSeeds, spark, dir) { d =>
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_txfsck_" +
         java.lang.Long.toHexString(graft.expressions.Kernels.fnv1a64(
           org.apache.spark.unsafe.types.UTF8String.fromString(d)))
@@ -1650,7 +1670,7 @@ object Relational {
       fs.mkdirs(new org.apache.hadoop.fs.Path(root, "orders/t99"))
       fs.mkdirs(new org.apache.hadoop.fs.Path(root, "__staging_planted"))
       root
-    })
+    }
 
   private def txFsckQ(spark: SparkSession, dir: String): DataFrame = {
     val root = seededTxFsck(spark, dir)
