@@ -1203,16 +1203,7 @@ object Scale {
     */
   private def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
     val h = spark.read.parquet(seededHist(spark, dir))
-    // one explicit (priority) partitioning carries the whole pipeline
-    // (r15, guide §2.4, the q_quantile_sliding pattern): the 4-key
-    // merge groupBy, both windows and the final crossing-pick all
-    // cluster on a superset of (priority), so they ride this single
-    // exchange — previously the groupBy shuffled on its full key and
-    // the windows re-shuffled on (priority). Parallelism ceiling is
-    // unchanged: the windows already force (priority) partitioning,
-    // and everything here is bins-table-sized, never fact-sized.
-    val merged = h.repartition(col("priority"))
-      .groupBy("priority", "bin", "lo", "width")
+    val merged = h.groupBy("priority", "bin", "lo", "width")
       .agg(sum("cnt").as("cnt"))
     // single pass over the bins table: cumulative + total as two
     // window frames sharing one (priority)-partitioned sort, both
@@ -1351,11 +1342,9 @@ object Scale {
     */
   private def quantileRebin(spark: SparkSession, dir: String): DataFrame = {
     val h = spark.read.parquet(seededHist(spark, dir))
-    // same single-(priority)-exchange pattern as quantileMerge (§2.4)
     val merged = h
       .select(col("priority"), expr("bin div 2").as("bin2"),
         col("lo"), (col("width") * 2).as("width2"), col("cnt"))
-      .repartition(col("priority"))
       .groupBy("priority", "bin2", "lo", "width2")
       .agg(sum("cnt").as("cnt"))
     val wCum = org.apache.spark.sql.expressions.Window
